@@ -1,0 +1,50 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Embedding-column (Array[Float]) math via higher-order functions — per-row,
+  * shuffle-free, no UDFs. Elements are cast to double before arithmetic so
+  * Spark and any oracle accumulate in the same precision.
+  */
+object Vectors {
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def l2Norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Deterministic pseudo-random hyperplane weight for (plane, dim): uniform
+    * in [-1, 1), derived from xxhash64 — no RNG state to ship to executors.
+    */
+  private def planeWeight(plane: Int, dim: Column): Column =
+    pmod(xxhash64(concat_ws("_", lit(plane), dim)), lit(2000001L))
+      .cast("double") / 1000000.0 - 1.0
+
+  /** Random-hyperplane LSH bucket id: `nPlanes` sign bits packed into a long.
+    * Vectors with high cosine similarity land in the same bucket with high
+    * probability; at cluster scale the bucket id is the shuffle key for both
+    * near-dup pairing and ANN candidate generation. `table` offsets the plane
+    * set so independent hash tables can be OR-combined.
+    */
+  def hyperplaneBucket(vec: Column, nPlanes: Int, table: Int = 0): Column =
+    (0 until nPlanes).map { p =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, i) => x.cast("double") * planeWeight(table * 64 + p, i)),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Multi-table LSH signature: array of (table, bucket) structs. OR-combining
+    * `nTables` independent tables trades a linear factor of work for
+    * exponentially better recall — the standard production ANN layout.
+    */
+  def lshTables(vec: Column, nPlanes: Int, nTables: Int): Column =
+    array((0 until nTables).map(t =>
+      struct(lit(t).as("tbl"), hyperplaneBucket(vec, nPlanes, t).as("bkt"))): _*)
+}

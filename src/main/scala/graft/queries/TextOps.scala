@@ -1,0 +1,128 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Text
+
+/** Text-analysis operators for a training-data pipeline over `documents`:
+  * token counting, quality scoring, language-ID heuristic, fingerprinting.
+  * All per-row (no shuffle beyond the final ORDER BY for oracle determinism),
+  * so they scale linearly with document count.
+  */
+object TextOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docs(s: SparkSession, d: String) = Tables(s, d, "documents")
+
+  val queries: Map[String, Q] = Map(
+    // ---- character-level stats ----
+    "q_text_stats" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"), col("n_chars"),
+        length(col("text")).as("n_chars_calc"),
+        (length(col("text")) - length(replace(col("text"), lit(" "), lit("")))).as("n_spaces"),
+        (length(col("text")) - length(replace(col("text"), lit("."), lit("")))).as("n_periods"))
+        .orderBy("doc_id")),
+
+    // ---- whitespace + BPE-ish token counting ----
+    "q_text_tokens" -> ((s, d) =>
+      docs(s, d)
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"),
+          size(split(trim(col("text")), "\\s+")).as("n_tokens"),
+          // BPE-ish: alpha runs, digit runs, or single non-space symbols
+          size(split(trim(col("text")), "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"))
+            .minus(1).as("n_bpeish"))
+        .orderBy("doc_id")),
+
+    // ---- quality scoring: stopword ratio + avg token length ----
+    "q_text_quality" -> ((s, d) => {
+      val t = col("text")
+      val nTok = size(split(trim(t), "\\s+"))
+      val stopHits =
+        ((length(t) - length(replace(t, lit(" the "), lit("")))) / 5) +
+          ((length(t) - length(replace(t, lit(" a "), lit("")))) / 3)
+      val avgTokLen = (length(trim(t)) -
+        (length(trim(t)) - length(replace(trim(t), lit(" "), lit(""))))).cast("double") / nTok
+      docs(s, d)
+        .filter(length(trim(t)) > 0)
+        .select(col("doc_id"),
+          nTok.as("n_tokens"),
+          round(stopHits.cast("double") / nTok, 4).as("stopword_ratio"),
+          round(avgTokLen, 4).as("avg_token_len"),
+          round(length(t).cast("double") / nTok, 4).as("chars_per_token"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- language-ID heuristic (marker-token n-gram rules) ----
+    "q_lang_guess" -> ((s, d) => {
+      val t = concat(lit(" "), lower(col("text")), lit(" "))
+      docs(s, d).select(col("doc_id"), col("lang"),
+        when(t.like("% the %") || t.like("% a %"), "en")
+          .when(t.like("% der %") || t.like("% und %"), "de")
+          .when(t.like("% le %") || t.like("% et %"), "fr")
+          .when(t.like("% el %") || t.like("% y %"), "es")
+          .otherwise("other").as("lang_guess"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- document fingerprints: md5 (content-addressed) ----
+    "q_doc_fingerprint" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+        md5(trim(lower(col("text"))).cast("binary")).as("fp_md5"))
+        .orderBy("doc_id")),
+
+    // ---- document fingerprints: order-sensitive rolling hash (no SQL oracle:
+    //      engine-specific hash function) ----
+    "q_doc_rollhash" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+        Text.rollingFingerprint(Text.tokens(col("text"))).as("fp_roll"))
+        .orderBy("doc_id"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_text_stats" ->
+      """SELECT doc_id, n_chars, length(text) AS n_chars_calc,
+        |       length(text) - length(replace(text, ' ', '')) AS n_spaces,
+        |       length(text) - length(replace(text, '.', '')) AS n_periods
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_tokens" ->
+      """SELECT doc_id,
+        |       length(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+        |       length(regexp_split_to_array(trim(text),
+        |              '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) - 1 AS n_bpeish
+        |FROM documents WHERE length(trim(text)) > 0 ORDER BY doc_id""".stripMargin,
+
+    "q_text_quality" ->
+      """SELECT doc_id,
+        |       length(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+        |       round(CAST((length(text) - length(replace(text, ' the ', ''))) // 5
+        |                + (length(text) - length(replace(text, ' a ', ''))) // 3 AS DOUBLE)
+        |             / length(regexp_split_to_array(trim(text), '\s+')), 4) AS stopword_ratio,
+        |       round(CAST(length(trim(text))
+        |                - (length(trim(text)) - length(replace(trim(text), ' ', ''))) AS DOUBLE)
+        |             / length(regexp_split_to_array(trim(text), '\s+')), 4) AS avg_token_len,
+        |       round(CAST(length(text) AS DOUBLE)
+        |             / length(regexp_split_to_array(trim(text), '\s+')), 4) AS chars_per_token
+        |FROM documents WHERE length(trim(text)) > 0 ORDER BY doc_id""".stripMargin,
+
+    "q_lang_guess" ->
+      """SELECT doc_id, lang,
+        |       CASE WHEN concat(' ', lower(text), ' ') LIKE '% the %'
+        |              OR concat(' ', lower(text), ' ') LIKE '% a %' THEN 'en'
+        |            WHEN concat(' ', lower(text), ' ') LIKE '% der %'
+        |              OR concat(' ', lower(text), ' ') LIKE '% und %' THEN 'de'
+        |            WHEN concat(' ', lower(text), ' ') LIKE '% le %'
+        |              OR concat(' ', lower(text), ' ') LIKE '% et %' THEN 'fr'
+        |            WHEN concat(' ', lower(text), ' ') LIKE '% el %'
+        |              OR concat(' ', lower(text), ' ') LIKE '% y %' THEN 'es'
+        |            ELSE 'other' END AS lang_guess
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_doc_fingerprint" ->
+      """SELECT doc_id, md5(trim(lower(text))) AS fp_md5
+        |FROM documents ORDER BY doc_id""".stripMargin
+    // q_doc_rollhash: no oracle — xxhash64 is Spark-specific.
+  )
+}

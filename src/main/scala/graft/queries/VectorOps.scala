@@ -1,0 +1,91 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.Vectors
+
+/** Similarity search over the `embeddings` table (Array[Float] column).
+  *
+  * Brute-force cosine top-k is the correctness baseline: probes are a small
+  * broadcast side, so the "cross join" is a broadcast nested loop — each
+  * executor scans its partition of the corpus once, no shuffle of the corpus.
+  * The LSH variant is the scale path: candidates come from a bucket join
+  * keyed on the hyperplane signature instead of the full corpus scan.
+  */
+object VectorOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def emb(s: SparkSession, d: String) = Tables(s, d, "embeddings")
+
+  val queries: Map[String, Q] = Map(
+    // ---- per-vector stats (the oracle anchor for the vector column) ----
+    "q_embed_stats" -> ((s, d) =>
+      emb(s, d).select(col("vec_id"),
+        size(col("embedding")).as("dim"),
+        round(Vectors.l2Norm(col("embedding")), 3).as("l2_norm"),
+        round(aggregate(transform(col("embedding"), x => x.cast("double")),
+          lit(0.0), (acc, v) => acc + v), 3).as("sum_val"),
+        col("label"))
+        .orderBy("vec_id")),
+
+    // ---- brute-force cosine top-k: probe set (vec_id < 10) × corpus ----
+    "q_ann_brute" -> ((s, d) => {
+      val probes = emb(s, d).filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"))
+      val corpus = emb(s, d)
+        .select(col("vec_id").as("neighbor_id"), col("embedding").as("nb_emb"))
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cos").desc, col("neighbor_id").asc)
+      corpus.join(broadcast(probes), col("probe_id") =!= col("neighbor_id"))
+        .select(col("probe_id"), col("neighbor_id"),
+          round(Vectors.cosine(col("probe_emb"), col("nb_emb")), 6).as("cos"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("probe_id"), col("rn"), col("neighbor_id"), col("cos"))
+        .orderBy("probe_id", "rn")
+    }),
+
+    // ---- LSH-bucketed ANN: 4 OR-combined tables of 6 hyperplanes each;
+    //      candidates share any (table, bucket); top-3 by exact cosine ----
+    "q_ann_lsh" -> ((s, d) => {
+      val e = emb(s, d).select(col("vec_id"), col("embedding"),
+        Vectors.lshTables(col("embedding"), 6, 4).as("tbls"))
+      val probes = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"),
+          explode(col("tbls")).as("tb"))
+        .select(col("probe_id"), col("probe_emb"), col("tb.tbl"), col("tb.bkt"))
+      val corpus = e
+        .select(col("vec_id").as("neighbor_id"), col("embedding").as("nb_emb"),
+          explode(col("tbls")).as("tb"))
+        .select(col("neighbor_id"), col("nb_emb"), col("tb.tbl"), col("tb.bkt"))
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cos").desc, col("neighbor_id").asc)
+      corpus.join(broadcast(probes), Seq("tbl", "bkt"))
+        .filter(col("probe_id") =!= col("neighbor_id"))
+        .select(col("probe_id"), col("neighbor_id"),
+          round(Vectors.cosine(col("probe_emb"), col("nb_emb")), 6).as("cos"))
+        .distinct() // a pair can collide in several tables — dedup scalars,
+                    // not embeddings, so no array ever enters a shuffle key
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("probe_id"), col("rn"), col("neighbor_id"), col("cos"))
+        .orderBy("probe_id", "rn")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_embed_stats" ->
+      """SELECT vec_id, len(embedding) AS dim,
+        |       round(sqrt(list_sum(list_transform(embedding,
+        |             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 3) AS l2_norm,
+        |       round(list_sum(list_transform(embedding,
+        |             x -> CAST(x AS DOUBLE))), 3) AS sum_val,
+        |       label
+        |FROM embeddings ORDER BY vec_id""".stripMargin
+    // q_ann_brute / q_ann_lsh: ranking over engine-computed floats — no SQL
+    // oracle; VectorSpec checks brute-force top-k against an exact in-test
+    // computation and LSH results ⊆ brute-force candidates.
+  )
+}

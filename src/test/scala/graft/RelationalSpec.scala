@@ -1,0 +1,90 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Correctness + plan-shape checks for the core relational inventory.
+  * Value-level parity with DuckDB is covered by the driver's oracle gate and
+  * tools/oracle_check.py; here we assert the PLANS are the ones we want at
+  * scale (pushdown, broadcast, top-k) plus sanity invariants.
+  */
+class RelationalSpec extends AnyFunSuite with SparkSpec {
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query has an oracle or a documented reason not to") {
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // engine-specific hashes / float-ranking queries are rows-only by design
+    assert(noOracle == Set("q_dedup_minhash", "q_dedup_simhash",
+      "q_dedup_ngram", "q_dedup_embedding", "q_ann_brute", "q_ann_lsh",
+      "q_doc_rollhash"))
+  }
+
+  test("q_agg_group: 6 flag/status groups, counts add up") {
+    val rows = q("q_agg_group").collect()
+    assert(rows.length == 6)
+    assert(rows.map(_.getAs[Long]("n")).sum > 0)
+  }
+
+  test("filter is pushed down to the parquet scan") {
+    val plan = q("q_filter_pred").queryExecution.executedPlan.toString
+    // the rendered plan truncates the PushedFilters list, so assert on the
+    // leading entries plus the untruncated scan metadata
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity)"), plan.take(2000))
+    // metadata strings are truncated for display; the scan's dataFilters are
+    // the untruncated predicates that reached the file source
+    // executedPlan is an AdaptiveSparkPlanExec leaf — collect on sparkPlan
+    val pushed = q("q_filter_pred").queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.dataFilters.map(_.toString).mkString(";")
+    }
+    assert(pushed.exists(s => s.contains("l_quantity") && s.contains(">= 30")), pushed.mkString)
+  }
+
+  test("scan schema is pruned to referenced columns") {
+    val plan = q("q_scan_project").queryExecution.executedPlan.toString
+    // projection uses 4 source columns; the scan must not read the other 12
+    assert(plan.contains("ReadSchema"), plan.take(500))
+    assert(!plan.contains("l_shipdate"), "unreferenced column in scan")
+  }
+
+  test("dimension join broadcasts the small side") {
+    val plan = q("q_join_broadcast").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  test("order-by + limit plans as top-k, not global sort") {
+    val plan = q("q_sort_limit").queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+  }
+
+  test("semi and anti join partition orders exactly") {
+    val total = Tables(spark, sf, "orders").count()
+    assert(q("q_join_semi").count() + q("q_join_anti").count() == total)
+  }
+
+  test("rollup emits group, subtotal and grand-total rows") {
+    val rows = q("q_rollup").collect()
+    val grand = rows.filter(r => r.isNullAt(0) && r.isNullAt(1))
+    assert(grand.length == 1)
+    val detail = rows.filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+    assert(grand.head.getAs[Long]("n") == detail.map(_.getAs[Long]("n")).sum)
+  }
+
+  test("window running sum final value equals group total") {
+    // output is ordered by o_orderkey but the frame by o_orderdate, so the
+    // frame's final value is the MAX running sum (prices are positive)
+    val running = q("q_window_running").collect()
+      .groupBy(_.getAs[Long]("o_custkey"))
+      .map { case (k, rs) => k -> rs.map(_.getAs[Double]("running")).max }
+    val totals = Tables(spark, sf, "orders")
+      .groupBy("o_custkey")
+      .agg(org.apache.spark.sql.functions.round(
+        org.apache.spark.sql.functions.sum("o_totalprice"), 2).as("t"))
+      .collect().map(r => r.getAs[Long]("o_custkey") -> r.getAs[Double]("t")).toMap
+    running.foreach { case (k, last) =>
+      assert(math.abs(last - totals(k)) < 0.05, s"custkey $k")
+    }
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavior checks for the text-analysis and dedup operators — these have no
+  * SQL oracle (engine-specific hashing), so the invariants live here.
+  */
+class TextDedupSpec extends AnyFunSuite with SparkSpec {
+
+  test("exact dedup partitions the corpus") {
+    val rows = q("q_dedup_exact").collect()
+    val total = Tables(spark, sf, "documents").count()
+    assert(rows.map(_.getAs[Long]("n_dups")).sum == total)
+    assert(rows.forall(_.getAs[Long]("n_dups") >= 1))
+  }
+
+  test("minhash LSH recalls every strong exact-Jaccard near-dup pair") {
+    // ngram computes exact char-5-gram Jaccard (blocked); every pair it finds
+    // with jaccard >= 0.9 must be recalled by the MinHash+LSH path
+    val strong = q("q_dedup_ngram").collect()
+      .filter(_.getAs[Double]("jaccard") >= 0.9)
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val mh = q("q_dedup_minhash").collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(strong.nonEmpty, "test data should contain near-dups")
+    val missed = strong -- mh
+    assert(missed.isEmpty, s"minhash missed $missed")
+  }
+
+  test("minhash estimate tracks exact jaccard on confirmed pairs") {
+    val exact = q("q_dedup_ngram").collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Double]("jaccard")).toMap
+    val est = q("q_dedup_minhash").collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Double]("est_jaccard")).toMap
+    val common = exact.keySet intersect est.keySet
+    assert(common.nonEmpty)
+    common.foreach { p =>
+      // 64-perm MinHash on ~0.9 Jaccard: σ≈0.04, allow 5σ
+      assert(math.abs(exact(p) - est(p)) < 0.25, s"pair $p: ${exact(p)} vs ${est(p)}")
+    }
+  }
+
+  test("simhash pairs have genuinely close signatures and overlap minhash") {
+    val sh = q("q_dedup_simhash").collect()
+    assert(sh.nonEmpty)
+    assert(sh.forall(_.getAs[Int]("hamming") <= 3))
+    val shPairs = sh.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val mh = q("q_dedup_minhash").collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert((shPairs intersect mh).nonEmpty, "simhash and minhash fully disagree")
+  }
+
+  test("rolling fingerprint is deterministic and order-sensitive") {
+    val a = q("q_doc_rollhash").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = q("q_doc_rollhash").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+    import spark.implicits._
+    import graft.functions.Text
+    val fp = Seq("alpha beta gamma", "gamma beta alpha").toDF("text")
+      .select(Text.rollingFingerprint(Text.tokens(org.apache.spark.sql.functions.col("text"))))
+      .collect().map(_.getLong(0))
+    assert(fp(0) != fp(1), "rolling hash must depend on token order")
+  }
+
+  test("token counts are consistent between whitespace and bpe-ish schemes") {
+    val rows = q("q_text_tokens").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ws = r.getAs[Int]("n_tokens"); val bpe = r.getAs[Int]("n_bpeish")
+      assert(ws >= 1)
+      assert(bpe >= ws, s"doc ${r.getLong(0)}: bpe-ish $bpe < whitespace $ws")
+    }
+  }
+
+  test("lang guess is total and deterministic") {
+    val rows = q("q_lang_guess").collect()
+    assert(rows.map(_.getAs[String]("lang_guess")).forall(
+      Set("en", "de", "fr", "es", "other").contains))
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Checks for similarity search: brute-force agrees with an exact in-test
+  * computation; the LSH path returns a subset ranked identically.
+  */
+class VectorSpec extends AnyFunSuite with SparkSpec {
+
+  private def exactTopK(k: Int): Map[Long, Seq[(Long, Double)]] = {
+    val all = Tables(spark, sf, "embeddings")
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    all.filter(_._1 < 10).map { case (pid, pv) =>
+      pid -> all.filter(_._1 != pid)
+        .map { case (nid, nv) => (nid, cos(pv, nv)) }
+        .sortBy { case (nid, c) => (-c, nid) }.take(k).toSeq
+    }.toMap
+  }
+
+  test("embed stats: 64 dims, positive norms") {
+    val rows = q("q_embed_stats").collect()
+    assert(rows.forall(_.getAs[Int]("dim") == 64))
+    assert(rows.forall(_.getAs[Double]("l2_norm") > 0))
+  }
+
+  test("brute-force ANN matches exact top-5 computed in-process") {
+    val expected = exactTopK(5)
+    val got = q("q_ann_brute").collect()
+      .groupBy(_.getAs[Long]("probe_id"))
+      .map { case (p, rs) =>
+        p -> rs.sortBy(_.getAs[Int]("rn"))
+          .map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos"))).toSeq
+      }
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (p, nbrs) =>
+      val exp = expected(p)
+      assert(nbrs.map(_._1) == exp.map(_._1), s"probe $p neighbor order")
+      nbrs.zip(exp).foreach { case ((_, c1), (_, c2)) =>
+        assert(math.abs(c1 - c2) < 1e-5, s"probe $p cosine")
+      }
+    }
+  }
+
+  test("LSH ANN returns true cosines for a candidate subset") {
+    val expected = exactTopK(500).map { case (p, nbrs) => p -> nbrs.toMap }
+    val got = q("q_ann_lsh").collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val p = r.getAs[Long]("probe_id"); val n = r.getAs[Long]("neighbor_id")
+      val c = r.getAs[Double]("cos")
+      assert(math.abs(c - expected(p)(n)) < 1e-5, s"pair ($p,$n)")
+    }
+    // recall floor: with 4 OR-ed tables the true top-1 should appear for at
+    // least a few probes; total recall isn't guaranteed, so assert weakly
+    val top1Hit = expected.count { case (p, nbrs) =>
+      val best = nbrs.maxBy(_._2)._1
+      got.exists(r => r.getAs[Long]("probe_id") == p &&
+        r.getAs[Long]("neighbor_id") == best)
+    }
+    assert(top1Hit >= 2, s"LSH recalled top-1 for only $top1Hit/10 probes")
+  }
+}
