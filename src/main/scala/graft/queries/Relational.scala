@@ -36,7 +36,10 @@ object Relational {
       li(s, d)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
           (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
-        .orderBy("l_orderkey", "l_linenumber")),
+        // lineitem has duplicate (orderkey, linenumber) pairs in the synthetic
+        // data: ordering by EVERY output column makes ties interchangeable,
+        // so the result is deterministic for the oracle hash
+        .orderBy("l_orderkey", "l_linenumber", "l_extendedprice", "revenue")),
 
     // ---- selection + comparison predicates (filter.rs, expression.rs:171-210) ----
     "q_filter_pred" -> ((s, d) =>
@@ -44,7 +47,7 @@ object Relational {
         .filter(col("l_quantity") >= 30 && col("l_discount") < 0.05 &&
           col("l_returnflag") =!= "A" && col("l_linenumber") <= 3 && col("l_tax") > 0.02)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_discount"))
-        .orderBy("l_orderkey", "l_linenumber")),
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_discount")),
 
     // ---- boolean AND/OR/NOT (expression.rs:212-224; NOT logicalplan.rs:81) ----
     "q_filter_bool" -> ((s, d) =>
@@ -73,7 +76,7 @@ object Relational {
       li(s, d)
         .filter(col("l_quantity").between(10, 20))
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
-        .orderBy("l_orderkey", "l_linenumber")),
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity")),
 
     // ---- arithmetic + - * / % div (expression.rs:131-169) ----
     "q_arith" -> ((s, d) =>
@@ -85,7 +88,7 @@ object Relational {
           (col("l_extendedprice") / col("l_quantity")).as("div_d"),
           (col("l_orderkey") % 97).as("mod_i"),
           expr("l_orderkey div 7").as("div_i"))
-        .orderBy("l_orderkey", "l_linenumber")),
+        .orderBy("l_orderkey", "l_linenumber", "add_d", "sub_d", "mul_d", "div_d")),
 
     // ---- CAST matrix, value-safe subset (expression.rs:316-379; §7.4-1) ----
     "q_cast" -> ((s, d) =>
@@ -99,7 +102,7 @@ object Relational {
           // render as ISO string: Spark dates vs DuckDB dates surface with
           // different physical types to the comparer; the string is stable
           date_format(col("l_shipdate").cast("date"), "yyyy-MM-dd").as("ship_date"))
-        .orderBy("l_orderkey", "l_linenumber")),
+        .orderBy("l_orderkey", "l_linenumber", "qty_int", "pk_dbl", "ship_date")),
 
     // ---- ORDER BY + LIMIT → TakeOrderedAndProject (logicalplan.rs:313-338) ----
     "q_sort_limit" -> ((s, d) =>
@@ -297,14 +300,15 @@ object Relational {
     "q_scan_project" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice,
         |       l_extendedprice * (1.0 - l_discount) AS revenue
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, l_extendedprice, revenue""".stripMargin,
 
     "q_filter_pred" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_discount
         |FROM lineitem
         |WHERE l_quantity >= 30 AND l_discount < 0.05 AND l_returnflag <> 'A'
         |  AND l_linenumber <= 3 AND l_tax > 0.02
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_discount""".stripMargin,
 
     "q_filter_bool" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n
@@ -325,7 +329,7 @@ object Relational {
     "q_between" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         |WHERE l_quantity BETWEEN 10 AND 20
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin,
 
     "q_arith" ->
       """SELECT l_orderkey, l_linenumber,
@@ -335,7 +339,8 @@ object Relational {
         |       l_extendedprice / l_quantity AS div_d,
         |       l_orderkey % 97 AS mod_i,
         |       l_orderkey // 7 AS div_i
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, add_d, sub_d, mul_d, div_d""".stripMargin,
 
     "q_cast" ->
       """SELECT l_orderkey, l_linenumber,
@@ -345,7 +350,8 @@ object Relational {
         |       CAST(l_partkey AS DOUBLE) AS pk_dbl,
         |       CAST(l_orderkey AS VARCHAR) AS key_str,
         |       strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') AS ship_date
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, qty_int, pk_dbl, ship_date""".stripMargin,
 
     "q_sort_limit" ->
       """SELECT o_orderkey, o_totalprice FROM orders

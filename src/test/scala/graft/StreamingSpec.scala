@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.streaming.EventsStream
+
+/** Structured Streaming checks: the streaming pipeline over a file source
+  * must agree with its batch twin, and stateful sessionization must agree
+  * with the gaps-and-islands SQL formulation.
+  */
+class StreamingSpec extends AnyFunSuite with SparkSpec {
+
+  private lazy val streamDir = {
+    // materialize events (ts normalized to micros) where readStream can see
+    // a plain TimestampType schema
+    val dir = "target/stream_events"
+    Tables(spark, sf, "events").write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("streaming hourly aggregation matches the batch twin") {
+    val stream = EventsStream.readEventsStream(spark, streamDir)
+    val q = EventsStream.hourly(stream).writeStream
+      .format("memory").queryName("hourly_out").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("hourly_out")
+      .select(col("hour_ts").cast("string"), col("event_type"), col("n"), col("sum_value"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val batch = EventsStream.hourly(Tables(spark, sf, "events"))
+      .select(col("hour_ts").cast("string"), col("event_type"), col("n"), col("sum_value"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
+  test("flatMapGroupsWithState sessionization matches gaps-and-islands SQL") {
+    import spark.implicits._
+    val ds = Tables(spark, sf, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[EventsStream.Event]
+    val fmgws = EventsStream.sessionize(ds, gapMinutes = 30).collect()
+      .map(s => (s.user_id, s.start_s, s.end_s, s.n_events) -> s.total_value).toMap
+    val sql = SparkEntry.queries("q_sessionize")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_s"),
+        r.getAs[Long]("end_s"), r.getAs[Long]("n_events").toInt) ->
+        r.getAs[Double]("total_value")).toMap
+    assert(fmgws.keySet == sql.keySet,
+      s"missing=${(sql.keySet -- fmgws.keySet).take(3)} extra=${(fmgws.keySet -- sql.keySet).take(3)}")
+    fmgws.foreach { case (k, v) =>
+      assert(math.abs(v - sql(k)) < 0.05, s"session $k total")
+    }
+  }
+
+  test("sessions partition each user's events") {
+    val nEvents = Tables(spark, sf, "events").count()
+    val sessions = SparkEntry.queries("q_sessionize")(spark, sf).collect()
+    assert(sessions.map(_.getAs[Long]("n_events")).sum == nEvents)
+    sessions.foreach { r =>
+      assert(r.getAs[Long]("start_s") <= r.getAs[Long]("end_s"))
+    }
+  }
+}
