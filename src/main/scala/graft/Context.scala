@@ -11,6 +11,7 @@ import org.apache.spark.sql.types.StructType
   */
 class Context(val spark: SparkSession) {
   graft.functions.Geo.register(spark)
+  graft.functions.TextExprs.register(spark)
 
   /** register_datasource(CSV): declared schema, never inferred
     * (datasource.rs:39-43). `header=true` mirrors the reference's hard-coded

@@ -19,23 +19,29 @@ object Vectors {
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
 
   /** Deterministic pseudo-random hyperplane weight for (plane, dim): uniform
-    * in [-1, 1), derived from xxhash64 — no RNG state to ship to executors.
+    * in [-1, 1), from a splitmix64-style mix computed ONCE on the driver —
+    * the weight matrix ships to executors as a literal array, so the per-row
+    * work is a pure multiply-add with no hashing.
     */
-  private def planeWeight(plane: Int, dim: Column): Column =
-    pmod(xxhash64(concat_ws("_", lit(plane), dim)), lit(2000001L))
-      .cast("double") / 1000000.0 - 1.0
+  private def planeWeight(plane: Int, dim: Int): Double = {
+    var h = plane.toLong * 0x9E3779B97F4A7C15L + dim.toLong * 0xC2B2AE3D27D4EB4FL
+    h ^= (h >>> 33); h *= 0xFF51AFD7ED558CCDL; h ^= (h >>> 33)
+    Math.floorMod(h, 2000001L).toDouble / 1000000.0 - 1.0
+  }
 
   /** Random-hyperplane LSH bucket id: `nPlanes` sign bits packed into a long.
     * Vectors with high cosine similarity land in the same bucket with high
     * probability; at cluster scale the bucket id is the shuffle key for both
     * near-dup pairing and ANN candidate generation. `table` offsets the plane
-    * set so independent hash tables can be OR-combined.
+    * set so independent hash tables can be OR-combined. `dim` must match the
+    * embedding width (the weight matrix is a compile-time literal).
     */
-  def hyperplaneBucket(vec: Column, nPlanes: Int, table: Int = 0): Column =
+  def hyperplaneBucket(vec: Column, nPlanes: Int, table: Int = 0,
+      dim: Int = 64): Column =
     (0 until nPlanes).map { p =>
+      val w = typedlit((0 until dim).map(i => planeWeight(table * 64 + p, i)))
       val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x.cast("double") * planeWeight(table * 64 + p, i)),
+        zip_with(vec, w, (x, wi) => x.cast("double") * wi),
         lit(0.0), (acc, v) => acc + v)
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
@@ -44,7 +50,7 @@ object Vectors {
     * `nTables` independent tables trades a linear factor of work for
     * exponentially better recall — the standard production ANN layout.
     */
-  def lshTables(vec: Column, nPlanes: Int, nTables: Int): Column =
+  def lshTables(vec: Column, nPlanes: Int, nTables: Int, dim: Int = 64): Column =
     array((0 until nTables).map(t =>
-      struct(lit(t).as("tbl"), hyperplaneBucket(vec, nPlanes, t).as("bkt"))): _*)
+      struct(lit(t).as("tbl"), hyperplaneBucket(vec, nPlanes, t, dim).as("bkt"))): _*)
 }

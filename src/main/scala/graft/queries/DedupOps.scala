@@ -43,15 +43,12 @@ object DedupOps {
     //      4 → band-bucket join → signature-estimated Jaccard ≥ 0.5 ----
     "q_dedup_minhash" -> ((s, d) => {
       val k = 64; val bands = 16; val rows = 4
-      // repartition = optimizer barrier: without it CollapseProject inlines
-      // the shingle pipeline into every one of the 64 signature lambdas
-      // (HOFs have no subexpression elimination), recomputing shingling 64×
-      // per row. The persist covers the 3 downstream uses of the signature.
-      val hashed = docs(s, d).select(col("doc_id"),
-        Text.shingleHashes(Text.wordShingles(Text.tokens(col("text")), 3)).as("sh"))
-        .repartition(col("doc_id"))
-      val sigs = hashed
-        .select(col("doc_id"), Text.minhashSig(col("sh"), k).as("sig"))
+      // native expressions end-to-end: one-pass shingle hashing feeding the
+      // signature loop (the interpreted HOF chain was ~10× slower); the
+      // persist covers the 3 downstream uses of the signature
+      val sigs = docs(s, d).select(col("doc_id"),
+        graft.functions.TextExprs.minhashSig(
+          graft.functions.TextExprs.shingleHashes(col("text"), 3), k).as("sig"))
         .persist()
       val buckets = sigs
         .select(col("doc_id"), posexplode(Text.bandHashes(col("sig"), bands, rows))
@@ -77,12 +74,10 @@ object DedupOps {
     //      order in the feature set), 16-bit-chunk LSH, Hamming ≤ 3
     //      verification via bit_count(xor) ----
     "q_dedup_simhash" -> ((s, d) => {
-      // same barrier + persist rationale as q_dedup_minhash
+      // full-range 64-bit shingle hashes so every SimHash bit carries signal
       val sims = docs(s, d)
-        .select(col("doc_id"),
-          Text.shingleHashes(Text.wordShingles(Text.tokens(col("text")), 3)).as("th"))
-        .repartition(col("doc_id"))
-        .select(col("doc_id"), Text.simhash64("th").as("sim"))
+        .select(col("doc_id"), graft.functions.TextExprs.simhash64(
+          graft.functions.TextExprs.shingleHashes(col("text"), 3)).as("sim"))
         .persist()
       val buckets = sims
         .select(col("doc_id"), posexplode(Text.simhashChunks(col("sim")))
@@ -103,19 +98,26 @@ object DedupOps {
         .orderBy("doc_a", "doc_b")
     }),
 
-    // ---- character-5-gram Jaccard near-dup, blocked by (lang, size bucket).
-    //      Blocked-pairwise is the small-N verifier; MinHash above is the
-    //      scale path (this one's block key caps pair blowup) ----
+    // ---- character-5-gram Jaccard near-dup, blocked by (lang, size bucket)
+    //      with the same capped bucket-pair pattern as the LSH variants: an
+    //      unbounded block self-join is O(block²) and was the dominant bench
+    //      cost at sf0.1 — the cap bounds worst-case pairs per block ----
     "q_dedup_ngram" -> ((s, d) => {
       val g = docs(s, d).select(col("doc_id"), col("lang"),
         (col("n_chars") / 64).cast("int").as("size_bkt"),
-        Text.charNgrams(lower(col("text")), 5).as("grams"))
-      val a = g.toDF("doc_a", "lang", "size_bkt", "grams_a")
-      val b = g.toDF("doc_b", "lang", "size_bkt", "grams_b")
-      a.join(b, Seq("lang", "size_bkt"))
-        .filter(col("doc_a") < col("doc_b"))
+        graft.functions.TextExprs.charNgramHashes(col("text"), 5).as("grams"))
+        .persist()
+      val cand = g.groupBy(col("lang"), col("size_bkt"))
+        .agg(slice(array_sort(collect_set(col("doc_id"))), 1, BucketCap).as("bucket"))
+        .filter(size(col("bucket")) >= 2)
+        .select(explode(pairsFromBucket(col("bucket"))).as("p"))
+        .select(col("p.doc_a"), col("p.doc_b"))
+      val ga = g.select(col("doc_id").as("doc_a"), col("grams").as("grams_a"))
+      val gb = g.select(col("doc_id").as("doc_b"), col("grams").as("grams_b"))
+      cand.join(ga, "doc_a").join(gb, "doc_b")
         .select(col("doc_a"), col("doc_b"),
-          round(Text.jaccard(col("grams_a"), col("grams_b")), 4).as("jaccard"))
+          round(graft.functions.TextExprs.jaccardSorted(
+            col("grams_a"), col("grams_b")), 4).as("jaccard"))
         .filter(col("jaccard") >= 0.5)
         .orderBy("doc_a", "doc_b")
     }),

@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graftx
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ⇄ Expression bridge. Spark 4's public `Column` wraps a ColumnNode
+  * and the conversion utilities are `private[sql]`, so libraries registering
+  * custom Catalyst expressions place this shim inside the sql package
+  * namespace — the conventional extension-point pattern.
+  */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

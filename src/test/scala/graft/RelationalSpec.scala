@@ -18,7 +18,7 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
     // engine-specific hashes / float-ranking queries are rows-only by design
     assert(noOracle == Set("q_dedup_minhash", "q_dedup_simhash",
       "q_dedup_ngram", "q_dedup_embedding", "q_ann_brute", "q_ann_lsh",
-      "q_doc_rollhash"))
+      "q_doc_rollhash", "q_media_ann"))
   }
 
   test("q_agg_group: 6 flag/status groups, counts add up") {

@@ -64,6 +64,20 @@ class TextDedupSpec extends AnyFunSuite with SparkSpec {
     assert(fp(0) != fp(1), "rolling hash must depend on token order")
   }
 
+  test("native MinHashSig expression matches the HOF formulation exactly") {
+    import org.apache.spark.sql.functions.col
+    import graft.functions.{Text, TextExprs}
+    val sh = Tables(spark, sf, "documents").limit(50)
+      .select(col("doc_id"),
+        Text.shingleHashes(Text.wordShingles(Text.tokens(col("text")), 3)).as("sh"))
+      .persist()
+    val hof = sh.select(col("doc_id"), Text.minhashSig(col("sh"), 64).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val native = sh.select(col("doc_id"), TextExprs.minhashSig(col("sh"), 64).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(hof == native)
+  }
+
   test("token counts are consistent between whitespace and bpe-ish schemes") {
     val rows = q("q_text_tokens").collect()
     assert(rows.nonEmpty)
