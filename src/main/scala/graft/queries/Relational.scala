@@ -364,7 +364,7 @@ object Relational {
         |       max(l_quantity) AS max_qty,
         |       round(sum(l_extendedprice), 2) AS sum_price,
         |       round(avg(l_discount), 6) AS avg_disc,
-        |       sum(l_linenumber) AS sum_line
+        |       CAST(sum(l_linenumber) AS BIGINT) AS sum_line
         |FROM lineitem""".stripMargin,
 
     "q_agg_group" ->

@@ -57,8 +57,9 @@ object Sessions {
         |  SELECT *, CASE WHEN secs - lag(secs) OVER w > 1800 THEN 1 ELSE 0 END AS brk
         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY secs ASC, event_id ASC)),
         |s AS (
-        |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY secs ASC, event_id ASC
-        |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |  SELECT *, CAST(sum(brk) OVER (
+        |      PARTITION BY user_id ORDER BY secs ASC, event_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
         |  FROM b)
         |SELECT user_id, sess_id, min(secs) AS start_s, max(secs) AS end_s,
         |       count(*) AS n_events, round(sum(value), 2) AS total_value

@@ -31,7 +31,8 @@ def cmp_cell(a, b) -> bool:
             return str(a) == str(b)
         if math.isnan(fa) and math.isnan(fb):
             return True
-        return fa == fb or abs(fa - fb) <= 1e-9 * max(1.0, abs(fa), abs(fb))
+        # EXACT — the driver hashes values, so any bit difference fails there
+        return fa == fb
     return str(a) == str(b)
 
 def main(sf_dir: str, out_dir: str) -> None:
@@ -60,6 +61,19 @@ def main(sf_dir: str, out_dir: str) -> None:
             continue
         if len(got) != len(exp):
             print(f"FAIL {name}: rows {len(got)} vs {len(exp)}")
+            n_fail += 1
+            continue
+        # dtype-class mismatch (int vs float) breaks the driver's value hash
+        # even when values are numerically equal — e.g. DuckDB sum(INTEGER)
+        # returns HUGEINT which pandas renders as float64
+        dt_bad = [(c, str(got[c].dtype), str(exp[c].dtype))
+                  for c in got.columns
+                  if (pd.api.types.is_integer_dtype(got[c].dtype)
+                      != pd.api.types.is_integer_dtype(exp[c].dtype))
+                  or (pd.api.types.is_float_dtype(got[c].dtype)
+                      != pd.api.types.is_float_dtype(exp[c].dtype))]
+        if dt_bad:
+            print(f"FAIL {name}: dtype mismatch {dt_bad}")
             n_fail += 1
             continue
         bad = None
