@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -14,16 +14,120 @@ import org.apache.spark.sql.types._
   * array data (one virtual call per ROW, not per element), which benched
   * ~10× faster on the dedup pipeline. They are deterministic pure functions
   * of their input, so they remain safe under retries and AQE re-execution.
+  *
+  * All hashing is polynomial mod P = 2^31-1 (Mersenne): every intermediate
+  * fits a signed 64-bit integer (a*h < 2^62), which means the EXACT same
+  * arithmetic is expressible in ANSI SQL / DuckDB (`list_reduce` folds) —
+  * the SQL-oracle generators live in the companion object. A 64-bit
+  * wrapping hash (xxhash64/FNV) would be faster per byte but has no
+  * overflow-free SQL equivalent, so correctness would be unverifiable.
   */
+object TextHash {
+  /** Mersenne prime 2^31-1; hash universe for all text sketches. */
+  val P = 2147483647L
 
-/** MinHash signature: sig_i = min over hashes h of (a_i*h + b_i) mod P,
-  * byte-compatible with Text.minhashSig's permutation constants.
+  /** Polynomial string hash mod P: fold h = (h*mult + charCode) % P. */
+  def poly(s: CharSequence, from: Int, until: Int, mult: Long): Long = {
+    var h = 0L
+    var i = from
+    while (i < until) { h = (h * mult + s.charAt(i)) % P; i += 1 }
+    h
+  }
+}
+
+/** Distinct sorted mod-P hashes of word n-gram shingles, one pass from raw
+  * text: lowercase, split on whitespace, hash each n-token window (tokens
+  * joined by a single space) with poly-131. A doc shorter than n tokens
+  * contributes its whole token string.
+  */
+case class ShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  import TextHash.P
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private def hashShingle(toks: Array[String], from: Int, len: Int): Long = {
+    var h = 0L
+    var i = from
+    val end = from + len
+    while (i < end) {
+      if (i > from) h = (h * 131 + ' ') % P
+      val s = toks(i)
+      var j = 0
+      while (j < s.length) { h = (h * 131 + s.charAt(j)) % P; j += 1 }
+      i += 1
+    }
+    h
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.toString.toLowerCase(java.util.Locale.ROOT).trim.split("\\s+")
+    val set = new java.util.TreeSet[java.lang.Long]()
+    if (toks.length < n) set.add(hashShingle(toks, 0, toks.length))
+    else {
+      var i = 0
+      while (i + n <= toks.length) { set.add(hashShingle(toks, i, n)); i += 1 }
+    }
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+/** Distinct 62-bit shingle features for SimHash: poly-131 and poly-137 hashes
+  * of each n-token shingle combined as h1 + h2*2^31 (both < 2^31, so the
+  * result is < 2^62 and overflow-free in any engine).
+  */
+case class ShingleFeatures62(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  import TextHash.P
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private def hashShingle(toks: Array[String], from: Int, len: Int): Long = {
+    var h1 = 0L; var h2 = 0L
+    var i = from
+    val end = from + len
+    while (i < end) {
+      if (i > from) { h1 = (h1 * 131 + ' ') % P; h2 = (h2 * 137 + ' ') % P }
+      val s = toks(i)
+      var j = 0
+      while (j < s.length) {
+        val c = s.charAt(j)
+        h1 = (h1 * 131 + c) % P; h2 = (h2 * 137 + c) % P
+        j += 1
+      }
+      i += 1
+    }
+    h1 + (h2 << 31)
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.toString.toLowerCase(java.util.Locale.ROOT).trim.split("\\s+")
+    val set = new java.util.TreeSet[java.lang.Long]()
+    if (toks.length < n) set.add(hashShingle(toks, 0, toks.length))
+    else {
+      var i = 0
+      while (i + n <= toks.length) { set.add(hashShingle(toks, i, n)); i += 1 }
+    }
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(newChild: Expression): ShingleFeatures62 =
+    copy(child = newChild)
+}
+
+/** MinHash signature: sig_i = min over hashes h of (a_i*h + b_i) mod P.
   * Empty input → all-zero signature.
   */
 case class MinHashSig(child: Expression, k: Int)
     extends UnaryExpression with CodegenFallback {
-  private val P = 2147483647L
-
+  import TextHash.P
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData].toLongArray()
@@ -48,20 +152,63 @@ case class MinHashSig(child: Expression, k: Int)
     copy(child = newChild)
 }
 
-/** 64-bit SimHash over an array of 64-bit feature hashes: bit b is set iff
-  * bit b is set in the majority of inputs.
+/** LSH band hashes over a MinHash signature: `bands` hashes, each the
+  * poly-1000003 fold mod P of `rows` consecutive signature positions.
   */
-case class SimHash64(child: Expression)
+case class BandHashes(child: Expression, bands: Int, rows: Int)
+    extends UnaryExpression with CodegenFallback {
+  import TextHash.P
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any = {
+    val sig = input.asInstanceOf[ArrayData].toLongArray()
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = 0L
+      var j = b * rows
+      val end = math.min(sig.length, j + rows)
+      while (j < end) { h = (h * 1000003L + sig(j)) % P; j += 1 }
+      out(b) = h
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(newChild: Expression): BandHashes =
+    copy(child = newChild)
+}
+
+/** Fraction of equal positions between two equal-length signatures
+  * (MinHash Jaccard estimate).
+  */
+case class SigMatchFrac(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData].toLongArray()
+    val b = r.asInstanceOf[ArrayData].toLongArray()
+    val n = math.min(a.length, b.length)
+    var eq = 0; var i = 0
+    while (i < n) { if (a(i) == b(i)) eq += 1; i += 1 }
+    java.lang.Double.valueOf(if (n == 0) 1.0 else eq.toDouble / n)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SigMatchFrac =
+    copy(left = l, right = r)
+}
+
+/** SimHash over an array of feature hashes: bit b (for b < bits) is set iff
+  * bit b is set in the strict majority of inputs.
+  */
+case class SimHashBits(child: Expression, bits: Int)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = LongType
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData].toLongArray()
-    val counts = new Array[Int](64)
+    val counts = new Array[Int](bits)
     var j = 0
     while (j < arr.length) {
       val h = arr(j)
       var b = 0
-      while (b < 64) {
+      while (b < bits) {
         counts(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1)
         b += 1
       }
@@ -69,83 +216,30 @@ case class SimHash64(child: Expression)
     }
     var out = 0L
     var b = 0
-    while (b < 64) {
+    while (b < bits) {
       if (counts(b) > 0) out |= (1L << b)
       b += 1
     }
     java.lang.Long.valueOf(out)
   }
-  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+  override protected def withNewChildInternal(newChild: Expression): SimHashBits =
     copy(child = newChild)
 }
 
-/** Distinct hashes of word n-gram shingles, straight from the text in one
-  * pass: tokenize on whitespace (lowercased), hash each n-token window with a
-  * splitmix64-style string hash, dedup, sort ascending. Replaces a 4-node
-  * interpreted HOF chain (split → transform(element_at×n) → xxhash64 →
-  * array_distinct) that dominated the dedup pipeline's cost.
-  * A doc shorter than n tokens contributes its whole token string.
-  */
-case class ShingleHashes(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-
-  private def mix(h0: Long): Long = {
-    var h = h0 + 0x9E3779B97F4A7C15L
-    h = (h ^ (h >>> 30)) * 0xBF58476D1CE4E5B9L
-    h = (h ^ (h >>> 27)) * 0x94D049BB133111EBL
-    h ^ (h >>> 31)
-  }
-
-  private def hashShingle(toks: Array[String], from: Int, len: Int): Long = {
-    var h = 1469598103934665603L
-    var i = from
-    val end = from + len
-    while (i < end) {
-      val s = toks(i)
-      var j = 0
-      while (j < s.length) { h = (h ^ s.charAt(j)) * 1099511628211L; j += 1 }
-      h = (h ^ ' ') * 1099511628211L
-      i += 1
-    }
-    mix(h)
-  }
-
-  override def nullSafeEval(input: Any): Any = {
-    val toks = input.toString.toLowerCase.trim.split("\\s+")
-    val set = new java.util.TreeSet[java.lang.Long]()
-    if (toks.length < n) set.add(hashShingle(toks, 0, toks.length))
-    else {
-      var i = 0
-      while (i + n <= toks.length) { set.add(hashShingle(toks, i, n)); i += 1 }
-    }
-    val out = new Array[Long](set.size)
-    val it = set.iterator()
-    var i = 0
-    while (it.hasNext) { out(i) = it.next(); i += 1 }
-    new GenericArrayData(out)
-  }
-  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
-    copy(child = newChild)
-}
-
-/** Distinct sorted hashes of character n-grams (for exact-Jaccard near-dup
-  * verification via [[JaccardSorted]]).
+/** Distinct sorted mod-P poly-131 hashes of character n-grams (lowercased,
+  * NOT trimmed — whitespace is signal for character shingling).
   */
 case class CharNgramHashes(child: Expression, n: Int)
     extends UnaryExpression with CodegenFallback {
+  import TextHash.P
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(input: Any): Any = {
-    val s = input.toString.toLowerCase
+    val s = input.toString.toLowerCase(java.util.Locale.ROOT)
     val set = new java.util.TreeSet[java.lang.Long]()
     val upper = math.max(1, s.length - n + 1)
     var i = 0
     while (i < upper) {
-      var h = 1469598103934665603L
-      var j = i
-      val end = math.min(s.length, i + n)
-      while (j < end) { h = (h ^ s.charAt(j)) * 1099511628211L; j += 1 }
-      set.add(h)
+      set.add(TextHash.poly(s, i, math.min(s.length, i + n), 131))
       i += 1
     }
     val out = new Array[Long](set.size)
@@ -163,8 +257,7 @@ case class CharNgramHashes(child: Expression, n: Int)
   * build hash maps per row).
   */
 case class JaccardSorted(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
-    with CodegenFallback {
+    extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = DoubleType
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData].toLongArray()
@@ -182,22 +275,121 @@ case class JaccardSorted(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Order-sensitive document fingerprint: tokens (lowercased, whitespace
+  * split), each poly-131-hashed, folded with h = (h*131 + tokenHash) % P.
+  */
+case class RollingHash(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  import TextHash.P
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.toString.toLowerCase(java.util.Locale.ROOT).trim.split("\\s+")
+    var acc = 0L
+    var i = 0
+    while (i < toks.length) {
+      acc = (acc * 131 + TextHash.poly(toks(i), 0, toks(i).length, 131)) % P
+      i += 1
+    }
+    java.lang.Long.valueOf(acc)
+  }
+  override protected def withNewChildInternal(newChild: Expression): RollingHash =
+    copy(child = newChild)
+}
+
 object TextExprs {
   // Spark 4's Column wraps a ColumnNode, not an Expression — the classic
   // bridge converts in both directions
   import org.apache.spark.sql.graftx.Bridge.{column, expression}
 
   def minhashSig(hashes: Column, k: Int): Column = column(MinHashSig(expression(hashes), k))
-  def simhash64(featureHashes: Column): Column = column(SimHash64(expression(featureHashes)))
+  def simhashBits(features: Column, bits: Int = 62): Column =
+    column(SimHashBits(expression(features), bits))
   def shingleHashes(text: Column, n: Int): Column = column(ShingleHashes(expression(text), n))
+  def shingleFeatures62(text: Column, n: Int): Column =
+    column(ShingleFeatures62(expression(text), n))
+  def bandHashes(sig: Column, bands: Int, rows: Int): Column =
+    column(BandHashes(expression(sig), bands, rows))
+  def sigMatchFrac(a: Column, b: Column): Column =
+    column(SigMatchFrac(expression(a), expression(b)))
   def charNgramHashes(text: Column, n: Int): Column = column(CharNgramHashes(expression(text), n))
   def jaccardSorted(a: Column, b: Column): Column = column(JaccardSorted(expression(a), expression(b)))
+  def rollingHash(text: Column): Column = column(RollingHash(expression(text)))
 
   /** SQL names, so the console can call them too. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_sig", exprs => MinHashSig(exprs.head, 64), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash64", exprs => SimHash64(exprs.head), "scala_udf")
+      "simhash62", exprs => SimHashBits(exprs.head, 62), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "rolling_hash", exprs => RollingHash(exprs.head), "scala_udf")
   }
+
+  // ---------- DuckDB oracle SQL generators (identical arithmetic) ----------
+  // Every generator returns an expression string over a column reference;
+  // all integer intermediates stay below 2^62, so DuckDB BIGINT never
+  // overflows and the values match the JVM loops bit for bit.
+
+  val P = TextHash.P
+
+  /** Whitespace tokens of lower(trim(text)). */
+  def tokensSql(text: String): String =
+    s"regexp_split_to_array(lower(trim($text)), '\\s+')"
+
+  /** Poly-`mult` char hash mod P of a string expression. */
+  def charPolySql(s: String, mult: Int): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |  list_transform(string_split($s, ''), c -> CAST(unicode(c) AS BIGINT))),
+       |  (acc, x) -> (acc * $mult + x) % $P)""".stripMargin
+
+  /** Word n-gram shingle strings from a tokens-list expression. */
+  def shinglesSql(toks: String, n: Int): String =
+    s"""CASE WHEN len($toks) >= $n
+       |  THEN list_transform(range(1, len($toks) - ${n - 2}),
+       |         i -> array_to_string(($toks)[i:i+${n - 1}], ' '))
+       |  ELSE [array_to_string($toks, ' ')] END""".stripMargin
+
+  /** Distinct sorted shingle hashes (= [[ShingleHashes]]). */
+  def shingleHashesSql(text: String, n: Int): String =
+    s"list_sort(list_distinct(list_transform(${shinglesSql(tokensSql(text), n)}, s -> ${charPolySql("s", 131)})))"
+
+  /** Distinct 62-bit shingle features (= [[ShingleFeatures62]]). */
+  def shingleFeatures62Sql(text: String, n: Int): String =
+    s"""list_distinct(list_transform(${shinglesSql(tokensSql(text), n)},
+       |  s -> ${charPolySql("s", 131)} + ${charPolySql("s", 137)} * 2147483648))""".stripMargin
+
+  /** MinHash signature of a hashes-list expression (= [[MinHashSig]]). */
+  def minhashSigSql(hashes: String, k: Int): String =
+    s"""list_transform(range(0, $k), i ->
+       |  CASE WHEN len($hashes) = 0 THEN CAST(0 AS BIGINT)
+       |  ELSE list_min(list_transform($hashes,
+       |    h -> (((2*i + 1) * 2654435761) % $P * h + ((i + 7) * 40503 * 99991) % $P) % $P))
+       |  END)""".stripMargin
+
+  /** Band hashes of a signature-list expression (= [[BandHashes]]). */
+  def bandHashesSql(sig: String, bands: Int, rows: Int): String =
+    s"""list_transform(range(0, $bands), b ->
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT), ($sig)[b*$rows+1:b*$rows+$rows]),
+       |    (acc, v) -> (acc * 1000003 + v) % $P))""".stripMargin
+
+  /** SimHash of a features-list expression (= [[SimHashBits]]). */
+  def simhashSql(feats: String, bits: Int = 62): String =
+    s"""CAST(list_sum(list_transform(range(0, $bits), b ->
+       |  CASE WHEN list_sum(list_transform($feats,
+       |         f -> CASE WHEN ((f >> b) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+       |  THEN CAST(1 AS BIGINT) << b ELSE CAST(0 AS BIGINT) END)) AS BIGINT)""".stripMargin
+
+  /** Distinct sorted char-n-gram hashes (= [[CharNgramHashes]]; lowercased,
+    * not trimmed).
+    */
+  def charNgramHashesSql(text: String, n: Int): String =
+    s"""list_sort(list_distinct(list_transform(
+       |  range(1, greatest(length(lower($text)) - ${n - 1}, 1) + 1),
+       |  i -> ${charPolySql(s"substr(lower($text), i, $n)", 131)})))""".stripMargin
+
+  /** Rolling fingerprint (= [[RollingHash]]). */
+  def rollingHashSql(text: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |  list_transform(${tokensSql(text)}, t -> ${charPolySql("t", 131)})),
+       |  (acc, h) -> (acc * 131 + h) % $P)""".stripMargin
 }

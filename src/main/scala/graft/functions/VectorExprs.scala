@@ -1,0 +1,170 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the embedding hot loops.
+  *
+  * The HOF formulations in [[Vectors]] evaluate one interpreted lambda per
+  * element (`aggregate`/`zip_with`/`transform` are CodegenFallback AND pay a
+  * closure call per element). These expressions do the same IEEE double
+  * arithmetic in tight JVM loops — one virtual call per ROW. The fold order
+  * is strictly left-to-right, which is also what DuckDB's `list_reduce`
+  * does, so results are bit-identical to the SQL oracles
+  * (see [[VectorExprs.cosineSql]] / [[VectorExprs.weightsSqlLiteral]]).
+  *
+  * Reference analog: the expression-compilation machinery at
+  * /root/reference/src/execution/expression.rs:27-54 (logical expr → compiled
+  * closure); here the "compiled closure" is a Catalyst expression `eval`.
+  */
+
+private object VecUtil {
+  /** Float array out of ArrayData regardless of physical representation. */
+  def floats(a: Any): Array[Float] = a.asInstanceOf[ArrayData].toFloatArray()
+}
+
+/** Cosine similarity of two Array[Float] columns, accumulated in double,
+  * sequential fold: dot/(sqrt(na)*sqrt(nb)). Zero-norm input → NaN (matches
+  * the x/0.0 semantics of the HOF version).
+  */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = VecUtil.floats(l); val b = VecUtil.floats(r)
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
+    copy(left = l, right = r)
+}
+
+/** Dot product (double accumulation, sequential). */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = VecUtil.floats(l); val b = VecUtil.floats(r)
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var i = 0
+    while (i < n) { dot += a(i).toDouble * b(i).toDouble; i += 1 }
+    java.lang.Double.valueOf(dot)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
+    copy(left = l, right = r)
+}
+
+/** L2 norm (double accumulation, sequential). */
+case class L2Norm(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(input: Any): Any = {
+    val a = VecUtil.floats(input)
+    var s = 0.0; var i = 0
+    while (i < a.length) { val x = a(i).toDouble; s += x * x; i += 1 }
+    java.lang.Double.valueOf(math.sqrt(s))
+  }
+  override protected def withNewChildInternal(newChild: Expression): L2Norm =
+    copy(child = newChild)
+}
+
+/** Random-hyperplane LSH bucket: bit p of the result is the sign of the
+  * projection onto deterministic pseudo-random hyperplane `table*64 + p`
+  * (weights from [[VectorExprs.planeWeight]]). Arithmetic is
+  * products-then-sequential-sum, matching the SQL oracle exactly.
+  */
+case class HyperplaneBucket(child: Expression, nPlanes: Int, table: Int, dim: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+
+  @transient private lazy val w: Array[Array[Double]] =
+    Array.tabulate(nPlanes, dim)((p, i) => VectorExprs.planeWeight(table * 64 + p, i))
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = VecUtil.floats(input)
+    val n = math.min(dim, v.length)
+    var bucket = 0L
+    var p = 0
+    while (p < nPlanes) {
+      val wp = w(p)
+      var proj = 0.0; var i = 0
+      while (i < n) { proj += v(i).toDouble * wp(i); i += 1 }
+      if (proj >= 0) bucket |= (1L << p)
+      p += 1
+    }
+    java.lang.Long.valueOf(bucket)
+  }
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBucket =
+    copy(child = newChild)
+}
+
+object VectorExprs {
+  import org.apache.spark.sql.graftx.Bridge.{column, expression}
+
+  /** Deterministic pseudo-random hyperplane weight for (plane, dim): uniform
+    * in [-1, 1), splitmix64-style mix. Same function as Vectors.planeWeight.
+    */
+  def planeWeight(plane: Int, dim: Int): Double = {
+    var h = plane.toLong * 0x9E3779B97F4A7C15L + dim.toLong * 0xC2B2AE3D27D4EB4FL
+    h ^= (h >>> 33); h *= 0xFF51AFD7ED558CCDL; h ^= (h >>> 33)
+    Math.floorMod(h, 2000001L).toDouble / 1000000.0 - 1.0
+  }
+
+  def cosine(a: Column, b: Column): Column = column(CosineSim(expression(a), expression(b)))
+  def dot(a: Column, b: Column): Column = column(DotProduct(expression(a), expression(b)))
+  def l2Norm(a: Column): Column = column(L2Norm(expression(a)))
+  def hyperplaneBucket(vec: Column, nPlanes: Int, table: Int = 0, dim: Int = 64): Column =
+    column(HyperplaneBucket(expression(vec), nPlanes, table, dim))
+
+  /** Multi-table LSH signature: array of (tbl, bkt) structs — the scale path
+    * for ANN (bucket id = shuffle key; OR-combined tables for recall).
+    */
+  def lshTables(vec: Column, nPlanes: Int, nTables: Int, dim: Int = 64): Column = {
+    import org.apache.spark.sql.functions.{array, lit, struct}
+    array((0 until nTables).map(t =>
+      struct(lit(t).as("tbl"), hyperplaneBucket(vec, nPlanes, t, dim).as("bkt"))): _*)
+  }
+
+  // ---------- DuckDB oracle SQL generators (bit-identical arithmetic) ----------
+
+  /** Weight matrix for one LSH table as a DuckDB DOUBLE[][] literal.
+    * Double.toString is shortest-round-trip, so DuckDB parses back the exact
+    * same binary64 values the JVM uses.
+    */
+  def weightsSqlLiteral(table: Int, nPlanes: Int, dim: Int = 64): String =
+    (0 until nPlanes).map { p =>
+      (0 until dim).map(i => planeWeight(table * 64 + p, i)).mkString("[", ",", "]")
+    }.mkString("[", ",", "]")
+
+  /** DuckDB expression: cosine of two FLOAT[] columns with the same
+    * cast-to-double, products-then-sequential-fold order as [[CosineSim]].
+    */
+  def cosineSql(a: String, b: String, dim: Int = 64): String = {
+    def fold(products: String) =
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), $products), (acc, x) -> acc + x)"
+    val dot = fold(s"list_transform(range(1, ${dim + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))")
+    val na = fold(s"list_transform(range(1, ${dim + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))")
+    val nb = fold(s"list_transform(range(1, ${dim + 1}), i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))")
+    s"($dot / (sqrt($na) * sqrt($nb)))"
+  }
+
+  /** DuckDB expression: hyperplane bucket of FLOAT[] column `v` for one LSH
+    * table, given a weight-matrix literal bound as `W` (DOUBLE[][]).
+    */
+  def bucketSql(v: String, w: String, nPlanes: Int, dim: Int = 64): String =
+    s"""CAST(list_sum(list_transform(range(1, ${nPlanes + 1}), p ->
+       |  CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |         list_transform(range(1, ${dim + 1}), i -> CAST($v[i] AS DOUBLE) * $w[p][i])),
+       |       (acc, x) -> acc + x) >= 0
+       |  THEN CAST(1 AS BIGINT) << (p - 1) ELSE CAST(0 AS BIGINT) END)) AS BIGINT)""".stripMargin
+}

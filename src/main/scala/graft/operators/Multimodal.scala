@@ -58,17 +58,20 @@ object Multimodal {
     * pixel/sample values; this deterministic fake hashes fixed-size byte
     * blocks into a unit-norm float vector so the full pipeline (including
     * ANN over the output) is testable. Signature and batch shape are real.
+    * Arithmetic is poly-131 mod P (2^31-1) + float32 normalization, both
+    * replicable in plain SQL — so even the stub path has a DuckDB oracle.
     */
   private def decodeBlobStub(bytes: Array[Byte], dim: Int): Array[Float] = {
+    val P = 2147483647L
     val raw = new Array[Float](dim)
     val block = math.max(1, bytes.length / dim)
     var i = 0
     while (i < dim) {
-      var h = 1125899906842597L // deterministic FNV-ish fold per block
+      var h = 0L
       var j = i * block
       val end = math.min(bytes.length, j + block)
-      while (j < end) { h = h * 31 + bytes(j); j += 1 }
-      raw(i) = ((h % 1000003L).toFloat / 1000003f)
+      while (j < end) { h = (h * 131 + (bytes(j) & 0xFF)) % P; j += 1 }
+      raw(i) = (h % 1000003L).toFloat / 1000003f
       i += 1
     }
     val norm = math.sqrt(raw.map(x => x.toDouble * x).sum).toFloat

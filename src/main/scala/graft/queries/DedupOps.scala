@@ -51,8 +51,9 @@ object DedupOps {
           graft.functions.TextExprs.shingleHashes(col("text"), 3), k).as("sig"))
         .persist()
       val buckets = sigs
-        .select(col("doc_id"), posexplode(Text.bandHashes(col("sig"), bands, rows))
-          .as(Seq("band", "band_hash")))
+        .select(col("doc_id"),
+          posexplode(graft.functions.TextExprs.bandHashes(col("sig"), bands, rows))
+            .as(Seq("band", "band_hash")))
         .groupBy(col("band"), col("band_hash"))
         .agg(slice(array_sort(collect_set(col("doc_id"))), 1, BucketCap).as("bucket"))
         .filter(size(col("bucket")) >= 2)
@@ -64,20 +65,21 @@ object DedupOps {
       val b = sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))
       cand.join(broadcast(a), "doc_a").join(broadcast(b), "doc_b")
         .select(col("doc_a"), col("doc_b"),
-          round(Text.sigSimilarity(col("sig_a"), col("sig_b"), k), 4).as("est_jaccard"))
+          round(graft.functions.TextExprs.sigMatchFrac(col("sig_a"), col("sig_b")), 4)
+            .as("est_jaccard"))
         .filter(col("est_jaccard") >= 0.5)
         .orderBy("doc_a", "doc_b")
     }),
 
-    // ---- SimHash near-dup: 64-bit majority hash over 3-word shingles
+    // ---- SimHash near-dup: 62-bit majority hash over 3-word shingles
     //      (unigrams saturate on a small vocabulary — shingles keep word
     //      order in the feature set), 16-bit-chunk LSH, Hamming ≤ 3
-    //      verification via bit_count(xor) ----
+    //      verification via bit_count(xor). 62 bits = two 31-bit poly
+    //      hashes, so the oracle can replicate without 64-bit overflow ----
     "q_dedup_simhash" -> ((s, d) => {
-      // full-range 64-bit shingle hashes so every SimHash bit carries signal
       val sims = docs(s, d)
-        .select(col("doc_id"), graft.functions.TextExprs.simhash64(
-          graft.functions.TextExprs.shingleHashes(col("text"), 3)).as("sim"))
+        .select(col("doc_id"), graft.functions.TextExprs.simhashBits(
+          graft.functions.TextExprs.shingleFeatures62(col("text"), 3)).as("sim"))
         .persist()
       val buckets = sims
         .select(col("doc_id"), posexplode(Text.simhashChunks(col("sim")))
@@ -126,7 +128,8 @@ object DedupOps {
     //      verification (threshold tuned to the synthetic data's range) ----
     "q_dedup_embedding" -> ((s, d) => {
       val e = emb(s, d).select(col("vec_id"),
-        col("embedding"), Vectors.hyperplaneBucket(col("embedding"), 6).as("bkt"))
+        col("embedding"),
+        graft.functions.VectorExprs.hyperplaneBucket(col("embedding"), 6).as("bkt"))
         .persist()
       val buckets = e.groupBy(col("bkt"))
         .agg(slice(array_sort(collect_set(col("vec_id"))), 1, BucketCap).as("bucket"))
@@ -138,7 +141,7 @@ object DedupOps {
       val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
       cand.join(broadcast(a), "vec_a").join(broadcast(b), "vec_b")
         .select(col("vec_a"), col("vec_b"),
-          round(Vectors.cosine(col("emb_a"), col("emb_b")), 4).as("cos"))
+          round(graft.functions.VectorExprs.cosine(col("emb_a"), col("emb_b")), 4).as("cos"))
         .filter(col("cos") >= 0.4)
         .orderBy("vec_a", "vec_b")
     })
@@ -147,9 +150,95 @@ object DedupOps {
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_dups
-        |FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin
-    // The LSH/Jaccard variants use Spark-specific hashes (xxhash64) — no SQL
-    // oracle; driver records rows-only checks. Their correctness is covered by
-    // DedupSpec (known near-dup pairs at sf0.001/sf0.01 must surface).
+        |FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin,
+
+    // hyperplane weights embedded as literals; bucket + cosine arithmetic is
+    // bit-identical to the native expressions (see VectorExprs scaladoc)
+    "q_dedup_embedding" -> {
+      import graft.functions.VectorExprs
+      s"""WITH w AS (SELECT ${VectorExprs.weightsSqlLiteral(0, 6)}::DOUBLE[][] AS w0),
+         |e AS (SELECT vec_id, embedding,
+         |        ${VectorExprs.bucketSql("embedding", "w0", 6)} AS bkt
+         |      FROM embeddings, w),
+         |bk AS (SELECT bkt, list_sort(list_distinct(list(vec_id)))[1:$BucketCap] AS bucket
+         |       FROM e GROUP BY bkt HAVING len(list_distinct(list(vec_id))) >= 2),
+         |cand AS (SELECT DISTINCT pa.x AS vec_a, pb.y AS vec_b
+         |         FROM bk, unnest(bk.bucket) AS pa(x), unnest(bk.bucket) AS pb(y)
+         |         WHERE pa.x < pb.y),
+         |pairs AS (
+         |  SELECT c.vec_a, c.vec_b,
+         |         round(${VectorExprs.cosineSql("a.embedding", "b.embedding")}, 4) AS cos
+         |  FROM cand c
+         |  JOIN embeddings a ON a.vec_id = c.vec_a
+         |  JOIN embeddings b ON b.vec_id = c.vec_b)
+         |SELECT vec_a, vec_b, cos FROM pairs
+         |WHERE cos >= 0.4 ORDER BY vec_a, vec_b""".stripMargin
+    },
+
+    "q_dedup_minhash" -> {
+      import graft.functions.TextExprs._
+      s"""WITH s AS (SELECT doc_id, ${minhashSigSql(shingleHashesSql("text", 3), 64)} AS sig
+         |           FROM documents),
+         |s2 AS (SELECT doc_id, sig, ${bandHashesSql("sig", 16, 4)} AS bands FROM s),
+         |ex AS (SELECT doc_id, b.range AS band, bands[b.range + 1] AS band_hash
+         |       FROM s2, range(0, 16) b),
+         |bk AS (SELECT band, band_hash,
+         |              list_sort(list_distinct(list(doc_id)))[1:$BucketCap] AS bucket
+         |       FROM ex GROUP BY band, band_hash
+         |       HAVING len(list_distinct(list(doc_id))) >= 2),
+         |cand AS (SELECT DISTINCT pa.x AS doc_a, pb.y AS doc_b
+         |         FROM bk, unnest(bk.bucket) AS pa(x), unnest(bk.bucket) AS pb(y)
+         |         WHERE pa.x < pb.y),
+         |pairs AS (
+         |  SELECT c.doc_a, c.doc_b,
+         |         round(CAST(list_sum(list_transform(range(1, 65),
+         |                 j -> CASE WHEN a.sig[j] = b.sig[j] THEN 1 ELSE 0 END))
+         |               AS DOUBLE) / 64, 4) AS est_jaccard
+         |  FROM cand c JOIN s a ON a.doc_id = c.doc_a JOIN s b ON b.doc_id = c.doc_b)
+         |SELECT doc_a, doc_b, est_jaccard FROM pairs
+         |WHERE est_jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
+    },
+
+    "q_dedup_simhash" -> {
+      import graft.functions.TextExprs._
+      s"""WITH s AS (SELECT doc_id, ${simhashSql(shingleFeatures62Sql("text", 3))} AS sim
+         |           FROM documents),
+         |ch AS (SELECT doc_id, c.range AS chunk, (sim >> (c.range * 16)) & 65535 AS chunk_val
+         |       FROM s, range(0, 4) c),
+         |bk AS (SELECT chunk, chunk_val,
+         |              list_sort(list_distinct(list(doc_id)))[1:$BucketCap] AS bucket
+         |       FROM ch GROUP BY chunk, chunk_val
+         |       HAVING len(list_distinct(list(doc_id))) >= 2),
+         |cand AS (SELECT DISTINCT pa.x AS doc_a, pb.y AS doc_b
+         |         FROM bk, unnest(bk.bucket) AS pa(x), unnest(bk.bucket) AS pb(y)
+         |         WHERE pa.x < pb.y),
+         |pairs AS (
+         |  SELECT c.doc_a, c.doc_b, bit_count(xor(a.sim, b.sim)) AS hamming
+         |  FROM cand c JOIN s a ON a.doc_id = c.doc_a JOIN s b ON b.doc_id = c.doc_b)
+         |SELECT doc_a, doc_b, hamming FROM pairs
+         |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin
+    },
+
+    "q_dedup_ngram" -> {
+      import graft.functions.TextExprs._
+      s"""WITH g AS (SELECT doc_id, lang, n_chars // 64 AS size_bkt,
+         |                  ${charNgramHashesSql("text", 5)} AS grams
+         |           FROM documents),
+         |bk AS (SELECT lang, size_bkt,
+         |              list_sort(list_distinct(list(doc_id)))[1:$BucketCap] AS bucket
+         |       FROM g GROUP BY lang, size_bkt
+         |       HAVING len(list_distinct(list(doc_id))) >= 2),
+         |cand AS (SELECT pa.x AS doc_a, pb.y AS doc_b
+         |         FROM bk, unnest(bk.bucket) AS pa(x), unnest(bk.bucket) AS pb(y)
+         |         WHERE pa.x < pb.y),
+         |pairs AS (
+         |  SELECT c.doc_a, c.doc_b,
+         |         round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+         |               / (len(a.grams) + len(b.grams)
+         |                  - len(list_intersect(a.grams, b.grams))), 4) AS jaccard
+         |  FROM cand c JOIN g a ON a.doc_id = c.doc_a JOIN g b ON b.doc_id = c.doc_b)
+         |SELECT doc_a, doc_b, jaccard FROM pairs
+         |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
+    }
   )
 }

@@ -47,7 +47,7 @@ object MultimodalOps {
         .orderBy(col("cos").desc, col("neighbor_id").asc)
       corpus.join(broadcast(probes), col("probe_id") =!= col("neighbor_id"))
         .select(col("probe_id"), col("neighbor_id"),
-          round(Vectors.cosine(col("pf"), col("nf")), 6).as("cos"))
+          round(graft.functions.VectorExprs.cosine(col("pf"), col("nf")), 6).as("cos"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
         .select(col("probe_id"), col("rn"), col("neighbor_id"), col("cos"))
@@ -71,7 +71,38 @@ object MultimodalOps {
         |       CAST(ceil(greatest(ceil(octet_length(CAST(text AS BLOB)) / 256.0), 1) / 4.0)
         |            AS INTEGER) AS n_sampled,
         |       least(octet_length(CAST(text AS BLOB)), 256) AS first_frame_bytes
-        |FROM documents ORDER BY media_id""".stripMargin
-    // q_media_ann: decoder is engine-side (stub) — rows-only.
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    // full replication of the stub decode: poly-131 block hashes → float32
+    // raw values → float32 unit-normalization → double cosine. DuckDB REAL
+    // division/multiplication is true binary32, so values are bit-identical.
+    "q_media_ann" -> {
+      import graft.functions.{TextExprs, VectorExprs}
+      val poly = TextExprs.charPolySql("substr(text, i*blk + 1, blk)", 131)
+      s"""WITH b AS (SELECT doc_id AS media_id, text,
+         |                  greatest(length(text) // 64, 1) AS blk
+         |           FROM documents),
+         |f0 AS (SELECT media_id,
+         |         list_transform(range(0, 64), i ->
+         |           CAST((CASE WHEN length(substr(text, i*blk + 1, blk)) = 0
+         |                 THEN CAST(0 AS BIGINT) ELSE $poly END) % 1000003 AS REAL)
+         |           / CAST(1000003 AS REAL)) AS raw
+         |       FROM b),
+         |nrm AS (SELECT media_id, raw,
+         |          CAST(sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |            list_transform(raw, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+         |            (acc, v) -> acc + v)) AS REAL) AS n
+         |        FROM f0),
+         |f AS (SELECT media_id, list_transform(raw, x -> x / n) AS features FROM nrm),
+         |pairs AS (
+         |  SELECT p.media_id AS probe_id, c.media_id AS neighbor_id,
+         |         round(${VectorExprs.cosineSql("p.features", "c.features")}, 6) AS cos
+         |  FROM f p, f c WHERE p.media_id < 5 AND c.media_id <> p.media_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+         |              ORDER BY cos DESC, neighbor_id ASC) AS rn
+         |      FROM pairs)
+         |SELECT probe_id, rn, neighbor_id, cos FROM r
+         |WHERE rn <= 3 ORDER BY probe_id, rn""".stripMargin
+    }
   )
 }

@@ -72,11 +72,11 @@ object TextOps {
         md5(trim(lower(col("text"))).cast("binary")).as("fp_md5"))
         .orderBy("doc_id")),
 
-    // ---- document fingerprints: order-sensitive rolling hash (no SQL oracle:
-    //      engine-specific hash function) ----
+    // ---- document fingerprints: order-sensitive rolling hash (mod-P
+    //      polynomial, so the oracle replicates it exactly) ----
     "q_doc_rollhash" -> ((s, d) =>
       docs(s, d).select(col("doc_id"),
-        Text.rollingFingerprint(Text.tokens(col("text"))).as("fp_roll"))
+        graft.functions.TextExprs.rollingHash(col("text")).as("fp_roll"))
         .orderBy("doc_id"))
   )
 
@@ -122,7 +122,10 @@ object TextOps {
 
     "q_doc_fingerprint" ->
       """SELECT doc_id, md5(trim(lower(text))) AS fp_md5
-        |FROM documents ORDER BY doc_id""".stripMargin
-    // q_doc_rollhash: no oracle — xxhash64 is Spark-specific.
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_doc_rollhash" ->
+      s"""SELECT doc_id, ${graft.functions.TextExprs.rollingHashSql("text")} AS fp_roll
+         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
-import graft.functions.Vectors
+import graft.functions.{Vectors, VectorExprs}
 
 /** Similarity search over the `embeddings` table (Array[Float] column).
   *
@@ -13,6 +13,11 @@ import graft.functions.Vectors
   * executor scans its partition of the corpus once, no shuffle of the corpus.
   * The LSH variant is the scale path: candidates come from a bucket join
   * keyed on the hyperplane signature instead of the full corpus scan.
+  *
+  * All vector math runs in native Catalyst expressions ([[VectorExprs]]) —
+  * one tight JVM loop per row instead of interpreted per-element lambdas —
+  * whose sequential double fold is bit-identical to the DuckDB oracles
+  * generated alongside.
   */
 object VectorOps {
   type Q = (SparkSession, String) => DataFrame
@@ -40,7 +45,7 @@ object VectorOps {
         .orderBy(col("cos").desc, col("neighbor_id").asc)
       corpus.join(broadcast(probes), col("probe_id") =!= col("neighbor_id"))
         .select(col("probe_id"), col("neighbor_id"),
-          round(Vectors.cosine(col("probe_emb"), col("nb_emb")), 6).as("cos"))
+          round(VectorExprs.cosine(col("probe_emb"), col("nb_emb")), 6).as("cos"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 5)
         .select(col("probe_id"), col("rn"), col("neighbor_id"), col("cos"))
@@ -51,7 +56,7 @@ object VectorOps {
     //      candidates share any (table, bucket); top-3 by exact cosine ----
     "q_ann_lsh" -> ((s, d) => {
       val e = emb(s, d).select(col("vec_id"), col("embedding"),
-        Vectors.lshTables(col("embedding"), 6, 4).as("tbls"))
+        VectorExprs.lshTables(col("embedding"), 6, 4).as("tbls"))
       val probes = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"),
           explode(col("tbls")).as("tb"))
@@ -65,7 +70,7 @@ object VectorOps {
       corpus.join(broadcast(probes), Seq("tbl", "bkt"))
         .filter(col("probe_id") =!= col("neighbor_id"))
         .select(col("probe_id"), col("neighbor_id"),
-          round(Vectors.cosine(col("probe_emb"), col("nb_emb")), 6).as("cos"))
+          round(VectorExprs.cosine(col("probe_emb"), col("nb_emb")), 6).as("cos"))
         .distinct() // a pair can collide in several tables — dedup scalars,
                     // not embeddings, so no array ever enters a shuffle key
         .withColumn("rn", row_number().over(w))
@@ -75,6 +80,8 @@ object VectorOps {
     })
   )
 
+  private val cosAB = VectorExprs.cosineSql("a.embedding", "b.embedding")
+
   val oracles: Map[String, String] = Map(
     "q_embed_stats" ->
       """SELECT vec_id, len(embedding) AS dim,
@@ -83,9 +90,45 @@ object VectorOps {
         |       round(list_sum(list_transform(embedding,
         |             x -> CAST(x AS DOUBLE))), 3) AS sum_val,
         |       label
-        |FROM embeddings ORDER BY vec_id""".stripMargin
-    // q_ann_brute / q_ann_lsh: ranking over engine-computed floats — no SQL
-    // oracle; VectorSpec checks brute-force top-k against an exact in-test
-    // computation and LSH results ⊆ brute-force candidates.
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "q_ann_brute" ->
+      s"""WITH pairs AS (
+         |  SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+         |         round($cosAB, 6) AS cos
+         |  FROM embeddings a, embeddings b
+         |  WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id),
+         |r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY probe_id
+         |            ORDER BY cos DESC, neighbor_id ASC) AS rn
+         |  FROM pairs)
+         |SELECT probe_id, rn, neighbor_id, cos FROM r
+         |WHERE rn <= 5 ORDER BY probe_id, rn""".stripMargin,
+
+    "q_ann_lsh" -> {
+      val wlits = (0 until 4).map(t =>
+        s"${VectorExprs.weightsSqlLiteral(t, 6)}::DOUBLE[][] AS w$t").mkString(", ")
+      val bkts = (0 until 4).map(t =>
+        VectorExprs.bucketSql("embedding", s"w$t", 6)).mkString("[", ", ", "]")
+      s"""WITH w AS (SELECT $wlits),
+         |e AS (SELECT vec_id, embedding, $bkts AS bkts FROM embeddings, w),
+         |cand AS (
+         |  SELECT DISTINCT p.vec_id AS probe_id, n.vec_id AS neighbor_id
+         |  FROM e p, e n, range(1, 5) t
+         |  WHERE p.vec_id < 10 AND n.vec_id <> p.vec_id
+         |    AND p.bkts[t.range] = n.bkts[t.range]),
+         |pairs AS (
+         |  SELECT c.probe_id, c.neighbor_id,
+         |         round(${VectorExprs.cosineSql("a.embedding", "b.embedding")}, 6) AS cos
+         |  FROM cand c
+         |  JOIN embeddings a ON a.vec_id = c.probe_id
+         |  JOIN embeddings b ON b.vec_id = c.neighbor_id),
+         |r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY probe_id
+         |            ORDER BY cos DESC, neighbor_id ASC) AS rn
+         |  FROM pairs)
+         |SELECT probe_id, rn, neighbor_id, cos FROM r
+         |WHERE rn <= 3 ORDER BY probe_id, rn""".stripMargin
+    }
   )
 }
