@@ -8,11 +8,13 @@ object SparkEntry {
     queries("q_agg_group")(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ TextOps.queries ++ DedupOps.queries ++
-      VectorOps.queries ++ Sessions.queries ++ MultimodalOps.queries
+    Relational.queries ++ Relational2.queries ++ TextOps.queries ++
+      DedupOps.queries ++ VectorOps.queries ++ Sessions.queries ++
+      MultimodalOps.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ TextOps.oracles ++ DedupOps.oracles ++
-      VectorOps.oracles ++ Sessions.oracles ++ MultimodalOps.oracles
+    Relational.oracles ++ Relational2.oracles ++ TextOps.oracles ++
+      DedupOps.oracles ++ VectorOps.oracles ++ Sessions.oracles ++
+      MultimodalOps.oracles
 }

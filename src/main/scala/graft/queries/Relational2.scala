@@ -1,0 +1,404 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Round-2 breadth: the rest of the SQL surface a DataFusion user would
+  * reach for, expressed Spark-first with DuckDB oracles. Everything here is
+  * a Spark built-in (SURVEY §2.5/§7.3: no custom code needed) — the work is
+  * exact cross-engine semantics: type widths, null ordering, tie-breaking,
+  * float determinism.
+  *
+  * Scale notes are per-query; the common rules: aggregates are partial
+  * (map-side) before any shuffle, small dimensions broadcast, window
+  * functions partition by high-cardinality keys (one shuffle, no sort of
+  * the whole table), and nothing collects to the driver.
+  */
+object Relational2 {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def li(s: SparkSession, d: String) = Tables(s, d, "lineitem")
+  private def ord(s: SparkSession, d: String) = Tables(s, d, "orders")
+  private def cust(s: SparkSession, d: String) = Tables(s, d, "customer")
+  private def part(s: SparkSession, d: String) = Tables(s, d, "part")
+  private def nation(s: SparkSession, d: String) = Tables(s, d, "nation")
+  private def region(s: SparkSession, d: String) = Tables(s, d, "region")
+  private def events(s: SparkSession, d: String) = Tables(s, d, "events")
+  private def docs(s: SparkSession, d: String) = Tables(s, d, "documents")
+
+  val queries: Map[String, Q] = Map(
+    // ---- CUBE with grouping id (beyond reference's agg surface) ----
+    "q_cube" -> ((s, d) =>
+      li(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
+
+    // ---- GROUPING SETS via the SQL front-end ----
+    "q_grouping_sets" -> ((s, d) => {
+      li(s, d).createOrReplaceTempView("lineitem")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus, count(*) AS n,
+          |       round(sum(l_extendedprice), 2) AS sum_price
+          |FROM lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+          |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+    }),
+
+    // ---- PIVOT (explicit value list → no extra distinct pass over the data) ----
+    "q_pivot" -> ((s, d) =>
+      li(s, d)
+        .groupBy(col("l_linestatus"))
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(round(sum(col("l_quantity")), 2))
+        .orderBy("l_linestatus")),
+
+    // ---- exact percentiles (interpolated) ----
+    "q_percentile" -> ((s, d) =>
+      ord(s, d).agg(
+        round(expr("percentile(o_totalprice, 0.25)"), 2).as("p25"),
+        round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+        round(expr("percentile(o_totalprice, 0.75)"), 2).as("p75"),
+        round(expr("percentile(o_totalprice, 0.99)"), 2).as("p99"))),
+
+    // ---- moment aggregates: stddev/variance/corr/covar ----
+    "q_stats_agg" -> ((s, d) =>
+      cust(s, d)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          round(stddev_samp(col("c_acctbal")), 4).as("sd_bal"),
+          round(var_samp(col("c_acctbal")), 4).as("var_bal"),
+          round(corr(col("c_acctbal"), col("c_nationkey").cast("double")), 6).as("corr_bal_nat"),
+          round(covar_samp(col("c_acctbal"), col("c_nationkey").cast("double")), 4).as("cov_bal_nat"))
+        .orderBy("c_mktsegment")),
+
+    // ---- date/time function matrix (ISO strings for physical-type parity) ----
+    "q_datetime" -> ((s, d) =>
+      ord(s, d).select(col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        quarter(col("o_orderdate")).as("q"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        dayofweek(col("o_orderdate")).as("dow"),
+        date_format(date_add(col("o_orderdate").cast("date"), 30), "yyyy-MM-dd").as("plus30"),
+        date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("eom"),
+        datediff(to_date(lit("1998-12-31")), col("o_orderdate").cast("date")).as("days_to_end"))
+        .orderBy("o_orderkey")),
+
+    // ---- string function matrix #2 ----
+    "q_string_fns2" -> ((s, d) =>
+      part(s, d).select(col("p_partkey"),
+        regexp_extract(col("p_type"), "([A-Z]+)", 1).as("first_word"),
+        lpad(col("p_brand"), 12, "*").as("lpadded"),
+        rpad(col("p_type"), 24, ".").as("rpadded"),
+        reverse(col("p_name")).as("rev_name"),
+        repeat(col("p_brand"), 2).as("brand2"),
+        split_part(col("p_type"), lit(" "), lit(2)).as("type_word2"),
+        instr(col("p_name"), "ol").as("pos_ol"),
+        translate(col("p_brand"), "#", "-").as("brand_dash"),
+        substring(col("p_name"), 1, 3).as("left3"))
+        .orderBy("p_partkey")),
+
+    // ---- word count: the canonical explode → aggregate pipeline ----
+    "q_wordcount" -> ((s, d) =>
+      docs(s, d)
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token").asc)
+        .limit(50)),
+
+    // ---- deterministic hash sampling (reservoir-free, cluster-stable) ----
+    "q_sample_hash" -> ((s, d) =>
+      ord(s, d)
+        .filter(substring(md5(col("o_orderkey").cast("string")), 1, 2) <= "28")
+        .agg(count(lit(1)).as("n_sampled"),
+          round(sum(col("o_totalprice")), 2).as("sum_sampled"),
+          round(avg(col("o_totalprice")), 4).as("avg_sampled"))),
+
+    // ---- as-of join: each click matched to the latest prior-or-equal
+    //      purchase of the same user. Spark-first shape: union + running
+    //      last_value — ONE shuffle on user_id, no join, no range explosion;
+    //      at 100 TB this beats any O(n·m) inequality join ----
+    "q_asof_join" -> ((s, d) => {
+      val ev = events(s, d).select(col("user_id"), col("event_id"),
+        col("event_type"), col("value"), unix_timestamp(col("ts")).as("secs"))
+      // dedupe purchases to one row per (user, second) so the as-of pick is
+      // well-defined under ties (same rule as the oracle's ASOF <=)
+      val purch = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("secs"))
+        .agg(max(col("value")).as("pval"))
+        .select(col("user_id"), lit(0).as("kind"), lit(null).cast("long").as("event_id"),
+          col("secs"), col("secs").as("psec"), col("pval"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), lit(1).as("kind"), col("event_id"),
+          col("secs"), lit(null).cast("long").as("psec"), lit(null).cast("double").as("pval"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("secs").asc, col("kind").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      purch.unionByName(clicks)
+        .withColumn("last_purch_s", last(col("psec"), ignoreNulls = true).over(w))
+        .withColumn("last_purch_val", last(col("pval"), ignoreNulls = true).over(w))
+        .filter(col("kind") === 1)
+        .select(col("event_id"), col("user_id"), col("secs"),
+          col("last_purch_s"), col("last_purch_val"),
+          (col("secs") - col("last_purch_s")).as("gap_s"))
+        .orderBy("event_id")
+    }),
+
+    // ---- full outer join (nulls on both sides) ----
+    "q_join_full" -> ((s, d) => {
+      val n = nation(s, d).filter(col("n_nationkey") < 20)
+        .select(col("n_nationkey"), col("n_name"))
+      val c = cust(s, d).filter(col("c_acctbal") > 9900)
+        .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_rich"))
+      n.join(c, col("n_nationkey") === col("c_nationkey"), "full")
+        .select(coalesce(col("n_nationkey"), col("c_nationkey")).as("key"),
+          col("n_name"), col("n_rich"))
+        .orderBy("key")
+    }),
+
+    // ---- cross join (tiny × tiny — broadcast nested loop) ----
+    "q_cross" -> ((s, d) =>
+      region(s, d).crossJoin(nation(s, d))
+        .select(concat(col("r_name"), lit("/"), col("n_name")).as("pair"))
+        .orderBy("pair")),
+
+    // ---- scalar subquery: compare each row to a global aggregate ----
+    "q_scalar_subq" -> ((s, d) => {
+      val avgAll = ord(s, d).agg(avg(col("o_totalprice")).as("avg_all"))
+      ord(s, d).crossJoin(broadcast(avgAll))
+        .filter(col("o_totalprice") > col("avg_all") * 1.5)
+        .select(col("o_orderkey"),
+          round(col("o_totalprice") / col("avg_all"), 6).as("ratio"))
+        .orderBy("o_orderkey")
+    }),
+
+    // ---- UNION ALL with provenance tag ----
+    "q_union_all" -> ((s, d) =>
+      cust(s, d).filter(col("c_acctbal") > 9900)
+        .select(col("c_custkey").as("key"), lit("cust").as("src"))
+        .unionByName(ord(s, d).filter(col("o_totalprice") > 450000)
+          .select(col("o_custkey").as("key"), lit("order").as("src")))
+        .orderBy("key", "src")),
+
+    // ---- window matrix: lag/lead/first_value/ntile ----
+    "q_window_lead" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      ord(s, d).select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        first(col("o_totalprice")).over(w).as("first_price"),
+        ntile(4).over(w).as("quartile"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // ---- conditional aggregation (FILTER-style, via CASE for parity) ----
+    "q_agg_filtered" -> ((s, d) =>
+      cust(s, d)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("c_acctbal") > 5000, 1).otherwise(0)).as("n_rich"),
+          round(sum(when(col("c_acctbal") > 5000, col("c_acctbal")).otherwise(0.0)), 2)
+            .as("rich_bal"),
+          max(when(col("c_nationkey") < 5, col("c_acctbal"))).as("max_lownat"))
+        .orderBy("c_mktsegment")),
+
+    // ---- set-valued aggregation rendered as a string (array_agg analog) ----
+    "q_array_agg" -> ((s, d) =>
+      cust(s, d)
+        .groupBy(col("c_mktsegment"))
+        .agg(array_join(array_sort(collect_set(col("c_nationkey"))), ",").as("nations"),
+          countDistinct(col("c_nationkey")).as("n_nations"))
+        .orderBy("c_mktsegment")),
+
+    // ---- bitwise operator matrix ----
+    "q_bitwise" -> ((s, d) =>
+      ord(s, d).select(col("o_orderkey"),
+        col("o_orderkey").bitwiseAND(lit(255L)).as("band"),
+        col("o_orderkey").bitwiseOR(lit(4096L)).as("bor"),
+        col("o_orderkey").bitwiseXOR(lit(1234L)).as("bxor"),
+        shiftleft(col("o_orderkey") % 16, 3).as("shl"),
+        shiftright(col("o_orderkey"), 4).as("shr"))
+        .orderBy("o_orderkey")),
+
+    // ---- null-handling functions over the nullable props column ----
+    "q_null_fns" -> ((s, d) =>
+      events(s, d).select(col("event_id"),
+        coalesce(col("props"), lit("none")).as("props_or_none"),
+        nullif(col("event_type"), lit("click")).as("type_nonclick"),
+        when(col("props").isNull, 1).otherwise(0).as("is_null_flag"))
+        .orderBy("event_id")),
+
+    // ---- approximate distinct (HLL): the 100 TB cardinality path. The
+    //      sketch is engine-specific → rows-only check; AggSpec bounds its
+    //      error against the exact count ----
+    "q_agg_approx" -> ((s, d) =>
+      li(s, d).agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts")))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(GROUPING(l_returnflag)*2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+        |       count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |       round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT l_linestatus,
+        |       round(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 2) AS "A",
+        |       round(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 2) AS "N",
+        |       round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 2) AS "R"
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "q_percentile" ->
+      """SELECT round(quantile_cont(o_totalprice, 0.25), 2) AS p25,
+        |       round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+        |       round(quantile_cont(o_totalprice, 0.75), 2) AS p75,
+        |       round(quantile_cont(o_totalprice, 0.99), 2) AS p99
+        |FROM orders""".stripMargin,
+
+    "q_stats_agg" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |       round(stddev_samp(c_acctbal), 4) AS sd_bal,
+        |       round(var_samp(c_acctbal), 4) AS var_bal,
+        |       round(corr(c_acctbal, CAST(c_nationkey AS DOUBLE)), 6) AS corr_bal_nat,
+        |       round(covar_samp(c_acctbal, CAST(c_nationkey AS DOUBLE)), 4) AS cov_bal_nat
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_datetime" ->
+      """SELECT o_orderkey,
+        |       CAST(year(o_orderdate) AS INTEGER) AS y,
+        |       CAST(quarter(o_orderdate) AS INTEGER) AS q,
+        |       CAST(month(o_orderdate) AS INTEGER) AS m,
+        |       CAST(day(o_orderdate) AS INTEGER) AS dom,
+        |       CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+        |       strftime(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30,
+        |       strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS eom,
+        |       CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS INTEGER)
+        |         AS days_to_end
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_string_fns2" ->
+      """SELECT p_partkey,
+        |       regexp_extract(p_type, '([A-Z]+)', 1) AS first_word,
+        |       lpad(p_brand, 12, '*') AS lpadded,
+        |       rpad(p_type, 24, '.') AS rpadded,
+        |       reverse(p_name) AS rev_name,
+        |       repeat(p_brand, 2) AS brand2,
+        |       split_part(p_type, ' ', 2) AS type_word2,
+        |       CAST(strpos(p_name, 'ol') AS INTEGER) AS pos_ol,
+        |       translate(p_brand, '#', '-') AS brand_dash,
+        |       substring(p_name, 1, 3) AS left3
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_wordcount" ->
+      """SELECT t.token, count(*) AS cnt
+        |FROM documents, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t(token)
+        |WHERE t.token <> ''
+        |GROUP BY t.token ORDER BY cnt DESC, token ASC LIMIT 50""".stripMargin,
+
+    "q_sample_hash" ->
+      """SELECT count(*) AS n_sampled,
+        |       round(sum(o_totalprice), 2) AS sum_sampled,
+        |       round(avg(o_totalprice), 4) AS avg_sampled
+        |FROM orders
+        |WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) <= '28'""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type, value,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS secs
+        |  FROM events),
+        |p AS (SELECT user_id, secs AS psec, max(value) AS pval
+        |      FROM ev WHERE event_type = 'purchase' GROUP BY user_id, secs),
+        |c AS (SELECT user_id, event_id, secs FROM ev WHERE event_type = 'click')
+        |SELECT c.event_id, c.user_id, c.secs,
+        |       p.psec AS last_purch_s, p.pval AS last_purch_val,
+        |       c.secs - p.psec AS gap_s
+        |FROM c ASOF LEFT JOIN p
+        |  ON c.user_id = p.user_id AND p.psec <= c.secs
+        |ORDER BY event_id""".stripMargin,
+
+    "q_join_full" ->
+      """SELECT coalesce(n_nationkey, c_nationkey) AS key, n_name, n_rich
+        |FROM (SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 20) n
+        |FULL JOIN (SELECT c_nationkey, count(*) AS n_rich FROM customer
+        |           WHERE c_acctbal > 9900 GROUP BY c_nationkey) c
+        |  ON n_nationkey = c_nationkey
+        |ORDER BY key""".stripMargin,
+
+    "q_cross" ->
+      """SELECT concat(r_name, '/', n_name) AS pair
+        |FROM region CROSS JOIN nation ORDER BY pair""".stripMargin,
+
+    "q_scalar_subq" ->
+      """SELECT o_orderkey,
+        |       round(o_totalprice / (SELECT avg(o_totalprice) FROM orders), 6) AS ratio
+        |FROM orders
+        |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders) * 1.5
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_union_all" ->
+      """SELECT c_custkey AS key, 'cust' AS src FROM customer WHERE c_acctbal > 9900
+        |UNION ALL
+        |SELECT o_custkey AS key, 'order' AS src FROM orders WHERE o_totalprice > 450000
+        |ORDER BY key, src""".stripMargin,
+
+    "q_window_lead" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |       lag(o_totalprice, 1) OVER w AS prev_price,
+        |       lead(o_totalprice, 1) OVER w AS next_price,
+        |       first_value(o_totalprice) OVER w AS first_price,
+        |       CAST(ntile(4) OVER w AS INTEGER) AS quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_agg_filtered" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |       CAST(sum(CASE WHEN c_acctbal > 5000 THEN 1 ELSE 0 END) AS BIGINT) AS n_rich,
+        |       round(sum(CASE WHEN c_acctbal > 5000 THEN c_acctbal ELSE 0.0 END), 2)
+        |         AS rich_bal,
+        |       max(CASE WHEN c_nationkey < 5 THEN c_acctbal END) AS max_lownat
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_array_agg" ->
+      """SELECT c_mktsegment,
+        |       array_to_string(list_sort(list_distinct(list(c_nationkey))), ',') AS nations,
+        |       count(DISTINCT c_nationkey) AS n_nations
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_bitwise" ->
+      """SELECT o_orderkey,
+        |       o_orderkey & 255 AS band,
+        |       o_orderkey | 4096 AS bor,
+        |       xor(o_orderkey, 1234) AS bxor,
+        |       (o_orderkey % 16) << 3 AS shl,
+        |       o_orderkey >> 4 AS shr
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_null_fns" ->
+      """SELECT event_id,
+        |       coalesce(props, 'none') AS props_or_none,
+        |       nullif(event_type, 'click') AS type_nonclick,
+        |       CASE WHEN props IS NULL THEN 1 ELSE 0 END AS is_null_flag
+        |FROM events ORDER BY event_id""".stripMargin
+    // q_agg_approx: the HLL sketch is engine-specific — rows-only.
+  )
+}

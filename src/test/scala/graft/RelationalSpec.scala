@@ -13,12 +13,33 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("every query has an oracle") {
-    // since round 2 every query — including the LSH/sketch/stub-decode
-    // pipelines — replicates bit-exactly in DuckDB (mod-P hashing, literal
-    // hyperplane weights, float32 stub decode)
+  test("every query has an oracle except documented approx sketches") {
+    // since round 2 every deterministic query — including the LSH/sketch/
+    // stub-decode pipelines — replicates bit-exactly in DuckDB (mod-P
+    // hashing, literal hyperplane weights, float32 stub decode). Only the
+    // HLL sketch is engine-specific by nature.
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(noOracle.isEmpty, s"queries without oracle: $noOracle")
+    assert(noOracle == Set("q_agg_approx"), s"queries without oracle: $noOracle")
+  }
+
+  test("q_agg_approx: HLL estimate within 5% of exact distinct count") {
+    val row = q("q_agg_approx").collect().head
+    val approx = row.getAs[Long]("approx_parts").toDouble
+    val exact = row.getAs[Long]("exact_parts").toDouble
+    assert(math.abs(approx - exact) / exact < 0.05, s"approx=$approx exact=$exact")
+  }
+
+  test("q_scalar_subq returns rows (threshold inside the price range)") {
+    assert(q("q_scalar_subq").count() > 0)
+  }
+
+  test("q_asof_join: every matched purchase precedes or equals its click") {
+    val rows = q("q_asof_join").collect()
+    assert(rows.nonEmpty)
+    val matched = rows.filter(!_.isNullAt(3))
+    assert(matched.nonEmpty)
+    assert(matched.forall(r => r.getAs[Long]("last_purch_s") <= r.getAs[Long]("secs")))
+    assert(matched.forall(r => r.getAs[Long]("gap_s") >= 0))
   }
 
   test("q_agg_group: 6 flag/status groups, counts add up") {
