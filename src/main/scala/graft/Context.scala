@@ -43,6 +43,19 @@ class Context(val spark: SparkSession) {
   def sql(text: String): DataFrame =
     if (graft.sources.Ddl.matches(text)) graft.sources.Ddl.register(spark, text)
     else spark.sql(text)
+
+  /** File sink (`PhysicalPlan::Write{plan, filename, kind}`,
+    * reference physicalplan.rs:25-29): execute a plan and persist it.
+    * `kind` ∈ csv | parquet | ndjson. Distributed write — one file per
+    * partition; pass a repartitioned df to control file count.
+    */
+  def write(df: DataFrame, path: String, kind: String,
+      header: Boolean = true): Unit = kind.toLowerCase match {
+    case "csv" => df.write.mode("overwrite").option("header", header.toString).csv(path)
+    case "parquet" => df.write.mode("overwrite").parquet(path)
+    case "ndjson" | "json" => df.write.mode("overwrite").json(path)
+    case other => throw new IllegalArgumentException(s"unsupported sink kind: $other")
+  }
 }
 
 object Context {

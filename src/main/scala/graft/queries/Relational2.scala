@@ -235,6 +235,19 @@ object Relational2 {
         when(col("props").isNull, 1).otherwise(0).as("is_null_flag"))
         .orderBy("event_id")),
 
+    // ---- salted join: the skew-handling physical rewrite. Results are
+    //      IDENTICAL to a plain join (the oracle IS the plain join) — only
+    //      the shuffle layout changes: a hot orderkey's lineitems spread
+    //      over 8 sub-partitions instead of one reducer ----
+    "q_join_salted" -> ((s, d) =>
+      graft.operators.Skew.saltedJoin(
+          ord(s, d), cust(s, d), "o_custkey", "c_custkey",
+          spread = col("o_orderkey"), salts = 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("revenue"))
+        .orderBy("c_mktsegment")),
+
     // ---- approximate distinct (HLL): the 100 TB cardinality path. The
     //      sketch is engine-specific → rows-only check; AggSpec bounds its
     //      error against the exact count ----
@@ -392,6 +405,12 @@ object Relational2 {
         |       (o_orderkey % 16) << 3 AS shl,
         |       o_orderkey >> 4 AS shr
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_join_salted" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |       round(sum(o_totalprice), 2) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "q_null_fns" ->
       """SELECT event_id,
