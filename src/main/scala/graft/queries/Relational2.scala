@@ -248,6 +248,34 @@ object Relational2 {
           round(sum(col("o_totalprice")), 2).as("revenue"))
         .orderBy("c_mktsegment")),
 
+    // ---- JSON extraction from the semi-structured props column ----
+    "q_json_extract" -> ((s, d) =>
+      events(s, d)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(col("k")).as("n_with_k"),
+          sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy("event_type")),
+
+    // ---- GROUP BY a boolean key (golden csv_aggregate_by_c_bool shape) ----
+    "q_agg_groupbool" -> ((s, d) =>
+      li(s, d)
+        .groupBy((col("l_returnflag") === "R").as("is_returned"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy("is_returned")),
+
+    // ---- IN-subquery through the SQL front-end (plans as a semi join) ----
+    "q_in_subquery" -> ((s, d) => {
+      ord(s, d).createOrReplaceTempView("orders")
+      cust(s, d).createOrReplaceTempView("customer")
+      s.sql(
+        """SELECT o_orderkey, o_totalprice FROM orders
+          |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9500)
+          |ORDER BY o_orderkey""".stripMargin)
+    }),
+
     // ---- approximate distinct (HLL): the 100 TB cardinality path. The
     //      sketch is engine-specific → rows-only check; AggSpec bounds its
     //      error against the exact count ----
@@ -405,6 +433,24 @@ object Relational2 {
         |       (o_orderkey % 16) << 3 AS shl,
         |       o_orderkey >> 4 AS shr
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT event_type, count(k) AS n_with_k,
+        |       CAST(sum(k) AS BIGINT) AS sum_k,
+        |       min(k) AS min_k, max(k) AS max_k
+        |FROM (SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        |      FROM events) t
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_agg_groupbool" ->
+      """SELECT l_returnflag = 'R' AS is_returned, count(*) AS n,
+        |       round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY 1 ORDER BY is_returned""".stripMargin,
+
+    "q_in_subquery" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9500)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q_join_salted" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
