@@ -33,6 +33,21 @@ object TextHash {
     while (i < until) { h = (h * mult + s.charAt(i)) % P; i += 1 }
     h
   }
+
+  /** Sort + dedup a primitive long buffer in place — no boxing (a TreeSet
+    * here costs one allocation + compare chain per element and dominated
+    * the char-n-gram profile).
+    */
+  def sortedDistinct(buf: Array[Long], len: Int): Array[Long] = {
+    java.util.Arrays.sort(buf, 0, len)
+    var n = 0
+    var i = 0
+    while (i < len) {
+      if (n == 0 || buf(i) != buf(n - 1)) { buf(n) = buf(i); n += 1 }
+      i += 1
+    }
+    java.util.Arrays.copyOf(buf, n)
+  }
 }
 
 /** Distinct sorted mod-P hashes of word n-gram shingles, one pass from raw
@@ -61,17 +76,12 @@ case class ShingleHashes(child: Expression, n: Int)
 
   override def nullSafeEval(input: Any): Any = {
     val toks = input.toString.toLowerCase(java.util.Locale.ROOT).trim.split("\\s+")
-    val set = new java.util.TreeSet[java.lang.Long]()
-    if (toks.length < n) set.add(hashShingle(toks, 0, toks.length))
-    else {
-      var i = 0
-      while (i + n <= toks.length) { set.add(hashShingle(toks, i, n)); i += 1 }
-    }
-    val out = new Array[Long](set.size)
-    val it = set.iterator()
+    if (toks.length < n)
+      return new GenericArrayData(Array(hashShingle(toks, 0, toks.length)))
+    val buf = new Array[Long](toks.length - n + 1)
     var i = 0
-    while (it.hasNext) { out(i) = it.next(); i += 1 }
-    new GenericArrayData(out)
+    while (i + n <= toks.length) { buf(i) = hashShingle(toks, i, n); i += 1 }
+    new GenericArrayData(TextHash.sortedDistinct(buf, buf.length))
   }
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
     copy(child = newChild)
@@ -106,17 +116,15 @@ case class ShingleFeatures62(child: Expression, n: Int)
 
   override def nullSafeEval(input: Any): Any = {
     val toks = input.toString.toLowerCase(java.util.Locale.ROOT).trim.split("\\s+")
-    val set = new java.util.TreeSet[java.lang.Long]()
-    if (toks.length < n) set.add(hashShingle(toks, 0, toks.length))
-    else {
-      var i = 0
-      while (i + n <= toks.length) { set.add(hashShingle(toks, i, n)); i += 1 }
-    }
-    val out = new Array[Long](set.size)
-    val it = set.iterator()
+    if (toks.length < n)
+      return new GenericArrayData(Array(hashShingle(toks, 0, toks.length)))
+    val buf = new Array[Long](toks.length - n + 1)
     var i = 0
-    while (it.hasNext) { out(i) = it.next(); i += 1 }
-    new GenericArrayData(out)
+    while (i + n <= toks.length) { buf(i) = hashShingle(toks, i, n); i += 1 }
+    // SimHash is a per-bit majority over the SET — element order never
+    // affects the result, so sorted-distinct matches the oracle's
+    // first-occurrence-ordered list_distinct
+    new GenericArrayData(TextHash.sortedDistinct(buf, buf.length))
   }
   override protected def withNewChildInternal(newChild: Expression): ShingleFeatures62 =
     copy(child = newChild)
@@ -235,18 +243,14 @@ case class CharNgramHashes(child: Expression, n: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(input: Any): Any = {
     val s = input.toString.toLowerCase(java.util.Locale.ROOT)
-    val set = new java.util.TreeSet[java.lang.Long]()
     val upper = math.max(1, s.length - n + 1)
+    val buf = new Array[Long](upper)
     var i = 0
     while (i < upper) {
-      set.add(TextHash.poly(s, i, math.min(s.length, i + n), 131))
+      buf(i) = TextHash.poly(s, i, math.min(s.length, i + n), 131)
       i += 1
     }
-    val out = new Array[Long](set.size)
-    val it = set.iterator()
-    var k = 0
-    while (it.hasNext) { out(k) = it.next(); k += 1 }
-    new GenericArrayData(out)
+    new GenericArrayData(TextHash.sortedDistinct(buf, upper))
   }
   override protected def withNewChildInternal(newChild: Expression): CharNgramHashes =
     copy(child = newChild)

@@ -19,6 +19,14 @@ object DedupOps {
   private def docs(s: SparkSession, d: String) = Tables(s, d, "documents")
   private def emb(s: SparkSession, d: String) = Tables(s, d, "embeddings")
 
+  // NOTE on scan parallelism: the test fixtures are single-row-group parquet
+  // files, so the sketch stages run as one task here. An explicit
+  // repartition(defaultParallelism) before the sketches was benchmarked and
+  // REJECTED: at 5k docs the round-robin shuffle (plus its deterministic
+  // local sort of the text column) costs more than the single-core sketch
+  // compute it parallelizes. At production scale the scan itself is
+  // thousands of tasks (file splits), so the question disappears.
+
   /** Max docs considered per LSH bucket; a hotter bucket is truncated (the cap
     * is logged into the plan as a `slice`). Keeps worst-case pair count
     * bounded at cap²/2 per bucket regardless of data skew.
