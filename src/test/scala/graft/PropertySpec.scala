@@ -1,0 +1,136 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions._
+import graft.functions.TextHash
+
+/** ScalaCheck property layer (SURVEY §5): algebraic invariants of the
+  * native sketch/vector expressions, checked against brute-force reference
+  * implementations. Generators are sampled with fixed seeds (offline cache
+  * has no scalatest-scalacheck bridge), so runs are deterministic.
+  */
+class PropertySpec extends AnyFunSuite with SparkSpec {
+
+  /** Deterministic sample stream from a generator. */
+  private def samples[A](g: Gen[A], n: Int = 100): Seq[A] = {
+    val p = Gen.Parameters.default
+    (0 until n * 4).iterator
+      .flatMap(i => g.apply(p, Seed(i.toLong)))
+      .take(n).toSeq
+  }
+
+  private val dummy = Literal(1)
+
+  test("TextHash.poly matches a BigInt reference on arbitrary strings") {
+    for {
+      s <- samples(Gen.alphaNumStr, 200)
+      m <- Seq(131, 137, 1000003)
+    } {
+      val ref = s.foldLeft(BigInt(0))((h, c) => (h * m + c.toInt) mod BigInt(TextHash.P))
+      assert(TextHash.poly(s, 0, s.length, m) == ref.toLong, s"s=$s m=$m")
+    }
+  }
+
+  test("sortedDistinct equals the set semantics of the input") {
+    samples(Gen.listOf(Gen.chooseNum(-1000L, 1000L)), 200).foreach { xs =>
+      val got = TextHash.sortedDistinct(xs.toArray, xs.length).toSeq
+      assert(got == xs.distinct.sorted, s"xs=$xs")
+    }
+  }
+
+  test("JaccardSorted equals naive set Jaccard") {
+    val arr = Gen.listOf(Gen.chooseNum(0L, 50L)).map(_.distinct.sorted)
+    val e = graft.functions.JaccardSorted(dummy, dummy)
+    samples(Gen.zip(arr, arr), 200).foreach { case (a, b) =>
+      val got = e.nullSafeEval(
+        new GenericArrayData(a.toArray), new GenericArrayData(b.toArray))
+        .asInstanceOf[Double]
+      val inter = a.toSet.intersect(b.toSet).size.toDouble
+      val union = a.toSet.union(b.toSet).size.toDouble
+      val want = if (union == 0) 1.0 else inter / union
+      assert(math.abs(got - want) < 1e-12, s"a=$a b=$b")
+    }
+  }
+
+  test("MinHash signature is permutation-invariant and deterministic") {
+    val e = graft.functions.MinHashSig(dummy, 16)
+    def sig(v: Seq[Long]) = e.nullSafeEval(new GenericArrayData(v.toArray))
+      .asInstanceOf[ArrayData].toLongArray().toSeq
+    val rnd = new scala.util.Random(42)
+    samples(Gen.listOf(Gen.chooseNum(0L, TextHash.P - 1)), 100).foreach { xs =>
+      assert(sig(xs) == sig(rnd.shuffle(xs)), s"xs=$xs")
+    }
+  }
+
+  test("MinHash match fraction estimates Jaccard within statistical error") {
+    // near-dup docs share most shingles → estimate must be high; disjoint
+    // docs share none → estimate must be ~0. 64 permutations → ±3σ ≈ 0.19.
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val near = base + " extra"
+    val far = (100 to 160).map(i => s"tok$i").mkString(" ")
+    import spark.implicits._
+    val df = Seq((1L, base), (2L, near), (3L, far)).toDF("id", "text")
+      .select(col("id"), graft.functions.TextExprs.minhashSig(
+        graft.functions.TextExprs.shingleHashes(col("text"), 3), 64).as("sig"))
+    val sigs = df.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def frac(a: Seq[Long], b: Seq[Long]) =
+      a.zip(b).count { case (x, y) => x == y }.toDouble / a.length
+    assert(frac(sigs(1L), sigs(2L)) > 0.7, "near-dup estimate too low")
+    assert(frac(sigs(1L), sigs(3L)) < 0.2, "disjoint estimate too high")
+  }
+
+  test("SimHash of identical docs equal; Hamming grows with divergence") {
+    import spark.implicits._
+    val base = (1 to 80).map(i => s"w$i").mkString(" ")
+    val tweaked = (1 to 80).map(i => if (i % 20 == 0) s"X$i" else s"w$i").mkString(" ")
+    val other = (200 to 280).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, base), (2L, base), (3L, tweaked), (4L, other)).toDF("id", "text")
+      .select(col("id"), graft.functions.TextExprs.simhashBits(
+        graft.functions.TextExprs.shingleFeatures62(col("text"), 3)).as("sim"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(m(1L), m(2L)) == 0)
+    assert(ham(m(1L), m(3L)) < ham(m(1L), m(4L)),
+      s"tweak ${ham(m(1L), m(3L))} !< other ${ham(m(1L), m(4L))}")
+  }
+
+  test("CosineSim: self-similarity 1, symmetry, scale-invariance") {
+    val vec = Gen.listOfN(8, Gen.chooseNum(-100, 100).map(_.toFloat))
+      .suchThat(v => v.exists(_ != 0f))
+    val e = graft.functions.CosineSim(dummy, dummy)
+    def cos(x: Seq[Float], y: Seq[Float]) = e.nullSafeEval(
+      new GenericArrayData(x.toArray), new GenericArrayData(y.toArray))
+      .asInstanceOf[Double]
+    samples(Gen.zip(vec, vec), 100).foreach { case (a, b) =>
+      assert(math.abs(cos(a, a) - 1.0) < 1e-9)
+      assert(math.abs(cos(a, b) - cos(b, a)) < 1e-12)
+      val scaled = a.map(_ * 2f)
+      assert(math.abs(cos(a, b) - cos(scaled, b)) < 1e-6)
+    }
+  }
+
+  test("HyperplaneBucket: same vector same bucket; bucket in range") {
+    val e = graft.functions.HyperplaneBucket(dummy, 6, 0, 8)
+    val vec = Gen.listOfN(8, Gen.chooseNum(-100, 100).map(_.toFloat))
+    samples(vec, 100).foreach { v =>
+      val b1 = e.nullSafeEval(new GenericArrayData(v.toArray)).asInstanceOf[Long]
+      val b2 = e.nullSafeEval(new GenericArrayData(v.toArray)).asInstanceOf[Long]
+      assert(b1 == b2 && b1 >= 0 && b1 < 64, s"v=$v b=$b1")
+    }
+  }
+
+  test("RollingHash is order-sensitive where md5 fingerprint content-equal") {
+    import spark.implicits._
+    val df = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha")).toDF("id", "text")
+      .select(col("id"),
+        graft.functions.TextExprs.rollingHash(col("text")).as("roll"),
+        md5(concat_ws("", array_sort(split(col("text"), " ")))).as("bag"))
+    val rows = df.orderBy("id").collect().map(r => (r.getLong(1), r.getString(2)))
+    assert(rows(0)._1 != rows(1)._1, "rolling hash must see order")
+    assert(rows(0)._2 == rows(1)._2, "bag fingerprint must not")
+  }
+}
