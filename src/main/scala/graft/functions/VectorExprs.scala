@@ -78,6 +78,46 @@ case class L2Norm(child: Expression)
     copy(child = newChild)
 }
 
+/** Cosine similarity of two Array[Double] columns (same fold as
+  * [[CosineSim]], no float cast).
+  */
+case class CosineSimD(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData].toDoubleArray()
+    val b = r.asInstanceOf[ArrayData].toDoubleArray()
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i)
+      i += 1
+    }
+    java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimD =
+    copy(left = l, right = r)
+}
+
+/** Squared L2 distance of two Array[Double] columns, sequential fold of
+  * (a_i - b_i)^2 — bit-identical to the generated DuckDB oracle.
+  */
+case class L2DistSq(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData].toDoubleArray()
+    val b = r.asInstanceOf[ArrayData].toDoubleArray()
+    val n = math.min(a.length, b.length)
+    var s = 0.0; var i = 0
+    while (i < n) { val d = a(i) - b(i); s += d * d; i += 1 }
+    java.lang.Double.valueOf(s)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): L2DistSq =
+    copy(left = l, right = r)
+}
+
 /** Random-hyperplane LSH bucket: bit p of the result is the sign of the
   * projection onto deterministic pseudo-random hyperplane `table*64 + p`
   * (weights from [[VectorExprs.planeWeight]]). Arithmetic is
@@ -121,6 +161,8 @@ object VectorExprs {
   }
 
   def cosine(a: Column, b: Column): Column = column(CosineSim(expression(a), expression(b)))
+  def cosineD(a: Column, b: Column): Column = column(CosineSimD(expression(a), expression(b)))
+  def l2DistSq(a: Column, b: Column): Column = column(L2DistSq(expression(a), expression(b)))
   def dot(a: Column, b: Column): Column = column(DotProduct(expression(a), expression(b)))
   def l2Norm(a: Column): Column = column(L2Norm(expression(a)))
   def hyperplaneBucket(vec: Column, nPlanes: Int, table: Int = 0, dim: Int = 64): Column =
@@ -157,6 +199,14 @@ object VectorExprs {
     val nb = fold(s"list_transform(range(1, ${dim + 1}), i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))")
     s"($dot / (sqrt($na) * sqrt($nb)))"
   }
+
+  /** DuckDB expression: squared L2 distance of two DOUBLE[] expressions,
+    * same fold as [[L2DistSq]].
+    */
+  def l2DistSqSql(a: String, b: String, dim: Int = 64): String =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |  list_transform(range(1, ${dim + 1}), i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))),
+       |  (acc, x) -> acc + x)""".stripMargin
 
   /** DuckDB expression: hyperplane bucket of FLOAT[] column `v` for one LSH
     * table, given a weight-matrix literal bound as `W` (DOUBLE[][]).

@@ -77,6 +77,58 @@ object VectorOps {
         .filter(col("rn") <= 3)
         .select(col("probe_id"), col("rn"), col("neighbor_id"), col("cos"))
         .orderBy("probe_id", "rn")
+    }),
+
+    // ---- IVF ANN: k-means coarse quantizer (deterministic init = first K
+    //      vectors, one Lloyd iteration with centroids ROUNDED to 6dp so
+    //      both engines agree bit-for-bit), then probe the nProbe nearest
+    //      clusters only. At 100 TB the cluster id is the partition key and
+    //      a probe touches nProbe/K of the corpus instead of all of it ----
+    "q_ann_ivf" -> ((s, d) => {
+      val k = 16; val nProbe = 2
+      import graft.functions.VectorExprs
+      val e = emb(s, d).select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("vd")).persist()
+      def assign(cents: DataFrame): DataFrame = {
+        val w = Window.partitionBy(col("vec_id"))
+          .orderBy(col("dist").asc, col("cid").asc)
+        e.crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("vd"), col("cid"),
+            VectorExprs.l2DistSq(col("vd"), col("cvec")).as("dist"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("vd"), col("cid"))
+      }
+      val init = e.filter(col("vec_id") < k)
+        .select(col("vec_id").cast("int").as("cid"), col("vd").as("cvec"))
+      val cents1 = assign(init)
+        .select(col("cid"), posexplode(col("vd")).as(Seq("dim", "v")))
+        .groupBy(col("cid"), col("dim"))
+        .agg(round(avg(col("v")), 6).as("cv"))
+        .groupBy(col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("cv")))),
+          _.getField("cv")).as("cvec"))
+      val a2 = assign(cents1)
+      val probes = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("vd").as("pd"))
+      val wp = Window.partitionBy(col("probe_id"))
+        .orderBy(col("dist").asc, col("cid").asc)
+      val probed = probes.crossJoin(broadcast(cents1))
+        .select(col("probe_id"), col("pd"), col("cid"),
+          VectorExprs.l2DistSq(col("pd"), col("cvec")).as("dist"))
+        .withColumn("crn", row_number().over(wp))
+        .filter(col("crn") <= nProbe)
+        .select(col("probe_id"), col("pd"), col("cid"))
+      val wr = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cos").desc, col("neighbor_id").asc)
+      probed.join(a2, "cid")
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+          round(VectorExprs.cosineD(col("pd"), col("vd")), 6).as("cos"))
+        .withColumn("rn", row_number().over(wr))
+        .filter(col("rn") <= 3)
+        .select(col("probe_id"), col("rn"), col("neighbor_id"), col("cos"))
+        .orderBy("probe_id", "rn")
     })
   )
 
@@ -127,6 +179,45 @@ object VectorOps {
          |  SELECT *, row_number() OVER (PARTITION BY probe_id
          |            ORDER BY cos DESC, neighbor_id ASC) AS rn
          |  FROM pairs)
+         |SELECT probe_id, rn, neighbor_id, cos FROM r
+         |WHERE rn <= 3 ORDER BY probe_id, rn""".stripMargin
+    },
+
+    "q_ann_ivf" -> {
+      val l2 = VectorExprs.l2DistSqSql _
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+         |           FROM embeddings),
+         |init AS (SELECT CAST(vec_id AS INTEGER) AS cid, vd AS cvec FROM e WHERE vec_id < 16),
+         |d1 AS (SELECT e.vec_id, e.vd, i.cid, ${l2("e.vd", "i.cvec", 64)} AS dist
+         |       FROM e, init i),
+         |a1 AS (SELECT vec_id, vd, cid FROM (
+         |         SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                   ORDER BY dist ASC, cid ASC) AS rn FROM d1)
+         |       WHERE rn = 1),
+         |cd AS (SELECT cid, d.range AS dim, round(avg(vd[d.range]), 6) AS cv
+         |       FROM a1, range(1, 65) d GROUP BY cid, d.range),
+         |c1 AS (SELECT cid, list(cv ORDER BY dim) AS cvec FROM cd GROUP BY cid),
+         |d2 AS (SELECT e.vec_id, e.vd, c.cid, ${l2("e.vd", "c.cvec", 64)} AS dist
+         |       FROM e, c1 c),
+         |a2 AS (SELECT vec_id, vd, cid FROM (
+         |         SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                   ORDER BY dist ASC, cid ASC) AS rn FROM d2)
+         |       WHERE rn = 1),
+         |p AS (SELECT vec_id AS probe_id, vd AS pd FROM e WHERE vec_id < 10),
+         |pd AS (SELECT p.probe_id, p.pd, c.cid, ${l2("p.pd", "c.cvec", 64)} AS dist
+         |       FROM p, c1 c),
+         |pc AS (SELECT probe_id, pd, cid FROM (
+         |         SELECT *, row_number() OVER (PARTITION BY probe_id
+         |                   ORDER BY dist ASC, cid ASC) AS crn FROM pd)
+         |       WHERE crn <= 2),
+         |cand AS (
+         |  SELECT pc.probe_id, a2.vec_id AS neighbor_id,
+         |         round(${VectorExprs.cosineSql("pc.pd", "a2.vd")}, 6) AS cos
+         |  FROM pc JOIN a2 USING (cid)
+         |  WHERE a2.vec_id <> pc.probe_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+         |              ORDER BY cos DESC, neighbor_id ASC) AS rn
+         |      FROM cand)
          |SELECT probe_id, rn, neighbor_id, cos FROM r
          |WHERE rn <= 3 ORDER BY probe_id, rn""".stripMargin
     }

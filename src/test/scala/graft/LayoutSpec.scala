@@ -33,6 +33,15 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
     val wh = new java.io.File("spark-warehouse")
     spark.sql("DROP TABLE IF EXISTS li_bkt")
     spark.sql("DROP TABLE IF EXISTS ord_bkt")
+    // a previous JVM's warehouse dirs survive DROP (the tables are not in
+    // this session's in-memory catalog) — remove the locations directly
+    Seq("li_bkt", "ord_bkt").foreach { t =>
+      val d = new java.io.File(wh, t)
+      if (d.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(d).deleteRecursively()
+      }
+    }
     Tables(spark, sf, "lineitem")
       .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
       .saveAsTable("li_bkt")
