@@ -44,4 +44,24 @@ object Render {
 
   def consoleLines(df: DataFrame): Seq[String] =
     df.collect().toSeq.map(_.toSeq.map(cell(_, quoted = false)).mkString("\t"))
+
+  /** Rust `{}` Display float formatting: integral floats print without the
+    * trailing `.0` (`6.0` → `6`), otherwise shortest-roundtrip.
+    */
+  private def displayCell(v: Any): String = v match {
+    case null => ""
+    case d: java.lang.Double =>
+      val s = fmtDouble(d); if (s.endsWith(".0")) s.dropRight(2) else s
+    case f: java.lang.Float =>
+      val s = fmtFloat(f); if (s.endsWith(".0")) s.dropRight(2) else s
+    case x => cell(x, quoted = false)
+  }
+
+  /** The earlier-POC golden-file format (CSVs under test/data/expected):
+    * plain comma-joined cells, strings unquoted, Rust Display floats,
+    * trailing newline.
+    */
+  def csv(df: DataFrame): String =
+    df.collect().map(_.toSeq.map(displayCell).mkString(","))
+      .mkString("", "\n", "\n")
 }

@@ -36,6 +36,23 @@ object Sessions {
         .orderBy("user_id", "sess_id")
     }),
 
+    // ---- native session_window(): Spark's built-in gap-session operator
+    //      (the declarative alternative to the manual gaps-and-islands
+    //      above; at scale it is one shuffle on user_id with session-merge
+    //      in the aggregation). Timestamps truncated to whole seconds first
+    //      so the < gap boundary is exactly replicable in the oracle ----
+    "q_session_window" -> ((s, d) =>
+      events(s, d)
+        .withColumn("ts_sec", timestamp_seconds(unix_timestamp(col("ts"))))
+        .groupBy(col("user_id"), session_window(col("ts_sec"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("total_value"))
+        .select(col("user_id"),
+          unix_timestamp(col("session_window.start")).as("start_s"),
+          unix_timestamp(col("session_window.end")).as("end_s"),
+          col("n_events"), col("total_value"))
+        .orderBy("user_id", "start_s")),
+
     // ---- event-time tumbling window via window() (batch twin of the
     //      streaming watermark aggregation) ----
     "q_events_window" -> ((s, d) =>
@@ -64,6 +81,26 @@ object Sessions {
         |SELECT user_id, sess_id, min(secs) AS start_s, max(secs) AS end_s,
         |       count(*) AS n_events, round(sum(value), 2) AS total_value
         |FROM s GROUP BY user_id, sess_id ORDER BY user_id, sess_id""".stripMargin,
+
+    // session_window semantics: an event with gap >= 30min from the previous
+    // event starts a NEW session (strictly-less-than extends); session end =
+    // last event + gap
+    "q_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, value, CAST(floor(epoch(ts)) AS BIGINT) AS secs
+        |  FROM events),
+        |b AS (
+        |  SELECT *, CASE WHEN secs - lag(secs) OVER w >= 1800 THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY secs ASC)),
+        |s AS (
+        |  SELECT *, CAST(sum(brk) OVER (
+        |      PARTITION BY user_id ORDER BY secs ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
+        |  FROM b)
+        |SELECT user_id, min(secs) AS start_s, max(secs) + 1800 AS end_s,
+        |       count(*) AS n_events, round(sum(value), 2) AS total_value
+        |FROM s GROUP BY user_id, sess_id
+        |ORDER BY user_id, start_s""".stripMargin,
 
     "q_events_window" ->
       """SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour_ts, event_type,
