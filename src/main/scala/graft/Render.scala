@@ -54,6 +54,8 @@ object Render {
       val s = fmtDouble(d); if (s.endsWith(".0")) s.dropRight(2) else s
     case f: java.lang.Float =>
       val s = fmtFloat(f); if (s.endsWith(".0")) s.dropRight(2) else s
+    case r: org.apache.spark.sql.Row => // struct (UDT) Display: "x, y"
+      r.toSeq.map(displayCell).mkString(", ")
     case x => cell(x, quoted = false)
   }
 
@@ -61,7 +63,9 @@ object Render {
     * plain comma-joined cells, strings unquoted, Rust Display floats,
     * trailing newline.
     */
-  def csv(df: DataFrame): String =
-    df.collect().map(_.toSeq.map(displayCell).mkString(","))
-      .mkString("", "\n", "\n")
+  def csv(df: DataFrame): String = {
+    val rows = df.collect()
+    if (rows.isEmpty) "" // empty goldens are zero-byte files
+    else rows.map(_.toSeq.map(displayCell).mkString(",")).mkString("", "\n", "\n")
+  }
 }
