@@ -248,6 +248,17 @@ object Relational2 {
           round(sum(col("o_totalprice")), 2).as("revenue"))
         .orderBy("c_mktsegment")),
 
+    // ---- custom typed Aggregator (UDAF): price per unit, quantity-weighted.
+    //      16-byte buffer per group, map-side partials — same shuffle cost
+    //      as a built-in aggregate ----
+    "q_agg_udaf" -> ((s, d) =>
+      li(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(round(graft.functions.Aggregators.weightedMean(
+            col("l_extendedprice"), col("l_quantity")), 4).as("wavg_price"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")),
+
     // ---- JSON extraction from the semi-structured props column ----
     "q_json_extract" -> ((s, d) =>
       events(s, d)
@@ -433,6 +444,13 @@ object Relational2 {
         |       (o_orderkey % 16) << 3 AS shl,
         |       o_orderkey >> 4 AS shr
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_agg_udaf" ->
+      """SELECT l_returnflag,
+        |       round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4)
+        |         AS wavg_price,
+        |       count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_json_extract" ->
       """SELECT event_type, count(k) AS n_with_k,
