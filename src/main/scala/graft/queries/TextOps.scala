@@ -72,6 +72,27 @@ object TextOps {
         md5(trim(lower(col("text"))).cast("binary")).as("fp_md5"))
         .orderBy("doc_id")),
 
+    // ---- the materialized cleaning pipeline: exact-dedup (keep min doc_id
+    //      per content hash) THEN quality gates. This is the query a
+    //      training-data pipeline actually ships — the dedup/quality ops
+    //      composed to a cleaned corpus, not reports about it. One shuffle
+    //      (the content-hash window); the quality gates are per-row ----
+    "q_clean_corpus" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("h")).orderBy(col("doc_id").asc)
+      val t = col("text")
+      val nTok = size(split(trim(t), "\\s+"))
+      docs(s, d)
+        .withColumn("h", md5(t.cast("binary")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1) // keep first doc of each exact-dup class
+        .filter(col("lang").isin("en", "de", "fr", "es"))
+        .filter(nTok >= 10)
+        .filter((length(t).cast("double") / nTok).between(3.0, 15.0))
+        .select(col("doc_id"), col("lang"), nTok.as("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // ---- document fingerprints: order-sensitive rolling hash (mod-P
     //      polynomial, so the oracle replicates it exactly) ----
     "q_doc_rollhash" -> ((s, d) =>
@@ -126,6 +147,19 @@ object TextOps {
 
     "q_doc_rollhash" ->
       s"""SELECT doc_id, ${graft.functions.TextExprs.rollingHashSql("text")} AS fp_roll
-         |FROM documents ORDER BY doc_id""".stripMargin
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_clean_corpus" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, text,
+        |         length(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+        |         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id ASC) AS rn
+        |  FROM documents)
+        |SELECT doc_id, lang, CAST(n_tokens AS INTEGER) AS n_tokens
+        |FROM d
+        |WHERE rn = 1 AND lang IN ('en', 'de', 'fr', 'es')
+        |  AND n_tokens >= 10
+        |  AND CAST(length(text) AS DOUBLE) / n_tokens BETWEEN 3.0 AND 15.0
+        |ORDER BY doc_id""".stripMargin
   )
 }
