@@ -178,6 +178,33 @@ object Relational2 {
         .orderBy("o_orderkey")
     }),
 
+    // ---- multiset set-ops (bag semantics — duplicates preserved) ----
+    "q_except_all" -> ((s, d) =>
+      li(s, d).select(col("l_suppkey").as("key"))
+        .exceptAll(ord(s, d).select(col("o_custkey").as("key")))
+        .groupBy(col("key")).agg(count(lit(1)).as("n"))
+        .orderBy("key")),
+
+    "q_intersect_all" -> ((s, d) =>
+      li(s, d).select(col("l_suppkey").as("key"))
+        .intersectAll(ord(s, d).select(col("o_custkey").as("key")))
+        .groupBy(col("key")).agg(count(lit(1)).as("n"))
+        .orderBy("key")),
+
+    // ---- correlated scalar subquery via the SQL front-end: each order
+    //      compared to ITS customer's average (decorrelates to an
+    //      aggregate + join in Catalyst) ----
+    "q_corr_subq" -> ((s, d) => {
+      ord(s, d).createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT o_orderkey,
+          |       round(o_totalprice / (SELECT avg(o2.o_totalprice) FROM orders o2
+          |                             WHERE o2.o_custkey = o1.o_custkey), 6) AS vs_cust_avg
+          |FROM orders o1
+          |WHERE o_totalprice > 400000
+          |ORDER BY o_orderkey""".stripMargin)
+    }),
+
     // ---- UNION ALL with provenance tag ----
     "q_union_all" -> ((s, d) =>
       cust(s, d).filter(col("c_acctbal") > 9900)
@@ -404,6 +431,28 @@ object Relational2 {
         |       round(o_totalprice / (SELECT avg(o_totalprice) FROM orders), 6) AS ratio
         |FROM orders
         |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders) * 1.5
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_except_all" ->
+      """SELECT key, count(*) AS n FROM (
+        |  SELECT l_suppkey AS key FROM lineitem
+        |  EXCEPT ALL
+        |  SELECT o_custkey AS key FROM orders)
+        |GROUP BY key ORDER BY key""".stripMargin,
+
+    "q_intersect_all" ->
+      """SELECT key, count(*) AS n FROM (
+        |  SELECT l_suppkey AS key FROM lineitem
+        |  INTERSECT ALL
+        |  SELECT o_custkey AS key FROM orders)
+        |GROUP BY key ORDER BY key""".stripMargin,
+
+    "q_corr_subq" ->
+      """SELECT o_orderkey,
+        |       round(o_totalprice / (SELECT avg(o2.o_totalprice) FROM orders o2
+        |                             WHERE o2.o_custkey = o1.o_custkey), 6) AS vs_cust_avg
+        |FROM orders o1
+        |WHERE o_totalprice > 400000
         |ORDER BY o_orderkey""".stripMargin,
 
     "q_union_all" ->

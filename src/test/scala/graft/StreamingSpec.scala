@@ -53,6 +53,26 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("streaming dedup (dropDuplicates + watermark) matches batch distinct") {
+    // content-keyed streaming dedup: the state store holds one entry per key
+    // until the watermark passes — the streaming form of exact dedup
+    val stream = EventsStream.readEventsStream(spark, streamDir)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("user_id", "event_type")
+      .groupBy(col("event_type")).count()
+    val q = stream.writeStream
+      .format("memory").queryName("dedup_out").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("dedup_out")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = Tables(spark, sf, "events")
+      .dropDuplicates("user_id", "event_type")
+      .groupBy(col("event_type")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("sessions partition each user's events") {
     val nEvents = Tables(spark, sf, "events").count()
     val sessions = SparkEntry.queries("q_sessionize")(spark, sf).collect()
