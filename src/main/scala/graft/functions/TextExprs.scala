@@ -340,10 +340,18 @@ object TextExprs {
   def tokensSql(text: String): String =
     s"regexp_split_to_array(lower(trim($text)), '\\s+')"
 
-  /** Poly-`mult` char hash mod P of a string expression. */
+  /** Poly-`mult` char hash mod P of a string expression.
+    *
+    * `greatest(unicode(c), 0)`: DuckDB's `string_split('', '')` yields [''],
+    * whose `unicode` is -1 — clamping to 0 makes the empty string hash to 0
+    * exactly like the JVM loops. Parity contract: the generated SQL folds
+    * Unicode CODEPOINTS while the JVM expressions fold UTF-16 units — equal
+    * on the Basic Multilingual Plane (all of the synthetic corpus);
+    * supplementary-plane text (emoji) would diverge.
+    */
   def charPolySql(s: String, mult: Int): String =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
-       |  list_transform(string_split($s, ''), c -> CAST(unicode(c) AS BIGINT))),
+       |  list_transform(string_split($s, ''), c -> CAST(greatest(unicode(c), 0) AS BIGINT))),
        |  (acc, x) -> (acc * $mult + x) % $P)""".stripMargin
 
   /** Word n-gram shingle strings from a tokens-list expression. */

@@ -28,7 +28,10 @@ object Skew {
     */
   def saltedJoin(fact: DataFrame, build: DataFrame, factKey: String,
       buildKey: String, spread: Column, salts: Int): DataFrame = {
-    val saltedFact = fact.withColumn("_salt", pmod(spread, lit(salts)).cast("int"))
+    // NULL spread must not drop the row (pmod(NULL) = NULL would never
+    // match any build salt) — any constant salt keeps join semantics
+    val saltedFact = fact.withColumn("_salt",
+      pmod(coalesce(spread, lit(0)), lit(salts)).cast("int"))
     val saltedBuild = build.withColumn("_salt",
       explode(sequence(lit(0), lit(salts - 1))))
     saltedFact.join(saltedBuild,

@@ -76,6 +76,10 @@ object MultimodalOps {
     // full replication of the stub decode: poly-131 block hashes → float32
     // raw values → float32 unit-normalization → double cosine. DuckDB REAL
     // division/multiplication is true binary32, so values are bit-identical.
+    // Parity scope: the engine folds UTF-8 BYTES, the oracle folds
+    // codepoints over character-indexed blocks — equal for ASCII text
+    // (all of the synthetic corpus); a real binary corpus would be compared
+    // by a byte-level oracle instead.
     "q_media_ann" -> {
       import graft.functions.{TextExprs, VectorExprs}
       val poly = TextExprs.charPolySql("substr(text, i*blk + 1, blk)", 131)

@@ -140,13 +140,17 @@ object Relational2 {
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("secs").asc, col("kind").asc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // one struct-valued last(): psec and pval always come from the SAME
+      // purchase row (two independent last(ignoreNulls) calls could pair a
+      // newer psec with an older pval if a purchase value were NULL)
       purch.unionByName(clicks)
-        .withColumn("last_purch_s", last(col("psec"), ignoreNulls = true).over(w))
-        .withColumn("last_purch_val", last(col("pval"), ignoreNulls = true).over(w))
+        .withColumn("lp", last(
+          when(col("kind") === 0, struct(col("psec"), col("pval"))),
+          ignoreNulls = true).over(w))
         .filter(col("kind") === 1)
         .select(col("event_id"), col("user_id"), col("secs"),
-          col("last_purch_s"), col("last_purch_val"),
-          (col("secs") - col("last_purch_s")).as("gap_s"))
+          col("lp.psec").as("last_purch_s"), col("lp.pval").as("last_purch_val"),
+          (col("secs") - col("lp.psec")).as("gap_s"))
         .orderBy("event_id")
     }),
 
