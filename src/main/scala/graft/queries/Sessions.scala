@@ -36,6 +36,23 @@ object Sessions {
         .orderBy("user_id", "sess_id")
     }),
 
+    // ---- RANGE window frame: per-user trailing-hour activity. Unlike a
+    //      ROWS frame, the frame is VALUE-bounded (all events within 3600s,
+    //      peers at equal timestamps included) — the standard rolling-metric
+    //      shape; one shuffle on user_id ----
+    "q_window_range" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("secs"))
+        .rangeBetween(-3600, Window.currentRow)
+      events(s, d)
+        .select(col("user_id"), col("event_id"),
+          unix_timestamp(col("ts")).as("secs"), col("value"))
+        .select(col("user_id"), col("event_id"), col("secs"),
+          count(lit(1)).over(w).as("n_hour"),
+          round(sum(col("value")).over(w), 2).as("val_hour"))
+        .orderBy("event_id")
+    }),
+
     // ---- native session_window(): Spark's built-in gap-session operator
     //      (the declarative alternative to the manual gaps-and-islands
     //      above; at scale it is one shuffle on user_id with session-merge
@@ -81,6 +98,17 @@ object Sessions {
         |SELECT user_id, sess_id, min(secs) AS start_s, max(secs) AS end_s,
         |       count(*) AS n_events, round(sum(value), 2) AS total_value
         |FROM s GROUP BY user_id, sess_id ORDER BY user_id, sess_id""".stripMargin,
+
+    "q_window_range" ->
+      """SELECT user_id, event_id, secs,
+        |       count(*) OVER w AS n_hour,
+        |       round(sum(value) OVER w, 2) AS val_hour
+        |FROM (SELECT user_id, event_id, value,
+        |             CAST(floor(epoch(ts)) AS BIGINT) AS secs
+        |      FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY secs
+        |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
 
     // session_window semantics: an event with gap >= 30min from the previous
     // event starts a NEW session (strictly-less-than extends); session end =
