@@ -118,6 +118,23 @@ case class L2DistSq(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Element sum of an Array[Float] column, accumulated in double, strictly
+  * left-to-right — bit-identical to DuckDB
+  * `list_sum(list_transform(v, x -> CAST(x AS DOUBLE)))`.
+  */
+case class FloatVecSum(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(input: Any): Any = {
+    val a = VecUtil.floats(input)
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i).toDouble; i += 1 }
+    java.lang.Double.valueOf(s)
+  }
+  override protected def withNewChildInternal(newChild: Expression): FloatVecSum =
+    copy(child = newChild)
+}
+
 /** Random-hyperplane LSH bucket: bit p of the result is the sign of the
   * projection onto deterministic pseudo-random hyperplane `table*64 + p`
   * (weights from [[VectorExprs.planeWeight]]). Arithmetic is
@@ -165,6 +182,7 @@ object VectorExprs {
   def l2DistSq(a: Column, b: Column): Column = column(L2DistSq(expression(a), expression(b)))
   def dot(a: Column, b: Column): Column = column(DotProduct(expression(a), expression(b)))
   def l2Norm(a: Column): Column = column(L2Norm(expression(a)))
+  def sumD(a: Column): Column = column(FloatVecSum(expression(a)))
   def hyperplaneBucket(vec: Column, nPlanes: Int, table: Int = 0, dim: Int = 64): Column =
     column(HyperplaneBucket(expression(vec), nPlanes, table, dim))
 

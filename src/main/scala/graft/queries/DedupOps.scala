@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.{Text, Vectors}
@@ -27,9 +28,10 @@ object DedupOps {
   // compute it parallelizes. At production scale the scan itself is
   // thousands of tasks (file splits), so the question disappears.
 
-  /** Max docs considered per LSH bucket; a hotter bucket is truncated (the cap
-    * is logged into the plan as a `slice`). Keeps worst-case pair count
-    * bounded at cap²/2 per bucket regardless of data skew.
+  /** Max docs considered per LSH bucket; a hotter bucket is truncated BEFORE
+    * aggregation (see [[cappedBuckets]] — a `row_number` pre-filter, so even
+    * the collect buffer is bounded). Keeps worst-case pair count bounded at
+    * cap²/2 per bucket regardless of data skew.
     */
   val BucketCap = 64
 
@@ -37,6 +39,63 @@ object DedupOps {
   private def pairsFromBucket(bucket: Column): Column =
     flatten(transform(bucket, a =>
       transform(filter(bucket, b => b > a), b => struct(a.as("doc_a"), b.as("doc_b")))))
+
+  /** Group `df` by `keys` into capped `bucket` arrays of the BucketCap
+    * smallest `idCol` values, bounding the aggregation BUFFER, not just the
+    * output: a `row_number()` pre-filter keeps at most BucketCap rows per key
+    * before any `collect_set`, so a degenerate hot bucket (e.g. millions of
+    * identical docs sharing one band hash) can never accumulate an unbounded
+    * array on one reducer. The window partitioning equals the groupBy keys,
+    * so Catalyst reuses one hash shuffle for both — the cap costs a
+    * within-partition sort, not a second exchange. Result is identical to
+    * `slice(array_sort(collect_set(id)), 1, BucketCap)`: both select the
+    * BucketCap smallest ids (and cap ≥ 2 keeps the ≥2-member filter exact).
+    */
+  private def cappedBuckets(df: DataFrame, idCol: String, keys: String*): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(idCol))
+    df.withColumn("_rnk", row_number().over(w))
+      .filter(col("_rnk") <= BucketCap)
+      .groupBy(keys.map(col): _*)
+      .agg(array_sort(collect_set(col(idCol))).as("bucket"))
+      .filter(size(col("bucket")) >= 2)
+  }
+
+  /** MinHash + LSH near-dup over any (doc_id, text) frame: shingle → 64-perm
+    * signature → 16 bands of 4 → band-bucket join → signature-estimated
+    * Jaccard ≥ 0.5. Exposed for spec-level stress inputs (hot buckets).
+    *
+    * Native expressions end-to-end: one-pass shingle hashing feeding the
+    * signature loop (the interpreted HOF chain was ~10× slower); the persist
+    * covers the 3 downstream uses of the signature.
+    */
+  def minhashPairs(documents: DataFrame): DataFrame = {
+    val k = 64; val bands = 16; val rows = 4
+    val sigs = documents.select(col("doc_id"),
+      graft.functions.TextExprs.minhashSig(
+        graft.functions.TextExprs.shingleHashes(col("text"), 3), k).as("sig"))
+      .persist()
+    val buckets = cappedBuckets(
+      sigs.select(col("doc_id"),
+        posexplode(graft.functions.TextExprs.bandHashes(col("sig"), bands, rows))
+          .as(Seq("band", "band_hash"))),
+      "doc_id", "band", "band_hash")
+    val cand = buckets
+      .select(explode(pairsFromBucket(col("bucket"))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+      .distinct()
+    // verification joins stay SHUFFLED on doc id: `a`/`b` carry the whole
+    // corpus's signatures (O(corpus) — never broadcastable at scale) while
+    // `cand` is the small side. AQE may still broadcast at toy scale from
+    // size stats, which is the right call there and impossible at 100 TB.
+    val a = sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val b = sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    cand.join(a, "doc_a").join(b, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(graft.functions.TextExprs.sigMatchFrac(col("sig_a"), col("sig_b")), 4)
+          .as("est_jaccard"))
+      .filter(col("est_jaccard") >= 0.5)
+      .orderBy("doc_a", "doc_b")
+  }
 
   val queries: Map[String, Q] = Map(
     // ---- exact dedup: content-hash groupBy (one shuffle on the hash) ----
@@ -49,35 +108,7 @@ object DedupOps {
 
     // ---- MinHash + LSH near-dup: shingle → 64-perm signature → 16 bands of
     //      4 → band-bucket join → signature-estimated Jaccard ≥ 0.5 ----
-    "q_dedup_minhash" -> ((s, d) => {
-      val k = 64; val bands = 16; val rows = 4
-      // native expressions end-to-end: one-pass shingle hashing feeding the
-      // signature loop (the interpreted HOF chain was ~10× slower); the
-      // persist covers the 3 downstream uses of the signature
-      val sigs = docs(s, d).select(col("doc_id"),
-        graft.functions.TextExprs.minhashSig(
-          graft.functions.TextExprs.shingleHashes(col("text"), 3), k).as("sig"))
-        .persist()
-      val buckets = sigs
-        .select(col("doc_id"),
-          posexplode(graft.functions.TextExprs.bandHashes(col("sig"), bands, rows))
-            .as(Seq("band", "band_hash")))
-        .groupBy(col("band"), col("band_hash"))
-        .agg(slice(array_sort(collect_set(col("doc_id"))), 1, BucketCap).as("bucket"))
-        .filter(size(col("bucket")) >= 2)
-      val cand = buckets
-        .select(explode(pairsFromBucket(col("bucket"))).as("p"))
-        .select(col("p.doc_a"), col("p.doc_b"))
-        .distinct()
-      val a = sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))
-      val b = sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))
-      cand.join(broadcast(a), "doc_a").join(broadcast(b), "doc_b")
-        .select(col("doc_a"), col("doc_b"),
-          round(graft.functions.TextExprs.sigMatchFrac(col("sig_a"), col("sig_b")), 4)
-            .as("est_jaccard"))
-        .filter(col("est_jaccard") >= 0.5)
-        .orderBy("doc_a", "doc_b")
-    }),
+    "q_dedup_minhash" -> ((s, d) => minhashPairs(docs(s, d))),
 
     // ---- SimHash near-dup: 62-bit majority hash over 3-word shingles
     //      (unigrams saturate on a small vocabulary — shingles keep word
@@ -89,19 +120,21 @@ object DedupOps {
         .select(col("doc_id"), graft.functions.TextExprs.simhashBits(
           graft.functions.TextExprs.shingleFeatures62(col("text"), 3)).as("sim"))
         .persist()
-      val buckets = sims
-        .select(col("doc_id"), posexplode(Text.simhashChunks(col("sim")))
-          .as(Seq("chunk", "chunk_val")))
-        .groupBy(col("chunk"), col("chunk_val"))
-        .agg(slice(array_sort(collect_set(col("doc_id"))), 1, BucketCap).as("bucket"))
-        .filter(size(col("bucket")) >= 2)
+      val buckets = cappedBuckets(
+        sims.select(col("doc_id"), posexplode(Text.simhashChunks(col("sim")))
+          .as(Seq("chunk", "chunk_val"))),
+        "doc_id", "chunk", "chunk_val")
       val cand = buckets
         .select(explode(pairsFromBucket(col("bucket"))).as("p"))
         .select(col("p.doc_a"), col("p.doc_b"))
         .distinct()
+      // verification joins stay SHUFFLED on doc id: `a`/`b` are the whole
+      // corpus's signatures (O(corpus) — never broadcastable at scale);
+      // `cand` is the small side. AQE may still broadcast at toy scale from
+      // size stats, which is the right call there and impossible at 100 TB.
       val a = sims.select(col("doc_id").as("doc_a"), col("sim").as("sim_a"))
       val b = sims.select(col("doc_id").as("doc_b"), col("sim").as("sim_b"))
-      cand.join(broadcast(a), "doc_a").join(broadcast(b), "doc_b")
+      cand.join(a, "doc_a").join(b, "doc_b")
         .select(col("doc_a"), col("doc_b"),
           bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
         .filter(col("hamming") <= 3)
@@ -117,9 +150,7 @@ object DedupOps {
         (col("n_chars") / 64).cast("int").as("size_bkt"),
         graft.functions.TextExprs.charNgramHashes(col("text"), 5).as("grams"))
         .persist()
-      val cand = g.groupBy(col("lang"), col("size_bkt"))
-        .agg(slice(array_sort(collect_set(col("doc_id"))), 1, BucketCap).as("bucket"))
-        .filter(size(col("bucket")) >= 2)
+      val cand = cappedBuckets(g, "doc_id", "lang", "size_bkt")
         .select(explode(pairsFromBucket(col("bucket"))).as("p"))
         .select(col("p.doc_a"), col("p.doc_b"))
       val ga = g.select(col("doc_id").as("doc_a"), col("grams").as("grams_a"))
@@ -139,15 +170,15 @@ object DedupOps {
         col("embedding"),
         graft.functions.VectorExprs.hyperplaneBucket(col("embedding"), 6).as("bkt"))
         .persist()
-      val buckets = e.groupBy(col("bkt"))
-        .agg(slice(array_sort(collect_set(col("vec_id"))), 1, BucketCap).as("bucket"))
-        .filter(size(col("bucket")) >= 2)
+      val buckets = cappedBuckets(
+        e.select(col("vec_id"), col("bkt")), "vec_id", "bkt")
       val cand = buckets
         .select(explode(pairsFromBucket(col("bucket"))).as("p"))
         .select(col("p.doc_a").as("vec_a"), col("p.doc_b").as("vec_b"))
+      // shuffled verification joins — the embedding table is O(corpus)
       val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
       val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
-      cand.join(broadcast(a), "vec_a").join(broadcast(b), "vec_b")
+      cand.join(a, "vec_a").join(b, "vec_b")
         .select(col("vec_a"), col("vec_b"),
           round(graft.functions.VectorExprs.cosine(col("emb_a"), col("emb_b")), 4).as("cos"))
         .filter(col("cos") >= 0.4)

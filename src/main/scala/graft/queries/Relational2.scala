@@ -318,13 +318,22 @@ object Relational2 {
           |ORDER BY o_orderkey""".stripMargin)
     }),
 
-    // ---- approximate distinct (HLL): the 100 TB cardinality path. The
-    //      sketch is engine-specific → rows-only check; AggSpec bounds its
-    //      error against the exact count ----
+    // ---- approximate distinct (HLL): the 100 TB cardinality path. The raw
+    //      sketch value is engine-specific, so the query outputs the
+    //      oracle-able EXACT count plus a boolean asserting the HLL estimate
+    //      lands within 5% of it (rsd=0.02: measured error is ~1% at sf0.001
+    //      /0.01/0.1 and the estimate is deterministic for fixed data, so
+    //      the bound has 5× headroom; rsd below 0.01 blows the sketch buffer
+    //      up ~20× for nothing — benched 0.5 s → 11 s); the oracle's `true`
+    //      literal makes the whole row value-exact. RelationalSpec
+    //      additionally bounds the raw estimate itself ----
     "q_agg_approx" -> ((s, d) =>
       li(s, d).agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        countDistinct(col("l_partkey")).as("exact_parts")))
+          approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(col("exact_parts"),
+          (abs(col("approx_parts") - col("exact_parts")) /
+            col("exact_parts") <= 0.05).as("approx_ok")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -534,7 +543,13 @@ object Relational2 {
         |       coalesce(props, 'none') AS props_or_none,
         |       nullif(event_type, 'click') AS type_nonclick,
         |       CASE WHEN props IS NULL THEN 1 ELSE 0 END AS is_null_flag
-        |FROM events ORDER BY event_id""".stripMargin
-    // q_agg_approx: the HLL sketch is engine-specific — rows-only.
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    // the HLL sketch itself is engine-specific; the exact count is
+    // value-checked and the estimate is asserted within its 5% bound
+    "q_agg_approx" ->
+      """SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        |       true AS approx_ok
+        |FROM lineitem""".stripMargin
   )
 }

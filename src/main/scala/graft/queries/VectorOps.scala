@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
-import graft.functions.{Vectors, VectorExprs}
+import graft.functions.VectorExprs
 
 /** Similarity search over the `embeddings` table (Array[Float] column).
   *
@@ -27,11 +27,12 @@ object VectorOps {
   val queries: Map[String, Q] = Map(
     // ---- per-vector stats (the oracle anchor for the vector column) ----
     "q_embed_stats" -> ((s, d) =>
+      // native expressions (not interpreted HOF folds) — same sequential
+      // double accumulation, one tight loop per row
       emb(s, d).select(col("vec_id"),
         size(col("embedding")).as("dim"),
-        round(Vectors.l2Norm(col("embedding")), 3).as("l2_norm"),
-        round(aggregate(transform(col("embedding"), x => x.cast("double")),
-          lit(0.0), (acc, v) => acc + v), 3).as("sum_val"),
+        round(VectorExprs.l2Norm(col("embedding")), 3).as("l2_norm"),
+        round(VectorExprs.sumD(col("embedding")), 3).as("sum_val"),
         col("label"))
         .orderBy("vec_id")),
 
@@ -121,7 +122,11 @@ object VectorOps {
         .select(col("probe_id"), col("pd"), col("cid"))
       val wr = Window.partitionBy(col("probe_id"))
         .orderBy(col("cos").desc, col("neighbor_id").asc)
-      probed.join(a2, "cid")
+      // corpus-side (a2) stays partitioned; the tiny probe list (nProbe ×
+      // probes rows) is the broadcast build side. Joining the other way
+      // round would shuffle the whole corpus assignment onto ≤k cluster-id
+      // keys — guaranteed stragglers at scale.
+      a2.join(broadcast(probed), "cid")
         .filter(col("vec_id") =!= col("probe_id"))
         .select(col("probe_id"), col("vec_id").as("neighbor_id"),
           round(VectorExprs.cosineD(col("pd"), col("vd")), 6).as("cos"))

@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.catalyst.plans.logical.Join
+import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, CartesianProductExec}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape golden corpus — the contract that each query's OPTIMIZED plan
+  * stays the plan we want at 100 TB, not merely one that returns the right
+  * rows at test scale.
+  *
+  * Mirrors the reference's planner test corpus
+  * (/root/reference/src/sqlplanner.rs:541-791, 15 cases asserting exact plan
+  * text); exact-text goldens are brittle against Catalyst versions, so each
+  * case here asserts the scale-critical INVARIANT instead: pushed filters,
+  * pruned scans, join strategy, shuffle keys, partial aggregation,
+  * whole-stage codegen, and the absence of unhinted cartesian products.
+  * A regression in any of these (e.g. a future edit losing a broadcast or
+  * adding a second exchange) fails this suite even though results stay equal.
+  */
+class PlanSpec extends AnyFunSuite with SparkSpec {
+
+  private def physical(name: String) = q(name).queryExecution.sparkPlan
+  private def optimized(name: String) = q(name).queryExecution.optimizedPlan
+
+  private def hashExchanges(name: String): Seq[HashPartitioning] = withoutAQE {
+    q(name).queryExecution.executedPlan
+      .collect { case e: ShuffleExchangeExec => e.outputPartitioning }
+      .collect { case h: HashPartitioning => h }
+  }
+
+  private def scans(name: String): Seq[FileSourceScanExec] =
+    physical(name).collect { case f: FileSourceScanExec => f }
+
+  // ---- corpus-wide sweeps --------------------------------------------------
+
+  test("no query plans an unhinted CartesianProduct") {
+    // q_cross IS a deliberate cross join of two tiny dims (region × nation);
+    // everything else must plan as an equi/broadcast join
+    val offenders = SparkEntry.queries.keys.filter(_ != "q_cross").filter { n =>
+      physical(n).collectFirst { case c: CartesianProductExec => c }.nonEmpty
+    }
+    assert(offenders.isEmpty, s"CartesianProduct in: ${offenders.mkString(", ")}")
+  }
+
+  test("no query carries a broadcast hint on a corpus-sized relation") {
+    // the dedup verification joins carry the whole corpus's signatures /
+    // embeddings — a broadcast HINT there OOMs every executor at 100 TB.
+    // AQE may still broadcast at toy scale from measured sizes (correct
+    // there, impossible at scale); the HINT is what must never come back.
+    val corpusJoins = Seq("q_dedup_minhash", "q_dedup_simhash",
+      "q_dedup_ngram", "q_dedup_embedding", "q_dedup_exact")
+    corpusJoins.foreach { n =>
+      val hinted = optimized(n).collect { case j: Join => j.hint }
+        .filter(h => h.leftHint.flatMap(_.strategy).nonEmpty ||
+          h.rightHint.flatMap(_.strategy).nonEmpty)
+      assert(hinted.isEmpty, s"$n has join strategy hints: $hinted")
+    }
+  }
+
+  // ---- scan contract: pushdown + pruning -----------------------------------
+
+  test("range predicate reaches the lineitem scan as data filters") {
+    val pushed = scans("q_between").flatMap(_.dataFilters).map(_.toString)
+    assert(pushed.exists(_.contains("l_quantity")), pushed.mkString(";"))
+    assert(pushed.exists(_.contains(">=")) && pushed.exists(_.contains("<=")),
+      pushed.mkString(";"))
+  }
+
+  test("dedup scan reads only the columns it needs") {
+    val read = scans("q_dedup_exact").flatMap(_.schema.fieldNames).toSet
+    assert(read == Set("doc_id", "text"), s"read: $read")
+  }
+
+  test("events scan for sessionize prunes to the four used columns") {
+    val read = scans("q_sessionize").flatMap(_.schema.fieldNames).toSet
+    assert(read == Set("user_id", "event_id", "value", "ts"), s"read: $read")
+  }
+
+  // ---- join strategy contract ----------------------------------------------
+
+  test("IVF probe join broadcasts the tiny probe side, corpus stays partitioned") {
+    val bhj = physical("q_ann_ivf").collect {
+      case b: BroadcastHashJoinExec
+        if b.leftKeys.map(_.toString).exists(_.contains("cid")) => b
+    }
+    assert(bhj.nonEmpty, "cid probe join is not a BroadcastHashJoin")
+    assert(bhj.exists(_.buildSide.toString == "BuildRight"),
+      s"probe side must be the build side: ${bhj.map(_.buildSide)}")
+  }
+
+  test("ANN probe joins broadcast the probe side by hint") {
+    Seq("q_ann_brute", "q_ann_lsh").foreach { n =>
+      val hints = optimized(n).collect { case j: Join => j.hint }
+      assert(hints.exists(h => h.rightHint.flatMap(_.strategy).nonEmpty ||
+        h.leftHint.flatMap(_.strategy).nonEmpty), s"$n lost its broadcast hint")
+    }
+  }
+
+  // ---- aggregation contract: map-side partials -----------------------------
+
+  test("group-by aggregates keep map-side partial aggregation") {
+    Seq("q_agg_group", "q_dedup_exact", "q_having").foreach { n =>
+      val plan = physical(n).toString
+      assert(plan.contains("partial_"), s"$n lost partial aggregation")
+    }
+  }
+
+  // ---- shuffle-count contract ----------------------------------------------
+
+  test("sessionize shuffles once, on user_id") {
+    val hx = hashExchanges("q_sessionize")
+    assert(hx.length == 1, s"expected 1 hash exchange, got ${hx.length}")
+    assert(hx.head.expressions.map(_.toString).exists(_.contains("user_id")))
+  }
+
+  test("range-frame window shuffles once, on its partition key") {
+    val hx = hashExchanges("q_window_range")
+    assert(hx.length == 1, s"expected 1 hash exchange, got ${hx.length}")
+    assert(hx.head.expressions.map(_.toString).exists(_.contains("user_id")))
+  }
+
+  test("windowed rank shuffles once, on its partition key") {
+    val hx = hashExchanges("q_window_rank")
+    assert(hx.length == 1, s"expected 1 hash exchange, got ${hx.length}")
+  }
+
+  // ---- codegen contract ----------------------------------------------------
+
+  test("arithmetic projection stays inside whole-stage codegen") {
+    // the `*(n)` markers in explain output are WholeStageCodegenExec spans
+    val spans = withoutAQE(q("q_arith").queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    })
+    assert(spans.nonEmpty, "no WholeStageCodegen span in q_arith plan")
+  }
+
+  test("top-k and broadcast-dim plans hold (golden regression)") {
+    assert(physical("q_sort_limit").toString.contains("TakeOrderedAndProject"))
+    assert(physical("q_join_broadcast").toString.contains("BroadcastHashJoin"))
+  }
+}

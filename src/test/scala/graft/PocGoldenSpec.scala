@@ -282,6 +282,24 @@ class PocGoldenSpec extends AnyFunSuite with SparkSpec {
     assert(out == golden("test_df_udf_udt.csv"))
   }
 
+  test("SQL UDF implicit arg cast: ST_Point(int, int) matches the double path") {
+    // the reference planner inserts CASTs to a UDF's declared arg types
+    // (/root/reference/src/sqlplanner.rs:350-354); Spark's analyzer does the
+    // same for registered UDFs — prove integer inputs flow through the
+    // ST_Point(double, double) registration unchanged
+    graft.functions.Geo.register(spark)
+    val ints = cities.coalesce(1)
+      .select(col("lat").cast("int").as("ilat"), col("lng").cast("int").as("ilng"))
+    ints.createOrReplaceTempView("cities_int")
+    val viaSql = spark.sql("SELECT ST_AsText(ST_Point(ilat, ilng)) FROM cities_int")
+      .collect().map(_.getString(0))
+    val viaCol = ints.select(graft.functions.Geo.stAsText(graft.functions.Geo.stPoint(
+        col("ilat").cast("double"), col("ilng").cast("double"))))
+      .collect().map(_.getString(0))
+    assert(viaSql.sameElements(viaCol))
+    assert(viaSql.head.matches("""POINT \(-?\d+\.0 -?\d+\.0\)"""))
+  }
+
   test("golden parquet_aggregate_all_types (sequential SATURATING sums)") {
     // the POC's sum kernel is a sequential saturating fold — path-dependent
     // once an intermediate saturates (i32 pins at MAX; i64 saturates then

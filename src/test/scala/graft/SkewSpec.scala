@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Skew
+
+/** Physical-layout proof for the salted join: result equality is covered by
+  * the q_join_salted oracle (a plain join); here we assert the REWRITE — the
+  * shuffle actually partitions on (key, salt), so a hot key's rows land on
+  * `salts` reducers instead of one.
+  */
+class SkewSpec extends AnyFunSuite with SparkSpec {
+
+  test("salted join shuffles on (key, salt), not key alone") {
+    // force a shuffled join: at test scale the build side would otherwise
+    // broadcast and no exchange would exist to inspect
+    withoutAQE(withConf("spark.sql.autoBroadcastJoinThreshold", "-1") {
+      val j = Skew.saltedJoin(
+        Tables(spark, sf, "orders"), Tables(spark, sf, "customer"),
+        "o_custkey", "c_custkey", spread = col("o_orderkey"), salts = 8)
+      val hx = j.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e.outputPartitioning
+      }.collect { case h: HashPartitioning => h.expressions.map(_.toString) }
+      assert(hx.nonEmpty, "no hash exchange in salted join plan")
+      hx.foreach { exprs =>
+        assert(exprs.exists(_.contains("_salt")), s"exchange lacks salt: $exprs")
+        assert(exprs.exists(e => e.contains("o_custkey") || e.contains("c_custkey")),
+          s"exchange lacks join key: $exprs")
+      }
+    })
+  }
+
+  test("a hot key's rows spread across more than one salt partition") {
+    // same salt derivation as saltedJoin's fact side: pmod(spread, salts)
+    val spreadPerKey = Tables(spark, sf, "orders")
+      .withColumn("_salt", pmod(col("o_orderkey"), lit(8)))
+      .groupBy("o_custkey")
+      .agg(countDistinct(col("_salt")).as("n_salts"), count(lit(1)).as("n"))
+      .filter(col("n") >= 8)
+    assert(spreadPerKey.count() > 0, "fixture lacks keys with >= 8 rows")
+    val unspread = spreadPerKey.filter(col("n_salts") <= 1).count()
+    assert(unspread == 0, s"$unspread hot keys stuck on one salt")
+  }
+
+  test("salted join result equals the plain join (pure physical rewrite)") {
+    val fact = Tables(spark, sf, "orders")
+    val build = Tables(spark, sf, "customer")
+    val salted = Skew.saltedJoin(fact, build, "o_custkey", "c_custkey",
+        spread = col("o_orderkey"), salts = 8)
+      .select(col("o_orderkey"), col("c_custkey"))
+    val plain = fact.join(build, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_custkey"))
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+}

@@ -17,4 +17,21 @@ trait SparkSpec {
   val sf = "/root/testdata/sf0.001"
 
   def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  /** Run `f` with a session conf temporarily overridden (restored after). */
+  def withConf[T](k: String, v: String)(f: => T): T = {
+    val prev = spark.conf.getOption(k)
+    spark.conf.set(k, v)
+    try f
+    finally prev match {
+      case Some(p) => spark.conf.set(k, p)
+      case None    => spark.conf.unset(k)
+    }
+  }
+
+  /** Plan without AQE so `executedPlan` is the fully-prepared static plan
+    * (exchanges inserted, codegen collapsed) instead of an opaque
+    * AdaptiveSparkPlanExec leaf — build AND inspect the plan inside `f`.
+    */
+  def withoutAQE[T](f: => T): T = withConf("spark.sql.adaptive.enabled", "false")(f)
 }

@@ -52,6 +52,22 @@ class TextDedupSpec extends AnyFunSuite with SparkSpec {
     assert((shPairs intersect mh).nonEmpty, "simhash and minhash fully disagree")
   }
 
+  test("degenerate hot bucket: 10k identical docs stay capped and complete") {
+    // every band hash collides → one bucket holds all 10k docs. The
+    // row_number pre-cap must bound the aggregation buffer at BucketCap, so
+    // the output is exactly the pairs among the BucketCap smallest doc_ids.
+    import org.apache.spark.sql.functions.{col, lit}
+    val cap = graft.queries.DedupOps.BucketCap
+    val docs = spark.range(10000).select(col("id").as("doc_id"),
+      lit("the quick brown fox jumps over the lazy dog again and again").as("text"))
+    val pairs = graft.queries.DedupOps.minhashPairs(docs).collect()
+    assert(pairs.length == cap * (cap - 1) / 2, s"got ${pairs.length} pairs")
+    val ids = pairs.flatMap(r =>
+      Seq(r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).distinct
+    assert(ids.forall(_ < cap), s"pair outside the capped bucket: ${ids.max}")
+    assert(pairs.forall(_.getAs[Double]("est_jaccard") == 1.0))
+  }
+
   test("rolling fingerprint is deterministic and order-sensitive") {
     val a = q("q_doc_rollhash").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val b = q("q_doc_rollhash").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
