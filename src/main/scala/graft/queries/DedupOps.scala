@@ -97,6 +97,54 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Connected components over an undirected (doc_a, doc_b) edge frame by
+    * min-label propagation to fixpoint: every node ends with
+    * `cluster_id = min(doc_id reachable from it)`. This resolves near-dup
+    * PAIRS into dedup CLUSTERS — the step a real cleaning pipeline needs
+    * before it can keep one canonical doc per group.
+    *
+    * Scale design: each round is one shuffled join (edges ⋈ labels on dst)
+    * plus one groupBy(min) — all distributed, nothing collected; the driver
+    * loop runs O(component diameter) rounds (near-dup clusters are shallow —
+    * a handful of rounds even at corpus scale) and each round's convergence
+    * check is a `count`, not a data collect. Labels persist round-to-round
+    * so lineage doesn't re-grow. The same propagate-min round is how
+    * GraphFrames/Pregel formulate CC; at extreme scale the large-star/
+    * small-star variant halves round count but the per-round plan is
+    * identical.
+    */
+  def connectedComponents(edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
+    // seed with the 1-hop minimum — same shuffle the plain distinct() would
+    // cost, but a whole propagation round cheaper
+    var labels = sym.groupBy(col("src"))
+      .agg(min(col("dst")).as("mn"))
+      .select(col("src").as("doc_id"), least(col("src"), col("mn")).as("cluster_id"))
+      .persist()
+    // labels only ever decrease, so Σ cluster_id strictly decreases while
+    // any label improves — a single aggregate as the convergence check, no
+    // old-vs-new join
+    var prevSum = labels.agg(sum(col("cluster_id"))).head.getLong(0)
+    var converged = false
+    while (!converged) {
+      val prop = sym.join(labels, sym("dst") === labels("doc_id"))
+        .select(col("src").as("doc_id"), col("cluster_id"))
+      val next = labels.unionByName(prop)
+        .groupBy(col("doc_id"))
+        .agg(min(col("cluster_id")).as("cluster_id"))
+        .persist()
+      val s = next.agg(sum(col("cluster_id"))).head.getLong(0)
+      labels.unpersist()
+      labels = next
+      converged = s == prevSum
+      prevSum = s
+    }
+    sym.unpersist()
+    labels
+  }
+
   val queries: Map[String, Q] = Map(
     // ---- exact dedup: content-hash groupBy (one shuffle on the hash) ----
     "q_dedup_exact" -> ((s, d) =>
@@ -109,6 +157,14 @@ object DedupOps {
     // ---- MinHash + LSH near-dup: shingle → 64-perm signature → 16 bands of
     //      4 → band-bucket join → signature-estimated Jaccard ≥ 0.5 ----
     "q_dedup_minhash" -> ((s, d) => minhashPairs(docs(s, d))),
+
+    // ---- cluster resolution: minhash pairs → connected components →
+    //      canonical keep (lowest doc_id per cluster). Only docs in at
+    //      least one near-dup pair appear; singletons are trivially kept ----
+    "q_dedup_clusters" -> ((s, d) =>
+      connectedComponents(minhashPairs(docs(s, d)).select(col("doc_a"), col("doc_b")))
+        .withColumn("is_keep", col("doc_id") === col("cluster_id"))
+        .orderBy("doc_id")),
 
     // ---- SimHash near-dup: 62-bit majority hash over 3-word shingles
     //      (unigrams saturate on a small vocabulary — shingles keep word
@@ -186,6 +242,31 @@ object DedupOps {
     })
   )
 
+  /** Shared DuckDB CTE chain replicating [[minhashPairs]] bit-for-bit up to
+    * the scored candidate pair set (`pairs`); suffix queries select from it.
+    */
+  private lazy val minhashPairCtes: String = {
+    import graft.functions.TextExprs._
+    s"""s AS (SELECT doc_id, ${minhashSigSql(shingleHashesSql("text", 3), 64)} AS sig
+       |      FROM documents),
+       |s2 AS (SELECT doc_id, sig, ${bandHashesSql("sig", 16, 4)} AS bands FROM s),
+       |ex AS (SELECT doc_id, b.range AS band, bands[b.range + 1] AS band_hash
+       |       FROM s2, range(0, 16) b),
+       |bk AS (SELECT band, band_hash,
+       |              list_sort(list_distinct(list(doc_id)))[1:$BucketCap] AS bucket
+       |       FROM ex GROUP BY band, band_hash
+       |       HAVING len(list_distinct(list(doc_id))) >= 2),
+       |cand AS (SELECT DISTINCT pa.x AS doc_a, pb.y AS doc_b
+       |         FROM bk, unnest(bk.bucket) AS pa(x), unnest(bk.bucket) AS pb(y)
+       |         WHERE pa.x < pb.y),
+       |pairs AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |         round(CAST(list_sum(list_transform(range(1, 65),
+       |                 j -> CASE WHEN a.sig[j] = b.sig[j] THEN 1 ELSE 0 END))
+       |               AS DOUBLE) / 64, 4) AS est_jaccard
+       |  FROM cand c JOIN s a ON a.doc_id = c.doc_a JOIN s b ON b.doc_id = c.doc_b)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_dups
@@ -214,29 +295,27 @@ object DedupOps {
          |WHERE cos >= 0.4 ORDER BY vec_a, vec_b""".stripMargin
     },
 
-    "q_dedup_minhash" -> {
-      import graft.functions.TextExprs._
-      s"""WITH s AS (SELECT doc_id, ${minhashSigSql(shingleHashesSql("text", 3), 64)} AS sig
-         |           FROM documents),
-         |s2 AS (SELECT doc_id, sig, ${bandHashesSql("sig", 16, 4)} AS bands FROM s),
-         |ex AS (SELECT doc_id, b.range AS band, bands[b.range + 1] AS band_hash
-         |       FROM s2, range(0, 16) b),
-         |bk AS (SELECT band, band_hash,
-         |              list_sort(list_distinct(list(doc_id)))[1:$BucketCap] AS bucket
-         |       FROM ex GROUP BY band, band_hash
-         |       HAVING len(list_distinct(list(doc_id))) >= 2),
-         |cand AS (SELECT DISTINCT pa.x AS doc_a, pb.y AS doc_b
-         |         FROM bk, unnest(bk.bucket) AS pa(x), unnest(bk.bucket) AS pb(y)
-         |         WHERE pa.x < pb.y),
-         |pairs AS (
-         |  SELECT c.doc_a, c.doc_b,
-         |         round(CAST(list_sum(list_transform(range(1, 65),
-         |                 j -> CASE WHEN a.sig[j] = b.sig[j] THEN 1 ELSE 0 END))
-         |               AS DOUBLE) / 64, 4) AS est_jaccard
-         |  FROM cand c JOIN s a ON a.doc_id = c.doc_a JOIN s b ON b.doc_id = c.doc_b)
+    "q_dedup_minhash" ->
+      s"""WITH $minhashPairCtes
          |SELECT doc_a, doc_b, est_jaccard FROM pairs
-         |WHERE est_jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
-    },
+         |WHERE est_jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+
+    // transitive closure of the confirmed pair set; cluster id = least
+    // reachable doc_id — identical semantics to the Spark min-label
+    // propagation fixpoint
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE $minhashPairCtes,
+         |pf AS (SELECT doc_a, doc_b FROM pairs WHERE est_jaccard >= 0.5),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pf
+         |          UNION SELECT doc_b, doc_a FROM pf),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |lab AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+         |        FROM reach GROUP BY src)
+         |SELECT doc_id, cluster_id, (doc_id = cluster_id) AS is_keep
+         |FROM lab ORDER BY doc_id""".stripMargin,
 
     "q_dedup_simhash" -> {
       import graft.functions.TextExprs._

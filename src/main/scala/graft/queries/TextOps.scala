@@ -98,7 +98,52 @@ object TextOps {
     "q_doc_rollhash" -> ((s, d) =>
       docs(s, d).select(col("doc_id"),
         graft.functions.TextExprs.rollingHash(col("text")).as("fp_roll"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // ---- TF-IDF top terms per document. Two shuffles (doc-term tf, corpus
+    //      df) — both map-side-combined group-bys keyed finely enough to
+    //      never hotspot; the doc count joins in as a broadcast scalar.
+    //      Ranking uses the ROUNDED score so mathematically-equal scores
+    //      computed via different ln() paths (2·ln(x) vs ln(x²)) can't flip
+    //      order between engines — ties then break on the term ----
+    "q_tfidf" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term").asc)
+      val toks = docs(s, d)
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+        .filter(col("term").rlike("^[a-z]+$"))
+        .persist()
+      val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val dfreq = toks.distinct().groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val nDocs = toks.agg(countDistinct(col("doc_id")).as("n_docs"))
+      tf.join(dfreq, "term")
+        .crossJoin(broadcast(nDocs))
+        .withColumn("tfidf",
+          round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("rk"), col("term"), col("tf"), col("tfidf"))
+        .orderBy("doc_id", "rk")
+    }),
+
+    // ---- stratified deterministic sampling: per-language rates via an
+    //      integer LCG hash of doc_id (pure BIGINT arithmetic — bit-exact in
+    //      any engine, stable across runs/partitions, no RNG state). The
+    //      pattern for carving eval slices out of a 100 TB corpus: a per-row
+    //      filter, no shuffle at all before the oracle ORDER BY ----
+    "q_sample_stratified" -> ((s, d) => {
+      val bucket = pmod(col("doc_id") * lit(1103515245L) + lit(12345L),
+        lit(2147483647L)) % 100
+      val rate = when(col("lang") === "en", 10)
+        .when(col("lang").isin("de", "fr", "es"), 30)
+        .otherwise(50)
+      docs(s, d)
+        .filter(bucket < rate)
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -148,6 +193,31 @@ object TextOps {
     "q_doc_rollhash" ->
       s"""SELECT doc_id, ${graft.functions.TextExprs.rollingHashSql("text")} AS fp_roll
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, t.term
+        |  FROM documents, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t(term)
+        |  WHERE length(trim(text)) > 0 AND regexp_matches(t.term, '^[a-z]+$')),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, count(*) AS df
+        |          FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY term),
+        |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM toks),
+        |sc AS (SELECT tf.doc_id, tf.term, tf.tf,
+        |              round(tf.tf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS tfidf
+        |       FROM tf JOIN dfreq USING (term), nd),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |              ORDER BY tfidf DESC, term ASC) AS rk FROM sc)
+        |SELECT doc_id, rk, term, tf, tfidf FROM r
+        |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+
+    "q_sample_stratified" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE ((doc_id * 1103515245 + 12345) % 2147483647) % 100 <
+        |      CASE WHEN lang = 'en' THEN 10
+        |           WHEN lang IN ('de', 'fr', 'es') THEN 30
+        |           ELSE 50 END
+        |ORDER BY doc_id""".stripMargin,
 
     "q_clean_corpus" ->
       """WITH d AS (

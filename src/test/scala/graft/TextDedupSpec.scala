@@ -52,6 +52,20 @@ class TextDedupSpec extends AnyFunSuite with SparkSpec {
     assert((shPairs intersect mh).nonEmpty, "simhash and minhash fully disagree")
   }
 
+  test("dedup clusters: edges never split, representative is the min member") {
+    val pairs = q("q_dedup_minhash").collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    val rows = q("q_dedup_clusters").collect()
+    val lab = rows.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(pairs.nonEmpty && lab.nonEmpty)
+    pairs.foreach { case (a, b) => assert(lab(a) == lab(b), s"edge ($a,$b) split") }
+    lab.groupBy(_._2).foreach { case (cid, members) =>
+      assert(cid == members.keys.min, s"cluster $cid rep is not its min member")
+    }
+    val keeps = rows.filter(_.getAs[Boolean]("is_keep")).map(_.getAs[Long]("doc_id")).toSet
+    assert(keeps == lab.values.toSet, "keep set != cluster representatives")
+  }
+
   test("degenerate hot bucket: 10k identical docs stay capped and complete") {
     // every band hash collides → one bucket holds all 10k docs. The
     // row_number pre-cap must bound the aggregation buffer at BucketCap, so
