@@ -318,6 +318,58 @@ object Relational2 {
           |ORDER BY o_orderkey""".stripMargin)
     }),
 
+    // ---- correlated EXISTS / NOT EXISTS (plan as semi/anti joins — no
+    //      per-row subquery execution) ----
+    "q_exists_subquery" -> ((s, d) => {
+      ord(s, d).createOrReplaceTempView("orders")
+      cust(s, d).createOrReplaceTempView("customer")
+      s.sql(
+        """SELECT c_custkey, c_mktsegment,
+          |       EXISTS (SELECT 1 FROM orders o
+          |               WHERE o.o_custkey = c.c_custkey
+          |                 AND o.o_totalprice > 150000) AS has_big_order
+          |FROM customer c
+          |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+          |ORDER BY c_custkey""".stripMargin)
+    }),
+
+    // ---- single-pass data profiling (the describe/summarize analog a
+    //      pipeline runs before trusting a new table): row count, null
+    //      counts, distinct cardinalities, id range — one aggregate, all
+    //      BIGINT-exact ----
+    "q_profile" -> ((s, d) =>
+      events(s, d).agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("props").isNull, 1L).otherwise(0L)).as("props_nulls"),
+        countDistinct(col("user_id")).as("users_distinct"),
+        countDistinct(col("event_type")).as("types_distinct"),
+        min(col("event_id")).as("min_event_id"),
+        max(col("event_id")).as("max_event_id"))),
+
+    // ---- arg-max/arg-min (max_by/min_by): which order, not just what
+    //      price. Tie-proof: the ordering struct ends in the unique key ----
+    "q_minmax_by" -> ((s, d) =>
+      ord(s, d).groupBy(col("o_orderpriority"))
+        .agg(
+          max_by(col("o_orderkey"), struct(col("o_totalprice"), col("o_orderkey")))
+            .as("top_order"),
+          round(max(col("o_totalprice")), 2).as("top_price"),
+          min_by(col("o_orderkey"), struct(col("o_totalprice"), col("o_orderkey")))
+            .as("low_order"),
+          round(min(col("o_totalprice")), 2).as("low_price"))
+        .orderBy("o_orderpriority")),
+
+    // ---- UNPIVOT (wide measures → long rows; `stack` is codegen'd, no
+    //      shuffle beyond the aggregation that feeds it) ----
+    "q_unpivot" -> ((s, d) =>
+      li(s, d).groupBy(col("l_returnflag"))
+        .agg(round(sum(col("l_quantity")), 2).as("qty"),
+          round(sum(col("l_extendedprice")), 2).as("price"),
+          round(sum(col("l_tax")), 2).as("tax"))
+        .select(col("l_returnflag"),
+          expr("stack(3, 'qty', qty, 'price', price, 'tax', tax) AS (measure, value)"))
+        .orderBy("l_returnflag", "measure")),
+
     // ---- approximate distinct (HLL): the 100 TB cardinality path. The raw
     //      sketch value is engine-specific, so the query outputs the
     //      oracle-able EXACT count plus a boolean asserting the HLL estimate
@@ -531,6 +583,54 @@ object Relational2 {
       """SELECT o_orderkey, o_totalprice FROM orders
         |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9500)
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q_exists_subquery" ->
+      """SELECT c_custkey, c_mktsegment,
+        |       EXISTS (SELECT 1 FROM orders o
+        |               WHERE o.o_custkey = c.c_custkey
+        |                 AND o.o_totalprice > 150000) AS has_big_order
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_profile" ->
+      """SELECT count(*) AS n_rows,
+        |       CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS props_nulls,
+        |       count(DISTINCT user_id) AS users_distinct,
+        |       count(DISTINCT event_type) AS types_distinct,
+        |       min(event_id) AS min_event_id,
+        |       max(event_id) AS max_event_id
+        |FROM events""".stripMargin,
+
+    // arg_max/arg_min replicated with deterministic row_number picks (the
+    // Spark side orders by (price, key) so ties are impossible either way)
+    "q_minmax_by" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_orderpriority
+        |           ORDER BY o_totalprice DESC, o_orderkey DESC) AS rmax,
+        |         row_number() OVER (PARTITION BY o_orderpriority
+        |           ORDER BY o_totalprice ASC, o_orderkey ASC) AS rmin
+        |  FROM orders)
+        |SELECT o_orderpriority,
+        |       max(CASE WHEN rmax = 1 THEN o_orderkey END) AS top_order,
+        |       round(max(o_totalprice), 2) AS top_price,
+        |       max(CASE WHEN rmin = 1 THEN o_orderkey END) AS low_order,
+        |       round(min(o_totalprice), 2) AS low_price
+        |FROM r GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_unpivot" ->
+      """WITH a AS (SELECT l_returnflag, round(sum(l_quantity), 2) AS qty,
+        |                  round(sum(l_extendedprice), 2) AS price,
+        |                  round(sum(l_tax), 2) AS tax
+        |           FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, 'qty' AS measure, qty AS value FROM a
+        |UNION ALL
+        |SELECT l_returnflag, 'price', price FROM a
+        |UNION ALL
+        |SELECT l_returnflag, 'tax', tax FROM a
+        |ORDER BY l_returnflag, measure""".stripMargin,
 
     "q_join_salted" ->
       """SELECT c_mktsegment, count(*) AS n_orders,

@@ -114,10 +114,14 @@ object TextOps {
         .select(col("doc_id"),
           explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
         .filter(col("term").rlike("^[a-z]+$"))
-        .persist()
+        .persist() // regex tokenization is the expensive stage — run it once
+      // df and the doc count both derive from the tf aggregate — no second
+      // distinct pass over the raw token stream. tf itself is cheap to
+      // recompute from the cached tokens, so it is NOT cached: columnar
+      // cache-write cost for the aggregate exceeded its reuse win (benched)
       val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      val dfreq = toks.distinct().groupBy(col("term")).agg(count(lit(1)).as("df"))
-      val nDocs = toks.agg(countDistinct(col("doc_id")).as("n_docs"))
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val nDocs = tf.agg(countDistinct(col("doc_id")).as("n_docs"))
       tf.join(dfreq, "term")
         .crossJoin(broadcast(nDocs))
         .withColumn("tfidf",
@@ -200,9 +204,8 @@ object TextOps {
         |  FROM documents, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t(term)
         |  WHERE length(trim(text)) > 0 AND regexp_matches(t.term, '^[a-z]+$')),
         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
-        |dfreq AS (SELECT term, count(*) AS df
-        |          FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY term),
-        |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM toks),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
         |sc AS (SELECT tf.doc_id, tf.term, tf.tf,
         |              round(tf.tf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS tfidf
         |       FROM tf JOIN dfreq USING (term), nd),

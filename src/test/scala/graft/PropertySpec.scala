@@ -123,6 +123,32 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("connectedComponents matches brute-force union-find on random graphs") {
+    import spark.implicits._
+    val edgeGen = Gen.listOfN(25,
+      Gen.zip(Gen.chooseNum(0L, 19L), Gen.chooseNum(0L, 19L)))
+      .map(_.collect { case (a, b) if a != b => (math.min(a, b), math.max(a, b)) }
+        .distinct)
+      .suchThat(_.nonEmpty)
+    samples(edgeGen, 5).foreach { edges =>
+      // brute force: iterate min-propagation over an adjacency map
+      val adj = (edges ++ edges.map(_.swap)).groupBy(_._1).view.mapValues(_.map(_._2))
+      var lbl = adj.keys.map(k => k -> k).toMap
+      var changed = true
+      while (changed) {
+        val next = lbl.map { case (k, v) =>
+          k -> (v +: adj(k).map(lbl)).min
+        }
+        changed = next != lbl
+        lbl = next
+      }
+      val got = graft.queries.DedupOps.connectedComponents(
+          edges.toDF("doc_a", "doc_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == lbl, s"edges=$edges")
+    }
+  }
+
   test("RollingHash is order-sensitive where md5 fingerprint content-equal") {
     import spark.implicits._
     val df = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha")).toDF("id", "text")
