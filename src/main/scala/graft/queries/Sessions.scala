@@ -17,6 +17,28 @@ object Sessions {
   private def events(s: SparkSession, d: String) = Tables(s, d, "events")
 
   val queries: Map[String, Q] = Map(
+    // ---- interval join (attribution): every click within the 30 minutes
+    //      before a same-user purchase. One shuffle on user_id with the
+    //      time range as a join-level filter — never a cross join; the
+    //      stream-stream twin (watermarked, state-bounded) is
+    //      EventsStream.attribution, equivalence-checked in StreamingSpec ----
+    "q_interval_join" -> ((s, d) => {
+      val e = events(s, d).select(col("user_id"), col("event_id"),
+        col("event_type"), unix_timestamp(col("ts")).as("secs"))
+      val c = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("secs").as("click_s"))
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("secs").as("purchase_s"))
+      p.join(c, Seq("user_id"))
+        .filter(col("click_s") <= col("purchase_s") &&
+          col("click_s") >= col("purchase_s") - 1800)
+        .select(col("user_id"), col("purchase_id"), col("click_id"),
+          (col("purchase_s") - col("click_s")).as("gap_s"))
+        .orderBy("user_id", "purchase_id", "click_id")
+    }),
+
     // ---- gaps-and-islands sessionization (30-minute inactivity gap) ----
     "q_sessionize" -> ((s, d) => {
       val byUser = Window.partitionBy(col("user_id"))
@@ -82,6 +104,20 @@ object Sessions {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_interval_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |                  CAST(floor(epoch(ts)) AS BIGINT) AS secs
+        |           FROM events),
+        |c AS (SELECT user_id, event_id AS click_id, secs AS click_s
+        |      FROM e WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id AS purchase_id, secs AS purchase_s
+        |      FROM e WHERE event_type = 'purchase')
+        |SELECT p.user_id AS user_id, purchase_id, click_id,
+        |       purchase_s - click_s AS gap_s
+        |FROM p JOIN c ON p.user_id = c.user_id
+        | AND click_s <= purchase_s AND click_s >= purchase_s - 1800
+        |ORDER BY p.user_id, purchase_id, click_id""".stripMargin,
+
     "q_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, event_id, value,

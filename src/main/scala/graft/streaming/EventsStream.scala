@@ -75,6 +75,33 @@ object EventsStream {
       }
   }
 
+  /** Stream-stream interval join (attribution): purchases joined to every
+    * same-user click in the preceding `windowMinutes`. Both sides carry
+    * event-time watermarks and the join condition bounds click_ts relative
+    * to purchase_ts, so each side's state store retains only one watermark
+    * window of rows — bounded state at any corpus rate. The SAME function
+    * runs on batch frames (watermarks are a no-op there); q_interval_join
+    * is the oracle-checked batch twin.
+    */
+  def attribution(clicks: DataFrame, purchases: DataFrame,
+      windowMinutes: Int = 30): DataFrame = {
+    val c = clicks
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val p = purchases
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    p.join(c, expr(
+        s"""user_id = p_user AND
+           |click_ts BETWEEN purchase_ts - INTERVAL $windowMinutes MINUTES
+           |             AND purchase_ts""".stripMargin))
+      .select(col("user_id"), col("purchase_id"), col("click_id"),
+        (unix_timestamp(col("purchase_ts")) - unix_timestamp(col("click_ts")))
+          .as("gap_s"))
+  }
+
   /** Load the events table as a STREAM from a parquet directory. */
   def readEventsStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream

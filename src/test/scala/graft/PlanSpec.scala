@@ -127,6 +127,19 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(hx.length == 1, s"expected 1 hash exchange, got ${hx.length}")
   }
 
+  test("interval join shuffles both sides on user_id — never a cross product") {
+    // force the shuffled form (at test scale the click side would broadcast,
+    // which is also fine — but the scale plan is the one under contract)
+    withoutAQE(withConf("spark.sql.autoBroadcastJoinThreshold", "-1") {
+      val plan = q("q_interval_join").queryExecution.executedPlan
+      val hx = plan
+        .collect { case e: ShuffleExchangeExec => e.outputPartitioning }
+        .collect { case h: HashPartitioning => h.expressions.map(_.toString) }
+      assert(hx.count(_.exists(_.contains("user_id"))) == 2, s"exchanges: $hx")
+      assert(plan.collectFirst { case c: CartesianProductExec => c }.isEmpty)
+    })
+  }
+
   // ---- codegen contract ----------------------------------------------------
 
   test("arithmetic projection stays inside whole-stage codegen") {

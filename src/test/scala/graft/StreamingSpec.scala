@@ -73,6 +73,30 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("stream-stream interval join matches the batch twin and the oracle query") {
+    val stream = EventsStream.readEventsStream(spark, streamDir)
+    val q = EventsStream.attribution(
+        stream.filter(col("event_type") === "click"),
+        stream.filter(col("event_type") === "purchase"))
+      .writeStream.format("memory").queryName("attr_out")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("user_id"), r.getAs[Long]("purchase_id"),
+        r.getAs[Long]("click_id"), r.getAs[Long]("gap_s"))
+    val streamed = spark.table("attr_out").collect().map(key).toSet
+    val batchEv = Tables(spark, sf, "events")
+    val batch = EventsStream.attribution(
+        batchEv.filter(col("event_type") === "click"),
+        batchEv.filter(col("event_type") === "purchase"))
+      .collect().map(key).toSet
+    val oracleQ = SparkEntry.queries("q_interval_join")(spark, sf)
+      .collect().map(key).toSet
+    assert(batch.nonEmpty)
+    assert(streamed == batch, s"stream vs batch: ${(streamed diff batch).take(3)}")
+    assert(batch == oracleQ, s"twin vs oracle query: ${(batch diff oracleQ).take(3)}")
+  }
+
   test("sessions partition each user's events") {
     val nEvents = Tables(spark, sf, "events").count()
     val sessions = SparkEntry.queries("q_sessionize")(spark, sf).collect()
