@@ -36,6 +36,27 @@ object VectorOps {
         col("label"))
         .orderBy("vec_id")),
 
+    // ---- per-label centroid stats: embedding-space profiling per class.
+    //      Per-dim mean via posexplode keyed (label, dim) — fine-grained
+    //      shuffle keys that never hotspot regardless of label skew — then
+    //      the centroid norm per label. Rounding (6dp dims, 4dp norm)
+    //      absorbs partition-order float-sum jitter on both engines ----
+    "q_embed_centroids" -> ((s, d) => {
+      val cd = emb(s, d)
+        .select(col("label"),
+          posexplode(transform(col("embedding"), x => x.cast("double")))
+            .as(Seq("dim", "v")))
+        .groupBy(col("label"), col("dim"))
+        .agg(round(avg(col("v")), 6).as("cv"))
+      val cn = cd.groupBy(col("label"))
+        .agg(round(sqrt(sum(col("cv") * col("cv"))), 4).as("centroid_norm"),
+          count(lit(1)).as("n_dims"))
+      cn.join(emb(s, d).groupBy(col("label")).agg(count(lit(1)).as("n_vecs")),
+          "label")
+        .select(col("label"), col("n_vecs"), col("n_dims"), col("centroid_norm"))
+        .orderBy("label")
+    }),
+
     // ---- brute-force cosine top-k: probe set (vec_id < 10) × corpus ----
     "q_ann_brute" -> ((s, d) => {
       val probes = emb(s, d).filter(col("vec_id") < 10)
@@ -148,6 +169,18 @@ object VectorOps {
         |             x -> CAST(x AS DOUBLE))), 3) AS sum_val,
         |       label
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "q_embed_centroids" ->
+      """WITH e AS (SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+        |           FROM embeddings),
+        |cd AS (SELECT label, d.range AS dim, round(avg(vd[d.range]), 6) AS cv
+        |       FROM e, range(1, 65) d GROUP BY label, d.range),
+        |cn AS (SELECT label, round(sqrt(sum(cv * cv)), 4) AS centroid_norm,
+        |              count(*) AS n_dims
+        |       FROM cd GROUP BY label),
+        |nv AS (SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY label)
+        |SELECT cn.label AS label, n_vecs, n_dims, centroid_norm
+        |FROM cn JOIN nv ON cn.label = nv.label ORDER BY label""".stripMargin,
 
     "q_ann_brute" ->
       s"""WITH pairs AS (
