@@ -244,10 +244,14 @@ object DedupOps {
 
   /** Shared DuckDB CTE chain replicating [[minhashPairs]] bit-for-bit up to
     * the scored candidate pair set (`pairs`); suffix queries select from it.
+    * The signature CTE is MATERIALIZED: DuckDB otherwise re-inlines the
+    * (interpreted, per-element) sketch lambdas at every reference — measured
+    * 8 minutes for the clusters closure at sf0.01 vs seconds materialized.
     */
   private lazy val minhashPairCtes: String = {
     import graft.functions.TextExprs._
-    s"""s AS (SELECT doc_id, ${minhashSigSql(shingleHashesSql("text", 3), 64)} AS sig
+    s"""s AS MATERIALIZED (
+       |      SELECT doc_id, ${minhashSigSql(shingleHashesSql("text", 3), 64)} AS sig
        |      FROM documents),
        |s2 AS (SELECT doc_id, sig, ${bandHashesSql("sig", 16, 4)} AS bands FROM s),
        |ex AS (SELECT doc_id, b.range AS band, bands[b.range + 1] AS band_hash
@@ -277,7 +281,8 @@ object DedupOps {
     "q_dedup_embedding" -> {
       import graft.functions.VectorExprs
       s"""WITH w AS (SELECT ${VectorExprs.weightsSqlLiteral(0, 6)}::DOUBLE[][] AS w0),
-         |e AS (SELECT vec_id, embedding,
+         |e AS MATERIALIZED (
+         |      SELECT vec_id, embedding,
          |        ${VectorExprs.bucketSql("embedding", "w0", 6)} AS bkt
          |      FROM embeddings, w),
          |bk AS (SELECT bkt, list_sort(list_distinct(list(vec_id)))[1:$BucketCap] AS bucket
@@ -305,9 +310,11 @@ object DedupOps {
     // propagation fixpoint
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE $minhashPairCtes,
-         |pf AS (SELECT doc_a, doc_b FROM pairs WHERE est_jaccard >= 0.5),
-         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pf
-         |          UNION SELECT doc_b, doc_a FROM pf),
+         |pf AS MATERIALIZED (
+         |  SELECT doc_a, doc_b FROM pairs WHERE est_jaccard >= 0.5),
+         |edges AS MATERIALIZED (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pf
+         |  UNION SELECT doc_b, doc_a FROM pf),
          |reach(src, dst) AS (
          |  SELECT src, dst FROM edges
          |  UNION
@@ -319,7 +326,8 @@ object DedupOps {
 
     "q_dedup_simhash" -> {
       import graft.functions.TextExprs._
-      s"""WITH s AS (SELECT doc_id, ${simhashSql(shingleFeatures62Sql("text", 3))} AS sim
+      s"""WITH s AS MATERIALIZED (
+         |  SELECT doc_id, ${simhashSql(shingleFeatures62Sql("text", 3))} AS sim
          |           FROM documents),
          |ch AS (SELECT doc_id, c.range AS chunk, (sim >> (c.range * 16)) & 65535 AS chunk_val
          |       FROM s, range(0, 4) c),
@@ -339,7 +347,8 @@ object DedupOps {
 
     "q_dedup_ngram" -> {
       import graft.functions.TextExprs._
-      s"""WITH g AS (SELECT doc_id, lang, n_chars // 64 AS size_bkt,
+      s"""WITH g AS MATERIALIZED (
+         |  SELECT doc_id, lang, n_chars // 64 AS size_bkt,
          |                  ${charNgramHashesSql("text", 5)} AS grams
          |           FROM documents),
          |bk AS (SELECT lang, size_bkt,
