@@ -229,6 +229,21 @@ object Relational2 {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // ---- distribution window functions: percent_rank / cume_dist /
+    //      nth_value. Window ordering ends in the unique key so ranks are
+    //      identical across engines even where prices tie ----
+    "q_window_dist" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+      ord(s, d).select(col("o_orderpriority"), col("o_orderkey"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cum_dist"),
+        nth_value(col("o_orderkey"), 3).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("third_key"))
+        .orderBy("o_orderpriority", "o_orderkey")
+    }),
+
     // ---- conditional aggregation (FILTER-style, via CASE for parity) ----
     "q_agg_filtered" -> ((s, d) =>
       cust(s, d)
@@ -592,6 +607,17 @@ object Relational2 {
         |FROM customer c
         |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
         |ORDER BY c_custkey""".stripMargin,
+
+    "q_window_dist" ->
+      """SELECT o_orderpriority, o_orderkey,
+        |       round(percent_rank() OVER w, 6) AS pct_rank,
+        |       round(cume_dist() OVER w, 6) AS cum_dist,
+        |       nth_value(o_orderkey, 3) OVER (w ROWS BETWEEN UNBOUNDED
+        |         PRECEDING AND CURRENT ROW) AS third_key
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice ASC, o_orderkey ASC)
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
 
     "q_profile" ->
       """SELECT count(*) AS n_rows,
