@@ -1,0 +1,286 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Round-4 training-data-pipeline operators: benchmark-contamination
+  * detection, Gopher-style repetition quality, sequence packing, PII
+  * scrubbing, URL parsing, and bloom-filter join pre-pruning.
+  *
+  * Scale notes (the design bar is 100 TB, not the sf0.01 fixtures):
+  *  - contamination: the eval side is tiny by construction (a benchmark
+  *    suite), the train side is the corpus — the overlap join shuffles on
+  *    the n-gram key, which is near-unique (no hot keys), and the eval
+  *    n-gram set is deduplicated before the join so its size is bounded by
+  *    the benchmark, not the corpus.
+  *  - repetition / packing: one map-side-combined shuffle keyed by
+  *    (doc_id[, token]) — keys are fine-grained, so no reducer hotspot.
+  *  - bloom pre-filter: the bloom filter is built from the SMALL (filtered)
+  *    side only — the same size class as a broadcast-join build side — and
+  *    ships to executors once; the big table is pre-filtered BEFORE its
+  *    shuffle, which is the whole point at scale.
+  */
+object PipelineOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docs(s: SparkSession, d: String) = Tables(s, d, "documents")
+
+  /** Whitespace tokens of lowercased text (empty docs excluded). */
+  private def tokenized(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("w"))
+
+  val queries: Map[String, Q] = Map(
+    // ---- benchmark-contamination detection: word-4-gram overlap between an
+    //      eval slice (doc_id % 97 == 0 — stand-in for a benchmark set) and
+    //      the train remainder. Distinct grams per doc, shuffled join on the
+    //      gram key (near-unique → no skew), eval grams deduped first so the
+    //      join's build side is bounded by the benchmark size. Production
+    //      pipelines use 8-13-grams of a real vocabulary; the synthetic
+    //      ~30-word vocab makes 4 the equivalent signal. At production scale
+    //      the gram strings would be 64-bit hashes; strings keep the oracle
+    //      byte-exact here ----
+    "q_contamination" -> ((s, d) => {
+      val grams = tokenized(s, d)
+        .filter(size(col("w")) >= 4)
+        .select(col("doc_id"), explode(array_distinct(
+          transform(sequence(lit(1), size(col("w")) - 3),
+            i => concat_ws(" ", slice(col("w"), i, lit(4)))))).as("gram"))
+      val evalG = grams.filter(col("doc_id") % 97 === 0)
+        .select("gram").distinct()
+      grams.filter(col("doc_id") % 97 =!= 0)
+        .join(evalG, "gram")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_overlap"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- Gopher-style repetition signals: top-token fraction, distinct
+    //      fraction, duplicate-2-gram fraction. Two map-side-combined
+    //      aggregations keyed (doc_id, token) / (doc_id, bigram) — fine keys,
+    //      skew-proof — then a doc_id join. Purely distributive aggregates ----
+    "q_quality_repetition" -> ((s, d) => {
+      val toks = tokenized(s, d).select(col("doc_id"), explode(col("w")).as("t"))
+      val wc = toks.groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+      val uni = wc.groupBy(col("doc_id")).agg(
+        sum(col("c")).as("n_tokens"),
+        round(max(col("c")).cast("double") / sum(col("c")), 4).as("top_word_frac"),
+        round(count(lit(1)).cast("double") / sum(col("c")), 4).as("distinct_frac"))
+      val bi = tokenized(s, d)
+        .filter(size(col("w")) >= 2)
+        .select(col("doc_id"), explode(
+          transform(sequence(lit(1), size(col("w")) - 1),
+            i => concat_ws(" ", slice(col("w"), i, lit(2))))).as("g"))
+        .groupBy(col("doc_id"))
+        .agg(round(lit(1) - countDistinct(col("g")).cast("double") / count(lit(1)), 4)
+          .as("dup_bigram_frac"))
+      uni.join(bi, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"), col("top_word_frac"),
+          col("distinct_frac"), col("dup_bigram_frac"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- sequence packing (concat-then-chunk, GPT-style): documents are
+    //      sharded, token counts cumulated per shard in doc_id order, and a
+    //      bin boundary falls every 2048 tokens. One window shuffle on the
+    //      shard key; shard count scales with the cluster (8 here, thousands
+    //      at 100 TB), so no single reducer sees more than corpus/shards ----
+    "q_pack_sequences" -> ((s, d) => {
+      val t = docs(s, d)
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"),
+          size(split(trim(col("text")), "\\s+")).as("n_tok"),
+          (col("doc_id") % 8).as("shard"))
+      val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      t.withColumn("cum", sum(col("n_tok")).over(w))
+        .withColumn("bin_id", expr("(cum - n_tok) div 2048"))
+        .groupBy(col("shard"), col("bin_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .orderBy("shard", "bin_id")
+    }),
+
+    // ---- PII scrubbing: redact emails/phones via regex, count the hits.
+    //      The synthetic corpus contains no PII, so a deterministic PII
+    //      suffix derived from doc_id is appended first — both engines
+    //      derive the identical augmented text, and the scrubber is
+    //      exercised for real. Pure per-row work: no shuffle before the
+    //      oracle ORDER BY ----
+    "q_pii_scrub" -> ((s, d) => {
+      val emailRe = "[a-z0-9]+@[a-z]+\\.com"
+      val phoneRe = "\\+1-555-[0-9]{4}"
+      val aug = concat(col("text"), lit(" contact user"), col("doc_id"),
+        lit("@example.com or call +1-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+      val scrubbed = regexp_replace(
+        regexp_replace(aug, emailRe, "<EMAIL>"), phoneRe, "<PHONE>")
+      docs(s, d).select(col("doc_id"),
+        size(regexp_extract_all(aug, lit(emailRe), lit(0))).as("n_emails"),
+        size(regexp_extract_all(aug, lit(phoneRe), lit(0))).as("n_phones"),
+        length(scrubbed).as("scrub_len"),
+        md5(scrubbed).as("scrub_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- URL parsing (web-corpus op): host/path/query extraction with
+    //      Spark's parse_url over URLs derived deterministically from the
+    //      table, then per-host aggregation. Per-row parse + one
+    //      map-side-combined groupBy on host (20 sources → fine at any
+    //      scale since host cardinality grows with the corpus) ----
+    "q_url_parse" -> ((s, d) => {
+      val url = concat(lit("https://"), col("source"), lit(".example.com/"),
+        col("lang"), lit("/"), col("doc_id"), lit("?page="), col("doc_id") % 7)
+      docs(s, d)
+        .select(parse_url(url, lit("HOST")).as("host"),
+          parse_url(url, lit("QUERY"), lit("page")).cast("long").as("page"))
+        .groupBy(col("host"))
+        .agg(count(lit(1)).as("n_urls"), sum(col("page")).as("sum_page"))
+        .orderBy("host")
+    }),
+
+    // ---- bloom-filter join pre-pruning: build a bloom filter over the
+    //      SMALL side's join keys (selective orders — same size class as a
+    //      broadcast build side), ship it once, and drop non-matching
+    //      lineitem rows BEFORE the join shuffle. False positives are
+    //      removed by the exact join, so the result is exact; false
+    //      negatives don't exist. At 100 TB this turns a full-corpus
+    //      shuffle into a ~10% shuffle ----
+    "q_bloom_join" -> ((s, d) => {
+      val sel = Tables(s, d, "orders")
+        .filter(col("o_totalprice") > 450000.0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val bf = sel.stat.bloomFilter("o_orderkey", 100000L, 0.01)
+      val bc = s.sparkContext.broadcast(bf)
+      val might = udf((k: Long) => bc.value.mightContain(k))
+      Tables(s, d, "lineitem")
+        .filter(might(col("l_orderkey")))
+        .join(sel, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey"))
+        .agg(count(lit(1)).as("n_lines"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(max(col("o_totalprice")), 2).as("o_price"))
+        .orderBy("o_orderkey")
+    }),
+
+    // ---- array-function matrix over token arrays (per-row, no shuffle) ----
+    "q_array_fns" -> ((s, d) =>
+      tokenized(s, d).select(col("doc_id"),
+        size(col("w")).as("n_words"),
+        concat_ws(",", slice(array_sort(array_distinct(col("w"))), 1, 5))
+          .as("first5_distinct"),
+        element_at(col("w"), 1).as("first_w"),
+        element_at(col("w"), -1).as("last_w"),
+        array_contains(col("w"), "spark").as("has_spark"))
+        .orderBy("doc_id"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_contamination" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |grams AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |           range(1, len(w) - 2),
+        |           i -> array_to_string(w[i:i+3], ' ')))) AS gram
+        |  FROM toks WHERE len(w) >= 4),
+        |eval_g AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0)
+        |SELECT g.doc_id, count(*) AS n_overlap
+        |FROM grams g JOIN eval_g e USING (gram)
+        |WHERE g.doc_id % 97 <> 0
+        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+
+    "q_quality_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |wc AS (
+        |  SELECT doc_id, t, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(w) AS t FROM toks)
+        |  GROUP BY doc_id, t),
+        |uni AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |         round(CAST(max(c) AS DOUBLE) / sum(c), 4) AS top_word_frac,
+        |         round(CAST(count(*) AS DOUBLE) / sum(c), 4) AS distinct_frac
+        |  FROM wc GROUP BY doc_id),
+        |bi AS (
+        |  SELECT doc_id,
+        |         round(1 - CAST(count(DISTINCT g) AS DOUBLE) / count(*), 4)
+        |           AS dup_bigram_frac
+        |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+        |               i -> array_to_string(w[i:i+1], ' '))) AS g
+        |        FROM toks WHERE len(w) >= 2)
+        |  GROUP BY doc_id)
+        |SELECT uni.doc_id, n_tokens, top_word_frac, distinct_frac, dup_bigram_frac
+        |FROM uni LEFT JOIN bi ON uni.doc_id = bi.doc_id
+        |ORDER BY uni.doc_id""".stripMargin,
+
+    "q_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         length(regexp_split_to_array(trim(text), '\s+')) AS n_tok,
+        |         doc_id % 8 AS shard
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |c AS (
+        |  SELECT doc_id, n_tok, shard,
+        |         CAST(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+        |                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM t)
+        |SELECT shard, (cum - n_tok) // 2048 AS bin_id,
+        |       count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM c GROUP BY shard, bin_id ORDER BY shard, bin_id""".stripMargin,
+
+    "q_pii_scrub" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |         text || ' contact user' || doc_id ||
+        |         '@example.com or call +1-555-' ||
+        |         lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS a
+        |  FROM documents),
+        |scrub AS (
+        |  SELECT doc_id, a,
+        |         regexp_replace(
+        |           regexp_replace(a, '[a-z0-9]+@[a-z]+\.com', '<EMAIL>', 'g'),
+        |           '\+1-555-[0-9]{4}', '<PHONE>', 'g') AS sc
+        |  FROM aug)
+        |SELECT doc_id,
+        |       len(regexp_extract_all(a, '[a-z0-9]+@[a-z]+\.com')) AS n_emails,
+        |       len(regexp_extract_all(a, '\+1-555-[0-9]{4}')) AS n_phones,
+        |       length(sc) AS scrub_len,
+        |       md5(sc) AS scrub_md5
+        |FROM scrub ORDER BY doc_id""".stripMargin,
+
+    // the oracle derives host/page algebraically from the same columns the
+    // URL was built from — an independent check that parse_url inverted the
+    // construction exactly
+    "q_url_parse" ->
+      """SELECT source || '.example.com' AS host,
+        |       count(*) AS n_urls, CAST(sum(doc_id % 7) AS BIGINT) AS sum_page
+        |FROM documents GROUP BY host ORDER BY host""".stripMargin,
+
+    // oracle is the PLAIN selective join — proves the bloom pre-filter
+    // changed nothing about the result
+    "q_bloom_join" ->
+      """SELECT o_orderkey, count(*) AS n_lines,
+        |       round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty,
+        |       round(max(o_totalprice), 2) AS o_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_totalprice > 450000.0
+        |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
+
+    "q_array_fns" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |  FROM documents WHERE length(trim(text)) > 0)
+        |SELECT doc_id, len(w) AS n_words,
+        |       array_to_string(list_sort(list_distinct(w))[1:5], ',')
+        |         AS first5_distinct,
+        |       w[1] AS first_w, w[-1] AS last_w,
+        |       list_contains(w, 'spark') AS has_spark
+        |FROM toks ORDER BY doc_id""".stripMargin
+  )
+}
