@@ -54,6 +54,7 @@ class Context(val spark: SparkSession) {
     case "csv" => df.write.mode("overwrite").option("header", header.toString).csv(path)
     case "parquet" => df.write.mode("overwrite").parquet(path)
     case "ndjson" | "json" => df.write.mode("overwrite").json(path)
+    case "orc" => df.write.mode("overwrite").orc(path)
     case other => throw new IllegalArgumentException(s"unsupported sink kind: $other")
   }
 }

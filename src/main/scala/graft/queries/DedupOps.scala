@@ -114,8 +114,12 @@ object DedupOps {
     * identical.
     */
   def connectedComponents(edges: DataFrame): DataFrame = {
-    val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // cache the edge set BEFORE symmetrizing: the union's two branches would
+    // otherwise each recompute the full upstream pipeline (for minhash pairs
+    // that's the whole sketch + bucket + verify chain — the dominant cost)
+    val e = edges.persist()
+    val sym = e.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(e.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist()
     // seed with the 1-hop minimum — same shuffle the plain distinct() would
     // cost, but a whole propagation round cheaper
@@ -142,6 +146,7 @@ object DedupOps {
       prevSum = s
     }
     sym.unpersist()
+    e.unpersist()
     labels
   }
 

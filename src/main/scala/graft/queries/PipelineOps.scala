@@ -63,13 +63,17 @@ object PipelineOps {
     //      aggregations keyed (doc_id, token) / (doc_id, bigram) — fine keys,
     //      skew-proof — then a doc_id join. Purely distributive aggregates ----
     "q_quality_repetition" -> ((s, d) => {
-      val toks = tokenized(s, d).select(col("doc_id"), explode(col("w")).as("t"))
+      // NOT persisted: caching the token arrays (cache write + loss of
+      // codegen fusion across the InMemoryRelation) measured 3× slower than
+      // letting both branches re-tokenize — same trade TF-IDF documents
+      val tok = tokenized(s, d)
+      val toks = tok.select(col("doc_id"), explode(col("w")).as("t"))
       val wc = toks.groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
       val uni = wc.groupBy(col("doc_id")).agg(
         sum(col("c")).as("n_tokens"),
         round(max(col("c")).cast("double") / sum(col("c")), 4).as("top_word_frac"),
         round(count(lit(1)).cast("double") / sum(col("c")), 4).as("distinct_frac"))
-      val bi = tokenized(s, d)
+      val bi = tok
         .filter(size(col("w")) >= 2)
         .select(col("doc_id"), explode(
           transform(sequence(lit(1), size(col("w")) - 1),
@@ -163,6 +167,36 @@ object PipelineOps {
           round(sum(col("l_quantity")), 2).as("sum_qty"),
           round(max(col("o_totalprice")), 2).as("o_price"))
         .orderBy("o_orderkey")
+    }),
+
+    // ---- approx-quantile sketch (the percentile analog of q_agg_approx's
+    //      HLL): the approx value is mergeable partial state (one map-side-
+    //      combined pass at any scale, unlike exact percentile's full sort),
+    //      value-checked by reducing it to its error bound against the exact
+    //      interpolated percentile, which IS oracle-able ----
+    "q_approx_quantile" -> ((s, d) =>
+      Tables(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(percentile(col("l_extendedprice"), lit(0.9)).as("p90"),
+          percentile_approx(col("l_extendedprice"), lit(0.9), lit(10000))
+            .as("ap90"))
+        .select(col("l_returnflag"), round(col("p90"), 2).as("p90_exact"),
+          (abs(col("ap90") - col("p90")) / col("p90") <= 0.01).as("approx_ok"))
+        .orderBy("l_returnflag")),
+
+    // ---- incremental-ingest dedup: a new batch (doc_id % 10 == 9 stands in
+    //      for today's crawl) is checked against the historical corpus by
+    //      content fingerprint; only never-seen content is kept. Left-anti
+    //      hash join on md5 — shuffles ONLY the fingerprints (16 bytes/doc),
+    //      never the text, and the anti join is the streaming-friendly shape
+    //      (same keys drive the watermarked streaming dedup twin) ----
+    "q_dedup_incremental" -> ((s, d) => {
+      val fp = docs(s, d).select(col("doc_id"), md5(col("text")).as("fp"))
+      val hist = fp.filter(col("doc_id") % 10 =!= 9).select("fp").distinct()
+      fp.filter(col("doc_id") % 10 === 9)
+        .join(hist, Seq("fp"), "left_anti")
+        .select(col("doc_id"), col("fp"))
+        .orderBy("doc_id")
     }),
 
     // ---- array-function matrix over token arrays (per-row, no shuffle) ----
@@ -271,6 +305,21 @@ object PipelineOps {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_totalprice > 450000.0
         |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
+
+    // exact percentile matches DuckDB quantile_cont (q_percentile proved the
+    // interpolation semantics); the approx column reduces to its bound flag
+    "q_approx_quantile" ->
+      """SELECT l_returnflag,
+        |       round(quantile_cont(l_extendedprice, 0.9), 2) AS p90_exact,
+        |       TRUE AS approx_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_dedup_incremental" ->
+      """WITH fp AS (SELECT doc_id, md5(text) AS fp FROM documents),
+        |hist AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 10 <> 9)
+        |SELECT doc_id, fp FROM fp
+        |WHERE doc_id % 10 = 9 AND fp NOT IN (SELECT fp FROM hist)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_array_fns" ->
       """WITH toks AS (

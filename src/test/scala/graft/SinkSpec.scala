@@ -35,6 +35,14 @@ class SinkSpec extends AnyFunSuite with SparkSpec {
     assert(back.count() == df.count())
   }
 
+  test("write orc → read back, values survive") {
+    val df = Tables(spark, sf, "supplier")
+    ctx.write(df, "target/sink_supplier_orc", "orc")
+    val back = spark.read.orc("target/sink_supplier_orc")
+    assert(back.orderBy("s_suppkey").collect().toSeq ==
+      df.orderBy("s_suppkey").collect().toSeq)
+  }
+
   test("unsupported sink kind is rejected") {
     intercept[IllegalArgumentException] {
       ctx.write(Tables(spark, sf, "region"), "target/x", "orc-nope")
