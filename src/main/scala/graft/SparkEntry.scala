@@ -10,11 +10,13 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Relational2.queries ++ TextOps.queries ++
       DedupOps.queries ++ VectorOps.queries ++ Sessions.queries ++
-      MultimodalOps.queries ++ PipelineOps.queries
+      MultimodalOps.queries ++ PipelineOps.queries ++ CorpusOps.queries ++
+      TemporalOps.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Relational2.oracles ++ TextOps.oracles ++
       DedupOps.oracles ++ VectorOps.oracles ++ Sessions.oracles ++
-      MultimodalOps.oracles ++ PipelineOps.oracles
+      MultimodalOps.oracles ++ PipelineOps.oracles ++ CorpusOps.oracles ++
+      TemporalOps.oracles
 }

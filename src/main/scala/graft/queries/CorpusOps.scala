@@ -1,0 +1,264 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Corpus-curation operators for a training-data pipeline: domain-mixture
+  * sampling weights (temperature sampling), percentile-based quality
+  * gating, BM25 relevance scoring, vocabulary / OOV coverage, int8
+  * embedding quantization, and document-length histograms.
+  *
+  * Scale notes (design bar = 100 TB):
+  *  - domain mix: one map-side-combined groupBy(source); the grand total is
+  *    a 1-row aggregate CROSS-JOINED back (broadcast), never a window over
+  *    an unpartitioned frame — domain cardinality can be millions of hosts
+  *    at web scale and `OVER ()` would serialize them onto one reducer.
+  *  - quality gate: percent_rank within lang needs a per-lang sort; lang
+  *    cardinality is tiny (~dozens), so at 100 TB the window would hot-spot.
+  *    The shape to swap in at that scale is a per-lang `percentile_approx`
+  *    threshold (mergeable sketch) broadcast back as a filter — the gate
+  *    semantics (keep top 75% per lang) are unchanged. The exact-rank
+  *    version here is what makes the oracle bit-exact.
+  *  - BM25: term stats (df, avgdl) are tiny aggregates broadcast to the
+  *    posting join; the per-term tf aggregation keys on (doc_id, term) —
+  *    fine-grained, skew-proof.
+  *  - vocab/OOV: the vocabulary is a top-k aggregate (small by
+  *    construction) broadcast to the token stream; the token stream itself
+  *    is never shuffled except by the (doc_id) rollup.
+  *  - quantization: per-dimension min/max is a 64-row aggregate broadcast
+  *    back to the exploded values — the corpus is scanned twice but never
+  *    shuffled on a coarse key.
+  */
+object CorpusOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docs(s: SparkSession, d: String) = Tables(s, d, "documents")
+
+  private def nonEmpty(df: DataFrame): DataFrame =
+    df.filter(length(trim(col("text"))) > 0)
+
+  private val toks = split(lower(trim(col("text"))), "\\s+")
+
+  val queries: Map[String, Q] = Map(
+    // ---- domain-mixture weights (temperature sampling, T=0.7): per-source
+    //      token mass raised to tau, normalized. The normalizer is a 1-row
+    //      broadcast cross join, not an OVER () window — see scale notes ----
+    "q_domain_mix" -> ((s, d) => {
+      val bySrc = nonEmpty(docs(s, d))
+        .select(col("source"), size(toks).as("n_tok"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+        .withColumn("w", pow(col("n_tokens").cast("double"), 0.7))
+      val tot = bySrc.agg(sum(col("w")).as("tot_w"))
+      bySrc.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          round(col("w") / col("tot_w"), 6).as("mix_weight"))
+        .orderBy("source")
+    }),
+
+    // ---- percentile quality gate: score docs (chars per token — a cheap
+    //      deterministic quality proxy), keep the top 75% WITHIN each lang,
+    //      report the surviving population per lang. percent_rank is exact
+    //      rational arithmetic, so the 0.25 cut is engine-independent ----
+    "q_quality_percentile" -> ((s, d) => {
+      val scored = nonEmpty(docs(s, d))
+        .select(col("doc_id"), col("lang"),
+          (col("n_chars").cast("double") / size(toks)).as("score"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("score").asc, col("doc_id").asc)
+      scored.withColumn("pr", percent_rank().over(w))
+        .filter(col("pr") >= 0.25)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"),
+          round(avg(col("score")), 4).as("avg_score"),
+          round(min(col("score")), 4).as("min_score"))
+        .orderBy("lang")
+    }),
+
+    // ---- BM25 (k1=1.2, b=0.75) for a fixed query over the corpus: doc
+    //      frequencies and average doc length are broadcast scalars; the
+    //      posting list (docs containing a query term) is the only joined
+    //      set. Integer doc lengths keep avgdl's sum exact ----
+    "q_bm25" -> ((s, d) => {
+      val terms = Seq("spark", "join", "vector")
+      val tok = nonEmpty(docs(s, d)).select(col("doc_id"), toks.as("w"))
+      val dl = tok.select(col("doc_id"), size(col("w")).as("dl"))
+      val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+        avg(col("dl")).as("avgdl"))
+      val tf = tok.select(col("doc_id"), explode(col("w")).as("t"))
+        .filter(col("t").isin(terms: _*))
+        .groupBy(col("doc_id"), col("t"))
+        .agg(count(lit(1)).cast("double").as("tf"))
+      val df = tf.groupBy(col("t"))
+        .agg(countDistinct(col("doc_id")).cast("double").as("df"))
+      tf.join(broadcast(df), "t")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("idf",
+          log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+        .withColumn("contrib",
+          col("idf") * col("tf") * 2.2 /
+            (col("tf") + (lit(0.25) + col("dl") * 0.75 / col("avgdl")) * 1.2))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_terms"),
+          round(sum(col("contrib")), 4).as("bm25"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- vocabulary coverage: corpus top-10 tokens by frequency (ties
+    //      broken by token) become the vocab; per-source average
+    //      out-of-vocabulary ratio. Vocab is broadcast; no coarse shuffle ----
+    "q_vocab_coverage" -> ((s, d) => {
+      val t = nonEmpty(docs(s, d))
+        .select(col("doc_id"), col("source"), explode(toks).as("t"))
+      val vocab = t.groupBy(col("t")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("t").asc).limit(10)
+        .select(col("t"), lit(1).as("in_v"))
+      t.join(broadcast(vocab), Seq("t"), "left")
+        .groupBy(col("doc_id"), col("source"))
+        .agg(count(lit(1)).as("n_tok"),
+          sum(when(col("in_v").isNull, 1).otherwise(0)).as("n_oov"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("n_oov").cast("double") / col("n_tok")), 6)
+            .as("avg_oov_frac"))
+        .orderBy("source")
+    }),
+
+    // ---- int8 scalar quantization of the embedding column: per-dimension
+    //      min/max over the corpus (a 64-row aggregate, broadcast back),
+    //      values snapped to 256 levels, reconstruction RMSE per label.
+    //      The quantized code is what a vector index would store at scale ----
+    "q_embed_quantize" -> ((s, d) => {
+      val dims = Tables(s, d, "embeddings")
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("p", "v0")))
+        .select(col("vec_id"), col("label"), (col("p") + 1).as("dim"),
+          col("v0").cast("double").as("v"))
+      val rng = dims.groupBy(col("dim"))
+        .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+      dims.join(broadcast(rng), "dim")
+        .withColumn("qv",
+          when(col("mx") > col("mn"),
+            round((col("v") - col("mn")) / (col("mx") - col("mn")) * 255.0))
+            .otherwise(0.0))
+        .withColumn("dq",
+          col("mn") + col("qv") / 255.0 * (col("mx") - col("mn")))
+        .withColumn("se", pow(col("v") - col("dq"), 2.0))
+        .groupBy(col("label"))
+        .agg(countDistinct(col("vec_id")).as("n_vecs"),
+          round(sqrt(avg(col("se"))) * 1000.0, 6).as("rmse_milli"))
+        .orderBy("label")
+    }),
+
+    // ---- document-length histogram (equi-width 16-token bins): pure
+    //      integer bucket arithmetic (no float boundary risk), one
+    //      map-side-combined groupBy on the bin key ----
+    "q_len_histogram" -> ((s, d) =>
+      nonEmpty(docs(s, d))
+        .select(size(toks).cast("long").as("n_tok"))
+        .withColumn("bin_lo", (col("n_tok") / 16).cast("long") * 16)
+        .groupBy(col("bin_lo"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tokens"))
+        .orderBy("bin_lo"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_domain_mix" ->
+      """WITH t AS (
+        |  SELECT source, count(*) AS n_docs,
+        |         CAST(sum(len(regexp_split_to_array(lower(trim(text)), '\s+')))
+        |              AS BIGINT) AS n_tokens
+        |  FROM documents WHERE length(trim(text)) > 0 GROUP BY source),
+        |w AS (SELECT *, pow(CAST(n_tokens AS DOUBLE), 0.7) AS w FROM t)
+        |SELECT source, n_docs, n_tokens,
+        |       round(w / sum(w) OVER (), 6) AS mix_weight
+        |FROM w ORDER BY source""".stripMargin,
+
+    "q_quality_percentile" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang,
+        |         CAST(n_chars AS DOUBLE) /
+        |           len(regexp_split_to_array(lower(trim(text)), '\s+')) AS score
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |r AS (
+        |  SELECT *, percent_rank() OVER (
+        |      PARTITION BY lang ORDER BY score ASC, doc_id ASC) AS pr
+        |  FROM s)
+        |SELECT lang, count(*) AS n_kept,
+        |       round(avg(score), 4) AS avg_score,
+        |       round(min(score), 4) AS min_score
+        |FROM r WHERE pr >= 0.25 GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_bm25" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |dl AS (SELECT doc_id, len(w) AS dl FROM tok),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |                 avg(dl) AS avgdl FROM dl),
+        |tf AS (
+        |  SELECT doc_id, t, CAST(count(*) AS DOUBLE) AS tf
+        |  FROM (SELECT doc_id, unnest(w) AS t FROM tok)
+        |  WHERE t IN ('spark', 'join', 'vector')
+        |  GROUP BY doc_id, t),
+        |df AS (SELECT t, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+        |       FROM tf GROUP BY t)
+        |SELECT tf.doc_id AS doc_id, count(*) AS n_terms,
+        |       round(sum(
+        |         ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * tf * 2.2 /
+        |         (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS bm25
+        |FROM tf JOIN df USING (t) JOIN dl USING (doc_id) CROSS JOIN stats
+        |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin,
+
+    "q_vocab_coverage" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |         unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |vocab AS (
+        |  SELECT t, 1 AS in_v FROM (
+        |    SELECT t, count(*) AS c FROM t GROUP BY t
+        |    ORDER BY c DESC, t ASC LIMIT 10)),
+        |cov AS (
+        |  SELECT doc_id, source, count(*) AS n_tok,
+        |         sum(CASE WHEN in_v IS NULL THEN 1 ELSE 0 END) AS n_oov
+        |  FROM t LEFT JOIN vocab USING (t)
+        |  GROUP BY doc_id, source)
+        |SELECT source, count(*) AS n_docs,
+        |       round(avg(CAST(n_oov AS DOUBLE) / n_tok), 6) AS avg_oov_frac
+        |FROM cov GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_embed_quantize" ->
+      """WITH dims AS (
+        |  SELECT vec_id, label, i AS dim,
+        |         CAST(embedding[i] AS DOUBLE) AS v
+        |  FROM embeddings CROSS JOIN range(1, 65) r(i)),
+        |rng AS (SELECT dim, min(v) AS mn, max(v) AS mx
+        |        FROM dims GROUP BY dim),
+        |q AS (
+        |  SELECT label, vec_id, v, mn, mx,
+        |         CASE WHEN mx > mn
+        |              THEN round((v - mn) / (mx - mn) * 255.0)
+        |              ELSE 0.0 END AS qv
+        |  FROM dims JOIN rng USING (dim)),
+        |e AS (
+        |  SELECT label, vec_id,
+        |         pow(v - (mn + qv / 255.0 * (mx - mn)), 2.0) AS se
+        |  FROM q)
+        |SELECT label, count(DISTINCT vec_id) AS n_vecs,
+        |       round(sqrt(avg(se)) * 1000.0, 6) AS rmse_milli
+        |FROM e GROUP BY label ORDER BY label""".stripMargin,
+
+    "q_len_histogram" ->
+      """WITH t AS (
+        |  SELECT CAST(len(regexp_split_to_array(lower(trim(text)), '\s+'))
+        |              AS BIGINT) AS n_tok
+        |  FROM documents WHERE length(trim(text)) > 0)
+        |SELECT (n_tok // 16) * 16 AS bin_lo,
+        |       count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS sum_tokens
+        |FROM t GROUP BY bin_lo ORDER BY bin_lo""".stripMargin
+  )
+}

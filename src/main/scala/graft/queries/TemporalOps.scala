@@ -1,0 +1,108 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Temporal/history operators over the event stream: SCD-2 interval
+  * reconstruction (type-2 slowly-changing dimension from a change log),
+  * exponentially time-decayed engagement scores, and per-group top-k.
+  *
+  * Scale notes: every window here partitions on user_id — a fine-grained
+  * key (cardinality grows with the data), so no reducer hot-spots; the
+  * SCD-2 subset filter is applied BEFORE the window so the sort only
+  * touches the users being reconstructed. Decay weights are per-row
+  * arithmetic against a fixed reference time — embarrassingly parallel,
+  * one map-side-combined groupBy after.
+  */
+object TemporalOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def events(s: SparkSession, d: String) = Tables(s, d, "events")
+
+  val queries: Map[String, Q] = Map(
+    // ---- SCD-2 reconstruction: collapse each user's event-type change log
+    //      into validity intervals [valid_from, valid_to) with a version
+    //      number; the open interval is marked valid_to = -1. Change
+    //      detection and interval close are two windows over ONE
+    //      (user_id)-partitioned sort ----
+    "q_scd2" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("secs").asc, col("event_id").asc)
+      val e = events(s, d)
+        .filter(col("user_id") % 50 === 0)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_timestamp(col("ts")).as("secs"))
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      e.withColumn("version", row_number().over(w))
+        .withColumn("valid_to", coalesce(lead(col("secs"), 1).over(w), lit(-1L)))
+        .select(col("user_id"), col("version"), col("event_type").as("state"),
+          col("secs").as("valid_from"), col("valid_to"))
+        .orderBy("user_id", "version")
+    }),
+
+    // ---- exponentially time-decayed engagement (7-day e-folding against a
+    //      fixed reference instant): per-row weight, one groupBy(user_id) ----
+    "q_decay_agg" -> ((s, d) =>
+      events(s, d)
+        .select(col("user_id"), col("value"),
+          unix_timestamp(col("ts")).as("secs"))
+        .withColumn("wgt",
+          exp((col("secs") - 1706745600L).cast("double") / 604800.0))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value") * col("wgt")), 4).as("decayed_value"))
+        .orderBy("user_id")),
+
+    // ---- top-k per group: each user's 3 highest-value purchases via
+    //      row_number over (user_id), the canonical per-key top-k (NOT a
+    //      global sort; at scale this is one shuffle and a bounded
+    //      per-partition heap) ----
+    "q_topk_group" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("value").desc, col("event_id").asc)
+      events(s, d)
+        .filter(col("event_type") === "purchase")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("user_id"), col("rk"), col("event_id"),
+          round(col("value"), 2).as("value"))
+        .orderBy("user_id", "rk")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_scd2" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS secs
+        |  FROM events WHERE user_id % 50 = 0),
+        |c AS (
+        |  SELECT *, lag(event_type) OVER w AS prev
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY secs ASC, event_id ASC)),
+        |f AS (SELECT * FROM c WHERE prev IS NULL OR prev <> event_type)
+        |SELECT user_id, row_number() OVER w AS version, event_type AS state,
+        |       secs AS valid_from,
+        |       coalesce(lead(secs) OVER w, -1) AS valid_to
+        |FROM f WINDOW w AS (PARTITION BY user_id ORDER BY secs ASC, event_id ASC)
+        |ORDER BY user_id, version""".stripMargin,
+
+    "q_decay_agg" ->
+      """SELECT user_id, count(*) AS n_events,
+        |       round(sum(value * exp(
+        |         CAST(CAST(floor(epoch(ts)) AS BIGINT) - 1706745600 AS DOUBLE)
+        |           / 604800.0)), 4) AS decayed_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_topk_group" ->
+      """WITH r AS (
+        |  SELECT user_id, event_id, value,
+        |         row_number() OVER (PARTITION BY user_id
+        |             ORDER BY value DESC, event_id ASC) AS rk
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT user_id, rk, event_id, round(value, 2) AS value
+        |FROM r WHERE rk <= 3 ORDER BY user_id, rk""".stripMargin
+  )
+}

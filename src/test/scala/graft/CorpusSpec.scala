@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavior invariants for the corpus-curation + temporal operators
+  * (CorpusOps / TemporalOps) — each already value-exact vs the DuckDB
+  * oracle; these assert the properties the oracle can't see (probability
+  * mass, gate selectivity, quantization error bounds, interval validity).
+  */
+class CorpusSpec extends AnyFunSuite with SparkSpec {
+
+  test("domain mix weights form a probability distribution") {
+    val rows = q("q_domain_mix").collect()
+    val tot = rows.map(_.getAs[Double]("mix_weight")).sum
+    assert(math.abs(tot - 1.0) < 1e-3, s"weights sum to $tot")
+    assert(rows.forall(_.getAs[Double]("mix_weight") > 0))
+    // temperature < 1 flattens: the weight ratio between the largest and
+    // smallest domain must be LESS extreme than the raw token-mass ratio
+    val byTok = rows.sortBy(_.getAs[Long]("n_tokens"))
+    val rawRatio = byTok.last.getAs[Long]("n_tokens").toDouble /
+      byTok.head.getAs[Long]("n_tokens")
+    val mixRatio = byTok.last.getAs[Double]("mix_weight") /
+      byTok.head.getAs[Double]("mix_weight")
+    assert(mixRatio < rawRatio)
+  }
+
+  test("quality gate keeps ~75% of each lang") {
+    val kept = q("q_quality_percentile").collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("n_kept")).toMap
+    val all = Tables(spark, sf, "documents")
+      .filter(length(trim(col("text"))) > 0)
+      .groupBy("lang").count().collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("count")).toMap
+    all.foreach { case (lang, n) =>
+      val k = kept.getOrElse(lang, 0L)
+      // percent_rank >= 0.25 keeps ceil(0.75·(n-1)) + 1-ish rows
+      assert(k <= n && k >= (0.7 * n).toLong - 1, s"$lang kept $k of $n")
+    }
+  }
+
+  test("bm25 scores are positive and favor term-dense docs") {
+    val rows = q("q_bm25").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Double]("bm25") > 0))
+    assert(rows.forall(r => r.getAs[Long]("n_terms") >= 1 &&
+      r.getAs[Long]("n_terms") <= 3))
+  }
+
+  test("vocab coverage: oov fraction is a valid ratio") {
+    val rows = q("q_vocab_coverage").collect()
+    assert(rows.forall { r =>
+      val f = r.getAs[Double]("avg_oov_frac"); f >= 0.0 && f <= 1.0
+    })
+  }
+
+  test("embedding quantization error is within the int8 step bound") {
+    val rows = q("q_embed_quantize").collect()
+    assert(rows.nonEmpty)
+    // worst-case per-dim error is half a step: range/255/2. Ranges here are
+    // O(1) (unit-ish floats), so RMSE·1000 must be well under half a step
+    // of a range-4 dimension = 4/255/2·1000 ≈ 7.8
+    assert(rows.forall { r =>
+      val e = r.getAs[Double]("rmse_milli"); e >= 0.0 && e < 8.0
+    })
+  }
+
+  test("length histogram conserves docs and tokens") {
+    val h = q("q_len_histogram").collect()
+    val base = Tables(spark, sf, "documents")
+      .filter(length(trim(col("text"))) > 0)
+      .select(size(split(lower(trim(col("text"))), "\\s+")).cast("long").as("n"))
+      .agg(count(lit(1)), sum(col("n"))).head
+    assert(h.map(_.getAs[Long]("n_docs")).sum == base.getLong(0))
+    assert(h.map(_.getAs[Long]("sum_tokens")).sum == base.getLong(1))
+    // every member's length lies inside its 16-wide bin by construction:
+    // bin_lo values are multiples of 16
+    assert(h.forall(_.getAs[Long]("bin_lo") % 16 == 0))
+  }
+
+  test("scd2 intervals are contiguous, versioned, and state-changing") {
+    val rows = q("q_scd2").collect()
+      .groupBy(_.getAs[Long]("user_id"))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("version"))
+      // versions are 1..n
+      assert(sorted.map(_.getAs[Int]("version")).toSeq == (1 to rs.length))
+      // exactly one open interval, and it is the last version
+      assert(sorted.count(_.getAs[Long]("valid_to") == -1L) == 1)
+      assert(sorted.last.getAs[Long]("valid_to") == -1L)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          // closed interval ends where the next begins (contiguity)
+          assert(a.getAs[Long]("valid_to") == b.getAs[Long]("valid_from"))
+          // consecutive versions always change state (the SCD-2 contract)
+          assert(a.getAs[String]("state") != b.getAs[String]("state"))
+        case _ => ()
+      }
+    }
+  }
+
+  test("decay weights discount older events") {
+    import spark.implicits._
+    val decayed = q("q_decay_agg")
+      .agg(sum("decayed_value")).head.getDouble(0)
+    val raw = Tables(spark, sf, "events")
+      .agg(sum("value")).head.getDouble(0)
+    // every weight < 1 (all events precede the reference instant)
+    assert(decayed < raw)
+    assert(decayed > 0)
+  }
+
+  test("topk group returns at most 3 purchases per user, ranked") {
+    val rows = q("q_topk_group").collect().groupBy(_.getAs[Long]("user_id"))
+    rows.foreach { case (_, rs) =>
+      assert(rs.length <= 3)
+      val byRank = rs.sortBy(_.getAs[Int]("rk"))
+      assert(byRank.map(_.getAs[Int]("rk")).toSeq == (1 to rs.length))
+      // values non-increasing with rank
+      byRank.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Double]("value") >= b.getAs[Double]("value"))
+        case _ => ()
+      }
+    }
+  }
+}
