@@ -6,14 +6,18 @@ import org.apache.spark.sql.SparkSession
   *
   * Protocol (BASELINE.md): warm runs — one untimed pass first (JIT +
   * whole-stage codegen compilation, parquet footer caches, OS page cache),
-  * then one timed pass. Caches are cleared before each timed query so a
-  * query's own persist() calls never hide recompute cost inside the warm
-  * pass; what's measured is the full operator pipeline on warm I/O.
+  * then the MEDIAN of N timed passes per query (default 3, override with
+  * SPARK_GRAFT_BENCH_RUNS). Caches are cleared after every pass so a
+  * query's own persist() calls never hide recompute cost; what's measured
+  * is the full operator pipeline on warm I/O. Timings are rounded to ms so
+  * the one-line JSON stays within the driver's tail buffer even at 100+
+  * queries (raw doubles at 17 significant digits overflowed it in r4).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -27,22 +31,37 @@ object Bench {
     def run(name: String): Unit =
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
+    def timedPass(name: String): Double = {
+      val t0 = System.nanoTime()
+      try run(name) catch { case _: Throwable => () }
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache() // drop this query's persists before the next
+      dt
+    }
     val names = SparkEntry.queries.keys.toSeq.sorted
     names.foreach { n => // warm pass
       try run(n) catch { case _: Throwable => () }
       spark.catalog.clearCache()
     }
-    val results = names.map { name =>
-      val t0 = System.nanoTime()
-      try run(name) catch { case _: Throwable => () }
-      val dt = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache() // drop this query's persists before the next
-      name -> dt
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Interleave passes round-robin (pass 0 of all queries, then pass 1, ...)
+    // so per-query samples are spread across the session: a slow phase (GC,
+    // codegen-cache churn) late in the run taxes one sample of many queries
+    // instead of all samples of a few — the median then rejects it.
+    val samples = scala.collection.mutable.Map.empty[String, List[Double]]
+      .withDefaultValue(Nil)
+    (1 to nRuns).foreach { _ =>
+      names.foreach { n => samples(n) = timedPass(n) :: samples(n) }
+    }
+    def median(xs: List[Double]): Double = {
+      val s = xs.sorted
+      s(s.size / 2) // odd n → true median; even n → upper-median (conservative)
+    }
+    val results = names.map(n => n -> median(samples(n)))
+    val qs = results
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$nRuns,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -17,10 +17,12 @@ import graft.Tables
   *    at web scale and `OVER ()` would serialize them onto one reducer.
   *  - quality gate: percent_rank within lang needs a per-lang sort; lang
   *    cardinality is tiny (~dozens), so at 100 TB the window would hot-spot.
-  *    The shape to swap in at that scale is a per-lang `percentile_approx`
-  *    threshold (mergeable sketch) broadcast back as a filter — the gate
-  *    semantics (keep top 75% per lang) are unchanged. The exact-rank
-  *    version here is what makes the oracle bit-exact.
+  *    [[qualityGateApprox]] (q_quality_gate_approx) IS that scale path: a
+  *    per-lang `percentile_approx` threshold (mergeable sketch — map-side
+  *    partials, no per-lang sort) broadcast back as a filter, same gate
+  *    semantics (keep top 75% per lang). The exact-rank q_quality_percentile
+  *    stays as the bit-exact oracle anchor; CorpusSpec bounds the two
+  *    against each other.
   *  - BM25: term stats (df, avgdl) are tiny aggregates broadcast to the
   *    posting join; the per-term tf aggregation keys on (doc_id, term) —
   *    fine-grained, skew-proof.
@@ -40,6 +42,28 @@ object CorpusOps {
     df.filter(length(trim(col("text"))) > 0)
 
   private val toks = split(lower(trim(col("text"))), "\\s+")
+
+  /** Scale path of the percentile quality gate: per-lang approx-25th-
+    * percentile threshold (mergeable GK sketch, accuracy 10⁴ → rank error
+    * ≤ n/10⁴) computed with map-side partial aggregation, broadcast back to
+    * the corpus as a plain filter. No per-lang window sort anywhere — the
+    * only shuffle is the tiny per-lang sketch merge, so a hot (en) partition
+    * can't form at 100 TB. A deterministic doc_id·10⁻¹² jitter makes scores
+    * tie-free, so the kept fraction concentrates at 0.75 ± (sketch error +
+    * 1/n) and is bounds-checkable per lang. Returns (lang, n_docs, n_kept).
+    */
+  def qualityGateApprox(documents: DataFrame): DataFrame = {
+    val scored = nonEmpty(documents)
+      .select(col("doc_id"), col("lang"),
+        ((col("n_chars").cast("double") / size(toks)) +
+          col("doc_id").cast("double") * 1e-12).as("score"))
+    val thr = scored.groupBy(col("lang"))
+      .agg(percentile_approx(col("score"), lit(0.25), lit(10000)).as("thr"))
+    scored.join(broadcast(thr), "lang")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("score") >= col("thr"), 1L).otherwise(0L)).as("n_kept"))
+  }
 
   val queries: Map[String, Q] = Map(
     // ---- domain-mixture weights (temperature sampling, T=0.7): per-source
@@ -76,6 +100,19 @@ object CorpusOps {
           round(min(col("score")), 4).as("min_score"))
         .orderBy("lang")
     }),
+
+    // ---- approx quality gate (the 100 TB shape of q_quality_percentile —
+    //      see [[qualityGateApprox]]): the oracle value-checks the exact
+    //      per-lang populations and the Spark side reduces the kept fraction
+    //      to its concentration bound (0.75 ± 0.05 covers sketch error +
+    //      1/n discreteness at the smallest sf0.01 lang, n=64), the same
+    //      technique that oracle-gates q_agg_approx's HLL ----
+    "q_quality_gate_approx" -> ((s, d) =>
+      qualityGateApprox(docs(s, d))
+        .select(col("lang"), col("n_docs"),
+          (abs(col("n_kept").cast("double") / col("n_docs") - 0.75) <= 0.05)
+            .as("keep_frac_ok"))
+        .orderBy("lang")),
 
     // ---- BM25 (k1=1.2, b=0.75) for a fixed query over the corpus: doc
     //      frequencies and average doc length are broadcast scalars; the
@@ -192,6 +229,11 @@ object CorpusOps {
         |       round(min(score), 4) AS min_score
         |FROM r WHERE pr >= 0.25 GROUP BY lang ORDER BY lang""".stripMargin,
 
+    "q_quality_gate_approx" ->
+      """SELECT lang, count(*) AS n_docs, TRUE AS keep_frac_ok
+        |FROM documents WHERE length(trim(text)) > 0
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
     "q_bm25" ->
       """WITH tok AS (
         |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
@@ -231,11 +273,16 @@ object CorpusOps {
         |       round(avg(CAST(n_oov AS DOUBLE) / n_tok), 6) AS avg_oov_frac
         |FROM cov GROUP BY source ORDER BY source""".stripMargin,
 
+    // dims derived from each row's actual array length (not a hardcoded 64),
+    // mirroring the Spark side's posexplode — a dimension change can't make
+    // the oracle silently read out-of-bounds NULLs
     "q_embed_quantize" ->
       """WITH dims AS (
-        |  SELECT vec_id, label, i AS dim,
-        |         CAST(embedding[i] AS DOUBLE) AS v
-        |  FROM embeddings CROSS JOIN range(1, 65) r(i)),
+        |  SELECT vec_id, label, u.dim AS dim, u.v AS v FROM (
+        |    SELECT vec_id, label,
+        |           unnest(list_transform(range(1, len(embedding) + 1),
+        |             i -> {'dim': i, 'v': CAST(embedding[i] AS DOUBLE)})) AS u
+        |    FROM embeddings)),
         |rng AS (SELECT dim, min(v) AS mn, max(v) AS mx
         |        FROM dims GROUP BY dim),
         |q AS (

@@ -127,10 +127,14 @@ object DedupOps {
       .agg(min(col("dst")).as("mn"))
       .select(col("src").as("doc_id"), least(col("src"), col("mn")).as("cluster_id"))
       .persist()
-    // labels only ever decrease, so Σ cluster_id strictly decreases while
-    // any label improves — a single aggregate as the convergence check, no
-    // old-vs-new join
-    var prevSum = labels.agg(sum(col("cluster_id"))).head.getLong(0)
+    // labels only ever decrease, so (count, Σ) is a fixpoint witness — but a
+    // raw Long Σ of 64-bit doc ids can WRAP at ≥2^26 labeled docs, making
+    // `s == prevSum` a (vanishingly unlikely) false-converge. decimal(38,0)
+    // holds Σ of 2^63-scale ids up to ~10^19 rows exactly: wrap-proof, still
+    // one 1-row aggregate per round, no old-vs-new join.
+    def sigma(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum = sigma(labels)
     var converged = false
     while (!converged) {
       val prop = sym.join(labels, sym("dst") === labels("doc_id"))
@@ -139,15 +143,52 @@ object DedupOps {
         .groupBy(col("doc_id"))
         .agg(min(col("cluster_id")).as("cluster_id"))
         .persist()
-      val s = next.agg(sum(col("cluster_id"))).head.getLong(0)
+      val s = sigma(next)
       labels.unpersist()
       labels = next
-      converged = s == prevSum
+      converged = s.compareTo(prevSum) == 0
       prevSum = s
     }
     sym.unpersist()
     e.unpersist()
     labels
+  }
+
+  /** Character-5-gram Jaccard near-dup with a CONTENT-BANDED block key:
+    * (lang, size_bkt) prefix + 4 MinHash bands (8-perm signature, 2 rows per
+    * band) over the gram set. The old (lang, size_bkt)-only key let a popular
+    * (en, common-length) block's population scale with CORPUS size — one
+    * reducer sorted the whole block for the cap window, and the cap then
+    * discarded all but BucketCap docs (recall collapse). Banding bounds block
+    * population by CONTENT: docs only co-bucket when a signature band
+    * collides, so hot blocks shrink to genuine near-dup groups while true
+    * near-dups (gram-Jaccard ≥ 0.5) still share ≥1 of the 4 bands w.h.p.
+    * Exposed for spec-level stress inputs (degenerate same-lang/same-length
+    * corpora).
+    */
+  def ngramPairs(documents: DataFrame): DataFrame = {
+    val k = 8; val bands = 4; val rows = 2
+    val g = documents.select(col("doc_id"), col("lang"),
+      (col("n_chars") / 64).cast("int").as("size_bkt"),
+      graft.functions.TextExprs.charNgramHashes(col("text"), 5).as("grams"))
+      .persist()
+    val banded = g.select(col("doc_id"), col("lang"), col("size_bkt"),
+      posexplode(graft.functions.TextExprs.bandHashes(
+        graft.functions.TextExprs.minhashSig(col("grams"), k), bands, rows))
+        .as(Seq("band", "band_hash")))
+    val cand = cappedBuckets(banded, "doc_id", "lang", "size_bkt", "band", "band_hash")
+      .select(explode(pairsFromBucket(col("bucket"))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+      .distinct() // a pair can collide in several bands
+    // shuffled verification joins — gram sets are O(corpus)
+    val ga = g.select(col("doc_id").as("doc_a"), col("grams").as("grams_a"))
+    val gb = g.select(col("doc_id").as("doc_b"), col("grams").as("grams_b"))
+    cand.join(ga, "doc_a").join(gb, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(graft.functions.TextExprs.jaccardSorted(
+          col("grams_a"), col("grams_b")), 4).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy("doc_a", "doc_b")
   }
 
   val queries: Map[String, Q] = Map(
@@ -202,27 +243,9 @@ object DedupOps {
         .orderBy("doc_a", "doc_b")
     }),
 
-    // ---- character-5-gram Jaccard near-dup, blocked by (lang, size bucket)
-    //      with the same capped bucket-pair pattern as the LSH variants: an
-    //      unbounded block self-join is O(block²) and was the dominant bench
-    //      cost at sf0.1 — the cap bounds worst-case pairs per block ----
-    "q_dedup_ngram" -> ((s, d) => {
-      val g = docs(s, d).select(col("doc_id"), col("lang"),
-        (col("n_chars") / 64).cast("int").as("size_bkt"),
-        graft.functions.TextExprs.charNgramHashes(col("text"), 5).as("grams"))
-        .persist()
-      val cand = cappedBuckets(g, "doc_id", "lang", "size_bkt")
-        .select(explode(pairsFromBucket(col("bucket"))).as("p"))
-        .select(col("p.doc_a"), col("p.doc_b"))
-      val ga = g.select(col("doc_id").as("doc_a"), col("grams").as("grams_a"))
-      val gb = g.select(col("doc_id").as("doc_b"), col("grams").as("grams_b"))
-      cand.join(ga, "doc_a").join(gb, "doc_b")
-        .select(col("doc_a"), col("doc_b"),
-          round(graft.functions.TextExprs.jaccardSorted(
-            col("grams_a"), col("grams_b")), 4).as("jaccard"))
-        .filter(col("jaccard") >= 0.5)
-        .orderBy("doc_a", "doc_b")
-    }),
+    // ---- character-5-gram Jaccard near-dup, content-banded blocking
+    //      (see [[ngramPairs]]) ----
+    "q_dedup_ngram" -> ((s, d) => ngramPairs(docs(s, d))),
 
     // ---- embedding near-dup: random-hyperplane LSH buckets, exact cosine
     //      verification (threshold tuned to the synthetic data's range) ----
@@ -356,11 +379,15 @@ object DedupOps {
          |  SELECT doc_id, lang, n_chars // 64 AS size_bkt,
          |                  ${charNgramHashesSql("text", 5)} AS grams
          |           FROM documents),
-         |bk AS (SELECT lang, size_bkt,
+         |g2 AS (SELECT doc_id, lang, size_bkt, ${minhashSigSql("grams", 8)} AS sig FROM g),
+         |g3 AS (SELECT doc_id, lang, size_bkt, ${bandHashesSql("sig", 4, 2)} AS bands FROM g2),
+         |ex AS (SELECT doc_id, lang, size_bkt, b.range AS band, bands[b.range + 1] AS band_hash
+         |       FROM g3, range(0, 4) b),
+         |bk AS (SELECT lang, size_bkt, band, band_hash,
          |              list_sort(list_distinct(list(doc_id)))[1:$BucketCap] AS bucket
-         |       FROM g GROUP BY lang, size_bkt
+         |       FROM ex GROUP BY lang, size_bkt, band, band_hash
          |       HAVING len(list_distinct(list(doc_id))) >= 2),
-         |cand AS (SELECT pa.x AS doc_a, pb.y AS doc_b
+         |cand AS (SELECT DISTINCT pa.x AS doc_a, pb.y AS doc_b
          |         FROM bk, unnest(bk.bucket) AS pa(x), unnest(bk.bucket) AS pb(y)
          |         WHERE pa.x < pb.y),
          |pairs AS (

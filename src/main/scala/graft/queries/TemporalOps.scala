@@ -44,13 +44,17 @@ object TemporalOps {
     }),
 
     // ---- exponentially time-decayed engagement (7-day e-folding against a
-    //      fixed reference instant): per-row weight, one groupBy(user_id) ----
+    //      fixed reference instant): per-row weight, one groupBy(user_id).
+    //      least(secs, ref) clamps events AFTER the reference to weight 1,
+    //      so the weight is ≤ 1 for every event regardless of the data's
+    //      time range — decay never silently inverts into growth ----
     "q_decay_agg" -> ((s, d) =>
       events(s, d)
         .select(col("user_id"), col("value"),
           unix_timestamp(col("ts")).as("secs"))
         .withColumn("wgt",
-          exp((col("secs") - 1706745600L).cast("double") / 604800.0))
+          exp((least(col("secs"), lit(1706745600L)) - 1706745600L)
+            .cast("double") / 604800.0))
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_events"),
           round(sum(col("value") * col("wgt")), 4).as("decayed_value"))
@@ -92,7 +96,8 @@ object TemporalOps {
     "q_decay_agg" ->
       """SELECT user_id, count(*) AS n_events,
         |       round(sum(value * exp(
-        |         CAST(CAST(floor(epoch(ts)) AS BIGINT) - 1706745600 AS DOUBLE)
+        |         CAST(least(CAST(floor(epoch(ts)) AS BIGINT), 1706745600)
+        |              - 1706745600 AS DOUBLE)
         |           / 604800.0)), 4) AS decayed_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 

@@ -39,6 +39,26 @@ class CorpusSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("approx quality gate tracks the exact gate within the sketch bound") {
+    // equivalence bound between the scale path (sketch threshold) and the
+    // exact anchor (percent_rank): per-lang kept counts within
+    // max(2, 5% of lang population), and every bound flag green
+    val exact = q("q_quality_percentile").collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("n_kept")).toMap
+    val approx = graft.queries.CorpusOps
+      .qualityGateApprox(Tables(spark, sf, "documents")).collect()
+      .map(r => (r.getAs[String]("lang"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("n_kept")))
+    assert(approx.nonEmpty && approx.map(_._1).toSet == exact.keySet)
+    approx.foreach { case (lang, n, kept) =>
+      val bound = math.max(2L, (0.05 * n).toLong)
+      assert(math.abs(kept - exact(lang)) <= bound,
+        s"$lang: approx kept $kept vs exact ${exact(lang)} (n=$n)")
+    }
+    val flags = q("q_quality_gate_approx").collect()
+    assert(flags.forall(_.getAs[Boolean]("keep_frac_ok")))
+  }
+
   test("bm25 scores are positive and favor term-dense docs") {
     val rows = q("q_bm25").collect()
     assert(rows.nonEmpty)

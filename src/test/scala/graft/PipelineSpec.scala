@@ -29,14 +29,43 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
       val ids = bs.map(_.getAs[Long]("bin_id")).sorted
       assert(ids.zipWithIndex.forall { case (b, i) => b == i })
     }
-    // every bin except a shard's last holds ≥ 2048 tokens worth of boundary:
-    // its last doc must cross the 2048 line (concat-then-chunk semantics)
+    // concat-then-chunk boundary invariant: a doc starts bin b when the
+    // running total BEFORE it is in [b·2048, (b+1)·2048), so within a shard
+    // the cumulative token count through the last doc of every non-final bin
+    // must CROSS that bin's upper boundary (else the next doc would still
+    // belong to the same bin)
     bins.groupBy(_.getAs[Long]("shard")).foreach { case (_, bs) =>
-      val last = bs.map(_.getAs[Long]("bin_id")).max
-      bs.filter(_.getAs[Long]("bin_id") < last).foreach { b =>
-        assert(b.getAs[Long]("n_tokens") > 0)
+      val byBin = bs.sortBy(_.getAs[Long]("bin_id"))
+      val cums = byBin.scanLeft(0L)(_ + _.getAs[Long]("n_tokens")).drop(1)
+      byBin.zip(cums).dropRight(1).foreach { case (b, cumThroughBin) =>
+        assert(cumThroughBin >= (b.getAs[Long]("bin_id") + 1) * 2048,
+          s"shard ${b.getAs[Long]("shard")} bin ${b.getAs[Long]("bin_id")} " +
+            s"ends at $cumThroughBin before its boundary")
       }
     }
+  }
+
+  test("sequence packing conserves tokens at any shard count") {
+    // the shard count is the scale knob — token conservation and bin
+    // contiguity must hold per shard regardless of its value
+    val docs = Tables(spark, sf, "documents")
+    val total = docs
+      .filter(length(trim(col("text"))) > 0)
+      .select(size(split(trim(col("text")), "\\s+")).as("n"))
+      .agg(sum("n")).head.getLong(0)
+    Seq(3, 32).foreach { shards =>
+      val bins = graft.queries.PipelineOps.packSequences(docs, shards).collect()
+      assert(bins.map(_.getAs[Long]("n_tokens")).sum == total, s"shards=$shards")
+      assert(bins.map(_.getAs[Long]("shard")).distinct.length == shards)
+      bins.groupBy(_.getAs[Long]("shard")).foreach { case (_, bs) =>
+        val ids = bs.map(_.getAs[Long]("bin_id")).sorted
+        assert(ids.zipWithIndex.forall { case (b, i) => b == i })
+      }
+    }
+    // default: shard count follows the session's parallelism
+    val defBins = graft.queries.PipelineOps.packSequences(docs).collect()
+    assert(defBins.map(_.getAs[Long]("shard")).distinct.length ==
+      math.min(spark.sparkContext.defaultParallelism, docs.count()).toInt)
   }
 
   test("pii scrub removes every email and phone pattern") {

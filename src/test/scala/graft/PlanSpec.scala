@@ -99,6 +99,45 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("corpus-stat queries broadcast their tiny scalar/vocab sides") {
+    // bm25: df (≤3 terms) + avgdl/n_docs (1 row); domain mix: the 1-row
+    // normalizer; vocab coverage: the top-10 vocab; quantize: the 64-row
+    // per-dimension range. Each must KEEP its broadcast hint — losing it
+    // shuffles the corpus on a coarse key at 100 TB.
+    Seq("q_bm25", "q_domain_mix", "q_vocab_coverage", "q_embed_quantize")
+      .foreach { n =>
+        val hints = optimized(n).collect { case j: Join => j.hint }
+          .filter(h => h.leftHint.flatMap(_.strategy).nonEmpty ||
+            h.rightHint.flatMap(_.strategy).nonEmpty)
+        assert(hints.nonEmpty, s"$n lost its broadcast hint")
+      }
+  }
+
+  test("approx quality gate has no window sort and broadcasts the threshold") {
+    // the whole point of the approx gate is replacing the per-lang
+    // percent_rank window with a sketch + broadcast-back filter: a Window
+    // node reappearing means the scale path regressed to the exact one
+    val plan = physical("q_quality_gate_approx")
+    assert(plan.collectFirst {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, "approx gate must not contain a Window")
+    val hints = optimized("q_quality_gate_approx")
+      .collect { case j: Join => j.hint }
+      .filter(h => h.leftHint.flatMap(_.strategy).nonEmpty ||
+        h.rightHint.flatMap(_.strategy).nonEmpty)
+    assert(hints.nonEmpty, "threshold join lost its broadcast hint")
+  }
+
+  test("bloom pre-filter is a native codegen expression, not a Scala UDF") {
+    val plan = physical("q_bloom_join")
+    val udfs = plan.flatMap(_.expressions).flatMap(_.collect {
+      case u: org.apache.spark.sql.catalyst.expressions.ScalaUDF => u
+    })
+    assert(udfs.isEmpty, s"ScalaUDF in q_bloom_join plan: $udfs")
+    assert(plan.toString.contains("might_contain"),
+      "BloomFilterMightContain missing from q_bloom_join plan")
+  }
+
   // ---- aggregation contract: map-side partials -----------------------------
 
   test("group-by aggregates keep map-side partial aggregation") {

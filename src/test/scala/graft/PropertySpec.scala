@@ -149,6 +149,27 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("connectedComponents converges exactly with doc ids near 2^62") {
+    // the convergence check is a decimal(38,0) Σ of labels — a raw Long Σ
+    // would wrap on ids this large and could false-converge. Two chains and
+    // a singleton pair, all in the top of the id space.
+    import spark.implicits._
+    val base = (1L << 62) - 16
+    val edges = Seq(
+      (base + 1, base + 2), (base + 2, base + 3), (base + 3, base + 4),
+      (base + 8, base + 9), (base + 9, base + 10),
+      (base + 12, base + 13))
+    val got = graft.queries.DedupOps.connectedComponents(
+        edges.toDF("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Map(
+      base + 1 -> (base + 1), base + 2 -> (base + 1),
+      base + 3 -> (base + 1), base + 4 -> (base + 1),
+      base + 8 -> (base + 8), base + 9 -> (base + 8), base + 10 -> (base + 8),
+      base + 12 -> (base + 12), base + 13 -> (base + 12))
+    assert(got == want)
+  }
+
   test("RollingHash is order-sensitive where md5 fingerprint content-equal") {
     import spark.implicits._
     val df = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha")).toDF("id", "text")

@@ -82,6 +82,29 @@ class TextDedupSpec extends AnyFunSuite with SparkSpec {
     assert(pairs.forall(_.getAs[Double]("est_jaccard") == 1.0))
   }
 
+  test("ngram blocking is content-banded: hot (lang,size) block keeps recall") {
+    // 10k docs, ALL the same lang and length bucket: under the old
+    // (lang, size_bkt)-only block key this was ONE window partition of 10k
+    // rows and the BucketCap pre-cap discarded every doc above id 63 —
+    // recall collapsed to pairs among the 64 smallest ids. The content band
+    // splits the block by gram-set MinHash bands, so the 5000 true dup pairs
+    // (i, i+5000) each land in their own fine bucket and ALL survive.
+    import org.apache.spark.sql.functions._
+    val docs = spark.range(10000).select(
+      col("id").as("doc_id"),
+      lit("en").as("lang"),
+      concat_ws(" ",
+        md5(concat(lit("a"), (col("id") % 5000).cast("string"))),
+        md5(concat(lit("b"), (col("id") % 5000).cast("string"))),
+        md5(concat(lit("c"), (col("id") % 5000).cast("string")))).as("text"))
+      .withColumn("n_chars", length(col("text"))) // constant: 3*32+2 = 98
+    val pairs = graft.queries.DedupOps.ngramPairs(docs).collect()
+    val got = pairs.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val want = (0L until 5000L).map(i => (i, i + 5000L)).toSet
+    assert(got == want, s"recall ${got.intersect(want).size}/5000, spurious ${(got -- want).size}")
+    assert(pairs.forall(_.getAs[Double]("jaccard") == 1.0))
+  }
+
   test("rolling fingerprint is deterministic and order-sensitive") {
     val a = q("q_doc_rollhash").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val b = q("q_doc_rollhash").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
