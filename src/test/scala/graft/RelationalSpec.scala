@@ -17,8 +17,13 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
     // every query — including the LSH/sketch/stub-decode pipelines (mod-P
     // hashing, literal hyperplane weights, float32 stub decode) and the HLL
     // row (exact count value-checked, estimate reduced to its 5% bound) —
-    // replicates bit-exactly in DuckDB.
-    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // replicates bit-exactly in DuckDB. Sole exception: raw-sketch outputs
+    // (Spark HLL++ ≠ DuckDB's HLL, so no cross-engine value equality can
+    // exist) — those are rows-checked by the driver and value-BOUNDED here
+    // against exact counts, with a fully-oracled anchor query alongside.
+    val sketchValueQueries = Set("q_hll_sketch")
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet --
+      sketchValueQueries
     assert(noOracle.isEmpty, s"queries without oracle: $noOracle")
   }
 
@@ -35,6 +40,24 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
     val row = q("q_agg_approx").collect().head
     assert(row.getAs[Boolean]("approx_ok"))
     assert(row.getAs[Long]("exact_parts") == exact.toLong)
+  }
+
+  test("q_hll_sketch: per-group estimates within 5% of exact distinct counts") {
+    // the sketch-only production plan has no oracle (engine-specific HLL
+    // values) — bound every group's estimate against the exact count here
+    import org.apache.spark.sql.functions.{col, countDistinct}
+    val exact = Tables(spark, sf, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("exact"))
+      .collect()
+      .map(r => r.getAs[String]("l_returnflag") -> r.getAs[Long]("exact")).toMap
+    val rows = q("q_hll_sketch").collect()
+    assert(rows.map(_.getAs[String]("l_returnflag")).toSet == exact.keySet)
+    rows.foreach { r =>
+      val e = exact(r.getAs[String]("l_returnflag")).toDouble
+      val a = r.getAs[Long]("approx_parts").toDouble
+      assert(math.abs(a - e) / e < 0.05, s"${r.getAs[String]("l_returnflag")}: approx=$a exact=$e")
+    }
   }
 
   test("q_scalar_subq returns rows (threshold inside the price range)") {
