@@ -190,6 +190,60 @@ object CorpusOps {
         .orderBy("label")
     }),
 
+    // ---- unigram-LM quality score (CCNet-style perplexity proxy): train a
+    //      corpus unigram model (token counts — one map-side-combined agg;
+    //      the LM table is vocab-sized, bounded by language not corpus, so
+    //      it broadcasts), then score each doc by its avg cross-entropy
+    //      -ln P(t). High score = rare-token-heavy (boilerplate, garbled
+    //      text); the canonical cheap quality filter before an expensive
+    //      model-based one. The broadcast join means the Zipf-head tokens
+    //      ("the") never become a shuffle hot key ----
+    "q_lm_score" -> ((s, d) => {
+      val tok = nonEmpty(docs(s, d))
+        .select(col("doc_id"), explode(toks).as("t"))
+      val cnt = tok.groupBy(col("t")).agg(count(lit(1)).as("c"))
+      val tot = cnt.agg(sum(col("c")).cast("double").as("tot"))
+      tok.join(broadcast(cnt), "t")
+        .crossJoin(broadcast(tot))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tok"),
+          round(avg(log(col("tot") / col("c"))), 4).as("xent"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- mixture-weighted downsampling: turns q_domain_mix's weights into
+    //      an actual sampled corpus. Per-source keep rate = the source's
+    //      share of a 50%-of-corpus token budget under temperature weights,
+    //      capped at 100%; membership is the deterministic LCG bucket (same
+    //      generator as q_sample_hash), so the sample is reproducible across
+    //      engines and runs. Rates are a broadcast table; the corpus is
+    //      never shuffled — per-row filter only, then one fine-keyed agg ----
+    "q_domain_sample" -> ((s, d) => {
+      val base = nonEmpty(docs(s, d))
+        .select(col("doc_id"), col("source"), size(toks).as("n_tok"))
+      val bySrc = base.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+        .withColumn("w", pow(col("n_tokens").cast("double"), 0.7))
+      val tot = bySrc.agg(sum(col("w")).as("tot_w"),
+        sum(col("n_docs")).as("tot_docs"))
+      val rates = bySrc.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"),
+          round(least(lit(100.0),
+            lit(50.0) * col("tot_docs") * (col("w") / col("tot_w")) /
+              col("n_docs")), 4).as("rate_pct"))
+      val bucket = pmod(col("doc_id") * lit(1103515245L) + lit(12345L),
+        lit(2147483647L)) % 100
+      val kept = base
+        .join(broadcast(rates.select(col("source"), col("rate_pct"))), "source")
+        .filter(bucket.cast("double") < col("rate_pct"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"))
+      rates.join(kept, Seq("source"), "left")
+        .select(col("source"), col("n_docs"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"), col("rate_pct"))
+        .orderBy("source")
+    }),
+
     // ---- document-length histogram (equi-width 16-token bins): pure
     //      integer bucket arithmetic (no float boundary risk), one
     //      map-side-combined groupBy on the bin key ----
@@ -298,6 +352,40 @@ object CorpusOps {
         |SELECT label, count(DISTINCT vec_id) AS n_vecs,
         |       round(sqrt(avg(se)) * 1000.0, 6) AS rmse_milli
         |FROM e GROUP BY label ORDER BY label""".stripMargin,
+
+    "q_lm_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |cnt AS (SELECT t, count(*) AS c FROM toks GROUP BY t),
+        |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS tot FROM cnt)
+        |SELECT doc_id, count(*) AS n_tok, round(avg(ln(tot / c)), 4) AS xent
+        |FROM toks JOIN cnt USING (t) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_domain_sample" ->
+      """WITH base AS (
+        |  SELECT doc_id, source,
+        |         len(regexp_split_to_array(lower(trim(text)), '\s+')) AS n_tok
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |s AS (SELECT source, count(*) AS n_docs,
+        |             CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        |      FROM base GROUP BY source),
+        |w AS (SELECT *, pow(CAST(n_tokens AS DOUBLE), 0.7) AS w FROM s),
+        |t AS (SELECT CAST(sum(w) AS DOUBLE) AS tot_w,
+        |             CAST(sum(n_docs) AS BIGINT) AS tot_docs FROM w),
+        |r AS (SELECT source, n_docs,
+        |             round(least(100.0,
+        |               50.0 * tot_docs * (w / tot_w) / n_docs), 4) AS rate_pct
+        |      FROM w CROSS JOIN t),
+        |k AS (SELECT b.source, count(*) AS n_kept
+        |      FROM base b JOIN r USING (source)
+        |      WHERE CAST(((b.doc_id * 1103515245 + 12345) % 2147483647) % 100
+        |                 AS DOUBLE) < r.rate_pct
+        |      GROUP BY b.source)
+        |SELECT r.source, r.n_docs, coalesce(k.n_kept, 0) AS n_kept, r.rate_pct
+        |FROM r LEFT JOIN k ON r.source = k.source ORDER BY r.source""".stripMargin,
 
     "q_len_histogram" ->
       """WITH t AS (

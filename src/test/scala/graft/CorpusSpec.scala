@@ -67,6 +67,44 @@ class CorpusSpec extends AnyFunSuite with SparkSpec {
       r.getAs[Long]("n_terms") <= 3))
   }
 
+  test("lm score: cross-entropy is bounded by the corpus unigram extremes") {
+    // avg -ln P(t) must lie between the entropy of the most and least
+    // common tokens — a doc can't score outside the support of the LM
+    val rows = q("q_lm_score").collect()
+    assert(rows.nonEmpty)
+    val toks = Tables(spark, sf, "documents")
+      .filter(length(trim(col("text"))) > 0)
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("t"))
+      .groupBy("t").count().agg(
+        sum(col("count")), max(col("count")), min(col("count"))).head
+    val (tot, cMax, cMin) =
+      (toks.getLong(0).toDouble, toks.getLong(1).toDouble, toks.getLong(2).toDouble)
+    val (lo, hi) = (math.log(tot / cMax), math.log(tot / cMin))
+    rows.foreach { r =>
+      val x = r.getAs[Double]("xent")
+      assert(x >= lo - 1e-3 && x <= hi + 1e-3, s"doc ${r.getLong(0)}: $x not in [$lo, $hi]")
+    }
+  }
+
+  test("domain sample: rates valid, kept within budget, deterministic") {
+    val rows = q("q_domain_sample").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val rate = r.getAs[Double]("rate_pct")
+      assert(rate > 0.0 && rate <= 100.0)
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_docs"))
+    }
+    // the rates allocate a 50%-of-corpus budget; sources capped at 100%
+    // under-spend it and the LCG bucket adds sampling noise — the total
+    // kept fraction must still land in a loose band around the budget
+    val kept = rows.map(_.getAs[Long]("n_kept")).sum.toDouble
+    val tot = rows.map(_.getAs[Long]("n_docs")).sum.toDouble
+    assert(kept / tot > 0.2 && kept / tot < 0.8, s"kept ${kept / tot} of corpus")
+    // deterministic: the same sample on every run
+    val again = q("q_domain_sample").collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("vocab coverage: oov fraction is a valid ratio") {
     val rows = q("q_vocab_coverage").collect()
     assert(rows.forall { r =>
