@@ -104,7 +104,10 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     // normalizer; vocab coverage: the top-10 vocab; quantize: the 64-row
     // per-dimension range. Each must KEEP its broadcast hint — losing it
     // shuffles the corpus on a coarse key at 100 TB.
-    Seq("q_bm25", "q_domain_mix", "q_vocab_coverage", "q_embed_quantize")
+    // lm_score: the vocab-sized unigram LM; domain_sample: the per-source
+    // rate table
+    Seq("q_bm25", "q_domain_mix", "q_vocab_coverage", "q_embed_quantize",
+      "q_lm_score", "q_domain_sample")
       .foreach { n =>
         val hints = optimized(n).collect { case j: Join => j.hint }
           .filter(h => h.leftHint.flatMap(_.strategy).nonEmpty ||
