@@ -105,13 +105,21 @@ object DedupOps {
     *
     * Scale design: each round is one shuffled join (edges ⋈ labels on dst)
     * plus one groupBy(min) — all distributed, nothing collected; the driver
-    * loop runs O(component diameter) rounds (near-dup clusters are shallow —
-    * a handful of rounds even at corpus scale) and each round's convergence
-    * check is a `count`, not a data collect. Labels persist round-to-round
+    * loop runs O(component diameter) rounds for shallow components (near-dup
+    * clusters are typically 1-2 rounds) and each round's convergence check
+    * is a 1-row aggregate, not a data collect. Labels persist round-to-round
     * so lineage doesn't re-grow. The same propagate-min round is how
-    * GraphFrames/Pregel formulate CC; at extreme scale the large-star/
-    * small-star variant halves round count but the per-round plan is
-    * identical.
+    * GraphFrames/Pregel formulate CC.
+    *
+    * Adversarial chain-shaped components would make pure propagation
+    * O(diameter): from round 3 on (i.e. only when a deep component is
+    * actually present) each round additionally composes the label map with
+    * itself (pointer halving, `labels ∘ labels` — one extra self-join on the
+    * label key), which collapses remaining depth in O(log diameter) rounds.
+    * Composition is sound because every cluster_id is itself a labeled node
+    * and labels only decrease within a component, so `labels(labels(x))` is
+    * a valid (smaller-or-equal) label for x; typical shallow corpora never
+    * reach round 3 and pay nothing.
     */
   def connectedComponents(edges: DataFrame): DataFrame = {
     // cache the edge set BEFORE symmetrizing: the union's two branches would
@@ -136,13 +144,21 @@ object DedupOps {
       df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head.getDecimal(0)
     var prevSum = sigma(labels)
     var converged = false
+    var round = 0
     while (!converged) {
+      round += 1
       val prop = sym.join(labels, sym("dst") === labels("doc_id"))
         .select(col("src").as("doc_id"), col("cluster_id"))
-      val next = labels.unionByName(prop)
+      val combined = labels.unionByName(prop)
         .groupBy(col("doc_id"))
         .agg(min(col("cluster_id")).as("cluster_id"))
-        .persist()
+      val next = (if (round < 3) combined else {
+        // still unconverged after 2 rounds → a deep component exists;
+        // pointer-halve: relabel every node by its label's label
+        val l2 = combined.select(col("doc_id").as("k"), col("cluster_id").as("v"))
+        combined.join(l2, combined("cluster_id") === l2("k"))
+          .select(combined("doc_id"), l2("v").as("cluster_id"))
+      }).persist()
       val s = sigma(next)
       labels.unpersist()
       labels = next

@@ -149,6 +149,22 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("connectedComponents resolves a deep chain (pointer-halving path)") {
+    // a 100-node path with the minimum at one END is the adversarial shape:
+    // pure min-propagation needs ~100 rounds (one Spark job each); the
+    // round-3 pointer-halving must collapse it in O(log n) rounds. The id
+    // permutation (i*37 % 101) makes labels non-monotone along the path.
+    import spark.implicits._
+    val ids = (0 until 100).map(i => (i * 37L) % 101L)
+    val edges = ids.sliding(2).map(p => (p(0), p(1))).toSeq
+    val got = graft.queries.DedupOps.connectedComponents(
+        edges.toDF("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val mn = ids.min
+    assert(got.keySet == ids.toSet)
+    assert(got.values.forall(_ == mn), s"labels: ${got.values.toSet}")
+  }
+
   test("connectedComponents converges exactly with doc ids near 2^62") {
     // the convergence check is a decimal(38,0) Σ of labels — a raw Long Σ
     // would wrap on ids this large and could false-converge. Two chains and
