@@ -152,13 +152,21 @@ object DedupOps {
       val combined = labels.unionByName(prop)
         .groupBy(col("doc_id"))
         .agg(min(col("cluster_id")).as("cluster_id"))
+      // localCheckpoint (not persist): the composition step references
+      // `combined` twice, so without lineage truncation the logical plan
+      // DOUBLES per round — exponential tree growth that OOMs just building
+      // plan strings. Checkpointing caches the round's result AND cuts the
+      // plan to a leaf; superseded round RDDs are reclaimed by the context
+      // cleaner once the loop drops its reference. (A multi-thousand-node
+      // cluster would use reliable checkpointing to survive executor loss;
+      // the per-round plan is identical.)
       val next = (if (round < 3) combined else {
         // still unconverged after 2 rounds → a deep component exists;
         // pointer-halve: relabel every node by its label's label
         val l2 = combined.select(col("doc_id").as("k"), col("cluster_id").as("v"))
         combined.join(l2, combined("cluster_id") === l2("k"))
           .select(combined("doc_id"), l2("v").as("cluster_id"))
-      }).persist()
+      }).localCheckpoint()
       val s = sigma(next)
       labels.unpersist()
       labels = next
