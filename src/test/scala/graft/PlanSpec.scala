@@ -150,6 +150,16 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("sketch aggregations are mergeable partials (the 100 TB property)") {
+    // the production sketch plans' whole value is that the sketch state is
+    // partial-aggregated map-side and merged — a plan that ships raw rows
+    // to one reducer per group would still be correct and useless at scale
+    Seq("q_quantile_sketch", "q_hll_sketch", "q_agg_approx").foreach { n =>
+      val plan = physical(n).toString
+      assert(plan.contains("partial_"), s"$n lost partial sketch aggregation")
+    }
+  }
+
   // ---- shuffle-count contract ----------------------------------------------
 
   test("sessionize shuffles once, on user_id") {
