@@ -230,6 +230,31 @@ object PipelineOps {
         .orderBy("doc_id")
     }),
 
+    // ---- span-level boilerplate detection (the exact-substring analog of
+    //      doc-level MinHash dedup, à la C4's repeated-line removal): docs
+    //      are chunked into non-overlapping 3-token spans, per-span document
+    //      frequency is computed corpus-wide, and spans appearing in ≥ 3
+    //      distinct docs are flagged as boilerplate. Two shuffles on the
+    //      span key (fine-grained). At 100 TB the Zipf head of span-df is
+    //      the skew risk on the stats join — the mitigation is the standard
+    //      hybrid: broadcast the (tiny) high-df head, shuffle-join the tail;
+    //      the aggregation itself is already map-side combined ----
+    "q_span_dedup" -> ((s, d) => {
+      val sp = tokenized(s, d)
+        .filter(size(col("w")) >= 3)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(0), expr("size(w) div 3").cast("int") - 1),
+          i => concat_ws(" ", slice(col("w"), i * 3 + 1, lit(3))))).as("span"))
+      val df = sp.groupBy(col("span"))
+        .agg(countDistinct(col("doc_id")).as("ndocs"))
+      sp.join(df, "span")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans"),
+          sum(when(col("ndocs") >= 3, 1L).otherwise(0L)).as("n_boiler"),
+          round(avg(col("ndocs").cast("double")), 4).as("avg_span_df"))
+        .orderBy("doc_id")
+    }),
+
     // ---- array-function matrix over token arrays (per-row, no shuffle) ----
     "q_array_fns" -> ((s, d) =>
       tokenized(s, d).select(col("doc_id"),
@@ -362,6 +387,22 @@ object PipelineOps {
         |WHERE doc_id % 10 = 9
         |  AND NOT EXISTS (SELECT 1 FROM hist h WHERE h.fp = f.fp)
         |ORDER BY doc_id""".stripMargin,
+
+    "q_span_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |sp AS (
+        |  SELECT doc_id, unnest(list_transform(range(0, len(w) // 3),
+        |           i -> array_to_string(w[i*3+1:i*3+3], ' '))) AS span
+        |  FROM toks WHERE len(w) >= 3),
+        |df AS (SELECT span, count(DISTINCT doc_id) AS ndocs FROM sp GROUP BY span)
+        |SELECT doc_id, count(*) AS n_spans,
+        |       CAST(sum(CASE WHEN ndocs >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_boiler,
+        |       round(avg(CAST(ndocs AS DOUBLE)), 4) AS avg_span_df
+        |FROM sp JOIN df USING (span)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_array_fns" ->
       """WITH toks AS (

@@ -106,6 +106,24 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(kept < total / 2, s"bloom kept $kept of $total")
   }
 
+  test("span dedup: span counts conserve and boilerplate is a subset") {
+    val rows = q("q_span_dedup").collect()
+    assert(rows.nonEmpty)
+    // every doc's span count is exactly ⌊tokens/3⌋ (non-overlapping chunks)
+    val want = Tables(spark, sf, "documents")
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"),
+        (size(split(lower(trim(col("text"))), "\\s+")) / 3).cast("long").as("k"))
+      .filter(col("k") >= 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.map(_.getAs[Long]("doc_id")).toSet == want.keySet)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_spans") == want(r.getAs[Long]("doc_id")))
+      assert(r.getAs[Long]("n_boiler") <= r.getAs[Long]("n_spans"))
+      assert(r.getAs[Double]("avg_span_df") >= 1.0)
+    }
+  }
+
   test("repetition signals are bounded and consistent") {
     val rows = q("q_quality_repetition").collect()
     rows.foreach { r =>
