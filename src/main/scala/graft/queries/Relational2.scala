@@ -107,6 +107,24 @@ object Relational2 {
         substring(col("p_name"), 1, 3).as("left3"))
         .orderBy("p_partkey")),
 
+    // ---- map/struct function matrix: construction + key/value access +
+    //      field extraction, reduced to scalar columns. The oracle derives
+    //      each output algebraically from the same base columns (the
+    //      q_url_parse inverse-check pattern), proving Spark's map/struct
+    //      semantics invert their construction exactly ----
+    "q_map_fns" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+        map(lit("lang"), col("lang"), lit("src"), col("source")).as("m"),
+        struct(col("n_chars").as("nc"), col("lang").as("lg")).as("st"))
+        .select(col("doc_id"),
+          element_at(col("m"), "lang").as("m_lang"),
+          size(col("m")).as("m_size"),
+          concat_ws(",", map_keys(col("m"))).as("m_keys"),
+          concat_ws(",", map_values(col("m"))).as("m_vals"),
+          col("st.nc").as("st_nc"),
+          col("st.lg").as("st_lg"))
+        .orderBy("doc_id")),
+
     // ---- word count: the canonical explode → aggregate pipeline ----
     "q_wordcount" -> ((s, d) =>
       docs(s, d)
@@ -490,6 +508,16 @@ object Relational2 {
         |       translate(p_brand, '#', '-') AS brand_dash,
         |       substring(p_name, 1, 3) AS left3
         |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_map_fns" ->
+      """SELECT doc_id,
+        |       lang AS m_lang,
+        |       CAST(2 AS INTEGER) AS m_size,
+        |       'lang,src' AS m_keys,
+        |       lang || ',' || source AS m_vals,
+        |       n_chars AS st_nc,
+        |       lang AS st_lg
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_wordcount" ->
       """SELECT t.token, count(*) AS cnt
