@@ -244,6 +244,28 @@ object CorpusOps {
         .orderBy("source")
     }),
 
+    // ---- weighted (priority) sampling: inclusion favors token-heavy docs.
+    //      Each doc draws a deterministic pseudo-uniform u (the same LCG
+    //      generator as q_sample_hash) and gets priority key u / w with
+    //      w = token count; the 50 smallest keys form the sample —
+    //      Duffield-style priority sampling, reproducible across engines
+    //      because the key is ONE IEEE division (exact-rounded identically
+    //      everywhere), never a libm pow/log. Scale shape: the top-k is
+    //      TakeOrderedAndProject — per-partition 50-row heaps merged on the
+    //      driver, no global sort, no shuffle of the corpus ----
+    "q_sample_weighted" -> ((s, d) => {
+      val base = nonEmpty(docs(s, d))
+        .select(col("doc_id"), col("source"), size(toks).cast("long").as("n_tok"))
+      val u = pmod(col("doc_id") * lit(1103515245L) + lit(12345L),
+        lit(2147483647L))
+      base.withColumn("pri", u.cast("double") / col("n_tok"))
+        .orderBy(col("pri").asc, col("doc_id").asc)
+        .limit(50)
+        .select(col("doc_id"), col("source"), col("n_tok"),
+          round(col("pri"), 4).as("pri_r"))
+        .orderBy("doc_id")
+    }),
+
     // ---- document-length histogram (equi-width 16-token bins): pure
     //      integer bucket arithmetic (no float boundary risk), one
     //      map-side-combined groupBy on the bin key ----
@@ -386,6 +408,21 @@ object CorpusOps {
         |      GROUP BY b.source)
         |SELECT r.source, r.n_docs, coalesce(k.n_kept, 0) AS n_kept, r.rate_pct
         |FROM r LEFT JOIN k ON r.source = k.source ORDER BY r.source""".stripMargin,
+
+    "q_sample_weighted" ->
+      """WITH base AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(regexp_split_to_array(lower(trim(text)), '\s+'))
+        |              AS BIGINT) AS n_tok
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |p AS (
+        |  SELECT doc_id, source, n_tok,
+        |         CAST((doc_id * 1103515245 + 12345) % 2147483647 AS DOUBLE)
+        |           / n_tok AS pri
+        |  FROM base)
+        |SELECT doc_id, source, n_tok, round(pri, 4) AS pri_r
+        |FROM (SELECT * FROM p ORDER BY pri ASC, doc_id ASC LIMIT 50)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_len_histogram" ->
       """WITH t AS (

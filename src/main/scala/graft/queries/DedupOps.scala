@@ -190,7 +190,11 @@ object DedupOps {
     * Exposed for spec-level stress inputs (degenerate same-lang/same-length
     * corpora).
     */
-  def ngramPairs(documents: DataFrame): DataFrame = {
+  /** Shared candidate generation for the gram-set near-dup family: gram
+    * sets (persisted — both verification joins reuse them) and the banded,
+    * capped, deduped candidate pair set. Returns (grams, candidates).
+    */
+  private def ngramBlocked(documents: DataFrame): (DataFrame, DataFrame) = {
     val k = 8; val bands = 4; val rows = 2
     val g = documents.select(col("doc_id"), col("lang"),
       (col("n_chars") / 64).cast("int").as("size_bkt"),
@@ -204,6 +208,11 @@ object DedupOps {
       .select(explode(pairsFromBucket(col("bucket"))).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"))
       .distinct() // a pair can collide in several bands
+    (g, cand)
+  }
+
+  def ngramPairs(documents: DataFrame): DataFrame = {
+    val (g, cand) = ngramBlocked(documents)
     // shuffled verification joins — gram sets are O(corpus)
     val ga = g.select(col("doc_id").as("doc_a"), col("grams").as("grams_a"))
     val gb = g.select(col("doc_id").as("doc_b"), col("grams").as("grams_b"))
@@ -212,6 +221,28 @@ object DedupOps {
         round(graft.functions.TextExprs.jaccardSorted(
           col("grams_a"), col("grams_b")), 4).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Containment near-dup (sub-document / quote detection): same banded
+    * candidate generation as [[ngramPairs]], but scored with CONTAINMENT
+    * |A∩B| / min(|A|,|B|) instead of Jaccard — a short doc wholly embedded
+    * in a long one scores ~1.0 here while its Jaccard stays low. The
+    * intersection size is integer set arithmetic (both engines use set
+    * semantics on the distinct gram arrays) and the division is one IEEE op,
+    * so the score is bit-identical cross-engine.
+    */
+  def containmentPairs(documents: DataFrame): DataFrame = {
+    val (g, cand) = ngramBlocked(documents)
+    val ga = g.select(col("doc_id").as("doc_a"), col("grams").as("grams_a"))
+    val gb = g.select(col("doc_id").as("doc_b"), col("grams").as("grams_b"))
+    cand.join(ga, "doc_a").join(gb, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(size(array_intersect(col("grams_a"), col("grams_b")))
+          .cast("double") /
+          least(size(col("grams_a")), size(col("grams_b"))), 4)
+          .as("containment"))
+      .filter(col("containment") >= 0.45)
       .orderBy("doc_a", "doc_b")
   }
 
@@ -270,6 +301,10 @@ object DedupOps {
     // ---- character-5-gram Jaccard near-dup, content-banded blocking
     //      (see [[ngramPairs]]) ----
     "q_dedup_ngram" -> ((s, d) => ngramPairs(docs(s, d))),
+
+    // ---- containment scoring over the same blocked candidates
+    //      (see [[containmentPairs]]) ----
+    "q_dedup_containment" -> ((s, d) => containmentPairs(docs(s, d))),
 
     // ---- embedding near-dup: random-hyperplane LSH buckets, exact cosine
     //      verification (threshold tuned to the synthetic data's range) ----
@@ -422,6 +457,32 @@ object DedupOps {
          |  FROM cand c JOIN g a ON a.doc_id = c.doc_a JOIN g b ON b.doc_id = c.doc_b)
          |SELECT doc_a, doc_b, jaccard FROM pairs
          |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
+    },
+
+    "q_dedup_containment" -> {
+      import graft.functions.TextExprs._
+      s"""WITH g AS MATERIALIZED (
+         |  SELECT doc_id, lang, n_chars // 64 AS size_bkt,
+         |                  ${charNgramHashesSql("text", 5)} AS grams
+         |           FROM documents),
+         |g2 AS (SELECT doc_id, lang, size_bkt, ${minhashSigSql("grams", 8)} AS sig FROM g),
+         |g3 AS (SELECT doc_id, lang, size_bkt, ${bandHashesSql("sig", 4, 2)} AS bands FROM g2),
+         |ex AS (SELECT doc_id, lang, size_bkt, b.range AS band, bands[b.range + 1] AS band_hash
+         |       FROM g3, range(0, 4) b),
+         |bk AS (SELECT lang, size_bkt, band, band_hash,
+         |              list_sort(list_distinct(list(doc_id)))[1:$BucketCap] AS bucket
+         |       FROM ex GROUP BY lang, size_bkt, band, band_hash
+         |       HAVING len(list_distinct(list(doc_id))) >= 2),
+         |cand AS (SELECT DISTINCT pa.x AS doc_a, pb.y AS doc_b
+         |         FROM bk, unnest(bk.bucket) AS pa(x), unnest(bk.bucket) AS pb(y)
+         |         WHERE pa.x < pb.y),
+         |pairs AS (
+         |  SELECT c.doc_a, c.doc_b,
+         |         round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+         |               / least(len(a.grams), len(b.grams)), 4) AS containment
+         |  FROM cand c JOIN g a ON a.doc_id = c.doc_a JOIN g b ON b.doc_id = c.doc_b)
+         |SELECT doc_a, doc_b, containment FROM pairs
+         |WHERE containment >= 0.45 ORDER BY doc_a, doc_b""".stripMargin
     }
   )
 }

@@ -199,6 +199,24 @@ object PipelineOps {
         .select(col("l_returnflag"), round(col("ap90"), 2).as("p90_disc"))
         .orderBy("l_returnflag")),
 
+    // ---- range-partition layout planning: the boundary table a
+    //      repartitionByRange writer uses — 7 split points dividing the
+    //      o_orderdate key space into 8 equal-mass shards, from ONE
+    //      mergeable percentile_approx pass (map-side partials, no sort of
+    //      the table). Exact at fixture scale (sketch retains all values);
+    //      at 100 TB the identical plan holds with ±10⁻⁶·n rank error
+    //      spreading shard mass — which is what range-partitioned writers
+    //      (and Spark's own RangePartitioner sampling) accept by design ----
+    "q_range_layout" -> ((s, d) => {
+      val k = Tables(s, d, "orders")
+        .select(unix_timestamp(col("o_orderdate")).as("k"))
+      k.agg(percentile_approx(col("k"),
+          array((1 to 7).map(i => lit(i / 8.0)): _*), lit(1000000)).as("bs"))
+        .select(posexplode(col("bs")).as(Seq("p", "boundary_s")))
+        .select((col("p") + 1).cast("long").as("part_id"), col("boundary_s"))
+        .orderBy("part_id")
+    }),
+
     // ---- approx-quantile sketch vs exact (the percentile analog of
     //      q_agg_approx's HLL): the approx value is mergeable partial state,
     //      value-checked by reducing it to its error bound against the exact
@@ -228,6 +246,36 @@ object PipelineOps {
         .join(hist, Seq("fp"), "left_anti")
         .select(col("doc_id"), col("fp"))
         .orderBy("doc_id")
+    }),
+
+    // ---- CDC merge (MERGE INTO semantics over a snapshot): apply a keyed
+    //      change batch — updates, deletes, inserts — to the base table in
+    //      ONE full-outer shuffle join on the key, the scale shape of a
+    //      lakehouse MERGE: both sides hash-partition on o_orderkey (fine
+    //      key, no hotspot), no driver loop, no per-row lookups; at 100 TB
+    //      AQE broadcast-plans the (typically tiny) change side instead.
+    //      The change batch is derived deterministically from orders so the
+    //      oracle can reproduce it: key%10==3 → delete, ==7 → update
+    //      (price+100), ==8 → insert (base holds key%10<8, so 8 is new) ----
+    "q_cdc_merge" -> ((s, d) => {
+      val o = Tables(s, d, "orders")
+      val base = o.filter(col("o_orderkey") % 10 < 8)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val changes = o.filter((col("o_orderkey") % 10).isin(3, 7, 8))
+        .select(col("o_orderkey"), col("o_custkey").as("ch_custkey"),
+          when(col("o_orderkey") % 10 === 3, "D")
+            .when(col("o_orderkey") % 10 === 7, "U")
+            .otherwise("I").as("op"),
+          (col("o_totalprice") + 100.0).as("new_price"))
+      base.join(changes, Seq("o_orderkey"), "full_outer")
+        .filter(coalesce(col("op"), lit("K")) =!= "D")
+        .select(col("o_orderkey"),
+          coalesce(col("o_custkey"), col("ch_custkey")).as("o_custkey"),
+          coalesce(col("new_price"), col("o_totalprice")).as("price"),
+          when(col("op").isNull, "kept")
+            .when(col("op") === "U", "updated")
+            .otherwise("inserted").as("action"))
+        .orderBy("o_orderkey")
     }),
 
     // ---- span-level boilerplate detection (the exact-substring analog of
@@ -362,6 +410,17 @@ object PipelineOps {
         |WHERE o_totalprice > 450000.0
         |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
 
+    // same exact-at-fixture-scale sketch convention as q_quantile_sketch
+    "q_range_layout" ->
+      """WITH k AS (SELECT CAST(floor(epoch(o_orderdate)) AS BIGINT) AS k
+        |           FROM orders),
+        |q AS (SELECT quantile_disc(k,
+        |               [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS bs
+        |      FROM k)
+        |SELECT i.range + 1 AS part_id,
+        |       bs[CAST(i.range + 1 AS INTEGER)] AS boundary_s
+        |FROM q, range(0, 7) i ORDER BY part_id""".stripMargin,
+
     // the 10⁻⁶-error sketch is value-exact at fixture scale → quantile_disc
     // (the discrete element, not the interpolated quantile_cont) is its oracle
     "q_quantile_sketch" ->
@@ -387,6 +446,29 @@ object PipelineOps {
         |WHERE doc_id % 10 = 9
         |  AND NOT EXISTS (SELECT 1 FROM hist h WHERE h.fp = f.fp)
         |ORDER BY doc_id""".stripMargin,
+
+    // +100.0 (an IEEE-exact-rounded double add, identical across engines)
+    // rather than *1.1+round, whose decimal re-rounding is libm-flavored
+    "q_cdc_merge" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice
+        |  FROM orders WHERE o_orderkey % 10 < 8),
+        |ch AS (
+        |  SELECT o_orderkey, o_custkey AS ch_custkey,
+        |         CASE WHEN o_orderkey % 10 = 3 THEN 'D'
+        |              WHEN o_orderkey % 10 = 7 THEN 'U'
+        |              ELSE 'I' END AS op,
+        |         o_totalprice + 100.0 AS new_price
+        |  FROM orders WHERE o_orderkey % 10 IN (3, 7, 8))
+        |SELECT coalesce(b.o_orderkey, c.o_orderkey) AS o_orderkey,
+        |       coalesce(b.o_custkey, c.ch_custkey) AS o_custkey,
+        |       coalesce(c.new_price, b.o_totalprice) AS price,
+        |       CASE WHEN c.op IS NULL THEN 'kept'
+        |            WHEN c.op = 'U' THEN 'updated'
+        |            ELSE 'inserted' END AS action
+        |FROM base b FULL OUTER JOIN ch c ON b.o_orderkey = c.o_orderkey
+        |WHERE coalesce(c.op, 'K') <> 'D'
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q_span_dedup" ->
       """WITH toks AS (

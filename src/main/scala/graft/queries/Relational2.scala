@@ -317,6 +317,30 @@ object Relational2 {
           round(sum(col("o_totalprice")), 2).as("revenue"))
         .orderBy("c_mktsegment")),
 
+    // ---- fuzzy self-join (entity resolution): candidate pairs via
+    //      equality blocking on (p_brand, p_size) — a fine composite key, so
+    //      the self-join shuffles once on it and pair generation is bounded
+    //      per block (blocks are catalog-granular: brand × size, max 7 here;
+    //      a skewed catalog would add a content band, the DedupOps pattern)
+    //      — then verified with exact Levenshtein ≤ 3. Same two-phase
+    //      block-then-verify shape as the LSH dedups, with edit distance as
+    //      the verifier; both engines implement classic unbounded
+    //      Levenshtein so the threshold filter is value-exact ----
+    "q_fuzzy_join" -> ((s, d) => {
+      val a = part(s, d).select(col("p_partkey").as("key_a"),
+        col("p_name").as("name_a"), col("p_brand"), col("p_size"))
+      val b = part(s, d).select(col("p_partkey").as("key_b"),
+        col("p_name").as("name_b"), col("p_brand"), col("p_size"))
+      a.join(b, Seq("p_brand", "p_size"))
+        .filter(col("key_a") < col("key_b"))
+        .withColumn("lev",
+          levenshtein(col("name_a"), col("name_b")).cast("long"))
+        .filter(col("lev") <= 3)
+        .select(col("key_a"), col("key_b"), col("name_a"), col("name_b"),
+          col("lev"))
+        .orderBy("key_a", "key_b")
+    }),
+
     // ---- custom typed Aggregator (UDAF): price per unit, quantity-weighted.
     //      16-byte buffer per group, map-side partials — same shuffle cost
     //      as a built-in aggregate ----
@@ -716,6 +740,16 @@ object Relational2 {
         |       round(sum(o_totalprice), 2) AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_fuzzy_join" ->
+      """SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+        |       a.p_name AS name_a, b.p_name AS name_b,
+        |       levenshtein(a.p_name, b.p_name) AS lev
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+        | AND a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.p_name, b.p_name) <= 3
+        |ORDER BY key_a, key_b""".stripMargin,
 
     "q_null_fns" ->
       """SELECT event_id,

@@ -100,7 +100,22 @@ object Sessions {
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
         .select(col("window.start").cast("string").as("hour_ts"),
           col("event_type"), col("n"), col("sum_value"))
-        .orderBy("hour_ts", "event_type"))
+        .orderBy("hour_ts", "event_type")),
+
+    // ---- SLIDING event-time windows (1 h length, 15 min slide): each event
+    //      lands in exactly length/slide = 4 overlapping windows; window()
+    //      expands them and the aggregation is an ordinary map-side-combined
+    //      groupBy on (window, type) — the 4× row expansion happens BEFORE
+    //      the partial agg, so the shuffle still moves only group rows.
+    //      Start keys are integer epoch seconds (grid-aligned), so the
+    //      oracle replicates the assignment with pure integer arithmetic ----
+    "q_events_sliding" -> ((s, d) =>
+      events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .select(unix_timestamp(col("window.start")).as("start_s"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy("start_s", "event_type"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -169,6 +184,15 @@ object Sessions {
     "q_events_window" ->
       """SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour_ts, event_type,
         |       count(*) AS n, round(sum(value), 2) AS sum_value
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // window(ts, 1h, 15m) assignment: the last window containing ts starts
+    // at floor(epoch/900)*900; the 4 containing windows start k*900 earlier
+    "q_events_sliding" ->
+      """SELECT CAST(floor(epoch(ts) / 900) AS BIGINT) * 900 - k.range * 900
+        |         AS start_s,
+        |       event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events, range(0, 4) k
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

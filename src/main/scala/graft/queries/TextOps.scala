@@ -147,6 +147,37 @@ object TextOps {
         .filter(bucket < rate)
         .select(col("doc_id"), col("lang"))
         .orderBy("doc_id")
+    }),
+
+    // ---- inverted index (capped posting lists): term → document frequency
+    //      + the first-20 posting list. TWO aggregations on the SAME term
+    //      key: df over ALL postings (so the cap can't undercount), and the
+    //      posting list through a row_number pre-filter (the cappedBuckets
+    //      bound from DedupOps) so the Zipf-head term's reducer buffer is
+    //      BucketCap-bounded instead of scaling with the corpus. Both
+    //      aggregations and their join hash-partition on term, so Catalyst
+    //      reuses one exchange. Postings render as a CSV string — the
+    //      driver-hashable form (matches q_array_agg precedent) ----
+    "q_inverted_index" -> ((s, d) => {
+      val postingCap = 20
+      val t = docs(s, d)
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+        .filter(col("term").rlike("^[a-z]{4,}$"))
+        .distinct()
+      val dfreq = t.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("term")).orderBy(col("doc_id"))
+      val postings = t.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= postingCap)
+        .groupBy(col("term"))
+        .agg(array_join(array_sort(collect_list(col("doc_id"))), ",")
+          .as("postings"))
+      dfreq.filter(col("df") >= 25)
+        .join(postings, "term")
+        .select(col("term"), col("df"), col("postings"))
+        .orderBy("term")
     })
   )
 
@@ -233,6 +264,27 @@ object TextOps {
         |WHERE rn = 1 AND lang IN ('en', 'de', 'fr', 'es')
         |  AND n_tokens >= 10
         |  AND CAST(length(text) AS DOUBLE) / n_tokens BETWEEN 3.0 AND 15.0
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // df computed over ALL (doc, term) rows; the posting list capped at the
+    // 20 smallest doc_ids — mirrors the Spark row_number pre-filter
+    "q_inverted_index" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |f AS (SELECT DISTINCT doc_id, term FROM t
+        |      WHERE regexp_matches(term, '^[a-z]{4,}$')),
+        |df AS (SELECT term, count(*) AS df FROM f GROUP BY term),
+        |pl AS (SELECT term,
+        |              array_to_string(list_sort(list(doc_id)), ',') AS postings
+        |       FROM (SELECT term, doc_id,
+        |                    row_number() OVER (PARTITION BY term
+        |                                       ORDER BY doc_id) AS rn
+        |             FROM f)
+        |       WHERE rn <= 20 GROUP BY term)
+        |SELECT term, df, postings
+        |FROM df JOIN pl USING (term)
+        |WHERE df >= 25 ORDER BY term""".stripMargin
   )
 }

@@ -25,6 +25,23 @@ class CorpusSpec extends AnyFunSuite with SparkSpec {
     assert(mixRatio < rawRatio)
   }
 
+  test("weighted sample is fixed-size, deterministic, and token-biased") {
+    val rows = q("q_sample_weighted").collect()
+    assert(rows.length == 50)
+    // deterministic: same LCG priorities on a second run
+    assert(q("q_sample_weighted").collect().map(_.getLong(0)).toSeq ==
+      rows.map(_.getLong(0)).toSeq)
+    // priority u/w favors token-heavy docs: the sample's mean token count
+    // must clearly exceed the population's
+    val sampleAvg = rows.map(_.getAs[Long]("n_tok")).sum.toDouble / rows.length
+    val pop = Tables(spark, sf, "documents")
+      .filter(length(trim(col("text"))) > 0)
+      .select(size(split(lower(trim(col("text"))), "\\s+")).cast("long").as("n"))
+      .agg(avg(col("n"))).head.getDouble(0)
+    // 50-of-500 at sf0.001 gives a moderate but unmistakable tilt (~1.15×)
+    assert(sampleAvg > pop * 1.05, s"sample avg $sampleAvg vs population $pop")
+  }
+
   test("quality gate keeps ~75% of each lang") {
     val kept = q("q_quality_percentile").collect()
       .map(r => r.getAs[String]("lang") -> r.getAs[Long]("n_kept")).toMap

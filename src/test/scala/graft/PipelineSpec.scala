@@ -124,6 +124,46 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("cdc merge applies inserts, updates and deletes exactly") {
+    val orders = Tables(spark, sf, "orders")
+    def n(pred: org.apache.spark.sql.Column) = orders.filter(pred).count()
+    val nBase = n(col("o_orderkey") % 10 < 8)
+    val nDel = n(col("o_orderkey") % 10 === 3)
+    val nUpd = n(col("o_orderkey") % 10 === 7)
+    val nIns = n(col("o_orderkey") % 10 === 8)
+    val rows = q("q_cdc_merge").collect()
+    assert(rows.length == nBase - nDel + nIns)
+    val byAction = rows.groupBy(_.getAs[String]("action")).view.mapValues(_.length)
+    assert(byAction("updated") == nUpd)
+    assert(byAction("inserted") == nIns)
+    assert(byAction("kept") == nBase - nDel - nUpd)
+    // no deleted key survives; updated rows carry the +100 price
+    assert(rows.forall(_.getAs[Long]("o_orderkey") % 10 != 3))
+    val basePrice = orders.select(col("o_orderkey"), col("o_totalprice"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.filter(_.getAs[String]("action") == "updated").foreach { r =>
+      assert(r.getAs[Double]("price") ==
+        basePrice(r.getAs[Long]("o_orderkey")) + 100.0)
+    }
+  }
+
+  test("range layout boundaries are ordered and split mass near-evenly") {
+    val bs = q("q_range_layout").collect().map(_.getAs[Long]("boundary_s"))
+    assert(bs.length == 7)
+    assert(bs.sameElements(bs.sorted), "boundaries must be non-decreasing")
+    val k = Tables(spark, sf, "orders")
+      .select(unix_timestamp(col("o_orderdate")).as("k"))
+    val total = k.count()
+    val ideal = total / 8.0
+    val edges = (Long.MinValue +: bs) :+ Long.MaxValue
+    edges.init.zip(edges.tail).foreach { case (lo, hi) =>
+      val mass = k.filter(col("k") > lo && col("k") <= hi).count()
+      // date keys tie at daily granularity → shards can't be exactly equal;
+      // anything past 2× ideal would mean the split points are wrong
+      assert(mass <= ideal * 2, s"shard ($lo,$hi] holds $mass of $total")
+    }
+  }
+
   test("repetition signals are bounded and consistent") {
     val rows = q("q_quality_repetition").collect()
     rows.foreach { r =>

@@ -206,4 +206,57 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(physical("q_sort_limit").toString.contains("TakeOrderedAndProject"))
     assert(physical("q_join_broadcast").toString.contains("BroadcastHashJoin"))
   }
+
+  test("weighted sample plans as per-partition top-k heaps, not a global sort") {
+    // the 50-smallest-priority selection must be TakeOrderedAndProject
+    // (constant rows moved per partition); a global Sort would shuffle the
+    // whole corpus to rank it
+    assert(physical("q_sample_weighted").toString.contains("TakeOrderedAndProject"))
+  }
+
+  test("inverted index shuffles only on the fine term key") {
+    // df agg, posting-cap window, posting agg and their join all key on
+    // term — any exchange on a coarser key (or a round-robin repartition)
+    // would put the Zipf head on one reducer
+    val hx = hashExchanges("q_inverted_index")
+    assert(hx.nonEmpty)
+    assert(hx.forall(_.expressions.map(_.toString).exists(_.contains("term"))),
+      s"non-term exchange: ${hx.map(_.expressions.map(_.toString))}")
+  }
+
+  test("cdc merge is one keyed shuffle per side — no driver loop, no cartesian") {
+    withoutAQE(withConf("spark.sql.autoBroadcastJoinThreshold", "-1") {
+      val plan = q("q_cdc_merge").queryExecution.executedPlan
+      val hx = plan
+        .collect { case e: ShuffleExchangeExec => e.outputPartitioning }
+        .collect { case h: HashPartitioning => h.expressions.map(_.toString) }
+      assert(hx.count(_.exists(_.contains("o_orderkey"))) == 2, s"exchanges: $hx")
+      assert(plan.collectFirst { case c: CartesianProductExec => c }.isEmpty)
+    })
+  }
+
+  test("fuzzy join blocks on the composite key — never all-pairs") {
+    withoutAQE(withConf("spark.sql.autoBroadcastJoinThreshold", "-1") {
+      val plan = q("q_fuzzy_join").queryExecution.executedPlan
+      val hx = plan
+        .collect { case e: ShuffleExchangeExec => e.outputPartitioning }
+        .collect { case h: HashPartitioning => h.expressions.map(_.toString) }
+      // both sides scan the same table with identical blocking, so Catalyst
+      // plans ONE exchange on the block key and REUSES it for the other side
+      // — one corpus shuffle total, which is even better than two
+      assert(hx.count(_.exists(_.contains("p_brand"))) >= 1, s"exchanges: $hx")
+      assert(plan.toString.contains("ReusedExchange") ||
+        hx.count(_.exists(_.contains("p_brand"))) == 2,
+        "second side neither reuses nor re-shuffles on the block key")
+      assert(plan.collectFirst { case c: CartesianProductExec => c }.isEmpty,
+        "fuzzy join degenerated to a cartesian product")
+    })
+  }
+
+  test("sliding windows keep map-side partial aggregation") {
+    // the 4× window expansion happens before the partial agg, so the
+    // shuffle moves (window, type) group rows, not expanded event rows
+    assert(physical("q_events_sliding").toString.contains("partial_"),
+      "q_events_sliding lost partial aggregation")
+  }
 }

@@ -105,6 +105,43 @@ class TextDedupSpec extends AnyFunSuite with SparkSpec {
     assert(pairs.forall(_.getAs[Double]("jaccard") == 1.0))
   }
 
+  test("containment catches asymmetric overlap below the jaccard threshold") {
+    // 40 pairs sharing ~63% of their gram mass (24 common words, 14 distinct
+    // tail words): containment ≈ 0.63 passes its 0.45 gate while Jaccard
+    // ≈ 0.63/(2-0.63) ≈ 0.46 sits below the 0.5 gate — the regime (quotes,
+    // partial rewrites with asymmetric extra content) that containment
+    // scoring exists for. Texts are md5-derived → fully deterministic, and
+    // any cross-pair band collision is filtered by verification (containment
+    // ≈ 0), so the result can only be a subset of the constructed pairs.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rows = (0 until 40).flatMap { i =>
+      val shared = (0 until 24).map(j => md5hex(s"s$i$j")).mkString(" ")
+      val a = shared + " " + (0 until 14).map(j => md5hex(s"a$i$j")).mkString(" ")
+      val b = shared + " " + (0 until 14).map(j => md5hex(s"b$i$j")).mkString(" ")
+      Seq((i.toLong, "en", a), (i.toLong + 100, "en", b))
+    }
+    val df = rows.toDF("doc_id", "lang", "text")
+      .withColumn("n_chars", length(col("text")))
+    val expected = (0 until 40).map(i => (i.toLong, i.toLong + 100)).toSet
+    val cont = graft.queries.DedupOps.containmentPairs(df).collect()
+    val got = cont.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(expected), s"spurious pairs: ${got -- expected}")
+    // LSH recall at J≈0.46 is ~60% per pair (4 bands of 2 over 8 perms) —
+    // deterministic for this fixture, and far above this floor
+    assert(got.size >= 5, s"containment recalled only ${got.size} of 40")
+    cont.foreach { r =>
+      val c = r.getAs[Double]("containment")
+      assert(c >= 0.45 && c <= 0.85, s"containment $c outside expected band")
+    }
+    val jacPairs = graft.queries.DedupOps.ngramPairs(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((jacPairs intersect expected).isEmpty,
+      "fixture pairs should sit below the 0.5 jaccard gate")
+  }
+
   test("rolling fingerprint is deterministic and order-sensitive") {
     val a = q("q_doc_rollhash").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val b = q("q_doc_rollhash").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
