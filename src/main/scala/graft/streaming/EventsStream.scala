@@ -27,6 +27,21 @@ object EventsStream {
       .select(col("window.start").as("hour_ts"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Sliding-window event-time aggregation (1 h windows every 15 min) with
+    * a 10-minute watermark. Each event lands in length/slide = 4 windows;
+    * the state store holds one row per OPEN (window, type) group and the
+    * watermark retires windows as their end passes — state is bounded by
+    * the watermark horizon × |event types|, not by stream length.
+    * q_events_sliding is the oracle-checked batch twin.
+    */
+  def sliding(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(unix_timestamp(col("window.start")).as("start_s"),
+        col("event_type"), col("n"), col("sum_value"))
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
 

@@ -35,6 +35,24 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("streaming sliding-window aggregation matches batch twin and oracle query") {
+    val stream = EventsStream.readEventsStream(spark, streamDir)
+    val q = EventsStream.sliding(stream).writeStream
+      .format("memory").queryName("sliding_out").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("start_s"), r.getAs[String]("event_type"),
+        r.getAs[Long]("n"), r.getAs[Double]("sum_value"))
+    val streamed = spark.table("sliding_out").collect().map(key).toSet
+    val batch = EventsStream.sliding(Tables(spark, sf, "events"))
+      .collect().map(key).toSet
+    val oracleQ = SparkEntry.queries("q_events_sliding")(spark, sf)
+      .collect().map(key).toSet
+    assert(batch.nonEmpty)
+    assert(streamed == batch, s"stream vs batch: ${(streamed diff batch).take(3)}")
+    assert(batch == oracleQ, s"twin vs oracle query: ${(batch diff oracleQ).take(3)}")
+  }
+
   test("flatMapGroupsWithState sessionization matches gaps-and-islands SQL") {
     import spark.implicits._
     val ds = Tables(spark, sf, "events")
