@@ -211,6 +211,33 @@ object CorpusOps {
         .orderBy("doc_id")
     }),
 
+    // ---- bigram-LM quality score (add-one smoothed): the sharper sequel
+    //      to q_lm_score — P(w2|w1) = (c2+1)/(c1+V), per-doc avg -ln P.
+    //      Scale split: the bigram-count join keys on the bigram string
+    //      (corpus-bounded table, FINE key → shuffled, never broadcast);
+    //      the prefix counts and vocab size are language-bounded → broadcast.
+    //      Repetitive docs score low (predictable), garbled docs high ----
+    "q_bigram_lm" -> ((s, d) => {
+      val tok = nonEmpty(docs(s, d)).select(col("doc_id"), toks.as("w"))
+        .filter(size(col("w")) >= 2)
+      val bg = tok.select(col("doc_id"), explode(
+        transform(sequence(lit(1), size(col("w")) - 1),
+          i => concat_ws(" ", slice(col("w"), i, lit(2))))).as("b"))
+        .withColumn("w1", substring_index(col("b"), " ", 1))
+        .withColumn("w2", substring_index(col("b"), " ", -1))
+      val c2 = bg.groupBy(col("b")).agg(count(lit(1)).as("c2"))
+      val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      val v = bg.agg(countDistinct(col("w2")).as("v"))
+      bg.join(c2, "b")
+        .join(broadcast(c1), "w1")
+        .crossJoin(broadcast(v))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(avg(log((col("c1") + col("v")).cast("double") /
+            (col("c2") + lit(1)))), 4).as("xent2"))
+        .orderBy("doc_id")
+    }),
+
     // ---- mixture-weighted downsampling: turns q_domain_mix's weights into
     //      an actual sampled corpus. Per-source keep rate = the source's
     //      share of a 50%-of-corpus token budget under temperature weights,
@@ -385,6 +412,25 @@ object CorpusOps {
         |SELECT doc_id, count(*) AS n_tok, round(avg(ln(tot / c)), 4) AS xent
         |FROM toks JOIN cnt USING (t) CROSS JOIN tot
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_bigram_lm" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |bg AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(w)),
+        |           i -> w[i] || ' ' || w[i+1])) AS b
+        |  FROM toks WHERE len(w) >= 2),
+        |sp AS (SELECT doc_id, b, split_part(b, ' ', 1) AS w1,
+        |              split_part(b, ' ', 2) AS w2 FROM bg),
+        |c2 AS (SELECT b, count(*) AS c2 FROM sp GROUP BY b),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM sp GROUP BY w1),
+        |v AS (SELECT count(DISTINCT w2) AS v FROM sp)
+        |SELECT s.doc_id, count(*) AS n_bigrams,
+        |       round(avg(ln(CAST(c1.c1 + v.v AS DOUBLE) / (c2.c2 + 1))), 4)
+        |         AS xent2
+        |FROM sp s JOIN c2 USING (b) JOIN c1 USING (w1) CROSS JOIN v
+        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
 
     "q_domain_sample" ->
       """WITH base AS (

@@ -84,6 +84,31 @@ object PipelineOps {
         .orderBy("doc_id")
     }),
 
+    // ---- decontamination APPLY: the removal step downstream of
+    //      q_contamination. Contaminated train doc ids (any eval-gram
+    //      overlap) are removed with a left_anti join — only 8-byte doc ids
+    //      shuffle, never text — and the kept train corpus is reported as a
+    //      per-lang census. Same gram pipeline as the detector, so the two
+    //      stay consistent by construction ----
+    "q_decontaminate" -> ((s, d) => {
+      val grams = tokenized(s, d)
+        .filter(size(col("w")) >= 4)
+        .select(col("doc_id"), explode(array_distinct(
+          transform(sequence(lit(1), size(col("w")) - 3),
+            i => concat_ws(" ", slice(col("w"), i, lit(4)))))).as("gram"))
+      val evalG = grams.filter(col("doc_id") % 97 === 0)
+        .select("gram").distinct()
+      val dirty = grams.filter(col("doc_id") % 97 =!= 0)
+        .join(evalG, "gram")
+        .select("doc_id").distinct()
+      docs(s, d).filter(col("doc_id") % 97 =!= 0)
+        .join(dirty, Seq("doc_id"), "left_anti")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars").cast("long")).as("sum_chars"))
+        .orderBy("lang")
+    }),
+
     // ---- Gopher-style repetition signals: top-token fraction, distinct
     //      fraction, duplicate-2-gram fraction. Two map-side-combined
     //      aggregations keyed (doc_id, token) / (doc_id, bigram) — fine keys,
@@ -330,6 +355,26 @@ object PipelineOps {
         |FROM grams g JOIN eval_g e USING (gram)
         |WHERE g.doc_id % 97 <> 0
         |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+
+    "q_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |grams AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |           range(1, len(w) - 2),
+        |           i -> array_to_string(w[i:i+3], ' ')))) AS gram
+        |  FROM toks WHERE len(w) >= 4),
+        |eval_g AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0),
+        |dirty AS (SELECT DISTINCT g.doc_id
+        |          FROM grams g JOIN eval_g e USING (gram)
+        |          WHERE g.doc_id % 97 <> 0)
+        |SELECT lang, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents d
+        |WHERE d.doc_id % 97 <> 0
+        |  AND NOT EXISTS (SELECT 1 FROM dirty x WHERE x.doc_id = d.doc_id)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_quality_repetition" ->
       """WITH toks AS (

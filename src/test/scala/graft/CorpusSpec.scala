@@ -25,6 +25,23 @@ class CorpusSpec extends AnyFunSuite with SparkSpec {
     assert(mixRatio < rawRatio)
   }
 
+  test("bigram LM score is total, positive, and conserves bigram counts") {
+    val rows = q("q_bigram_lm").collect()
+    val want = Tables(spark, sf, "documents")
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"),
+        (size(split(lower(trim(col("text"))), "\\s+")) - 1).cast("long").as("nb"))
+      .filter(col("nb") >= 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.map(_.getAs[Long]("doc_id")).toSet == want.keySet)
+    rows.foreach { r =>
+      // n_bigrams = tokens - 1 (every adjacent pair scored exactly once)
+      assert(r.getAs[Long]("n_bigrams") == want(r.getAs[Long]("doc_id")))
+      // -ln P > 0: c2+1 <= c1+V strictly for any real vocab
+      assert(r.getAs[Double]("xent2") > 0.0)
+    }
+  }
+
   test("weighted sample is fixed-size, deterministic, and token-biased") {
     val rows = q("q_sample_weighted").collect()
     assert(rows.length == 50)

@@ -124,6 +124,21 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("decontaminate removes exactly the detected train docs") {
+    val contaminated = q("q_contamination").collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    val train = Tables(spark, sf, "documents")
+      .filter(col("doc_id") % 97 =!= 0)
+    val keptCensus = q("q_decontaminate").collect()
+    assert(keptCensus.map(_.getAs[Long]("n_docs")).sum ==
+      train.count() - contaminated.size)
+    // char mass of the kept set matches the direct computation
+    val directChars = train
+      .filter(!col("doc_id").isin(contaminated.toSeq: _*))
+      .agg(sum(col("n_chars").cast("long"))).head.getLong(0)
+    assert(keptCensus.map(_.getAs[Long]("sum_chars")).sum == directChars)
+  }
+
   test("cdc merge applies inserts, updates and deletes exactly") {
     val orders = Tables(spark, sf, "orders")
     def n(pred: org.apache.spark.sql.Column) = orders.filter(pred).count()

@@ -107,7 +107,7 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     // lm_score: the vocab-sized unigram LM; domain_sample: the per-source
     // rate table
     Seq("q_bm25", "q_domain_mix", "q_vocab_coverage", "q_embed_quantize",
-      "q_lm_score", "q_domain_sample")
+      "q_lm_score", "q_domain_sample", "q_bigram_lm")
       .foreach { n =>
         val hints = optimized(n).collect { case j: Join => j.hint }
           .filter(h => h.leftHint.flatMap(_.strategy).nonEmpty ||
