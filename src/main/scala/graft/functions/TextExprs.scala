@@ -279,6 +279,31 @@ case class JaccardSorted(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Containment |A∩B| / min(|A|,|B|) over two SORTED distinct long arrays —
+  * the same two-pointer merge as [[JaccardSorted]] (no per-row hash sets;
+  * `array_intersect` benched 3× slower on the gram arrays). Equal to the
+  * oracle's `len(list_intersect(a,b)) / least(len(a), len(b))` because both
+  * inputs are distinct, and the division is one IEEE op.
+  */
+case class ContainmentSorted(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData].toLongArray()
+    val b = r.asInstanceOf[ArrayData].toLongArray()
+    var i = 0; var j = 0; var inter = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    val mn = math.min(a.length, b.length)
+    java.lang.Double.valueOf(if (mn == 0) 1.0 else inter.toDouble / mn)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ContainmentSorted =
+    copy(left = l, right = r)
+}
+
 /** Order-sensitive document fingerprint: tokens (lowercased, whitespace
   * split), each poly-131-hashed, folded with h = (h*131 + tokenHash) % P.
   */
@@ -317,6 +342,8 @@ object TextExprs {
     column(SigMatchFrac(expression(a), expression(b)))
   def charNgramHashes(text: Column, n: Int): Column = column(CharNgramHashes(expression(text), n))
   def jaccardSorted(a: Column, b: Column): Column = column(JaccardSorted(expression(a), expression(b)))
+  def containmentSorted(a: Column, b: Column): Column =
+    column(ContainmentSorted(expression(a), expression(b)))
   def rollingHash(text: Column): Column = column(RollingHash(expression(text)))
 
   /** SQL names, so the console can call them too. */

@@ -227,10 +227,11 @@ object DedupOps {
   /** Containment near-dup (sub-document / quote detection): same banded
     * candidate generation as [[ngramPairs]], but scored with CONTAINMENT
     * |A∩B| / min(|A|,|B|) instead of Jaccard — a short doc wholly embedded
-    * in a long one scores ~1.0 here while its Jaccard stays low. The
-    * intersection size is integer set arithmetic (both engines use set
-    * semantics on the distinct gram arrays) and the division is one IEEE op,
-    * so the score is bit-identical cross-engine.
+    * in a long one scores ~1.0 here while its Jaccard stays low. Scored by
+    * the native [[graft.functions.ContainmentSorted]] two-pointer merge
+    * (`array_intersect`'s per-row hash set benched 3× slower); the count is
+    * integer set arithmetic on the distinct gram arrays and the division one
+    * IEEE op, so the score is bit-identical cross-engine.
     */
   def containmentPairs(documents: DataFrame): DataFrame = {
     val (g, cand) = ngramBlocked(documents)
@@ -238,10 +239,8 @@ object DedupOps {
     val gb = g.select(col("doc_id").as("doc_b"), col("grams").as("grams_b"))
     cand.join(ga, "doc_a").join(gb, "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        round(size(array_intersect(col("grams_a"), col("grams_b")))
-          .cast("double") /
-          least(size(col("grams_a")), size(col("grams_b"))), 4)
-          .as("containment"))
+        round(graft.functions.TextExprs.containmentSorted(
+          col("grams_a"), col("grams_b")), 4).as("containment"))
       .filter(col("containment") >= 0.45)
       .orderBy("doc_a", "doc_b")
   }

@@ -149,37 +149,42 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
-    // ---- inverted index (capped posting lists): term → document frequency
-    //      + the first-20 posting list. TWO aggregations on the SAME term
-    //      key: df over ALL postings (so the cap can't undercount), and the
-    //      posting list through a row_number pre-filter (the cappedBuckets
-    //      bound from DedupOps) so the Zipf-head term's reducer buffer is
-    //      BucketCap-bounded instead of scaling with the corpus. Both
-    //      aggregations and their join hash-partition on term, so Catalyst
-    //      reuses one exchange. Postings render as a CSV string — the
-    //      driver-hashable form (matches q_array_agg precedent) ----
-    "q_inverted_index" -> ((s, d) => {
-      val postingCap = 20
-      val t = docs(s, d)
-        .filter(length(trim(col("text"))) > 0)
-        .select(col("doc_id"),
-          explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
-        .filter(col("term").rlike("^[a-z]{4,}$"))
-        .distinct()
-      val dfreq = t.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("term")).orderBy(col("doc_id"))
-      val postings = t.withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= postingCap)
-        .groupBy(col("term"))
-        .agg(array_join(array_sort(collect_list(col("doc_id"))), ",")
-          .as("postings"))
-      dfreq.filter(col("df") >= 25)
-        .join(postings, "term")
-        .select(col("term"), col("df"), col("postings"))
-        .orderBy("term")
-    })
+    // ---- inverted index (capped posting lists) — see [[invertedIndex]] ----
+    "q_inverted_index" -> ((s, d) => invertedIndex(docs(s, d)))
   )
+
+  /** Inverted index with capped posting lists: term → document frequency +
+    * the first-`postingCap` posting list (terms with df ≥ `minDf`). TWO
+    * aggregations on the SAME term key: df over ALL postings (so the cap
+    * can't undercount), and the posting list through a row_number
+    * pre-filter (the cappedBuckets bound from DedupOps) so the Zipf-head
+    * term's reducer buffer is cap-bounded instead of scaling with the
+    * corpus. Both aggregations and their join hash-partition on term, so
+    * Catalyst reuses one exchange. Postings render as a CSV string — the
+    * driver-hashable form (matches q_array_agg precedent). Exposed for
+    * spec-level stress inputs (a corpus-wide stop word).
+    */
+  def invertedIndex(documents: DataFrame, postingCap: Int = 20,
+      minDf: Long = 25): DataFrame = {
+    val t = documents
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+      .filter(col("term").rlike("^[a-z]{4,}$"))
+      .distinct()
+    val dfreq = t.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("term")).orderBy(col("doc_id"))
+    val postings = t.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= postingCap)
+      .groupBy(col("term"))
+      .agg(array_join(array_sort(collect_list(col("doc_id"))), ",")
+        .as("postings"))
+    dfreq.filter(col("df") >= minDf)
+      .join(postings, "term")
+      .select(col("term"), col("df"), col("postings"))
+      .orderBy("term")
+  }
 
   val oracles: Map[String, String] = Map(
     "q_text_stats" ->

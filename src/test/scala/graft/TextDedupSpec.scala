@@ -105,6 +105,28 @@ class TextDedupSpec extends AnyFunSuite with SparkSpec {
     assert(pairs.forall(_.getAs[Double]("jaccard") == 1.0))
   }
 
+  test("inverted index: corpus-wide stop word stays capped, df stays exact") {
+    // 50k docs all containing the token "ubiquitous": the posting list must
+    // hold exactly the postingCap smallest doc_ids (bounded reducer buffer)
+    // while df still reports the full 50k (computed pre-cap)
+    import org.apache.spark.sql.functions._
+    val shard = element_at(array(Seq("alpha", "bravo", "charlie", "delta",
+      "echoes", "foxtrot", "golfer").map(lit): _*), (col("id") % 7 + 1).cast("int"))
+    val docs = spark.range(50000).select(col("id").as("doc_id"),
+      concat_ws(" ", lit("ubiquitous"), shard).as("text"))
+    val rows = graft.queries.TextOps.invertedIndex(docs, postingCap = 20,
+      minDf = 1000).collect()
+    val ubi = rows.find(_.getAs[String]("term") == "ubiquitous").get
+    assert(ubi.getAs[Long]("df") == 50000)
+    assert(ubi.getAs[String]("postings") ==
+      (0 until 20).mkString(","), "postings must be the 20 smallest ids")
+    // the 7 shard terms (~7143 docs each) also cap at 20 entries
+    rows.filter(_.getAs[String]("term") != "ubiquitous").foreach { r =>
+      assert(r.getAs[String]("postings").split(",").length == 20)
+      assert(r.getAs[Long]("df") > 7000)
+    }
+  }
+
   test("containment catches asymmetric overlap below the jaccard threshold") {
     // 40 pairs sharing ~63% of their gram mass (24 common words, 14 distinct
     // tail words): containment ≈ 0.63 passes its 0.45 gate while Jaccard
