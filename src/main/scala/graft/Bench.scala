@@ -57,11 +57,24 @@ object Bench {
       s(s.size / 2) // odd n → true median; even n → upper-median (conservative)
     }
     val results = names.map(n => n -> median(samples(n)))
-    val qs = results
+    val total = results.map(_._2).sum
+    def qjson(rs: Seq[(String, Double)]): String = rs
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$nRuns,"queries":$qs,"sf":"$sfDir"}""")
+    // The driver captures only the LAST 2000 chars of output; at 125+
+    // queries the full per-query map no longer fits one line (r4 lost 40
+    // timings to exactly this). Split: the COMPLETE map goes to
+    // BENCH_FULL.json next to the build, and the one-line contract carries
+    // every query at or above 0.4 s (the set perf review actually tracks)
+    // plus the count/total of the fast remainder — parseable end to end.
+    val fullJson =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$nRuns,"queries":${qjson(results)},"sf":"$sfDir"}"""
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_FULL.json"), fullJson + "\n")
+    catch { case _: Throwable => () } // read-only cwd must not kill the line
+    val (slow, fast) = results.partition(_._2 >= 0.4)
+    val fastTotal = fast.map(_._2).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$nRuns,"queries":${qjson(slow)},"fast_n":${fast.size},"fast_total":$fastTotal%.3f,"full":"BENCH_FULL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

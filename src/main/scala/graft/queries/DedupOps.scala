@@ -305,6 +305,42 @@ object DedupOps {
     //      (see [[containmentPairs]]) ----
     "q_dedup_containment" -> ((s, d) => containmentPairs(docs(s, d))),
 
+    // ---- FUZZY decontamination: near-dup pairs BETWEEN an eval slice
+    //      (doc_id % 10 == 0, benchmark stand-in) and the train remainder —
+    //      the asymmetric LSH join (GPT-3/Llama-style fuzzy decontam), a
+    //      different shape from the self-join dedups: the eval band table is
+    //      benchmark-sized, so it BROADCASTS and the train corpus is never
+    //      shuffled for candidate generation (a probe-side scan + broadcast
+    //      hash join); verification joins train sigs on the fine train_id
+    //      key and broadcasts the eval sigs. No bucket cap needed — a hot
+    //      band bucket costs |train bucket| × |eval bucket| output rows with
+    //      the eval factor bounded by the benchmark, and no reducer ever
+    //      materializes a bucket ----
+    "q_fuzzy_decontaminate" -> ((s, d) => {
+      val bands = 16; val rows = 4
+      val sigs = docs(s, d).select(col("doc_id"),
+        graft.functions.TextExprs.minhashSig(
+          graft.functions.TextExprs.shingleHashes(col("text"), 3), 64).as("sig"))
+        .persist()
+      val banded = sigs.select(col("doc_id"),
+        posexplode(graft.functions.TextExprs.bandHashes(col("sig"), bands, rows))
+          .as(Seq("band", "band_hash")))
+      val ev = banded.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("eval_id"), col("band"), col("band_hash"))
+      val tr = banded.filter(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id").as("train_id"), col("band"), col("band_hash"))
+      val cand = tr.join(broadcast(ev), Seq("band", "band_hash"))
+        .select(col("train_id"), col("eval_id")).distinct()
+      val ts = sigs.select(col("doc_id").as("train_id"), col("sig").as("sig_t"))
+      val es = sigs.select(col("doc_id").as("eval_id"), col("sig").as("sig_e"))
+      cand.join(ts, "train_id").join(broadcast(es), "eval_id")
+        .select(col("train_id"), col("eval_id"),
+          round(graft.functions.TextExprs.sigMatchFrac(col("sig_t"), col("sig_e")), 4)
+            .as("est_jaccard"))
+        .filter(col("est_jaccard") >= 0.5)
+        .orderBy("train_id", "eval_id")
+    }),
+
     // ---- embedding near-dup: random-hyperplane LSH buckets, exact cosine
     //      verification (threshold tuned to the synthetic data's range) ----
     "q_dedup_embedding" -> ((s, d) => {
@@ -456,6 +492,29 @@ object DedupOps {
          |  FROM cand c JOIN g a ON a.doc_id = c.doc_a JOIN g b ON b.doc_id = c.doc_b)
          |SELECT doc_a, doc_b, jaccard FROM pairs
          |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
+    },
+
+    "q_fuzzy_decontaminate" -> {
+      import graft.functions.TextExprs._
+      s"""WITH s AS MATERIALIZED (
+         |      SELECT doc_id, ${minhashSigSql(shingleHashesSql("text", 3), 64)} AS sig
+         |      FROM documents),
+         |s2 AS (SELECT doc_id, sig, ${bandHashesSql("sig", 16, 4)} AS bands FROM s),
+         |ex AS (SELECT doc_id, b.range AS band, bands[b.range + 1] AS band_hash
+         |       FROM s2, range(0, 16) b),
+         |ev AS (SELECT doc_id AS eval_id, band, band_hash FROM ex WHERE doc_id % 10 = 0),
+         |tr AS (SELECT doc_id AS train_id, band, band_hash FROM ex WHERE doc_id % 10 <> 0),
+         |cand AS (SELECT DISTINCT train_id, eval_id
+         |         FROM tr JOIN ev USING (band, band_hash)),
+         |pairs AS (
+         |  SELECT c.train_id, c.eval_id,
+         |         round(CAST(list_sum(list_transform(range(1, 65),
+         |                 j -> CASE WHEN a.sig[j] = b.sig[j] THEN 1 ELSE 0 END))
+         |               AS DOUBLE) / 64, 4) AS est_jaccard
+         |  FROM cand c JOIN s a ON a.doc_id = c.train_id
+         |              JOIN s b ON b.doc_id = c.eval_id)
+         |SELECT train_id, eval_id, est_jaccard FROM pairs
+         |WHERE est_jaccard >= 0.5 ORDER BY train_id, eval_id""".stripMargin
     },
 
     "q_dedup_containment" -> {
