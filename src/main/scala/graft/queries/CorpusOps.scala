@@ -211,6 +211,31 @@ object CorpusOps {
         .orderBy("doc_id")
     }),
 
+    // ---- curriculum binning: per-lang quality QUARTILES assigned without
+    //      any window — the quality-gate scale path generalized to N bins.
+    //      Three per-lang thresholds from ONE mergeable percentile_approx
+    //      pass broadcast back; bin assignment is a per-row CASE against
+    //      the broadcast thresholds. The deterministic doc_id jitter makes
+    //      scores tie-free so bin edges are engine-independent ----
+    "q_curriculum" -> ((s, d) => {
+      val scored = nonEmpty(docs(s, d))
+        .select(col("doc_id"), col("lang"),
+          ((col("n_chars").cast("double") / size(toks)) +
+            col("doc_id").cast("double") * 1e-12).as("score"))
+      val thr = scored.groupBy(col("lang"))
+        .agg(percentile_approx(col("score"),
+          array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("thr"))
+      scored.join(broadcast(thr), "lang")
+        .withColumn("bin",
+          when(col("score") < element_at(col("thr"), 1), 0)
+            .when(col("score") < element_at(col("thr"), 2), 1)
+            .when(col("score") < element_at(col("thr"), 3), 2)
+            .otherwise(3))
+        .groupBy(col("lang"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), round(avg(col("score")), 4).as("avg_score"))
+        .orderBy("lang", "bin")
+    }),
+
     // ---- bigram-LM quality score (add-one smoothed): the sharper sequel
     //      to q_lm_score — P(w2|w1) = (c2+1)/(c1+V), per-doc avg -ln P.
     //      Scale split: the bigram-count join keys on the bigram string
@@ -412,6 +437,29 @@ object CorpusOps {
         |SELECT doc_id, count(*) AS n_tok, round(avg(ln(tot / c)), 4) AS xent
         |FROM toks JOIN cnt USING (t) CROSS JOIN tot
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // same sketch-exactness convention as the gate: quantile_disc thresholds
+    // equal percentile_approx's at fixture scale, and the jittered scores
+    // are tie-free so the CASE assignment is engine-independent
+    "q_curriculum" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang,
+        |         CAST(n_chars AS DOUBLE) /
+        |           len(regexp_split_to_array(lower(trim(text)), '\s+'))
+        |           + doc_id * 1e-12 AS score
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |t AS (SELECT lang, quantile_disc(score, [0.25, 0.5, 0.75]) AS thr
+        |      FROM s GROUP BY lang),
+        |b AS (
+        |  SELECT s.lang, score,
+        |         CASE WHEN score < thr[1] THEN 0
+        |              WHEN score < thr[2] THEN 1
+        |              WHEN score < thr[3] THEN 2
+        |              ELSE 3 END AS bin
+        |  FROM s JOIN t USING (lang))
+        |SELECT lang, bin, count(*) AS n_docs,
+        |       round(avg(score), 4) AS avg_score
+        |FROM b GROUP BY lang, bin ORDER BY lang, bin""".stripMargin,
 
     "q_bigram_lm" ->
       """WITH toks AS (

@@ -224,6 +224,31 @@ object PipelineOps {
         .select(col("l_returnflag"), round(col("ap90"), 2).as("p90_disc"))
         .orderBy("l_returnflag")),
 
+    // ---- join-key skew report: the diagnostic a pipeline runs BEFORE
+    //      choosing plain vs salted vs AQE-skew join for a key. Per-key
+    //      counts (map-side-combined fine shuffle), reduced to a 1-row
+    //      profile: key count, max/avg frequency, skew ratio, and the top-3
+    //      hot keys (TakeOrderedAndProject heap — constant rows moved).
+    //      At 100 TB this is the cheap pre-pass that tells you whether
+    //      q_join_salted's layout is even needed ----
+    "q_skew_report" -> ((s, d) => {
+      val cnt = Tables(s, d, "events")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+      val stats = cnt.agg(count(lit(1)).as("n_keys"),
+        max(col("c")).as("max_c"), sum(col("c")).as("total"))
+      // top keys rendered sorted by id: collect_list order after a sorted
+      // limit is not contractual, array_sort is — deterministic either engine
+      val top = cnt.orderBy(col("c").desc, col("user_id").asc).limit(3)
+        .agg(array_join(array_sort(collect_list(col("user_id"))), ",")
+          .as("top_keys"))
+      stats.crossJoin(top)
+        .select(col("n_keys"), col("max_c"),
+          round(col("total").cast("double") / col("n_keys"), 4).as("avg_c"),
+          round(col("max_c") /
+            (col("total").cast("double") / col("n_keys")), 4).as("skew"),
+          col("top_keys"))
+    }),
+
     // ---- range-partition layout planning: the boundary table a
     //      repartitionByRange writer uses — 7 split points dividing the
     //      o_orderdate key space into 8 equal-mass shards, from ONE
@@ -454,6 +479,19 @@ object PipelineOps {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_totalprice > 450000.0
         |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
+
+    "q_skew_report" ->
+      """WITH c AS (SELECT user_id, count(*) AS c FROM events GROUP BY user_id),
+        |s AS (SELECT count(*) AS n_keys, max(c) AS max_c,
+        |             CAST(sum(c) AS BIGINT) AS total FROM c),
+        |t AS (SELECT array_to_string(list_sort(list(user_id)), ',') AS top_keys
+        |      FROM (SELECT user_id FROM c
+        |            ORDER BY c DESC, user_id ASC LIMIT 3))
+        |SELECT n_keys, max_c,
+        |       round(CAST(total AS DOUBLE) / n_keys, 4) AS avg_c,
+        |       round(max_c / (CAST(total AS DOUBLE) / n_keys), 4) AS skew,
+        |       top_keys
+        |FROM s CROSS JOIN t""".stripMargin,
 
     // same exact-at-fixture-scale sketch convention as q_quantile_sketch
     "q_range_layout" ->

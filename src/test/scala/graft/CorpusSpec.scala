@@ -25,6 +25,24 @@ class CorpusSpec extends AnyFunSuite with SparkSpec {
     assert(mixRatio < rawRatio)
   }
 
+  test("curriculum quartiles partition each lang into ~equal bins") {
+    val rows = q("q_curriculum").collect()
+    val byLang = rows.groupBy(_.getAs[String]("lang"))
+    byLang.foreach { case (lang, bins) =>
+      assert(bins.map(_.getAs[Int]("bin")).sorted.toSeq == Seq(0, 1, 2, 3),
+        s"$lang missing bins")
+      val counts = bins.map(_.getAs[Long]("n_docs"))
+      val n = counts.sum
+      counts.foreach { c =>
+        // tie-free scores → every bin holds 25% ± discreteness
+        assert(math.abs(c - n / 4.0) <= n / 8.0 + 2, s"$lang bin of $c vs n=$n")
+      }
+      // bins are ordered by quality: average scores strictly increase
+      val avgs = bins.sortBy(_.getAs[Int]("bin")).map(_.getAs[Double]("avg_score"))
+      assert(avgs.zip(avgs.tail).forall { case (a, b) => a < b }, s"$lang $avgs")
+    }
+  }
+
   test("bigram LM score is total, positive, and conserves bigram counts") {
     val rows = q("q_bigram_lm").collect()
     val want = Tables(spark, sf, "documents")

@@ -124,6 +124,15 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("skew report profiles the key distribution consistently") {
+    val r = q("q_skew_report").collect().head
+    val users = Tables(spark, sf, "events").select("user_id").distinct().count()
+    assert(r.getAs[Long]("n_keys") == users)
+    assert(r.getAs[Long]("max_c") >= r.getAs[Double]("avg_c").toLong)
+    assert(r.getAs[Double]("skew") >= 1.0)
+    assert(r.getAs[String]("top_keys").split(",").length == 3)
+  }
+
   test("decontaminate removes exactly the detected train docs") {
     val contaminated = q("q_contamination").collect()
       .map(_.getAs[Long]("doc_id")).toSet

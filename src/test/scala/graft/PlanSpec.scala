@@ -119,18 +119,21 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("approx quality gate has no window sort and broadcasts the threshold") {
-    // the whole point of the approx gate is replacing the per-lang
-    // percent_rank window with a sketch + broadcast-back filter: a Window
-    // node reappearing means the scale path regressed to the exact one
-    val plan = physical("q_quality_gate_approx")
-    assert(plan.collectFirst {
-      case w: org.apache.spark.sql.execution.window.WindowExec => w
-    }.isEmpty, "approx gate must not contain a Window")
-    val hints = optimized("q_quality_gate_approx")
-      .collect { case j: Join => j.hint }
-      .filter(h => h.leftHint.flatMap(_.strategy).nonEmpty ||
-        h.rightHint.flatMap(_.strategy).nonEmpty)
-    assert(hints.nonEmpty, "threshold join lost its broadcast hint")
+    // the whole point of the approx gate (and its quartile generalization,
+    // q_curriculum) is replacing the per-lang percent_rank window with a
+    // sketch + broadcast-back filter: a Window node reappearing means the
+    // scale path regressed to the exact one
+    Seq("q_quality_gate_approx", "q_curriculum").foreach { n =>
+      val plan = physical(n)
+      assert(plan.collectFirst {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }.isEmpty, s"$n must not contain a Window")
+      val hints = optimized(n)
+        .collect { case j: Join => j.hint }
+        .filter(h => h.leftHint.flatMap(_.strategy).nonEmpty ||
+          h.rightHint.flatMap(_.strategy).nonEmpty)
+      assert(hints.nonEmpty, s"$n: threshold join lost its broadcast hint")
+    }
   }
 
   test("bloom pre-filter is a native codegen expression, not a Scala UDF") {
