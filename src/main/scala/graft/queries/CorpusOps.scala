@@ -48,15 +48,17 @@ object CorpusOps {
     * ≤ n/10⁴) computed with map-side partial aggregation, broadcast back to
     * the corpus as a plain filter. No per-lang window sort anywhere — the
     * only shuffle is the tiny per-lang sketch merge, so a hot (en) partition
-    * can't form at 100 TB. A deterministic doc_id·10⁻¹² jitter makes scores
-    * tie-free, so the kept fraction concentrates at 0.75 ± (sketch error +
-    * 1/n) and is bounds-checkable per lang. Returns (lang, n_docs, n_kept).
+    * can't form at 100 TB. A deterministic (doc_id mod 10⁶)·10⁻¹² jitter
+    * makes scores tie-free while staying ≤ 10⁻⁶ — bounded even at 10¹²-scale
+    * doc ids, where a raw doc_id·10⁻¹² would dominate the score — so the
+    * kept fraction concentrates at 0.75 ± (sketch error + 1/n) and is
+    * bounds-checkable per lang. Returns (lang, n_docs, n_kept).
     */
   def qualityGateApprox(documents: DataFrame): DataFrame = {
     val scored = nonEmpty(documents)
       .select(col("doc_id"), col("lang"),
         ((col("n_chars").cast("double") / size(toks)) +
-          col("doc_id").cast("double") * 1e-12).as("score"))
+          (col("doc_id") % 1000000L).cast("double") * 1e-12).as("score"))
     val thr = scored.groupBy(col("lang"))
       .agg(percentile_approx(col("score"), lit(0.25), lit(10000)).as("thr"))
     scored.join(broadcast(thr), "lang")
@@ -215,13 +217,13 @@ object CorpusOps {
     //      any window — the quality-gate scale path generalized to N bins.
     //      Three per-lang thresholds from ONE mergeable percentile_approx
     //      pass broadcast back; bin assignment is a per-row CASE against
-    //      the broadcast thresholds. The deterministic doc_id jitter makes
+    //      the broadcast thresholds. The deterministic bounded jitter makes
     //      scores tie-free so bin edges are engine-independent ----
     "q_curriculum" -> ((s, d) => {
       val scored = nonEmpty(docs(s, d))
         .select(col("doc_id"), col("lang"),
           ((col("n_chars").cast("double") / size(toks)) +
-            col("doc_id").cast("double") * 1e-12).as("score"))
+            (col("doc_id") % 1000000L).cast("double") * 1e-12).as("score"))
       val thr = scored.groupBy(col("lang"))
         .agg(percentile_approx(col("score"),
           array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("thr"))
@@ -283,8 +285,11 @@ object CorpusOps {
           round(least(lit(100.0),
             lit(50.0) * col("tot_docs") * (col("w") / col("tot_w")) /
               col("n_docs")), 4).as("rate_pct"))
-      val bucket = pmod(col("doc_id") * lit(1103515245L) + lit(12345L),
-        lit(2147483647L)) % 100
+      // doc_id reduced mod 2³¹−1 BEFORE the multiply: the raw product wraps
+      // Long (or errors under ANSI) once ids pass ~8·10⁹; reduced first, the
+      // product tops out at ~2.4·10¹⁸ — and fixture results are unchanged
+      val bucket = pmod(pmod(col("doc_id"), lit(2147483647L)) * lit(1103515245L)
+        + lit(12345L), lit(2147483647L)) % 100
       val kept = base
         .join(broadcast(rates.select(col("source"), col("rate_pct"))), "source")
         .filter(bucket.cast("double") < col("rate_pct"))
@@ -308,8 +313,8 @@ object CorpusOps {
     "q_sample_weighted" -> ((s, d) => {
       val base = nonEmpty(docs(s, d))
         .select(col("doc_id"), col("source"), size(toks).cast("long").as("n_tok"))
-      val u = pmod(col("doc_id") * lit(1103515245L) + lit(12345L),
-        lit(2147483647L))
+      val u = pmod(pmod(col("doc_id"), lit(2147483647L)) * lit(1103515245L)
+        + lit(12345L), lit(2147483647L))
       base.withColumn("pri", u.cast("double") / col("n_tok"))
         .orderBy(col("pri").asc, col("doc_id").asc)
         .limit(50)
@@ -446,7 +451,7 @@ object CorpusOps {
         |  SELECT doc_id, lang,
         |         CAST(n_chars AS DOUBLE) /
         |           len(regexp_split_to_array(lower(trim(text)), '\s+'))
-        |           + doc_id * 1e-12 AS score
+        |           + (doc_id % 1000000) * 1e-12 AS score
         |  FROM documents WHERE length(trim(text)) > 0),
         |t AS (SELECT lang, quantile_disc(score, [0.25, 0.5, 0.75]) AS thr
         |      FROM s GROUP BY lang),
@@ -497,7 +502,8 @@ object CorpusOps {
         |      FROM w CROSS JOIN t),
         |k AS (SELECT b.source, count(*) AS n_kept
         |      FROM base b JOIN r USING (source)
-        |      WHERE CAST(((b.doc_id * 1103515245 + 12345) % 2147483647) % 100
+        |      WHERE CAST((((b.doc_id % 2147483647) * 1103515245 + 12345)
+        |                  % 2147483647) % 100
         |                 AS DOUBLE) < r.rate_pct
         |      GROUP BY b.source)
         |SELECT r.source, r.n_docs, coalesce(k.n_kept, 0) AS n_kept, r.rate_pct
@@ -511,7 +517,8 @@ object CorpusOps {
         |  FROM documents WHERE length(trim(text)) > 0),
         |p AS (
         |  SELECT doc_id, source, n_tok,
-        |         CAST((doc_id * 1103515245 + 12345) % 2147483647 AS DOUBLE)
+        |         CAST(((doc_id % 2147483647) * 1103515245 + 12345)
+        |              % 2147483647 AS DOUBLE)
         |           / n_tok AS pri
         |  FROM base)
         |SELECT doc_id, source, n_tok, round(pri, 4) AS pri_r

@@ -138,8 +138,10 @@ object TextOps {
     //      pattern for carving eval slices out of a 100 TB corpus: a per-row
     //      filter, no shuffle at all before the oracle ORDER BY ----
     "q_sample_stratified" -> ((s, d) => {
-      val bucket = pmod(col("doc_id") * lit(1103515245L) + lit(12345L),
-        lit(2147483647L)) % 100
+      // doc_id reduced mod 2³¹−1 first — the raw product wraps Long past
+      // ~8·10⁹ ids (fixture results unchanged; see CorpusOps sampling)
+      val bucket = pmod(pmod(col("doc_id"), lit(2147483647L)) * lit(1103515245L)
+        + lit(12345L), lit(2147483647L)) % 100
       val rate = when(col("lang") === "en", 10)
         .when(col("lang").isin("de", "fr", "es"), 30)
         .otherwise(50)
@@ -252,7 +254,7 @@ object TextOps {
 
     "q_sample_stratified" ->
       """SELECT doc_id, lang FROM documents
-        |WHERE ((doc_id * 1103515245 + 12345) % 2147483647) % 100 <
+        |WHERE (((doc_id % 2147483647) * 1103515245 + 12345) % 2147483647) % 100 <
         |      CASE WHEN lang = 'en' THEN 10
         |           WHEN lang IN ('de', 'fr', 'es') THEN 30
         |           ELSE 50 END
