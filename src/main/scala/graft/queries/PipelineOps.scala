@@ -332,20 +332,30 @@ object PipelineOps {
     //      doc-level MinHash dedup, à la C4's repeated-line removal): docs
     //      are chunked into non-overlapping 3-token spans, per-span document
     //      frequency is computed corpus-wide, and spans appearing in ≥ 3
-    //      distinct docs are flagged as boilerplate. Two shuffles on the
-    //      span key (fine-grained). At 100 TB the Zipf head of span-df is
-    //      the skew risk on the stats join — the mitigation is the standard
-    //      hybrid: broadcast the (tiny) high-df head, shuffle-join the tail;
-    //      the aggregation itself is already map-side combined ----
+    //      distinct docs are flagged as boilerplate. The df AGGREGATION is
+    //      skew-proof (map-side combine); the stats JOIN back is where the
+    //      Zipf head would hot-spot a reducer, so it runs as the standard
+    //      HYBRID: the top-1024 heaviest spans (bounded by construction →
+    //      broadcastable at any corpus size, TakeOrdered heap) resolve via
+    //      broadcast joins, and only the near-unique tail shuffles on the
+    //      span key. The head/tail split partitions the span set exactly,
+    //      so results are identical to the plain join ----
     "q_span_dedup" -> ((s, d) => {
       val sp = tokenized(s, d)
         .filter(size(col("w")) >= 3)
         .select(col("doc_id"), explode(transform(
           sequence(lit(0), expr("size(w) div 3").cast("int") - 1),
           i => concat_ws(" ", slice(col("w"), i * 3 + 1, lit(3))))).as("span"))
+        .persist() // df + both hybrid branches reuse the exploded spans
       val df = sp.groupBy(col("span"))
         .agg(countDistinct(col("doc_id")).as("ndocs"))
-      sp.join(df, "span")
+      val head = df.orderBy(col("ndocs").desc, col("span").asc).limit(1024)
+      val tail = df.join(broadcast(head.select("span")), Seq("span"), "left_anti")
+      val joined = sp.join(broadcast(head), "span")
+        .unionByName(
+          sp.join(broadcast(head.select("span")), Seq("span"), "left_anti")
+            .join(tail, "span"))
+      joined
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_spans"),
           sum(when(col("ndocs") >= 3, 1L).otherwise(0L)).as("n_boiler"),

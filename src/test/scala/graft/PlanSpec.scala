@@ -258,6 +258,15 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     })
   }
 
+  test("span dedup stats join is the Zipf hybrid: broadcast head present") {
+    // the heavy-span head must resolve via broadcast joins; losing the hint
+    // regresses the stats join to a shuffle that hot-spots on the Zipf head
+    val hints = optimized("q_span_dedup").collect { case j: Join => j.hint }
+      .filter(h => h.leftHint.flatMap(_.strategy).nonEmpty ||
+        h.rightHint.flatMap(_.strategy).nonEmpty)
+    assert(hints.size >= 2, s"expected broadcast hints on head joins: $hints")
+  }
+
   test("sliding windows keep map-side partial aggregation") {
     // the 4× window expansion happens before the partial agg, so the
     // shuffle moves (window, type) group rows, not expanded event rows
