@@ -298,6 +298,30 @@ object PipelineOps {
         .orderBy("doc_id")
     }),
 
+    // ---- sliding-window document chunking (RAG/eval-context style — the
+    //      SPLITTING counterpart of q_pack_sequences' concatenation): 32-
+    //      token windows every 16 tokens, so consecutive chunks overlap by
+    //      half. Pure per-row expansion (no shuffle before the final ORDER
+    //      BY); each chunk carries its start offset, length, and content
+    //      md5 — the id a chunk-level dedup or embedding stage would key on.
+    //      Starts run to len−stride (not len−win+1), so the final —
+    //      possibly truncated — window always reaches the last token: full
+    //      tiling coverage, PipelineSpec-proven. Short docs yield one
+    //      full-doc chunk ----
+    "q_chunk_overlap" -> ((s, d) => {
+      val win = 32; val stride = 16
+      tokenized(s, d)
+        .select(col("doc_id"), col("w"), explode(
+          sequence(lit(1), greatest(lit(1), size(col("w")) - stride),
+            lit(stride))).as("start"))
+        .select(col("doc_id"), col("start").cast("long").as("start"),
+          slice(col("w"), col("start"), lit(win)).as("chunk"))
+        .select(col("doc_id"), col("start"),
+          size(col("chunk")).cast("long").as("n_tok"),
+          md5(concat_ws(" ", col("chunk"))).as("chunk_fp"))
+        .orderBy("doc_id", "start")
+    }),
+
     // ---- CDC merge (MERGE INTO semantics over a snapshot): apply a keyed
     //      change batch — updates, deletes, inserts — to the base table in
     //      ONE full-outer shuffle join on the key, the scale shape of a
@@ -539,6 +563,22 @@ object PipelineOps {
         |WHERE doc_id % 10 = 9
         |  AND NOT EXISTS (SELECT 1 FROM hist h WHERE h.fp = f.fp)
         |ORDER BY doc_id""".stripMargin,
+
+    // DuckDB range() is stop-exclusive vs Spark sequence()'s inclusive stop
+    // → the +1; slice bounds w[start : start+31] truncate at array end in
+    // both engines, so the last partial chunk matches
+    "q_chunk_overlap" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |st AS (
+        |  SELECT doc_id, w,
+        |         unnest(range(1, greatest(1, len(w) - 16) + 1, 16)) AS start
+        |  FROM toks),
+        |ch AS (SELECT doc_id, start, w[start:start+31] AS chunk FROM st)
+        |SELECT doc_id, start, CAST(len(chunk) AS BIGINT) AS n_tok,
+        |       md5(array_to_string(chunk, ' ')) AS chunk_fp
+        |FROM ch ORDER BY doc_id, start""".stripMargin,
 
     // +100.0 (an IEEE-exact-rounded double add, identical across engines)
     // rather than *1.1+round, whose decimal re-rounding is libm-flavored

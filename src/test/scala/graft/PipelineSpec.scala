@@ -124,6 +124,28 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("overlapping chunks tile every doc with stride 16") {
+    val byDoc = q("q_chunk_overlap").collect().groupBy(_.getAs[Long]("doc_id"))
+    val want = Tables(spark, sf, "documents")
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"),
+        size(split(lower(trim(col("text"))), "\\s+")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byDoc.keySet == want.keySet)
+    byDoc.foreach { case (id, chunks) =>
+      val starts = chunks.map(_.getAs[Long]("start")).sorted
+      assert(starts.head == 1L)
+      starts.zip(starts.tail).foreach { case (a, b) => assert(b - a == 16) }
+      // the final chunk reaches the last token — full coverage
+      val last = chunks.maxBy(_.getAs[Long]("start"))
+      assert(last.getAs[Long]("start") + last.getAs[Long]("n_tok") - 1 ==
+        want(id), s"doc $id not covered to its end")
+      // every non-final chunk is the full window
+      chunks.filter(_.getAs[Long]("start") < last.getAs[Long]("start"))
+        .foreach(c => assert(c.getAs[Long]("n_tok") == 32))
+    }
+  }
+
   test("skew report profiles the key distribution consistently") {
     val r = q("q_skew_report").collect().head
     val users = Tables(spark, sf, "events").select("user_id").distinct().count()
