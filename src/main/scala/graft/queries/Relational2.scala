@@ -317,6 +317,28 @@ object Relational2 {
           round(sum(col("o_totalprice")), 2).as("revenue"))
         .orderBy("c_mktsegment")),
 
+    // ---- six-table star join (TPC-H Q5 shape): revenue by supplier nation
+    //      for one region, customer and supplier in the SAME nation. The
+    //      declarative form leaves join ORDER to Catalyst/AQE: dims (region→
+    //      nation→supplier) reduce before touching the facts, dim sides
+    //      broadcast from size stats, and the lineitem⋈orders fact join
+    //      keys on l_orderkey — at 100 TB the same plan holds with the fact
+    //      join shuffled and every dim still broadcast ----
+    "q_join_star" -> ((s, d) =>
+      li(s, d)
+        .join(ord(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(cust(s, d), col("o_custkey") === col("c_custkey"))
+        .join(Tables(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(nation(s, d), col("s_nationkey") === col("n_nationkey"))
+        .join(region(s, d), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "EUROPE" &&
+          col("c_nationkey") === col("s_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("revenue").desc, col("n_name").asc)),
+
     // ---- fuzzy self-join (entity resolution): candidate pairs via
     //      equality blocking on (p_brand, p_size) — a fine composite key, so
     //      the self-join shuffles once on it and pair generation is bounded
@@ -740,6 +762,19 @@ object Relational2 {
         |       round(sum(o_totalprice), 2) AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_join_star" ->
+      """SELECT n_name,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |       count(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE r_name = 'EUROPE' AND c_nationkey = s_nationkey
+        |GROUP BY n_name ORDER BY revenue DESC, n_name ASC""".stripMargin,
 
     "q_fuzzy_join" ->
       """SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,

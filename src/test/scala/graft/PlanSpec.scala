@@ -212,6 +212,15 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(physical("q_join_broadcast").toString.contains("BroadcastHashJoin"))
   }
 
+  test("star join broadcasts every dimension and keeps partial aggregation") {
+    // Q5 shape: region/nation/supplier/customer reduce via broadcast joins
+    // (no fact-table repartition for a dim); revenue agg is map-side partial
+    val plan = physical("q_join_star")
+    val bhj = plan.collect { case b: BroadcastHashJoinExec => b }
+    assert(bhj.size >= 3, s"expected >=3 broadcast dim joins, got ${bhj.size}")
+    assert(plan.toString.contains("partial_"), "star join lost partial agg")
+  }
+
   test("weighted sample plans as per-partition top-k heaps, not a global sort") {
     // the 50-smallest-priority selection must be TakeOrderedAndProject
     // (constant rows moved per partition); a global Sort would shuffle the
