@@ -249,6 +249,42 @@ object PipelineOps {
           col("top_keys"))
     }),
 
+    // ---- incremental view maintenance: a per-customer revenue rollup is
+    //      MAINTAINED under the CDC batch by aggregating the (tiny) change
+    //      set into per-key deltas and merging them into the old rollup —
+    //      the base table is never rescanned. The oracle recomputes the
+    //      rollup from the merged snapshot from scratch, so hash-equality
+    //      IS the proof that delta maintenance equals recomputation. At
+    //      100 TB this is touching |changes| rows instead of |base| rows;
+    //      both aggregations are map-side-combined on the fine customer key
+    //      and the delta side is change-batch-sized ----
+    "q_ivm_rollup" -> ((s, d) => {
+      val o = Tables(s, d, "orders")
+      val oldRoll = o.filter(col("o_orderkey") % 10 < 8)
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice")).as("rev"), count(lit(1)).as("n"))
+      val deltas = o.filter((col("o_orderkey") % 10).isin(3, 7, 8))
+        .select(col("o_custkey"),
+          when(col("o_orderkey") % 10 === 3, -col("o_totalprice"))
+            .when(col("o_orderkey") % 10 === 7, lit(100.0)) // (p+100)−p
+            .otherwise(col("o_totalprice") + 100.0).as("d_rev"),
+          when(col("o_orderkey") % 10 === 3, -1L)
+            .when(col("o_orderkey") % 10 === 7, 0L)
+            .otherwise(1L).as("d_n"))
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("d_rev")).as("d_rev"), sum(col("d_n")).as("d_n"))
+      oldRoll.join(deltas, Seq("o_custkey"), "full_outer")
+        .select(col("o_custkey"),
+          (coalesce(col("rev"), lit(0.0)) +
+            coalesce(col("d_rev"), lit(0.0))).as("rev_raw"),
+          (coalesce(col("n"), lit(0L)) +
+            coalesce(col("d_n"), lit(0L))).as("n_orders"))
+        .filter(col("n_orders") > 0)
+        .select(col("o_custkey"), round(col("rev_raw"), 2).as("revenue"),
+          col("n_orders"))
+        .orderBy("o_custkey")
+    }),
+
     // ---- range-partition layout planning: the boundary table a
     //      repartitionByRange writer uses — 7 split points dividing the
     //      o_orderdate key space into 8 equal-mass shards, from ONE
@@ -513,6 +549,28 @@ object PipelineOps {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_totalprice > 450000.0
         |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
+
+    // the oracle is the from-scratch recompute over the merged snapshot —
+    // value-equality proves delta maintenance ≡ recomputation
+    "q_ivm_rollup" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice
+        |  FROM orders WHERE o_orderkey % 10 < 8),
+        |ch AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         CASE WHEN o_orderkey % 10 = 3 THEN 'D'
+        |              WHEN o_orderkey % 10 = 7 THEN 'U'
+        |              ELSE 'I' END AS op,
+        |         o_totalprice + 100.0 AS new_price
+        |  FROM orders WHERE o_orderkey % 10 IN (3, 7, 8)),
+        |merged AS (
+        |  SELECT coalesce(b.o_custkey, c.o_custkey) AS o_custkey,
+        |         coalesce(c.new_price, b.o_totalprice) AS price
+        |  FROM base b FULL OUTER JOIN ch c ON b.o_orderkey = c.o_orderkey
+        |  WHERE coalesce(c.op, 'K') <> 'D')
+        |SELECT o_custkey, round(sum(price), 2) AS revenue,
+        |       count(*) AS n_orders
+        |FROM merged GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     "q_skew_report" ->
       """WITH c AS (SELECT user_id, count(*) AS c FROM events GROUP BY user_id),

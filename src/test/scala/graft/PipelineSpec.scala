@@ -124,6 +124,25 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("ivm rollup equals a from-scratch recompute of the merged snapshot") {
+    val maintained = q("q_ivm_rollup").collect()
+      .map(r => r.getAs[Long]("o_custkey") ->
+        (r.getAs[Double]("revenue"), r.getAs[Long]("n_orders"))).toMap
+    // q_cdc_merge IS the merged snapshot — recompute the rollup from it
+    val scratch = q("q_cdc_merge")
+      .groupBy(col("o_custkey"))
+      .agg(round(sum(col("price")), 2).as("revenue"), count(lit(1)).as("n"))
+      .collect()
+      .map(r => r.getAs[Long]("o_custkey") ->
+        (r.getAs[Double]("revenue"), r.getAs[Long]("n"))).toMap
+    assert(maintained.keySet == scratch.keySet)
+    maintained.foreach { case (k, (rev, n)) =>
+      assert(n == scratch(k)._2, s"customer $k count")
+      // delta-sum vs direct-sum may differ by float association only
+      assert(math.abs(rev - scratch(k)._1) <= 0.011, s"customer $k revenue")
+    }
+  }
+
   test("overlapping chunks tile every doc with stride 16") {
     val byDoc = q("q_chunk_overlap").collect().groupBy(_.getAs[Long]("doc_id"))
     val want = Tables(spark, sf, "documents")
