@@ -42,6 +42,26 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
     assert(row.getAs[Long]("exact_parts") == exact.toLong)
   }
 
+  test("hll sketch state merges losslessly across disjoint partitions") {
+    // THE 100 TB property, proven directly: sketches built on disjoint
+    // halves of the data and UNIONED give the same estimate as one pass
+    // over the whole — i.e. the map-side partial state loses nothing.
+    import org.apache.spark.sql.functions._
+    val li = Tables(spark, sf, "lineitem")
+    val s1 = li.filter(col("l_orderkey") % 2 === 0)
+      .agg(hll_sketch_agg(col("l_partkey")).as("s"))
+    val s2 = li.filter(col("l_orderkey") % 2 =!= 0)
+      .agg(hll_sketch_agg(col("l_partkey")).as("s"))
+    val merged = s1.crossJoin(s2.select(col("s").as("s2")))
+      .select(hll_sketch_estimate(hll_union(col("s"), col("s2"))).as("est"))
+      .head.getLong(0)
+    val onePass = li.agg(
+      hll_sketch_estimate(hll_sketch_agg(col("l_partkey"))).as("est"))
+      .head.getLong(0)
+    assert(merged == onePass,
+      s"union of half-sketches ($merged) != one-pass sketch ($onePass)")
+  }
+
   test("q_hll_sketch: per-group estimates within 5% of exact distinct counts") {
     // the sketch-only production plan has no oracle (engine-specific HLL
     // values) — bound every group's estimate against the exact count here
