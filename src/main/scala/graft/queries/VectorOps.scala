@@ -155,6 +155,54 @@ object VectorOps {
         .filter(col("rn") <= 3)
         .select(col("probe_id"), col("rn"), col("neighbor_id"), col("cos"))
         .orderBy("probe_id", "rn")
+    }),
+
+    // ---- product quantization (the faiss-style compression beyond the
+    //      int8 scalar path, completing scalar → IVF → PQ): the 64-dim
+    //      space splits into 4 subspaces of 16 dims, each with its own
+    //      deterministic 8-centroid codebook (init = first 8 vectors, one
+    //      Lloyd step, centroids rounded 6dp — the q_ann_ivf recipe per
+    //      subspace); every vector compresses to a 4-symbol code (its
+    //      nearest centroid per subspace) plus its total reconstruction
+    //      error. Scale shape: codebooks are K×M-row broadcasts, assignment
+    //      is per-row against them — the corpus is never shuffled; the
+    //      code (4 bytes here vs 256 for float32) is what a 100 TB vector
+    //      index stores ----
+    "q_embed_pq" -> ((s, d) => {
+      val m = 4; val sub = 16; val k = 8
+      val e = emb(s, d).select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("vd")).persist()
+      val subAssign = (0 until m).map { mi =>
+        val sv = e.select(col("vec_id"), slice(col("vd"), mi * sub + 1, sub).as("sv"))
+        def assign(cents: DataFrame): DataFrame = {
+          val w = Window.partitionBy(col("vec_id"))
+            .orderBy(col("dist").asc, col("cid").asc)
+          sv.crossJoin(broadcast(cents))
+            .select(col("vec_id"), col("sv"), col("cid"),
+              VectorExprs.l2DistSq(col("sv"), col("cvec")).as("dist"))
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1)
+            .select(col("vec_id"), col("sv"), col("cid"), col("dist"))
+        }
+        val init = sv.filter(col("vec_id") < k)
+          .select(col("vec_id").cast("int").as("cid"), col("sv").as("cvec"))
+        val cents1 = assign(init)
+          .select(col("cid"), posexplode(col("sv")).as(Seq("dim", "v")))
+          .groupBy(col("cid"), col("dim"))
+          .agg(round(avg(col("v")), 6).as("cv"))
+          .groupBy(col("cid"))
+          .agg(transform(array_sort(collect_list(struct(col("dim"), col("cv")))),
+            _.getField("cv")).as("cvec"))
+        assign(cents1)
+          .select(col("vec_id"), lit(mi).as("m"), col("cid"), col("dist"))
+      }
+      subAssign.reduce(_ unionByName _)
+        .groupBy(col("vec_id"))
+        .agg(concat_ws("-",
+          transform(array_sort(collect_list(struct(col("m"), col("cid")))),
+            _.getField("cid").cast("string"))).as("pq_code"),
+          round(sum(col("dist")), 6).as("recon_err"))
+        .orderBy("vec_id")
     })
   )
 
@@ -258,6 +306,41 @@ object VectorOps {
          |      FROM cand)
          |SELECT probe_id, rn, neighbor_id, cos FROM r
          |WHERE rn <= 3 ORDER BY probe_id, rn""".stripMargin
+    },
+
+    // per-subspace CTE chains generated by the same recipe as q_ann_ivf's
+    "q_embed_pq" -> {
+      val l2 = VectorExprs.l2DistSqSql _
+      val subCtes = (0 until 4).map { mi =>
+        val lo = mi * 16 + 1; val hi = mi * 16 + 16
+        s"""sv$mi AS (SELECT vec_id, vd[$lo:$hi] AS sv FROM e),
+           |i$mi AS (SELECT CAST(vec_id AS INTEGER) AS cid, sv AS cvec
+           |         FROM sv$mi WHERE vec_id < 8),
+           |d1$mi AS (SELECT s.vec_id, s.sv, i.cid, ${l2("s.sv", "i.cvec", 16)} AS dist
+           |          FROM sv$mi s, i$mi i),
+           |a1$mi AS (SELECT vec_id, sv, cid FROM (
+           |            SELECT *, row_number() OVER (PARTITION BY vec_id
+           |                      ORDER BY dist ASC, cid ASC) AS rn FROM d1$mi)
+           |          WHERE rn = 1),
+           |cd$mi AS (SELECT cid, d.range AS dim, round(avg(sv[d.range]), 6) AS cv
+           |          FROM a1$mi, range(1, 17) d GROUP BY cid, d.range),
+           |c1$mi AS (SELECT cid, list(cv ORDER BY dim) AS cvec FROM cd$mi GROUP BY cid),
+           |d2$mi AS (SELECT s.vec_id, s.sv, c.cid, ${l2("s.sv", "c.cvec", 16)} AS dist
+           |          FROM sv$mi s, c1$mi c),
+           |a2$mi AS (SELECT vec_id, $mi AS m, cid, dist FROM (
+           |            SELECT *, row_number() OVER (PARTITION BY vec_id
+           |                      ORDER BY dist ASC, cid ASC) AS rn FROM d2$mi)
+           |          WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+         |           FROM embeddings),
+         |$subCtes,
+         |u AS (SELECT * FROM a20 UNION ALL SELECT * FROM a21
+         |      UNION ALL SELECT * FROM a22 UNION ALL SELECT * FROM a23)
+         |SELECT vec_id,
+         |       array_to_string(list(CAST(cid AS VARCHAR) ORDER BY m), '-') AS pq_code,
+         |       round(sum(dist), 6) AS recon_err
+         |FROM u GROUP BY vec_id ORDER BY vec_id""".stripMargin
     }
   )
 }

@@ -65,4 +65,32 @@ class VectorSpec extends AnyFunSuite with SparkSpec {
     }
     assert(top1Hit >= 2, s"LSH recalled top-1 for only $top1Hit/10 probes")
   }
+
+  test("product quantization codes are well-formed and actually compress") {
+    val rows = q("q_embed_pq").collect()
+    val n = Tables(spark, sf, "embeddings").count()
+    assert(rows.length == n)
+    rows.foreach { r =>
+      val code = r.getAs[String]("pq_code").split("-")
+      assert(code.length == 4, "one symbol per subspace")
+      assert(code.forall(c => c.toInt >= 0 && c.toInt < 8), "symbols in [0,8)")
+      assert(r.getAs[Double]("recon_err") >= 0.0)
+    }
+    // PQ compresses the REPRESENTATION (4 symbols vs 64 floats), not the
+    // cardinality — near-random vectors legitimately spread over the 8⁴
+    // code space. What must hold: codes do collide (coarser than ids) and
+    // every subspace actually uses multiple codebook entries
+    val distinct = rows.map(_.getAs[String]("pq_code")).distinct.length
+    assert(distinct < n, s"$distinct codes for $n vectors — nothing collided")
+    (0 until 4).foreach { m =>
+      val used = rows.map(_.getAs[String]("pq_code").split("-")(m)).distinct.length
+      assert(used >= 2, s"subspace $m collapsed to one centroid")
+    }
+    // codebook members (init vectors) should reconstruct relatively well:
+    // their average error must not exceed the corpus average
+    val (init, rest) = rows.partition(_.getAs[Long]("vec_id") < 8)
+    def avgErr(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(_.getAs[Double]("recon_err")).sum / rs.length
+    assert(avgErr(init) <= avgErr(rest), "codebook seeds reconstruct worse than average")
+  }
 }
