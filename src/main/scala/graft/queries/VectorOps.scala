@@ -169,42 +169,101 @@ object VectorOps {
     //      code (4 bytes here vs 256 for float32) is what a 100 TB vector
     //      index stores ----
     "q_embed_pq" -> ((s, d) => {
-      val m = 4; val sub = 16; val k = 8
-      val e = emb(s, d).select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double")).as("vd")).persist()
-      val subAssign = (0 until m).map { mi =>
-        val sv = e.select(col("vec_id"), slice(col("vd"), mi * sub + 1, sub).as("sv"))
-        def assign(cents: DataFrame): DataFrame = {
-          val w = Window.partitionBy(col("vec_id"))
-            .orderBy(col("dist").asc, col("cid").asc)
-          sv.crossJoin(broadcast(cents))
-            .select(col("vec_id"), col("sv"), col("cid"),
-              VectorExprs.l2DistSq(col("sv"), col("cvec")).as("dist"))
-            .withColumn("rn", row_number().over(w))
-            .filter(col("rn") === 1)
-            .select(col("vec_id"), col("sv"), col("cid"), col("dist"))
-        }
-        val init = sv.filter(col("vec_id") < k)
-          .select(col("vec_id").cast("int").as("cid"), col("sv").as("cvec"))
-        val cents1 = assign(init)
-          .select(col("cid"), posexplode(col("sv")).as(Seq("dim", "v")))
-          .groupBy(col("cid"), col("dim"))
-          .agg(round(avg(col("v")), 6).as("cv"))
-          .groupBy(col("cid"))
-          .agg(transform(array_sort(collect_list(struct(col("dim"), col("cv")))),
-            _.getField("cv")).as("cvec"))
-        assign(cents1)
-          .select(col("vec_id"), lit(mi).as("m"), col("cid"), col("dist"))
-      }
-      subAssign.reduce(_ unionByName _)
+      val (assignments, _) = pqAssignments(emb(s, d))
+      assignments
         .groupBy(col("vec_id"))
         .agg(concat_ws("-",
           transform(array_sort(collect_list(struct(col("m"), col("cid")))),
             _.getField("cid").cast("string"))).as("pq_code"),
           round(sum(col("dist")), 6).as("recon_err"))
         .orderBy("vec_id")
+    }),
+
+    // ---- PQ ANN search (asymmetric distance computation, the consumer of
+    //      q_embed_pq's codes): each probe precomputes a 4×8 lookup table
+    //      of subspace distances to every codebook centroid (tiny —
+    //      probes × 32 rows — broadcast), and a corpus vector's approximate
+    //      distance is the 4-term SUM OF TABLE LOOKUPS over its code: a
+    //      sequential HOF fold per row against broadcast state, so the
+    //      corpus is scanned once with NO shuffle before the final top-k
+    //      window. This is exactly how a PQ index serves queries at 100 TB:
+    //      codes live columnar, floats never touched at query time ----
+    "q_ann_pq" -> ((s, d) => {
+      val e = emb(s, d).select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("vd")).persist()
+      val (assignments, codebooks) = pqAssignmentsFrom(e)
+      val codesWide = assignments.groupBy(col("vec_id"))
+        .agg(transform(array_sort(collect_list(struct(col("m"), col("cid")))),
+          _.getField("cid")).as("code"))
+      // per-probe LUT: dist from the probe's m-th subvector to centroid cid,
+      // flattened ordered by (m, cid) so index = m*8 + cid + 1
+      val probes = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("vd"))
+      val lutRows = (0 until 4).map { mi =>
+        probes.select(col("probe_id"),
+            slice(col("vd"), mi * 16 + 1, 16).as("psv"))
+          .crossJoin(broadcast(codebooks(mi)))
+          .select(col("probe_id"), lit(mi).as("m"), col("cid"),
+            VectorExprs.l2DistSq(col("psv"), col("cvec")).as("pdist"))
+      }.reduce(_ unionByName _)
+      val lutWide = lutRows.groupBy(col("probe_id"))
+        .agg(transform(array_sort(collect_list(
+          struct(col("m"), col("cid"), col("pdist")))),
+          _.getField("pdist")).as("lut"))
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("adist").asc, col("neighbor_id").asc)
+      codesWide.crossJoin(broadcast(lutWide))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+          round(aggregate(sequence(lit(0), lit(3)), lit(0.0), (acc, mm) =>
+            acc + element_at(col("lut"),
+              mm * 8 + element_at(col("code"), mm + 1) + 1)), 6).as("adist"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("probe_id"), col("rn"), col("neighbor_id"), col("adist"))
+        .orderBy("probe_id", "rn")
     })
   )
+
+  /** Product-quantization codebooks + assignments: 4 subspaces of 16 dims,
+    * 8 deterministic centroids each (init = first 8 vectors' subvectors,
+    * one Lloyd step, centroids rounded 6dp — q_ann_ivf's recipe per
+    * subspace). Returns the (vec_id, m, cid, dist) assignment frame and the
+    * per-subspace codebook frames (cid, cvec).
+    */
+  private def pqAssignments(embDf: DataFrame): (DataFrame, Seq[DataFrame]) =
+    pqAssignmentsFrom(embDf.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("vd")).persist())
+
+  private def pqAssignmentsFrom(e: DataFrame): (DataFrame, Seq[DataFrame]) = {
+    val m = 4; val sub = 16; val k = 8
+    val perSub = (0 until m).map { mi =>
+      val sv = e.select(col("vec_id"), slice(col("vd"), mi * sub + 1, sub).as("sv"))
+      def assign(cents: DataFrame): DataFrame = {
+        val w = Window.partitionBy(col("vec_id"))
+          .orderBy(col("dist").asc, col("cid").asc)
+        sv.crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("sv"), col("cid"),
+            VectorExprs.l2DistSq(col("sv"), col("cvec")).as("dist"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("sv"), col("cid"), col("dist"))
+      }
+      val init = sv.filter(col("vec_id") < k)
+        .select(col("vec_id").cast("int").as("cid"), col("sv").as("cvec"))
+      val cents1 = assign(init)
+        .select(col("cid"), posexplode(col("sv")).as(Seq("dim", "v")))
+        .groupBy(col("cid"), col("dim"))
+        .agg(round(avg(col("v")), 6).as("cv"))
+        .groupBy(col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("cv")))),
+          _.getField("cv")).as("cvec"))
+      (assign(cents1)
+        .select(col("vec_id"), lit(mi).as("m"), col("cid"), col("dist")),
+        cents1)
+    }
+    (perSub.map(_._1).reduce(_ unionByName _), perSub.map(_._2))
+  }
 
   private val cosAB = VectorExprs.cosineSql("a.embedding", "b.embedding")
 
@@ -309,38 +368,73 @@ object VectorOps {
     },
 
     // per-subspace CTE chains generated by the same recipe as q_ann_ivf's
-    "q_embed_pq" -> {
-      val l2 = VectorExprs.l2DistSqSql _
-      val subCtes = (0 until 4).map { mi =>
-        val lo = mi * 16 + 1; val hi = mi * 16 + 16
-        s"""sv$mi AS (SELECT vec_id, vd[$lo:$hi] AS sv FROM e),
-           |i$mi AS (SELECT CAST(vec_id AS INTEGER) AS cid, sv AS cvec
-           |         FROM sv$mi WHERE vec_id < 8),
-           |d1$mi AS (SELECT s.vec_id, s.sv, i.cid, ${l2("s.sv", "i.cvec", 16)} AS dist
-           |          FROM sv$mi s, i$mi i),
-           |a1$mi AS (SELECT vec_id, sv, cid FROM (
-           |            SELECT *, row_number() OVER (PARTITION BY vec_id
-           |                      ORDER BY dist ASC, cid ASC) AS rn FROM d1$mi)
-           |          WHERE rn = 1),
-           |cd$mi AS (SELECT cid, d.range AS dim, round(avg(sv[d.range]), 6) AS cv
-           |          FROM a1$mi, range(1, 17) d GROUP BY cid, d.range),
-           |c1$mi AS (SELECT cid, list(cv ORDER BY dim) AS cvec FROM cd$mi GROUP BY cid),
-           |d2$mi AS (SELECT s.vec_id, s.sv, c.cid, ${l2("s.sv", "c.cvec", 16)} AS dist
-           |          FROM sv$mi s, c1$mi c),
-           |a2$mi AS (SELECT vec_id, $mi AS m, cid, dist FROM (
-           |            SELECT *, row_number() OVER (PARTITION BY vec_id
-           |                      ORDER BY dist ASC, cid ASC) AS rn FROM d2$mi)
-           |          WHERE rn = 1)""".stripMargin
-      }.mkString(",\n")
+    "q_embed_pq" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
          |           FROM embeddings),
-         |$subCtes,
+         |$pqSubCtes,
          |u AS (SELECT * FROM a20 UNION ALL SELECT * FROM a21
          |      UNION ALL SELECT * FROM a22 UNION ALL SELECT * FROM a23)
          |SELECT vec_id,
          |       array_to_string(list(CAST(cid AS VARCHAR) ORDER BY m), '-') AS pq_code,
          |       round(sum(dist), 6) AS recon_err
-         |FROM u GROUP BY vec_id ORDER BY vec_id""".stripMargin
+         |FROM u GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    "q_ann_pq" -> {
+      val l2 = VectorExprs.l2DistSqSql _
+      val luts = (0 until 4).map { mi =>
+        val lo = mi * 16 + 1; val hi = mi * 16 + 16
+        s"""lut$mi AS (SELECT p.probe_id, $mi AS m, c.cid,
+           |                  ${l2(s"p.vd[$lo:$hi]", "c.cvec", 16)} AS pdist
+           |           FROM p, c1$mi c)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+         |           FROM embeddings),
+         |$pqSubCtes,
+         |codes AS (SELECT vec_id, m, cid FROM a20 UNION ALL SELECT vec_id, m, cid FROM a21
+         |          UNION ALL SELECT vec_id, m, cid FROM a22
+         |          UNION ALL SELECT vec_id, m, cid FROM a23),
+         |p AS (SELECT vec_id AS probe_id, vd FROM e WHERE vec_id < 10),
+         |$luts,
+         |lut AS (SELECT * FROM lut0 UNION ALL SELECT * FROM lut1
+         |        UNION ALL SELECT * FROM lut2 UNION ALL SELECT * FROM lut3),
+         |ad AS (SELECT l.probe_id, c.vec_id AS neighbor_id,
+         |              round(sum(l.pdist), 6) AS adist
+         |       FROM codes c JOIN lut l ON l.m = c.m AND l.cid = c.cid
+         |       WHERE c.vec_id <> l.probe_id
+         |       GROUP BY l.probe_id, c.vec_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+         |              ORDER BY adist ASC, neighbor_id ASC) AS rn FROM ad)
+         |SELECT probe_id, rn, neighbor_id, adist FROM r
+         |WHERE rn <= 3 ORDER BY probe_id, rn""".stripMargin
     }
   )
+
+  /** Shared DuckDB CTE chain replicating [[pqAssignmentsFrom]]: per
+    * subspace mi, codebook `c1<mi>` and final assignment `a2<mi>`
+    * (vec_id, m, cid, dist). Requires an `e(vec_id, vd)` CTE upstream.
+    */
+  private lazy val pqSubCtes: String = {
+    val l2 = VectorExprs.l2DistSqSql _
+    (0 until 4).map { mi =>
+      val lo = mi * 16 + 1; val hi = mi * 16 + 16
+      s"""sv$mi AS (SELECT vec_id, vd[$lo:$hi] AS sv FROM e),
+         |i$mi AS (SELECT CAST(vec_id AS INTEGER) AS cid, sv AS cvec
+         |         FROM sv$mi WHERE vec_id < 8),
+         |d1$mi AS (SELECT s.vec_id, s.sv, i.cid, ${l2("s.sv", "i.cvec", 16)} AS dist
+         |          FROM sv$mi s, i$mi i),
+         |a1$mi AS (SELECT vec_id, sv, cid FROM (
+         |            SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                      ORDER BY dist ASC, cid ASC) AS rn FROM d1$mi)
+         |          WHERE rn = 1),
+         |cd$mi AS (SELECT cid, d.range AS dim, round(avg(sv[d.range]), 6) AS cv
+         |          FROM a1$mi, range(1, 17) d GROUP BY cid, d.range),
+         |c1$mi AS (SELECT cid, list(cv ORDER BY dim) AS cvec FROM cd$mi GROUP BY cid),
+         |d2$mi AS (SELECT s.vec_id, s.sv, c.cid, ${l2("s.sv", "c.cvec", 16)} AS dist
+         |          FROM sv$mi s, c1$mi c),
+         |a2$mi AS (SELECT vec_id, $mi AS m, cid, dist FROM (
+         |            SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                      ORDER BY dist ASC, cid ASC) AS rn FROM d2$mi)
+         |          WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+  }
 }

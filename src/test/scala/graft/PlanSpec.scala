@@ -94,7 +94,8 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
   test("ANN probe joins broadcast the probe side by hint") {
     // fuzzy decontamination's eval/benchmark side is the same class of
     // known-small-by-construction broadcast
-    Seq("q_ann_brute", "q_ann_lsh", "q_fuzzy_decontaminate").foreach { n =>
+    Seq("q_ann_brute", "q_ann_lsh", "q_fuzzy_decontaminate", "q_ann_pq")
+      .foreach { n =>
       val hints = optimized(n).collect { case j: Join => j.hint }
       assert(hints.exists(h => h.rightHint.flatMap(_.strategy).nonEmpty ||
         h.leftHint.flatMap(_.strategy).nonEmpty), s"$n lost its broadcast hint")
