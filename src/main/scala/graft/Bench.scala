@@ -26,10 +26,29 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Calibration anchor: a fixed pure-CPU workload (no I/O, no shuffle)
+    // timed at bench start. Identical code measured across sessions varies
+    // ±16% uniformly with host CPU steal (PLANS.md §8b); dividing totals by
+    // calib_s yields a host-normalized number comparable across sessions.
+    // One untimed pass JITs the loop; the median of 3 is recorded.
+    def calibrate(): Double = {
+      import org.apache.spark.sql.functions.{col, sum}
+      def pass(): Double = {
+        val t0 = System.nanoTime()
+        spark.range(0, 400000000L, 1, cpus.toInt)
+          .select(sum(col("id") * 2654435761L % 1000003L)).head
+        (System.nanoTime() - t0) / 1e9
+      }
+      pass()
+      Seq.fill(3)(pass()).sorted.apply(1)
+    }
     // Force full computation of every operator: count() would let Catalyst
     // prune projections away; the noop sink executes the real plan.
+    // benchOnly entries (engine-specific values, production-shape cost —
+    // e.g. the sketch-only HLL plan) are timed alongside the gated set.
+    val allQueries = SparkEntry.queries ++ SparkEntry.benchOnly
     def run(name: String): Unit =
-      SparkEntry.queries(name)(spark, sfDir)
+      allQueries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
     def timedPass(name: String): Double = {
       val t0 = System.nanoTime()
@@ -38,7 +57,8 @@ object Bench {
       spark.catalog.clearCache() // drop this query's persists before the next
       dt
     }
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    val calib = calibrate()
+    val names = allQueries.keys.toSeq.sorted
     names.foreach { n => // warm pass
       try run(n) catch { case _: Throwable => () }
       spark.catalog.clearCache()
@@ -67,14 +87,24 @@ object Bench {
     // BENCH_FULL.json next to the build, and the one-line contract carries
     // every query at or above 0.4 s (the set perf review actually tracks)
     // plus the count/total of the fast remainder — parseable end to end.
+    // total normalized by the calibration anchor: dimensionless multiple of
+    // the fixed CPU workload — comparable across host-speed windows.
+    val norm = total / calib
     val fullJson =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$nRuns,"queries":${qjson(results)},"sf":"$sfDir"}"""
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_FULL.json"), fullJson + "\n")
-    catch { case _: Throwable => () } // read-only cwd must not kill the line
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$nRuns,"calib_s":$calib%.3f,"total_norm":$norm%.2f,"queries":${qjson(results)},"sf":"$sfDir"}"""
+    // a failed write must not kill the one-line contract, but it also must
+    // not leave the "full" pointer referencing a STALE file from a prior
+    // run — on failure the pointer is nulled so consumers see the map is
+    // absent. Only non-fatal errors are swallowed (an OOM should surface).
+    val fullRef =
+      try {
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get("BENCH_FULL.json"), fullJson + "\n")
+        "\"BENCH_FULL.json\""
+      } catch { case scala.util.control.NonFatal(_) => "null" }
     val (slow, fast) = results.partition(_._2 >= 0.4)
     val fastTotal = fast.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$nRuns,"queries":${qjson(slow)},"fast_n":${fast.size},"fast_total":$fastTotal%.3f,"full":"BENCH_FULL.json","sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$nRuns,"calib_s":$calib%.3f,"total_norm":$norm%.2f,"queries":${qjson(slow)},"fast_n":${fast.size},"fast_total":$fastTotal%.3f,"full":$fullRef,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -12,6 +12,11 @@ object SparkEntry {
       DedupOps.queries ++ VectorOps.queries ++ Sessions.queries ++
       MultimodalOps.queries ++ PipelineOps.queries ++ CorpusOps.queries ++
       TemporalOps.queries
+  /** Timed by Bench but NOT oracle-verified: production-shape plans whose
+    * values are engine-specific (e.g. raw HLL estimates). Each has an
+    * oracle-gated twin in [[queries]] carrying the correctness gate. */
+  def benchOnly: Map[String, (SparkSession, String) => DataFrame] =
+    Relational2.benchOnly
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =

@@ -35,8 +35,10 @@ object DedupOps {
     */
   val BucketCap = 64
 
-  /** bucket array<long> of doc ids → exploded (doc_a < doc_b) pairs. */
-  private def pairsFromBucket(bucket: Column): Column =
+  /** bucket array<long> of doc ids → exploded (doc_a < doc_b) pairs.
+    * Package-visible: Relational2's fuzzy entity-resolution join blocks with
+    * the same banded-bucket machinery. */
+  private[queries] def pairsFromBucket(bucket: Column): Column =
     flatten(transform(bucket, a =>
       transform(filter(bucket, b => b > a), b => struct(a.as("doc_a"), b.as("doc_b")))))
 
@@ -51,7 +53,7 @@ object DedupOps {
     * `slice(array_sort(collect_set(id)), 1, BucketCap)`: both select the
     * BucketCap smallest ids (and cap ≥ 2 keeps the ≥2-member filter exact).
     */
-  private def cappedBuckets(df: DataFrame, idCol: String, keys: String*): DataFrame = {
+  private[queries] def cappedBuckets(df: DataFrame, idCol: String, keys: String*): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col(idCol))
     df.withColumn("_rnk", row_number().over(w))
       .filter(col("_rnk") <= BucketCap)

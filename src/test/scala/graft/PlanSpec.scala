@@ -164,6 +164,10 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       val plan = physical(n).toString
       assert(plan.contains("partial_"), s"$n lost partial sketch aggregation")
     }
+    // the bench-only production twin (sketch with no exact anchor) too
+    val hllOnly = SparkEntry.benchOnly("q_hll_only")(spark, sf)
+      .queryExecution.sparkPlan.toString
+    assert(hllOnly.contains("partial_"), "q_hll_only lost partial sketch aggregation")
   }
 
   // ---- shuffle-count contract ----------------------------------------------
@@ -250,19 +254,22 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     })
   }
 
-  test("fuzzy join blocks on the composite key — never all-pairs") {
+  test("fuzzy join blocks on the content-extended key — never all-pairs") {
     withoutAQE(withConf("spark.sql.autoBroadcastJoinThreshold", "-1") {
       val plan = q("q_fuzzy_join").queryExecution.executedPlan
       val hx = plan
         .collect { case e: ShuffleExchangeExec => e.outputPartitioning }
         .collect { case h: HashPartitioning => h.expressions.map(_.toString) }
-      // both sides scan the same table with identical blocking, so Catalyst
-      // plans ONE exchange on the block key and REUSES it for the other side
-      // — one corpus shuffle total, which is even better than two
-      assert(hx.count(_.exists(_.contains("p_brand"))) >= 1, s"exchanges: $hx")
-      assert(plan.toString.contains("ReusedExchange") ||
-        hx.count(_.exists(_.contains("p_brand"))) == 2,
-        "second side neither reuses nor re-shuffles on the block key")
+      // candidate generation shuffles ONCE on the full deletion-neighborhood
+      // block key — (p_brand, p_size, slot, residual), reused by the window
+      // pre-cap and the bucket groupBy — so block population is bounded by
+      // content, not catalog size
+      val blockKey = hx.filter(_.exists(_.contains("p_brand")))
+      assert(blockKey.nonEmpty, s"no exchange on the block key: $hx")
+      assert(blockKey.forall(_.exists(_.contains("residual"))),
+        s"block key lost the content residual: $blockKey")
+      // verification joins shuffle on the fine part keys
+      assert(hx.exists(_.exists(_.contains("key_a"))), s"exchanges: $hx")
       assert(plan.collectFirst { case c: CartesianProductExec => c }.isEmpty,
         "fuzzy join degenerated to a cartesian product")
     })

@@ -16,15 +16,13 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
   test("every query has an oracle") {
     // every query — including the LSH/sketch/stub-decode pipelines (mod-P
     // hashing, literal hyperplane weights, float32 stub decode) and the HLL
-    // row (exact count value-checked, estimate reduced to its 5% bound) —
-    // replicates bit-exactly in DuckDB. Sole exception: raw-sketch outputs
-    // (Spark HLL++ ≠ DuckDB's HLL, so no cross-engine value equality can
-    // exist) — those are rows-checked by the driver and value-BOUNDED here
-    // against exact counts, with a fully-oracled anchor query alongside.
-    val sketchValueQueries = Set("q_hll_sketch")
-    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet --
-      sketchValueQueries
+    // rows (exact counts value-checked, estimates reduced to their 5%
+    // bound) — replicates bit-exactly in DuckDB. Raw-sketch outputs (Spark
+    // HLL++ ≠ DuckDB's HLL) live in benchOnly, disjoint from the gate.
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle.isEmpty, s"queries without oracle: $noOracle")
+    val overlap = SparkEntry.benchOnly.keySet & SparkEntry.queries.keySet
+    assert(overlap.isEmpty, s"benchOnly entries shadowing gated queries: $overlap")
   }
 
   test("q_agg_approx: HLL estimate within 5% of exact distinct count") {
@@ -62,22 +60,26 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
       s"union of half-sketches ($merged) != one-pass sketch ($onePass)")
   }
 
-  test("q_hll_sketch: per-group estimates within 5% of exact distinct counts") {
+  test("q_hll_only: per-group estimates within 5% of exact distinct counts") {
     // the sketch-only production plan has no oracle (engine-specific HLL
-    // values) — bound every group's estimate against the exact count here
+    // values) — bound every group's estimate against the exact count here;
+    // q_hll_sketch exposes the same bound as an oracle-hashable boolean
     import org.apache.spark.sql.functions.{col, countDistinct}
     val exact = Tables(spark, sf, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(countDistinct(col("l_partkey")).as("exact"))
       .collect()
       .map(r => r.getAs[String]("l_returnflag") -> r.getAs[Long]("exact")).toMap
-    val rows = q("q_hll_sketch").collect()
+    val rows = SparkEntry.benchOnly("q_hll_only")(spark, sf).collect()
     assert(rows.map(_.getAs[String]("l_returnflag")).toSet == exact.keySet)
     rows.foreach { r =>
       val e = exact(r.getAs[String]("l_returnflag")).toDouble
       val a = r.getAs[Long]("approx_parts").toDouble
       assert(math.abs(a - e) / e < 0.05, s"${r.getAs[String]("l_returnflag")}: approx=$a exact=$e")
     }
+    val gate = q("q_hll_sketch").collect()
+    assert(gate.map(_.getAs[String]("l_returnflag")).toSet == exact.keySet)
+    assert(gate.forall(_.getAs[Boolean]("approx_ok")))
   }
 
   test("q_scalar_subq returns rows (threshold inside the price range)") {

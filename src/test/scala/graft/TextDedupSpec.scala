@@ -105,6 +105,33 @@ class TextDedupSpec extends AnyFunSuite with SparkSpec {
     assert(pairs.forall(_.getAs[Double]("jaccard") == 1.0))
   }
 
+  test("fuzzy join: 10k same-brand/same-size parts stay blocked, never quadratic") {
+    // the whole catalog shares ONE (p_brand, p_size) block: under the old
+    // catalog-key-only blocking this was a 10k×10k/2 quadratic self-join
+    // (50M Levenshtein calls). The deletion-neighborhood key splits the
+    // block by (slot, name minus slot): each true pair (i, i+5000 —
+    // identical 32-char first token, edit-distance-2 second token) shares
+    // exactly the slot-1 residual key, a 2-member bucket, so recall is
+    // EXACT. The corpus-wide hot buckets this fixture engineers — residual
+    // "x" (5000 docs) and "yz" (5000 docs) at slot 1 — are truncated by the
+    // BucketCap pre-filter before their aggregation buffers fill, and the
+    // lev ≤ 3 verifier discards their (distinct-base) members, so the
+    // output is exactly the constructed pairs.
+    import org.apache.spark.sql.functions._
+    val parts = spark.range(10000).select(
+      col("id").as("p_partkey"),
+      concat(md5(concat(lit("n"), (col("id") % 5000).cast("string"))),
+        when(col("id") < 5000, lit(" x")).otherwise(lit(" yz"))).as("p_name"),
+      lit("Brand#55").as("p_brand"),
+      lit(7).as("p_size"))
+    val rows = graft.queries.Relational2.fuzzyPairs(parts).collect()
+    val got = rows.map(r => (r.getAs[Long]("key_a"), r.getAs[Long]("key_b"))).toSet
+    val want = (0L until 5000L).map(i => (i, i + 5000L)).toSet
+    assert(got == want,
+      s"recall ${got.intersect(want).size}/5000, spurious ${(got -- want).size}")
+    assert(rows.forall(_.getAs[Long]("lev") <= 3))
+  }
+
   test("inverted index: corpus-wide stop word stays capped, df stays exact") {
     // 50k docs all containing the token "ubiquitous": the posting list must
     // hold exactly the postingCap smallest doc_ids (bounded reducer buffer)
