@@ -39,4 +39,56 @@ object Skew {
         saltedFact("_salt") === saltedBuild("_salt"))
       .drop("_salt")
   }
+
+  /** Fact-side key profile, the q_skew_report numbers [[choose]] consumes:
+    * (max key frequency, mean key frequency). One map-side-combined shuffle
+    * reduced to a single driver row — the same cheap pre-pass AQE's own
+    * runtime statistics represent, paid once before committing to a layout.
+    */
+  def profile(df: DataFrame, key: String): (Long, Double) = {
+    val r = df.groupBy(col(key)).agg(count(lit(1)).as("c"))
+      .agg(max(col("c")).as("mx"), avg(col("c")).as("av")).head()
+    (r.getLong(0), r.getDouble(1))
+  }
+
+  /** Join-strategy decision from a skew profile — the piece that turns
+    * q_skew_report from a report nobody consumes into an operator:
+    *
+    *  - `"plain"`  — skew ratio under `skewRatio`, or the hottest key too
+    *                 small to hurt (`maxC < minHot`): one reducer handles it.
+    *  - `"aqe"`    — real but moderate skew: AQE's runtime skew-join split
+    *                 (post-shuffle partition splitting) absorbs it with no
+    *                 layout change; keep the plain declarative join.
+    *  - `"salted"` — pathological skew (ratio ≥ `saltRatio`): a single
+    *                 key's mass dwarfs a splittable partition, so the
+    *                 deterministic pre-shuffle rewrite is worth its
+    *                 build-side replication.
+    *
+    * Thresholds are deliberately coarse — the decision only has three
+    * outcomes and all three yield identical results (SkewSpec proves the
+    * choice flips with the data; the q_join_auto oracle proves result
+    * equality with a plain join).
+    */
+  def choose(maxC: Long, avgC: Double, skewRatio: Double = 4.0,
+      saltRatio: Double = 32.0, minHot: Long = 256): String = {
+    val skew = if (avgC > 0) maxC / avgC else 0.0
+    if (skew < skewRatio || maxC < minHot) "plain"
+    else if (skew < saltRatio) "aqe"
+    else "salted"
+  }
+
+  /** Profile-then-join: [[profile]] the fact side's key, [[choose]] a
+    * strategy, build that join. Results are identical in every branch —
+    * the chooser only moves physical cost.
+    */
+  def autoJoin(fact: DataFrame, build: DataFrame, factKey: String,
+      buildKey: String, spread: Column, salts: Int = 8): DataFrame = {
+    val (maxC, avgC) = profile(fact, factKey)
+    choose(maxC, avgC) match {
+      case "salted" => saltedJoin(fact, build, factKey, buildKey, spread, salts)
+      case _ => // "plain" and "aqe": the declarative join IS the AQE shape —
+                // the runtime split happens inside AQE when enabled
+        fact.join(build, fact(factKey) === build(buildKey))
+    }
+  }
 }

@@ -99,6 +99,40 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** MinHash near-dup over a BUCKETED corpus: the same pipeline as
+    * [[minhashPairs]], fed from a copy of `documents` bucketed (and
+    * sort-ordered) on doc_id.
+    *
+    * Why it matters at 100 TB: every dedup variant's verification step joins
+    * the candidate pairs back to the O(corpus) signature table on doc id —
+    * in the unbucketed plan that is a full shuffle of the corpus-sized side
+    * PER JOIN, the single biggest repeated cost in the dedup family. A
+    * corpus stored bucketed on doc_id (what a production pipeline does once
+    * at ingest) exposes HashPartitioning(doc_id) straight from the scan, so
+    * both verify joins reuse the storage layout and only the (small)
+    * candidate side shuffles — PlanSpec asserts the bucketed plan's exchange
+    * count is strictly below the unbucketed one. Results are identical
+    * (same oracle SQL as q_dedup_minhash).
+    *
+    * The bucketed copy is (re)written on each call so the query is
+    * self-contained against any sf dir; a real deployment writes it once.
+    */
+  def minhashPairsBucketed(s: SparkSession, d: String): DataFrame = {
+    val tbl = "graft_docs_bucketed_" + Integer.toHexString(d.hashCode)
+    // the in-memory catalog dies with the JVM but the warehouse directory
+    // survives — purge both so the write is idempotent across sessions
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    val loc = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), tbl)
+    val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    Tables(s, d, "documents")
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(8, "doc_id").sortBy("doc_id")
+      .saveAsTable(tbl)
+    minhashPairs(s.table(tbl))
+  }
+
   /** Connected components over an undirected (doc_a, doc_b) edge frame by
     * min-label propagation to fixpoint: every node ends with
     * `cluster_id = min(doc_id reachable from it)`. This resolves near-dup
@@ -259,6 +293,11 @@ object DedupOps {
     // ---- MinHash + LSH near-dup: shingle → 64-perm signature → 16 bands of
     //      4 → band-bucket join → signature-estimated Jaccard ≥ 0.5 ----
     "q_dedup_minhash" -> ((s, d) => minhashPairs(docs(s, d))),
+
+    // ---- same pipeline over a doc_id-BUCKETED corpus copy: the verify
+    //      joins run shuffle-free on the corpus side (see
+    //      [[minhashPairsBucketed]]) ----
+    "q_dedup_minhash_bucketed" -> ((s, d) => minhashPairsBucketed(s, d)),
 
     // ---- cluster resolution: minhash pairs → connected components →
     //      canonical keep (lowest doc_id per cluster). Only docs in at
@@ -425,6 +464,12 @@ object DedupOps {
     },
 
     "q_dedup_minhash" ->
+      s"""WITH $minhashPairCtes
+         |SELECT doc_a, doc_b, est_jaccard FROM pairs
+         |WHERE est_jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+
+    // the bucketed twin changes the physical layout, not the result
+    "q_dedup_minhash_bucketed" ->
       s"""WITH $minhashPairCtes
          |SELECT doc_a, doc_b, est_jaccard FROM pairs
          |WHERE est_jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,

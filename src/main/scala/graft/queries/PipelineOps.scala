@@ -33,6 +33,58 @@ object PipelineOps {
       .filter(length(trim(col("text"))) > 0)
       .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("w"))
 
+  /** Range-partitioned layout, written AND read — the q_range_layout plan
+    * made real (the reference's DataSource story, datasource.rs:27-30, at
+    * scale is exactly partition layout + pruned scans):
+    *
+    *  1. plan 7 equal-mass boundaries over the o_orderdate key space (same
+    *     single mergeable percentile_approx pass as q_range_layout);
+    *  2. materialize orders with `part_id = #{boundaries ≤ key}` as a
+    *     DIRECTORY partition column (8 dirs), `repartitionByRange` on
+    *     (part_id, o_orderdate) so writer tasks align with directories and
+    *     files are date-clustered within each;
+    *  3. answer a one-year range query through a layout-aware read: the 7
+    *     collected boundaries are table METADATA (what Delta/Iceberg keep in
+    *     the transaction log) from which the reader derives the eligible
+    *     part_id interval, so the scan's PartitionFilters prune 5-6 of the 8
+    *     directories before any I/O (PlanSpec-asserted) — at 100 TB that is
+    *     the difference between reading ~an eighth of the table and all of
+    *     it. Pruning is conservative by construction — every row with key in
+    *     [lo, hi) has part_id in the derived interval — so the result is
+    *     value-identical to the unpartitioned scan, which is exactly what
+    *     the DuckDB oracle runs.
+    */
+  def layoutRead(s: SparkSession, d: String): DataFrame = {
+    val key = unix_timestamp(col("o_orderdate"))
+    val bs: Seq[Long] = Tables(s, d, "orders")
+      .select(key.as("k"))
+      .agg(percentile_approx(col("k"),
+        array((1 to 7).map(i => lit(i / 8.0)): _*), lit(1000000)).as("bs"))
+      .head.getSeq[Long](0)
+    val partId = bs.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(key >= lit(b), 1).otherwise(0)
+    }
+    val layoutDir = System.getProperty("java.io.tmpdir") +
+      "/graft_layout_orders_" + Integer.toHexString(d.hashCode)
+    Tables(s, d, "orders")
+      .withColumn("part_id", partId.cast("int"))
+      .repartitionByRange(8, col("part_id"), col("o_orderdate"))
+      .write.mode("overwrite").partitionBy("part_id").parquet(layoutDir)
+    // UTC epoch-second bounds for [1996-01-01, 1997-01-01) — the session
+    // timezone is UTC, so driver-side LocalDate arithmetic matches
+    // unix_timestamp exactly
+    def epochS(iso: String): Long = java.time.LocalDate.parse(iso).toEpochDay * 86400L
+    val (loS, hiS) = (epochS("1996-01-01"), epochS("1997-01-01"))
+    val pLo = bs.count(_ <= loS)  // part of the first eligible key
+    val pHi = bs.count(_ <= hiS - 1) // part of the last eligible key
+    s.read.parquet(layoutDir)
+      .filter(col("part_id").between(pLo, pHi) &&
+        key >= lit(loS) && key < lit(hiS))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Sequence packing (concat-then-chunk, GPT-style): documents are sharded,
     * token counts cumulated per shard in doc_id order, and a bin boundary
     * falls every `binTokens` tokens. One window shuffle on the shard key; no
@@ -302,6 +354,12 @@ object PipelineOps {
         .select((col("p") + 1).cast("long").as("part_id"), col("boundary_s"))
         .orderBy("part_id")
     }),
+
+    // ---- the layout CLOSED: materialize orders directory-partitioned by
+    //      the planned boundaries, then answer a date-range query through a
+    //      layout-aware read whose scan PRUNES partitions (see
+    //      [[layoutRead]]; PlanSpec asserts the pruning) ----
+    "q_layout_read" -> ((s, d) => layoutRead(s, d)),
 
     // ---- approx-quantile sketch vs exact (the percentile analog of
     //      q_agg_approx's HLL): the approx value is mergeable partial state,
@@ -595,6 +653,16 @@ object PipelineOps {
         |SELECT i.range + 1 AS part_id,
         |       bs[CAST(i.range + 1 AS INTEGER)] AS boundary_s
         |FROM q, range(0, 7) i ORDER BY part_id""".stripMargin,
+
+    // the layout read is value-identical to the unpartitioned scan (pruning
+    // is conservative by construction), so the oracle needs no layout at all
+    "q_layout_read" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |       round(sum(o_totalprice), 2) AS revenue
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     // the 10⁻⁶-error sketch is value-exact at fixture scale → quantile_disc
     // (the discrete element, not the interpolated quantile_cont) is its oracle

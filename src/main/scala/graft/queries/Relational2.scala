@@ -368,6 +368,21 @@ object Relational2 {
           round(sum(col("o_totalprice")), 2).as("revenue"))
         .orderBy("c_mktsegment")),
 
+    // ---- skew-profiled join: Skew.autoJoin profiles the fact key, then
+    //      CHOOSES plain / AQE / salted (q_skew_report's numbers driving an
+    //      actual decision). The fixture's o_custkey skew is ~2.5, so this
+    //      resolves to the plain declarative join; SkewSpec proves the
+    //      choice flips to salted on pathological keys with identical
+    //      results either way ----
+    "q_join_auto" -> ((s, d) =>
+      graft.operators.Skew.autoJoin(
+          ord(s, d), cust(s, d), "o_custkey", "c_custkey",
+          spread = col("o_orderkey"), salts = 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("revenue"))
+        .orderBy("c_mktsegment")),
+
     // ---- six-table star join (TPC-H Q5 shape): revenue by supplier nation
     //      for one region, customer and supplier in the SAME nation. The
     //      declarative form leaves join ORDER to Catalyst/AQE: dims (region→
@@ -804,6 +819,13 @@ object Relational2 {
         |ORDER BY l_returnflag, measure""".stripMargin,
 
     "q_join_salted" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |       round(sum(o_totalprice), 2) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    // whatever strategy the profile selects, the result is the plain join
+    "q_join_auto" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
         |       round(sum(o_totalprice), 2) AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey

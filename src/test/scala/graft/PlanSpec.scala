@@ -275,6 +275,43 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     })
   }
 
+  test("bucketed corpus removes verify-join shuffles: strictly fewer exchanges") {
+    // the dedup verify joins re-shuffle the O(corpus) signature table on doc
+    // id in the unbucketed plan; a corpus stored bucketed on doc_id exposes
+    // HashPartitioning straight from the scan, so those exchanges vanish
+    withoutAQE(withConf("spark.sql.autoBroadcastJoinThreshold", "-1") {
+      def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+        df.queryExecution.executedPlan
+          .collect { case e: ShuffleExchangeExec => e }.size
+      val unbucketed = exchanges(q("q_dedup_minhash"))
+      val bucketed = exchanges(q("q_dedup_minhash_bucketed"))
+      assert(bucketed < unbucketed,
+        s"bucketed plan has $bucketed exchanges vs $unbucketed unbucketed")
+    })
+  }
+
+  test("layout read prunes partitions: scan touches a fraction of the dirs") {
+    withoutAQE {
+      val plan = q("q_layout_read").queryExecution.executedPlan
+      val scan = plan.collectFirst {
+        case f: FileSourceScanExec if f.partitionFilters.nonEmpty => f
+      }
+      assert(scan.nonEmpty, "layout scan carries no partition filters")
+      val f = scan.get
+      assert(f.partitionFilters.exists(_.toString.contains("part_id")),
+        s"partition filter not on part_id: ${f.partitionFilters}")
+      // the one-year predicate must select a strict subset of the 8 range
+      // partitions — this is the I/O the layout exists to avoid
+      val selected = f.relation.location.listFiles(f.partitionFilters, Nil)
+      val all = f.relation.location.listFiles(Nil, Nil)
+      assert(all.length == 8, s"expected 8 range partitions, got ${all.length}")
+      assert(selected.length < all.length,
+        s"no pruning: ${selected.length}/${all.length} partitions read")
+      assert(selected.length <= 3,
+        s"one year of 7 should touch ≤3 of 8 equal-mass partitions, got ${selected.length}")
+    }
+  }
+
   test("span dedup stats join is the Zipf hybrid: broadcast head present") {
     // the heavy-span head must resolve via broadcast joins; losing the hint
     // regresses the stats join to a shuffle that hot-spots on the Zipf head

@@ -44,6 +44,51 @@ class SkewSpec extends AnyFunSuite with SparkSpec {
     assert(unspread == 0, s"$unspread hot keys stuck on one salt")
   }
 
+  test("auto join: the strategy choice flips with the data") {
+    // uniform keys (100 rows each, skew 1.0) → plain; one key holding 90% of
+    // the table (skew ≈ 900) → salted; in-between (skew ≈ 10 on a hot key) →
+    // AQE's runtime split
+    import spark.implicits._
+    val uniform = Skew.profile(
+      spark.range(10000).select((col("id") % 100).as("k")), "k")
+    assert(Skew.choose(uniform._1, uniform._2) == "plain", s"uniform: $uniform")
+    val pathological = Skew.profile(
+      spark.range(10000).select(
+        when(col("id") < 9000, 0L).otherwise(col("id")).as("k")), "k")
+    assert(Skew.choose(pathological._1, pathological._2) == "salted",
+      s"pathological: $pathological")
+    val moderate = Skew.profile(
+      spark.range(100000).select(
+        when(col("id") < 1000, 0L).otherwise(col("id") % 1000).as("k")), "k")
+    assert(Skew.choose(moderate._1, moderate._2) == "aqe", s"moderate: $moderate")
+    // and the chosen PLAN follows: salt columns appear only when salted
+    withoutAQE(withConf("spark.sql.autoBroadcastJoinThreshold", "-1") {
+      val build = spark.range(100).select(col("id").as("bk"))
+      val skewedFact = spark.range(10000).select(
+        when(col("id") < 9000, 0L).otherwise(col("id") % 100).as("k"),
+        col("id").as("row"))
+      val saltedPlan = Skew.autoJoin(skewedFact, build, "k", "bk",
+        spread = col("row")).queryExecution.executedPlan.toString
+      assert(saltedPlan.contains("_salt"), "skewed fact did not choose salting")
+      val uniformFact = spark.range(10000).select(
+        (col("id") % 100).as("k"), col("id").as("row"))
+      val plainPlan = Skew.autoJoin(uniformFact, build, "k", "bk",
+        spread = col("row")).queryExecution.executedPlan.toString
+      assert(!plainPlan.contains("_salt"), "uniform fact salted needlessly")
+    })
+  }
+
+  test("auto join result equals the plain join on both fixtures") {
+    val fact = Tables(spark, sf, "orders")
+    val build = Tables(spark, sf, "customer")
+    val auto = Skew.autoJoin(fact, build, "o_custkey", "c_custkey",
+        spread = col("o_orderkey"))
+      .select(col("o_orderkey"), col("c_custkey"))
+    val plain = fact.join(build, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_custkey"))
+    assert(auto.exceptAll(plain).isEmpty && plain.exceptAll(auto).isEmpty)
+  }
+
   test("salted join result equals the plain join (pure physical rewrite)") {
     val fact = Tables(spark, sf, "orders")
     val build = Tables(spark, sf, "customer")
