@@ -284,6 +284,12 @@ case class JaccardSorted(left: Expression, right: Expression)
   * `array_intersect` benched 3× slower on the gram arrays). Equal to the
   * oracle's `len(list_intersect(a,b)) / least(len(a), len(b))` because both
   * inputs are distinct, and the division is one IEEE op.
+  *
+  * PRECONDITION for that oracle equivalence: both arrays non-empty. An
+  * empty input scores 1.0 here (vacuous containment) while the SQL twin
+  * divides by zero (NULL) — callers must guarantee ≥1 gram per side.
+  * [[CharNgramHashes]] always emits ≥1 gram (it hashes the whole string
+  * when shorter than n), so every in-repo call site satisfies this.
   */
 case class ContainmentSorted(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {

@@ -269,7 +269,7 @@ object CorpusOps {
     //      an actual sampled corpus. Per-source keep rate = the source's
     //      share of a 50%-of-corpus token budget under temperature weights,
     //      capped at 100%; membership is the deterministic LCG bucket (same
-    //      generator as q_sample_hash), so the sample is reproducible across
+    //      generator as q_sample_stratified), so the sample is reproducible across
     //      engines and runs. Rates are a broadcast table; the corpus is
     //      never shuffled — per-row filter only, then one fine-keyed agg ----
     "q_domain_sample" -> ((s, d) => {
@@ -303,7 +303,7 @@ object CorpusOps {
 
     // ---- weighted (priority) sampling: inclusion favors token-heavy docs.
     //      Each doc draws a deterministic pseudo-uniform u (the same LCG
-    //      generator as q_sample_hash) and gets priority key u / w with
+    //      generator as q_sample_stratified) and gets priority key u / w with
     //      w = token count; the 50 smallest keys form the sample —
     //      Duffield-style priority sampling, reproducible across engines
     //      because the key is ONE IEEE division (exact-rounded identically

@@ -214,21 +214,18 @@ object DedupOps {
     labels
   }
 
-  /** Character-5-gram Jaccard near-dup with a CONTENT-BANDED block key:
-    * (lang, size_bkt) prefix + 4 MinHash bands (8-perm signature, 2 rows per
-    * band) over the gram set. The old (lang, size_bkt)-only key let a popular
-    * (en, common-length) block's population scale with CORPUS size — one
-    * reducer sorted the whole block for the cap window, and the cap then
-    * discarded all but BucketCap docs (recall collapse). Banding bounds block
-    * population by CONTENT: docs only co-bucket when a signature band
-    * collides, so hot blocks shrink to genuine near-dup groups while true
-    * near-dups (gram-Jaccard ≥ 0.5) still share ≥1 of the 4 bands w.h.p.
-    * Exposed for spec-level stress inputs (degenerate same-lang/same-length
-    * corpora).
-    */
-  /** Shared candidate generation for the gram-set near-dup family: gram
-    * sets (persisted — both verification joins reuse them) and the banded,
-    * capped, deduped candidate pair set. Returns (grams, candidates).
+  /** Shared candidate generation for the gram-set near-dup family
+    * ([[ngramPairs]], [[containmentPairs]]): gram sets (persisted — both
+    * verification joins reuse them) and the CONTENT-BANDED, capped, deduped
+    * candidate pair set — (lang, size_bkt) prefix + 4 MinHash bands (8-perm
+    * signature, 2 rows per band) over the gram set. The old
+    * (lang, size_bkt)-only key let a popular (en, common-length) block's
+    * population scale with CORPUS size — one reducer sorted the whole block
+    * for the cap window, and the cap then discarded all but BucketCap docs
+    * (recall collapse). Banding bounds block population by CONTENT: docs
+    * only co-bucket when a signature band collides, so hot blocks shrink to
+    * genuine near-dup groups while true near-dups (gram-Jaccard ≥ 0.5)
+    * still share ≥1 of the 4 bands w.h.p. Returns (grams, candidates).
     */
   private def ngramBlocked(documents: DataFrame): (DataFrame, DataFrame) = {
     val k = 8; val bands = 4; val rows = 2
@@ -247,6 +244,10 @@ object DedupOps {
     (g, cand)
   }
 
+  /** Character-5-gram exact-Jaccard near-dup over [[ngramBlocked]]'s
+    * candidates (threshold 0.5). Exposed for spec-level stress inputs
+    * (degenerate same-lang/same-length corpora).
+    */
   def ngramPairs(documents: DataFrame): DataFrame = {
     val (g, cand) = ngramBlocked(documents)
     // shuffled verification joins — gram sets are O(corpus)

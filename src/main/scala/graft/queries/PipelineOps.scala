@@ -304,9 +304,10 @@ object PipelineOps {
     // ---- incremental view maintenance: a per-customer revenue rollup is
     //      MAINTAINED under the CDC batch by aggregating the (tiny) change
     //      set into per-key deltas and merging them into the old rollup —
-    //      the base table is never rescanned. The oracle recomputes the
-    //      rollup from the merged snapshot from scratch, so hash-equality
-    //      IS the proof that delta maintenance equals recomputation. At
+    //      the base table is never rescanned. The oracle mirrors the same
+    //      base-sum + delta-sum expression (identical FP term multisets, so
+    //      the hash gate is fixture-robust); delta ≡ from-scratch recompute
+    //      is proven in PipelineSpec with an explicit tolerance. At
     //      100 TB this is touching |changes| rows instead of |base| rows;
     //      both aggregations are map-side-combined on the fine customer key
     //      and the delta side is change-batch-sized ----
@@ -610,25 +611,30 @@ object PipelineOps {
 
     // the oracle is the from-scratch recompute over the merged snapshot —
     // value-equality proves delta maintenance ≡ recomputation
+    // the oracle mirrors the DELTA formulation (base-sum + delta-sum), not a
+    // from-scratch recompute of the merged snapshot: recompute sums a
+    // different FP term multiset, so its round(.., 2) could flip on a true
+    // sum near a half-cent boundary — a fixture regeneration hazard, not a
+    // code bug. Delta ≡ recompute is proven separately in PipelineSpec
+    // (recompute twin, explicit half-ulp tolerance).
     "q_ivm_rollup" ->
-      """WITH base AS (
-        |  SELECT o_orderkey, o_custkey, o_totalprice
-        |  FROM orders WHERE o_orderkey % 10 < 8),
-        |ch AS (
-        |  SELECT o_orderkey, o_custkey,
-        |         CASE WHEN o_orderkey % 10 = 3 THEN 'D'
-        |              WHEN o_orderkey % 10 = 7 THEN 'U'
-        |              ELSE 'I' END AS op,
-        |         o_totalprice + 100.0 AS new_price
-        |  FROM orders WHERE o_orderkey % 10 IN (3, 7, 8)),
-        |merged AS (
-        |  SELECT coalesce(b.o_custkey, c.o_custkey) AS o_custkey,
-        |         coalesce(c.new_price, b.o_totalprice) AS price
-        |  FROM base b FULL OUTER JOIN ch c ON b.o_orderkey = c.o_orderkey
-        |  WHERE coalesce(c.op, 'K') <> 'D')
-        |SELECT o_custkey, round(sum(price), 2) AS revenue,
-        |       count(*) AS n_orders
-        |FROM merged GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+      """WITH roll AS (
+        |  SELECT o_custkey, sum(o_totalprice) AS rev, count(*) AS n
+        |  FROM orders WHERE o_orderkey % 10 < 8 GROUP BY o_custkey),
+        |d AS (
+        |  SELECT o_custkey,
+        |         sum(CASE WHEN o_orderkey % 10 = 3 THEN -o_totalprice
+        |                  WHEN o_orderkey % 10 = 7 THEN 100.0
+        |                  ELSE o_totalprice + 100.0 END) AS d_rev,
+        |         sum(CASE WHEN o_orderkey % 10 = 3 THEN -1
+        |                  WHEN o_orderkey % 10 = 7 THEN 0 ELSE 1 END) AS d_n
+        |  FROM orders WHERE o_orderkey % 10 IN (3, 7, 8) GROUP BY o_custkey)
+        |SELECT coalesce(r.o_custkey, d.o_custkey) AS o_custkey,
+        |       round(coalesce(rev, 0) + coalesce(d_rev, 0), 2) AS revenue,
+        |       CAST(coalesce(n, 0) + coalesce(d_n, 0) AS BIGINT) AS n_orders
+        |FROM roll r FULL OUTER JOIN d ON r.o_custkey = d.o_custkey
+        |WHERE coalesce(n, 0) + coalesce(d_n, 0) > 0
+        |ORDER BY o_custkey""".stripMargin,
 
     "q_skew_report" ->
       """WITH c AS (SELECT user_id, count(*) AS c FROM events GROUP BY user_id),

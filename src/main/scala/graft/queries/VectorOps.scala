@@ -196,7 +196,10 @@ object VectorOps {
         .agg(transform(array_sort(collect_list(struct(col("m"), col("cid")))),
           _.getField("cid")).as("code"))
       // per-probe LUT: dist from the probe's m-th subvector to centroid cid,
-      // flattened ordered by (m, cid) so index = m*8 + cid + 1
+      // DENSELY keyed by m*8 + cid in a map — a positional array would
+      // silently shift every later index if a degenerate codebook dropped a
+      // memberless centroid (the DuckDB oracle joins on (m, cid) and would
+      // diverge); keyed entries stay correct for any surviving cid set
       val probes = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("probe_id"), col("vd"))
       val lutRows = (0 until 4).map { mi =>
@@ -207,9 +210,9 @@ object VectorOps {
             VectorExprs.l2DistSq(col("psv"), col("cvec")).as("pdist"))
       }.reduce(_ unionByName _)
       val lutWide = lutRows.groupBy(col("probe_id"))
-        .agg(transform(array_sort(collect_list(
-          struct(col("m"), col("cid"), col("pdist")))),
-          _.getField("pdist")).as("lut"))
+        .agg(map_from_entries(collect_list(struct(
+          (col("m") * 8 + col("cid")).cast("int").as("k"), col("pdist"))))
+          .as("lut"))
       val w = Window.partitionBy(col("probe_id"))
         .orderBy(col("adist").asc, col("neighbor_id").asc)
       codesWide.crossJoin(broadcast(lutWide))
@@ -217,7 +220,8 @@ object VectorOps {
         .select(col("probe_id"), col("vec_id").as("neighbor_id"),
           round(aggregate(sequence(lit(0), lit(3)), lit(0.0), (acc, mm) =>
             acc + element_at(col("lut"),
-              mm * 8 + element_at(col("code"), mm + 1) + 1)), 6).as("adist"))
+              (mm * 8 + element_at(col("code"), mm + 1)).cast("int"))), 6)
+            .as("adist"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
         .select(col("probe_id"), col("rn"), col("neighbor_id"), col("adist"))

@@ -1,0 +1,57 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming surface over the `documents` table shape
+  * (doc_id, text, lang, source, n_chars) — the ingest-side counterpart of
+  * [[EventsStream]]: a crawl arrives as a stream and must be deduplicated
+  * before it lands in the corpus.
+  */
+object DocsStream {
+
+  /** Streaming incremental-ingest dedup — the watermarked twin of
+    * q_dedup_incremental, which proved the batch shape (16-byte md5
+    * fingerprints, left-anti against the historical corpus) is exactly the
+    * streaming-friendly one. Two stages:
+    *
+    *  1. in-stream dedup via `dropDuplicatesWithinWatermark("fp")` over a
+    *     synthetic monotone ingest time (documents carry no event time, so
+    *     crawl order = doc_id maps to 1 doc/second): the state store keeps
+    *     one fingerprint per active watermark horizon (1 h ≈ 3600 docs per
+    *     shard), NOT one per stream lifetime — bounded state at any crawl
+    *     rate. Duplicates farther apart than the horizon fall through to
+    *     stage 2.
+    *  2. stream-static LEFT ANTI join against the historical fingerprint
+    *     set — stateless on the stream side (the static side is re-read per
+    *     micro-batch and broadcast when small; at 100 TB the static side is
+    *     a bucketed fingerprint table and the join co-locates on fp).
+    *
+    * The same function runs on a batch frame (watermark is a no-op there;
+    * plain `dropDuplicates` replaces the within-watermark variant, which
+    * Spark only defines for streams) — StreamingSpec checks stream ==
+    * batch twin == q_dedup_incremental three ways. Equivalence with the
+    * query holds whenever intra-batch duplicates sit within one watermark
+    * horizon (trivially true for a batch, which has no horizon).
+    */
+  def incrementalDedup(newDocs: DataFrame, historyFps: DataFrame): DataFrame = {
+    val withFp = newDocs
+      .withColumn("ingest_ts",
+        timestamp_seconds(lit(1700000000L) + col("doc_id")))
+      .withWatermark("ingest_ts", "1 hour")
+      .select(col("doc_id"), md5(col("text")).as("fp"), col("ingest_ts"))
+    val deduped =
+      if (withFp.isStreaming) withFp.dropDuplicatesWithinWatermark("fp")
+      else withFp.dropDuplicates("fp")
+    deduped
+      .join(historyFps, Seq("fp"), "left_anti")
+      .select(col("doc_id"), col("fp"))
+  }
+
+  /** Load the documents table as a STREAM from a parquet directory. */
+  def readDocsStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema("doc_id BIGINT, text STRING, lang STRING, " +
+        "source STRING, n_chars BIGINT")
+      .parquet(dir)
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.plans.logical.Join
 import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
 import org.apache.spark.sql.execution.FileSourceScanExec
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, CartesianProductExec}
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, CartesianProductExec, SortMergeJoinExec}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Plan-shape golden corpus — the contract that each query's OPTIMIZED plan
@@ -272,6 +272,45 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       assert(hx.exists(_.exists(_.contains("key_a"))), s"exchanges: $hx")
       assert(plan.collectFirst { case c: CartesianProductExec => c }.isEmpty,
         "fuzzy join degenerated to a cartesian product")
+    })
+  }
+
+  test("cdc merge is exactly one full-outer exchange pair on the key") {
+    // the lakehouse MERGE shape: base and changes each hash-shuffle once on
+    // o_orderkey into a single full-outer sort-merge join — no second join,
+    // no driver loop, no extra exchange (the final ORDER BY is a range
+    // exchange, not counted here)
+    withoutAQE(withConf("spark.sql.autoBroadcastJoinThreshold", "-1") {
+      val plan = q("q_cdc_merge").queryExecution.executedPlan
+      val joins = plan.collect { case j: SortMergeJoinExec => j }
+      assert(joins.length == 1, s"expected one merge join, got ${joins.length}")
+      assert(joins.head.joinType.toString == "FullOuter",
+        s"merge join is ${joins.head.joinType}")
+      val hx = plan.collect { case e: ShuffleExchangeExec => e.outputPartitioning }
+        .collect { case h: HashPartitioning => h.expressions.map(_.toString) }
+      assert(hx.length == 2, s"expected exactly the merge exchange pair: $hx")
+      assert(hx.forall(_.exists(_.contains("o_orderkey"))),
+        s"merge exchanges off-key: $hx")
+    })
+  }
+
+  test("ivm touches base + changes once; merge join reuses agg partitioning") {
+    // incremental maintenance = two scans (base rollup input, change set),
+    // two map-side-combined aggregates on o_custkey, ONE full-outer merge
+    // join that reuses the aggregates' hash partitioning — recomputation
+    // from scratch would show a third scan or a union instead
+    withoutAQE(withConf("spark.sql.autoBroadcastJoinThreshold", "-1") {
+      val plan = q("q_ivm_rollup").queryExecution.executedPlan
+      val scanCount = plan.collect { case f: FileSourceScanExec => f }.length
+      assert(scanCount == 2, s"expected base + changes scans only, got $scanCount")
+      val joins = plan.collect { case j: SortMergeJoinExec => j }
+      assert(joins.length == 1 && joins.head.joinType.toString == "FullOuter",
+        s"delta merge shape wrong: $joins")
+      val hx = plan.collect { case e: ShuffleExchangeExec => e.outputPartitioning }
+        .collect { case h: HashPartitioning => h.expressions.map(_.toString) }
+      assert(hx.length == 2 && hx.forall(_.exists(_.contains("o_custkey"))),
+        s"expected the two agg exchanges on o_custkey, got $hx")
+      assert(plan.toString.contains("partial_"), "aggregates lost map-side partials")
     })
   }
 

@@ -115,6 +115,29 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(batch == oracleQ, s"twin vs oracle query: ${(batch diff oracleQ).take(3)}")
   }
 
+  test("streaming incremental dedup matches the batch twin and the oracle query") {
+    // the new crawl batch (doc_id % 10 == 9, as in q_dedup_incremental)
+    // arrives as a stream; the historical fingerprint set is static
+    import graft.streaming.DocsStream
+    val docsDir = "target/stream_docs"
+    val newBatch = Tables(spark, sf, "documents").filter(col("doc_id") % 10 === 9)
+    newBatch.write.mode("overwrite").parquet(docsDir)
+    val hist = Tables(spark, sf, "documents").filter(col("doc_id") % 10 =!= 9)
+      .select(md5(col("text")).as("fp")).distinct()
+    val q = DocsStream.incrementalDedup(DocsStream.readDocsStream(spark, docsDir), hist)
+      .writeStream.format("memory").queryName("incdedup_out")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getString(1))
+    val streamed = spark.table("incdedup_out").collect().map(key).toSet
+    val batch = DocsStream.incrementalDedup(newBatch, hist).collect().map(key).toSet
+    val oracleQ = SparkEntry.queries("q_dedup_incremental")(spark, sf)
+      .collect().map(key).toSet
+    assert(batch.nonEmpty)
+    assert(streamed == batch, s"stream vs batch: ${(streamed diff batch).take(3)}")
+    assert(batch == oracleQ, s"twin vs oracle query: ${(batch diff oracleQ).take(3)}")
+  }
+
   test("sessions partition each user's events") {
     val nEvents = Tables(spark, sf, "events").count()
     val sessions = SparkEntry.queries("q_sessionize")(spark, sf).collect()
