@@ -417,6 +417,24 @@ object PipelineOps {
         .orderBy("doc_id", "start")
     }),
 
+    // ---- deterministic train/val/test split (90/5/5): membership is the
+    //      shared integer LCG over doc_id — no RNG state, so the holdout is
+    //      DISJOINT, reproducible across runs/engines/re-crawls, and needs
+    //      zero coordination at 100 TB (a per-row filter; the census agg is
+    //      one map-side-combined fine-key shuffle). Splitting by hash of a
+    //      stable id — never by position or random() — is what keeps eval
+    //      contamination out when the corpus is re-ingested ----
+    "q_split_stratified" -> ((s, d) => {
+      val bucket = pmod(pmod(col("doc_id"), lit(2147483647L)) * lit(1103515245L)
+        + lit(12345L), lit(2147483647L)) % 100
+      docs(s, d)
+        .withColumn("split",
+          when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test"))
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+        .orderBy("source", "split")
+    }),
+
     // ---- CDC merge (MERGE INTO semantics over a snapshot): apply a keyed
     //      change batch — updates, deletes, inserts — to the base table in
     //      ONE full-outer shuffle join on the key, the scale shape of a
@@ -659,6 +677,17 @@ object PipelineOps {
         |SELECT i.range + 1 AS part_id,
         |       bs[CAST(i.range + 1 AS INTEGER)] AS boundary_s
         |FROM q, range(0, 7) i ORDER BY part_id""".stripMargin,
+
+    "q_split_stratified" ->
+      """WITH b AS (
+        |  SELECT source, n_chars,
+        |         (((doc_id % 2147483647) * 1103515245 + 12345) % 2147483647) % 100 AS bkt
+        |  FROM documents)
+        |SELECT source,
+        |       CASE WHEN bkt < 90 THEN 'train'
+        |            WHEN bkt < 95 THEN 'val' ELSE 'test' END AS split,
+        |       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars
+        |FROM b GROUP BY 1, 2 ORDER BY source, split""".stripMargin,
 
     // the layout read is value-identical to the unpartitioned scan (pruning
     // is conservative by construction), so the oracle needs no layout at all

@@ -186,6 +186,27 @@ object Relational2 {
         .orderBy(col("cnt").desc, col("token").asc)
         .limit(50)),
 
+    // ---- BPE merge-pair induction (the tokenizer-training primitive):
+    //      count adjacent character pairs WITHIN words, rank the top merge
+    //      candidates — one round of byte-pair-encoding vocabulary
+    //      induction. The pair key space is alphabet²-tiny with a Zipf-hot
+    //      head ('th', 'in', …), which is safe as a shuffle key ONLY
+    //      because the aggregation is map-side combined — partials absorb
+    //      the hot pair before the exchange; the ranking is a constant-row
+    //      TakeOrderedAndProject heap, so corpus size never moves more
+    //      than alphabet² rows ----
+    "q_bpe_pairs" -> ((s, d) =>
+      docs(s, d)
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+        .filter(length(col("w")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+          .as("pair"))
+        .groupBy(col("pair"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair").asc)
+        .limit(20)),
+
     // ---- deterministic hash sampling (reservoir-free, cluster-stable) ----
     "q_sample_hash" -> ((s, d) =>
       ord(s, d)
@@ -631,6 +652,16 @@ object Relational2 {
         |FROM documents, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t(token)
         |WHERE t.token <> ''
         |GROUP BY t.token ORDER BY cnt DESC, token ASC LIMIT 50""".stripMargin,
+
+    "q_bpe_pairs" ->
+      """WITH w AS (
+        |  SELECT t.w FROM documents,
+        |       unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t(w)
+        |  WHERE length(t.w) >= 2),
+        |p0 AS (SELECT w, unnest(range(1, length(w))) AS i FROM w),
+        |p AS (SELECT substr(w, CAST(i AS INTEGER), 2) AS pair FROM p0)
+        |SELECT pair, count(*) AS n FROM p
+        |GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 20""".stripMargin,
 
     "q_sample_hash" ->
       """SELECT count(*) AS n_sampled,

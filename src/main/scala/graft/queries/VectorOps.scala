@@ -191,43 +191,85 @@ object VectorOps {
     "q_ann_pq" -> ((s, d) => {
       val e = emb(s, d).select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("vd")).persist()
-      val (assignments, codebooks) = pqAssignmentsFrom(e)
-      val codesWide = assignments.groupBy(col("vec_id"))
-        .agg(transform(array_sort(collect_list(struct(col("m"), col("cid")))),
-          _.getField("cid")).as("code"))
-      // per-probe LUT: dist from the probe's m-th subvector to centroid cid,
-      // DENSELY keyed by m*8 + cid in a map — a positional array would
-      // silently shift every later index if a degenerate codebook dropped a
-      // memberless centroid (the DuckDB oracle joins on (m, cid) and would
-      // diverge); keyed entries stay correct for any surviving cid set
-      val probes = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("probe_id"), col("vd"))
-      val lutRows = (0 until 4).map { mi =>
-        probes.select(col("probe_id"),
-            slice(col("vd"), mi * 16 + 1, 16).as("psv"))
-          .crossJoin(broadcast(codebooks(mi)))
-          .select(col("probe_id"), lit(mi).as("m"), col("cid"),
-            VectorExprs.l2DistSq(col("psv"), col("cvec")).as("pdist"))
-      }.reduce(_ unionByName _)
-      val lutWide = lutRows.groupBy(col("probe_id"))
-        .agg(map_from_entries(collect_list(struct(
-          (col("m") * 8 + col("cid")).cast("int").as("k"), col("pdist"))))
-          .as("lut"))
       val w = Window.partitionBy(col("probe_id"))
         .orderBy(col("adist").asc, col("neighbor_id").asc)
-      codesWide.crossJoin(broadcast(lutWide))
-        .filter(col("vec_id") =!= col("probe_id"))
-        .select(col("probe_id"), col("vec_id").as("neighbor_id"),
-          round(aggregate(sequence(lit(0), lit(3)), lit(0.0), (acc, mm) =>
-            acc + element_at(col("lut"),
-              (mm * 8 + element_at(col("code"), mm + 1)).cast("int"))), 6)
-            .as("adist"))
+      adcDistances(e)
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
         .select(col("probe_id"), col("rn"), col("neighbor_id"), col("adist"))
         .orderBy("probe_id", "rn")
+    }),
+
+    // ---- two-stage retrieval (the production PQ serving pattern): ADC
+    //      shortlists top-10 per probe from codes alone (floats untouched,
+    //      zero corpus shuffle), then ONLY the shortlist is re-ranked with
+    //      exact cosine — the corpus floats are read for 10 rows per probe
+    //      instead of every row. The re-rank join BROADCASTS the shortlist
+    //      (probes × 10 rows) against the corpus scan, so the corpus is
+    //      never shuffled in either stage; recall lost to PQ quantization
+    //      is recovered exactly where it matters, at the top of the
+    //      ranking (VectorSpec quantifies the recall win vs raw ADC) ----
+    "q_ann_pq_rerank" -> ((s, d) => {
+      val e = emb(s, d).select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("vd")).persist()
+      val wa = Window.partitionBy(col("probe_id"))
+        .orderBy(col("adist").asc, col("neighbor_id").asc)
+      val shortlist = adcDistances(e)
+        .withColumn("rn", row_number().over(wa))
+        .filter(col("rn") <= 10)
+        .select(col("probe_id"), col("neighbor_id"))
+      val probes = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("vd").as("pvd"))
+      val wr = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cos").desc, col("neighbor_id").asc)
+      e.select(col("vec_id").as("neighbor_id"), col("vd").as("nvd"))
+        .join(broadcast(shortlist), "neighbor_id")
+        .join(broadcast(probes), "probe_id")
+        .select(col("probe_id"), col("neighbor_id"),
+          round(VectorExprs.cosineD(col("pvd"), col("nvd")), 6).as("cos"))
+        .withColumn("rk", row_number().over(wr))
+        .filter(col("rk") <= 3)
+        .select(col("probe_id"), col("rk"), col("neighbor_id"), col("cos"))
+        .orderBy("probe_id", "rk")
     })
   )
+
+  /** ADC approximate distances (probe_id, neighbor_id, adist) — the shared
+    * core of q_ann_pq and q_ann_pq_rerank: per-probe 4×8 distance LUT
+    * against the broadcast codebooks, corpus distance = 4 table lookups via
+    * a sequential HOF fold per row. The LUT is DENSELY keyed by m*8 + cid
+    * in a map — a positional array would silently shift every later index
+    * if a degenerate codebook dropped a memberless centroid (the DuckDB
+    * oracle joins on (m, cid) and would diverge); keyed entries stay
+    * correct for any surviving cid set. `e` must be (vec_id, vd) with vd
+    * double[64], persisted by the caller.
+    */
+  private def adcDistances(e: DataFrame): DataFrame = {
+    val (assignments, codebooks) = pqAssignmentsFrom(e)
+    val codesWide = assignments.groupBy(col("vec_id"))
+      .agg(transform(array_sort(collect_list(struct(col("m"), col("cid")))),
+        _.getField("cid")).as("code"))
+    val probes = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("vd"))
+    val lutRows = (0 until 4).map { mi =>
+      probes.select(col("probe_id"),
+          slice(col("vd"), mi * 16 + 1, 16).as("psv"))
+        .crossJoin(broadcast(codebooks(mi)))
+        .select(col("probe_id"), lit(mi).as("m"), col("cid"),
+          VectorExprs.l2DistSq(col("psv"), col("cvec")).as("pdist"))
+    }.reduce(_ unionByName _)
+    val lutWide = lutRows.groupBy(col("probe_id"))
+      .agg(map_from_entries(collect_list(struct(
+        (col("m") * 8 + col("cid")).cast("int").as("k"), col("pdist"))))
+        .as("lut"))
+    codesWide.crossJoin(broadcast(lutWide))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        round(aggregate(sequence(lit(0), lit(3)), lit(0.0), (acc, mm) =>
+          acc + element_at(col("lut"),
+            (mm * 8 + element_at(col("code"), mm + 1)).cast("int"))), 6)
+          .as("adist"))
+  }
 
   /** Product-quantization codebooks + assignments: 4 subspaces of 16 dims,
     * 8 deterministic centroids each (init = first 8 vectors' subvectors,
@@ -383,35 +425,54 @@ object VectorOps {
          |       round(sum(dist), 6) AS recon_err
          |FROM u GROUP BY vec_id ORDER BY vec_id""".stripMargin,
 
-    "q_ann_pq" -> {
-      val l2 = VectorExprs.l2DistSqSql _
-      val luts = (0 until 4).map { mi =>
-        val lo = mi * 16 + 1; val hi = mi * 16 + 16
-        s"""lut$mi AS (SELECT p.probe_id, $mi AS m, c.cid,
-           |                  ${l2(s"p.vd[$lo:$hi]", "c.cvec", 16)} AS pdist
-           |           FROM p, c1$mi c)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
-         |           FROM embeddings),
-         |$pqSubCtes,
-         |codes AS (SELECT vec_id, m, cid FROM a20 UNION ALL SELECT vec_id, m, cid FROM a21
-         |          UNION ALL SELECT vec_id, m, cid FROM a22
-         |          UNION ALL SELECT vec_id, m, cid FROM a23),
-         |p AS (SELECT vec_id AS probe_id, vd FROM e WHERE vec_id < 10),
-         |$luts,
-         |lut AS (SELECT * FROM lut0 UNION ALL SELECT * FROM lut1
-         |        UNION ALL SELECT * FROM lut2 UNION ALL SELECT * FROM lut3),
-         |ad AS (SELECT l.probe_id, c.vec_id AS neighbor_id,
-         |              round(sum(l.pdist), 6) AS adist
-         |       FROM codes c JOIN lut l ON l.m = c.m AND l.cid = c.cid
-         |       WHERE c.vec_id <> l.probe_id
-         |       GROUP BY l.probe_id, c.vec_id),
-         |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
-         |              ORDER BY adist ASC, neighbor_id ASC) AS rn FROM ad)
+    "q_ann_pq" ->
+      s"""WITH $adcCtes
          |SELECT probe_id, rn, neighbor_id, adist FROM r
-         |WHERE rn <= 3 ORDER BY probe_id, rn""".stripMargin
-    }
+         |WHERE rn <= 3 ORDER BY probe_id, rn""".stripMargin,
+
+    // same ADC chain shortlisted to 10, then exact-cosine re-rank of the
+    // shortlist only (the two-stage serving pattern)
+    "q_ann_pq_rerank" ->
+      s"""WITH $adcCtes,
+         |sl AS (SELECT probe_id, neighbor_id FROM r WHERE rn <= 10),
+         |rr AS (SELECT s.probe_id, s.neighbor_id, round($cosAB, 6) AS cos
+         |       FROM sl s JOIN embeddings a ON a.vec_id = s.probe_id
+         |                 JOIN embeddings b ON b.vec_id = s.neighbor_id),
+         |r2 AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+         |              ORDER BY cos DESC, neighbor_id ASC) AS rk FROM rr)
+         |SELECT probe_id, rk, neighbor_id, cos FROM r2
+         |WHERE rk <= 3 ORDER BY probe_id, rk""".stripMargin
   )
+
+  /** Shared DuckDB CTE chain replicating [[adcDistances]] + the ranked `r`
+    * relation (probe_id, neighbor_id, adist, rn). Builds on [[pqSubCtes]].
+    */
+  private lazy val adcCtes: String = {
+    val l2 = VectorExprs.l2DistSqSql _
+    val luts = (0 until 4).map { mi =>
+      val lo = mi * 16 + 1; val hi = mi * 16 + 16
+      s"""lut$mi AS (SELECT p.probe_id, $mi AS m, c.cid,
+         |                  ${l2(s"p.vd[$lo:$hi]", "c.cvec", 16)} AS pdist
+         |           FROM p, c1$mi c)""".stripMargin
+    }.mkString(",\n")
+    s"""e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+       |           FROM embeddings),
+       |$pqSubCtes,
+       |codes AS (SELECT vec_id, m, cid FROM a20 UNION ALL SELECT vec_id, m, cid FROM a21
+       |          UNION ALL SELECT vec_id, m, cid FROM a22
+       |          UNION ALL SELECT vec_id, m, cid FROM a23),
+       |p AS (SELECT vec_id AS probe_id, vd FROM e WHERE vec_id < 10),
+       |$luts,
+       |lut AS (SELECT * FROM lut0 UNION ALL SELECT * FROM lut1
+       |        UNION ALL SELECT * FROM lut2 UNION ALL SELECT * FROM lut3),
+       |ad AS (SELECT l.probe_id, c.vec_id AS neighbor_id,
+       |              round(sum(l.pdist), 6) AS adist
+       |       FROM codes c JOIN lut l ON l.m = c.m AND l.cid = c.cid
+       |       WHERE c.vec_id <> l.probe_id
+       |       GROUP BY l.probe_id, c.vec_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+       |              ORDER BY adist ASC, neighbor_id ASC) AS rn FROM ad)""".stripMargin
+  }
 
   /** Shared DuckDB CTE chain replicating [[pqAssignmentsFrom]]: per
     * subspace mi, codebook `c1<mi>` and final assignment `a2<mi>`

@@ -78,6 +78,47 @@ class SkewSpec extends AnyFunSuite with SparkSpec {
     })
   }
 
+  test("AQE runtime skew split engages on the moderate tier's plan") {
+    // the chooser's "aqe" tier keeps the plain declarative join and relies
+    // on AQE splitting oversized partitions at runtime — prove that
+    // machinery actually fires: a hot key under aggressive split thresholds
+    // must yield an AQEShuffleRead marked `skewed` in the FINAL plan
+    withConf("spark.sql.adaptive.enabled", "true") {
+      withConf("spark.sql.adaptive.skewJoin.enabled", "true") {
+        withConf("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2") {
+          withConf("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB") {
+            withConf("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB") {
+              withConf("spark.sql.autoBroadcastJoinThreshold", "-1") {
+                withConf("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1") {
+                  // payload is multiplicatively scrambled: an all-equal or
+                  // sequential column compresses under the skew threshold
+                  // after lz4, hiding the hot partition from the optimizer
+                  val fact = spark.range(150000).select(
+                    when(col("id") < 120000, 0L).otherwise(col("id") % 100).as("k"),
+                    (col("id") * 2654435761L % 1000003L).as("payload"))
+                  val build = spark.range(100).select(col("id").as("bk"))
+                  // no aggregation on top (a required hash distribution
+                  // downstream vetoes the split — splitting breaks
+                  // co-partitioning) and no post-join filter (any
+                  // row-thinning predicate is rewritten through the join
+                  // equivalence and pushed into the fact scan, deflating
+                  // the skew); the chooser's "aqe" tier matches — plain
+                  // joins feeding projects/writes
+                  val j = fact.join(build, col("k") === col("bk"))
+                    .select(col("k"), col("payload"))
+                  val qe = j.queryExecution
+                  j.collect() // materialize so AQE finalizes the plan
+                  assert(qe.executedPlan.toString.contains("skewed"),
+                    "AQE did not mark any skewed shuffle read in the final plan")
+                }
+              }
+            }
+          }
+        }
+      }
+    }
+  }
+
   test("auto join result equals the plain join on both fixtures") {
     val fact = Tables(spark, sf, "orders")
     val build = Tables(spark, sf, "customer")

@@ -125,4 +125,29 @@ class VectorSpec extends AnyFunSuite with SparkSpec {
     }
     assert(inNearHalf >= 7, s"only $inNearHalf/10 ADC top-1 picks in the nearest half")
   }
+
+  test("PQ rerank: exact re-rank of the ADC shortlist dominates raw ADC recall") {
+    def pairs(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val brute = pairs(q("q_ann_brute").collect())   // exact cosine top-3
+    val adc = pairs(q("q_ann_pq").collect())        // raw ADC top-3
+    val rerank = q("q_ann_pq_rerank").collect()
+    assert(rerank.map(_.getAs[Long]("probe_id")).distinct.length == 10)
+    rerank.groupBy(_.getAs[Long]("probe_id")).foreach { case (_, rs) =>
+      assert(rs.length == 3)
+      val byRank = rs.sortBy(_.getAs[Int]("rk")).map(_.getAs[Double]("cos"))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b },
+        "cosine must be non-increasing in re-ranked order")
+    }
+    // any exact-top-3 neighbor that survives into the 10-wide shortlist is
+    // GUARANTEED into the re-ranked top-3 (it beats every non-member on
+    // cosine), so re-rank recall can never fall below raw ADC recall —
+    // assert the dominance and that the stage recovers real recall
+    val rerankRecall = (pairs(rerank) intersect brute).size
+    val adcRecall = (adc intersect brute).size
+    assert(rerankRecall >= adcRecall,
+      s"re-rank recall $rerankRecall < raw ADC recall $adcRecall")
+    assert(rerankRecall >= 10,
+      s"re-rank recovers only $rerankRecall/30 exact-cosine top-3 pairs")
+  }
 }
