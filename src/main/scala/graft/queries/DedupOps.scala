@@ -385,26 +385,68 @@ object DedupOps {
 
     // ---- embedding near-dup: random-hyperplane LSH buckets, exact cosine
     //      verification (threshold tuned to the synthetic data's range) ----
-    "q_dedup_embedding" -> ((s, d) => {
-      val e = emb(s, d).select(col("vec_id"),
-        col("embedding"),
-        graft.functions.VectorExprs.hyperplaneBucket(col("embedding"), 6).as("bkt"))
-        .persist()
-      val buckets = cappedBuckets(
-        e.select(col("vec_id"), col("bkt")), "vec_id", "bkt")
-      val cand = buckets
-        .select(explode(pairsFromBucket(col("bucket"))).as("p"))
-        .select(col("p.doc_a").as("vec_a"), col("p.doc_b").as("vec_b"))
-      // shuffled verification joins — the embedding table is O(corpus)
-      val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
-      val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
-      cand.join(a, "vec_a").join(b, "vec_b")
-        .select(col("vec_a"), col("vec_b"),
-          round(graft.functions.VectorExprs.cosine(col("emb_a"), col("emb_b")), 4).as("cos"))
-        .filter(col("cos") >= 0.4)
-        .orderBy("vec_a", "vec_b")
-    })
+    "q_dedup_embedding" -> ((s, d) => embeddingPairs(emb(s, d))),
+
+    // ---- semantic dedup clusters (SemDeDup-style): the embedding near-dup
+    //      PAIRS resolved into CLUSTERS by the same min-label-propagation
+    //      connected components as q_dedup_clusters — one canonical vector
+    //      kept per semantic group. This is the embedding-modality twin of
+    //      the minhash cluster path: LSH bounds candidates, exact cosine
+    //      verifies, CC closes transitively; all three stages shuffle on
+    //      fine vector-id keys ----
+    "q_semantic_clusters" -> ((s, d) =>
+      connectedComponents(embeddingPairs(emb(s, d))
+          .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+        .withColumn("is_keep", col("doc_id") === col("cluster_id"))
+        .select(col("doc_id").as("vec_id"), col("cluster_id"), col("is_keep"))
+        .orderBy("vec_id"))
   )
+
+  /** Hyperplane-LSH embedding near-dup pairs (vec_a, vec_b, cos ≥ 0.4) —
+    * shared by q_dedup_embedding and q_semantic_clusters.
+    */
+  def embeddingPairs(embTable: DataFrame): DataFrame = {
+    val e = embTable.select(col("vec_id"),
+      col("embedding"),
+      graft.functions.VectorExprs.hyperplaneBucket(col("embedding"), 6).as("bkt"))
+      .persist()
+    val buckets = cappedBuckets(
+      e.select(col("vec_id"), col("bkt")), "vec_id", "bkt")
+    val cand = buckets
+      .select(explode(pairsFromBucket(col("bucket"))).as("p"))
+      .select(col("p.doc_a").as("vec_a"), col("p.doc_b").as("vec_b"))
+    // shuffled verification joins — the embedding table is O(corpus)
+    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    cand.join(a, "vec_a").join(b, "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        round(graft.functions.VectorExprs.cosine(col("emb_a"), col("emb_b")), 4).as("cos"))
+      .filter(col("cos") >= 0.4)
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** Shared DuckDB CTE chain replicating [[embeddingPairs]]: hyperplane
+    * weights as literals, capped buckets, exact-cosine-scored `pairs`.
+    */
+  private lazy val embPairCtes: String = {
+    import graft.functions.VectorExprs
+    s"""w AS (SELECT ${VectorExprs.weightsSqlLiteral(0, 6)}::DOUBLE[][] AS w0),
+       |e AS MATERIALIZED (
+       |      SELECT vec_id, embedding,
+       |        ${VectorExprs.bucketSql("embedding", "w0", 6)} AS bkt
+       |      FROM embeddings, w),
+       |bk AS (SELECT bkt, list_sort(list_distinct(list(vec_id)))[1:$BucketCap] AS bucket
+       |       FROM e GROUP BY bkt HAVING len(list_distinct(list(vec_id))) >= 2),
+       |cand AS (SELECT DISTINCT pa.x AS vec_a, pb.y AS vec_b
+       |         FROM bk, unnest(bk.bucket) AS pa(x), unnest(bk.bucket) AS pb(y)
+       |         WHERE pa.x < pb.y),
+       |pairs AS (
+       |  SELECT c.vec_a, c.vec_b,
+       |         round(${VectorExprs.cosineSql("a.embedding", "b.embedding")}, 4) AS cos
+       |  FROM cand c
+       |  JOIN embeddings a ON a.vec_id = c.vec_a
+       |  JOIN embeddings b ON b.vec_id = c.vec_b)""".stripMargin
+  }
 
   /** Shared DuckDB CTE chain replicating [[minhashPairs]] bit-for-bit up to
     * the scored candidate pair set (`pairs`); suffix queries select from it.
@@ -442,27 +484,28 @@ object DedupOps {
 
     // hyperplane weights embedded as literals; bucket + cosine arithmetic is
     // bit-identical to the native expressions (see VectorExprs scaladoc)
-    "q_dedup_embedding" -> {
-      import graft.functions.VectorExprs
-      s"""WITH w AS (SELECT ${VectorExprs.weightsSqlLiteral(0, 6)}::DOUBLE[][] AS w0),
-         |e AS MATERIALIZED (
-         |      SELECT vec_id, embedding,
-         |        ${VectorExprs.bucketSql("embedding", "w0", 6)} AS bkt
-         |      FROM embeddings, w),
-         |bk AS (SELECT bkt, list_sort(list_distinct(list(vec_id)))[1:$BucketCap] AS bucket
-         |       FROM e GROUP BY bkt HAVING len(list_distinct(list(vec_id))) >= 2),
-         |cand AS (SELECT DISTINCT pa.x AS vec_a, pb.y AS vec_b
-         |         FROM bk, unnest(bk.bucket) AS pa(x), unnest(bk.bucket) AS pb(y)
-         |         WHERE pa.x < pb.y),
-         |pairs AS (
-         |  SELECT c.vec_a, c.vec_b,
-         |         round(${VectorExprs.cosineSql("a.embedding", "b.embedding")}, 4) AS cos
-         |  FROM cand c
-         |  JOIN embeddings a ON a.vec_id = c.vec_a
-         |  JOIN embeddings b ON b.vec_id = c.vec_b)
+    "q_dedup_embedding" ->
+      s"""WITH $embPairCtes
          |SELECT vec_a, vec_b, cos FROM pairs
-         |WHERE cos >= 0.4 ORDER BY vec_a, vec_b""".stripMargin
-    },
+         |WHERE cos >= 0.4 ORDER BY vec_a, vec_b""".stripMargin,
+
+    // same pair set closed transitively — the q_dedup_clusters closure over
+    // the embedding modality
+    "q_semantic_clusters" ->
+      s"""WITH RECURSIVE $embPairCtes,
+         |pf AS MATERIALIZED (
+         |  SELECT vec_a, vec_b FROM pairs WHERE cos >= 0.4),
+         |edges AS MATERIALIZED (
+         |  SELECT vec_a AS src, vec_b AS dst FROM pf
+         |  UNION SELECT vec_b, vec_a FROM pf),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src),
+         |lab AS (SELECT src AS vec_id, least(src, min(dst)) AS cluster_id
+         |        FROM reach GROUP BY src)
+         |SELECT vec_id, cluster_id, (vec_id = cluster_id) AS is_keep
+         |FROM lab ORDER BY vec_id""".stripMargin,
 
     "q_dedup_minhash" ->
       s"""WITH $minhashPairCtes

@@ -60,6 +60,31 @@ object TemporalOps {
           round(sum(col("value") * col("wgt")), 4).as("decayed_value"))
         .orderBy("user_id")),
 
+    // ---- z-score outlier gate (metric-quality analog of the text quality
+    //      gates): per-type mean/stddev from ONE map-side-combined pass,
+    //      broadcast back, per-row |v − μ| > 3σ flag — the two-pass
+    //      broadcast-stats shape of q_quality_percentile, never a window
+    //      over the corpus. Census output (n, n_outliers, rounded moments)
+    //      keeps the row set constant-size at any event rate. The flag
+    //      compares unrounded doubles: both engines compute μ/σ from the
+    //      same FP term multiset, and no fixture value sits within an ulp
+    //      of a 3σ boundary (the q_stats_agg precedent) ----
+    "q_outlier_gate" -> ((s, d) => {
+      val stats = events(s, d)
+        .groupBy(col("event_type"))
+        .agg(avg(col("value")).as("mu"), stddev_samp(col("value")).as("sd"))
+      events(s, d)
+        .join(broadcast(stats), "event_type")
+        .select(col("event_type"), col("mu"), col("sd"),
+          (abs(col("value") - col("mu")) > col("sd") * 3.0).as("is_outlier"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("is_outlier"), 1L).otherwise(0L)).as("n_outliers"),
+          round(first(col("mu")), 4).as("mean_val"),
+          round(first(col("sd")), 4).as("sd_val"))
+        .orderBy("event_type")
+    }),
+
     // ---- top-k per group: each user's 3 highest-value purchases via
     //      row_number over (user_id), the canonical per-key top-k (NOT a
     //      global sort; at scale this is one shuffle and a bounded
@@ -78,6 +103,20 @@ object TemporalOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // avg/stddev_samp sum the same FP term multisets as Spark's; the 3σ
+    // comparison is a single IEEE multiply + compare on both sides
+    "q_outlier_gate" ->
+      """WITH s AS (
+        |  SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_type, count(*) AS n,
+        |       CAST(sum(CASE WHEN abs(e.value - s.mu) > s.sd * 3.0
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |       round(min(s.mu), 4) AS mean_val,
+        |       round(min(s.sd), 4) AS sd_val
+        |FROM events e JOIN s ON e.event_type = s.event_type
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+
     "q_scd2" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type,

@@ -101,6 +101,45 @@ object VectorOps {
         .orderBy("probe_id", "rn")
     }),
 
+    // ---- multi-probe LSH ANN: same 4×6 hyperplane tables as q_ann_lsh,
+    //      but each probe ALSO queries the 6 Hamming-1 neighbor buckets per
+    //      table (bkt ^ 2^i) — the classic multi-probe trade (Lv et al.):
+    //      ~7× more probe rows (still tiny, still broadcast) buys a recall
+    //      jump WITHOUT more stored tables and WITHOUT touching the corpus
+    //      side — one broadcast hash join against the corpus scan, no
+    //      corpus shuffle. Equivalent membership: candidate iff
+    //      xor(bkt_p, bkt_n) ∈ {0,1,2,4,8,16,32}, which is the oracle's
+    //      formulation; VectorSpec proves recall dominates q_ann_lsh ----
+    "q_ann_multiprobe" -> ((s, d) => {
+      val e = emb(s, d).select(col("vec_id"), col("embedding"),
+        VectorExprs.lshTables(col("embedding"), 6, 4).as("tbls"))
+      val probes = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"),
+          explode(col("tbls")).as("tb"))
+        .select(col("probe_id"), col("probe_emb"), col("tb.tbl").as("tbl"),
+          col("tb.bkt").as("bkt0"))
+        .select(col("probe_id"), col("probe_emb"), col("tbl"),
+          explode(expr("""array_union(array(bkt0),
+            transform(sequence(0, 5),
+              i -> bkt0 ^ cast(shiftleft(1, i) as bigint)))""")).as("bkt"))
+      val corpus = e
+        .select(col("vec_id").as("neighbor_id"), col("embedding").as("nb_emb"),
+          explode(col("tbls")).as("tb"))
+        .select(col("neighbor_id"), col("nb_emb"), col("tb.tbl").as("tbl"),
+          col("tb.bkt").as("bkt"))
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cos").desc, col("neighbor_id").asc)
+      corpus.join(broadcast(probes), Seq("tbl", "bkt"))
+        .filter(col("probe_id") =!= col("neighbor_id"))
+        .select(col("probe_id"), col("neighbor_id"),
+          round(VectorExprs.cosine(col("probe_emb"), col("nb_emb")), 6).as("cos"))
+        .distinct() // a pair can collide in several (table, probe) cells
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("probe_id"), col("rn"), col("neighbor_id"), col("cos"))
+        .orderBy("probe_id", "rn")
+    }),
+
     // ---- IVF ANN: k-means coarse quantizer (deterministic init = first K
     //      vectors, one Lloyd iteration with centroids ROUNDED to 6dp so
     //      both engines agree bit-for-bit), then probe the nProbe nearest
@@ -360,6 +399,34 @@ object VectorOps {
          |  FROM e p, e n, range(1, 5) t
          |  WHERE p.vec_id < 10 AND n.vec_id <> p.vec_id
          |    AND p.bkts[t.range] = n.bkts[t.range]),
+         |pairs AS (
+         |  SELECT c.probe_id, c.neighbor_id,
+         |         round(${VectorExprs.cosineSql("a.embedding", "b.embedding")}, 6) AS cos
+         |  FROM cand c
+         |  JOIN embeddings a ON a.vec_id = c.probe_id
+         |  JOIN embeddings b ON b.vec_id = c.neighbor_id),
+         |r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY probe_id
+         |            ORDER BY cos DESC, neighbor_id ASC) AS rn
+         |  FROM pairs)
+         |SELECT probe_id, rn, neighbor_id, cos FROM r
+         |WHERE rn <= 3 ORDER BY probe_id, rn""".stripMargin
+    },
+
+    // multi-probe membership via the equivalent xor-set test: Hamming ≤ 1
+    // between probe and corpus buckets ⇔ xor ∈ {0, 1, 2, 4, 8, 16, 32}
+    "q_ann_multiprobe" -> {
+      val wlits = (0 until 4).map(t =>
+        s"${VectorExprs.weightsSqlLiteral(t, 6)}::DOUBLE[][] AS w$t").mkString(", ")
+      val bkts = (0 until 4).map(t =>
+        VectorExprs.bucketSql("embedding", s"w$t", 6)).mkString("[", ", ", "]")
+      s"""WITH w AS (SELECT $wlits),
+         |e AS (SELECT vec_id, embedding, $bkts AS bkts FROM embeddings, w),
+         |cand AS (
+         |  SELECT DISTINCT p.vec_id AS probe_id, n.vec_id AS neighbor_id
+         |  FROM e p, e n, range(1, 5) t
+         |  WHERE p.vec_id < 10 AND n.vec_id <> p.vec_id
+         |    AND xor(p.bkts[t.range], n.bkts[t.range]) IN (0, 1, 2, 4, 8, 16, 32)),
          |pairs AS (
          |  SELECT c.probe_id, c.neighbor_id,
          |         round(${VectorExprs.cosineSql("a.embedding", "b.embedding")}, 6) AS cos

@@ -126,6 +126,37 @@ class VectorSpec extends AnyFunSuite with SparkSpec {
     assert(inNearHalf >= 7, s"only $inNearHalf/10 ADC top-1 picks in the nearest half")
   }
 
+  test("semantic clusters: edges never split, representative is the min member") {
+    val pairs = q("q_dedup_embedding").collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b")))
+    val rows = q("q_semantic_clusters").collect()
+    val lab = rows.map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(pairs.nonEmpty && lab.nonEmpty)
+    pairs.foreach { case (a, b) => assert(lab(a) == lab(b), s"edge ($a,$b) split") }
+    lab.groupBy(_._2).foreach { case (cid, members) =>
+      assert(cid == members.keys.min, s"cluster $cid rep is not its min member")
+    }
+    val keeps = rows.filter(_.getAs[Boolean]("is_keep")).map(_.getAs[Long]("vec_id")).toSet
+    assert(keeps == lab.values.toSet, "keep set != cluster representatives")
+  }
+
+  test("multi-probe LSH recall dominates single-bucket LSH recall") {
+    def pairs(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val brute = pairs(q("q_ann_brute").collect())
+    val single = pairs(q("q_ann_lsh").collect())
+    val multi = pairs(q("q_ann_multiprobe").collect())
+    // the multi-probe candidate set is a SUPERSET (Hamming ≤ 1 ⊇ equality)
+    // and both rank by exact cosine, so any true-top-3 neighbor recalled by
+    // the single-bucket path survives multi-probe top-3 — any displacer has
+    // higher cosine and is itself a true-top-3 member. Recall can only grow.
+    val singleRecall = (single intersect brute).size
+    val multiRecall = (multi intersect brute).size
+    assert(multiRecall >= singleRecall,
+      s"multi-probe recall $multiRecall < single-bucket $singleRecall")
+    assert(multiRecall >= 15, s"multi-probe recalls only $multiRecall/30")
+  }
+
   test("PQ rerank: exact re-rank of the ADC shortlist dominates raw ADC recall") {
     def pairs(rows: Array[org.apache.spark.sql.Row]) =
       rows.map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
