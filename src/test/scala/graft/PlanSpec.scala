@@ -275,6 +275,53 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     })
   }
 
+  test("two-stage retrieval never shuffles the corpus: broadcast in both stages") {
+    // SERVING path: ADC meets codes via broadcast, the re-rank shortlist
+    // broadcasts against the corpus scan — an exchange on neighbor_id would
+    // mean the corpus shuffled at query time. (vec_id exchanges exist and
+    // are the INDEX BUILD: per-vector code assembly aggregates 4 subspace
+    // rows per vector — paid once at build, amortized in production.)
+    withoutAQE {
+      val plan = q("q_ann_pq_rerank").queryExecution.executedPlan
+      val corpusShuffles = plan
+        .collect { case e: ShuffleExchangeExec => e.outputPartitioning }
+        .collect { case h: HashPartitioning => h.expressions.map(_.toString) }
+        .filter(_.exists(_.contains("neighbor_id")))
+      assert(corpusShuffles.isEmpty,
+        s"corpus shuffled in the serving path: $corpusShuffles")
+      assert(plan.collect { case b: BroadcastHashJoinExec => b }.size >= 2,
+        "expected broadcast joins in both retrieval stages")
+    }
+  }
+
+  test("multi-probe LSH keeps the corpus unshuffled for candidates") {
+    withoutAQE {
+      val plan = q("q_ann_multiprobe").queryExecution.executedPlan
+      val bhj = plan.collect { case b: BroadcastHashJoinExec => b }
+      assert(bhj.nonEmpty, "candidate join must broadcast the probe side")
+      val corpusShuffles = plan
+        .collect { case e: ShuffleExchangeExec => e.outputPartitioning }
+        .collect { case h: HashPartitioning => h.expressions.map(_.toString) }
+        .filter(_.exists(_.contains("bkt")))
+      assert(corpusShuffles.isEmpty,
+        s"corpus shuffled on the bucket key: $corpusShuffles")
+    }
+  }
+
+  test("bpe pairs: map-side combine on the hot key space, top-k as a heap") {
+    val plan = physical("q_bpe_pairs").toString
+    assert(plan.contains("partial_count"),
+      "hot alphabet² key space lost its map-side combine")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-20 merge ranking lost the constant-row heap")
+  }
+
+  test("outlier gate plans zero windows (broadcast-stats shape)") {
+    val plan = physical("q_outlier_gate").toString
+    assert(!plan.contains("Window"), "outlier gate regressed to a window")
+    assert(plan.contains("partial_"), "stats aggregation lost partials")
+  }
+
   test("cdc merge is exactly one full-outer exchange pair on the key") {
     // the lakehouse MERGE shape: base and changes each hash-shuffle once on
     // o_orderkey into a single full-outer sort-merge join — no second join,
