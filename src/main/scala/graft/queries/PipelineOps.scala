@@ -417,6 +417,44 @@ object PipelineOps {
         .orderBy("doc_id", "start")
     }),
 
+    // ---- snapshot reconciliation (merkle-style drift detection): two
+    //      table versions are each reduced to 64 bucket checksums — count +
+    //      order-independent sum of a pure-BIGINT row hash (the shared LCG
+    //      constants; sum in decimal(38,0) so no wrap at any row count) —
+    //      and only DIFFERING buckets are reported. At 100 TB this is how
+    //      replicas/backups are compared without moving either table: two
+    //      scans, map-side-combined aggs onto 64 rows, a 64-row join; a
+    //      production run raises the bucket count (the shape is unchanged)
+    //      and recurses into differing buckets only. Fixture drift = the
+    //      CDC batch (delete %10=3, reprice %10=7, insert %10=8) ----
+    "q_table_diff" -> ((s, d) => {
+      val o = Tables(s, d, "orders")
+      val P = 2147483647L
+      def digest(df: DataFrame, n: String, h: String): DataFrame = df
+        .select((col("o_orderkey") % 64).as("bucket"),
+          (((col("o_orderkey") % P) * 1103515245L +
+            (col("o_custkey") % P) * 12345L +
+            round(col("o_totalprice") * 100).cast("long")) % P).as("rowh"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as(n),
+          (sum(col("rowh").cast("decimal(38,0)")) % P).cast("long").as(h))
+      val base = o.filter(col("o_orderkey") % 10 < 8)
+      val snap = o.filter(col("o_orderkey") % 10 < 8 &&
+          col("o_orderkey") % 10 =!= 3)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 10 === 7, col("o_totalprice") + 100.0)
+            .otherwise(col("o_totalprice")))
+        .unionByName(o.filter(col("o_orderkey") % 10 === 8)
+          .withColumn("o_totalprice", col("o_totalprice") + 100.0))
+      digest(base, "n_base", "h_base")
+        .join(digest(snap, "n_snap", "h_snap"), Seq("bucket"), "full_outer")
+        .filter(coalesce(col("n_base"), lit(-1L)) =!= coalesce(col("n_snap"), lit(-1L)) ||
+          coalesce(col("h_base"), lit(-1L)) =!= coalesce(col("h_snap"), lit(-1L)))
+        .select(col("bucket"), col("n_base"), col("n_snap"),
+          col("h_base"), col("h_snap"))
+        .orderBy("bucket")
+    }),
+
     // ---- deterministic train/val/test split (90/5/5): membership is the
     //      shared integer LCG over doc_id — no RNG state, so the holdout is
     //      DISJOINT, reproducible across runs/engines/re-crawls, and needs
@@ -677,6 +715,39 @@ object PipelineOps {
         |SELECT i.range + 1 AS part_id,
         |       bs[CAST(i.range + 1 AS INTEGER)] AS boundary_s
         |FROM q, range(0, 7) i ORDER BY part_id""".stripMargin,
+
+    // pure BIGINT row hash + decimal sum — bit-exact either engine
+    "q_table_diff" ->
+      """WITH base AS (
+        |  SELECT * FROM orders WHERE o_orderkey % 10 < 8),
+        |snap AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         CASE WHEN o_orderkey % 10 = 7 THEN o_totalprice + 100.0
+        |              ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 10 < 8 AND o_orderkey % 10 <> 3
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_totalprice + 100.0
+        |  FROM orders WHERE o_orderkey % 10 = 8),
+        |da AS (
+        |  SELECT o_orderkey % 64 AS bucket, count(*) AS n_base,
+        |         CAST(sum(((o_orderkey % 2147483647) * 1103515245 +
+        |                   (o_custkey % 2147483647) * 12345 +
+        |                   CAST(round(o_totalprice * 100) AS BIGINT))
+        |                  % 2147483647) % 2147483647 AS BIGINT) AS h_base
+        |  FROM base GROUP BY 1),
+        |db AS (
+        |  SELECT o_orderkey % 64 AS bucket, count(*) AS n_snap,
+        |         CAST(sum(((o_orderkey % 2147483647) * 1103515245 +
+        |                   (o_custkey % 2147483647) * 12345 +
+        |                   CAST(round(o_totalprice * 100) AS BIGINT))
+        |                  % 2147483647) % 2147483647 AS BIGINT) AS h_snap
+        |  FROM snap GROUP BY 1)
+        |SELECT coalesce(da.bucket, db.bucket) AS bucket, n_base, n_snap,
+        |       h_base, h_snap
+        |FROM da FULL OUTER JOIN db ON da.bucket = db.bucket
+        |WHERE coalesce(n_base, -1) <> coalesce(n_snap, -1)
+        |   OR coalesce(h_base, -1) <> coalesce(h_snap, -1)
+        |ORDER BY bucket""".stripMargin,
 
     "q_split_stratified" ->
       """WITH b AS (

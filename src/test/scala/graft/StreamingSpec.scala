@@ -115,6 +115,31 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(batch == oracleQ, s"twin vs oracle query: ${(batch diff oracleQ).take(3)}")
   }
 
+  test("streaming session_window matches the batch twin and the oracle query") {
+    // the native session-window aggregation runs UNCHANGED on a stream —
+    // complete mode re-emits merged sessions as gaps close; state is one
+    // row per open (user, session) and the watermarkless complete form is
+    // the test harness shape (production appends with a watermark)
+    val stream = EventsStream.readEventsStream(spark, streamDir)
+      .withColumn("ts_sec", timestamp_seconds(unix_timestamp(col("ts"))))
+      .groupBy(col("user_id"), session_window(col("ts_sec"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+      .select(col("user_id"),
+        unix_timestamp(col("session_window.start")).as("start_s"),
+        unix_timestamp(col("session_window.end")).as("end_s"),
+        col("n_events"), col("total_value"))
+    val q = stream.writeStream.format("memory").queryName("sess_out")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("user_id"), r.getAs[Long]("start_s"), r.getAs[Long]("end_s"),
+        r.getAs[Long]("n_events"), r.getAs[Double]("total_value"))
+    val streamed = spark.table("sess_out").collect().map(key).toSet
+    val batch = SparkEntry.queries("q_session_window")(spark, sf).collect().map(key).toSet
+    assert(batch.nonEmpty)
+    assert(streamed == batch, s"stream vs batch: ${(streamed diff batch).take(3)}")
+  }
+
   test("streaming incremental dedup matches the batch twin and the oracle query") {
     // the new crawl batch (doc_id % 10 == 9, as in q_dedup_incremental)
     // arrives as a stream; the historical fingerprint set is static
