@@ -417,6 +417,33 @@ object PipelineOps {
         .orderBy("doc_id", "start")
     }),
 
+    // ---- referential-integrity audit (the FK half of q_profile's census):
+    //      orphan counts for each declared relationship via LEFT ANTI joins
+    //      on the key columns only — no payload moves, each check is one
+    //      fine-key shuffle (or a broadcast when the parent key set is
+    //      dim-sized), and the output is one row per relationship
+    //      regardless of table size. The audit a pipeline runs before
+    //      trusting joins downstream ----
+    "q_fk_audit" -> ((s, d) => {
+      val li = Tables(s, d, "lineitem")
+      def check(rel: String, child: DataFrame, key: String,
+          parent: DataFrame, pkey: String): DataFrame = {
+        val orphans = child.select(col(key))
+          .join(parent.select(col(pkey).as(key)).distinct(), Seq(key), "left_anti")
+        child.agg(count(lit(1)).as("n_children"))
+          .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+          .select(lit(rel).as("relationship"), col("n_children"), col("n_orphans"))
+      }
+      check("lineitem->orders", li, "l_orderkey", Tables(s, d, "orders"), "o_orderkey")
+        .unionByName(check("lineitem->part", li, "l_partkey",
+          Tables(s, d, "part"), "p_partkey"))
+        .unionByName(check("lineitem->supplier", li, "l_suppkey",
+          Tables(s, d, "supplier"), "s_suppkey"))
+        .unionByName(check("orders->customer", Tables(s, d, "orders"), "o_custkey",
+          Tables(s, d, "customer"), "c_custkey"))
+        .orderBy("relationship")
+    }),
+
     // ---- snapshot reconciliation (merkle-style drift detection): two
     //      table versions are each reduced to 64 bucket checksums — count +
     //      order-independent sum of a pure-BIGINT row hash (the shared LCG
@@ -715,6 +742,32 @@ object PipelineOps {
         |SELECT i.range + 1 AS part_id,
         |       bs[CAST(i.range + 1 AS INTEGER)] AS boundary_s
         |FROM q, range(0, 7) i ORDER BY part_id""".stripMargin,
+
+    "q_fk_audit" ->
+      """SELECT 'lineitem->orders' AS relationship,
+        |       (SELECT count(*) FROM lineitem) AS n_children,
+        |       (SELECT count(*) FROM lineitem l
+        |        WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                          WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+        |UNION ALL
+        |SELECT 'lineitem->part',
+        |       (SELECT count(*) FROM lineitem),
+        |       (SELECT count(*) FROM lineitem l
+        |        WHERE NOT EXISTS (SELECT 1 FROM part p
+        |                          WHERE p.p_partkey = l.l_partkey))
+        |UNION ALL
+        |SELECT 'lineitem->supplier',
+        |       (SELECT count(*) FROM lineitem),
+        |       (SELECT count(*) FROM lineitem l
+        |        WHERE NOT EXISTS (SELECT 1 FROM supplier s
+        |                          WHERE s.s_suppkey = l.l_suppkey))
+        |UNION ALL
+        |SELECT 'orders->customer',
+        |       (SELECT count(*) FROM orders),
+        |       (SELECT count(*) FROM orders o
+        |        WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |                          WHERE c.c_custkey = o.o_custkey))
+        |ORDER BY relationship""".stripMargin,
 
     // pure BIGINT row hash + decimal sum — bit-exact either engine
     "q_table_diff" ->

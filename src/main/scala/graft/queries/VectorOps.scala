@@ -140,6 +140,36 @@ object VectorOps {
         .orderBy("probe_id", "rn")
     }),
 
+    // ---- incremental PQ index maintenance (the vector-index analog of
+    //      q_ivm_rollup): a new vector batch (vec_id % 10 == 9) is coded
+    //      against the EXISTING codebooks — trained on the old corpus
+    //      only, broadcast, never retrained — so the append touches
+    //      |batch| rows while the index stays serviceable. Output is the
+    //      per-(subspace, centroid) census after the append; a drifting
+    //      batch shows up as mass imbalance here, which is the signal a
+    //      production index uses to schedule retraining ----
+    "q_pq_append" -> ((s, d) => {
+      val all = emb(s, d).select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("vd")).persist()
+      val old = all.filter(col("vec_id") % 10 =!= 9)
+      val nb = all.filter(col("vec_id") % 10 === 9)
+      val (oldAssign, codebooks) = pqAssignmentsFrom(old)
+      val newAssign = (0 until 4).map { mi =>
+        assignToCodebook(
+          nb.select(col("vec_id"), slice(col("vd"), mi * 16 + 1, 16).as("sv")),
+          codebooks(mi))
+          .select(col("vec_id"), lit(mi).as("m"), col("cid"))
+      }.reduce(_ unionByName _)
+      oldAssign.groupBy(col("m"), col("cid"))
+        .agg(count(lit(1)).as("n_old"))
+        .join(newAssign.groupBy(col("m"), col("cid"))
+          .agg(count(lit(1)).as("n_new")), Seq("m", "cid"), "full_outer")
+        .select(col("m"), col("cid"),
+          coalesce(col("n_old"), lit(0L)).as("n_old"),
+          coalesce(col("n_new"), lit(0L)).as("n_new"))
+        .orderBy("m", "cid")
+    }),
+
     // ---- IVF ANN: k-means coarse quantizer (deterministic init = first K
     //      vectors, one Lloyd iteration with centroids ROUNDED to 6dp so
     //      both engines agree bit-for-bit), then probe the nProbe nearest
@@ -320,20 +350,26 @@ object VectorOps {
     pqAssignmentsFrom(embDf.select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("vd")).persist())
 
+  /** Nearest-centroid assignment of a (vec_id, sv) frame against a
+    * broadcast (cid, cvec) codebook — shared by the index build and the
+    * APPEND path (new vectors coded against fixed codebooks, no retrain).
+    */
+  private def assignToCodebook(sv: DataFrame, cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dist").asc, col("cid").asc)
+    sv.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("sv"), col("cid"),
+        VectorExprs.l2DistSq(col("sv"), col("cvec")).as("dist"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("sv"), col("cid"), col("dist"))
+  }
+
   private def pqAssignmentsFrom(e: DataFrame): (DataFrame, Seq[DataFrame]) = {
     val m = 4; val sub = 16; val k = 8
     val perSub = (0 until m).map { mi =>
       val sv = e.select(col("vec_id"), slice(col("vd"), mi * sub + 1, sub).as("sv"))
-      def assign(cents: DataFrame): DataFrame = {
-        val w = Window.partitionBy(col("vec_id"))
-          .orderBy(col("dist").asc, col("cid").asc)
-        sv.crossJoin(broadcast(cents))
-          .select(col("vec_id"), col("sv"), col("cid"),
-            VectorExprs.l2DistSq(col("sv"), col("cvec")).as("dist"))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .select(col("vec_id"), col("sv"), col("cid"), col("dist"))
-      }
+      def assign(cents: DataFrame): DataFrame = assignToCodebook(sv, cents)
       val init = sv.filter(col("vec_id") < k)
         .select(col("vec_id").cast("int").as("cid"), col("sv").as("cvec"))
       val cents1 = assign(init)
@@ -496,6 +532,40 @@ object VectorOps {
       s"""WITH $adcCtes
          |SELECT probe_id, rn, neighbor_id, adist FROM r
          |WHERE rn <= 3 ORDER BY probe_id, rn""".stripMargin,
+
+    // codebooks trained on the old slice only (pqSubCtes over e = old);
+    // the new batch is assigned against those fixed c1<mi> codebooks
+    "q_pq_append" -> {
+      val l2 = VectorExprs.l2DistSqSql _
+      val newCtes = (0 until 4).map { mi =>
+        val lo = mi * 16 + 1; val hi = mi * 16 + 16
+        s"""nsv$mi AS (SELECT vec_id, vd[$lo:$hi] AS sv FROM ne),
+           |nd$mi AS (SELECT s.vec_id, c.cid, ${l2("s.sv", "c.cvec", 16)} AS dist
+           |          FROM nsv$mi s, c1$mi c),
+           |na$mi AS (SELECT vec_id, $mi AS m, cid FROM (
+           |            SELECT *, row_number() OVER (PARTITION BY vec_id
+           |                      ORDER BY dist ASC, cid ASC) AS rn FROM nd$mi)
+           |          WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+         |           FROM embeddings WHERE vec_id % 10 <> 9),
+         |ne AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+         |       FROM embeddings WHERE vec_id % 10 = 9),
+         |$pqSubCtes,
+         |$newCtes,
+         |oldc AS (SELECT m, cid, count(*) AS n_old FROM (
+         |           SELECT m, cid FROM a20 UNION ALL SELECT m, cid FROM a21
+         |           UNION ALL SELECT m, cid FROM a22 UNION ALL SELECT m, cid FROM a23)
+         |         GROUP BY m, cid),
+         |newc AS (SELECT m, cid, count(*) AS n_new FROM (
+         |           SELECT m, cid FROM na0 UNION ALL SELECT m, cid FROM na1
+         |           UNION ALL SELECT m, cid FROM na2 UNION ALL SELECT m, cid FROM na3)
+         |         GROUP BY m, cid)
+         |SELECT coalesce(o.m, n.m) AS m, coalesce(o.cid, n.cid) AS cid,
+         |       coalesce(n_old, 0) AS n_old, coalesce(n_new, 0) AS n_new
+         |FROM oldc o FULL OUTER JOIN newc n ON o.m = n.m AND o.cid = n.cid
+         |ORDER BY m, cid""".stripMargin
+    },
 
     // same ADC chain shortlisted to 10, then exact-cosine re-rank of the
     // shortlist only (the two-stage serving pattern)
