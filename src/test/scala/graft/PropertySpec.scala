@@ -56,6 +56,34 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("ContainmentSorted equals naive set containment") {
+    val arr = Gen.listOf(Gen.chooseNum(0L, 50L)).map(_.distinct.sorted)
+    val e = graft.functions.ContainmentSorted(dummy, dummy)
+    samples(Gen.zip(arr, arr), 200).foreach { case (a, b) =>
+      val got = e.nullSafeEval(
+        new GenericArrayData(a.toArray), new GenericArrayData(b.toArray))
+        .asInstanceOf[Double]
+      val inter = a.toSet.intersect(b.toSet).size.toDouble
+      val mn = math.min(a.size, b.size).toDouble
+      val want = if (mn == 0) 1.0 else inter / mn
+      assert(math.abs(got - want) < 1e-12, s"a=$a b=$b")
+    }
+  }
+
+  test("Skew.choose is monotone in skew and never salts a cold key") {
+    import graft.operators.Skew
+    val order = Map("plain" -> 0, "aqe" -> 1, "salted" -> 2)
+    val profiles = Gen.zip(Gen.chooseNum(1L, 1000000L), Gen.chooseNum(0.1, 10000.0))
+    samples(profiles, 300).foreach { case (maxC, avgC) =>
+      val c = Skew.choose(maxC, avgC)
+      // growing the hot key (same average) can only escalate the strategy
+      val c2 = Skew.choose(maxC * 4, avgC)
+      assert(order(c2) >= order(c), s"maxC=$maxC avgC=$avgC: $c -> $c2")
+      // a key too small to hurt is never salted, whatever the ratio
+      if (maxC < 256) assert(c == "plain", s"cold key salted: maxC=$maxC avgC=$avgC")
+    }
+  }
+
   test("MinHash signature is permutation-invariant and deterministic") {
     val e = graft.functions.MinHashSig(dummy, 16)
     def sig(v: Seq[Long]) = e.nullSafeEval(new GenericArrayData(v.toArray))
