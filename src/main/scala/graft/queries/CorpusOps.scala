@@ -332,10 +332,79 @@ object CorpusOps {
         .withColumn("bin_lo", (col("n_tok") / 16).cast("long") * 16)
         .groupBy(col("bin_lo"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tokens"))
-        .orderBy("bin_lo"))
+        .orderBy("bin_lo")),
+
+    // ---- temperature-scaled mixture (T = 2): the q_domain_mix shape with
+    //      the sampling-temperature exponent a multilingual/multi-domain
+    //      training run actually uses — w_d = share_d^(1/T). T = 2 makes
+    //      the exponent a SQRT, which is IEEE correctly-rounded on both
+    //      engines (pow/log would not be); the normalizer is the same
+    //      1-row broadcast crossJoin as q_domain_mix, never a window over
+    //      the corpus ----
+    "q_temperature_mix" -> ((s, d) => {
+      val t = docs(s, d).groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+      val tot = t.agg(sum(col("n_docs")).as("n_total"))
+      val w = t.crossJoin(broadcast(tot))
+        .withColumn("share",
+          col("n_docs").cast("double") / col("n_total").cast("double"))
+        .withColumn("w", sqrt(col("share")))
+      val z = w.agg(sum(col("w")).as("z"))
+      w.crossJoin(broadcast(z))
+        .select(col("source"), col("n_docs"), round(col("share"), 6).as("share_r"),
+          round(col("w") / col("z"), 6).as("mix_weight"))
+        .orderBy("source")
+    }),
+
+    // ---- k-anonymity audit (k = 5) on the customer quasi-identifier
+    //      (nation, segment, account-balance kilobucket): one map-side-
+    //      combined groupBy on the fine QI key, reduced to a 1-row census
+    //      — group counts, violating groups, and rows re-identifiable
+    //      because their QI class is smaller than k. The bucket edge is
+    //      floor(double/1000): one IEEE division + floor, bit-identical
+    //      across engines. At 100 TB this is the privacy gate a training
+    //      corpus with user-derived metadata runs before release ----
+    "q_kanonymity" -> ((s, d) => {
+      val g = Tables(s, d, "customer")
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / 1000.0).cast("long").as("bal_bkt"))
+        .groupBy(col("c_nationkey"), col("c_mktsegment"), col("bal_bkt"))
+        .agg(count(lit(1)).as("n"))
+      g.agg(count(lit(1)).as("n_groups"), sum(col("n")).as("n_rows"),
+          sum(when(col("n") < 5, 1L).otherwise(0L)).as("n_violating"),
+          sum(when(col("n") < 5, col("n")).otherwise(0L)).as("rows_at_risk"),
+          min(col("n")).as("min_group"), max(col("n")).as("max_group"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
+    // sqrt is IEEE correctly-rounded (unlike pow); casts keep DuckDB off
+    // its DECIMAL division path; the ~20-term normalizer sum is rounded
+    // away at 6 dp on both engines
+    "q_temperature_mix" ->
+      """WITH t AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+        |tot AS (SELECT sum(n_docs) AS n_total FROM t),
+        |w AS (SELECT source, n_docs,
+        |             CAST(n_docs AS DOUBLE) / CAST((SELECT n_total FROM tot) AS DOUBLE) AS share,
+        |             sqrt(CAST(n_docs AS DOUBLE) / CAST((SELECT n_total FROM tot) AS DOUBLE)) AS w
+        |      FROM t),
+        |z AS (SELECT sum(w) AS z FROM w)
+        |SELECT source, n_docs, round(share, 6) AS share_r,
+        |       round(w / (SELECT z FROM z), 6) AS mix_weight
+        |FROM w ORDER BY source""".stripMargin,
+
+    "q_kanonymity" ->
+      """WITH g AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |         CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_bkt,
+        |         count(*) AS n
+        |  FROM customer GROUP BY 1, 2, 3)
+        |SELECT count(*) AS n_groups, CAST(sum(n) AS BIGINT) AS n_rows,
+        |       CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+        |       CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS rows_at_risk,
+        |       min(n) AS min_group, max(n) AS max_group
+        |FROM g""".stripMargin,
+
     "q_domain_mix" ->
       """WITH t AS (
         |  SELECT source, count(*) AS n_docs,

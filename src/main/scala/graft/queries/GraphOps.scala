@@ -1,0 +1,105 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Graph operators over relationship tables — the iterative-propagation
+  * family beyond the connected-components loop in [[DedupOps]].
+  *
+  * Scale notes: PageRank's per-iteration work is ONE shuffle join of the
+  * degree-annotated edge list against the current rank vector (both keyed
+  * on the fine src node id) plus one map-side-combined groupBy on dst.
+  * Nothing is broadcast — at 100 TB both the edge list and the rank
+  * vector are corpus-sized, so the join must shuffle on the node key and
+  * AQE handles any hub skew. The edge list is persisted once (it is
+  * re-joined every iteration); the iteration count is fixed, so the whole
+  * computation is one declarative plan with no driver-side convergence
+  * action. Per-iteration ranks are rounded to 9 dp on BOTH engines —
+  * this resets cross-engine FP summation drift at each step, the same
+  * determinism device as the cluster-loop checksum in DedupOps.
+  */
+object GraphOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // ---- PageRank (3 fixed iterations, d = 0.85) over the bipartite
+    //      part↔supplier graph from lineitem's distinct supply pairs.
+    //      Node encoding keeps the two id spaces disjoint: parts at
+    //      2·partkey, suppliers at 2·suppkey+1. The symmetric edge set
+    //      guarantees outdeg ≥ 1 everywhere, so there is no dangling-mass
+    //      term and the per-iteration recurrence is exactly
+    //        pr'(v) = 0.15/N + 0.85 · Σ_{u→v} pr(u)/outdeg(u).
+    //      Reference analog: the iterative relational op family
+    //      (/root/reference/src — aggregate + join composition); the
+    //      recurrence itself is public PageRank ----
+    "q_pagerank" -> ((s, d) => {
+      val pairs = Tables(s, d, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      val fwd = pairs.select((col("l_partkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      val edges = fwd.unionByName(
+        fwd.select(col("dst").as("src"), col("src").as("dst")))
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      // degree-annotated edges are what every iteration re-joins: persist
+      // them once; the rank vector is the only thing that changes
+      val ew = edges.join(deg, "src").persist()
+      // N is a 1-scalar driver action (the bloom-filter sizing precedent):
+      // every node appears as src in the symmetric edge set
+      val n = deg.count()
+      var pr = deg.select(col("src").as("node"),
+        (lit(1.0) / lit(n.toDouble)).as("pr"))
+      for (_ <- 1 to 3) {
+        pr = ew.join(pr, ew("src") === pr("node"))
+          .groupBy(col("dst"))
+          .agg(round(lit(0.15) / lit(n.toDouble) +
+            lit(0.85) * sum(col("pr") / col("outdeg")), 9).as("pr"))
+          .select(col("dst").as("node"), col("pr"))
+      }
+      pr.select(col("node"),
+          when(col("node") % 2 === 0, lit("part")).otherwise(lit("supplier"))
+            .as("kind"),
+          expr("node div 2").as("key"), col("pr"))
+        .orderBy("node")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    // identical recurrence, identical 9-dp per-iteration rounding; all
+    // literals CAST to DOUBLE so DuckDB never routes through DECIMAL
+    "q_pagerank" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        |e AS (
+        |  SELECT l_partkey*2 AS src, l_suppkey*2+1 AS dst FROM pairs
+        |  UNION ALL
+        |  SELECT l_suppkey*2+1 AS src, l_partkey*2 AS dst FROM pairs),
+        |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+        |nn AS (SELECT count(*) AS n FROM deg),
+        |r0 AS (SELECT src AS node,
+        |              CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS pr
+        |       FROM deg),
+        |r1 AS (SELECT e.dst AS node,
+        |              round(CAST(0.15 AS DOUBLE) / (SELECT n FROM nn) +
+        |                CAST(0.85 AS DOUBLE) * sum(r.pr / deg.outdeg), 9) AS pr
+        |       FROM e JOIN r0 r ON e.src = r.node
+        |              JOIN deg ON e.src = deg.src
+        |       GROUP BY e.dst),
+        |r2 AS (SELECT e.dst AS node,
+        |              round(CAST(0.15 AS DOUBLE) / (SELECT n FROM nn) +
+        |                CAST(0.85 AS DOUBLE) * sum(r.pr / deg.outdeg), 9) AS pr
+        |       FROM e JOIN r1 r ON e.src = r.node
+        |              JOIN deg ON e.src = deg.src
+        |       GROUP BY e.dst),
+        |r3 AS (SELECT e.dst AS node,
+        |              round(CAST(0.15 AS DOUBLE) / (SELECT n FROM nn) +
+        |                CAST(0.85 AS DOUBLE) * sum(r.pr / deg.outdeg), 9) AS pr
+        |       FROM e JOIN r2 r ON e.src = r.node
+        |              JOIN deg ON e.src = deg.src
+        |       GROUP BY e.dst)
+        |SELECT node,
+        |       CASE WHEN node % 2 = 0 THEN 'part' ELSE 'supplier' END AS kind,
+        |       node // 2 AS key, pr
+        |FROM r3 ORDER BY node""".stripMargin
+  )
+}

@@ -1,0 +1,130 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Storage-layout operators — the table-maintenance side of a 100 TB
+  * lakehouse: small-file compaction planning and zone-map (file-statistic)
+  * pruning analysis. These close the operational loop that
+  * `q_range_layout` / `q_layout_read` opened: planning the physical file
+  * layout, and QUANTIFYING what a given layout buys at read time.
+  *
+  * Scale notes: compaction planning windows per STORAGE PARTITION
+  * (source), never globally — each directory's file list is cumulated
+  * independently, so the plan parallelizes across partitions exactly the
+  * way a real compactor runs. Zone-map analysis builds per-file min/max
+  * from one map-side-combined groupBy; the 7-row boundary table joins
+  * broadcast. Everything downstream of the scans is integer arithmetic —
+  * bit-identical across engines, no FP rounding anywhere.
+  */
+object StorageOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Epoch-second bounds of the read predicate used by q_zonemap_prune:
+    * [1996-01-01, 1997-01-01) UTC. */
+  private val PredLo = 820454400L
+  private val PredHi = 852076800L
+
+  val queries: Map[String, Q] = Map(
+    // ---- small-file compaction plan: documents stand in for a directory
+    //      listing (one "file" per doc, size = n_chars). Within each
+    //      source partition, files are laid end to end in id order and
+    //      split at 2 KiB offsets — byte-offset sharding, the exact
+    //      semantics of Spark's own maxPartitionBytes file coalescing.
+    //      bin = (cumulative_offset_before_file) div target, so a file
+    //      always lands in the bin its first byte falls in. Per-partition
+    //      window, integer-only math ----
+    "q_compaction_plan" -> ((s, d) => {
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      Tables(s, d, "documents")
+        .select(col("source"), col("doc_id"), col("n_chars"))
+        .withColumn("cum", sum(col("n_chars")).over(w))
+        .withColumn("bin_id", expr("(cum - n_chars) div 2048"))
+        .groupBy(col("source"), col("bin_id"))
+        .agg(count(lit(1)).as("n_files"), sum(col("n_chars")).as("bytes"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .orderBy("source", "bin_id")
+    }),
+
+    // ---- zone-map pruning analysis: the same orders table laid out two
+    //      ways — NATURAL (files of 1000 rows in ingestion/orderkey order)
+    //      vs RANGE (files assigned by the 7 o_orderdate octile boundaries,
+    //      the q_range_layout plan). For each layout, build per-file
+    //      min/max date stats (the parquet footer zone map) and count how
+    //      many files a one-year predicate can skip and how many rows the
+    //      unpruned files force through the scan. Boundary assignment is a
+    //      BROADCAST range join (7 rows against the corpus — never a
+    //      shuffle); the verdict rows quantify why range layout wins:
+    //      date-clustered files prune to ~1/8, ingestion order prunes
+    //      nothing because every file spans the full date range ----
+    "q_zonemap_prune" -> ((s, d) => {
+      val o = Tables(s, d, "orders")
+        .select(col("o_orderkey"), unix_timestamp(col("o_orderdate")).as("k"))
+        .persist()
+      val natural = o.select(expr("o_orderkey div 1000").as("file_id"), col("k"))
+      val bounds = o.agg(percentile_approx(col("k"),
+          array((1 to 7).map(i => lit(i / 8.0)): _*), lit(1000000)).as("bs"))
+        .select(explode(col("bs")).as("boundary"))
+      val ranged = o.join(broadcast(bounds), col("k") >= col("boundary"), "left")
+        .groupBy(col("o_orderkey"), col("k"))
+        .agg(count(col("boundary")).as("file_id"))
+        .select(col("file_id"), col("k"))
+      def audit(df: DataFrame, layout: String): DataFrame =
+        df.groupBy(col("file_id"))
+          .agg(count(lit(1)).as("rows"), min(col("k")).as("mn"),
+            max(col("k")).as("mx"))
+          .agg(lit(layout).as("layout"), count(lit(1)).as("n_files"),
+            sum(when(col("mx") < PredLo || col("mn") >= PredHi, 1L)
+              .otherwise(0L)).as("n_pruned"),
+            sum(col("rows")).as("rows_total"),
+            sum(when(col("mx") < PredLo || col("mn") >= PredHi, 0L)
+              .otherwise(col("rows"))).as("rows_scanned"))
+      audit(natural, "natural").unionByName(audit(ranged, "range"))
+        .orderBy("layout")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_compaction_plan" ->
+      """WITH f AS (
+        |  SELECT source, doc_id, n_chars,
+        |         sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+        |  FROM documents)
+        |SELECT source, CAST((cum - n_chars) // 2048 AS BIGINT) AS bin_id,
+        |       count(*) AS n_files, CAST(sum(n_chars) AS BIGINT) AS bytes,
+        |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM f GROUP BY source, (cum - n_chars) // 2048
+        |ORDER BY source, bin_id""".stripMargin,
+
+    // percentile_approx exact mode == quantile_disc (the q_range_layout
+    // equivalence); everything after the boundary pick is integer
+    "q_zonemap_prune" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, CAST(floor(epoch(o_orderdate)) AS BIGINT) AS k
+        |  FROM orders),
+        |bounds AS (
+        |  SELECT unnest(quantile_disc(k,
+        |    [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875])) AS boundary
+        |  FROM o),
+        |nat AS (SELECT o_orderkey // 1000 AS file_id, k FROM o),
+        |ranged AS (
+        |  SELECT count(b.boundary) AS file_id, o.k
+        |  FROM o LEFT JOIN bounds b ON o.k >= b.boundary
+        |  GROUP BY o.o_orderkey, o.k),
+        |stats AS (
+        |  SELECT 'natural' AS layout, file_id, count(*) AS rows_f,
+        |         min(k) AS mn, max(k) AS mx FROM nat GROUP BY file_id
+        |  UNION ALL
+        |  SELECT 'range' AS layout, file_id, count(*) AS rows_f,
+        |         min(k) AS mn, max(k) AS mx FROM ranged GROUP BY file_id)
+        |SELECT layout, count(*) AS n_files,
+        |       CAST(sum(CASE WHEN mx < 820454400 OR mn >= 852076800
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_pruned,
+        |       CAST(sum(rows_f) AS BIGINT) AS rows_total,
+        |       CAST(sum(CASE WHEN mx < 820454400 OR mn >= 852076800
+        |                     THEN 0 ELSE rows_f END) AS BIGINT) AS rows_scanned
+        |FROM stats GROUP BY layout ORDER BY layout""".stripMargin
+  )
+}

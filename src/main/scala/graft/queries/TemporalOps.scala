@@ -85,6 +85,34 @@ object TemporalOps {
         .orderBy("event_type")
     }),
 
+    // ---- MAD (median-absolute-deviation) outlier gate: the ROBUST twin
+    //      of q_outlier_gate — a z-score gate's μ/σ are themselves dragged
+    //      by the outliers they hunt; median ± k·MAD is not. Both medians
+    //      are DISCRETE (percentile_approx exact mode == DuckDB
+    //      quantile_disc, the established equivalence), so every statistic
+    //      is an actual data value and the gate compare is pure IEEE
+    //      arithmetic — no interpolation-formula parity risk. Two
+    //      broadcast-stats passes (med, then MAD over |v − med|), the
+    //      q_quality_percentile shape; 4.4478 = 3 · 1.4826 (the normal-
+    //      consistency constant), one literal multiply ----
+    "q_mad_outlier" -> ((s, d) => {
+      val med = events(s, d).groupBy(col("event_type"))
+        .agg(percentile_approx(col("value"), lit(0.5), lit(1000000)).as("med"))
+      val dev = events(s, d).join(broadcast(med), "event_type")
+        .select(col("event_type"), col("value"), col("med"),
+          abs(col("value") - col("med")).as("adev"))
+      val mad = dev.groupBy(col("event_type"))
+        .agg(percentile_approx(col("adev"), lit(0.5), lit(1000000)).as("mad"))
+      dev.join(broadcast(mad), "event_type")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("adev") > col("mad") * 4.4478, 1L).otherwise(0L))
+            .as("n_outliers"),
+          round(first(col("med")), 4).as("med_val"),
+          round(first(col("mad")), 4).as("mad_val"))
+        .orderBy("event_type")
+    }),
+
     // ---- top-k per group: each user's 3 highest-value purchases via
     //      row_number over (user_id), the canonical per-key top-k (NOT a
     //      global sort; at scale this is one shuffle and a bounded
@@ -103,6 +131,27 @@ object TemporalOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // quantile_disc == percentile_approx exact mode: both medians are
+    // actual data values, so |v − med| multisets match bit-for-bit and the
+    // MAD pick is the same element on both engines
+    "q_mad_outlier" ->
+      """WITH med AS (
+        |  SELECT event_type, quantile_disc(value, 0.5) AS med
+        |  FROM events GROUP BY event_type),
+        |dev AS (
+        |  SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS adev
+        |  FROM events e JOIN med m ON e.event_type = m.event_type),
+        |mad AS (
+        |  SELECT event_type, quantile_disc(adev, 0.5) AS mad
+        |  FROM dev GROUP BY event_type)
+        |SELECT d.event_type, count(*) AS n,
+        |       CAST(sum(CASE WHEN d.adev > x.mad * 4.4478 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_outliers,
+        |       round(min(d.med), 4) AS med_val,
+        |       round(min(x.mad), 4) AS mad_val
+        |FROM dev d JOIN mad x ON d.event_type = x.event_type
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
+
     // avg/stddev_samp sum the same FP term multisets as Spark's; the 3σ
     // comparison is a single IEEE multiply + compare on both sides
     "q_outlier_gate" ->
