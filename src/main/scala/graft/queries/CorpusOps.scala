@@ -374,6 +374,23 @@ object CorpusOps {
           sum(when(col("n") < 5, 1L).otherwise(0L)).as("n_violating"),
           sum(when(col("n") < 5, col("n")).otherwise(0L)).as("rows_at_risk"),
           min(col("n")).as("min_group"), max(col("n")).as("max_group"))
+    }),
+
+    // ---- per-domain sample cap (C4-style host capping): every source
+    //      keeps at most 10 docs, chosen by a deterministic md5 priority —
+    //      reproducible across engines, runs, and partitionings (the
+    //      q_sample_hash device, ranked instead of thresholded). The
+    //      row_number partitions on source (fine key — millions of hosts
+    //      at web scale, no hot reducer); the per-group sort is bounded by
+    //      group size, the standard repartition-and-cap shape ----
+    "q_group_sample_cap" -> ((s, d) => {
+      val w = Window.partitionBy(col("source"))
+        .orderBy(md5(col("doc_id").cast("string")).asc, col("doc_id").asc)
+      docs(s, d).select(col("doc_id"), col("source"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10)
+        .select(col("source"), col("rk"), col("doc_id"))
+        .orderBy("source", "rk")
     })
   )
 
@@ -392,6 +409,16 @@ object CorpusOps {
         |SELECT source, n_docs, round(share, 6) AS share_r,
         |       round(w / (SELECT z FROM z), 6) AS mix_weight
         |FROM w ORDER BY source""".stripMargin,
+
+    "q_group_sample_cap" ->
+      """WITH r AS (
+        |  SELECT source, doc_id,
+        |         row_number() OVER (PARTITION BY source
+        |             ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC)
+        |           AS rk
+        |  FROM documents)
+        |SELECT source, rk, doc_id FROM r WHERE rk <= 10
+        |ORDER BY source, rk""".stripMargin,
 
     "q_kanonymity" ->
       """WITH g AS (

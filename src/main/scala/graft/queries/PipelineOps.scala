@@ -301,6 +301,30 @@ object PipelineOps {
           col("top_keys"))
     }),
 
+    // ---- join-cardinality pre-flight: estimate |events ⋈ events on
+    //      user_id| (the quadratic self-join blowup) from a deterministic
+    //      md5 key sample BEFORE running the join — the q_skew_report
+    //      sibling an optimizer consults. True size = Σ_k c(k)² computed
+    //      from per-key counts (never executing the join); estimate =
+    //      4 × the same sum over the 4/16 md5-prefix key sample. All
+    //      integer until the final error percentage; per-key counts are
+    //      one map-side-combined groupBy ----
+    "q_join_cardinality" -> ((s, d) => {
+      val cnt = Tables(s, d, "events")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+        .withColumn("sampled",
+          substring(md5(col("user_id").cast("string")), 1, 1) <= "3")
+      cnt.agg(count(lit(1)).as("n_keys"),
+          sum(col("c") * col("c")).as("true_rows"),
+          sum(when(col("sampled"), 1L).otherwise(0L)).as("n_sample_keys"),
+          (sum(when(col("sampled"), col("c") * col("c")).otherwise(0L)) * 4)
+            .as("est_rows"))
+        .select(col("n_keys"), col("true_rows"), col("n_sample_keys"),
+          col("est_rows"),
+          round((col("est_rows") - col("true_rows")).cast("double") /
+            col("true_rows").cast("double") * 100.0, 2).as("err_pct"))
+    }),
+
     // ---- incremental view maintenance: a per-customer revenue rollup is
     //      MAINTAINED under the CDC batch by aggregating the (tiny) change
     //      set into per-key deltas and merging them into the old rollup —
@@ -700,6 +724,24 @@ object PipelineOps {
     // sum near a half-cent boundary — a fixture regeneration hazard, not a
     // code bug. Delta ≡ recompute is proven separately in PipelineSpec
     // (recompute twin, explicit half-ulp tolerance).
+    "q_join_cardinality" ->
+      """WITH c AS (
+        |  SELECT user_id, count(*) AS c,
+        |         substr(md5(CAST(user_id AS VARCHAR)), 1, 1) <= '3' AS sampled
+        |  FROM events GROUP BY user_id),
+        |a AS (
+        |  SELECT count(*) AS n_keys,
+        |         CAST(sum(c * c) AS BIGINT) AS true_rows,
+        |         CAST(sum(CASE WHEN sampled THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_sample_keys,
+        |         CAST(sum(CASE WHEN sampled THEN c * c ELSE 0 END) * 4
+        |              AS BIGINT) AS est_rows
+        |  FROM c)
+        |SELECT n_keys, true_rows, n_sample_keys, est_rows,
+        |       round(CAST(est_rows - true_rows AS DOUBLE) /
+        |             CAST(true_rows AS DOUBLE) * 100.0, 2) AS err_pct
+        |FROM a""".stripMargin,
+
     "q_ivm_rollup" ->
       """WITH roll AS (
         |  SELECT o_custkey, sum(o_totalprice) AS rev, count(*) AS n

@@ -115,10 +115,151 @@ object Sessions {
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
         .select(unix_timestamp(col("window.start")).as("start_s"),
           col("event_type"), col("n"), col("sum_value"))
-        .orderBy("start_s", "event_type"))
+        .orderBy("start_s", "event_type")),
+
+    // ---- ordered funnel (view → click → purchase): stage k's entry time
+    //      is the user's earliest qualifying event STRICTLY AFTER stage
+    //      k−1 AND within a 24-hour conversion window of it — the sequence-
+    //      plus-deadline constraint product analytics means by "funnel",
+    //      not three independent existence checks. Each stage is a
+    //      per-user min over a filtered slice joined back on user_id
+    //      (fine key, shuffle join; per-user state is one timestamp).
+    //      Census output: total users and survivors per stage ----
+    "q_funnel" -> ((s, d) => {
+      val e = events(s, d).select(col("user_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("secs")).persist()
+      val v = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("secs")).as("t1"))
+      val c = e.filter(col("event_type") === "click").join(v, "user_id")
+        .filter(col("secs") > col("t1") && col("secs") <= col("t1") + 86400)
+        .groupBy(col("user_id")).agg(min(col("secs")).as("t2"))
+      val p = e.filter(col("event_type") === "purchase").join(c, "user_id")
+        .filter(col("secs") > col("t2") && col("secs") <= col("t2") + 86400)
+        .groupBy(col("user_id")).agg(min(col("secs")).as("t3"))
+      val total = e.select(col("user_id")).distinct()
+        .agg(count(lit(1)).as("n_users"))
+      total.crossJoin(broadcast(v.agg(count(lit(1)).as("n_view"))))
+        .crossJoin(broadcast(c.agg(count(lit(1)).as("n_view_click"))))
+        .crossJoin(broadcast(p.agg(count(lit(1)).as("n_full_funnel"))))
+    }),
+
+    // ---- cohort retention: users grouped by first-seen week (cohort),
+    //      counted in each later week they were active — the
+    //      (cohort_week, offset) retention triangle. Active weeks dedup on
+    //      the fine (user, week) key; the cohort label joins back on
+    //      user_id. All-integer week arithmetic against a fixed epoch ----
+    "q_retention_cohorts" -> ((s, d) => {
+      val e = events(s, d).select(col("user_id"),
+        expr("(unix_timestamp(ts) - 1704067200) div 604800").as("wk"))
+      val cohort = e.groupBy(col("user_id")).agg(min(col("wk")).as("cw"))
+      e.distinct().join(cohort, "user_id")
+        .groupBy(col("cw").as("cohort_week"),
+          (col("wk") - col("cw")).as("offset_weeks"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_week", "offset_weeks")
+    }),
+
+    // ---- frequent event sequences (behavioral trigram mining): each
+    //      user's event stream yields its consecutive type trigrams via
+    //      two lead() calls over ONE (user_id)-partitioned sort — no
+    //      self-join explosion; the trigram alphabet is types³ so the
+    //      count aggregation is census-bounded. Ranking by integer count;
+    //      top-15 via TakeOrderedAndProject heap ----
+    "q_event_sequences" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("secs").asc, col("event_id").asc)
+      events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_timestamp(col("ts")).as("secs"))
+        .withColumn("e2", lead(col("event_type"), 1).over(w))
+        .withColumn("e3", lead(col("event_type"), 2).over(w))
+        .filter(col("e3").isNotNull)
+        .select(concat_ws(">", col("event_type"), col("e2"), col("e3")).as("seq"))
+        .groupBy(col("seq")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("seq").asc)
+        .limit(15)
+    }),
+
+    // ---- cumulative distinct users by day WITHOUT a distinct-in-window:
+    //      each user collapses to a first-seen day (one fine-key groupBy),
+    //      then a running sum over the per-day census. The window is over
+    //      DAYS (census-size rows — 30 here, bounded by calendar at any
+    //      corpus size), never over users ----
+    "q_cumulative_users" -> ((s, d) => {
+      val firstDay = events(s, d)
+        .select(col("user_id"),
+          expr("(unix_timestamp(ts) - 1704067200) div 86400").as("day"))
+        .groupBy(col("user_id")).agg(min(col("day")).as("fd"))
+      val w = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      firstDay.groupBy(col("fd").as("day"))
+        .agg(count(lit(1)).as("n_new"))
+        .withColumn("cum_users", sum(col("n_new")).over(w))
+        .orderBy("day")
+    })
   )
 
   val oracles: Map[String, String] = Map(
+    "q_event_sequences" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS secs FROM events),
+        |t AS (
+        |  SELECT event_type AS s1,
+        |         lead(event_type, 1) OVER w AS s2,
+        |         lead(event_type, 2) OVER w AS s3
+        |  FROM e WINDOW w AS (PARTITION BY user_id
+        |                      ORDER BY secs ASC, event_id ASC))
+        |SELECT s1 || '>' || s2 || '>' || s3 AS seq, count(*) AS n
+        |FROM t WHERE s3 IS NOT NULL
+        |GROUP BY s1 || '>' || s2 || '>' || s3
+        |ORDER BY n DESC, seq ASC LIMIT 15""".stripMargin,
+
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |                  CAST(floor(epoch(ts)) AS BIGINT) AS secs FROM events),
+        |v AS (SELECT user_id, min(secs) AS t1 FROM e
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.secs) AS t2
+        |      FROM e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click'
+        |        AND e.secs > v.t1 AND e.secs <= v.t1 + 86400
+        |      GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.secs) AS t3
+        |      FROM e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase'
+        |        AND e.secs > c.t2 AND e.secs <= c.t2 + 86400
+        |      GROUP BY e.user_id)
+        |SELECT (SELECT count(DISTINCT user_id) FROM e) AS n_users,
+        |       (SELECT count(*) FROM v) AS n_view,
+        |       (SELECT count(*) FROM c) AS n_view_click,
+        |       (SELECT count(*) FROM p) AS n_full_funnel""".stripMargin,
+
+    "q_retention_cohorts" ->
+      """WITH e AS (
+        |  SELECT DISTINCT user_id,
+        |         (CAST(floor(epoch(ts)) AS BIGINT) - 1704067200) // 604800 AS wk
+        |  FROM events),
+        |cohort AS (SELECT user_id, min(wk) AS cw FROM e GROUP BY user_id)
+        |SELECT c.cw AS cohort_week, e.wk - c.cw AS offset_weeks,
+        |       count(*) AS n_users
+        |FROM e JOIN cohort c ON e.user_id = c.user_id
+        |GROUP BY c.cw, e.wk - c.cw
+        |ORDER BY cohort_week, offset_weeks""".stripMargin,
+
+    "q_cumulative_users" ->
+      """WITH fd AS (
+        |  SELECT user_id,
+        |         min((CAST(floor(epoch(ts)) AS BIGINT) - 1704067200) // 86400)
+        |           AS fd
+        |  FROM events GROUP BY user_id),
+        |daily AS (SELECT fd AS day, count(*) AS n_new FROM fd GROUP BY fd)
+        |SELECT day, n_new,
+        |       CAST(sum(n_new) OVER (ORDER BY day
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |         AS cum_users
+        |FROM daily ORDER BY day""".stripMargin,
+
     "q_interval_join" ->
       """WITH e AS (SELECT event_id, user_id, event_type,
         |                  CAST(floor(epoch(ts)) AS BIGINT) AS secs

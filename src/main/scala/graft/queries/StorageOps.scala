@@ -83,8 +83,51 @@ object StorageOps {
               .otherwise(col("rows"))).as("rows_scanned"))
       audit(natural, "natural").unionByName(audit(ranged, "range"))
         .orderBy("layout")
+    }),
+
+    // ---- Z-ORDER layout audit: the 2-dimensional extension of
+    //      q_zonemap_prune. Orders carry two independent selective
+    //      dimensions (customer bucket cb, date bucket db); a layout
+    //      sorted on cb alone gives perfect cb zone maps but every file
+    //      spans all of db, so a 2-d box predicate still scans the whole
+    //      cb stripe. Interleaving the bits of (cb, db) into a Morton key
+    //      and cutting files along it bounds BOTH per-file ranges, so the
+    //      same zone-map test prunes on both dimensions — the OPTIMIZE
+    //      ZORDER argument, measured. The interleave is 16 shift/mask
+    //      terms of pure integer arithmetic (generated once, identical
+    //      text on both engines); file stats are one map-side-combined
+    //      groupBy per layout ----
+    "q_zorder_layout" -> ((s, d) => {
+      val o = Tables(s, d, "orders")
+        .select(expr("o_custkey div 8").as("cb"),
+          expr("datediff(to_date(o_orderdate), DATE '1995-01-01') div 16")
+            .as("db"))
+        .withColumn("z", (0 until 8).map { i =>
+          shiftleft(shiftright(col("cb"), i).bitwiseAND(lit(1L)), 2 * i) +
+            shiftleft(shiftright(col("db"), i).bitwiseAND(lit(1L)), 2 * i + 1)
+        }.reduce(_ + _))
+        .persist()
+      val linear = o.select(expr("cb div 4").as("file_id"), col("cb"), col("db"))
+      val zord = o.select(expr("z div 1024").as("file_id"), col("cb"), col("db"))
+      def audit(df: DataFrame, layout: String): DataFrame =
+        df.groupBy(col("file_id"))
+          .agg(count(lit(1)).as("rows"),
+            min(col("cb")).as("mncb"), max(col("cb")).as("mxcb"),
+            min(col("db")).as("mndb"), max(col("db")).as("mxdb"))
+          .agg(lit(layout).as("layout"), count(lit(1)).as("n_files"),
+            sum(when(pruned2d, 1L).otherwise(0L)).as("n_pruned"),
+            sum(col("rows")).as("rows_total"),
+            sum(when(pruned2d, 0L).otherwise(col("rows"))).as("rows_scanned"))
+      audit(linear, "linear_cb").unionByName(audit(zord, "zorder"))
+        .orderBy("layout")
     })
   )
+
+  /** 2-d box predicate for q_zorder_layout (cb ∈ [50,99], db ∈ [30,59]):
+    * a file survives only if its zone map intersects the box on BOTH
+    * dimensions. */
+  private def pruned2d =
+    col("mxcb") < 50 || col("mncb") > 99 || col("mxdb") < 30 || col("mndb") > 59
 
   val oracles: Map[String, String] = Map(
     "q_compaction_plan" ->
@@ -125,6 +168,41 @@ object StorageOps {
         |       CAST(sum(rows_f) AS BIGINT) AS rows_total,
         |       CAST(sum(CASE WHEN mx < 820454400 OR mn >= 852076800
         |                     THEN 0 ELSE rows_f END) AS BIGINT) AS rows_scanned
-        |FROM stats GROUP BY layout ORDER BY layout""".stripMargin
+        |FROM stats GROUP BY layout ORDER BY layout""".stripMargin,
+
+    // the interleave expression is generated from the same loop as the
+    // Spark side — 16 shift/mask integer terms, bit-identical by construction
+    "q_zorder_layout" -> {
+      val zSql = (0 until 8).map(i =>
+        s"(((cb >> $i) & 1) << ${2 * i}) + (((db >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" + ")
+      s"""WITH o AS (
+         |  SELECT o_custkey // 8 AS cb,
+         |         date_diff('day', DATE '1995-01-01',
+         |                   CAST(o_orderdate AS DATE)) // 16 AS db
+         |  FROM orders),
+         |z AS (SELECT cb, db, $zSql AS z FROM o),
+         |lin AS (SELECT cb // 4 AS file_id, cb, db FROM z),
+         |zrd AS (SELECT z // 1024 AS file_id, cb, db FROM z),
+         |stats AS (
+         |  SELECT 'linear_cb' AS layout, file_id, count(*) AS rows_f,
+         |         min(cb) AS mncb, max(cb) AS mxcb,
+         |         min(db) AS mndb, max(db) AS mxdb
+         |  FROM lin GROUP BY file_id
+         |  UNION ALL
+         |  SELECT 'zorder' AS layout, file_id, count(*) AS rows_f,
+         |         min(cb) AS mncb, max(cb) AS mxcb,
+         |         min(db) AS mndb, max(db) AS mxdb
+         |  FROM zrd GROUP BY file_id)
+         |SELECT layout, count(*) AS n_files,
+         |       CAST(sum(CASE WHEN mxcb < 50 OR mncb > 99
+         |                       OR mxdb < 30 OR mndb > 59
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_pruned,
+         |       CAST(sum(rows_f) AS BIGINT) AS rows_total,
+         |       CAST(sum(CASE WHEN mxcb < 50 OR mncb > 99
+         |                       OR mxdb < 30 OR mndb > 59
+         |                     THEN 0 ELSE rows_f END) AS BIGINT) AS rows_scanned
+         |FROM stats GROUP BY layout ORDER BY layout""".stripMargin
+    }
   )
 }

@@ -152,7 +152,72 @@ object TextOps {
     }),
 
     // ---- inverted index (capped posting lists) — see [[invertedIndex]] ----
-    "q_inverted_index" -> ((s, d) => invertedIndex(docs(s, d)))
+    "q_inverted_index" -> ((s, d) => invertedIndex(docs(s, d))),
+
+    // ---- character-entropy quality signal: Shannon entropy of each doc's
+    //      character distribution — gibberish and template boilerplate sit
+    //      at the distribution's two tails, so entropy is the classic
+    //      third axis next to length and stopword ratio. Chars come from
+    //      the position-substring expansion (the q_bpe_pairs recipe — no
+    //      reliance on engine-specific empty-separator split semantics);
+    //      per-doc frequencies key on the fine (doc_id, ch) pair, the
+    //      entropy sum on doc_id. log2 is libm → rounded to 4 dp inside
+    //      the aggregate, never used as an ordering key ----
+    "q_char_entropy" -> ((s, d) => {
+      val ch = docs(s, d)
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, length(text)), i -> substring(lower(text), i, 1))"))
+          .as("ch"))
+      val freq = ch.groupBy(col("doc_id"), col("ch"))
+        .agg(count(lit(1)).as("c"))
+      val len = freq.groupBy(col("doc_id")).agg(sum(col("c")).as("len"))
+      freq.join(len, "doc_id")
+        .select(col("doc_id"), col("len"),
+          (col("c").cast("double") / col("len").cast("double")).as("p"))
+        .groupBy(col("doc_id"))
+        .agg(first(col("len")).as("n_chars_ent"),
+          round(-sum(col("p") * log2(col("p"))), 4).as("entropy"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- PMI phrase mining: pointwise mutual information of adjacent
+    //      token pairs — the statistic behind collocation/phrase
+    //      detection (word2vec-style preprocessing). Bigrams come from the
+    //      position expansion (sequence is stop-INCLUSIVE here, range
+    //      stop-exclusive in the oracle — bounds chosen to match); counts
+    //      key on the fine pair/token keys; the two totals are 1-row
+    //      broadcasts. Ranking is by COUNT (integer), never by the float
+    //      PMI; log2 is libm → round 4, output-only ----
+    "q_pmi_phrases" -> ((s, d) => {
+      val toksArr = docs(s, d)
+        .filter(length(trim(col("text"))) > 0)
+        .select(split(lower(trim(col("text"))), "\\s+").as("ts"))
+        .filter(size(col("ts")) >= 2)
+      val big = toksArr.select(explode(expr(
+          "transform(sequence(1, size(ts) - 1), " +
+            "i -> struct(element_at(ts, i) as w1, element_at(ts, i + 1) as w2))"))
+          .as("b"))
+        .select(col("b.w1"), col("b.w2"))
+      val uni = docs(s, d)
+        .filter(length(trim(col("text"))) > 0)
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("cu"))
+      val nu = uni.agg(sum(col("cu")).as("nu"))
+      val bc = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+        .filter(col("cb") >= 5)
+      val nb = big.agg(count(lit(1)).as("nb"))
+      bc.join(uni.select(col("w").as("w1"), col("cu").as("c1")), "w1")
+        .join(uni.select(col("w").as("w2"), col("cu").as("c2")), "w2")
+        .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
+        .select(col("w1"), col("w2"), col("cb"),
+          round(log2((col("cb").cast("double") / col("nb").cast("double")) /
+            ((col("c1").cast("double") / col("nu").cast("double")) *
+              (col("c2").cast("double") / col("nu").cast("double")))), 4)
+            .as("pmi"))
+        .orderBy(col("cb").desc, col("w1").asc, col("w2").asc)
+        .limit(20)
+    })
   )
 
   /** Inverted index with capped posting lists: term → document frequency +
@@ -189,6 +254,48 @@ object TextOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_char_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id, t.ch
+        |  FROM documents,
+        |       unnest(string_split(lower(text), '')) AS t(ch)
+        |  WHERE length(trim(text)) > 0),
+        |freq AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY doc_id, ch),
+        |len AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS len
+        |        FROM freq GROUP BY doc_id)
+        |SELECT f.doc_id, min(l.len) AS n_chars_ent,
+        |       round(-sum((CAST(f.c AS DOUBLE) / CAST(l.len AS DOUBLE)) *
+        |         log2(CAST(f.c AS DOUBLE) / CAST(l.len AS DOUBLE))), 4)
+        |         AS entropy
+        |FROM freq f JOIN len l ON f.doc_id = l.doc_id
+        |GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin,
+
+    "q_pmi_phrases" ->
+      """WITH t AS (
+        |  SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS ts
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |big AS (
+        |  SELECT list_extract(ts, CAST(i AS INTEGER)) AS w1,
+        |         list_extract(ts, CAST(i AS INTEGER) + 1) AS w2
+        |  FROM t, unnest(range(1, len(ts))) AS r(i)
+        |  WHERE len(ts) >= 2),
+        |uni AS (
+        |  SELECT t.w, count(*) AS cu
+        |  FROM documents,
+        |       unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t(w)
+        |  WHERE length(trim(text)) > 0 GROUP BY t.w),
+        |nu AS (SELECT CAST(sum(cu) AS BIGINT) AS nu FROM uni),
+        |bc AS (SELECT w1, w2, count(*) AS cb FROM big
+        |       GROUP BY w1, w2 HAVING count(*) >= 5),
+        |nb AS (SELECT count(*) AS nb FROM big)
+        |SELECT bc.w1, bc.w2, bc.cb,
+        |       round(log2((CAST(bc.cb AS DOUBLE) / CAST(nb.nb AS DOUBLE)) /
+        |         ((CAST(u1.cu AS DOUBLE) / CAST(nu.nu AS DOUBLE)) *
+        |          (CAST(u2.cu AS DOUBLE) / CAST(nu.nu AS DOUBLE)))), 4) AS pmi
+        |FROM bc JOIN uni u1 ON bc.w1 = u1.w
+        |        JOIN uni u2 ON bc.w2 = u2.w, nu, nb
+        |ORDER BY bc.cb DESC, bc.w1 ASC, bc.w2 ASC LIMIT 20""".stripMargin,
+
     "q_text_stats" ->
       """SELECT doc_id, n_chars, length(text) AS n_chars_calc,
         |       length(text) - length(replace(text, ' ', '')) AS n_spaces,

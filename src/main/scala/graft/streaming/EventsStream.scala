@@ -90,6 +90,47 @@ object EventsStream {
       }
   }
 
+  case class FunnelStage(user_id: Long, stage: Int)
+
+  private case class FunnelState(t1: Long, t2: Long, t3: Long)
+
+  /** Streaming funnel tracker (view → click → purchase, each stage within
+    * `windowSecs` of the previous): per-user state is three timestamps —
+    * O(1) per key however long the stream runs, the state-machine twin of
+    * the batch q_funnel joins. Events process in (ts, event_id) order
+    * within each micro-batch group; a stage fills with the FIRST
+    * qualifying event, which equals the batch side's min() because the
+    * scan is in time order. Batch mode sees each key's full history at
+    * once and emits the final stage per user; StreamingSpec checks the
+    * census against the oracle-gated q_funnel.
+    */
+  def funnel(events: Dataset[Event], windowSecs: Long = 86400L): Dataset[FunnelStage] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[FunnelState, FunnelStage](GroupStateTimeout.NoTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[FunnelState]) =>
+          var s = state.getOption.getOrElse(FunnelState(0L, 0L, 0L))
+          it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val t = e.ts.getTime / 1000
+            e.event_type match {
+              case "view" if s.t1 == 0L =>
+                s = s.copy(t1 = t)
+              case "click" if s.t1 != 0L && s.t2 == 0L &&
+                  t > s.t1 && t <= s.t1 + windowSecs =>
+                s = s.copy(t2 = t)
+              case "purchase" if s.t2 != 0L && s.t3 == 0L &&
+                  t > s.t2 && t <= s.t2 + windowSecs =>
+                s = s.copy(t3 = t)
+              case _ => ()
+            }
+          }
+          state.update(s)
+          FunnelStage(userId,
+            if (s.t3 != 0L) 3 else if (s.t2 != 0L) 2 else if (s.t1 != 0L) 1 else 0)
+      }
+  }
+
   /** Stream-stream interval join (attribution): purchases joined to every
     * same-user click in the preceding `windowMinutes`. Both sides carry
     * event-time watermarks and the join condition bounds click_ts relative

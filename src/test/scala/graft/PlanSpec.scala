@@ -413,4 +413,64 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(physical("q_events_sliding").toString.contains("partial_"),
       "q_events_sliding lost partial aggregation")
   }
+
+  // ---- round-6 additions ---------------------------------------------------
+
+  test("pagerank scans only the two edge columns and hints nothing") {
+    // the rank-vector joins must stay planner-chosen (shuffle at scale,
+    // broadcast only if a FUTURE optimizer measures the vector as small);
+    // a hint either way would be wrong at one of the two scales
+    val read = scans("q_pagerank").flatMap(_.schema.fieldNames).toSet
+    assert(read == Set("l_partkey", "l_suppkey"), s"read: $read")
+    val hinted = optimized("q_pagerank").collect { case j: Join => j.hint }
+      .filter(h => h.leftHint.flatMap(_.strategy).nonEmpty ||
+        h.rightHint.flatMap(_.strategy).nonEmpty)
+    assert(hinted.isEmpty, s"q_pagerank has join hints: $hinted")
+  }
+
+  test("compaction plan windows per storage partition, never globally") {
+    // the cumsum window must partition on source — a global window would
+    // serialize the whole file listing onto one task
+    val plan = physical("q_compaction_plan").toString
+    assert(plan.contains("partitionBy") || plan.contains("PartitionBy")
+      || hashExchanges("q_compaction_plan")
+        .exists(_.expressions.map(_.toString).exists(_.contains("source"))),
+      "q_compaction_plan window lost its source partitioning")
+    assert(!plan.contains("SinglePartition") ||
+      hashExchanges("q_compaction_plan").nonEmpty,
+      "q_compaction_plan planned a single-partition window")
+  }
+
+  test("layout audits cache only their audited columns") {
+    // both queries persist a projected frame; what must stay bounded is
+    // the CACHED width — the full orders row cached by accident would
+    // multiply the audit's memory footprint at scale
+    def cachedCols(name: String): Set[String] = physical(name).collect {
+      case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        m.output.map(_.name)
+    }.flatten.toSet
+    val zm = cachedCols("q_zonemap_prune")
+    assert(zm == Set("o_orderkey", "k"), s"zonemap cached: $zm")
+    val zo = cachedCols("q_zorder_layout")
+    assert(zo == Set("cb", "db", "z"), s"zorder cached: $zo")
+  }
+
+  test("per-domain cap and sequence mining shuffle on their fine keys") {
+    val cap = hashExchanges("q_group_sample_cap")
+    assert(cap.exists(_.expressions.map(_.toString).exists(_.contains("source"))),
+      s"cap exchanges: ${cap.map(_.expressions.map(_.toString))}")
+    val seqs = hashExchanges("q_event_sequences")
+    assert(seqs.exists(_.expressions.map(_.toString).exists(_.contains("user_id"))),
+      s"seq exchanges: ${seqs.map(_.expressions.map(_.toString))}")
+  }
+
+  test("funnel stage joins never broadcast-hint the event side") {
+    // per-stage 1-row census crossjoins ARE hinted; the user-keyed stage
+    // joins must stay unhinted equi joins (corpus-sized both sides at scale)
+    val plan = physical("q_funnel")
+    assert(plan.collectFirst { case c: CartesianProductExec => c }.isEmpty)
+    val equiJoins = optimized("q_funnel").collect { case j: Join => j }
+      .filter(_.condition.nonEmpty)
+    assert(equiJoins.nonEmpty, "funnel lost its stage joins")
+  }
 }

@@ -71,6 +71,23 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("funnel state machine matches the batch join formulation") {
+    import spark.implicits._
+    val ds = Tables(spark, sf, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[EventsStream.Event]
+    val stages = EventsStream.funnel(ds).collect()
+    val census = (stages.length.toLong,
+      stages.count(_.stage >= 1).toLong,
+      stages.count(_.stage >= 2).toLong,
+      stages.count(_.stage >= 3).toLong)
+    val q = SparkEntry.queries("q_funnel")(spark, sf).collect().head
+    val oracle = (q.getAs[Long]("n_users"), q.getAs[Long]("n_view"),
+      q.getAs[Long]("n_view_click"), q.getAs[Long]("n_full_funnel"))
+    assert(census == oracle, s"state machine $census vs batch joins $oracle")
+    assert(census._2 > 0)
+  }
+
   test("streaming dedup (dropDuplicates + watermark) matches batch distinct") {
     // content-keyed streaming dedup: the state store holds one entry per key
     // until the watermark passes — the streaming form of exact dedup
