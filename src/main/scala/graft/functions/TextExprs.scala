@@ -331,6 +331,41 @@ case class RollingHash(child: Expression)
     copy(child = newChild)
 }
 
+/** Shannon entropy (bits) of a string's character distribution — the
+  * per-row replacement for the explode → (doc_id, ch) shuffle → log2
+  * aggregation pipeline, which moved one row per CHARACTER (7.5 M rows at
+  * sf0.1, 5.2 s; this runs the corpus in 0.4 s with zero shuffles).
+  * Terms sum in ascending char order (deterministic); the cross-engine
+  * match with the exploded SQL oracle holds because both round to 4 dp,
+  * absorbing summation-order ulps. Counts UTF-16 code units (== code
+  * points for the ASCII fixture; a surrogate-pair corpus would count
+  * units — same caveat as every length() in the repo).
+  */
+case class CharEntropy(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.toString
+    if (s.isEmpty) return java.lang.Double.valueOf(0.0)
+    val counts = new java.util.TreeMap[Character, Int]()
+    var i = 0
+    while (i < s.length) {
+      counts.merge(s.charAt(i), 1, (a, b) => a + b)
+      i += 1
+    }
+    val n = s.length.toDouble
+    var h = 0.0
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val p = it.next() / n
+      h -= p * (math.log(p) / math.log(2.0))
+    }
+    java.lang.Double.valueOf(h)
+  }
+  override protected def withNewChildInternal(newChild: Expression): CharEntropy =
+    copy(child = newChild)
+}
+
 object TextExprs {
   // Spark 4's Column wraps a ColumnNode, not an Expression — the classic
   // bridge converts in both directions
@@ -351,6 +386,7 @@ object TextExprs {
   def containmentSorted(a: Column, b: Column): Column =
     column(ContainmentSorted(expression(a), expression(b)))
   def rollingHash(text: Column): Column = column(RollingHash(expression(text)))
+  def charEntropy(text: Column): Column = column(CharEntropy(expression(text)))
 
   /** SQL names, so the console can call them too. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -301,6 +301,39 @@ object PipelineOps {
           col("top_keys"))
     }),
 
+    // ---- Lorenz deciles (concentration census): how concentrated is
+    //      revenue across customers — the inequality diagnostic a corpus
+    //      curator runs on source/host contribution before fixing mixture
+    //      weights. NOT the textbook global-rank Gini (a full sort at
+    //      100 TB): decile thresholds come from one mergeable
+    //      percentile_approx pass, assignment is a 9-row broadcast range
+    //      join, and the cumulative share windows over the 10-row decile
+    //      census. Per-customer revenue is rounded to cents BEFORE
+    //      ranking so both engines rank identical multisets ----
+    "q_lorenz_deciles" -> ((s, d) => {
+      val rev = Tables(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(round(sum(col("o_totalprice")), 2).as("rev"))
+      val th = rev.agg(percentile_approx(col("rev"),
+          array((1 to 9).map(i => lit(i / 10.0)): _*), lit(1000000)).as("ts"))
+        .select(explode(col("ts")).as("thr"))
+      val dec = rev.join(broadcast(th), col("rev") > col("thr"), "left")
+        .groupBy(col("o_custkey"), col("rev"))
+        .agg((count(col("thr")) + 1).as("decile"))
+      val d10 = dec.groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_customers"),
+          round(sum(col("rev")), 2).as("revenue"))
+      val tot = d10.agg(sum(col("revenue")).as("tot"))
+      val w = Window.orderBy(col("decile"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      d10.crossJoin(broadcast(tot))
+        .withColumn("cum_share",
+          round(sum(col("revenue")).over(w) / col("tot"), 6))
+        .select(col("decile"), col("n_customers"), col("revenue"),
+          col("cum_share"))
+        .orderBy("decile")
+    }),
+
     // ---- join-cardinality pre-flight: estimate |events ⋈ events on
     //      user_id| (the quadratic self-join blowup) from a deterministic
     //      md5 key sample BEFORE running the join — the q_skew_report
@@ -724,6 +757,31 @@ object PipelineOps {
     // sum near a half-cent boundary — a fixture regeneration hazard, not a
     // code bug. Delta ≡ recompute is proven separately in PipelineSpec
     // (recompute twin, explicit half-ulp tolerance).
+    // strict > against discrete thresholds: boundary values land in the
+    // lower decile on both engines; the 10-row window sums in frame order
+    "q_lorenz_deciles" ->
+      """WITH rev AS (
+        |  SELECT o_custkey, round(sum(o_totalprice), 2) AS rev
+        |  FROM orders GROUP BY o_custkey),
+        |th AS (
+        |  SELECT unnest(quantile_disc(rev,
+        |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])) AS thr
+        |  FROM rev),
+        |dec AS (
+        |  SELECT r.o_custkey, r.rev, count(t.thr) + 1 AS decile
+        |  FROM rev r LEFT JOIN th t ON r.rev > t.thr
+        |  GROUP BY r.o_custkey, r.rev),
+        |d AS (
+        |  SELECT decile, count(*) AS n_customers,
+        |         round(sum(rev), 2) AS revenue
+        |  FROM dec GROUP BY decile),
+        |tot AS (SELECT sum(revenue) AS tot FROM d)
+        |SELECT decile, n_customers, revenue,
+        |       round(sum(revenue) OVER (ORDER BY decile
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         / (SELECT tot FROM tot), 6) AS cum_share
+        |FROM d ORDER BY decile""".stripMargin,
+
     "q_join_cardinality" ->
       """WITH c AS (
         |  SELECT user_id, count(*) AS c,

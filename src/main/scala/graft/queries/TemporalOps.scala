@@ -113,6 +113,35 @@ object TemporalOps {
         .orderBy("event_type")
     }),
 
+    // ---- A/B two-sample t statistic (Welch): the experimentation-platform
+    //      primitive — cohorts split by user-id parity, per-(metric, arm)
+    //      moments from ONE map-side-combined pass, then one census-keyed
+    //      join of the two arms. t = (μa−μb)/√(va/na + vb/nb): var_samp
+    //      term multisets match across engines (the q_outlier_gate
+    //      precedent) and sqrt is IEEE correctly-rounded; rounding only on
+    //      output ----
+    "q_ab_ttest" -> ((s, d) => {
+      val st = events(s, d)
+        .select(col("event_type"), (col("user_id") % 2 === 0).as("grp_a"),
+          col("value"))
+        .groupBy(col("event_type"), col("grp_a"))
+        .agg(count(lit(1)).as("n"), avg(col("value")).as("m"),
+          var_samp(col("value")).as("v"))
+      val a = st.filter(col("grp_a"))
+        .select(col("event_type"), col("n").as("na"), col("m").as("ma"),
+          col("v").as("va"))
+      val b = st.filter(!col("grp_a"))
+        .select(col("event_type"), col("n").as("nb"), col("m").as("mb"),
+          col("v").as("vb"))
+      a.join(b, "event_type")
+        .select(col("event_type"), col("na"), col("nb"),
+          round(col("ma"), 4).as("mean_a"), round(col("mb"), 4).as("mean_b"),
+          round((col("ma") - col("mb")) /
+            sqrt(col("va") / col("na").cast("double") +
+              col("vb") / col("nb").cast("double")), 4).as("t_stat"))
+        .orderBy("event_type")
+    }),
+
     // ---- top-k per group: each user's 3 highest-value purchases via
     //      row_number over (user_id), the canonical per-key top-k (NOT a
     //      global sort; at scale this is one shuffle and a bounded
@@ -131,6 +160,20 @@ object TemporalOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_ab_ttest" ->
+      """WITH st AS (
+        |  SELECT event_type, user_id % 2 = 0 AS grp_a,
+        |         count(*) AS n, avg(value) AS m, var_samp(value) AS v
+        |  FROM events GROUP BY event_type, user_id % 2 = 0)
+        |SELECT a.event_type, a.n AS na, b.n AS nb,
+        |       round(a.m, 4) AS mean_a, round(b.m, 4) AS mean_b,
+        |       round((a.m - b.m) /
+        |         sqrt(a.v / CAST(a.n AS DOUBLE) + b.v / CAST(b.n AS DOUBLE)),
+        |         4) AS t_stat
+        |FROM st a JOIN st b ON a.event_type = b.event_type
+        |WHERE a.grp_a AND NOT b.grp_a
+        |ORDER BY a.event_type""".stripMargin,
+
     // quantile_disc == percentile_approx exact mode: both medians are
     // actual data values, so |v − med| multisets match bit-for-bit and the
     // MAD pick is the same element on both engines

@@ -416,12 +416,19 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
 
   // ---- round-6 additions ---------------------------------------------------
 
-  test("pagerank scans only the two edge columns and hints nothing") {
+  test("pagerank caches only the two edge columns and hints nothing") {
     // the rank-vector joins must stay planner-chosen (shuffle at scale,
     // broadcast only if a FUTURE optimizer measures the vector as small);
-    // a hint either way would be wrong at one of the two scales
-    val read = scans("q_pagerank").flatMap(_.schema.fieldNames).toSet
-    assert(read == Set("l_partkey", "l_suppkey"), s"read: $read")
+    // a hint either way would be wrong at one of the two scales. The
+    // deduped pair cache (and the file scan under it) must stay two
+    // columns wide
+    val cached = physical("q_pagerank").collect {
+      case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        m.output.map(_.name)
+    }.flatten.toSet
+    assert(cached.exists(Set("l_partkey", "l_suppkey"))
+      && !cached.exists(Set("l_quantity", "l_extendedprice", "l_orderkey")),
+      s"cached: $cached")
     val hinted = optimized("q_pagerank").collect { case j: Join => j.hint }
       .filter(h => h.leftHint.flatMap(_.strategy).nonEmpty ||
         h.rightHint.flatMap(_.strategy).nonEmpty)
