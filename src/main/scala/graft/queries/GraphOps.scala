@@ -67,6 +67,29 @@ object GraphOps {
             .as("kind"),
           expr("node div 2").as("key"), col("pr"))
         .orderBy("node")
+    }),
+
+    // ---- degree-distribution histogram (log₂ bins): the diagnostic run
+    //      BEFORE an iterative graph algorithm — a heavy-tailed histogram
+    //      says the rank join needs AQE skew handling, a flat one says
+    //      plain shuffles suffice. Bin = floor(log₂ deg) computed as
+    //      length(bin(deg)) − 1: pure integer/string arithmetic, because
+    //      libm log2 of an exact power of two rounds DIFFERENTLY across
+    //      engines (JVM log(8)/log(2) = 2.9999…96) and floor() would
+    //      amplify that ulp into an off-by-one bin ----
+    "q_degree_hist" -> ((s, d) => {
+      val pairs = Tables(s, d, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      val fwd = pairs.select((col("l_partkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      val deg = fwd.unionByName(
+          fwd.select(col("dst").as("src"), col("src").as("dst")))
+        .groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      deg.select(col("deg"), (length(bin(col("deg"))) - 1).as("deg_bin"))
+        .groupBy(col("deg_bin"))
+        .agg(count(lit(1)).as("n_nodes"), min(col("deg")).as("min_deg"),
+          max(col("deg")).as("max_deg"))
+        .orderBy("deg_bin")
     })
   )
 
@@ -106,6 +129,19 @@ object GraphOps {
         |SELECT node,
         |       CASE WHEN node % 2 = 0 THEN 'part' ELSE 'supplier' END AS kind,
         |       node // 2 AS key, pr
-        |FROM r3 ORDER BY node""".stripMargin
+        |FROM r3 ORDER BY node""".stripMargin,
+
+    "q_degree_hist" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        |e AS (
+        |  SELECT l_partkey*2 AS src, l_suppkey*2+1 AS dst FROM pairs
+        |  UNION ALL
+        |  SELECT l_suppkey*2+1 AS src, l_partkey*2 AS dst FROM pairs),
+        |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src)
+        |SELECT CAST(length(bin(deg)) - 1 AS INT) AS deg_bin,
+        |       count(*) AS n_nodes, min(deg) AS min_deg, max(deg) AS max_deg
+        |FROM deg GROUP BY length(bin(deg)) - 1
+        |ORDER BY deg_bin""".stripMargin
   )
 }

@@ -301,6 +301,31 @@ object PipelineOps {
           col("top_keys"))
     }),
 
+    // ---- declarative data-quality rules census: N assertions about a
+    //      table evaluated in ONE scan pass (every rule is a conditional
+    //      sum in the same aggregate — adding a rule adds zero passes),
+    //      then pivoted to a (rule, n_violations, pass) report. The
+    //      single-table complement of q_fk_audit's cross-table checks;
+    //      at 100 TB the census costs one map-side-combined scan whatever
+    //      the rule count ----
+    "q_dq_rules" -> ((s, d) => {
+      val a = Tables(s, d, "orders").agg(
+        sum(when(col("o_totalprice") <= 0.0, 1L).otherwise(0L)).as("r_price"),
+        sum(when(col("o_orderdate") < to_timestamp(lit("1990-01-01")) ||
+          col("o_orderdate") >= to_timestamp(lit("2006-01-01")), 1L)
+          .otherwise(0L)).as("r_date"),
+        sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("r_cust"),
+        (count(lit(1)) - countDistinct(col("o_orderkey"))).as("r_dupkey"))
+      a.select(explode(map(
+          lit("order_date_in_range"), col("r_date"),
+          lit("orderkey_unique"), col("r_dupkey"),
+          lit("custkey_not_null"), col("r_cust"),
+          lit("totalprice_positive"), col("r_price")))
+          .as(Seq("rule", "n_violations")))
+        .withColumn("pass", col("n_violations") === 0L)
+        .orderBy("rule")
+    }),
+
     // ---- Lorenz deciles (concentration census): how concentrated is
     //      revenue across customers — the inequality diagnostic a corpus
     //      curator runs on source/host contribution before fixing mixture
@@ -757,6 +782,25 @@ object PipelineOps {
     // sum near a half-cent boundary — a fixture regeneration hazard, not a
     // code bug. Delta ≡ recompute is proven separately in PipelineSpec
     // (recompute twin, explicit half-ulp tolerance).
+    "q_dq_rules" ->
+      """WITH a AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN o_totalprice <= 0.0 THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS r_price,
+        |    CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '1990-01-01'
+        |                    OR o_orderdate >= TIMESTAMP '2006-01-01'
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS r_date,
+        |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS r_cust,
+        |    count(*) - count(DISTINCT o_orderkey) AS r_dupkey
+        |  FROM orders)
+        |SELECT rule, n_violations, n_violations = 0 AS pass FROM (
+        |  SELECT 'order_date_in_range' AS rule, r_date AS n_violations FROM a
+        |  UNION ALL SELECT 'orderkey_unique', r_dupkey FROM a
+        |  UNION ALL SELECT 'custkey_not_null', r_cust FROM a
+        |  UNION ALL SELECT 'totalprice_positive', r_price FROM a)
+        |ORDER BY rule""".stripMargin,
+
     // strict > against discrete thresholds: boundary values land in the
     // lower decile on both engines; the 10-row window sums in frame order
     "q_lorenz_deciles" ->

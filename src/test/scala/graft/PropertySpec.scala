@@ -84,6 +84,24 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("CharEntropy matches a naive distribution-entropy oracle") {
+    val strs = Gen.listOf(Gen.oneOf('a', 'b', 'c', ' ', 'z')).map(_.mkString)
+    val e = graft.functions.CharEntropy(dummy)
+    samples(strs, 300).foreach { s =>
+      val got = e.nullSafeEval(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+        .asInstanceOf[Double]
+      val n = s.length.toDouble
+      val want =
+        if (s.isEmpty) 0.0
+        else s.groupBy(identity).values.map { g =>
+          val p = g.length / n
+          -p * (math.log(p) / math.log(2.0))
+        }.sum
+      assert(math.abs(got - want) < 1e-9, s"text=$s got=$got want=$want")
+      assert(got >= 0.0 && (s.isEmpty || got <= math.log(n.max(2)) / math.log(2.0) + 1e-9))
+    }
+  }
+
   test("MinHash signature is permutation-invariant and deterministic") {
     val e = graft.functions.MinHashSig(dummy, 16)
     def sig(v: Seq[Long]) = e.nullSafeEval(new GenericArrayData(v.toArray))
