@@ -46,7 +46,11 @@ object Bench {
     // prune projections away; the noop sink executes the real plan.
     // benchOnly entries (engine-specific values, production-shape cost —
     // e.g. the sketch-only HLL plan) are timed alongside the gated set.
-    val allQueries = SparkEntry.queries ++ SparkEntry.benchOnly
+    // optional args: bench only these queries (local iteration aid; the
+    // driver passes none and gets the full inventory)
+    val only = args.toSet
+    val allQueries = (SparkEntry.queries ++ SparkEntry.benchOnly)
+      .filter { case (n, _) => only.isEmpty || only(n) }
     def run(name: String): Unit =
       allQueries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()

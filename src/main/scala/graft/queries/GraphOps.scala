@@ -30,9 +30,10 @@ object GraphOps {
     //      guarantees outdeg ≥ 1 everywhere, so there is no dangling-mass
     //      term and the per-iteration recurrence is exactly
     //        pr'(v) = 0.15/N + 0.85 · Σ_{u→v} pr(u)/outdeg(u).
-    //      Reference analog: the iterative relational op family
-    //      (/root/reference/src — aggregate + join composition); the
-    //      recurrence itself is public PageRank ----
+    //      Reference analog: composition of the reference's aggregate
+    //      relation (/root/reference/src/execution/aggregate.rs) over its
+    //      scan/filter pipeline — the recurrence itself is public
+    //      PageRank, expressed as repeated join+aggregate ----
     "q_pagerank" -> ((s, d) => {
       // the deduped supply pairs are persisted FIRST: the symmetric union
       // references them twice and the degree join a third time — without
@@ -50,17 +51,28 @@ object GraphOps {
       // src-keyed join partitioning is preserved by the cache, so each
       // iteration exchanges only the rank vector, not the edge list
       val ew = edges.join(deg, "src").persist()
-      // N is a 1-scalar driver action (the bloom-filter sizing precedent):
-      // every node appears as src in the symmetric edge set
-      val n = deg.count()
-      var pr = deg.select(col("src").as("node"),
-        (lit(1.0) / lit(n.toDouble)).as("pr"))
+      // N rides along as a 1-row broadcast (every node appears as src in
+      // the symmetric edge set) — NO driver-side count() action: the whole
+      // recurrence is one declarative plan, so nothing blocks on a driver
+      // round-trip per benched pass
+      val nRow = deg.agg(count(lit(1)).as("nn"))
+      var pr = deg.crossJoin(broadcast(nRow))
+        .select(col("src").as("node"),
+          (lit(1.0) / col("nn").cast("double")).as("pr"))
       for (_ <- 1 to 3) {
+        // localCheckpoint per iteration (the DedupOps cluster-loop device):
+        // without it iteration k's plan CONTAINS iterations 1..k−1, and the
+        // planner re-materializes that whole chain every time it broadcasts
+        // or exchanges the rank side — measured 3× the per-iteration work
+        // at 3 rounds, growing quadratically with iteration count
         pr = ew.join(pr, ew("src") === pr("node"))
           .groupBy(col("dst"))
-          .agg(round(lit(0.15) / lit(n.toDouble) +
-            lit(0.85) * sum(col("pr") / col("outdeg")), 9).as("pr"))
-          .select(col("dst").as("node"), col("pr"))
+          .agg(sum(col("pr") / col("outdeg")).as("m"))
+          .crossJoin(broadcast(nRow))
+          .select(col("dst").as("node"),
+            round(lit(0.15) / col("nn").cast("double") +
+              lit(0.85) * col("m"), 9).as("pr"))
+          .localCheckpoint()
       }
       pr.select(col("node"),
           when(col("node") % 2 === 0, lit("part")).otherwise(lit("supplier"))

@@ -10,6 +10,10 @@ import graft.Tables
   * pruning analysis. These close the operational loop that
   * `q_range_layout` / `q_layout_read` opened: planning the physical file
   * layout, and QUANTIFYING what a given layout buys at read time.
+  * Reference analog: the file-backed DataSource surface
+  * (/root/reference/src/execution/datasource.rs:27-30) — whose 100 TB story is
+  * exactly partition layout + statistics-pruned scans; the audits here
+  * measure that payoff instead of assuming it.
   *
   * Scale notes: compaction planning windows per STORAGE PARTITION
   * (source), never globally — each directory's file list is cumulated

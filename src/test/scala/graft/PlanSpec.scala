@@ -416,23 +416,32 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
 
   // ---- round-6 additions ---------------------------------------------------
 
-  test("pagerank caches only the two edge columns and hints nothing") {
-    // the rank-vector joins must stay planner-chosen (shuffle at scale,
-    // broadcast only if a FUTURE optimizer measures the vector as small);
-    // a hint either way would be wrong at one of the two scales. The
-    // deduped pair cache (and the file scan under it) must stay two
-    // columns wide
-    val cached = physical("q_pagerank").collect {
-      case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
-        m.output.map(_.name)
-    }.flatten.toSet
-    assert(cached.exists(Set("l_partkey", "l_suppkey"))
-      && !cached.exists(Set("l_quantity", "l_extendedprice", "l_orderkey")),
-      s"cached: $cached")
-    val hinted = optimized("q_pagerank").collect { case j: Join => j.hint }
-      .filter(h => h.leftHint.flatMap(_.strategy).nonEmpty ||
-        h.rightHint.flatMap(_.strategy).nonEmpty)
-    assert(hinted.isEmpty, s"q_pagerank has join hints: $hinted")
+  test("graph edge derivation scans only the two edge columns") {
+    // q_degree_hist shares q_pagerank's edge derivation WITHOUT the
+    // iteration checkpoints. The read must stay two columns wide — either
+    // as a pruned file scan, or (when a sibling query's cached pair set
+    // was substituted by the cache manager) as a two-column cache scan
+    val plan = physical("q_degree_hist")
+    val read = plan.collect { case f: FileSourceScanExec => f.schema.fieldNames }
+      .flatten.toSet ++
+      plan.collect {
+        case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          m.output.map(_.name)
+      }.flatten.toSet
+    assert(read == Set("l_partkey", "l_suppkey"), s"read: $read")
+  }
+
+  test("pagerank iterations are checkpoint-truncated") {
+    // the returned plan must scan the LAST iteration's checkpoint, not a
+    // 3-iteration join chain — without the per-iteration localCheckpoint
+    // the planner re-materializes iterations 1..k−1 every time it
+    // broadcasts the rank side (measured 3× the per-iteration work)
+    val plan = optimized("q_pagerank")
+    assert(plan.collectFirst {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r
+    }.nonEmpty, s"expected checkpoint-backed plan, got:\n$plan")
+    assert(plan.collectFirst { case j: Join => j }.isEmpty,
+      "final pagerank plan still carries the iteration joins")
   }
 
   test("compaction plan windows per storage partition, never globally") {

@@ -102,6 +102,27 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("Morton interleave is a bijection on 8-bit pairs and preserves order locality") {
+    // the same 16-term shift/mask expression q_zorder_layout generates;
+    // evaluated here in plain Scala to pin the bit layout
+    def z(cb: Long, db: Long): Long =
+      (0 until 8).map(i => (((cb >> i) & 1L) << (2 * i)) + (((db >> i) & 1L) << (2 * i + 1))).sum
+    val all = for (c <- 0L until 256L; d <- 0L until 256L) yield z(c, d)
+    assert(all.toSet.size == 65536, "z-keys collide — not a bijection")
+    assert(all.min == 0L && all.max == 65535L)
+    // deinterleave inverts: even bits → cb, odd bits → db
+    def unz(v: Long): (Long, Long) = {
+      var c = 0L; var d = 0L
+      (0 until 8).foreach { i =>
+        c |= ((v >> (2 * i)) & 1L) << i
+        d |= ((v >> (2 * i + 1)) & 1L) << i
+      }
+      (c, d)
+    }
+    samples(Gen.zip(Gen.chooseNum(0L, 255L), Gen.chooseNum(0L, 255L)), 200)
+      .foreach { case (c, d) => assert(unz(z(c, d)) == (c, d)) }
+  }
+
   test("MinHash signature is permutation-invariant and deterministic") {
     val e = graft.functions.MinHashSig(dummy, 16)
     def sig(v: Seq[Long]) = e.nullSafeEval(new GenericArrayData(v.toArray))
