@@ -11,7 +11,8 @@ object SparkEntry {
     Relational.queries ++ Relational2.queries ++ TextOps.queries ++
       DedupOps.queries ++ VectorOps.queries ++ Sessions.queries ++
       MultimodalOps.queries ++ PipelineOps.queries ++ CorpusOps.queries ++
-      TemporalOps.queries ++ GraphOps.queries ++ StorageOps.queries
+      TemporalOps.queries ++ GraphOps.queries ++ StorageOps.queries ++
+      GeoOps.queries
   /** Timed by Bench but NOT oracle-verified: production-shape plans whose
     * values are engine-specific (e.g. raw HLL estimates). Each has an
     * oracle-gated twin in [[queries]] carrying the correctness gate. */
@@ -23,5 +24,6 @@ object SparkEntry {
     Relational.oracles ++ Relational2.oracles ++ TextOps.oracles ++
       DedupOps.oracles ++ VectorOps.oracles ++ Sessions.oracles ++
       MultimodalOps.oracles ++ PipelineOps.oracles ++ CorpusOps.oracles ++
-      TemporalOps.oracles ++ GraphOps.oracles ++ StorageOps.oracles
+      TemporalOps.oracles ++ GraphOps.oracles ++ StorageOps.oracles ++
+      GeoOps.oracles
 }

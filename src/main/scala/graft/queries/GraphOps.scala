@@ -102,7 +102,30 @@ object GraphOps {
         .agg(count(lit(1)).as("n_nodes"), min(col("deg")).as("min_deg"),
           max(col("deg")).as("max_deg"))
         .orderBy("deg_bin")
-    })
+    }),
+
+    // ---- hierarchical subtree rollup (the BOM/category-tree aggregation):
+    //      parts form an implicit tree — parent(p) = p div 10 — and each
+    //      node wants its SUBTREE's total price. The recursive-CTE closure
+    //      (node, ancestor) is replaced by a PER-ROW expansion: a node's
+    //      ancestor set is exactly the decimal PREFIXES of its key, so one
+    //      explode of ≤6 prefixes per row + one fine-key groupBy computes
+    //      every subtree total with ZERO joins and ZERO iterations — for
+    //      key-encoded hierarchies the closure never needs the O(depth)
+    //      self-join loop a recursive CTE runs (the oracle mirrors the
+    //      prefix form; depth is key-length-bounded either way) ----
+    "q_hierarchy_rollup" -> ((s, d) =>
+      Tables(s, d, "part")
+        .select(col("p_partkey"), col("p_retailprice"),
+          col("p_partkey").cast("string").as("ks"))
+        .select(col("p_retailprice"), explode(expr(
+          "transform(sequence(1, length(ks)), " +
+            "i -> cast(substring(ks, 1, i) as bigint))")).as("anc"))
+        .filter(col("anc") < 100)
+        .groupBy(col("anc"))
+        .agg(count(lit(1)).as("n_desc"),
+          round(sum(col("p_retailprice")), 2).as("subtree_price"))
+        .orderBy("anc"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -154,6 +177,17 @@ object GraphOps {
         |SELECT CAST(length(bin(deg)) - 1 AS INT) AS deg_bin,
         |       count(*) AS n_nodes, min(deg) AS min_deg, max(deg) AS max_deg
         |FROM deg GROUP BY length(bin(deg)) - 1
-        |ORDER BY deg_bin""".stripMargin
+        |ORDER BY deg_bin""".stripMargin,
+
+    "q_hierarchy_rollup" ->
+      """WITH a AS (
+        |  SELECT p_retailprice,
+        |         CAST(substr(CAST(p_partkey AS VARCHAR), 1,
+        |                     CAST(i AS INTEGER)) AS BIGINT) AS anc
+        |  FROM part,
+        |       unnest(range(1, length(CAST(p_partkey AS VARCHAR)) + 1)) AS r(i))
+        |SELECT anc, count(*) AS n_desc,
+        |       round(sum(p_retailprice), 2) AS subtree_price
+        |FROM a WHERE anc < 100 GROUP BY anc ORDER BY anc""".stripMargin
   )
 }
