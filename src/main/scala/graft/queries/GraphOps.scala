@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -35,22 +36,28 @@ object GraphOps {
     //      scan/filter pipeline — the recurrence itself is public
     //      PageRank, expressed as repeated join+aggregate ----
     "q_pagerank" -> ((s, d) => {
-      // the deduped supply pairs are persisted FIRST: the symmetric union
-      // references them twice and the degree join a third time — without
-      // the cache the lineitem scan + distinct shuffle replays once per
-      // reference per job (measured 6.3 s → 2 s at sf0.1)
-      val pairs = Tables(s, d, "lineitem")
-        .select(col("l_partkey"), col("l_suppkey")).distinct().persist()
-      val fwd = pairs.select((col("l_partkey") * 2).as("src"),
-        (col("l_suppkey") * 2 + 1).as("dst"))
-      val edges = fwd.unionByName(
-        fwd.select(col("dst").as("src"), col("src").as("dst")))
-      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      // symmetric edges come from ONE pass over the deduped pairs — an
+      // explode of the two directed halves per supply pair (a self-union
+      // would scan the pair set twice per job); degrees annotate the edge
+      // list with a window count over the SAME src shuffle the iteration
+      // joins need, so no separate degree join runs
+      val edges = Tables(s, d, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+        .select(explode(array(
+          struct((col("l_partkey") * 2).as("src"),
+            (col("l_suppkey") * 2 + 1).as("dst")),
+          struct((col("l_suppkey") * 2 + 1).as("src"),
+            (col("l_partkey") * 2).as("dst")))).as("e"))
+        .select(col("e.src"), col("e.dst"))
       // degree-annotated edges are what every iteration re-joins: persist
       // them once; the rank vector is the only thing that changes. The
-      // src-keyed join partitioning is preserved by the cache, so each
+      // src-keyed window partitioning is preserved by the cache, so each
       // iteration exchanges only the rank vector, not the edge list
-      val ew = edges.join(deg, "src").persist()
+      val ew = edges
+        .withColumn("outdeg",
+          count(lit(1)).over(Window.partitionBy(col("src"))))
+        .persist()
+      val deg = ew.select(col("src")).distinct()
       // N rides along as a 1-row broadcast (every node appears as src in
       // the symmetric edge set) — NO driver-side count() action: the whole
       // recurrence is one declarative plan, so nothing blocks on a driver
