@@ -32,15 +32,18 @@ object GeoOps {
     //      against unexpanded RIGHT points, a.id < b.id dedups the
     //      symmetric pair ----
     "q_spatial_join" -> ((s, d) => {
+      // key reduced mod P BEFORE the multiplies (the repo-wide LCG wrap
+      // rule): the raw products overflow Long past ~8·10⁹ ids, where Spark
+      // wraps silently but DuckDB's BIGINT errors — mod-first keeps every
+      // intermediate < 2⁶² on both engines at any key scale
+      val k = pmod(col("c_custkey"), lit(P))
       val pts = Tables(s, d, "customer")
         .select(col("c_custkey").as("id"),
-          (pmod(col("c_custkey") * 1103515245L + 12345L, lit(P)) % 1000)
-            .as("x"),
+          (pmod(k * 1103515245L + 12345L, lit(P)) % 1000).as("x"),
           // y mixes a quadratic term — two LINEAR congruential coordinates
           // of the same key are collinear mod the lattice and collapse the
           // distance spectrum to a handful of values
-          (pmod(pmod(col("c_custkey") * col("c_custkey"), lit(P)) * 69069L + 1L,
-            lit(P)) % 1000).as("y"))
+          (pmod(pmod(k * k, lit(P)) * 69069L + 1L, lit(P)) % 1000).as("y"))
         .persist()
       val right = pts.select(col("id").as("b_id"), col("x").as("bx"),
         col("y").as("by"), expr("x div 20").as("cx"), expr("y div 20").as("cy"))
@@ -70,8 +73,10 @@ object GeoOps {
     "q_spatial_join" ->
       """WITH pts AS (
         |  SELECT c_custkey AS id,
-        |         ((c_custkey * 1103515245 + 12345) % 2147483647) % 1000 AS x,
-        |         ((((c_custkey * c_custkey) % 2147483647) * 69069 + 1)
+        |         (((c_custkey % 2147483647) * 1103515245 + 12345)
+        |          % 2147483647) % 1000 AS x,
+        |         ((((c_custkey % 2147483647) * (c_custkey % 2147483647)
+        |            % 2147483647) * 69069 + 1)
         |          % 2147483647) % 1000 AS y
         |  FROM customer),
         |probes AS (

@@ -14,12 +14,12 @@ class Round6Spec extends AnyFunSuite with SparkSpec {
   test("spatial blocking finds EVERY pair within the radius (brute-force recall)") {
     // the 3×3 neighbor-cell candidates must lose nothing vs all-pairs —
     // the same completeness bar TextDedupSpec holds the dedup banding to
+    val k = pmod(col("c_custkey"), lit(2147483647L))
     val pts = Tables(spark, sf, "customer")
       .select(col("c_custkey").as("id"),
-        (pmod(col("c_custkey") * 1103515245L + 12345L, lit(2147483647L)) % 1000)
-          .as("x"),
-        (pmod(pmod(col("c_custkey") * col("c_custkey"), lit(2147483647L))
-          * 69069L + 1L, lit(2147483647L)) % 1000).as("y"))
+        (pmod(k * 1103515245L + 12345L, lit(2147483647L)) % 1000).as("x"),
+        (pmod(pmod(k * k, lit(2147483647L)) * 69069L + 1L, lit(2147483647L))
+          % 1000).as("y"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val brute = (for {
       (a, ax, ay) <- pts; (b, bx, by) <- pts
