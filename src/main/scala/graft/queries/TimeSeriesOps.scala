@@ -1,0 +1,265 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Time-series operators over the event stream and the order history:
+  * gap-filling resample, calendar-window rolling stats, duration-weighted
+  * concurrency, and closed-form trend fitting.
+  *
+  * Reference analog: compositions of the reference's aggregate + window
+  * machinery (/root/reference/src/execution/aggregate.rs, filter/projection
+  * pipeline) — each query here is expressible as its relational algebra,
+  * re-expressed through Spark windows and integer-exact arithmetic.
+  *
+  * Cross-engine determinism: timestamps reduce to whole seconds
+  * (`unix_timestamp` == DuckDB `floor(epoch(ts))`), days/months are integer
+  * divisions, money rides as BIGINT cents inside windows, and the trend
+  * fit replaces `regr_slope` (different co-moment update orders across
+  * engines) with the closed-form least-squares ratio of EXACT integer
+  * moments — one IEEE division at the end, bit-identical everywhere.
+  */
+object TimeSeriesOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** events with whole-second + day columns — the shared spine. */
+  private def ev(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "events")
+      .select(col("user_id"), col("event_id"), col("value"), col("event_type"),
+        unix_timestamp(col("ts")).as("secs"))
+      .withColumn("day", expr("secs div 86400"))
+
+  val queries: Map[String, Q] = Map(
+    // ---- resample to a daily grid + forward fill (gap filling): every
+    //      (user, calendar day) gets the user's most recent observed value.
+    //      The grid is users × sequence(d0, d1) — an explode of a
+    //      users-sized frame, never an event-sized shuffle; the global date
+    //      bounds ride along as a 1-row broadcast. Forward fill is
+    //      last(ignoreNulls) over the user-day window — ONE shuffle on
+    //      user_id; at 100 TB the grid is |users|·|days| rows, independent
+    //      of event volume, and each user's fill is a single partition-local
+    //      pass ----
+    "q_resample_ffill" -> ((s, d) => {
+      val e = ev(s, d)
+      val bounds = e.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      val grid = e.select(col("user_id")).distinct()
+        .crossJoin(broadcast(bounds))
+        .select(col("user_id"),
+          explode(sequence(col("d0"), col("d1"))).as("day"))
+      // last event of each (user, day): deterministic pick via the same
+      // (secs, event_id) tie-break every event-ordered query here uses
+      val daily = e
+        .withColumn("rn", row_number().over(Window
+          .partitionBy(col("user_id"), col("day"))
+          .orderBy(col("secs").desc, col("event_id").desc)))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("day"), col("value").as("last_val"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(daily, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"),
+          round(last(col("last_val"), ignoreNulls = true).over(w), 2)
+            .as("val_ffill"),
+          col("last_val").isNotNull.cast("int").as("observed"))
+        .orderBy("user_id", "day")
+    }),
+
+    // ---- rolling 7-day stats per event type: RANGE frame on the integer
+    //      day key, so the trailing window is CALENDAR-bounded (missing
+    //      days shrink it) — a ROWS frame would silently span gaps. Money
+    //      enters the window as exact BIGINT cents (daily sum rounded to
+    //      2 dp once, then integer arithmetic), so the 7-day sums are
+    //      association-order-proof across engines. One shuffle to the
+    //      (type, day) census, one window on the census — event volume
+    //      never touches the window ----
+    "q_rolling_stats" -> ((s, d) => {
+      val daily = ev(s, d).groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"),
+          expr("cast(round(round(sum(value), 2) * 100) as bigint)")
+            .as("val_c"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rangeBetween(-6, Window.currentRow)
+      daily.select(col("event_type"), col("day"), col("n"),
+          sum(col("n")).over(w).as("n_7d"),
+          round(avg(col("n")).over(w), 4).as("avg_n_7d"),
+          round(sum(col("val_c")).over(w) / 100.0, 2).as("val_7d"),
+          count(lit(1)).over(w).as("days_present_7d"))
+        .orderBy("event_type", "day")
+    }),
+
+    // ---- duration-weighted concurrency histogram (the SRE load metric):
+    //      sessions (q_sessionize's 30-min-gap construction) become a
+    //      sweep line of +1/−1 deltas, COLLAPSED to one net-delta row per
+    //      boundary second BEFORE the running sum — so tie ordering inside
+    //      a timestamp cannot exist and every interval is deterministic.
+    //      Output is seconds spent at each concurrency level. The global
+    //      window runs over the collapsed boundary census (2 rows per
+    //      session, then merged) — session-count-sized, ≪ event volume;
+    //      at extreme scale the same prefix-sum splits into per-range
+    //      partials + broadcast offsets, the q_cumulative_users shape ----
+    "q_max_concurrency" -> ((s, d) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("secs").asc, col("event_id").asc)
+      val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sess = ev(s, d)
+        .withColumn("brk",
+          when(col("secs") - lag(col("secs"), 1).over(byUser) > 1800, 1)
+            .otherwise(0))
+        .withColumn("sess_id", sum(col("brk")).over(run))
+        .groupBy(col("user_id"), col("sess_id"))
+        .agg(min(col("secs")).as("start_s"), max(col("secs")).as("end_s"))
+      // active over [start_s, end_s] inclusive → the −1 lands at end_s+1
+      val net = sess.select(col("start_s").as("t"), lit(1L).as("delta"))
+        .unionByName(sess.select((col("end_s") + 1).as("t"),
+          lit(-1L).as("delta")))
+        .groupBy(col("t")).agg(sum(col("delta")).as("net"))
+      val wo = Window.orderBy(col("t"))
+      net
+        .withColumn("level", sum(col("net"))
+          .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("dur", lead(col("t"), 1).over(wo) - col("t"))
+        .filter(col("dur").isNotNull)
+        .groupBy(col("level"))
+        .agg(sum(col("dur")).as("seconds"), count(lit(1)).as("n_intervals"))
+        .orderBy("level")
+    }),
+
+    // ---- per-nation monthly revenue trend: closed-form least squares
+    //      from EXACT integer moments. x = months-since-year-0 (integer),
+    //      y = monthly revenue in cents (BIGINT after one 2-dp rounding);
+    //      Σx, Σy, Σxy, Σx² are all exact BIGINTs (≤ ~10¹⁶, inside int64),
+    //      so slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²) is ONE IEEE division
+    //      of exactly-represented integers — bit-identical across engines,
+    //      where regr_slope's streaming co-moments are not. Two shuffles
+    //      total: the orders⋈customer join (customer side broadcast-able
+    //      per dim-table sizing) and the (nation, month) census agg ----
+    "q_trend" -> ((s, d) => {
+      val monthly = Tables(s, d, "orders")
+        .join(Tables(s, d, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_nationkey"),
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("m"),
+          col("o_totalprice"))
+        .groupBy(col("c_nationkey"), col("m"))
+        .agg(expr("cast(round(round(sum(o_totalprice), 2) * 100) as bigint)")
+          .as("rev_c"))
+      monthly.groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_months"),
+          sum(col("m")).as("sx"), sum(col("rev_c")).as("sy"),
+          sum(col("m") * col("rev_c")).as("sxy"),
+          sum(col("m") * col("m")).as("sxx"))
+        .select(col("c_nationkey"), col("n_months"),
+          round((col("n_months") * col("sxy") - col("sx") * col("sy"))
+            .cast("double") /
+            (col("n_months") * col("sxx") - col("sx") * col("sx"))
+              .cast("double") / 100.0, 4).as("slope_per_month"),
+          round(col("sy").cast("double") / col("n_months") / 100.0, 2)
+            .as("avg_monthly_rev"))
+        .orderBy("c_nationkey")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_resample_ffill" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, value,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS secs,
+        |         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+        |  FROM events),
+        |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM e),
+        |grid AS (
+        |  SELECT u.user_id, unnest(range(b.d0, b.d1 + 1)) AS day
+        |  FROM (SELECT DISTINCT user_id FROM e) u CROSS JOIN b),
+        |daily AS (
+        |  SELECT user_id, day, value AS last_val FROM (
+        |    SELECT user_id, day, value,
+        |           row_number() OVER (PARTITION BY user_id, day
+        |             ORDER BY secs DESC, event_id DESC) AS rn
+        |    FROM e) WHERE rn = 1)
+        |SELECT g.user_id AS user_id, g.day AS day,
+        |       round(last_value(dd.last_val IGNORE NULLS) OVER (
+        |         PARTITION BY g.user_id ORDER BY g.day
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+        |         AS val_ffill,
+        |       CASE WHEN dd.last_val IS NOT NULL THEN 1 ELSE 0 END AS observed
+        |FROM grid g LEFT JOIN daily dd
+        |  ON g.user_id = dd.user_id AND g.day = dd.day
+        |ORDER BY user_id, day""".stripMargin,
+
+    "q_rolling_stats" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |         count(*) AS n,
+        |         CAST(round(round(sum(value), 2) * 100) AS BIGINT) AS val_c
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, day, n,
+        |       CAST(sum(n) OVER w AS BIGINT) AS n_7d,
+        |       round(avg(n) OVER w, 4) AS avg_n_7d,
+        |       round(CAST(sum(val_c) OVER w AS BIGINT) / 100.0, 2) AS val_7d,
+        |       count(*) OVER w AS days_present_7d
+        |FROM daily
+        |WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_type, day""".stripMargin,
+
+    "q_max_concurrency" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS secs
+        |  FROM events),
+        |brk AS (
+        |  SELECT *, CASE WHEN secs - lag(secs) OVER w > 1800
+        |                 THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id
+        |                      ORDER BY secs ASC, event_id ASC)),
+        |sess AS (
+        |  SELECT user_id, sess_id, min(secs) AS start_s, max(secs) AS end_s
+        |  FROM (SELECT *, CAST(sum(brk) OVER (
+        |          PARTITION BY user_id ORDER BY secs ASC, event_id ASC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS BIGINT) AS sess_id FROM brk)
+        |  GROUP BY user_id, sess_id),
+        |net AS (
+        |  SELECT t, CAST(sum(delta) AS BIGINT) AS net FROM (
+        |    SELECT start_s AS t, 1 AS delta FROM sess
+        |    UNION ALL
+        |    SELECT end_s + 1 AS t, -1 AS delta FROM sess)
+        |  GROUP BY t),
+        |lvl AS (
+        |  SELECT CAST(sum(net) OVER (ORDER BY t
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS BIGINT) AS level,
+        |         lead(t) OVER (ORDER BY t) - t AS dur
+        |  FROM net)
+        |SELECT level, CAST(sum(dur) AS BIGINT) AS seconds,
+        |       count(*) AS n_intervals
+        |FROM lvl WHERE dur IS NOT NULL
+        |GROUP BY level ORDER BY level""".stripMargin,
+
+    "q_trend" ->
+      """WITH monthly AS (
+        |  SELECT c_nationkey,
+        |         year(o_orderdate) * 12 + month(o_orderdate) AS m,
+        |         CAST(round(round(sum(o_totalprice), 2) * 100) AS BIGINT)
+        |           AS rev_c
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |mom AS (
+        |  SELECT c_nationkey, count(*) AS n_months,
+        |         CAST(sum(m) AS BIGINT) AS sx,
+        |         CAST(sum(rev_c) AS BIGINT) AS sy,
+        |         CAST(sum(m * rev_c) AS BIGINT) AS sxy,
+        |         CAST(sum(m * m) AS BIGINT) AS sxx
+        |  FROM monthly GROUP BY 1)
+        |SELECT c_nationkey, n_months,
+        |       round(CAST(n_months * sxy - sx * sy AS DOUBLE) /
+        |             CAST(n_months * sxx - sx * sx AS DOUBLE) / 100.0, 4)
+        |         AS slope_per_month,
+        |       round(CAST(sy AS DOUBLE) / n_months / 100.0, 2)
+        |         AS avg_monthly_rev
+        |FROM mom ORDER BY c_nationkey""".stripMargin
+  )
+}
