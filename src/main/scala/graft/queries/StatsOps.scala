@@ -1,0 +1,249 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Statistical profiling operators: column-dependency (mutual information),
+  * an exact-arithmetic Pearson correlation matrix, Pareto-skyline
+  * extraction, and Zipf's-law fitting over the token distribution.
+  *
+  * Reference analog: all four are aggregate/window compositions of the
+  * reference's relational core (/root/reference/src/execution/aggregate.rs);
+  * the statistics themselves are textbook formulas, re-expressed so every
+  * cross-engine-fragile float path is either integer-exact or confined to
+  * per-row rounded terms.
+  *
+  * Determinism notes: Pearson r comes from EXACT decimal(38,0) moments of
+  * integer-scaled columns (cents / basis points) — sum(BIGINT) would
+  * overflow past ~10¹⁹ at warehouse scale, decimal(38,0) (DuckDB HUGEINT)
+  * does not, and the single final IEEE divide/sqrt is bit-identical.
+  * MI/PMI and the Zipf fit keep libm (log2/ln) inside per-row
+  * round(..., 9) terms, never in ordering keys — the repo-wide rule.
+  */
+object StatsOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // ---- mutual-information dependency profile between two categorical
+    //      columns: per-cell PMI + MI contribution. The joint table is an
+    //      |X|·|Y| census (map-side-combined groupBy), the marginals are
+    //      category-sized broadcasts, the total a 1-row broadcast — no
+    //      shuffle ever carries more than the joint census regardless of
+    //      row count ----
+    "q_mutual_info" -> ((s, d) => {
+      val c = Tables(s, d, "customer")
+        .select(col("c_nationkey").as("x"), col("c_mktsegment").as("y"))
+      val joint = c.groupBy(col("x"), col("y")).agg(count(lit(1)).as("n_xy"))
+      val mx = c.groupBy(col("x")).agg(count(lit(1)).as("n_x"))
+      val my = c.groupBy(col("y")).agg(count(lit(1)).as("n_y"))
+      val tot = c.agg(count(lit(1)).as("n"))
+      joint.join(broadcast(mx), "x").join(broadcast(my), "y")
+        .crossJoin(broadcast(tot))
+        .select(col("x").as("c_nationkey"), col("y").as("c_mktsegment"),
+          col("n_xy"), col("n_x"), col("n_y"),
+          round(expr("log2((cast(n_xy as double) * n) / " +
+            "(cast(n_x as double) * n_y))"), 4).as("pmi_bits"),
+          round(expr("(cast(n_xy as double) / n) * " +
+            "log2((cast(n_xy as double) * n) / (cast(n_x as double) * n_y))"),
+            6).as("mi_contrib_bits"))
+        .orderBy("c_nationkey", "c_mktsegment")
+    }),
+
+    // ---- Pearson correlation matrix over lineitem's numeric columns,
+    //      from exact moments: each column is scaled to an exact integer
+    //      (quantity is whole; price/discount/tax are 2-dp → cents/basis
+    //      points), every Σx, Σx², Σxy accumulates in decimal(38,0)
+    //      (128-bit — sum(BIGINT) overflows at ~10¹² rows × 10⁷ cents),
+    //      and r = (nΣxy−ΣxΣy)/(√(nΣx²−Σx²)·√(nΣy²−Σy²)) evaluates the
+    //      exact integers with one cast + sqrt + divide. ONE map-side-
+    //      combined pass over the table computes all 14 moments ----
+    "q_corr_matrix" -> ((s, d) => {
+      val li = Tables(s, d, "lineitem").select(
+        col("l_quantity").cast("bigint").as("q"),
+        expr("cast(round(l_extendedprice * 100) as bigint)").as("p"),
+        expr("cast(round(l_discount * 100) as bigint)").as("dd"),
+        expr("cast(round(l_tax * 100) as bigint)").as("t"))
+      val cols = Seq("q", "p", "dd", "t")
+      val sums: Seq[Column] =
+        Seq(count(lit(1)).cast("decimal(38,0)").as("n")) ++
+          cols.map(c => sum(col(c).cast("decimal(38,0)")).as(s"s_$c")) ++
+          cols.map(c =>
+            sum(expr(s"cast($c * $c as decimal(38,0))")).as(s"ss_$c")) ++
+          cols.combinations(2).map { case Seq(a, b) =>
+            sum(expr(s"cast($a * $b as decimal(38,0))")).as(s"sp_${a}_$b")
+          }.toSeq
+      val m = li.agg(sums.head, sums.tail: _*)
+      def r(a: String, b: String): Column =
+        round(
+          (col("n") * col(s"sp_${a}_$b") - col(s"s_$a") * col(s"s_$b"))
+            .cast("double") /
+            (sqrt((col("n") * col(s"ss_$a") - col(s"s_$a") * col(s"s_$a"))
+              .cast("double")) *
+              sqrt((col("n") * col(s"ss_$b") - col(s"s_$b") * col(s"s_$b"))
+                .cast("double"))), 4)
+      val names = Map("q" -> "quantity", "p" -> "extendedprice",
+        "dd" -> "discount", "t" -> "tax")
+      m.select(col("n").cast("bigint").as("n_rows"),
+          explode(array(cols.combinations(2).map { case Seq(a, b) =>
+            struct(lit(names(a)).as("x_col"), lit(names(b)).as("y_col"),
+              r(a, b).as("pearson_r"))
+          }.toSeq: _*)).as("c"))
+        .select(col("n_rows"), col("c.x_col"), col("c.y_col"),
+          col("c.pearson_r"))
+        .orderBy("x_col", "y_col")
+    }),
+
+    // ---- Pareto skyline (minimize price, maximize size): the O(n²)
+    //      NOT-EXISTS dominance test replaced by a price-group census +
+    //      one running strict max — a part survives iff it carries its
+    //      price group's max size AND that max strictly beats every
+    //      cheaper group's. The window runs over DISTINCT prices (a
+    //      census, not the table); the verdict joins back on the fine
+    //      (price, size) key. The oracle IS the quadratic dominance
+    //      test, so the census rewrite is proven equivalent ----
+    "q_pareto" -> ((s, d) => {
+      val p = Tables(s, d, "part")
+        .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+      val g = p.groupBy(col("p_retailprice"))
+        .agg(max(col("p_size")).as("gmax"))
+      val w = Window.orderBy(col("p_retailprice"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val sky = g.withColumn("pmax", max(col("gmax")).over(w))
+        .filter(col("pmax").isNull || col("gmax") > col("pmax"))
+        .select(col("p_retailprice").as("sky_price"),
+          col("gmax").as("sky_size"))
+      p.join(sky, col("p_retailprice") === col("sky_price") &&
+          col("p_size") === col("sky_size"))
+        .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+        .orderBy("p_partkey")
+    }),
+
+    // ---- Zipf's-law fit: slope of ln(freq) vs ln(rank) over the top-100
+    //      tokens (≈ −1 for natural text — a corpus-health check). Ranks
+    //      come from a TakeOrdered heap (never a global sort of the vocab);
+    //      ln values are rounded to 9 dp per row on both engines before the
+    //      closed-form least-squares sums, so libm never feeds an unrounded
+    //      cross-engine comparison ----
+    "q_zipf_slope" -> ((s, d) => {
+      val top = Tables(s, d, "documents")
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token").asc).limit(100)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("cnt").desc, col("token").asc)))
+        .select(expr("round(ln(cast(rank as double)), 9)").as("x"),
+          expr("round(ln(cast(cnt as double)), 9)").as("y"))
+      top.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(col("n").as("n_tokens"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")), 4)
+            .as("zipf_slope"),
+          round((col("sy") - (col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx")) /
+            col("n"), 4).as("intercept"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_mutual_info" ->
+      """WITH c AS (SELECT c_nationkey AS x, c_mktsegment AS y FROM customer),
+        |joint AS (SELECT x, y, count(*) AS n_xy FROM c GROUP BY x, y),
+        |mx AS (SELECT x, count(*) AS n_x FROM c GROUP BY x),
+        |my AS (SELECT y, count(*) AS n_y FROM c GROUP BY y),
+        |tot AS (SELECT count(*) AS n FROM c)
+        |SELECT joint.x AS c_nationkey, joint.y AS c_mktsegment,
+        |       n_xy, n_x, n_y,
+        |       round(log2((CAST(n_xy AS DOUBLE) * n) /
+        |                  (CAST(n_x AS DOUBLE) * n_y)), 4) AS pmi_bits,
+        |       round((CAST(n_xy AS DOUBLE) / n) *
+        |             log2((CAST(n_xy AS DOUBLE) * n) /
+        |                  (CAST(n_x AS DOUBLE) * n_y)), 6) AS mi_contrib_bits
+        |FROM joint JOIN mx ON joint.x = mx.x JOIN my ON joint.y = my.y
+        |     CROSS JOIN tot
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+
+    // HUGEINT sums are DuckDB's exact 128-bit twin of decimal(38,0)
+    "q_corr_matrix" ->
+      """WITH li AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS q,
+        |         CAST(round(l_extendedprice * 100) AS BIGINT) AS p,
+        |         CAST(round(l_discount * 100) AS BIGINT) AS dd,
+        |         CAST(round(l_tax * 100) AS BIGINT) AS t
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT CAST(count(*) AS HUGEINT) AS n,
+        |         sum(CAST(q AS HUGEINT)) AS s_q, sum(CAST(p AS HUGEINT)) AS s_p,
+        |         sum(CAST(dd AS HUGEINT)) AS s_dd, sum(CAST(t AS HUGEINT)) AS s_t,
+        |         sum(CAST(q*q AS HUGEINT)) AS ss_q, sum(CAST(p*p AS HUGEINT)) AS ss_p,
+        |         sum(CAST(dd*dd AS HUGEINT)) AS ss_dd, sum(CAST(t*t AS HUGEINT)) AS ss_t,
+        |         sum(CAST(q*p AS HUGEINT)) AS sp_q_p, sum(CAST(q*dd AS HUGEINT)) AS sp_q_dd,
+        |         sum(CAST(q*t AS HUGEINT)) AS sp_q_t, sum(CAST(p*dd AS HUGEINT)) AS sp_p_dd,
+        |         sum(CAST(p*t AS HUGEINT)) AS sp_p_t, sum(CAST(dd*t AS HUGEINT)) AS sp_dd_t
+        |  FROM li),
+        |pairs AS (
+        |  SELECT CAST(n AS BIGINT) AS n_rows, p.x_col, p.y_col,
+        |         round(CAST(n * sxy - sx * sy AS DOUBLE) /
+        |               (sqrt(CAST(n * ssx - sx * sx AS DOUBLE)) *
+        |                sqrt(CAST(n * ssy - sy * sy AS DOUBLE))), 4) AS pearson_r
+        |  FROM m, (VALUES
+        |    ('quantity', 'extendedprice'), ('quantity', 'discount'),
+        |    ('quantity', 'tax'), ('extendedprice', 'discount'),
+        |    ('extendedprice', 'tax'), ('discount', 'tax')) AS p(x_col, y_col),
+        |  LATERAL (SELECT
+        |    CASE p.x_col WHEN 'quantity' THEN s_q WHEN 'extendedprice' THEN s_p
+        |         WHEN 'discount' THEN s_dd ELSE s_t END AS sx,
+        |    CASE p.y_col WHEN 'quantity' THEN s_q WHEN 'extendedprice' THEN s_p
+        |         WHEN 'discount' THEN s_dd ELSE s_t END AS sy,
+        |    CASE p.x_col WHEN 'quantity' THEN ss_q WHEN 'extendedprice' THEN ss_p
+        |         WHEN 'discount' THEN ss_dd ELSE ss_t END AS ssx,
+        |    CASE p.y_col WHEN 'quantity' THEN ss_q WHEN 'extendedprice' THEN ss_p
+        |         WHEN 'discount' THEN ss_dd ELSE ss_t END AS ssy,
+        |    CASE WHEN p.x_col = 'quantity' AND p.y_col = 'extendedprice' THEN sp_q_p
+        |         WHEN p.x_col = 'quantity' AND p.y_col = 'discount' THEN sp_q_dd
+        |         WHEN p.x_col = 'quantity' AND p.y_col = 'tax' THEN sp_q_t
+        |         WHEN p.x_col = 'extendedprice' AND p.y_col = 'discount' THEN sp_p_dd
+        |         WHEN p.x_col = 'extendedprice' AND p.y_col = 'tax' THEN sp_p_t
+        |         ELSE sp_dd_t END AS sxy) AS mm)
+        |SELECT n_rows, x_col, y_col, pearson_r
+        |FROM pairs ORDER BY x_col, y_col""".stripMargin,
+
+    // the oracle IS the O(n²) dominance definition — proving the census
+    // rewrite equivalent
+    "q_pareto" ->
+      """SELECT a.p_partkey, a.p_retailprice, a.p_size
+        |FROM part a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part b
+        |  WHERE b.p_retailprice <= a.p_retailprice
+        |    AND b.p_size >= a.p_size
+        |    AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))
+        |ORDER BY a.p_partkey""".stripMargin,
+
+    "q_zipf_slope" ->
+      """WITH tok AS (
+        |  SELECT t.token, count(*) AS cnt
+        |  FROM documents,
+        |       unnest(regexp_split_to_array(lower(trim(text)), '\s+'))
+        |         AS t(token)
+        |  WHERE t.token <> ''
+        |  GROUP BY t.token ORDER BY cnt DESC, token ASC LIMIT 100),
+        |xy AS (
+        |  SELECT round(ln(CAST(row_number() OVER
+        |           (ORDER BY cnt DESC, token ASC) AS DOUBLE)), 9) AS x,
+        |         round(ln(CAST(cnt AS DOUBLE)), 9) AS y
+        |  FROM tok),
+        |s AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |             sum(x * y) AS sxy, sum(x * x) AS sxx FROM xy)
+        |SELECT n AS n_tokens,
+        |       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4)
+        |         AS zipf_slope,
+        |       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+        |             / n, 4) AS intercept
+        |FROM s""".stripMargin
+  )
+}
