@@ -12,7 +12,8 @@ object SparkEntry {
       DedupOps.queries ++ VectorOps.queries ++ Sessions.queries ++
       MultimodalOps.queries ++ PipelineOps.queries ++ CorpusOps.queries ++
       TemporalOps.queries ++ GraphOps.queries ++ StorageOps.queries ++
-      GeoOps.queries ++ TimeSeriesOps.queries ++ StatsOps.queries
+      GeoOps.queries ++ TimeSeriesOps.queries ++ StatsOps.queries ++
+      BasketOps.queries
   /** Timed by Bench but NOT oracle-verified: production-shape plans whose
     * values are engine-specific (e.g. raw HLL estimates). Each has an
     * oracle-gated twin in [[queries]] carrying the correctness gate. */
@@ -25,5 +26,6 @@ object SparkEntry {
       DedupOps.oracles ++ VectorOps.oracles ++ Sessions.oracles ++
       MultimodalOps.oracles ++ PipelineOps.oracles ++ CorpusOps.oracles ++
       TemporalOps.oracles ++ GraphOps.oracles ++ StorageOps.oracles ++
-      GeoOps.oracles ++ TimeSeriesOps.oracles ++ StatsOps.oracles
+      GeoOps.oracles ++ TimeSeriesOps.oracles ++ StatsOps.oracles ++
+      BasketOps.oracles
 }

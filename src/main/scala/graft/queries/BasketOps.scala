@@ -1,0 +1,174 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Market-basket analysis over the order→part incidence: association
+  * rules (support / confidence / lift) and triangle counting on the
+  * co-purchase graph.
+  *
+  * Reference analog: self-join + aggregate compositions of the reference's
+  * join machinery (/root/reference/src/execution/hashjoin.rs) — the basket
+  * semantics are public association-rule mining (Agrawal et al.) and
+  * triangle enumeration (compact-forward, Latapy).
+  *
+  * Scale notes: the co-purchase pair explosion is bounded per ORDER
+  * (Σ |basket|² over orders, baskets are small and bounded by business
+  * reality, never by corpus size), so the self-join on l_orderkey is a
+  * fine-key shuffle with no hot reducer. Triangle counting orients every
+  * edge from its lower-(degree, id) endpoint — the classic device that
+  * bounds per-vertex out-degree near √|E|, so the wedge join never
+  * explodes on a hub vertex the way the naive id-ordering does.
+  */
+object BasketOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** distinct (order, part) incidence — the shared spine. */
+  private def items(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+
+  /** undirected co-purchase edges (pa < pb) with co-occurrence counts. */
+  private def coEdges(it: DataFrame): DataFrame =
+    it.as("a").join(it.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
+      .agg(count(lit(1)).as("n_ab"))
+
+  val queries: Map[String, Q] = Map(
+    // ---- association rules: for every co-purchased pair seen ≥2 times,
+    //      both directed rules a→b with confidence n_ab/n_a and lift
+    //      n_ab·N/(n_a·n_b). Item supports are a part-sized census joined
+    //      twice (broadcast-able: |parts| ≪ |orders|); the order total is
+    //      a 1-row broadcast. Ranking = top-50 by lift — IEEE division of
+    //      exact integers, bit-identical across engines, so it is safe as
+    //      an ORDERING key (libm never would be) ----
+    "q_copurchase_rules" -> ((s, d) => {
+      val it = items(s, d)
+      val pairs = coEdges(it).filter(col("n_ab") >= 2)
+      val supp = it.groupBy(col("p")).agg(count(lit(1)).as("n_p"))
+      val tot = it.agg(countDistinct(col("o")).as("n_orders"))
+      val directed = pairs.select(col("pa").as("lhs"), col("pb").as("rhs"),
+          col("n_ab"))
+        .unionByName(pairs.select(col("pb").as("lhs"), col("pa").as("rhs"),
+          col("n_ab")))
+      directed
+        .join(broadcast(supp).withColumnRenamed("p", "lhs")
+          .withColumnRenamed("n_p", "n_lhs"), "lhs")
+        .join(broadcast(supp).withColumnRenamed("p", "rhs")
+          .withColumnRenamed("n_p", "n_rhs"), "rhs")
+        .crossJoin(broadcast(tot))
+        .select(col("lhs"), col("rhs"), col("n_ab"), col("n_lhs"),
+          col("n_rhs"),
+          (col("n_ab").cast("double") / col("n_lhs")).as("confidence"),
+          (col("n_ab").cast("double") * col("n_orders") /
+            (col("n_lhs").cast("double") * col("n_rhs"))).as("lift"))
+        .orderBy(col("lift").desc, col("lhs").asc, col("rhs").asc)
+        .limit(50)
+        .select(col("lhs"), col("rhs"), col("n_ab"), col("n_lhs"),
+          col("n_rhs"), round(col("confidence"), 4).as("confidence"),
+          round(col("lift"), 4).as("lift"))
+        // final order on the ROUNDED lift + the unique (lhs, rhs) key:
+        // ordering on the exact lift would let two rounded-equal rows
+        // swap between engines
+        .orderBy(col("lift").desc, col("lhs").asc, col("rhs").asc)
+    }),
+
+    // ---- triangle counting, degree-oriented (compact-forward): every
+    //      undirected edge points from its lower-(deg, id) endpoint, so
+    //      wedges enumerate from low-degree vertices only and each
+    //      triangle materializes exactly once. Two shuffle joins total
+    //      (wedge build + closing-edge probe), both on fine vertex keys.
+    //      The oracle counts the SAME triangles by the naive id-ordered
+    //      definition — proving the orientation rewrite loses nothing ----
+    "q_triangles" -> ((s, d) => {
+      val und = coEdges(items(s, d)).select(col("pa"), col("pb"))
+      val deg = und.select(col("pa").as("v"))
+        .unionByName(und.select(col("pb").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      // orient each edge low → high in the (deg, id) total order
+      val dir = und
+        .join(deg.select(col("v").as("pa"), col("deg").as("da")), "pa")
+        .join(deg.select(col("v").as("pb"), col("deg").as("db")), "pb")
+        .select(
+          when(col("da") < col("db") ||
+            (col("da") === col("db") && col("pa") < col("pb")),
+            struct(col("pa").as("src"), col("pb").as("dst"),
+              col("db").as("ddst")))
+            .otherwise(struct(col("pb").as("src"), col("pa").as("dst"),
+              col("da").as("ddst"))).as("e"))
+        .select(col("e.src"), col("e.dst"), col("e.ddst"))
+      val wedge = dir.as("e1").join(dir.as("e2"),
+          col("e1.src") === col("e2.src") &&
+            (col("e1.ddst") < col("e2.ddst") ||
+              (col("e1.ddst") === col("e2.ddst") &&
+                col("e1.dst") < col("e2.dst"))))
+        .select(col("e1.dst").as("v"), col("e2.dst").as("w"),
+          col("e1.src").as("u"))
+      val tri = wedge.join(dir.as("e3"),
+          col("v") === col("e3.src") && col("w") === col("e3.dst"))
+        .select(col("u"), col("v"), col("w"))
+      val perNode = tri
+        .select(explode(array(col("u"), col("v"), col("w"))).as("part"))
+        .groupBy(col("part")).agg(count(lit(1)).as("n_tri"))
+      val total = tri.agg(count(lit(1)).as("total_triangles"))
+      perNode.crossJoin(broadcast(total))
+        .orderBy(col("n_tri").desc, col("part").asc)
+        .limit(10)
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_copurchase_rules" ->
+      """WITH it AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |pairs AS (
+        |  SELECT a.p AS pa, b.p AS pb, count(*) AS n_ab
+        |  FROM it a JOIN it b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY a.p, b.p HAVING count(*) >= 2),
+        |supp AS (SELECT p, count(*) AS n_p FROM it GROUP BY p),
+        |tot AS (SELECT count(DISTINCT o) AS n_orders FROM it),
+        |directed AS (
+        |  SELECT pa AS lhs, pb AS rhs, n_ab FROM pairs
+        |  UNION ALL
+        |  SELECT pb AS lhs, pa AS rhs, n_ab FROM pairs),
+        |scored AS (
+        |  SELECT lhs, rhs, n_ab, sl.n_p AS n_lhs, sr.n_p AS n_rhs,
+        |         CAST(n_ab AS DOUBLE) / sl.n_p AS confidence,
+        |         CAST(n_ab AS DOUBLE) * n_orders /
+        |           (CAST(sl.n_p AS DOUBLE) * sr.n_p) AS lift
+        |  FROM directed
+        |  JOIN supp sl ON directed.lhs = sl.p
+        |  JOIN supp sr ON directed.rhs = sr.p
+        |  CROSS JOIN tot)
+        |SELECT lhs, rhs, n_ab, n_lhs, n_rhs,
+        |       round(confidence, 4) AS confidence, round(lift, 4) AS lift
+        |FROM (SELECT * FROM scored
+        |      ORDER BY lift DESC, lhs ASC, rhs ASC LIMIT 50)
+        |ORDER BY lift DESC, lhs ASC, rhs ASC""".stripMargin,
+
+    // naive id-ordered triangle definition a<b<c — the orientation-free
+    // ground truth the compact-forward plan must reproduce
+    "q_triangles" ->
+      """WITH it AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (
+        |  SELECT DISTINCT a.p AS pa, b.p AS pb
+        |  FROM it a JOIN it b ON a.o = b.o AND a.p < b.p),
+        |tri AS (
+        |  SELECT e1.pa AS u, e1.pb AS v, e2.pb AS w
+        |  FROM e e1 JOIN e e2 ON e1.pb = e2.pa
+        |       JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb),
+        |pn AS (
+        |  SELECT part, count(*) AS n_tri FROM (
+        |    SELECT u AS part FROM tri
+        |    UNION ALL SELECT v FROM tri
+        |    UNION ALL SELECT w FROM tri)
+        |  GROUP BY part),
+        |tot AS (SELECT count(*) AS total_triangles FROM tri)
+        |SELECT part, n_tri, total_triangles FROM pn CROSS JOIN tot
+        |ORDER BY n_tri DESC, part ASC LIMIT 10""".stripMargin
+  )
+}

@@ -132,7 +132,45 @@ object GraphOps {
         .groupBy(col("anc"))
         .agg(count(lit(1)).as("n_desc"),
           round(sum(col("p_retailprice")), 2).as("subtree_price"))
-        .orderBy("anc"))
+        .orderBy("anc")),
+
+    // ---- multi-hop BFS reachability (min-hop labels) from a seed set
+    //      over the same symmetric part↔supplier graph PageRank walks:
+    //      3 rounds of frontier ⋈ edges + min-hop merge, localCheckpoint
+    //      per round (the PageRank device — without it round k replans
+    //      rounds 1..k−1). Each round is ONE shuffle join on the fine src
+    //      key + one map-side-combined min; the reachable set is output
+    //      as a (hop, kind) census, so the result is census-sized at any
+    //      graph scale ----
+    "q_bfs_hops" -> ((s, d) => {
+      val pairs = Tables(s, d, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      val edges = pairs.select(explode(array(
+          struct((col("l_partkey") * 2).as("src"),
+            (col("l_suppkey") * 2 + 1).as("dst")),
+          struct((col("l_suppkey") * 2 + 1).as("src"),
+            (col("l_partkey") * 2).as("dst")))).as("e"))
+        .select(col("e.src"), col("e.dst")).persist()
+      // seeds: suppliers 1 and 2 (nodes 3 and 5)
+      var reach = edges.select(col("src").as("node")).distinct()
+        .filter(col("node").isin(3L, 5L))
+        .withColumn("hop", lit(0L))
+      for (i <- 1 to 3) {
+        reach = reach
+          .join(edges, col("node") === col("src"))
+          .select(col("dst").as("node"), lit(i.toLong).as("hop"))
+          .unionByName(reach)
+          .groupBy(col("node")).agg(min(col("hop")).as("hop"))
+          .localCheckpoint()
+      }
+      reach
+        .groupBy(col("hop"),
+          when(col("node") % 2 === 0, lit("part")).otherwise(lit("supplier"))
+            .as("kind"))
+        .agg(count(lit(1)).as("n_nodes"), min(col("node")).as("min_node"),
+          max(col("node")).as("max_node"))
+        .orderBy("hop", "kind")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -195,6 +233,41 @@ object GraphOps {
         |       unnest(range(1, length(CAST(p_partkey AS VARCHAR)) + 1)) AS r(i))
         |SELECT anc, count(*) AS n_desc,
         |       round(sum(p_retailprice), 2) AS subtree_price
-        |FROM a WHERE anc < 100 GROUP BY anc ORDER BY anc""".stripMargin
+        |FROM a WHERE anc < 100 GROUP BY anc ORDER BY anc""".stripMargin,
+
+    // same recurrence unrolled as min-hop CTE rounds
+    "q_bfs_hops" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        |e AS (
+        |  SELECT l_partkey*2 AS src, l_suppkey*2+1 AS dst FROM pairs
+        |  UNION ALL
+        |  SELECT l_suppkey*2+1 AS src, l_partkey*2 AS dst FROM pairs),
+        |r0 AS (
+        |  SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS hop FROM e
+        |  WHERE src IN (3, 5)),
+        |r1 AS (
+        |  SELECT node, min(hop) AS hop FROM (
+        |    SELECT e.dst AS node, CAST(1 AS BIGINT) AS hop
+        |    FROM e JOIN r0 ON e.src = r0.node
+        |    UNION ALL SELECT node, hop FROM r0)
+        |  GROUP BY node),
+        |r2 AS (
+        |  SELECT node, min(hop) AS hop FROM (
+        |    SELECT e.dst AS node, CAST(2 AS BIGINT) AS hop
+        |    FROM e JOIN r1 ON e.src = r1.node
+        |    UNION ALL SELECT node, hop FROM r1)
+        |  GROUP BY node),
+        |r3 AS (
+        |  SELECT node, min(hop) AS hop FROM (
+        |    SELECT e.dst AS node, CAST(3 AS BIGINT) AS hop
+        |    FROM e JOIN r2 ON e.src = r2.node
+        |    UNION ALL SELECT node, hop FROM r2)
+        |  GROUP BY node)
+        |SELECT hop,
+        |       CASE WHEN node % 2 = 0 THEN 'part' ELSE 'supplier' END AS kind,
+        |       count(*) AS n_nodes, min(node) AS min_node,
+        |       max(node) AS max_node
+        |FROM r3 GROUP BY hop, kind ORDER BY hop, kind""".stripMargin
   )
 }
