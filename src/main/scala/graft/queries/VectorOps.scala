@@ -300,6 +300,66 @@ object VectorOps {
         .filter(col("rk") <= 3)
         .select(col("probe_id"), col("rk"), col("neighbor_id"), col("cos"))
         .orderBy("probe_id", "rk")
+    }),
+
+    // ---- hybrid retrieval via reciprocal-rank fusion (RRF, k=60): the
+    //      lexical ranking (BM25 over the query terms) and the semantic
+    //      ranking (exact cosine against the query embedding, doc 0's
+    //      vector — vec_id is doc-aligned) fuse as Σ 1/(60+rank) over a
+    //      full-outer join of the two top-20 lists. Both lists rank on
+    //      ROUNDED scores with unique doc tie-breaks, and the RRF score
+    //      is a sum of two IEEE divisions of exact small integers —
+    //      bit-identical across engines, safe as the ordering key. Each
+    //      leg is census/top-k-sized; the fusion join touches ≤40 rows
+    //      regardless of corpus size ----
+    "q_rank_fusion" -> ((s, d) => {
+      val terms = Seq("spark", "join", "vector")
+      val tok = Tables(s, d, "documents")
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"),
+          split(lower(trim(col("text"))), "\\s+").as("w"))
+      val dl = tok.select(col("doc_id"), size(col("w")).as("dl"))
+      val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+        avg(col("dl")).as("avgdl"))
+      val tf = tok.select(col("doc_id"), explode(col("w")).as("t"))
+        .filter(col("t").isin(terms: _*))
+        .groupBy(col("doc_id"), col("t"))
+        .agg(count(lit(1)).cast("double").as("tf"))
+      val df = tf.groupBy(col("t"))
+        .agg(countDistinct(col("doc_id")).cast("double").as("df"))
+      val bm25 = tf.join(broadcast(df), "t").join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("idf",
+          log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+        .withColumn("contrib",
+          col("idf") * col("tf") * 2.2 /
+            (col("tf") + (lit(0.25) + col("dl") * 0.75 / col("avgdl")) * 1.2))
+        .groupBy(col("doc_id"))
+        .agg(round(sum(col("contrib")), 4).as("bm25"))
+      val lex = bm25
+        .withColumn("rank_lex", row_number().over(
+          Window.orderBy(col("bm25").desc, col("doc_id").asc)))
+        .filter(col("rank_lex") <= 20).select(col("doc_id"), col("rank_lex"))
+      val probe = emb(s, d).filter(col("vec_id") === 0)
+        .select(col("embedding").as("probe_emb"))
+      val sem = emb(s, d).filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(probe))
+        .select(col("vec_id").as("doc_id"),
+          round(VectorExprs.cosine(col("probe_emb"), col("embedding")), 6)
+            .as("cos"))
+        .withColumn("rank_sem", row_number().over(
+          Window.orderBy(col("cos").desc, col("doc_id").asc)))
+        .filter(col("rank_sem") <= 20).select(col("doc_id"), col("rank_sem"))
+      lex.join(sem, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"), col("rank_lex"), col("rank_sem"),
+          (coalesce(lit(1.0) / (lit(60) + col("rank_lex")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("rank_sem")), lit(0.0)))
+            .as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id").asc)
+        .limit(10)
+        .select(col("doc_id"), col("rank_lex"), col("rank_sem"),
+          round(col("rrf"), 6).as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id").asc)
     })
   )
 
@@ -578,7 +638,55 @@ object VectorOps {
          |r2 AS (SELECT *, row_number() OVER (PARTITION BY probe_id
          |              ORDER BY cos DESC, neighbor_id ASC) AS rk FROM rr)
          |SELECT probe_id, rk, neighbor_id, cos FROM r2
-         |WHERE rk <= 3 ORDER BY probe_id, rk""".stripMargin
+         |WHERE rk <= 3 ORDER BY probe_id, rk""".stripMargin,
+
+    // DuckDB log() is log10 — ln() here, matching Spark's natural log
+    "q_rank_fusion" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+         |  FROM documents WHERE length(trim(text)) > 0),
+         |dl AS (SELECT doc_id, len(w) AS dl FROM tok),
+         |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         |                 avg(dl) AS avgdl FROM dl),
+         |tf AS (
+         |  SELECT doc_id, t, CAST(count(*) AS DOUBLE) AS tf
+         |  FROM (SELECT doc_id, unnest(w) AS t FROM tok)
+         |  WHERE t IN ('spark', 'join', 'vector')
+         |  GROUP BY doc_id, t),
+         |df AS (SELECT t, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+         |       FROM tf GROUP BY t),
+         |bm AS (
+         |  SELECT tf.doc_id AS doc_id,
+         |         round(sum(
+         |           ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * tf * 2.2 /
+         |           (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS bm25
+         |  FROM tf JOIN df ON tf.t = df.t
+         |       JOIN dl ON tf.doc_id = dl.doc_id
+         |       CROSS JOIN stats
+         |  GROUP BY tf.doc_id),
+         |lex AS (
+         |  SELECT doc_id, rank_lex FROM (
+         |    SELECT doc_id, row_number() OVER
+         |      (ORDER BY bm25 DESC, doc_id ASC) AS rank_lex FROM bm)
+         |  WHERE rank_lex <= 20),
+         |sem AS (
+         |  SELECT doc_id, rank_sem FROM (
+         |    SELECT b.vec_id AS doc_id, row_number() OVER
+         |      (ORDER BY round($cosAB, 6) DESC, b.vec_id ASC) AS rank_sem
+         |    FROM embeddings a, embeddings b
+         |    WHERE a.vec_id = 0 AND b.vec_id <> 0)
+         |  WHERE rank_sem <= 20),
+         |fused AS (
+         |  SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+         |         rank_lex, rank_sem,
+         |         coalesce(CAST(1 AS DOUBLE) / (60 + rank_lex),
+         |                  CAST(0 AS DOUBLE)) +
+         |         coalesce(CAST(1 AS DOUBLE) / (60 + rank_sem),
+         |                  CAST(0 AS DOUBLE)) AS rrf
+         |  FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id)
+         |SELECT doc_id, rank_lex, rank_sem, round(rrf, 6) AS rrf
+         |FROM (SELECT * FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT 10)
+         |ORDER BY rrf DESC, doc_id ASC""".stripMargin
   )
 
   /** Shared DuckDB CTE chain replicating [[adcDistances]] + the ranked `r`
