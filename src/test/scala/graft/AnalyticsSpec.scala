@@ -1,0 +1,170 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavior invariants for the round-6 analytics additions (TimeSeriesOps /
+  * StatsOps / BasketOps / the GraphOps BFS / rank fusion) — each query is
+  * value-exact vs the DuckDB oracle; these assert the properties the oracle
+  * can't see: conservation laws, dominance completeness, independent
+  * brute-force recall, and agreement with Spark's own statistical
+  * aggregates.
+  */
+class AnalyticsSpec extends AnyFunSuite with SparkSpec {
+
+  test("concurrency histogram conserves total session-seconds") {
+    // ∫ concurrency dt must equal Σ session durations — the sweep line
+    // can neither create nor destroy active time
+    val sessSeconds = q("q_sessionize").collect()
+      .map(r => r.getAs[Long]("end_s") - r.getAs[Long]("start_s") + 1).sum
+    val histSeconds = q("q_max_concurrency").collect()
+      .map(r => r.getAs[Long]("level") * r.getAs[Long]("seconds")).sum
+    assert(histSeconds == sessSeconds, s"hist=$histSeconds sess=$sessSeconds")
+    assert(sessSeconds > 0, "degenerate fixture: no sessions")
+  }
+
+  test("exact-moment Pearson r agrees with Spark's corr() (scale-invariant)") {
+    // correlation is affine-invariant, so corr() on the RAW columns must
+    // match the cents/basis-point integer-moment computation to rounding
+    val builtin = Tables(spark, sf, "lineitem")
+      .agg(corr(col("l_quantity"), col("l_extendedprice")).as("r"))
+      .collect()(0).getAs[Double]("r")
+    val exact = q("q_corr_matrix").collect()
+      .find(r => r.getAs[String]("x_col") == "quantity" &&
+        r.getAs[String]("y_col") == "extendedprice").get
+      .getAs[Double]("pearson_r")
+    assert(math.abs(builtin - exact) < 2e-4, s"builtin=$builtin exact=$exact")
+  }
+
+  test("closed-form trend slope agrees with Spark's regr_slope") {
+    val monthly = Tables(spark, sf, "orders")
+      .join(Tables(spark, sf, "customer"), col("o_custkey") === col("c_custkey"))
+      .select(col("c_nationkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("m"),
+        col("o_totalprice"))
+      .groupBy(col("c_nationkey"), col("m"))
+      .agg(round(sum(col("o_totalprice")), 2).as("rev"))
+      .groupBy(col("c_nationkey"))
+      .agg(expr("regr_slope(rev, m)").as("slope"))
+      .collect().map(r => r.getAs[Int]("c_nationkey") ->
+        r.getAs[Double]("slope")).toMap
+    val ours = q("q_trend").collect()
+    assert(ours.nonEmpty)
+    ours.foreach { r =>
+      val lib = monthly(r.getAs[Int]("c_nationkey"))
+      val got = r.getAs[Double]("slope_per_month")
+      assert(math.abs(lib - got) < math.max(1e-3, math.abs(lib) * 1e-6),
+        s"nation ${r.get(0)}: regr_slope=$lib exact=$got")
+    }
+  }
+
+  test("degree-oriented triangle count equals Scala brute force") {
+    // independent third engine: materialize the co-purchase edge set and
+    // count triangles by adjacency-set intersection on the driver
+    val it = Tables(spark, sf, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val edges = it.as("a").join(it.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("pa"), col("b.p").as("pb")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val brute = edges.map { case (a, b) =>
+      (adj(a) & adj(b)).count(c => c > b)
+    }.sum
+    val reported = q("q_triangles").collect()
+    if (brute == 0) assert(reported.isEmpty)
+    else {
+      assert(reported.nonEmpty)
+      assert(reported.head.getAs[Long]("total_triangles") == brute,
+        s"reported=${reported.head.getAs[Long]("total_triangles")} brute=$brute")
+    }
+  }
+
+  test("BFS hops alternate bipartite sides from the supplier seeds") {
+    // part↔supplier edges only cross sides: odd hops land on parts, even
+    // hops on suppliers — the graph-parity invariant
+    val rows = q("q_bfs_hops").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (hop, kind) = (r.getAs[Long]("hop"), r.getAs[String]("kind"))
+      val expected = if (hop % 2 == 1) "part" else "supplier"
+      assert(kind == expected, s"hop $hop reached a $kind")
+    }
+    // min-hop labels: some node must exist at every hop ≤ the last one
+    val hops = rows.map(_.getAs[Long]("hop")).distinct.sorted.toList
+    assert(hops == (hops.min to hops.max).toList,
+      s"gap in hop levels $hops")
+  }
+
+  test("skyline is a strict staircase and dominates every other part") {
+    val sky = q("q_pareto").collect()
+      .map(r => (r.getAs[Double]("p_retailprice"), r.getAs[Int]("p_size")))
+    assert(sky.nonEmpty)
+    // minimize price / maximize size: along ascending price the skyline's
+    // sizes must strictly ASCEND — more money only buys strictly more size
+    val byPrice = sky.sortBy(_._1)
+    byPrice.sliding(2).foreach {
+      case Array((p1, s1), (p2, s2)) if p1 < p2 =>
+        assert(s2 > s1, s"staircase violated: ($p1,$s1) then ($p2,$s2)")
+      case _ => ()
+    }
+    // completeness: every part is on the skyline or dominated by a member
+    val all = Tables(spark, sf, "part")
+      .select(col("p_retailprice"), col("p_size")).collect()
+      .map(r => (r.getDouble(0), r.getInt(1)))
+    val skySet = sky.toSet
+    all.filterNot(skySet.contains).foreach { case (p, s) =>
+      assert(sky.exists { case (sp, ss) =>
+        sp <= p && ss >= s && (sp < p || ss > s)
+      }, s"($p,$s) is neither skyline nor dominated")
+    }
+  }
+
+  test("mutual information is non-negative and cells conserve the census") {
+    val rows = q("q_mutual_info").collect()
+    val mi = rows.map(_.getAs[Double]("mi_contrib_bits")).sum
+    assert(mi >= -1e-9, s"MI must be ≥ 0, got $mi")
+    val total = rows.map(_.getAs[Long]("n_xy")).sum
+    val nCust = Tables(spark, sf, "customer").count()
+    assert(total == nCust, s"cells sum to $total, table has $nCust")
+  }
+
+  test("resample grid tiles users × days exactly once, fill never regresses") {
+    val rows = q("q_resample_ffill").collect()
+    val users = rows.map(_.getAs[Long]("user_id")).distinct
+    val days = rows.map(_.getAs[Long]("day")).distinct
+    assert(rows.length == users.length * days.length, "grid not a full tiling")
+    assert(rows.map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("day")))
+      .distinct.length == rows.length, "duplicate grid cell")
+    // once observed, the carried value must never become null again
+    rows.groupBy(_.getAs[Long]("user_id")).foreach { case (u, rs) =>
+      val vals = rs.sortBy(_.getAs[Long]("day")).map(r =>
+        Option(r.getAs[java.lang.Double]("val_ffill")))
+      val firstSome = vals.indexWhere(_.isDefined)
+      if (firstSome >= 0)
+        assert(vals.drop(firstSome).forall(_.isDefined),
+          s"user $u: fill regressed to null")
+    }
+  }
+
+  test("rank fusion rewards presence in both lists") {
+    val rows = q("q_rank_fusion").collect()
+    assert(rows.nonEmpty)
+    // rrf recomputes from the ranks (null leg contributes nothing)
+    rows.foreach { r =>
+      val rl = Option(r.getAs[java.lang.Integer]("rank_lex"))
+        .map(x => 1.0 / (60 + x.toInt)).getOrElse(0.0)
+      val rs = Option(r.getAs[java.lang.Integer]("rank_sem"))
+        .map(x => 1.0 / (60 + x.toInt)).getOrElse(0.0)
+      assert(math.abs(r.getAs[Double]("rrf") - (rl + rs)) < 1e-5)
+    }
+    // any doc holding BOTH leg ranks ≤ k beats any doc with one leg worse
+    val both = rows.filter(r => r.get(1) != null && r.get(2) != null)
+    val single = rows.filter(r => r.get(1) == null || r.get(2) == null)
+    if (both.nonEmpty && single.nonEmpty)
+      assert(both.map(_.getAs[Double]("rrf")).min >
+        single.map(_.getAs[Double]("rrf")).max - 1e-12,
+        "a single-list doc outranked every both-list doc")
+  }
+}
