@@ -46,7 +46,10 @@ object BasketOps {
     //      exact integers, bit-identical across engines, so it is safe as
     //      an ORDERING key (libm never would be) ----
     "q_copurchase_rules" -> ((s, d) => {
-      val it = items(s, d)
+      // the incidence feeds both sides of the pair self-join plus the
+      // support census — without persist each reference re-runs the
+      // lineitem scan + distinct
+      val it = items(s, d).persist()
       val pairs = coEdges(it).filter(col("n_ab") >= 2)
       val supp = it.groupBy(col("p")).agg(count(lit(1)).as("n_p"))
       val tot = it.agg(countDistinct(col("o")).as("n_orders"))
@@ -84,7 +87,12 @@ object BasketOps {
     //      The oracle counts the SAME triangles by the naive id-ordered
     //      definition — proving the orientation rewrite loses nothing ----
     "q_triangles" -> ((s, d) => {
-      val und = coEdges(items(s, d)).select(col("pa"), col("pb"))
+      // und feeds the degree census AND the orientation join; dir plays
+      // THREE roles (wedge e1/e2, closing-edge e3). Unpersisted, Spark
+      // re-derives the whole basket self-join under every role — measured
+      // 4× the work at sf0.1; both frames are edge-sized, cache-safe
+      val und = coEdges(items(s, d).persist())
+        .select(col("pa"), col("pb")).persist()
       val deg = und.select(col("pa").as("v"))
         .unionByName(und.select(col("pb").as("v")))
         .groupBy(col("v")).agg(count(lit(1)).as("deg"))
@@ -100,6 +108,7 @@ object BasketOps {
             .otherwise(struct(col("pb").as("src"), col("pa").as("dst"),
               col("da").as("ddst"))).as("e"))
         .select(col("e.src"), col("e.dst"), col("e.ddst"))
+        .persist()
       val wedge = dir.as("e1").join(dir.as("e2"),
           col("e1.src") === col("e2.src") &&
             (col("e1.ddst") < col("e2.ddst") ||
@@ -107,8 +116,15 @@ object BasketOps {
                 col("e1.dst") < col("e2.dst"))))
         .select(col("e1.dst").as("v"), col("e2.dst").as("w"),
           col("e1.src").as("u"))
-      val tri = wedge.join(dir.as("e3"),
-          col("v") === col("e3.src") && col("w") === col("e3.dst"))
+      // the wedge stream is the big intermediate (Σ outdeg² ≫ |E|) — it
+      // must NEVER hit an exchange. Broadcasting the 2-column closing-edge
+      // set keeps wedges pipelined from the self-join straight into the
+      // probe + partial agg; past broadcastable |E|, flip to a shuffle
+      // join on (v, w) — the wedge side then pays one exchange
+      val tri = wedge.join(
+          broadcast(dir.select(col("src").as("c_src"),
+            col("dst").as("c_dst"))),
+          col("v") === col("c_src") && col("w") === col("c_dst"))
         .select(col("u"), col("v"), col("w"))
       val perNode = tri
         .select(explode(array(col("u"), col("v"), col("w"))).as("part"))
