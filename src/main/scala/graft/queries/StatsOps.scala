@@ -120,6 +120,40 @@ object StatsOps {
         .orderBy("p_partkey")
     }),
 
+    // ---- two-sample Kolmogorov–Smirnov statistic (click vs view value
+    //      distributions): D = max |F₁(v) − F₂(v)|. Both empirical CDFs
+    //      come from ONE pivoted value census (per-value conditional
+    //      counts, map-side combined) + one running sum over distinct
+    //      values — the window walks the value CENSUS, never the rows.
+    //      Every CDF step is an IEEE division of exact integers, so the
+    //      max and its argmax (min value tie-break) are deterministic ----
+    "q_ks_test" -> ((s, d) => {
+      val e = Tables(s, d, "events")
+        .filter(col("event_type").isin("click", "view"))
+        .select(col("event_type"), col("value"))
+      val census = e.groupBy(col("value"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("c1"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L))
+            .as("c2"))
+      val tot = e.agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n1"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("n2"))
+      val wc = Window.orderBy(col("value"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      census.crossJoin(broadcast(tot))
+        .select(col("value"), col("n1"), col("n2"),
+          sum(col("c1")).over(wc).as("f1"), sum(col("c2")).over(wc).as("f2"))
+        .select(col("value"), col("n1"), col("n2"),
+          abs(col("f1").cast("double") / col("n1") -
+            col("f2").cast("double") / col("n2")).as("gap"))
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("gap").desc, col("value").asc)))
+        .filter(col("rn") === 1)
+        .select(col("n1"), col("n2"), round(col("gap"), 6).as("ks_d"),
+          col("value").as("at_value"))
+    }),
+
     // ---- Zipf's-law fit: slope of ln(freq) vs ln(rank) over the top-100
     //      tokens (≈ −1 for natural text — a corpus-health check). Ranks
     //      come from a TakeOrdered heap (never a global sort of the vocab);
@@ -223,6 +257,40 @@ object StatsOps {
         |    AND b.p_size >= a.p_size
         |    AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))
         |ORDER BY a.p_partkey""".stripMargin,
+
+    "q_ks_test" ->
+      """WITH e AS (
+        |  SELECT event_type, value FROM events
+        |  WHERE event_type IN ('click', 'view')),
+        |census AS (
+        |  SELECT value,
+        |         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS c1,
+        |         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS c2
+        |  FROM e GROUP BY value),
+        |tot AS (
+        |  SELECT CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS n1,
+        |         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS n2
+        |  FROM e),
+        |cdf AS (
+        |  SELECT value, n1, n2,
+        |         CAST(sum(c1) OVER w AS BIGINT) AS f1,
+        |         CAST(sum(c2) OVER w AS BIGINT) AS f2
+        |  FROM census CROSS JOIN tot
+        |  WINDOW w AS (ORDER BY value
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |gaps AS (
+        |  SELECT value, n1, n2,
+        |         abs(CAST(f1 AS DOUBLE) / n1 - CAST(f2 AS DOUBLE) / n2)
+        |           AS gap
+        |  FROM cdf)
+        |SELECT n1, n2, round(gap, 6) AS ks_d, value AS at_value
+        |FROM (SELECT *, row_number() OVER
+        |        (ORDER BY gap DESC, value ASC) AS rn FROM gaps)
+        |WHERE rn = 1""".stripMargin,
 
     "q_zipf_slope" ->
       """WITH tok AS (

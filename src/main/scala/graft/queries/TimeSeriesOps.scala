@@ -89,6 +89,36 @@ object TimeSeriesOps {
         .orderBy("event_type", "day")
     }),
 
+    // ---- rolling anomaly flags: a day is anomalous when its event count
+    //      exceeds mean + 3σ of the trailing 7-day window. Both moments
+    //      come from EXACT integer window sums (Σn, Σn² — counts are
+    //      small, squares stay far inside int64), so mean/σ are single
+    //      IEEE divisions/sqrt of exact integers and the 3σ comparison is
+    //      deterministic across engines — no streaming-variance formula
+    //      parity risk. Windows with <4 prior days are warmup, not
+    //      verdicts ----
+    "q_rolling_anomaly" -> ((s, d) => {
+      val daily = ev(s, d).groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rangeBetween(-6, Window.currentRow)
+      daily.select(col("event_type"), col("day"), col("n"),
+          sum(col("n")).over(w).as("sn"),
+          sum(col("n") * col("n")).over(w).as("snn"),
+          count(lit(1)).over(w).as("k"))
+        .filter(col("k") >= 4)
+        .select(col("event_type"), col("day"), col("n"),
+          (col("sn").cast("double") / col("k")).as("mean7"),
+          sqrt((col("k") * col("snn") - col("sn") * col("sn"))
+            .cast("double") / (col("k") * col("k")).cast("double"))
+            .as("sd7"))
+        .select(col("event_type"), col("day"), col("n"),
+          round(col("mean7"), 4).as("mean7"), round(col("sd7"), 4).as("sd7"),
+          (col("n") > col("mean7") + lit(3.0) * col("sd7")).cast("int")
+            .as("is_anomaly"))
+        .orderBy("event_type", "day")
+    }),
+
     // ---- duration-weighted concurrency histogram (the SRE load metric):
     //      sessions (q_sessionize's 30-min-gap construction) become a
     //      sweep line of +1/−1 deltas, COLLAPSED to one net-delta row per
@@ -204,6 +234,34 @@ object TimeSeriesOps {
         |WINDOW w AS (PARTITION BY event_type ORDER BY day
         |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
         |ORDER BY event_type, day""".stripMargin,
+
+    // the 3σ comparison runs on the UNROUNDED moments (the output rounds
+    // for display only), mirroring the Spark column shadowing exactly
+    "q_rolling_anomaly" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |         count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |win AS (
+        |  SELECT event_type, day, n,
+        |         CAST(sum(n) OVER w AS BIGINT) AS sn,
+        |         CAST(sum(n * n) OVER w AS BIGINT) AS snn,
+        |         count(*) OVER w AS k
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)),
+        |mom AS (
+        |  SELECT event_type, day, n,
+        |         CAST(sn AS DOUBLE) / k AS mean7,
+        |         sqrt(CAST(k * snn - sn * sn AS DOUBLE) /
+        |              CAST(k * k AS DOUBLE)) AS sd7
+        |  FROM win WHERE k >= 4)
+        |SELECT event_type, day, n,
+        |       round(mean7, 4) AS mean7, round(sd7, 4) AS sd7,
+        |       CASE WHEN n > mean7 + 3.0 * sd7 THEN 1 ELSE 0 END
+        |         AS is_anomaly
+        |FROM mom ORDER BY event_type, day""".stripMargin,
 
     "q_max_concurrency" ->
       """WITH e AS (
