@@ -156,6 +156,90 @@ object TimeSeriesOps {
         .orderBy("level")
     }),
 
+    // ---- event-type Markov chain: transition matrix P(next | current)
+    //      from per-user lead() pairs (ONE user-ordered window, the
+    //      q_event_sequences device), plus a 3-step power-iteration
+    //      stationary estimate. The matrix is a |types|² census; every
+    //      iteration is a census-sized join + map-side-combined sum with
+    //      9-dp rounding (the PageRank drift reset). Output rows are
+    //      (from, to) cells with the transition probability (IEEE
+    //      division of exact counts) and the from-state's π₃ ----
+    "q_markov_chain" -> ((s, d) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("secs").asc, col("event_id").asc)
+      val steps = ev(s, d)
+        .withColumn("next_type", lead(col("event_type"), 1).over(byUser))
+        .filter(col("next_type").isNotNull)
+      val cells = steps.groupBy(col("event_type").as("from_type"),
+          col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n_ab"))
+      val fromTot = cells.groupBy(col("from_type"))
+        .agg(sum(col("n_ab")).as("n_a"))
+      val p = cells.join(broadcast(fromTot), "from_type")
+        .select(col("from_type"), col("to_type"), col("n_ab"),
+          (col("n_ab").cast("double") / col("n_a")).as("p"))
+        .persist()
+      // state count rides as a 1-row broadcast — no driver-side action
+      // blocks the benched plan (the PageRank nRow device)
+      val nRow = p.select(col("from_type")).distinct()
+        .agg(count(lit(1)).as("ns"))
+      var pi = p.select(col("from_type").as("st")).distinct()
+        .crossJoin(broadcast(nRow))
+        .select(col("st"), (lit(1.0) / col("ns").cast("double")).as("pi"))
+      for (_ <- 1 to 3) {
+        pi = p.join(pi, col("from_type") === col("st"))
+          .groupBy(col("to_type"))
+          .agg(round(sum(col("pi") * col("p")), 9).as("pi"))
+          .select(col("to_type").as("st"), col("pi"))
+          .localCheckpoint()
+      }
+      p.join(broadcast(pi), col("from_type") === col("st"))
+        .select(col("from_type"), col("to_type"), col("n_ab"),
+          round(col("p"), 6).as("p_trans"), col("pi").as("pi_from"))
+        .orderBy("from_type", "to_type")
+    }),
+
+    // ---- bootstrap confidence interval for the mean purchase value,
+    //      WITHOUT resampling data movement: each row generates its own
+    //      Poisson(1) weight per replicate from the shared deterministic
+    //      LCG (inverse-CDF over hard-coded 9-dp thresholds — pure
+    //      branches on an IEEE division, bit-identical everywhere), so
+    //      the B=50 replicates are a ×B map-side explode + one census
+    //      agg; the CI picks DISCRETE order statistics of the rounded
+    //      replicate means (no interpolation parity risk) ----
+    "q_bootstrap_ci" -> ((s, d) => {
+      val P = 2147483647L
+      val purch = Tables(s, d, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("value"))
+      val rep = purch
+        .select(col("event_id"), col("value"),
+          explode(sequence(lit(0L), lit(49L))).as("b"))
+        .withColumn("u",
+          pmod(pmod(col("event_id") * 50L + col("b"), lit(P)) *
+            1103515245L + 12345L, lit(P)).cast("double") / P.toDouble)
+        .withColumn("w",
+          when(col("u") < 0.367879441, 0L)
+            .when(col("u") < 0.735758882, 1L)
+            .when(col("u") < 0.919698603, 2L)
+            .when(col("u") < 0.980851198, 3L)
+            .when(col("u") < 0.996194998, 4L).otherwise(5L))
+      val means = rep.groupBy(col("b"))
+        .agg(round(sum(col("w") * col("value")) / sum(col("w")), 6)
+          .as("mean_b"))
+      val ranked = means.withColumn("rk", row_number().over(
+        Window.orderBy(col("mean_b").asc, col("b").asc)))
+      val full = purch.agg(count(lit(1)).as("n"),
+        round(avg(col("value")), 4).as("mean_full"))
+      full.crossJoin(broadcast(
+          ranked.filter(col("rk") === 2)
+            .select(col("mean_b").as("ci_lo"))))
+        .crossJoin(broadcast(
+          ranked.filter(col("rk") === 49)
+            .select(col("mean_b").as("ci_hi"))))
+        .select(col("n"), col("mean_full"), col("ci_lo"), col("ci_hi"))
+    }),
+
     // ---- per-nation monthly revenue trend: closed-form least squares
     //      from EXACT integer moments. x = months-since-year-0 (integer),
     //      y = monthly revenue in cents (BIGINT after one 2-dp rounding);
@@ -296,6 +380,78 @@ object TimeSeriesOps {
         |       count(*) AS n_intervals
         |FROM lvl WHERE dur IS NOT NULL
         |GROUP BY level ORDER BY level""".stripMargin,
+
+    "q_markov_chain" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS secs
+        |  FROM events),
+        |steps AS (
+        |  SELECT event_type AS from_type,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY secs ASC, event_id ASC) AS to_type
+        |  FROM e),
+        |cells AS (
+        |  SELECT from_type, to_type, count(*) AS n_ab FROM steps
+        |  WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |ft AS (SELECT from_type, CAST(sum(n_ab) AS BIGINT) AS n_a
+        |       FROM cells GROUP BY 1),
+        |p AS (
+        |  SELECT cells.from_type, to_type, n_ab,
+        |         CAST(n_ab AS DOUBLE) / n_a AS p
+        |  FROM cells JOIN ft ON cells.from_type = ft.from_type),
+        |ns AS (SELECT count(DISTINCT from_type) AS ns FROM p),
+        |pi0 AS (SELECT DISTINCT from_type AS st,
+        |               CAST(1.0 AS DOUBLE) / (SELECT ns FROM ns) AS pi
+        |        FROM p),
+        |pi1 AS (SELECT to_type AS st, round(sum(pi * p), 9) AS pi
+        |        FROM p JOIN pi0 ON p.from_type = pi0.st GROUP BY to_type),
+        |pi2 AS (SELECT to_type AS st, round(sum(pi * p), 9) AS pi
+        |        FROM p JOIN pi1 ON p.from_type = pi1.st GROUP BY to_type),
+        |pi3 AS (SELECT to_type AS st, round(sum(pi * p), 9) AS pi
+        |        FROM p JOIN pi2 ON p.from_type = pi2.st GROUP BY to_type)
+        |SELECT p.from_type AS from_type, p.to_type AS to_type, n_ab,
+        |       round(p, 6) AS p_trans, pi AS pi_from
+        |FROM p JOIN pi3 ON p.from_type = pi3.st
+        |ORDER BY from_type, to_type""".stripMargin,
+
+    // identical LCG + inverse-CDF thresholds; CI = discrete order
+    // statistics (ranks 2 and 49 of 50) of the 6-dp-rounded means
+    "q_bootstrap_ci" ->
+      """WITH purch AS (
+        |  SELECT event_id, value FROM events
+        |  WHERE event_type = 'purchase'),
+        |rep AS (
+        |  SELECT event_id, value, unnest(range(0, 50)) AS b FROM purch),
+        |uw AS (
+        |  SELECT value, b,
+        |         CAST(((event_id * 50 + b) % 2147483647) * 1103515245
+        |              + 12345 AS BIGINT) % 2147483647 AS lcg
+        |  FROM rep),
+        |w AS (
+        |  SELECT value, b,
+        |         CASE WHEN u < 0.367879441 THEN 0
+        |              WHEN u < 0.735758882 THEN 1
+        |              WHEN u < 0.919698603 THEN 2
+        |              WHEN u < 0.980851198 THEN 3
+        |              WHEN u < 0.996194998 THEN 4
+        |              ELSE 5 END AS w
+        |  FROM (SELECT value, b,
+        |          CAST(lcg AS DOUBLE) / CAST(2147483647 AS DOUBLE) AS u
+        |        FROM uw)),
+        |means AS (
+        |  SELECT b, round(sum(w * value) / sum(w), 6) AS mean_b
+        |  FROM w GROUP BY b),
+        |ranked AS (
+        |  SELECT mean_b, row_number() OVER
+        |    (ORDER BY mean_b ASC, b ASC) AS rk FROM means),
+        |whole AS (
+        |  SELECT count(*) AS n, round(avg(value), 4) AS mean_full
+        |  FROM purch)
+        |SELECT n, mean_full,
+        |       (SELECT mean_b FROM ranked WHERE rk = 2) AS ci_lo,
+        |       (SELECT mean_b FROM ranked WHERE rk = 49) AS ci_hi
+        |FROM whole""".stripMargin,
 
     "q_trend" ->
       """WITH monthly AS (
