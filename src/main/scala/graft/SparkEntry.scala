@@ -18,7 +18,7 @@ object SparkEntry {
     * values are engine-specific (e.g. raw HLL estimates). Each has an
     * oracle-gated twin in [[queries]] carrying the correctness gate. */
   def benchOnly: Map[String, (SparkSession, String) => DataFrame] =
-    Relational2.benchOnly
+    Relational2.benchOnly ++ StatsOps.benchOnly
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =

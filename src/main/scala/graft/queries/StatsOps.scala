@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.HeavyHitters
 
 /** Statistical profiling operators: column-dependency (mutual information),
   * an exact-arithmetic Pearson correlation matrix, Pareto-skyline
@@ -120,6 +121,42 @@ object StatsOps {
         .orderBy("p_partkey")
     }),
 
+    // ---- heavy hitters, exact anchor + Misra-Gries guarantee gate (the
+    //      q_agg_approx HLL device): the exact top-10 token counts are the
+    //      oracle-checked values; the k=20 MG sketch RUNS inside the same
+    //      plan and the output flags assert its proven guarantees — every
+    //      hitter with freq > n/(k+1) present, estimates undercounting by
+    //      ≤ n/(k+1) — via pure INTEGER comparisons, so the flags are
+    //      deterministic even though per-counter values depend on the
+    //      merge tree. The sketch-only production plan (one map-side pass,
+    //      ≤ k-entry state per partition) is timed as benchOnly
+    //      q_mg_only ----
+    "q_heavy_hitters" -> ((s, d) => {
+      val toks = Tables(s, d, "documents")
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+        .filter(col("token") =!= "")
+      val exact = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token").asc).limit(10)
+      val nRow = toks.agg(count(lit(1)).as("n_total"))
+      val est = toks.agg(HeavyHitters.misraGries(col("token"), 20).as("mg"))
+        .select(explode(col("mg")).as(Seq("token", "est")))
+      exact.join(est, Seq("token"), "left")
+        .crossJoin(broadcast(nRow))
+        .select(col("token"), col("cnt"), col("n_total"),
+          // guarantee check, all-integer: present → est ≤ cnt AND
+          // (cnt − est)·(k+1) ≤ n; absent → cnt·(k+1) ≤ n (only
+          // sub-threshold items may legally be evicted). Presence itself
+          // is NOT output: for sub-threshold items it depends on the
+          // merge tree, and the gate may only carry merge-order-proof
+          // facts
+          when(col("est").isNotNull,
+            (col("est") <= col("cnt") &&
+              (col("cnt") - col("est")) * 21L <= col("n_total")).cast("int"))
+            .otherwise((col("cnt") * 21L <= col("n_total")).cast("int"))
+            .as("within_bound"))
+        .orderBy(col("cnt").desc, col("token").asc)
+    }),
+
     // ---- two-sample Kolmogorov–Smirnov statistic (click vs view value
     //      distributions): D = max |F₁(v) − F₂(v)|. Both empirical CDFs
     //      come from ONE pivoted value census (per-value conditional
@@ -181,6 +218,20 @@ object StatsOps {
             (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx")) /
             col("n"), 4).as("intercept"))
     })
+  )
+
+  /** Timed but not oracle-gated: the sketch-only production plan — one
+    * map-side pass with ≤ k-entry state per partition, values
+    * merge-order-dependent (the q_hll_only device).
+    */
+  val benchOnly: Map[String, Q] = Map(
+    "q_mg_only" -> ((s, d) =>
+      Tables(s, d, "documents")
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+        .filter(col("token") =!= "")
+        .agg(HeavyHitters.misraGries(col("token"), 20).as("mg"))
+        .select(explode(col("mg")).as(Seq("token", "est")))
+        .orderBy(col("est").desc, col("token").asc))
   )
 
   val oracles: Map[String, String] = Map(
@@ -257,6 +308,24 @@ object StatsOps {
         |    AND b.p_size >= a.p_size
         |    AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))
         |ORDER BY a.p_partkey""".stripMargin,
+
+    // the oracle pins the exact anchor values and asserts the guarantee
+    // flag is 1 — a Spark-side sketch that breaks the MG bound fails the
+    // hash gate (the q_agg_approx device)
+    "q_heavy_hitters" ->
+      """WITH tok AS (
+        |  SELECT t.token
+        |  FROM documents,
+        |       unnest(regexp_split_to_array(lower(trim(text)), '\s+'))
+        |         AS t(token)
+        |  WHERE t.token <> ''),
+        |exact AS (
+        |  SELECT token, count(*) AS cnt FROM tok GROUP BY token
+        |  ORDER BY cnt DESC, token ASC LIMIT 10),
+        |tot AS (SELECT count(*) AS n_total FROM tok)
+        |SELECT token, cnt, n_total, 1 AS within_bound
+        |FROM exact CROSS JOIN tot
+        |ORDER BY cnt DESC, token ASC""".stripMargin,
 
     "q_ks_test" ->
       """WITH e AS (

@@ -148,6 +148,33 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("Misra-Gries guarantees hold on an adversarial skewed stream") {
+    // 10 000 tokens: one 40% hitter, one 10%, 50 rares at 1% each;
+    // k = 5 counters ⇒ threshold n/(k+1) ≈ 1667
+    import spark.implicits._
+    import graft.functions.HeavyHitters
+    val rows = Seq.fill(4000)("hot") ++ Seq.fill(1000)("warm") ++
+      (0 until 50).flatMap(i => Seq.fill(100)(s"rare_$i"))
+    val truth = rows.groupBy(identity).map { case (t, v) => t -> v.size.toLong }
+    val n = rows.size
+    // shuffle deterministically so partitions see interleaved order
+    val ds = new scala.util.Random(7).shuffle(rows).toDS()
+      .repartition(4).select(col("value").as("token"))
+    val sketch = ds.agg(HeavyHitters.misraGries(col("token"), 5).as("mg"))
+      .select(explode(col("mg")).as(Seq("token", "est")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sketch.size <= 5, "sketch exceeded its k counters")
+    // every supra-threshold item must be present
+    truth.filter(_._2 > n / 6).keys.foreach(t =>
+      assert(sketch.contains(t), s"guaranteed hitter $t evicted"))
+    // estimates undercount by at most n/(k+1)
+    sketch.foreach { case (t, est) =>
+      val tru = truth(t)
+      assert(est <= tru, s"$t overcounted: est=$est true=$tru")
+      assert(tru - est <= n / 6 + 1, s"$t bound broken: est=$est true=$tru")
+    }
+  }
+
   test("rank fusion rewards presence in both lists") {
     val rows = q("q_rank_fusion").collect()
     assert(rows.nonEmpty)
