@@ -79,6 +79,31 @@ object BasketOps {
         .orderBy(col("lift").desc, col("lhs").asc, col("rhs").asc)
     }),
 
+    // ---- item-item cosine similarity (the collaborative-filtering
+    //      primitive): sim(a,b) = n_ab / √(n_a·n_b) over binary basket
+    //      vectors — the co-occurrence census reused as a similarity
+    //      model. The score is one IEEE sqrt+divide of exact integers,
+    //      bit-identical across engines, hence safe to ORDER the top-20
+    //      by; supports ride as broadcasts ----
+    "q_item_sim" -> ((s, d) => {
+      val it = items(s, d).persist()
+      val pairs = coEdges(it).filter(col("n_ab") >= 2)
+      val supp = it.groupBy(col("p")).agg(count(lit(1)).as("n_p"))
+      pairs
+        .join(broadcast(supp.select(col("p").as("pa"),
+          col("n_p").as("n_a"))), "pa")
+        .join(broadcast(supp.select(col("p").as("pb"),
+          col("n_p").as("n_b"))), "pb")
+        .select(col("pa"), col("pb"), col("n_ab"), col("n_a"), col("n_b"),
+          (col("n_ab").cast("double") /
+            sqrt((col("n_a") * col("n_b")).cast("double"))).as("sim"))
+        .orderBy(col("sim").desc, col("pa").asc, col("pb").asc)
+        .limit(20)
+        .select(col("pa"), col("pb"), col("n_ab"), col("n_a"), col("n_b"),
+          round(col("sim"), 6).as("cosine_sim"))
+        .orderBy(col("cosine_sim").desc, col("pa").asc, col("pb").asc)
+    }),
+
     // ---- triangle counting, degree-oriented (compact-forward): every
     //      undirected edge points from its lower-(deg, id) endpoint, so
     //      wedges enumerate from low-degree vertices only and each
@@ -164,6 +189,25 @@ object BasketOps {
         |FROM (SELECT * FROM scored
         |      ORDER BY lift DESC, lhs ASC, rhs ASC LIMIT 50)
         |ORDER BY lift DESC, lhs ASC, rhs ASC""".stripMargin,
+
+    "q_item_sim" ->
+      """WITH it AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |pairs AS (
+        |  SELECT a.p AS pa, b.p AS pb, count(*) AS n_ab
+        |  FROM it a JOIN it b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY a.p, b.p HAVING count(*) >= 2),
+        |supp AS (SELECT p, count(*) AS n_p FROM it GROUP BY p),
+        |scored AS (
+        |  SELECT pa, pb, n_ab, sa.n_p AS n_a, sb.n_p AS n_b,
+        |         CAST(n_ab AS DOUBLE) /
+        |           sqrt(CAST(sa.n_p * sb.n_p AS DOUBLE)) AS sim
+        |  FROM pairs JOIN supp sa ON pairs.pa = sa.p
+        |             JOIN supp sb ON pairs.pb = sb.p)
+        |SELECT pa, pb, n_ab, n_a, n_b, round(sim, 6) AS cosine_sim
+        |FROM (SELECT * FROM scored
+        |      ORDER BY sim DESC, pa ASC, pb ASC LIMIT 20)
+        |ORDER BY cosine_sim DESC, pa ASC, pb ASC""".stripMargin,
 
     // naive id-ordered triangle definition a<b<c — the orientation-free
     // ground truth the compact-forward plan must reproduce

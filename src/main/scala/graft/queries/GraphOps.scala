@@ -134,6 +134,41 @@ object GraphOps {
           round(sum(col("p_retailprice")), 2).as("subtree_price"))
         .orderBy("anc")),
 
+    // ---- k-core peeling (k = 20, 3 fixed rounds) over the symmetric
+    //      part↔supplier graph: each round drops nodes whose CURRENT
+    //      degree is < k, then the edges incident to them — the standard
+    //      community/noise-trimming pre-pass. Each round is one
+    //      map-side-combined degree census + two semi joins on the fine
+    //      node key, localCheckpoint per round (the PageRank device);
+    //      output is the surviving-degree census per side, so the result
+    //      is 2 rows at any graph scale ----
+    "q_kcore" -> ((s, d) => {
+      val K = 20
+      val pairs = Tables(s, d, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      var edges = pairs.select(explode(array(
+          struct((col("l_partkey") * 2).as("src"),
+            (col("l_suppkey") * 2 + 1).as("dst")),
+          struct((col("l_suppkey") * 2 + 1).as("src"),
+            (col("l_partkey") * 2).as("dst")))).as("e"))
+        .select(col("e.src"), col("e.dst")).localCheckpoint()
+      for (_ <- 1 to 3) {
+        val keep = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= K).select(col("src").as("node"))
+        edges = edges
+          .join(keep, col("src") === col("node"), "left_semi")
+          .join(keep.select(col("node").as("dnode")),
+            col("dst") === col("dnode"), "left_semi")
+          .localCheckpoint()
+      }
+      edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .groupBy(when(col("src") % 2 === 0, lit("part"))
+          .otherwise(lit("supplier")).as("kind"))
+        .agg(count(lit(1)).as("n_nodes"), min(col("deg")).as("min_deg"),
+          max(col("deg")).as("max_deg"))
+        .orderBy("kind")
+    }),
+
     // ---- multi-hop BFS reachability (min-hop labels) from a seed set
     //      over the same symmetric part↔supplier graph PageRank walks:
     //      3 rounds of frontier ⋈ edges + min-hop merge, localCheckpoint
@@ -234,6 +269,35 @@ object GraphOps {
         |SELECT anc, count(*) AS n_desc,
         |       round(sum(p_retailprice), 2) AS subtree_price
         |FROM a WHERE anc < 100 GROUP BY anc ORDER BY anc""".stripMargin,
+
+    // 3 peel rounds unrolled; each round recomputes degrees on the
+    // current edge set, exactly like the iterative plan
+    "q_kcore" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        |e0 AS (
+        |  SELECT l_partkey*2 AS src, l_suppkey*2+1 AS dst FROM pairs
+        |  UNION ALL
+        |  SELECT l_suppkey*2+1 AS src, l_partkey*2 AS dst FROM pairs),
+        |k1 AS (SELECT src AS node FROM e0 GROUP BY src
+        |       HAVING count(*) >= 20),
+        |e1 AS (SELECT src, dst FROM e0
+        |       WHERE src IN (SELECT node FROM k1)
+        |         AND dst IN (SELECT node FROM k1)),
+        |k2 AS (SELECT src AS node FROM e1 GROUP BY src
+        |       HAVING count(*) >= 20),
+        |e2 AS (SELECT src, dst FROM e1
+        |       WHERE src IN (SELECT node FROM k2)
+        |         AND dst IN (SELECT node FROM k2)),
+        |k3 AS (SELECT src AS node FROM e2 GROUP BY src
+        |       HAVING count(*) >= 20),
+        |e3 AS (SELECT src, dst FROM e2
+        |       WHERE src IN (SELECT node FROM k3)
+        |         AND dst IN (SELECT node FROM k3)),
+        |deg AS (SELECT src, count(*) AS deg FROM e3 GROUP BY src)
+        |SELECT CASE WHEN src % 2 = 0 THEN 'part' ELSE 'supplier' END AS kind,
+        |       count(*) AS n_nodes, min(deg) AS min_deg, max(deg) AS max_deg
+        |FROM deg GROUP BY 1 ORDER BY kind""".stripMargin,
 
     // same recurrence unrolled as min-hop CTE rounds
     "q_bfs_hops" ->

@@ -156,6 +156,30 @@ object TimeSeriesOps {
         .orderBy("level")
     }),
 
+    // ---- exponentially-weighted moving average (α = ½) of the daily
+    //      event counts, evaluated at each series' end: weight 2^(day−dmax)
+    //      comes from an INTEGER bit shift (1.0 / (1L << age)) — exact
+    //      binary powers where libm pow(0.5, k) has no cross-engine
+    //      warranty. One census agg + a broadcast per-type max; ages
+    //      beyond 62 underflow the shift and contribute exactly 0 ----
+    "q_ewma" -> ((s, d) => {
+      val daily = ev(s, d).groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"))
+      val ends = daily.groupBy(col("event_type"))
+        .agg(max(col("day")).as("dmax"), count(lit(1)).as("n_days"))
+      daily.join(broadcast(ends), "event_type")
+        .withColumn("age", col("dmax") - col("day"))
+        .withColumn("w",
+          when(col("age") <= 62,
+            lit(1.0) /
+              expr("cast(shiftleft(1L, cast(age as int)) as double)"))
+            .otherwise(lit(0.0)))
+        .groupBy(col("event_type"))
+        .agg(max(col("dmax")).as("as_of_day"), max(col("n_days")).as("n_days"),
+          round(sum(col("n") * col("w")) / sum(col("w")), 6).as("ewma"))
+        .orderBy("event_type")
+    }),
+
     // ---- event-type Markov chain: transition matrix P(next | current)
     //      from per-user lead() pairs (ONE user-ordered window, the
     //      q_event_sequences device), plus a 3-step power-iteration
@@ -380,6 +404,29 @@ object TimeSeriesOps {
         |       count(*) AS n_intervals
         |FROM lvl WHERE dur IS NOT NULL
         |GROUP BY level ORDER BY level""".stripMargin,
+
+    // DuckDB `<<` on BIGINT mirrors Spark's shiftleft: both produce the
+    // exact integer 2^age, and 1/2^age is an exact double for age ≤ 62
+    "q_ewma" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |         count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |ends AS (
+        |  SELECT event_type, max(day) AS dmax, count(*) AS n_days
+        |  FROM daily GROUP BY 1),
+        |wts AS (
+        |  SELECT daily.event_type, n, dmax, n_days,
+        |         CASE WHEN dmax - day <= 62
+        |              THEN CAST(1 AS DOUBLE) /
+        |                   CAST(CAST(1 AS BIGINT) <<
+        |                        CAST(dmax - day AS INTEGER) AS DOUBLE)
+        |              ELSE CAST(0 AS DOUBLE) END AS w
+        |  FROM daily JOIN ends ON daily.event_type = ends.event_type)
+        |SELECT event_type, max(dmax) AS as_of_day, max(n_days) AS n_days,
+        |       round(sum(n * w) / sum(w), 6) AS ewma
+        |FROM wts GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_markov_chain" ->
       """WITH e AS (
