@@ -131,6 +131,59 @@ object EventsStream {
       }
   }
 
+  case class DayCount(event_type: String, day: Long, n: Long)
+  case class Anomaly(event_type: String, day: Long, n: Long,
+      mean7: Double, sd7: Double, is_anomaly: Int)
+
+  // state is ≤7 (day, count) slots packed into one string ("d:n,d:n,…").
+  // PUBLIC by necessity: the streaming state-store serializer generates
+  // janino code that invokes the accessors reflectively-by-source, and a
+  // private class is invisible to it (batch-mode mapGroups never
+  // serializes state, which is why the private siblings above get away
+  // with it)
+  case class RingState(packed: String)
+
+  /** Rolling 3σ anomaly detection as a keyed state machine: per event
+    * type the state is the trailing ≤7 (day, count) slots — O(7) memory
+    * per key at any stream length, evicted by day arithmetic, no window
+    * sort anywhere. Mean/σ come from exact integer Σn, Σn² (the
+    * q_rolling_anomaly formulas), verdicts only after 4 warmup days.
+    * The SAME function runs on a batch Dataset (each key sees all its
+    * days at once) and on a stream fed in event-time order — StreamingSpec
+    * holds all three (batch fn, streamed fn, oracle-gated query) equal.
+    */
+  def rollingAnomaly(daily: Dataset[DayCount]): Dataset[Anomaly] = {
+    import daily.sparkSession.implicits._
+    daily
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[RingState, Anomaly](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (typ: String, it: Iterator[DayCount], state: GroupState[RingState]) =>
+          var ring: List[(Long, Long)] = state.getOption
+            .filter(_.packed.nonEmpty)
+            .map(_.packed.split(',').toList.map { s =>
+              val Array(d, n) = s.split(':')
+              (d.toLong, n.toLong)
+            }).getOrElse(Nil)
+          val out = scala.collection.mutable.ArrayBuffer.empty[Anomaly]
+          it.toSeq.sortBy(_.day).foreach { dc =>
+            ring = ((dc.day, dc.n) :: ring).filter(_._1 > dc.day - 7)
+            val k = ring.size
+            if (k >= 4) {
+              val sn = ring.map(_._2).sum
+              val snn = ring.map(t => t._2 * t._2).sum
+              val mean = sn.toDouble / k
+              val sd = math.sqrt((k * snn - sn * sn).toDouble / (k * k))
+              out += Anomaly(typ, dc.day, dc.n, mean, sd,
+                if (dc.n > mean + 3.0 * sd) 1 else 0)
+            }
+          }
+          state.update(RingState(
+            ring.map(t => s"${t._1}:${t._2}").mkString(",")))
+          out.iterator
+      }
+  }
+
   /** Stream-stream interval join (attribution): purchases joined to every
     * same-user click in the preceding `windowMinutes`. Both sides carry
     * event-time watermarks and the join condition bounds click_ts relative

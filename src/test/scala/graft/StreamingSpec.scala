@@ -88,6 +88,54 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(census._2 > 0)
   }
 
+  test("rolling-anomaly state machine: batch fn == streamed fn == oracle query") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val daily = Tables(spark, sf, "events")
+      .select(col("event_type"),
+        expr("unix_timestamp(ts) div 86400").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"))
+      .as[EventsStream.DayCount]
+    def key(a: EventsStream.Anomaly) = (a.event_type, a.day)
+    val batchOut = EventsStream.rollingAnomaly(daily).collect()
+      .map(a => key(a) -> a).toMap
+    // vs the oracle-gated query: exact flags, moments to output rounding
+    val oracle = SparkEntry.queries("q_rolling_anomaly")(spark, sf).collect()
+    assert(oracle.nonEmpty && batchOut.nonEmpty)
+    assert(oracle.length == batchOut.size)
+    oracle.foreach { r =>
+      val a = batchOut((r.getAs[String]("event_type"), r.getAs[Long]("day")))
+      assert(a.n == r.getAs[Long]("n"))
+      assert(a.is_anomaly == r.getAs[Int]("is_anomaly"),
+        s"flag mismatch at ${a.event_type}/${a.day}")
+      assert(math.abs(a.mean7 - r.getAs[Double]("mean7")) < 1.1e-4)
+      assert(math.abs(a.sd7 - r.getAs[Double]("sd7")) < 1.1e-4)
+    }
+    // vs the streamed run: two event-time-ordered microbatches must land
+    // on the identical verdict set (state carries the ring across batches)
+    val rows = daily.collect().sortBy(r => (r.day, r.event_type))
+    val cut = rows(rows.length / 2).day
+    val ms = MemoryStream[EventsStream.DayCount](spark)
+    val sq = EventsStream.rollingAnomaly(ms.toDS()).writeStream
+      .format("memory").queryName("anom_out").outputMode("append").start()
+    try {
+      ms.addData(rows.filter(_.day <= cut).toSeq)
+      sq.processAllAvailable()
+      ms.addData(rows.filter(_.day > cut).toSeq)
+      sq.processAllAvailable()
+    } finally sq.stop()
+    val streamed = spark.table("anom_out").as[EventsStream.Anomaly]
+      .collect().map(a => key(a) -> a).toMap
+    assert(streamed.keySet == batchOut.keySet,
+      s"missing=${(batchOut.keySet -- streamed.keySet).take(3)}")
+    streamed.foreach { case (k, a) =>
+      val b = batchOut(k)
+      assert(a.n == b.n && a.is_anomaly == b.is_anomaly &&
+        a.mean7 == b.mean7 && a.sd7 == b.sd7, s"stream/batch diverge at $k")
+    }
+  }
+
   test("streaming dedup (dropDuplicates + watermark) matches batch distinct") {
     // content-keyed streaming dedup: the state store holds one entry per key
     // until the watermark passes — the streaming form of exact dedup
