@@ -489,4 +489,57 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       .filter(_.condition.nonEmpty)
     assert(equiJoins.nonEmpty, "funnel lost its stage joins")
   }
+
+  test("resample fill: every hash exchange carries the user key") {
+    // grid build, daily-last pick and the fill window all shard on
+    // user_id(+day) — a keyless exchange would mean a global sort of the
+    // grid at scale
+    val ex = hashExchanges("q_resample_ffill")
+    assert(ex.nonEmpty)
+    ex.foreach(h =>
+      assert(h.expressions.map(_.toString).exists(_.contains("user_id")),
+        s"exchange without user key: ${h.expressions.map(_.toString)}"))
+  }
+
+  test("triangle closing-edge probe broadcasts; wedges never shuffle") {
+    withoutAQE {
+      val plan = q("q_triangles").queryExecution.executedPlan
+      assert(plan.collect { case b: BroadcastHashJoinExec => b }.nonEmpty,
+        "closing-edge probe must be a broadcast join")
+      // the only hash exchanges allowed are edge-sized (src/pa/pb/v keys
+      // from the self-join and censuses) — none may carry the wedge pair
+      // (v, w) together, which would shuffle the Σoutdeg² stream
+      val wedgeShuffles = plan
+        .collect { case e: ShuffleExchangeExec => e.outputPartitioning }
+        .collect { case h: HashPartitioning => h.expressions.map(_.toString) }
+        .filter(ks => ks.exists(_.contains("v")) && ks.exists(_.contains("w")))
+      assert(wedgeShuffles.isEmpty, s"wedge stream shuffled: $wedgeShuffles")
+    }
+  }
+
+  test("basket supports and fusion legs join as broadcasts") {
+    Seq("q_copurchase_rules", "q_item_sim").foreach { n =>
+      val bhj = physical(n).collect { case b: BroadcastHashJoinExec => b }
+      assert(bhj.size >= 2, s"$n: support joins must broadcast, got ${bhj.size}")
+    }
+  }
+
+  test("heavy-hitters sketch aggregates map-side before the exchange") {
+    import org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
+    val modes = physical("q_heavy_hitters")
+      .collect { case a: ObjectHashAggregateExec =>
+        a.aggregateExpressions.map(_.mode.toString)
+      }.flatten
+    assert(modes.contains("Partial"),
+      s"MG sketch must partial-aggregate map-side, modes: $modes")
+  }
+
+  test("trend joins the customer dim by broadcast and aggs on the nation key") {
+    val bhj = physical("q_trend").collect { case b: BroadcastHashJoinExec => b }
+    assert(bhj.nonEmpty, "orders⋈customer should broadcast the dim side")
+    val ex = hashExchanges("q_trend")
+    assert(ex.exists(_.expressions.map(_.toString)
+        .exists(_.contains("c_nationkey"))),
+      s"trend exchanges: ${ex.map(_.expressions.map(_.toString))}")
+  }
 }
