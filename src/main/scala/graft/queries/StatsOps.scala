@@ -52,6 +52,38 @@ object StatsOps {
         .orderBy("c_nationkey", "c_mktsegment")
     }),
 
+    // ---- χ² independence test + Cramér's V over the same contingency
+    //      census as q_mutual_info: E = nx·ny/n per cell, χ² = Σ(O−E)²/E.
+    //      Same scale shape — joint census shuffle, marginals broadcast;
+    //      every per-cell term is IEEE arithmetic on exact integers, only
+    //      the final Σ carries the (rounded-away) association-order ulp ----
+    "q_chi_square" -> ((s, d) => {
+      val c = Tables(s, d, "customer")
+        .select(col("c_nationkey").as("x"), col("c_mktsegment").as("y"))
+      val joint = c.groupBy(col("x"), col("y")).agg(count(lit(1)).as("n_xy"))
+      val mx = c.groupBy(col("x")).agg(count(lit(1)).as("n_x"))
+      val my = c.groupBy(col("y")).agg(count(lit(1)).as("n_y"))
+      val tot = c.agg(count(lit(1)).as("n"))
+      val kx = mx.agg(count(lit(1)).as("kx"))
+      val ky = my.agg(count(lit(1)).as("ky"))
+      joint.join(broadcast(mx), "x").join(broadcast(my), "y")
+        .crossJoin(broadcast(tot))
+        .select(col("n"), col("n_xy"), col("n_x"), col("n_y"),
+          (col("n_x").cast("double") * col("n_y") / col("n")).as("e"))
+        .select(col("n"),
+          ((col("n_xy") - col("e")) * (col("n_xy") - col("e")) / col("e"))
+            .as("term"))
+        .groupBy(col("n"))
+        .agg(count(lit(1)).as("n_cells"), sum(col("term")).as("chi2"))
+        .crossJoin(broadcast(kx)).crossJoin(broadcast(ky))
+        .select(col("n"), col("n_cells"),
+          ((col("kx") - 1) * (col("ky") - 1)).as("dof"),
+          round(col("chi2"), 4).as("chi2"),
+          round(sqrt(col("chi2") /
+            (col("n") * least(col("kx") - 1, col("ky") - 1)).cast("double")),
+            6).as("cramers_v"))
+    }),
+
     // ---- Pearson correlation matrix over lineitem's numeric columns,
     //      from exact moments: each column is scaled to an exact integer
     //      (quantity is whole; price/discount/tax are 2-dp → cents/basis
@@ -251,6 +283,29 @@ object StatsOps {
         |FROM joint JOIN mx ON joint.x = mx.x JOIN my ON joint.y = my.y
         |     CROSS JOIN tot
         |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+
+    "q_chi_square" ->
+      """WITH c AS (SELECT c_nationkey AS x, c_mktsegment AS y FROM customer),
+        |joint AS (SELECT x, y, count(*) AS n_xy FROM c GROUP BY x, y),
+        |mx AS (SELECT x, count(*) AS n_x FROM c GROUP BY x),
+        |my AS (SELECT y, count(*) AS n_y FROM c GROUP BY y),
+        |tot AS (SELECT count(*) AS n FROM c),
+        |kk AS (SELECT (SELECT count(*) FROM mx) AS kx,
+        |              (SELECT count(*) FROM my) AS ky),
+        |terms AS (
+        |  SELECT n, (n_xy - e) * (n_xy - e) / e AS term FROM (
+        |    SELECT n, n_xy,
+        |           CAST(n_x AS DOUBLE) * n_y / n AS e
+        |    FROM joint JOIN mx ON joint.x = mx.x
+        |         JOIN my ON joint.y = my.y CROSS JOIN tot)),
+        |agg AS (
+        |  SELECT n, count(*) AS n_cells, sum(term) AS chi2
+        |  FROM terms GROUP BY n)
+        |SELECT n, n_cells, (kx - 1) * (ky - 1) AS dof,
+        |       round(chi2, 4) AS chi2,
+        |       round(sqrt(chi2 / CAST(n * least(kx - 1, ky - 1) AS DOUBLE)),
+        |             6) AS cramers_v
+        |FROM agg CROSS JOIN kk""".stripMargin,
 
     // HUGEINT sums are DuckDB's exact 128-bit twin of decimal(38,0)
     "q_corr_matrix" ->
