@@ -265,14 +265,17 @@ object TimeSeriesOps {
     }),
 
     // ---- per-nation monthly revenue trend: closed-form least squares
-    //      from EXACT integer moments. x = months-since-year-0 (integer),
-    //      y = monthly revenue in cents (BIGINT after one 2-dp rounding);
-    //      Σx, Σy, Σxy, Σx² are all exact BIGINTs (≤ ~10¹⁶, inside int64),
-    //      so slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²) is ONE IEEE division
-    //      of exactly-represented integers — bit-identical across engines,
-    //      where regr_slope's streaming co-moments are not. Two shuffles
-    //      total: the orders⋈customer join (customer side broadcast-able
-    //      per dim-table sizing) and the (nation, month) census agg ----
+    //      from EXACT moments. x = months-since-year-0 (integer), y =
+    //      monthly revenue in cents (one 2-dp rounding); each per-row
+    //      product fits int64, but the Σ accumulate in decimal(38,0)
+    //      (DuckDB HUGEINT) — at warehouse scale Σ(m·rev_c) passes 10¹⁹
+    //      and sum(BIGINT) would wrap silently (the q_corr_matrix
+    //      device). slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) evaluates the
+    //      exact decimals with ONE cast + IEEE division — bit-identical
+    //      across engines, where regr_slope's streaming co-moments are
+    //      not. Two shuffles total: the orders⋈customer join (customer
+    //      side broadcast-able per dim-table sizing) and the
+    //      (nation, month) census agg ----
     "q_trend" -> ((s, d) => {
       val monthly = Tables(s, d, "orders")
         .join(Tables(s, d, "customer"),
@@ -284,17 +287,18 @@ object TimeSeriesOps {
         .agg(expr("cast(round(round(sum(o_totalprice), 2) * 100) as bigint)")
           .as("rev_c"))
       monthly.groupBy(col("c_nationkey"))
-        .agg(count(lit(1)).as("n_months"),
-          sum(col("m")).as("sx"), sum(col("rev_c")).as("sy"),
-          sum(col("m") * col("rev_c")).as("sxy"),
-          sum(col("m") * col("m")).as("sxx"))
-        .select(col("c_nationkey"), col("n_months"),
-          round((col("n_months") * col("sxy") - col("sx") * col("sy"))
+        .agg(count(lit(1)).cast("decimal(38,0)").as("n_m"),
+          sum(col("m").cast("decimal(38,0)")).as("sx"),
+          sum(col("rev_c").cast("decimal(38,0)")).as("sy"),
+          sum(expr("cast(m * rev_c as decimal(38,0))")).as("sxy"),
+          sum(expr("cast(m * m as decimal(38,0))")).as("sxx"))
+        .select(col("c_nationkey"), col("n_m").cast("bigint").as("n_months"),
+          round((col("n_m") * col("sxy") - col("sx") * col("sy"))
             .cast("double") /
-            (col("n_months") * col("sxx") - col("sx") * col("sx"))
+            (col("n_m") * col("sxx") - col("sx") * col("sx"))
               .cast("double") / 100.0, 4).as("slope_per_month"),
-          round(col("sy").cast("double") / col("n_months") / 100.0, 2)
-            .as("avg_monthly_rev"))
+          round(col("sy").cast("double") / col("n_m").cast("double") / 100.0,
+            2).as("avg_monthly_rev"))
         .orderBy("c_nationkey")
     })
   )
@@ -509,17 +513,17 @@ object TimeSeriesOps {
         |  FROM orders JOIN customer ON o_custkey = c_custkey
         |  GROUP BY 1, 2),
         |mom AS (
-        |  SELECT c_nationkey, count(*) AS n_months,
-        |         CAST(sum(m) AS BIGINT) AS sx,
-        |         CAST(sum(rev_c) AS BIGINT) AS sy,
-        |         CAST(sum(m * rev_c) AS BIGINT) AS sxy,
-        |         CAST(sum(m * m) AS BIGINT) AS sxx
+        |  SELECT c_nationkey, CAST(count(*) AS HUGEINT) AS n_m,
+        |         sum(CAST(m AS HUGEINT)) AS sx,
+        |         sum(CAST(rev_c AS HUGEINT)) AS sy,
+        |         sum(CAST(m * rev_c AS HUGEINT)) AS sxy,
+        |         sum(CAST(m * m AS HUGEINT)) AS sxx
         |  FROM monthly GROUP BY 1)
-        |SELECT c_nationkey, n_months,
-        |       round(CAST(n_months * sxy - sx * sy AS DOUBLE) /
-        |             CAST(n_months * sxx - sx * sx AS DOUBLE) / 100.0, 4)
+        |SELECT c_nationkey, CAST(n_m AS BIGINT) AS n_months,
+        |       round(CAST(n_m * sxy - sx * sy AS DOUBLE) /
+        |             CAST(n_m * sxx - sx * sx AS DOUBLE) / 100.0, 4)
         |         AS slope_per_month,
-        |       round(CAST(sy AS DOUBLE) / n_months / 100.0, 2)
+        |       round(CAST(sy AS DOUBLE) / CAST(n_m AS DOUBLE) / 100.0, 2)
         |         AS avg_monthly_rev
         |FROM mom ORDER BY c_nationkey""".stripMargin
   )
