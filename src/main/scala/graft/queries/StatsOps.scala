@@ -128,6 +128,61 @@ object StatsOps {
         .orderBy("x_col", "y_col")
     }),
 
+    // ---- winsorized mean (robust preprocessing): clip each price to its
+    //      return-flag group's [p05, p95] — thresholds are DISCRETE
+    //      quantiles (percentile_approx exact mode == quantile_disc, no
+    //      interpolation parity risk), broadcast back as a 3-row frame.
+    //      Clipped values are 2-dp data values, so both means come from
+    //      EXACT BIGINT cents + one IEEE division — no double-sum
+    //      association order anywhere ----
+    "q_winsorized" -> ((s, d) => {
+      val li = Tables(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice").as("v"))
+      val thr = li.groupBy(col("l_returnflag"))
+        .agg(percentile_approx(col("v"), lit(0.05), lit(1000000)).as("lo"),
+          percentile_approx(col("v"), lit(0.95), lit(1000000)).as("hi"))
+      li.join(broadcast(thr), "l_returnflag")
+        .select(col("l_returnflag"), col("lo"), col("hi"),
+          expr("cast(round(v * 100) as bigint)").as("v_c"),
+          expr("cast(round(greatest(lo, least(hi, v)) * 100) as bigint)")
+            .as("w_c"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("v_c")).cast("double") / count(lit(1)) / 100.0, 4)
+            .as("mean"),
+          round(sum(col("w_c")).cast("double") / count(lit(1)) / 100.0, 4)
+            .as("winsorized_mean"),
+          round(first(col("lo")), 2).as("p05"),
+          round(first(col("hi")), 2).as("p95"))
+        .orderBy("l_returnflag")
+    }),
+
+    // ---- Wilson score interval for per-type user-reach rates (the
+    //      conversion-CI primitive): p̂ = |users with the event| / |users|,
+    //      z = 1.96. Every term is IEEE arithmetic (sqrt included) on
+    //      exact integer counts written in ONE shared expression shape, so
+    //      lo/hi are bit-identical across engines. Two censuses + a 1-row
+    //      broadcast ----
+    "q_rate_ci" -> ((s, d) => {
+      val e = Tables(s, d, "events")
+      val reach = e.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("k"))
+      val tot = e.agg(countDistinct(col("user_id")).as("n"))
+      val z2 = lit(1.96 * 1.96)
+      reach.crossJoin(broadcast(tot))
+        .withColumn("p", col("k").cast("double") / col("n"))
+        .withColumn("den", lit(1.0) + z2 / col("n"))
+        .withColumn("ctr", (col("p") + z2 / (lit(2.0) * col("n"))) / col("den"))
+        .withColumn("half",
+          lit(1.96) * sqrt(col("p") * (lit(1.0) - col("p")) / col("n") +
+            z2 / (lit(4.0) * col("n") * col("n"))) / col("den"))
+        .select(col("event_type"), col("k"), col("n"),
+          round(col("p"), 6).as("rate"),
+          round(col("ctr") - col("half"), 6).as("wilson_lo"),
+          round(col("ctr") + col("half"), 6).as("wilson_hi"))
+        .orderBy("event_type")
+    }),
+
     // ---- Pareto skyline (minimize price, maximize size): the O(n²)
     //      NOT-EXISTS dominance test replaced by a price-group census +
     //      one running strict max — a part survives iff it carries its
@@ -351,6 +406,50 @@ object StatsOps {
         |         ELSE sp_dd_t END AS sxy) AS mm)
         |SELECT n_rows, x_col, y_col, pearson_r
         |FROM pairs ORDER BY x_col, y_col""".stripMargin,
+
+    "q_winsorized" ->
+      """WITH li AS (
+        |  SELECT l_returnflag, l_extendedprice AS v FROM lineitem),
+        |thr AS (
+        |  SELECT l_returnflag, quantile_disc(v, 0.05) AS lo,
+        |         quantile_disc(v, 0.95) AS hi
+        |  FROM li GROUP BY l_returnflag),
+        |c AS (
+        |  SELECT li.l_returnflag,
+        |         CAST(round(v * 100) AS BIGINT) AS v_c,
+        |         CAST(round(greatest(lo, least(hi, v)) * 100) AS BIGINT)
+        |           AS w_c,
+        |         lo, hi
+        |  FROM li JOIN thr ON li.l_returnflag = thr.l_returnflag)
+        |SELECT l_returnflag, count(*) AS n,
+        |       round(CAST(CAST(sum(v_c) AS BIGINT) AS DOUBLE)
+        |             / count(*) / 100.0, 4) AS mean,
+        |       round(CAST(CAST(sum(w_c) AS BIGINT) AS DOUBLE)
+        |             / count(*) / 100.0, 4) AS winsorized_mean,
+        |       round(min(lo), 2) AS p05, round(min(hi), 2) AS p95
+        |FROM c GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // identical Wilson expression shape: every op is IEEE on exact counts
+    "q_rate_ci" ->
+      """WITH reach AS (
+        |  SELECT event_type, count(DISTINCT user_id) AS k
+        |  FROM events GROUP BY event_type),
+        |tot AS (SELECT count(DISTINCT user_id) AS n FROM events),
+        |t AS (
+        |  SELECT event_type, k, n,
+        |         CAST(k AS DOUBLE) / n AS p,
+        |         1.0 + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / n AS den
+        |  FROM reach CROSS JOIN tot),
+        |w AS (
+        |  SELECT event_type, k, n, p,
+        |         (p + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / (2.0 * n)) / den AS ctr,
+        |         1.96 * sqrt(p * (1.0 - p) / n +
+        |           (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / (4.0 * n * n)) / den AS half
+        |  FROM t)
+        |SELECT event_type, k, n, round(p, 6) AS rate,
+        |       round(ctr - half, 6) AS wilson_lo,
+        |       round(ctr + half, 6) AS wilson_hi
+        |FROM w ORDER BY event_type""".stripMargin,
 
     // the oracle IS the O(n²) dominance definition — proving the census
     // rewrite equivalent

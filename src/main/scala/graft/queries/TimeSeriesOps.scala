@@ -156,6 +156,43 @@ object TimeSeriesOps {
         .orderBy("level")
     }),
 
+    // ---- population stability index (drift monitoring): the value
+    //      distribution of the first 15 days vs the rest, over global
+    //      decile bins. Bin edges are DISCRETE quantiles (9-row
+    //      broadcast); bin assignment = Σ(value ≥ edge) per row against
+    //      the broadcast frame — no range join, no sort. Counts census →
+    //      Laplace-smoothed shares (zero-proof), per-bin PSI terms keep
+    //      ln inside round(...,6); the total sums 10 rounded terms ----
+    "q_psi_drift" -> ((s, d) => {
+      val e = ev(s, d)
+      val d0row = e.agg(min(col("day")).as("d0"))
+      val vals = e.crossJoin(broadcast(d0row))
+        .select(col("value"),
+          (col("day") - col("d0") < 15).cast("int").as("half"))
+      val edgeCols = (1 to 9).map(i =>
+        percentile_approx(col("value"), lit(i / 10.0), lit(1000000))
+          .as(s"t$i"))
+      val edges = vals.agg(edgeCols.head, edgeCols.tail: _*)
+      val binned = vals.crossJoin(broadcast(edges))
+        .select(col("half"),
+          (1 to 9).map(i => (col("value") >= col(s"t$i")).cast("long"))
+            .reduce(_ + _).as("bin"))
+      val census = binned.groupBy(col("bin"))
+        .agg(sum(col("half")).as("c1"),
+          sum(lit(1L) - col("half")).as("c2"))
+      val tot = census.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+      val terms = census.crossJoin(broadcast(tot))
+        .select(col("bin"), col("c1"), col("c2"),
+          ((col("c1") + 0.5) / (col("n1") + 5.0)).as("p1"),
+          ((col("c2") + 0.5) / (col("n2") + 5.0)).as("p2"))
+        .select(col("bin"), col("c1"), col("c2"),
+          round((col("p1") - col("p2")) * log(col("p1") / col("p2")), 6)
+            .as("psi_term"))
+      val total = terms.agg(round(sum(col("psi_term")), 4).as("psi_total"))
+      terms.crossJoin(broadcast(total))
+        .orderBy("bin")
+    }),
+
     // ---- exponentially-weighted moving average (α = ½) of the daily
     //      event counts, evaluated at each series' end: weight 2^(day−dmax)
     //      comes from an INTEGER bit shift (1.0 / (1L << age)) — exact
@@ -408,6 +445,52 @@ object TimeSeriesOps {
         |       count(*) AS n_intervals
         |FROM lvl WHERE dur IS NOT NULL
         |GROUP BY level ORDER BY level""".stripMargin,
+
+    // Laplace smoothing forced into DOUBLE arithmetic: DuckDB would run
+    // (c+0.5)/(n+5.0) in DECIMAL, a different number than the IEEE path
+    "q_psi_drift" ->
+      """WITH e AS (
+        |  SELECT value,
+        |         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+        |  FROM events),
+        |d0 AS (SELECT min(day) AS d0 FROM e),
+        |vals AS (
+        |  SELECT value,
+        |         CASE WHEN day - d0 < 15 THEN 1 ELSE 0 END AS half
+        |  FROM e CROSS JOIN d0),
+        |edges AS (
+        |  SELECT quantile_disc(value, 0.1) AS t1, quantile_disc(value, 0.2) AS t2,
+        |         quantile_disc(value, 0.3) AS t3, quantile_disc(value, 0.4) AS t4,
+        |         quantile_disc(value, 0.5) AS t5, quantile_disc(value, 0.6) AS t6,
+        |         quantile_disc(value, 0.7) AS t7, quantile_disc(value, 0.8) AS t8,
+        |         quantile_disc(value, 0.9) AS t9
+        |  FROM vals),
+        |binned AS (
+        |  SELECT half,
+        |         CAST(value >= t1 AS BIGINT) + CAST(value >= t2 AS BIGINT) +
+        |         CAST(value >= t3 AS BIGINT) + CAST(value >= t4 AS BIGINT) +
+        |         CAST(value >= t5 AS BIGINT) + CAST(value >= t6 AS BIGINT) +
+        |         CAST(value >= t7 AS BIGINT) + CAST(value >= t8 AS BIGINT) +
+        |         CAST(value >= t9 AS BIGINT) AS bin
+        |  FROM vals CROSS JOIN edges),
+        |census AS (
+        |  SELECT bin, CAST(sum(half) AS BIGINT) AS c1,
+        |         CAST(sum(1 - half) AS BIGINT) AS c2
+        |  FROM binned GROUP BY bin),
+        |tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+        |               CAST(sum(c2) AS BIGINT) AS n2 FROM census),
+        |terms AS (
+        |  SELECT bin, c1, c2,
+        |         round((p1 - p2) * ln(p1 / p2), 6) AS psi_term
+        |  FROM (SELECT bin, c1, c2,
+        |          (CAST(c1 AS DOUBLE) + CAST(0.5 AS DOUBLE)) /
+        |          (CAST(n1 AS DOUBLE) + CAST(5.0 AS DOUBLE)) AS p1,
+        |          (CAST(c2 AS DOUBLE) + CAST(0.5 AS DOUBLE)) /
+        |          (CAST(n2 AS DOUBLE) + CAST(5.0 AS DOUBLE)) AS p2
+        |        FROM census CROSS JOIN tot)),
+        |total AS (SELECT round(sum(psi_term), 4) AS psi_total FROM terms)
+        |SELECT bin, c1, c2, psi_term, psi_total
+        |FROM terms CROSS JOIN total ORDER BY bin""".stripMargin,
 
     // DuckDB `<<` on BIGINT mirrors Spark's shiftleft: both produce the
     // exact integer 2^age, and 1/2^age is an exact double for age ≤ 62
