@@ -175,6 +175,62 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("Markov rows are stochastic and the stationary estimate is a distribution") {
+    val rows = q("q_markov_chain").collect()
+    assert(rows.nonEmpty)
+    // every from-state's outgoing probabilities must sum to 1
+    rows.groupBy(_.getAs[String]("from_type")).foreach { case (ft, rs) =>
+      val tot = rs.map(_.getAs[Double]("p_trans")).sum
+      assert(math.abs(tot - 1.0) < 1e-4, s"$ft rows sum to $tot")
+    }
+    // π₃ is one value per state, non-negative, summing to ~1 (9-dp rounding)
+    val pis = rows.map(r => r.getAs[String]("from_type") ->
+      r.getAs[Double]("pi_from")).distinct
+    assert(pis.map(_._1).distinct.length == pis.length, "π not a function of state")
+    assert(pis.forall(_._2 >= 0))
+    assert(math.abs(pis.map(_._2).sum - 1.0) < 1e-4)
+  }
+
+  test("statistical outputs respect their analytic bounds") {
+    // PSI ≥ 0 (a symmetrized KL divergence)
+    val psi = q("q_psi_drift").collect()
+    assert(psi.length == 10)
+    assert(psi.head.getAs[Double]("psi_total") >= -1e-9)
+    // KS D ∈ [0, 1]
+    val ks = q("q_ks_test").collect().head.getAs[Double]("ks_d")
+    assert(ks >= 0.0 && ks <= 1.0)
+    // Wilson brackets the point estimate, inside [0, 1]
+    q("q_rate_ci").collect().foreach { r =>
+      val (lo, p, hi) = (r.getAs[Double]("wilson_lo"),
+        r.getAs[Double]("rate"), r.getAs[Double]("wilson_hi"))
+      assert(lo <= p && p <= hi && lo >= 0.0 && hi <= 1.0, s"($lo,$p,$hi)")
+    }
+    // winsorized mean lies within the clip bounds; clipping moves the
+    // mean toward the interval
+    q("q_winsorized").collect().foreach { r =>
+      val (p05, p95) = (r.getAs[Double]("p05"), r.getAs[Double]("p95"))
+      val w = r.getAs[Double]("winsorized_mean")
+      assert(w >= p05 - 0.01 && w <= p95 + 0.01, s"w=$w outside [$p05,$p95]")
+    }
+    // EWMA is a convex combination of daily counts — inside their range
+    val dailyRange = Tables(spark, sf, "events")
+      .select(col("event_type"), expr("unix_timestamp(ts) div 86400").as("day"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("n"))
+      .groupBy(col("event_type"))
+      .agg(min(col("n")).as("lo"), max(col("n")).as("hi"))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("lo"), r.getAs[Long]("hi"))).toMap
+    q("q_ewma").collect().foreach { r =>
+      val (lo, hi) = dailyRange(r.getAs[String]("event_type"))
+      val e = r.getAs[Double]("ewma")
+      assert(e >= lo - 1e-6 && e <= hi + 1e-6, s"ewma $e outside [$lo,$hi]")
+    }
+    // bootstrap CI is ordered and brackets a plausible region
+    val bs = q("q_bootstrap_ci").collect().head
+    assert(bs.getAs[Double]("ci_lo") <= bs.getAs[Double]("ci_hi"))
+    assert(bs.getAs[Double]("ci_lo") <= bs.getAs[Double]("mean_full") + 50.0)
+  }
+
   test("rank fusion rewards presence in both lists") {
     val rows = q("q_rank_fusion").collect()
     assert(rows.nonEmpty)
