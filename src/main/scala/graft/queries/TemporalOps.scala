@@ -156,6 +156,23 @@ object TemporalOps {
         .select(col("user_id"), col("rk"), col("event_id"),
           round(col("value"), 2).as("value"))
         .orderBy("user_id", "rk")
+    }),
+
+    // ---- the same per-key top-3, through the NATIVE TopKPerKey operator
+    //      (graft.plans — custom LogicalPlan + SparkStrategy + SparkPlan):
+    //      partial per-partition heaps trim map-side, the exchange moves
+    //      ≤k rows per (partition, key), the final heaps merge — no
+    //      WindowExec, no per-key sort. The oracle is the row_number
+    //      formulation, proving the physical rewrite result-equal ----
+    "q_topk_native" -> ((s, d) => {
+      val purch = events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("value"))
+      graft.plans.TopK.perKey(purch, Seq("user_id"),
+          Seq("value" -> false, "event_id" -> true), 3)
+        .select(col("user_id"), col("event_id"),
+          round(col("value"), 2).as("value"))
+        .orderBy(col("user_id"), col("value").desc, col("event_id"))
     })
   )
 
@@ -239,6 +256,18 @@ object TemporalOps {
         |             ORDER BY value DESC, event_id ASC) AS rk
         |  FROM events WHERE event_type = 'purchase')
         |SELECT user_id, rk, event_id, round(value, 2) AS value
-        |FROM r WHERE rk <= 3 ORDER BY user_id, rk""".stripMargin
+        |FROM r WHERE rk <= 3 ORDER BY user_id, rk""".stripMargin,
+
+    // the row_number formulation IS the ground truth for the native
+    // TopKPerKey physical operator
+    "q_topk_native" ->
+      """WITH r AS (
+        |  SELECT user_id, event_id, value,
+        |         row_number() OVER (PARTITION BY user_id
+        |             ORDER BY value DESC, event_id ASC) AS rk
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT user_id, event_id, round(value, 2) AS value
+        |FROM r WHERE rk <= 3
+        |ORDER BY user_id, value DESC, event_id""".stripMargin
   )
 }

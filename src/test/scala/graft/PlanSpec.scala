@@ -534,6 +534,24 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       s"MG sketch must partial-aggregate map-side, modes: $modes")
   }
 
+  test("native top-k plans as partial+final heaps with no window sort") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    withoutAQE {
+      val plan = q("q_topk_native").queryExecution.executedPlan
+      val heaps = plan.collect { case t: graft.plans.TopKPerKeyExec => t }
+      assert(heaps.map(_.partial).sorted == Seq(false, true),
+        s"expected one partial and one final TopKPerKeyExec, got $heaps")
+      assert(plan.collectFirst { case w: WindowExec => w }.isEmpty,
+        "the native operator must not fall back to a window sort")
+      // exactly one exchange between the heap passes, keyed on user_id
+      val ex = plan
+        .collect { case e: ShuffleExchangeExec => e.outputPartitioning }
+        .collect { case h: HashPartitioning => h.expressions.map(_.toString) }
+        .filter(_.exists(_.contains("user_id")))
+      assert(ex.size == 1, s"user_id exchanges: $ex")
+    }
+  }
+
   test("trend joins the customer dim by broadcast and aggs on the nation key") {
     val bhj = physical("q_trend").collect { case b: BroadcastHashJoinExec => b }
     assert(bhj.nonEmpty, "orders⋈customer should broadcast the dim side")
