@@ -68,6 +68,39 @@ object CorpusOps {
   }
 
   val queries: Map[String, Q] = Map(
+    // ---- data-recipe materialization (the LLaMA/Gopher-style epoch
+    //      mixing step): upsample every source toward the LARGEST
+    //      source's token mass. repeat ratio = (max_tokens·10⁴) div
+    //      tokens_s in basis points — ALL INTEGER, so the whole-epoch
+    //      count and the fractional-epoch keep rate never touch a float;
+    //      the fractional epoch admits doc ⇔ LCG(doc) % 10⁴ < extra_bp
+    //      (the shared deterministic LCG). Source census broadcast, one
+    //      per-row filter, census output — corpus never shuffles ----
+    "q_data_recipe" -> ((s, d) => {
+      val dd = docs(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+      val census = dd.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("tokens_s"))
+      val maxT = census.agg(max(col("tokens_s")).as("max_t"))
+      val plan = census.crossJoin(broadcast(maxT))
+        .select(col("source"), col("n_docs"), col("tokens_s"),
+          expr("(max_t * 10000) div tokens_s").as("ratio_bp"))
+        .select(col("source"), col("n_docs"), col("tokens_s"),
+          expr("ratio_bp div 10000").as("repeat_full"),
+          (col("ratio_bp") % 10000).as("extra_bp"))
+      dd.join(broadcast(plan), "source")
+        .withColumn("copies", col("repeat_full") +
+          (pmod(pmod(col("doc_id"), lit(2147483647L)) * lit(1103515245L)
+            + lit(12345L), lit(2147483647L)) % 10000 < col("extra_bp"))
+            .cast("long"))
+        .groupBy(col("source"))
+        .agg(max(col("n_docs")).as("n_docs"),
+          max(col("tokens_s")).as("tokens_s"),
+          max(col("repeat_full")).as("repeat_full"),
+          max(col("extra_bp")).as("extra_bp"),
+          sum(col("copies")).as("n_virtual_docs"),
+          sum(col("copies") * col("n_chars")).as("virtual_tokens"))
+        .orderBy("source")
+    }),
     // ---- domain-mixture weights (temperature sampling, T=0.7): per-source
     //      token mass raised to tau, normalized. The normalizer is a 1-row
     //      broadcast cross join, not an OVER () window — see scale notes ----
@@ -395,6 +428,32 @@ object CorpusOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_data_recipe" ->
+      """WITH dd AS (
+        |  SELECT doc_id, source, n_chars FROM documents),
+        |census AS (
+        |  SELECT source, count(*) AS n_docs,
+        |         CAST(sum(n_chars) AS BIGINT) AS tokens_s
+        |  FROM dd GROUP BY source),
+        |mx AS (SELECT max(tokens_s) AS max_t FROM census),
+        |plan AS (
+        |  SELECT source, n_docs, tokens_s,
+        |         (max_t * 10000) // tokens_s // 10000 AS repeat_full,
+        |         ((max_t * 10000) // tokens_s) % 10000 AS extra_bp
+        |  FROM census CROSS JOIN mx),
+        |c AS (
+        |  SELECT dd.source, n_docs, tokens_s, repeat_full, extra_bp,
+        |         repeat_full + CASE WHEN
+        |           (((dd.doc_id % 2147483647) * 1103515245 + 12345)
+        |            % 2147483647) % 10000 < extra_bp THEN 1 ELSE 0 END
+        |           AS copies,
+        |         n_chars
+        |  FROM dd JOIN plan ON dd.source = plan.source)
+        |SELECT source, max(n_docs) AS n_docs, max(tokens_s) AS tokens_s,
+        |       max(repeat_full) AS repeat_full, max(extra_bp) AS extra_bp,
+        |       CAST(sum(copies) AS BIGINT) AS n_virtual_docs,
+        |       CAST(sum(copies * n_chars) AS BIGINT) AS virtual_tokens
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
     // sqrt is IEEE correctly-rounded (unlike pow); casts keep DuckDB off
     // its DECIMAL division path; the ~20-term normalizer sum is rounded
     // away at 6 dp on both engines

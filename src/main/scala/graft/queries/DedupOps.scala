@@ -308,6 +308,28 @@ object DedupOps {
         .withColumn("is_keep", col("doc_id") === col("cluster_id"))
         .orderBy("doc_id")),
 
+    // ---- quality-aware canonical selection (the C4/RefinedWeb retention
+    //      policy): within each near-dup cluster keep the LONGEST member,
+    //      not the min-id one — same connected components, then one
+    //      (cluster)-keyed window over cluster-sized groups picks
+    //      argmax(n_chars, tie → min doc_id). Cluster censuses are the
+    //      output, so result size is |clusters| at any corpus scale ----
+    "q_dedup_keep_best" -> ((s, d) => {
+      val cc = connectedComponents(
+        minhashPairs(docs(s, d)).select(col("doc_a"), col("doc_b")))
+      val sized = cc.join(
+        docs(s, d).select(col("doc_id"), col("n_chars")), "doc_id")
+      val w = Window.partitionBy(col("cluster_id"))
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+      sized.withColumn("rn", row_number().over(w))
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_members"),
+          min(when(col("rn") === 1, col("doc_id"))).as("keep_doc"),
+          min(when(col("rn") === 1, col("n_chars"))).as("keep_chars"),
+          sum(col("n_chars")).as("total_chars"))
+        .orderBy("cluster_id")
+    }),
+
     // ---- SimHash near-dup: 62-bit majority hash over 3-word shingles
     //      (unigrams saturate on a small vocabulary — shingles keep word
     //      order in the feature set), 16-bit-chunk LSH, Hamming ≤ 3
@@ -536,6 +558,31 @@ object DedupOps {
          |        FROM reach GROUP BY src)
          |SELECT doc_id, cluster_id, (doc_id = cluster_id) AS is_keep
          |FROM lab ORDER BY doc_id""".stripMargin,
+
+    // same recursive closure, then argmax(n_chars, min doc_id) per cluster
+    "q_dedup_keep_best" ->
+      s"""WITH RECURSIVE $minhashPairCtes,
+         |pf AS MATERIALIZED (
+         |  SELECT doc_a, doc_b FROM pairs WHERE est_jaccard >= 0.5),
+         |edges AS MATERIALIZED (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pf
+         |  UNION SELECT doc_b, doc_a FROM pf),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |lab AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+         |        FROM reach GROUP BY src),
+         |sized AS (
+         |  SELECT lab.doc_id, cluster_id, n_chars,
+         |         row_number() OVER (PARTITION BY cluster_id
+         |           ORDER BY n_chars DESC, lab.doc_id ASC) AS rn
+         |  FROM lab JOIN documents ON lab.doc_id = documents.doc_id)
+         |SELECT cluster_id, count(*) AS n_members,
+         |       min(CASE WHEN rn = 1 THEN doc_id END) AS keep_doc,
+         |       min(CASE WHEN rn = 1 THEN n_chars END) AS keep_chars,
+         |       CAST(sum(n_chars) AS BIGINT) AS total_chars
+         |FROM sized GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
 
     "q_dedup_simhash" -> {
       import graft.functions.TextExprs._
