@@ -18,6 +18,28 @@ object MultimodalOps {
   private def docs(s: SparkSession, d: String) = Tables(s, d, "documents")
 
   val queries: Map[String, Q] = Map(
+    // ---- REAL binary-file ingestion (spark.read.format("binaryFile") —
+    //      the media-lake scan path, complementing the synthesized blob
+    //      columns below): three deterministic ASCII blobs are
+    //      materialized under target/ and read back as (name, length,
+    //      md5). Blob bytes stay ASCII so the DuckDB oracle's
+    //      md5(decode(read_blob(...))) hashes the identical byte string.
+    //      At scale this source partitions by file and prunes on path —
+    //      the binary twin of the parquet scan ----
+    "q_binary_source" -> ((s, d) => {
+      val dir = new java.io.File("/root/repo/target/graft_blobs")
+      dir.mkdirs()
+      Seq(256, 1024, 4096).zipWithIndex.foreach { case (n, i) =>
+        val bytes = Array.tabulate(n)(j => (((j * 7 + 13 + i) % 26) + 'a')
+          .toByte)
+        java.nio.file.Files.write(
+          new java.io.File(dir, s"blob_$i.bin").toPath, bytes)
+      }
+      s.read.format("binaryFile").load(dir.getAbsolutePath)
+        .select(regexp_extract(col("path"), "([^/]+)$", 1).as("fname"),
+          col("length"), md5(col("content")).as("content_md5"))
+        .orderBy("fname")
+    }),
     // ---- blob + metadata projection ----
     "q_media_meta" -> ((s, d) =>
       Multimodal.mediaFromDocuments(docs(s, d))
@@ -56,6 +78,14 @@ object MultimodalOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // runs AFTER Verify has materialized the blobs (the q_layout_read
+    // sequencing precedent); decode() is safe because the bytes are ASCII
+    "q_binary_source" ->
+      """SELECT parse_filename(filename) AS fname,
+        |       CAST(size AS BIGINT) AS length,
+        |       md5(decode(content)) AS content_md5
+        |FROM read_blob('/root/repo/target/graft_blobs/*.bin')
+        |ORDER BY fname""".stripMargin,
     "q_media_meta" ->
       """SELECT doc_id AS media_id,
         |       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
