@@ -77,6 +77,55 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
     copy(child = newChild)
 }
 
+/** Optimizer rule (the Rule[LogicalPlan] extension point): rewrites the
+  * canonical window top-k pattern
+  *   Project(Filter(rn ≤ k, Window(row_number AS rn, part, order, child)))
+  * into Project(TopKPerKey(part, order, k, child)) whenever the rank
+  * column is DISCARDED by the projection — the window sort (and Spark's
+  * own WindowGroupLimit pre-pass, which still sorts) disappear in favor
+  * of the bounded-heap operator. Safe under the repo-wide total-order
+  * convention: a query whose row_number order had ties could not pass its
+  * cross-engine oracle in the first place, and with a total order the
+  * window selection and the heap selection are the same set.
+  */
+object TopKRewrite extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, CurrentRow, LessThan, LessThanOrEqual, Literal, NamedExpression, RowFrame, RowNumber, SpecifiedWindowFrame, UnboundedPreceding, WindowExpression, WindowSpecDefinition}
+  import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project, Window => LWindow, WindowGroupLimit}
+
+  private def stripGroupLimit(plan: LogicalPlan): LogicalPlan = plan match {
+    // our partial pass subsumes the pre-limit — keep the plan beneath it
+    case WindowGroupLimit(_, _, _, _, child) => child
+    case other => other
+  }
+
+  private def asRowNumberWindow(w: LWindow, rn: Attribute): Boolean =
+    w.windowExpressions match {
+      case Seq(a @ Alias(WindowExpression(RowNumber(),
+          WindowSpecDefinition(_, _, SpecifiedWindowFrame(RowFrame,
+            UnboundedPreceding, CurrentRow))), _)) => a.exprId == rn.exprId
+      case _ => false
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case p @ Project(projList, Filter(cond, w: LWindow)) =>
+      val bound = cond match {
+        case LessThanOrEqual(a: Attribute, Literal(k: Int, _)) => Some(a -> k)
+        case LessThan(a: Attribute, Literal(k: Int, _)) => Some(a -> (k - 1))
+        case _ => None
+      }
+      bound match {
+        case Some((rn, k)) if k >= 1 && asRowNumberWindow(w, rn) &&
+            !projList.exists(_.references.exists(_.exprId == rn.exprId)) &&
+            w.partitionSpec.nonEmpty &&
+            w.partitionSpec.forall(_.isInstanceOf[Attribute]) =>
+          Project(projList.asInstanceOf[Seq[NamedExpression]],
+            TopKPerKey(w.partitionSpec, w.orderSpec, k,
+              stripGroupLimit(w.child)))
+        case _ => p
+      }
+  }
+}
+
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKey(keys, order, k, child) =>
@@ -98,6 +147,17 @@ object TopK {
     if (!spark.experimental.extraStrategies.contains(TopKStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ TopKStrategy
+  }
+
+  /** Also inject the automatic window-top-k rewrite (Rule[LogicalPlan])
+    * — every later query on the session whose row_number ≤ k pattern
+    * drops the rank column gets the heap operator for free.
+    */
+  def ensureRewriteRegistered(spark: SparkSession): Unit = synchronized {
+    ensureRegistered(spark)
+    if (!spark.experimental.extraOptimizations.contains(TopKRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ TopKRewrite
   }
 
   /** Top `k` rows per distinct value of `keys`, best-first under `order`

@@ -164,6 +164,27 @@ object TemporalOps {
     //      ≤k rows per (partition, key), the final heaps merge — no
     //      WindowExec, no per-key sort. The oracle is the row_number
     //      formulation, proving the physical rewrite result-equal ----
+    // ---- the AUTO path: written as the canonical row_number window —
+    //      the injected TopKRewrite Rule[LogicalPlan] recognizes that the
+    //      rank column is discarded and swaps in TopKPerKey at
+    //      optimization time (PlanSpec proves no WindowExec survives).
+    //      Registration is session-sticky: every later query with the
+    //      same safe pattern gets the heap operator too, and the full
+    //      oracle sweep gates that globally ----
+    "q_topk_auto" -> ((s, d) => {
+      graft.plans.TopK.ensureRewriteRegistered(s)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("value").desc, col("event_id").asc)
+      events(s, d)
+        .filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id"), col("value"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+        .select(col("user_id"), col("event_id"),
+          round(col("value"), 2).as("value"))
+        .orderBy(col("user_id"), col("value").desc, col("event_id"))
+    }),
+
     "q_topk_native" -> ((s, d) => {
       val purch = events(s, d)
         .filter(col("event_type") === "purchase")
@@ -257,6 +278,16 @@ object TemporalOps {
         |  FROM events WHERE event_type = 'purchase')
         |SELECT user_id, rk, event_id, round(value, 2) AS value
         |FROM r WHERE rk <= 3 ORDER BY user_id, rk""".stripMargin,
+
+    "q_topk_auto" ->
+      """WITH r AS (
+        |  SELECT user_id, event_id, value,
+        |         row_number() OVER (PARTITION BY user_id
+        |             ORDER BY value DESC, event_id ASC) AS rk
+        |  FROM events WHERE event_type = 'view')
+        |SELECT user_id, event_id, round(value, 2) AS value
+        |FROM r WHERE rk <= 2
+        |ORDER BY user_id, value DESC, event_id""".stripMargin,
 
     // the row_number formulation IS the ground truth for the native
     // TopKPerKey physical operator

@@ -552,6 +552,25 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("window-written top-k auto-rewrites to the heap operator") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    withoutAQE {
+      // q_topk_auto is WRITTEN as row_number ≤ k — the injected
+      // Rule[LogicalPlan] must swap in TopKPerKey because rn is dropped
+      val plan = q("q_topk_auto").queryExecution.executedPlan
+      assert(plan.collect { case t: graft.plans.TopKPerKeyExec => t }
+        .map(_.partial).sorted == Seq(false, true),
+        "TopKRewrite did not fire on the canonical window pattern")
+      assert(plan.collectFirst { case w: WindowExec => w }.isEmpty,
+        "window sort survived the rewrite")
+      // and the guard: q_topk_group KEEPS its rank column, so it must
+      // still plan as a window (the rewrite may not steal rn away)
+      val grp = q("q_topk_group").queryExecution.executedPlan
+      assert(grp.collectFirst { case w: WindowExec => w }.nonEmpty,
+        "rewrite fired on a query that uses the rank column")
+    }
+  }
+
   test("trend joins the customer dim by broadcast and aggs on the nation key") {
     val bhj = physical("q_trend").collect { case b: BroadcastHashJoinExec => b }
     assert(bhj.nonEmpty, "orders⋈customer should broadcast the dim side")
