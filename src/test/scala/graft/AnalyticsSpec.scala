@@ -231,6 +231,28 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     assert(bs.getAs[Double]("ci_lo") <= bs.getAs[Double]("mean_full") + 50.0)
   }
 
+  test("TopKPerKey equals the window formulation on adversarial shapes") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val df = spark.range(0, 1000)
+      .select((col("id") % 7).as("k"),
+        (col("id") * 2654435761L % 1009L).as("v"), col("id"))
+      .repartition(7)
+    def asSet(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // k = 1, small, larger than every group, larger than the table
+    for (k <- Seq(1, 3, 200, 5000)) {
+      val nat = asSet(graft.plans.TopK.perKey(df, Seq("k"),
+        Seq("v" -> false, "id" -> true), k).collect())
+      val w = W.partitionBy(col("k")).orderBy(col("v").desc, col("id").asc)
+      val win = asSet(df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k).drop("rn").collect())
+      assert(nat == win, s"k=$k: heap ${nat.size} rows vs window ${win.size}")
+    }
+    // empty input stays empty
+    assert(graft.plans.TopK.perKey(df.filter(lit(false)), Seq("k"),
+      Seq("v" -> false, "id" -> true), 3).collect().isEmpty)
+  }
+
   test("rank fusion rewards presence in both lists") {
     val rows = q("q_rank_fusion").collect()
     assert(rows.nonEmpty)
