@@ -6,8 +6,10 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.HeavyHitters
 
-/** Statistical profiling operators: column-dependency (mutual information),
-  * an exact-arithmetic Pearson correlation matrix, Pareto-skyline
+/** Statistical profiling operators: column dependency (mutual information
+  * and χ²/Cramér's V), an exact-arithmetic Pearson correlation matrix,
+  * winsorized means, Wilson rate intervals, the two-sample
+  * Kolmogorov–Smirnov test, Misra-Gries heavy hitters, Pareto-skyline
   * extraction, and Zipf's-law fitting over the token distribution.
   *
   * Reference analog: all four are aggregate/window compositions of the

@@ -6,8 +6,10 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 
 /** Time-series operators over the event stream and the order history:
-  * gap-filling resample, calendar-window rolling stats, duration-weighted
-  * concurrency, and closed-form trend fitting.
+  * gap-filling resample, calendar-window rolling stats and 3σ anomaly
+  * flags, PSI drift monitoring, duration-weighted concurrency, EWMA
+  * smoothing, an event-type Markov chain, Poisson-bootstrap confidence
+  * intervals, and closed-form trend fitting.
   *
   * Reference analog: compositions of the reference's aggregate + window
   * machinery (/root/reference/src/execution/aggregate.rs, filter/projection
