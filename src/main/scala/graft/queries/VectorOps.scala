@@ -302,6 +302,45 @@ object VectorOps {
         .orderBy("probe_id", "rk")
     }),
 
+    // ---- top principal component via distributed power iteration (the
+    //      embedding-whitening / dimensionality-reduction primitive):
+    //      v ← normalize(AᵀA v), 3 rounds. Each round is one broadcast of
+    //      the 64-value vector, one pipelined per-row dot product, one
+    //      (dim)-keyed map-side-combined sum, and a 1-row norm — the
+    //      corpus is never shuffled, state is dim-sized. Determinism: the
+    //      per-row dot is a SEQUENTIAL index-order fold (zip_with +
+    //      aggregate == DuckDB list_reduce — identical association), v₀ =
+    //      1/8 each (exact, |v₀|=1 for dim 64), and v rounds to 9 dp per
+    //      iteration (the PageRank drift reset) so the per-dim sums'
+    //      association-order ulps never accumulate ----
+    "q_pca_power" -> ((s, d) => {
+      val e = emb(s, d).select(col("vec_id"), col("embedding")).persist()
+      def dotV = expr("aggregate(zip_with(embedding, v, " +
+        "(a, b) -> cast(a as double) * b), 0D, (acc, x) -> acc + x)")
+      var v = s.range(1).select(expr("array_repeat(0.125D, 64)").as("v"))
+      for (_ <- 1 to 3) {
+        val y = e.crossJoin(broadcast(v))
+          .select(col("vec_id"), col("embedding"), dotV.as("y"))
+        val w = y
+          .select(col("y"), posexplode(col("embedding")).as(Seq("dim", "x")))
+          .groupBy(col("dim"))
+          .agg(sum(col("y") * col("x").cast("double")).as("w"))
+        val n = w.agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+        v = w.crossJoin(broadcast(n))
+          .select(col("dim"), round(col("w") / col("nrm"), 9).as("vd"))
+          .agg(expr("transform(array_sort(collect_list(struct(dim, vd))), " +
+            "s -> s.vd)").as("v"))
+          .localCheckpoint()
+      }
+      // Rayleigh quotient λ = Σ yᵢ² with the final unit vector
+      val lam = e.crossJoin(broadcast(v)).select(dotV.as("y"))
+        .agg(round(sum(col("y") * col("y")), 2).as("eigenvalue"))
+      v.select(posexplode(col("v")).as(Seq("dim", "vd")))
+        .select(col("dim"), round(col("vd"), 6).as("loading"))
+        .crossJoin(broadcast(lam))
+        .orderBy("dim")
+    }),
+
     // ---- hybrid retrieval via reciprocal-rank fusion (RRF, k=60): the
     //      lexical ranking (BM25 over the query terms) and the semantic
     //      ranking (exact cosine against the query embedding, doc 0's
@@ -447,6 +486,25 @@ object VectorOps {
   }
 
   private val cosAB = VectorExprs.cosineSql("a.embedding", "b.embedding")
+
+  /** index-order sequential dot fold — the DuckDB twin of
+    * aggregate(zip_with(...)): identical association order.
+    */
+  private def pcaDot(vTerm: String): String =
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+      s"list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * $vTerm)), " +
+      "(acc, x) -> acc + x)"
+
+  /** one power-iteration round: y = Av (fold), w = Aᵀy, v' = round(w/|w|, 9). */
+  private def pcaRound(i: Int, vList: String): String =
+    s"""y$i AS (
+       |  SELECT e.vec_id, ${pcaDot(s"$vList.v[i]")} AS y
+       |  FROM embeddings e CROSS JOIN $vList),
+       |w$i AS (SELECT dim, sum(y * x) AS w
+       |        FROM xd JOIN y$i USING (vec_id) GROUP BY dim),
+       |n$i AS (SELECT sqrt(sum(w * w)) AS nrm FROM w$i),
+       |v$i AS (SELECT list(round(w / nrm, 9) ORDER BY dim) AS v
+       |        FROM w$i CROSS JOIN n$i)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_embed_stats" ->
@@ -639,6 +697,26 @@ object VectorOps {
          |              ORDER BY cos DESC, neighbor_id ASC) AS rk FROM rr)
          |SELECT probe_id, rk, neighbor_id, cos FROM r2
          |WHERE rk <= 3 ORDER BY probe_id, rk""".stripMargin,
+
+    // identical recurrence: v0 = 1/8 each, per-row dots are index-order
+    // folds, v rounds to 9 dp per iteration
+    "q_pca_power" ->
+      s"""WITH xd AS (
+         |  SELECT vec_id, d.i - 1 AS dim,
+         |         CAST(embedding[d.i] AS DOUBLE) AS x
+         |  FROM embeddings, unnest(range(1, 65)) AS d(i)),
+         |v0 AS (SELECT list_transform(range(1, 65),
+         |         i -> CAST(0.125 AS DOUBLE)) AS v),
+         |${pcaRound(1, "v0")},
+         |${pcaRound(2, "v1")},
+         |${pcaRound(3, "v2")},
+         |lam AS (
+         |  SELECT round(sum(y * y), 2) AS eigenvalue FROM (
+         |    SELECT ${pcaDot("v3.v[i]")} AS y
+         |    FROM embeddings e CROSS JOIN v3))
+         |SELECT d.i - 1 AS dim, round(v3.v[d.i], 6) AS loading, eigenvalue
+         |FROM v3, unnest(range(1, 65)) AS d(i), lam
+         |ORDER BY dim""".stripMargin,
 
     // DuckDB log() is log10 — ln() here, matching Spark's natural log
     "q_rank_fusion" ->

@@ -231,6 +231,24 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     assert(bs.getAs[Double]("ci_lo") <= bs.getAs[Double]("mean_full") + 50.0)
   }
 
+  test("PCA power iteration: unit loading vector, Rayleigh never decreases") {
+    val rows = q("q_pca_power").collect()
+    assert(rows.length == 64)
+    val norm2 = rows.map(r => {
+      val v = r.getAs[Double]("loading"); v * v
+    }).sum
+    assert(math.abs(norm2 - 1.0) < 1e-4, s"|v|² = $norm2")
+    val lambda = rows.head.getAs[Double]("eigenvalue")
+    assert(lambda > 0)
+    // power iteration improves the Rayleigh quotient monotonically, so
+    // λ after 3 rounds must dominate the seed direction's quotient
+    val seed = Tables(spark, sf, "embeddings")
+      .select(expr("aggregate(transform(embedding, x -> cast(x as double))," +
+        " 0D, (acc, x) -> acc + x) * 0.125").as("y"))
+      .agg(sum(col("y") * col("y")).as("r0")).collect()(0).getAs[Double]("r0")
+    assert(lambda >= seed - 1e-6, s"λ=$lambda < seed Rayleigh $seed")
+  }
+
   test("TopKPerKey equals the window formulation on adversarial shapes") {
     import org.apache.spark.sql.expressions.{Window => W}
     val df = spark.range(0, 1000)
