@@ -1,0 +1,115 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** In-engine model training: logistic regression by full-batch gradient
+  * descent — the "can the engine train a model" primitive (feature
+  * pipelines end in exactly this shape before a GPU ever gets involved).
+  *
+  * Reference analog: repeated aggregate passes over the scan pipeline
+  * (/root/reference/src/execution/aggregate.rs) — the recurrence itself is
+  * textbook GD.
+  *
+  * Scale notes: each step is ONE broadcast of the 3-value weight row and
+  * one map-side-combined global sum of per-row gradients — the data never
+  * shuffles, state is weight-sized, and the step count is fixed, so the
+  * whole training run is a declarative plan chain (localCheckpoint per
+  * step, the PageRank device). Cross-engine determinism: features are
+  * exact rationals of integers, z evaluates in one fixed expression
+  * order, libm exp() lives only inside the gradient sums whose
+  * association-order ulps are absorbed by the 9-dp weight rounding each
+  * step; the accuracy census compares z > 0 — sign-exact, no libm.
+  */
+object MLOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // label: is the event a purchase; features: value/100 and hour-of-day/24
+    "q_logreg" -> ((s, d) => {
+      val data = Tables(s, d, "events")
+        .select((col("event_type") === "purchase").cast("double").as("y"),
+          (col("value") / 100.0).as("x1"),
+          ((unix_timestamp(col("ts")) % 86400) / lit(3600) / 24.0).as("x2"))
+        .persist()
+      val nRow = data.agg(count(lit(1)).as("n"))
+      var w = s.range(1).select(lit(0.0).as("w0"), lit(0.0).as("w1"),
+        lit(0.0).as("w2"))
+      for (_ <- 1 to 3) {
+        w = data.crossJoin(broadcast(w)).crossJoin(broadcast(nRow))
+          .withColumn("p", lit(1.0) / (lit(1.0) +
+            exp(-(col("w0") + col("w1") * col("x1") + col("w2") * col("x2")))))
+          .withColumn("r", col("p") - col("y"))
+          .agg(
+            round(first(col("w0")) - sum(col("r")) / first(col("n")), 9)
+              .as("w0"),
+            round(first(col("w1")) - sum(col("r") * col("x1")) /
+              first(col("n")), 9).as("w1"),
+            round(first(col("w2")) - sum(col("r") * col("x2")) /
+              first(col("n")), 9).as("w2"))
+          .localCheckpoint()
+      }
+      // accuracy: predict purchase ⇔ z > 0 (sign-exact, libm-free)
+      data.crossJoin(broadcast(w))
+        .withColumn("hit",
+          ((col("w0") + col("w1") * col("x1") + col("w2") * col("x2")
+            > 0.0).cast("double") === col("y")).cast("long"))
+        .agg(count(lit(1)).as("n"),
+          first(col("w0")).as("w0_r"), first(col("w1")).as("w1_r"),
+          first(col("w2")).as("w2_r"), sum(col("hit")).as("n_correct"))
+        .select(col("n"), round(col("w0_r"), 6).as("w0"),
+          round(col("w1_r"), 6).as("w1"), round(col("w2_r"), 6).as("w2"),
+          col("n_correct"),
+          round(col("n_correct").cast("double") / col("n"), 4).as("accuracy"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    // identical recurrence, unrolled; gradients divide by n BEFORE the
+    // subtraction exactly as the Spark expression does
+    "q_logreg" ->
+      """WITH data AS (
+        |  SELECT CAST(event_type = 'purchase' AS DOUBLE) AS y,
+        |         value / 100.0 AS x1,
+        |         (CAST(floor(epoch(ts)) AS BIGINT) % 86400) / 3600 / 24.0
+        |           AS x2
+        |  FROM events),
+        |nn AS (SELECT count(*) AS n FROM data),
+        |w0 AS (SELECT CAST(0 AS DOUBLE) AS w0, CAST(0 AS DOUBLE) AS w1,
+        |              CAST(0 AS DOUBLE) AS w2),
+        |s1 AS (
+        |  SELECT round(w0 - sum(p - y) / n, 9) AS w0,
+        |         round(w1 - sum((p - y) * x1) / n, 9) AS w1,
+        |         round(w2 - sum((p - y) * x2) / n, 9) AS w2
+        |  FROM (SELECT y, x1, x2, w0, w1, w2, n,
+        |          1.0 / (1.0 + exp(-(w0 + w1 * x1 + w2 * x2))) AS p
+        |        FROM data CROSS JOIN w0 CROSS JOIN nn)
+        |  GROUP BY w0, w1, w2, n),
+        |s2 AS (
+        |  SELECT round(w0 - sum(p - y) / n, 9) AS w0,
+        |         round(w1 - sum((p - y) * x1) / n, 9) AS w1,
+        |         round(w2 - sum((p - y) * x2) / n, 9) AS w2
+        |  FROM (SELECT y, x1, x2, w0, w1, w2, n,
+        |          1.0 / (1.0 + exp(-(w0 + w1 * x1 + w2 * x2))) AS p
+        |        FROM data CROSS JOIN s1 CROSS JOIN nn)
+        |  GROUP BY w0, w1, w2, n),
+        |s3 AS (
+        |  SELECT round(w0 - sum(p - y) / n, 9) AS w0,
+        |         round(w1 - sum((p - y) * x1) / n, 9) AS w1,
+        |         round(w2 - sum((p - y) * x2) / n, 9) AS w2
+        |  FROM (SELECT y, x1, x2, w0, w1, w2, n,
+        |          1.0 / (1.0 + exp(-(w0 + w1 * x1 + w2 * x2))) AS p
+        |        FROM data CROSS JOIN s2 CROSS JOIN nn)
+        |  GROUP BY w0, w1, w2, n)
+        |SELECT count(*) AS n, round(max(w0), 6) AS w0,
+        |       round(max(w1), 6) AS w1, round(max(w2), 6) AS w2,
+        |       CAST(sum(CASE WHEN
+        |         CAST(w0 + w1 * x1 + w2 * x2 > 0.0 AS DOUBLE) = y
+        |         THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+        |       round(CAST(sum(CASE WHEN
+        |         CAST(w0 + w1 * x1 + w2 * x2 > 0.0 AS DOUBLE) = y
+        |         THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS accuracy
+        |FROM data CROSS JOIN s3""".stripMargin
+  )
+}

@@ -231,6 +231,21 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     assert(bs.getAs[Double]("ci_lo") <= bs.getAs[Double]("mean_full") + 50.0)
   }
 
+  test("logistic GD beats random and tracks the majority class") {
+    val r = q("q_logreg").collect().head
+    val (n, correct) = (r.getAs[Long]("n"), r.getAs[Long]("n_correct"))
+    val acc = r.getAs[Double]("accuracy")
+    assert(n > 0 && correct <= n)
+    assert(math.abs(acc - correct.toDouble / n) < 1e-3)
+    val posFrac = Tables(spark, sf, "events")
+      .agg(avg((col("event_type") === "purchase").cast("double")).as("p"))
+      .collect()(0).getAs[Double]("p")
+    val majority = math.max(posFrac, 1 - posFrac)
+    // three full-batch steps from w=0 must at least reach the majority
+    // baseline (the bias term alone achieves it)
+    assert(acc >= majority - 0.02, s"acc=$acc majority=$majority")
+  }
+
   test("PCA power iteration: unit loading vector, Rayleigh never decreases") {
     val rows = q("q_pca_power").collect()
     assert(rows.length == 64)
