@@ -62,10 +62,100 @@ object MLOps {
           round(col("w1_r"), 6).as("w1"), round(col("w2_r"), 6).as("w2"),
           col("n_correct"),
           round(col("n_correct").cast("double") / col("n"), 4).as("accuracy"))
+    }),
+
+    // ---- multinomial Naive Bayes language classifier, trained and
+    //      evaluated in-engine (resubstitution): add-one-smoothed token
+    //      likelihoods per language. The likelihood table is
+    //      (langs × vocab)-sized — language-bounded, built DENSE (so
+    //      unseen (lang, token) pairs score ln(1/(total+V)) instead of
+    //      dropping out) and broadcast; scoring joins each doc token
+    //      against it and reduces per (doc, lang). Counts are all
+    //      integer; ln lives in the score sums, and the argmax compares
+    //      9-dp-rounded scores with a language tie-break — the PageRank
+    //      bridging device ----
+    "q_naive_bayes" -> ((s, d) => {
+      val tok = Tables(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("t"))
+        .filter(col("t") =!= "").persist()
+      val counts = tok.groupBy(col("lang").as("l"), col("t").as("tt"))
+        .agg(count(lit(1)).as("c"))
+      val langTot = tok.groupBy(col("lang").as("l"))
+        .agg(count(lit(1)).as("tot"))
+      val vocab = tok.select(col("t").as("tt")).distinct()
+      val vSize = vocab.agg(count(lit(1)).as("v"))
+      val docsPerLang = tok.select(col("doc_id"), col("lang")).distinct()
+        .groupBy(col("lang").as("l")).agg(count(lit(1)).as("nd"))
+      val nDocs = Tables(s, d, "documents").agg(count(lit(1)).as("ndocs"))
+      // dense likelihoods: every (lang, token) cell exists
+      val like = langTot.crossJoin(vocab)
+        .join(counts, Seq("l", "tt"), "left")
+        .na.fill(0L, Seq("c"))
+        .crossJoin(broadcast(vSize))
+        .select(col("l"), col("tt"),
+          log((col("c") + 1).cast("double") / (col("tot") + col("v")))
+            .as("ll"))
+      val prior = docsPerLang.crossJoin(broadcast(nDocs))
+        .select(col("l"), log(col("nd").cast("double") / col("ndocs"))
+          .as("lp"))
+      val scores = tok
+        .join(broadcast(like), col("t") === col("tt"))
+        .groupBy(col("doc_id"), col("lang"), col("l"))
+        .agg(sum(col("ll")).as("sll"))
+        .join(broadcast(prior), "l")
+        .select(col("doc_id"), col("lang"),
+          col("l"), round(col("lp") + col("sll"), 9).as("score"))
+      val best = scores
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+            .orderBy(col("score").desc, col("l").asc)))
+        .filter(col("rn") === 1)
+      best.groupBy(col("lang").as("true_lang"), col("l").as("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("true_lang", "pred_lang")
     })
   )
 
+  // (oracles below)
   val oracles: Map[String, String] = Map(
+    "q_naive_bayes" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang, t.t
+        |  FROM documents,
+        |       unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t(t)
+        |  WHERE t.t <> ''),
+        |counts AS (SELECT lang AS l, t AS tt, count(*) AS c
+        |           FROM tok GROUP BY 1, 2),
+        |langtot AS (SELECT lang AS l, count(*) AS tot FROM tok GROUP BY 1),
+        |vocab AS (SELECT DISTINCT t AS tt FROM tok),
+        |vs AS (SELECT count(*) AS v FROM vocab),
+        |dpl AS (SELECT lang AS l, count(DISTINCT doc_id) AS nd
+        |        FROM tok GROUP BY 1),
+        |nd AS (SELECT count(*) AS ndocs FROM documents),
+        |lk AS (
+        |  SELECT langtot.l, vocab.tt,
+        |         ln((coalesce(c, 0) + 1) / CAST(tot + v AS DOUBLE)) AS ll
+        |  FROM langtot CROSS JOIN vocab
+        |       LEFT JOIN counts ON counts.l = langtot.l
+        |                       AND counts.tt = vocab.tt
+        |       CROSS JOIN vs),
+        |prior AS (
+        |  SELECT l, ln(nd / CAST(ndocs AS DOUBLE)) AS lp
+        |  FROM dpl CROSS JOIN nd),
+        |scores AS (
+        |  SELECT doc_id, lang, lk.l,
+        |         round(lp + sum(ll), 9) AS score
+        |  FROM tok JOIN lk ON tok.t = lk.tt
+        |       JOIN prior ON lk.l = prior.l
+        |  GROUP BY doc_id, lang, lk.l, lp),
+        |best AS (
+        |  SELECT doc_id, lang, l FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, l ASC) AS rn FROM scores)
+        |  WHERE rn = 1)
+        |SELECT lang AS true_lang, l AS pred_lang, count(*) AS n
+        |FROM best GROUP BY 1, 2 ORDER BY true_lang, pred_lang""".stripMargin,
     // identical recurrence, unrolled; gradients divide by n BEFORE the
     // subtraction exactly as the Spark expression does
     "q_logreg" ->

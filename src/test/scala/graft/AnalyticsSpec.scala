@@ -246,6 +246,24 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     assert(acc >= majority - 0.02, s"acc=$acc majority=$majority")
   }
 
+  test("Naive Bayes confusion census conserves the corpus") {
+    val rows = q("q_naive_bayes").collect()
+    val langs = Tables(spark, sf, "documents")
+      .select(col("lang")).distinct().collect().map(_.getString(0)).toSet
+    val total = rows.map(_.getAs[Long]("n")).sum
+    val nDocs = Tables(spark, sf, "documents")
+      .filter(length(trim(col("text"))) > 0).count()
+    assert(total == nDocs, s"census $total vs $nDocs docs")
+    rows.foreach { r =>
+      assert(langs.contains(r.getAs[String]("pred_lang")),
+        s"predicted unknown lang ${r.get(1)}")
+    }
+    // some mass must land on the diagonal (the classifier is not a
+    // constant misclassifier on its own training data)
+    assert(rows.filter(r => r.getString(0) == r.getString(1))
+      .map(_.getAs[Long]("n")).sum > 0)
+  }
+
   test("PCA power iteration: unit loading vector, Rayleigh never decreases") {
     val rows = q("q_pca_power").collect()
     assert(rows.length == 64)
