@@ -302,6 +302,60 @@ object VectorOps {
         .orderBy("probe_id", "rk")
     }),
 
+    // ---- retrieval-quality evaluation: recall@5 of the LSH index
+    //      against the exact cosine top-5 — the metric harness a vector
+    //      store runs after every index build. Both rankings compute
+    //      in-plan (the LSH leg = q_ann_lsh's candidates, the truth leg =
+    //      the brute-force broadcast scan) and meet in an all-INTEGER
+    //      per-probe overlap census: recall is one IEEE division of exact
+    //      ints. Output is probe-count-sized. On the ISOTROPIC random
+    //      fixture recall@5 sits at 0-0.2 — the honest number for LSH on
+    //      direction-uniform vectors (cosines concentrate near 0, buckets
+    //      barely separate); real embedding clusters score far higher
+    //      (VectorSpec's multiprobe test shows the recall ordering) ----
+    "q_ann_recall" -> ((s, d) => {
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cos").desc, col("neighbor_id").asc)
+      // truth: exact top-5 per probe, the q_ann_brute shape
+      val probes = emb(s, d).filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"))
+      val exact = emb(s, d)
+        .select(col("vec_id").as("neighbor_id"), col("embedding").as("nb_emb"))
+        .join(broadcast(probes), col("probe_id") =!= col("neighbor_id"))
+        .select(col("probe_id"), col("neighbor_id"),
+          round(VectorExprs.cosine(col("probe_emb"), col("nb_emb")), 6)
+            .as("cos"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+        .select(col("probe_id"), col("neighbor_id"))
+      // candidate leg: the q_ann_lsh pipeline at k = 5
+      val e = emb(s, d).select(col("vec_id"), col("embedding"),
+        VectorExprs.lshTables(col("embedding"), 6, 4).as("tbls"))
+      val lp = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"),
+          explode(col("tbls")).as("tb"))
+        .select(col("probe_id"), col("probe_emb"), col("tb.tbl"), col("tb.bkt"))
+      val lc = e
+        .select(col("vec_id").as("neighbor_id"), col("embedding").as("nb_emb"),
+          explode(col("tbls")).as("tb"))
+        .select(col("neighbor_id"), col("nb_emb"), col("tb.tbl"), col("tb.bkt"))
+      val lsh = lc.join(broadcast(lp), Seq("tbl", "bkt"))
+        .filter(col("probe_id") =!= col("neighbor_id"))
+        .select(col("probe_id"), col("neighbor_id"),
+          round(VectorExprs.cosine(col("probe_emb"), col("nb_emb")), 6)
+            .as("cos"))
+        .distinct()
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+        .select(col("probe_id"), col("neighbor_id").as("lsh_id"))
+      exact.join(lsh, exact("probe_id") === lsh("probe_id") &&
+          col("neighbor_id") === col("lsh_id"), "left")
+        .groupBy(exact("probe_id").as("probe_id"))
+        .agg(count(lit(1)).as("k"),
+          sum(col("lsh_id").isNotNull.cast("long")).as("n_hit"))
+        .select(col("probe_id"), col("k"), col("n_hit"),
+          round(col("n_hit").cast("double") / col("k"), 4).as("recall"))
+        .orderBy("probe_id")
+    }),
+
     // ---- top principal component via distributed power iteration (the
     //      embedding-whitening / dimensionality-reduction primitive):
     //      v ← normalize(AᵀA v), 3 rounds. Each round is one broadcast of
@@ -697,6 +751,49 @@ object VectorOps {
          |              ORDER BY cos DESC, neighbor_id ASC) AS rk FROM rr)
          |SELECT probe_id, rk, neighbor_id, cos FROM r2
          |WHERE rk <= 3 ORDER BY probe_id, rk""".stripMargin,
+
+    // both rankings rebuilt from the q_ann_brute / q_ann_lsh oracle
+    // fragments, met in the integer overlap census
+    "q_ann_recall" -> {
+      val wlits = (0 until 4).map(t =>
+        s"${VectorExprs.weightsSqlLiteral(t, 6)}::DOUBLE[][] AS w$t")
+        .mkString(", ")
+      val bkts = (0 until 4).map(t =>
+        VectorExprs.bucketSql("embedding", s"w$t", 6)).mkString("[", ", ", "]")
+      s"""WITH exact AS (
+         |  SELECT probe_id, neighbor_id FROM (
+         |    SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+         |           row_number() OVER (PARTITION BY a.vec_id
+         |             ORDER BY round($cosAB, 6) DESC, b.vec_id ASC) AS rn
+         |    FROM embeddings a, embeddings b
+         |    WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id)
+         |  WHERE rn <= 5),
+         |w AS (SELECT $wlits),
+         |e AS (SELECT vec_id, embedding, $bkts AS bkts FROM embeddings, w),
+         |cand AS (
+         |  SELECT DISTINCT p.vec_id AS probe_id, n.vec_id AS neighbor_id
+         |  FROM e p, e n, range(1, 5) t
+         |  WHERE p.vec_id < 10 AND n.vec_id <> p.vec_id
+         |    AND p.bkts[t.range] = n.bkts[t.range]),
+         |lsh AS (
+         |  SELECT probe_id, neighbor_id AS lsh_id FROM (
+         |    SELECT c.probe_id, c.neighbor_id,
+         |           row_number() OVER (PARTITION BY c.probe_id
+         |             ORDER BY round($cosAB, 6) DESC, c.neighbor_id ASC) AS rn
+         |    FROM cand c
+         |    JOIN embeddings a ON a.vec_id = c.probe_id
+         |    JOIN embeddings b ON b.vec_id = c.neighbor_id)
+         |  WHERE rn <= 5)
+         |SELECT exact.probe_id, count(*) AS k,
+         |       CAST(sum(CASE WHEN lsh_id IS NOT NULL THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_hit,
+         |       round(CAST(sum(CASE WHEN lsh_id IS NOT NULL THEN 1 ELSE 0 END)
+         |         AS DOUBLE) / count(*), 4) AS recall
+         |FROM exact LEFT JOIN lsh
+         |  ON exact.probe_id = lsh.probe_id
+         |  AND exact.neighbor_id = lsh.lsh_id
+         |GROUP BY exact.probe_id ORDER BY exact.probe_id""".stripMargin
+    },
 
     // identical recurrence: v0 = 1/8 each, per-row dots are index-order
     // folds, v rounds to 9 dp per iteration
