@@ -308,6 +308,64 @@ object DedupOps {
         .withColumn("is_keep", col("doc_id") === col("cluster_id"))
         .orderBy("doc_id")),
 
+    // ---- the END-TO-END training-data funnel (the engine's capstone
+    //      composition): raw → nonempty → exact dedup (md5, keep min id)
+    //      → language gate (langs holding ≥5% of the corpus, integer
+    //      compare) → length gate (n_chars ≥ discrete p25 of survivors,
+    //      broadcast threshold) → near-dup removal (the q_dedup_clusters
+    //      canonical-keep set) → packed-sequence count (Σ tokens div
+    //      2048). Every stage is a technique already oracle-gated on its
+    //      own; the funnel proves they COMPOSE — the per-stage census is
+    //      the number a data-curation run reports at each checkpoint ----
+    "q_pipeline_funnel" -> ((s, d) => {
+      val all = docs(s, d).select(col("doc_id"), col("text"), col("lang"),
+          col("n_chars"),
+          size(split(lower(trim(col("text"))), "\\s+")).as("n_tok"))
+        .persist()
+      def census(stage: Int, name: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("n_docs"),
+            coalesce(sum(col("n_tok")), lit(0L)).as("n_tokens"))
+          .select(lit(stage).as("stage"), lit(name).as("stage_name"),
+            col("n_docs"), col("n_tokens"))
+      val nonempty = all.filter(length(trim(col("text"))) > 0)
+      val exactKeep = nonempty
+        .withColumn("rn", row_number().over(Window
+          .partitionBy(md5(col("text"))).orderBy(col("doc_id").asc)))
+        .filter(col("rn") === 1).drop("rn").persist()
+      val total = exactKeep.agg(count(lit(1)).as("nn"))
+      val langKeep = exactKeep
+        .join(broadcast(exactKeep.groupBy(col("lang"))
+          .agg(count(lit(1)).as("lc"))), "lang")
+        .crossJoin(broadcast(total))
+        .filter(col("lc") * 20 >= col("nn"))
+        .select(exactKeep.columns.map(col): _*).persist()
+      val thr = langKeep.agg(
+        percentile_approx(col("n_chars"), lit(0.25), lit(1000000)).as("p25"))
+      val lenKeep = langKeep.crossJoin(broadcast(thr))
+        .filter(col("n_chars") >= col("p25"))
+        .select(langKeep.columns.map(col): _*).persist()
+      // near-dup: drop non-canonical members of the corpus-wide clusters
+      val nonCanon = connectedComponents(
+        minhashPairs(docs(s, d)).select(col("doc_a"), col("doc_b")))
+        .filter(col("doc_id") =!= col("cluster_id"))
+        .select(col("doc_id"))
+      val finalKeep = lenKeep.join(nonCanon, Seq("doc_id"), "left_anti")
+        .persist()
+      val packed = finalKeep
+        .agg(expr("sum(n_tok) div 2048").as("n_docs"),
+          coalesce(sum(col("n_tok")), lit(0L)).as("n_tokens"))
+        .select(lit(6).as("stage"), lit("packed_2048").as("stage_name"),
+          col("n_docs"), col("n_tokens"))
+      census(0, "raw", all)
+        .unionByName(census(1, "nonempty", nonempty))
+        .unionByName(census(2, "exact_dedup", exactKeep))
+        .unionByName(census(3, "lang_gate", langKeep))
+        .unionByName(census(4, "length_gate", lenKeep))
+        .unionByName(census(5, "neardup_canonical", finalKeep))
+        .unionByName(packed)
+        .orderBy("stage")
+    }),
+
     // ---- quality-aware canonical selection (the C4/RefinedWeb retention
     //      policy): within each near-dup cluster keep the LONGEST member,
     //      not the min-id one — same connected components, then one
@@ -558,6 +616,60 @@ object DedupOps {
          |        FROM reach GROUP BY src)
          |SELECT doc_id, cluster_id, (doc_id = cluster_id) AS is_keep
          |FROM lab ORDER BY doc_id""".stripMargin,
+
+    // every stage CTE mirrors its standalone oracle-gated twin; the
+    // near-dup keep set is the same recursive closure as q_dedup_clusters
+    "q_pipeline_funnel" ->
+      s"""WITH RECURSIVE $minhashPairCtes,
+         |pf AS MATERIALIZED (
+         |  SELECT doc_a, doc_b FROM pairs WHERE est_jaccard >= 0.5),
+         |edges AS MATERIALIZED (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pf
+         |  UNION SELECT doc_b, doc_a FROM pf),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |lab AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+         |        FROM reach GROUP BY src),
+         |noncanon AS (SELECT doc_id FROM lab WHERE doc_id <> cluster_id),
+         |allx AS (
+         |  SELECT doc_id, text, lang, n_chars,
+         |         len(regexp_split_to_array(lower(trim(text)), '\\s+'))
+         |           AS n_tok
+         |  FROM documents),
+         |ne AS (SELECT * FROM allx WHERE length(trim(text)) > 0),
+         |ek AS (
+         |  SELECT * FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY md5(text)
+         |      ORDER BY doc_id ASC) AS rn FROM ne)
+         |  WHERE rn = 1),
+         |tot AS (SELECT count(*) AS nn FROM ek),
+         |lc AS (SELECT lang, count(*) AS lc FROM ek GROUP BY lang),
+         |lk AS (
+         |  SELECT ek.* FROM ek JOIN lc ON ek.lang = lc.lang CROSS JOIN tot
+         |  WHERE lc.lc * 20 >= tot.nn),
+         |thr AS (SELECT quantile_disc(n_chars, 0.25) AS p25 FROM lk),
+         |lek AS (SELECT lk.* FROM lk CROSS JOIN thr WHERE n_chars >= p25),
+         |fk AS (SELECT * FROM lek
+         |       WHERE doc_id NOT IN (SELECT doc_id FROM noncanon))
+         |SELECT 0 AS stage, 'raw' AS stage_name, count(*) AS n_docs,
+         |       CAST(coalesce(sum(n_tok), 0) AS BIGINT) AS n_tokens
+         |FROM allx
+         |UNION ALL SELECT 1, 'nonempty', count(*),
+         |       CAST(coalesce(sum(n_tok), 0) AS BIGINT) FROM ne
+         |UNION ALL SELECT 2, 'exact_dedup', count(*),
+         |       CAST(coalesce(sum(n_tok), 0) AS BIGINT) FROM ek
+         |UNION ALL SELECT 3, 'lang_gate', count(*),
+         |       CAST(coalesce(sum(n_tok), 0) AS BIGINT) FROM lk
+         |UNION ALL SELECT 4, 'length_gate', count(*),
+         |       CAST(coalesce(sum(n_tok), 0) AS BIGINT) FROM lek
+         |UNION ALL SELECT 5, 'neardup_canonical', count(*),
+         |       CAST(coalesce(sum(n_tok), 0) AS BIGINT) FROM fk
+         |UNION ALL SELECT 6, 'packed_2048',
+         |       CAST(coalesce(sum(n_tok), 0) // 2048 AS BIGINT),
+         |       CAST(coalesce(sum(n_tok), 0) AS BIGINT) FROM fk
+         |ORDER BY stage""".stripMargin,
 
     // same recursive closure, then argmax(n_chars, min doc_id) per cluster
     "q_dedup_keep_best" ->

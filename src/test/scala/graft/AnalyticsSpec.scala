@@ -246,6 +246,24 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     assert(acc >= majority - 0.02, s"acc=$acc majority=$majority")
   }
 
+  test("pipeline funnel only ever narrows") {
+    val rows = q("q_pipeline_funnel").collect()
+      .map(r => (r.getAs[Int]("stage"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_tokens"))).sortBy(_._1)
+    assert(rows.map(_._1).toList == (0 to 6).toList)
+    // stages 0..5 are filters: doc and token mass must be non-increasing
+    rows.take(6).sliding(2).foreach {
+      case Array((s1, d1, t1), (s2, d2, t2)) =>
+        assert(d2 <= d1 && t2 <= t1, s"stage $s2 grew vs $s1")
+      case _ => ()
+    }
+    // packing conserves the final token mass and bins by 2048
+    val (_, nSeq, finalTok) = rows(6)
+    assert(finalTok == rows(5)._3, "packing changed token mass")
+    assert(nSeq == finalTok / 2048, "sequence count is not tokens div 2048")
+    assert(rows(5)._2 > 0, "funnel emptied the corpus")
+  }
+
   test("Naive Bayes confusion census conserves the corpus") {
     val rows = q("q_naive_bayes").collect()
     val langs = Tables(spark, sf, "documents")
