@@ -25,31 +25,41 @@ import graft.Tables
 object MLOps {
   type Q = (SparkSession, String) => DataFrame
 
+  /** label: is the event a purchase; features: value/100 and
+    * fraction-of-day. Shared spine of the GD queries.
+    */
+  private def lrData(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "events")
+      .select((col("event_type") === "purchase").cast("double").as("y"),
+        (col("value") / 100.0).as("x1"),
+        ((unix_timestamp(col("ts")) % 86400) / lit(3600) / 24.0).as("x2"))
+
+  /** 3 full-batch GD steps from w = 0, 9-dp weight rounding per step. */
+  private def lrTrain(s: SparkSession, data: DataFrame): DataFrame = {
+    val nRow = data.agg(count(lit(1)).as("n"))
+    var w = s.range(1).select(lit(0.0).as("w0"), lit(0.0).as("w1"),
+      lit(0.0).as("w2"))
+    for (_ <- 1 to 3) {
+      w = data.crossJoin(broadcast(w)).crossJoin(broadcast(nRow))
+        .withColumn("p", lit(1.0) / (lit(1.0) +
+          exp(-(col("w0") + col("w1") * col("x1") + col("w2") * col("x2")))))
+        .withColumn("r", col("p") - col("y"))
+        .agg(
+          round(first(col("w0")) - sum(col("r")) / first(col("n")), 9)
+            .as("w0"),
+          round(first(col("w1")) - sum(col("r") * col("x1")) /
+            first(col("n")), 9).as("w1"),
+          round(first(col("w2")) - sum(col("r") * col("x2")) /
+            first(col("n")), 9).as("w2"))
+        .localCheckpoint()
+    }
+    w
+  }
+
   val queries: Map[String, Q] = Map(
-    // label: is the event a purchase; features: value/100 and hour-of-day/24
     "q_logreg" -> ((s, d) => {
-      val data = Tables(s, d, "events")
-        .select((col("event_type") === "purchase").cast("double").as("y"),
-          (col("value") / 100.0).as("x1"),
-          ((unix_timestamp(col("ts")) % 86400) / lit(3600) / 24.0).as("x2"))
-        .persist()
-      val nRow = data.agg(count(lit(1)).as("n"))
-      var w = s.range(1).select(lit(0.0).as("w0"), lit(0.0).as("w1"),
-        lit(0.0).as("w2"))
-      for (_ <- 1 to 3) {
-        w = data.crossJoin(broadcast(w)).crossJoin(broadcast(nRow))
-          .withColumn("p", lit(1.0) / (lit(1.0) +
-            exp(-(col("w0") + col("w1") * col("x1") + col("w2") * col("x2")))))
-          .withColumn("r", col("p") - col("y"))
-          .agg(
-            round(first(col("w0")) - sum(col("r")) / first(col("n")), 9)
-              .as("w0"),
-            round(first(col("w1")) - sum(col("r") * col("x1")) /
-              first(col("n")), 9).as("w1"),
-            round(first(col("w2")) - sum(col("r") * col("x2")) /
-              first(col("n")), 9).as("w2"))
-          .localCheckpoint()
-      }
+      val data = lrData(s, d).persist()
+      val w = lrTrain(s, data)
       // accuracy: predict purchase ⇔ z > 0 (sign-exact, libm-free)
       data.crossJoin(broadcast(w))
         .withColumn("hit",
@@ -62,6 +72,29 @@ object MLOps {
           round(col("w1_r"), 6).as("w1"), round(col("w2_r"), 6).as("w2"),
           col("n_correct"),
           round(col("n_correct").cast("double") / col("n"), 4).as("accuracy"))
+    }),
+
+    // ---- reliability diagram for the trained model (model-quality
+    //      monitoring): decile buckets of predicted probability vs the
+    //      observed positive rate. Bucket membership floors p·10 — p is a
+    //      continuous sigmoid value, so a cross-engine ulp landing
+    //      exactly on a bucket edge is measure-zero; counts are integer,
+    //      rates one IEEE division, avg_p rounds away summation order.
+    //      Same iterate-broadcast scale shape as training ----
+    "q_calibration" -> ((s, d) => {
+      val data = lrData(s, d).persist()
+      val w = lrTrain(s, data)
+      data.crossJoin(broadcast(w))
+        .withColumn("p", lit(1.0) / (lit(1.0) +
+          exp(-(col("w0") + col("w1") * col("x1") + col("w2") * col("x2")))))
+        .withColumn("bucket",
+          least(floor(col("p") * 10).cast("int"), lit(9)))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("y")).cast("bigint").as("n_pos"),
+          round(sum(col("y")) / count(lit(1)), 4).as("observed_rate"),
+          round(avg(col("p")), 4).as("avg_predicted"))
+        .orderBy("bucket")
     }),
 
     // ---- multinomial Naive Bayes language classifier, trained and
@@ -117,8 +150,57 @@ object MLOps {
     })
   )
 
+  /** the GD recurrence as shared oracle CTEs — identical per-step
+    * expressions and 9-dp weight rounding to [[lrTrain]].
+    */
+  private val gdCtes: String =
+    """data AS (
+      |  SELECT CAST(event_type = 'purchase' AS DOUBLE) AS y,
+      |         value / 100.0 AS x1,
+      |         (CAST(floor(epoch(ts)) AS BIGINT) % 86400) / 3600 / 24.0
+      |           AS x2
+      |  FROM events),
+      |nn AS (SELECT count(*) AS n FROM data),
+      |w0 AS (SELECT CAST(0 AS DOUBLE) AS w0, CAST(0 AS DOUBLE) AS w1,
+      |              CAST(0 AS DOUBLE) AS w2),
+      |s1 AS (
+      |  SELECT round(w0 - sum(p - y) / n, 9) AS w0,
+      |         round(w1 - sum((p - y) * x1) / n, 9) AS w1,
+      |         round(w2 - sum((p - y) * x2) / n, 9) AS w2
+      |  FROM (SELECT y, x1, x2, w0, w1, w2, n,
+      |          1.0 / (1.0 + exp(-(w0 + w1 * x1 + w2 * x2))) AS p
+      |        FROM data CROSS JOIN w0 CROSS JOIN nn)
+      |  GROUP BY w0, w1, w2, n),
+      |s2 AS (
+      |  SELECT round(w0 - sum(p - y) / n, 9) AS w0,
+      |         round(w1 - sum((p - y) * x1) / n, 9) AS w1,
+      |         round(w2 - sum((p - y) * x2) / n, 9) AS w2
+      |  FROM (SELECT y, x1, x2, w0, w1, w2, n,
+      |          1.0 / (1.0 + exp(-(w0 + w1 * x1 + w2 * x2))) AS p
+      |        FROM data CROSS JOIN s1 CROSS JOIN nn)
+      |  GROUP BY w0, w1, w2, n),
+      |s3 AS (
+      |  SELECT round(w0 - sum(p - y) / n, 9) AS w0,
+      |         round(w1 - sum((p - y) * x1) / n, 9) AS w1,
+      |         round(w2 - sum((p - y) * x2) / n, 9) AS w2
+      |  FROM (SELECT y, x1, x2, w0, w1, w2, n,
+      |          1.0 / (1.0 + exp(-(w0 + w1 * x1 + w2 * x2))) AS p
+      |        FROM data CROSS JOIN s2 CROSS JOIN nn)
+      |  GROUP BY w0, w1, w2, n)""".stripMargin
+
   // (oracles below)
   val oracles: Map[String, String] = Map(
+    "q_calibration" ->
+      s"""WITH $gdCtes
+         |SELECT bucket, count(*) AS n, CAST(sum(y) AS BIGINT) AS n_pos,
+         |       round(sum(y) / count(*), 4) AS observed_rate,
+         |       round(avg(p), 4) AS avg_predicted
+         |FROM (SELECT y, least(CAST(floor(p * 10) AS INTEGER), 9) AS bucket,
+         |             p
+         |      FROM (SELECT y,
+         |              1.0 / (1.0 + exp(-(w0 + w1 * x1 + w2 * x2))) AS p
+         |            FROM data CROSS JOIN s3))
+         |GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q_naive_bayes" ->
       """WITH tok AS (
         |  SELECT doc_id, lang, t.t
@@ -159,39 +241,7 @@ object MLOps {
     // identical recurrence, unrolled; gradients divide by n BEFORE the
     // subtraction exactly as the Spark expression does
     "q_logreg" ->
-      """WITH data AS (
-        |  SELECT CAST(event_type = 'purchase' AS DOUBLE) AS y,
-        |         value / 100.0 AS x1,
-        |         (CAST(floor(epoch(ts)) AS BIGINT) % 86400) / 3600 / 24.0
-        |           AS x2
-        |  FROM events),
-        |nn AS (SELECT count(*) AS n FROM data),
-        |w0 AS (SELECT CAST(0 AS DOUBLE) AS w0, CAST(0 AS DOUBLE) AS w1,
-        |              CAST(0 AS DOUBLE) AS w2),
-        |s1 AS (
-        |  SELECT round(w0 - sum(p - y) / n, 9) AS w0,
-        |         round(w1 - sum((p - y) * x1) / n, 9) AS w1,
-        |         round(w2 - sum((p - y) * x2) / n, 9) AS w2
-        |  FROM (SELECT y, x1, x2, w0, w1, w2, n,
-        |          1.0 / (1.0 + exp(-(w0 + w1 * x1 + w2 * x2))) AS p
-        |        FROM data CROSS JOIN w0 CROSS JOIN nn)
-        |  GROUP BY w0, w1, w2, n),
-        |s2 AS (
-        |  SELECT round(w0 - sum(p - y) / n, 9) AS w0,
-        |         round(w1 - sum((p - y) * x1) / n, 9) AS w1,
-        |         round(w2 - sum((p - y) * x2) / n, 9) AS w2
-        |  FROM (SELECT y, x1, x2, w0, w1, w2, n,
-        |          1.0 / (1.0 + exp(-(w0 + w1 * x1 + w2 * x2))) AS p
-        |        FROM data CROSS JOIN s1 CROSS JOIN nn)
-        |  GROUP BY w0, w1, w2, n),
-        |s3 AS (
-        |  SELECT round(w0 - sum(p - y) / n, 9) AS w0,
-        |         round(w1 - sum((p - y) * x1) / n, 9) AS w1,
-        |         round(w2 - sum((p - y) * x2) / n, 9) AS w2
-        |  FROM (SELECT y, x1, x2, w0, w1, w2, n,
-        |          1.0 / (1.0 + exp(-(w0 + w1 * x1 + w2 * x2))) AS p
-        |        FROM data CROSS JOIN s2 CROSS JOIN nn)
-        |  GROUP BY w0, w1, w2, n)
+      s"""WITH $gdCtes
         |SELECT count(*) AS n, round(max(w0), 6) AS w0,
         |       round(max(w1), 6) AS w1, round(max(w2), 6) AS w2,
         |       CAST(sum(CASE WHEN
