@@ -83,4 +83,39 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
       .filter(col("event_type") === "purchase").count()
     assert(pruned.count() == expected)
   }
+
+  test("dim-filter join prunes fact partitions DYNAMICALLY (DPP)") {
+    // the 100 TB shape: the fact side is partitioned on the join key, the
+    // dim side carries the selective filter — the partitions to read are
+    // only known at RUNTIME, so static pruning can't help; Spark's dynamic
+    // partition pruning must inject a subquery filter into the fact scan
+    val dir = "target/events_by_type_dpp"
+    Tables(spark, sf, "events")
+      .write.mode("overwrite").partitionBy("event_type").parquet(dir)
+    val fact = spark.read.parquet(dir)
+    // the dim predicate must be NON-propagatable (a literal filter on the
+    // join column gets inferred across the join and prunes STATICALLY —
+    // verified: Catalyst rewrote the first version of this test that way).
+    // A filter on an aggregate can only be evaluated at runtime, so the
+    // fact scan's partition set is unknowable until the dim side runs
+    val dim = Tables(spark, sf, "events")
+      .groupBy(col("event_type").as("t"))
+      .agg(count(lit(1)).as("c"), max(col("value")).as("mx"))
+      .filter(col("mx") < 490.0)
+    val joined = fact.join(dim, fact("event_type") === dim("t"))
+    withoutAQE {
+      val scan = joined.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+            if f.relation.partitionSchema.nonEmpty => f
+      }.head
+      assert(scan.partitionFilters.exists(
+          _.toString.toLowerCase.contains("dynamicpruning")),
+        s"no DPP filter on the fact scan: ${scan.partitionFilters}")
+    }
+    val survivors = dim.select(col("t")).collect().map(_.getString(0)).toSet
+    assert(survivors.nonEmpty, "degenerate: aggregate filter kept no type")
+    val expected = Tables(spark, sf, "events")
+      .filter(col("event_type").isin(survivors.toSeq: _*)).count()
+    assert(joined.count() == expected)
+  }
 }
