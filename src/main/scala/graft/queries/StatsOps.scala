@@ -246,6 +246,41 @@ object StatsOps {
         .orderBy(col("cnt").desc, col("token").asc)
     }),
 
+    // ---- per-GROUP heavy hitters: the same Misra-Gries aggregator
+    //      sharded by source — sketch state is ≤k entries per
+    //      (partition, source), so per-key sketching costs one
+    //      map-side-combined shuffle of k-entry maps at any corpus size
+    //      (the composition a per-domain vocabulary monitor runs). Exact
+    //      per-source top-3 anchors the gate; the bound flags use each
+    //      source's OWN token mass, all-integer as in q_heavy_hitters ----
+    "q_heavy_hitters_by_source" -> ((s, d) => {
+      val toks = Tables(s, d, "documents")
+        .select(col("source"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+        .filter(col("token") =!= "").persist()
+      val exact = toks.groupBy(col("source"), col("token"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rk", row_number().over(Window
+          .partitionBy(col("source"))
+          .orderBy(col("cnt").desc, col("token").asc)))
+        .filter(col("rk") <= 3)
+      val totals = toks.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_total"))
+      val est = toks.groupBy(col("source"))
+        .agg(HeavyHitters.misraGries(col("token"), 10).as("mg"))
+        .select(col("source"), explode(col("mg")).as(Seq("token", "est")))
+      exact.join(est, Seq("source", "token"), "left")
+        .join(broadcast(totals), "source")
+        .select(col("source"), col("rk"), col("token"), col("cnt"),
+          col("n_total"),
+          when(col("est").isNotNull,
+            (col("est") <= col("cnt") &&
+              (col("cnt") - col("est")) * 11L <= col("n_total")).cast("int"))
+            .otherwise((col("cnt") * 11L <= col("n_total")).cast("int"))
+            .as("within_bound"))
+        .orderBy("source", "rk")
+    }),
+
     // ---- two-sample Kolmogorov–Smirnov statistic (click vs view value
     //      distributions): D = max |F₁(v) − F₂(v)|. Both empirical CDFs
     //      come from ONE pivoted value census (per-value conditional
@@ -482,6 +517,26 @@ object StatsOps {
         |SELECT token, cnt, n_total, 1 AS within_bound
         |FROM exact CROSS JOIN tot
         |ORDER BY cnt DESC, token ASC""".stripMargin,
+
+    "q_heavy_hitters_by_source" ->
+      """WITH tok AS (
+        |  SELECT source, t.token
+        |  FROM documents,
+        |       unnest(regexp_split_to_array(lower(trim(text)), '\s+'))
+        |         AS t(token)
+        |  WHERE t.token <> ''),
+        |exact AS (
+        |  SELECT source, token, cnt, rk FROM (
+        |    SELECT source, token, count(*) AS cnt,
+        |           row_number() OVER (PARTITION BY source
+        |             ORDER BY count(*) DESC, token ASC) AS rk
+        |    FROM tok GROUP BY source, token)
+        |  WHERE rk <= 3),
+        |tot AS (SELECT source, count(*) AS n_total FROM tok GROUP BY source)
+        |SELECT exact.source AS source, rk, token, cnt, n_total,
+        |       1 AS within_bound
+        |FROM exact JOIN tot ON exact.source = tot.source
+        |ORDER BY exact.source, rk""".stripMargin,
 
     "q_ks_test" ->
       """WITH e AS (
