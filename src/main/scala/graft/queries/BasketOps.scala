@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 
 /** Market-basket analysis over the order→part incidence: association
-  * rules (support / confidence / lift) and triangle counting on the
+  * rules (support / confidence / lift), item-item cosine similarity
+  * (the collaborative-filtering primitive), and triangle counting on the
   * co-purchase graph.
   *
   * Reference analog: self-join + aggregate compositions of the reference's

@@ -4,9 +4,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
-/** In-engine model training: logistic regression by full-batch gradient
-  * descent — the "can the engine train a model" primitive (feature
-  * pipelines end in exactly this shape before a GPU ever gets involved).
+/** In-engine model training and evaluation: logistic regression by
+  * full-batch gradient descent with its calibration (reliability)
+  * diagram, and a multinomial Naive Bayes classifier — the "can the
+  * engine train a model" primitives (feature pipelines end in exactly
+  * these shapes before a GPU ever gets involved).
   *
   * Reference analog: repeated aggregate passes over the scan pipeline
   * (/root/reference/src/execution/aggregate.rs) — the recurrence itself is
