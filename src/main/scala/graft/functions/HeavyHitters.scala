@@ -27,7 +27,11 @@ object HeavyHitters {
     override def zero: Map[String, Long] = Map.empty
 
     override def reduce(b: Map[String, Long], a: String): Map[String, Long] =
-      if (b.contains(a)) b.updated(a, b(a) + 1L)
+      // NULL tokens carry no frequency information and a null Map key is
+      // unrepresentable in Catalyst MapType (buffer serialization would
+      // throw) — skip them, exactly like COUNT(col) skips nulls
+      if (a == null) b
+      else if (b.contains(a)) b.updated(a, b(a) + 1L)
       else if (b.size < k) b.updated(a, 1L)
       // buffer full and the item is new: the MG step — decrement every
       // counter, dropping zeros (charges 1 to k+1 distinct items at once)

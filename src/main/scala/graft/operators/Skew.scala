@@ -48,7 +48,9 @@ object Skew {
   def profile(df: DataFrame, key: String): (Long, Double) = {
     val r = df.groupBy(col(key)).agg(count(lit(1)).as("c"))
       .agg(max(col("c")).as("mx"), avg(col("c")).as("av")).head()
-    (r.getLong(0), r.getDouble(1))
+    // an EMPTY fact side aggregates to (NULL, NULL) — degrade to the
+    // no-skew profile so choose() picks "plain" instead of NPE-ing
+    if (r.isNullAt(0)) (0L, 0.0) else (r.getLong(0), r.getDouble(1))
   }
 
   /** Join-strategy decision from a skew profile — the piece that turns

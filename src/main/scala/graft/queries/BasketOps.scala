@@ -42,8 +42,13 @@ object BasketOps {
     // ---- association rules: for every co-purchased pair seen ≥2 times,
     //      both directed rules a→b with confidence n_ab/n_a and lift
     //      n_ab·N/(n_a·n_b). Item supports are a part-sized census joined
-    //      twice (broadcast-able: |parts| ≪ |orders|); the order total is
-    //      a 1-row broadcast. Ranking = top-50 by lift — IEEE division of
+    //      twice — broadcast BOUND: |supp| = |distinct parts| (catalog
+    //      cardinality, ~200k/SF here, 3 small columns), not corpus
+    //      cardinality, so it stays broadcastable through ~100× data; a
+    //      true billion-item catalog would flip these to plain shuffle
+    //      joins on the item key exactly like q_triangles' closing-edge
+    //      chooser. The order total is a 1-row broadcast. Ranking =
+    //      top-50 by lift — IEEE division of
     //      exact integers, bit-identical across engines, so it is safe as
     //      an ORDERING key (libm never would be) ----
     "q_copurchase_rules" -> ((s, d) => {
@@ -85,7 +90,8 @@ object BasketOps {
     //      vectors — the co-occurrence census reused as a similarity
     //      model. The score is one IEEE sqrt+divide of exact integers,
     //      bit-identical across engines, hence safe to ORDER the top-20
-    //      by; supports ride as broadcasts ----
+    //      by; supports ride as broadcasts (same item-cardinality bound
+    //      as q_copurchase_rules' supp — dim-sized, not corpus-sized) ----
     "q_item_sim" -> ((s, d) => {
       val it = items(s, d).persist()
       val pairs = coEdges(it).filter(col("n_ab") >= 2)
@@ -142,21 +148,42 @@ object BasketOps {
                 col("e1.dst") < col("e2.dst"))))
         .select(col("e1.dst").as("v"), col("e2.dst").as("w"),
           col("e1.src").as("u"))
-      // the wedge stream is the big intermediate (Σ outdeg² ≫ |E|) — it
-      // must NEVER hit an exchange. Broadcasting the 2-column closing-edge
-      // set keeps wedges pipelined from the self-join straight into the
-      // probe + partial agg; past broadcastable |E|, flip to a shuffle
-      // join on (v, w) — the wedge side then pays one exchange
-      val tri = wedge.join(
-          broadcast(dir.select(col("src").as("c_src"),
-            col("dst").as("c_dst"))),
+      // the wedge stream is the big intermediate (Σ outdeg² ≫ |E|).
+      // Broadcasting the 2-column closing-edge set keeps wedges pipelined
+      // from the self-join straight into the probe + partial agg — but the
+      // edge set is CORPUS-sized, so past broadcastable |E| the probe must
+      // flip to a shuffle join on (v, w): the wedge side then pays one
+      // exchange instead of the driver building (and every executor
+      // holding) an over-threshold relation. Same profile-then-choose
+      // shape as Skew.autoJoin: |E| is a free count on the already-
+      // persisted frame, the threshold is conservative (4M edges ≈ 100 MB
+      // of longs — well inside executor broadcast budgets; override with
+      // spark.graft.triangles.broadcastMaxEdges)
+      val closing = dir.select(col("src").as("c_src"), col("dst").as("c_dst"))
+      val maxBcastEdges = s.conf
+        .get("spark.graft.triangles.broadcastMaxEdges", "4000000").toLong
+      // over threshold: SHUFFLE_HASH, not just hint-removal — the per-
+      // reducer build is |E|/parts (bounded), and the explicit hint keeps
+      // the planner from re-broadcasting off a stale size estimate
+      val probeSide =
+        if (dir.count() <= maxBcastEdges) broadcast(closing)
+        else closing.hint("shuffle_hash")
+      val tri = wedge.join(probeSide,
           col("v") === col("c_src") && col("w") === col("c_dst"))
         .select(col("u"), col("v"), col("w"))
       val perNode = tri
         .select(explode(array(col("u"), col("v"), col("w"))).as("part"))
         .groupBy(col("part")).agg(count(lit(1)).as("n_tri"))
-      val total = tri.agg(count(lit(1)).as("total_triangles"))
-      perNode.crossJoin(broadcast(total))
+      // the triangle total is DERIVED from the census — every triangle
+      // contributes exactly 3 participant rows, so Σ n_tri = 3·|tri| —
+      // instead of re-running the wedge join for a second global count:
+      // one wedge join where the pre-round-8 plan paid it twice (plan
+      // sharing without materialization recomputes in Spark). The
+      // unpartitioned window is bounded: its input is the VERTEX census
+      // (catalog cardinality, the same dim-sized bound as the supp
+      // broadcasts above), never the corpus-sized wedge stream
+      perNode
+        .withColumn("total_triangles", expr("sum(n_tri) over () div 3"))
         .orderBy(col("n_tri").desc, col("part").asc)
         .limit(10)
     })

@@ -27,12 +27,23 @@ object DocsStream {
     *     micro-batch and broadcast when small; at 100 TB the static side is
     *     a bucketed fingerprint table and the join co-locates on fp).
     *
-    * The same function runs on a batch frame (watermark is a no-op there;
-    * plain `dropDuplicates` replaces the within-watermark variant, which
-    * Spark only defines for streams) — StreamingSpec checks stream ==
-    * batch twin == q_dedup_incremental three ways. Equivalence with the
-    * query holds whenever intra-batch duplicates sit within one watermark
-    * horizon (trivially true for a batch, which has no horizon).
+    * The same function runs on a batch frame (watermark is a no-op there)
+    * — StreamingSpec checks stream == batch twin == q_dedup_incremental
+    * three ways, on a fixture that CONTAINS intra-batch duplicate texts.
+    * Which representative survives a duplicate group differs by mode, so
+    * only the batch side can promise one:
+    *
+    *  - stream: `dropDuplicatesWithinWatermark` keeps the FIRST arrival
+    *    per fingerprint — arrival order is real in a stream, but not a
+    *    function of the data alone, so cross-mode equivalence is stated
+    *    on FINGERPRINT SETS (which both modes determine identically).
+    *  - batch: deterministic keep — min doc_id per fingerprint (a
+    *    groupBy, not `dropDuplicates`, whose survivor depends on
+    *    partition scan order). Same shape q_dedup_keep_best uses, so the
+    *    batch twin is bit-reproducible run to run.
+    *
+    * Equivalence with the query holds whenever intra-batch duplicates sit
+    * within one watermark horizon (trivially true for a batch).
     */
   def incrementalDedup(newDocs: DataFrame, historyFps: DataFrame): DataFrame = {
     val withFp = newDocs
@@ -42,7 +53,7 @@ object DocsStream {
       .select(col("doc_id"), md5(col("text")).as("fp"), col("ingest_ts"))
     val deduped =
       if (withFp.isStreaming) withFp.dropDuplicatesWithinWatermark("fp")
-      else withFp.dropDuplicates("fp")
+      else withFp.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
     deduped
       .join(historyFps, Seq("fp"), "left_anti")
       .select(col("doc_id"), col("fp"))

@@ -322,6 +322,84 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
       Seq("v" -> false, "id" -> true), 3).collect().isEmpty)
   }
 
+  test("TopKPerKey stays correct when the partial map overflows its key cap") {
+    // the adversarial memory shape: 5000 DISTINCT keys, every key holding
+    // a single row (< k), so the pre-round-8 unbounded map would have
+    // copied the whole partition into task memory. With the cap forced
+    // down to 8 keys the partial pass flushes hundreds of times and
+    // degrades to a pass-through — results must still equal the window
+    // formulation exactly
+    import org.apache.spark.sql.expressions.{Window => W}
+    withConf("spark.graft.topk.partialMaxKeys", "8") {
+      val df = spark.range(0, 5000)
+        .select(col("id").as("k"),
+          (col("id") * 2654435761L % 1009L).as("v"), col("id"))
+        .repartition(4)
+      def asSet(rows: Array[org.apache.spark.sql.Row]) =
+        rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val nat = asSet(graft.plans.TopK.perKey(df, Seq("k"),
+        Seq("v" -> false, "id" -> true), 3).collect())
+      val w = W.partitionBy(col("k")).orderBy(col("v").desc, col("id").asc)
+      val win = asSet(df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3).drop("rn").collect())
+      assert(nat == win, s"flush path diverged: ${nat.size} vs ${win.size} rows")
+    }
+  }
+
+  test("TopKPerKey under order ties selects the invariant order-value multiset") {
+    // ties make the CHOICE of surviving rows arbitrary (row_number's and
+    // the heap's picks may legally differ) — but the multiset of order-
+    // column values selected per key is fully determined. That is the
+    // invariant the rewrite's tie-safety note states, pinned here: 4 keys
+    // × 100 rows, order column v ∈ {0, 1} only
+    import org.apache.spark.sql.expressions.{Window => W}
+    // v must be independent of k (id%4 and id%2 are correlated — id/4
+    // parity is not), so every key holds 50 ties at v=1 and 50 at v=0
+    val df = spark.range(0, 400)
+      .select((col("id") % 4).as("k"), expr("(id div 4) % 2").as("v"), col("id"))
+      .repartition(4)
+    def multiset(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(identity).map { case (kv, g) => kv -> g.length }
+    val nat = multiset(graft.plans.TopK.perKey(df, Seq("k"),
+      Seq("v" -> false), 10).select(col("k"), col("v")).collect())
+    val w = W.partitionBy(col("k")).orderBy(col("v").desc)
+    val win = multiset(df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10).select(col("k"), col("v")).collect())
+    assert(nat == win, s"order-value multisets diverged: $nat vs $win")
+    // and concretely: top-10 of 50 v=1 rows per key is ten (k, 1) pairs
+    assert(nat == (0L until 4L).map(k => (k, 1L) -> 10).toMap)
+  }
+
+  test("Misra-Gries skips null tokens instead of corrupting the buffer") {
+    // a null Map key is unrepresentable in Catalyst MapType — before the
+    // guard this crashed at buffer serialization; now nulls contribute
+    // nothing, like COUNT(col)
+    import spark.implicits._
+    import graft.functions.HeavyHitters
+    val ds = (Seq.fill(100)(Option("hot")) ++ Seq.fill(50)(None) ++
+        Seq.fill(10)(Option("warm")))
+      .toDF("token").repartition(3)
+    val sketch = ds.agg(HeavyHitters.misraGries(col("token"), 3).as("mg"))
+      .select(explode(col("mg")).as(Seq("token", "est")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sketch.contains("hot") && sketch("hot") == 100L)
+    assert(sketch.contains("warm") && sketch("warm") == 10L)
+    assert(!sketch.contains(null), "null token leaked into the sketch")
+  }
+
+  test("triangles: broadcast and shuffle closing-edge paths agree") {
+    // the size-based flip (q_triangles' chooser) is a pure physical
+    // decision — both paths must return identical rows in identical order
+    def rows() = q("q_triangles").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val viaBroadcast = rows()
+    val viaShuffle =
+      withConf("spark.graft.triangles.broadcastMaxEdges", "0")(rows())
+    assert(viaBroadcast == viaShuffle,
+      s"paths diverged: $viaBroadcast vs $viaShuffle")
+  }
+
   test("rank fusion rewards presence in both lists") {
     val rows = q("q_rank_fusion").collect()
     assert(rows.nonEmpty)

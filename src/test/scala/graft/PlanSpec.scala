@@ -517,6 +517,36 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("triangle probe flips to a shuffle join past the edge threshold") {
+    // force the chooser past its broadcast bound: the closing-edge probe
+    // must become a shuffled join — exactly ONE extra exchange carrying
+    // the wedge pair (v, w), the price the flip knowingly pays instead of
+    // an over-threshold broadcast (AnalyticsSpec proves result equality)
+    withoutAQE(withConf("spark.graft.triangles.broadcastMaxEdges", "0") {
+      val plan = q("q_triangles").queryExecution.executedPlan
+      val wedgeShuffles = plan
+        .collect { case e: ShuffleExchangeExec => e.outputPartitioning }
+        .collect { case h: HashPartitioning => h.expressions.map(_.toString) }
+        .filter(ks => ks.exists(_.contains("v")) && ks.exists(_.contains("w")))
+      assert(wedgeShuffles.size == 1,
+        s"expected exactly one wedge-side (v, w) exchange, got $wedgeShuffles")
+    })
+  }
+
+  test("top-k auto-rewrite honors its config gate") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    // the rewrite re-checks spark.graft.topk.autoRewrite per query, so a
+    // session can opt out even after session-sticky registration (the
+    // tie-safety escape hatch)
+    withoutAQE(withConf("spark.graft.topk.autoRewrite", "false") {
+      val plan = q("q_topk_auto").queryExecution.executedPlan
+      assert(plan.collectFirst { case t: graft.plans.TopKPerKeyExec => t }.isEmpty,
+        "rewrite fired despite the gate")
+      assert(plan.collectFirst { case w: WindowExec => w }.nonEmpty,
+        "gated plan lost its window formulation")
+    })
+  }
+
   test("basket supports and fusion legs join as broadcasts") {
     Seq("q_copurchase_rules", "q_item_sim").foreach { n =>
       val bhj = physical(n).collect { case b: BroadcastHashJoinExec => b }

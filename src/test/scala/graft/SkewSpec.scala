@@ -44,6 +44,21 @@ class SkewSpec extends AnyFunSuite with SparkSpec {
     assert(unspread == 0, s"$unspread hot keys stuck on one salt")
   }
 
+  test("profile degrades to the no-skew shape on an empty fact side") {
+    // max(count) over zero rows is NULL — the guard must map it to the
+    // (0, 0.0) profile so the chooser picks "plain" instead of NPE-ing
+    val empty = spark.range(0).select(col("id").as("k"), col("id").as("row"))
+    val (mx, av) = Skew.profile(empty, "k")
+    assert((mx, av) == (0L, 0.0), s"empty profile: ($mx, $av)")
+    assert(Skew.choose(mx, av) == "plain")
+    // and the full auto path completes with an empty (un-salted) join
+    val build = spark.range(10).select(col("id").as("bk"))
+    val joined = Skew.autoJoin(empty, build, "k", "bk", spread = col("row"))
+    assert(joined.count() == 0)
+    assert(!joined.queryExecution.executedPlan.toString.contains("_salt"),
+      "empty fact should not choose salting")
+  }
+
   test("auto join: the strategy choice flips with the data") {
     // uniform keys (100 rows each, skew 1.0) → plain; one key holding 90% of
     // the table (skew ≈ 900) → salted; in-between (skew ≈ 10 on a hot key) →
