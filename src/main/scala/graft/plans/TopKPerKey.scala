@@ -56,7 +56,17 @@ case class TopKPerKey(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
 
 case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
     partial: Boolean, child: SparkPlan) extends UnaryExecNode {
+  import org.apache.spark.sql.execution.metric.SQLMetrics
+
   override def output: Seq[Attribute] = child.output
+  // numFlushes (partial pass only) is the overflow observable: 0 means the
+  // key set fit the cap; a large count means the pass degraded toward a
+  // pass-through — the signal to raise partialMaxKeys or skip the partial
+  override lazy val metrics = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext,
+      "number of output rows"),
+    "numFlushes" -> SQLMetrics.createMetric(sparkContext,
+      "partial heap-map flushes"))
   override def outputPartitioning: Partitioning = child.outputPartitioning
   override def requiredChildDistribution: Seq[Distribution] =
     // the planner inserts the key exchange before the FINAL pass only;
@@ -79,14 +89,18 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
     val isPartial = partial
     val maxKeys = math.max(1,
       conf.getConfString("spark.graft.topk.partialMaxKeys", "65536").toInt)
+    val outRows = longMetric("numOutputRows")
+    val flushes = longMetric("numFlushes")
     child.execute().mapPartitions { it =>
       val keyProj = UnsafeProjection.create(localKeys, childOutput)
       val ord = new LazilyGeneratedOrdering(localOrder, childOutput)
-      if (isPartial) partialPass(it, keyProj, ord, localK, maxKeys)
-      else finalPass(it, keyProj,
-        new LazilyGeneratedOrdering(
-          localKeys.map(SortOrder(_, Ascending)), childOutput),
-        ord, localK)
+      val base =
+        if (isPartial) partialPass(it, keyProj, ord, localK, maxKeys, flushes)
+        else finalPass(it, keyProj,
+          new LazilyGeneratedOrdering(
+            localKeys.map(SortOrder(_, Ascending)), childOutput),
+          ord, localK)
+      base.map { r => outRows += 1; r }
     }
   }
 
@@ -99,7 +113,8 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
     * the final pass does the authoritative selection).
     */
   private def partialPass(it: Iterator[InternalRow], keyProj: UnsafeProjection,
-      ord: Ordering[InternalRow], k: Int, maxKeys: Int): Iterator[InternalRow] =
+      ord: Ordering[InternalRow], k: Int, maxKeys: Int,
+      flushes: org.apache.spark.sql.execution.metric.SQLMetric): Iterator[InternalRow] =
     new Iterator[InternalRow] {
       private val heaps = mutable.HashMap.empty[UnsafeRow,
         mutable.PriorityQueue[InternalRow]]
@@ -124,7 +139,9 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
             else if (ord.compare(row, heap.head) < 0) {
               heap.dequeue(); heap.enqueue(row.copy())
             }
-            if (heaps.size > maxKeys) { cur = drain(); flushed = true }
+            if (heaps.size > maxKeys) {
+              cur = drain(); flushed = true; flushes += 1
+            }
           }
           if (!flushed) { cur = drain(); exhausted = true }
         }

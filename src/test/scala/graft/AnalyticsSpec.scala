@@ -330,20 +330,27 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     // degrades to a pass-through — results must still equal the window
     // formulation exactly
     import org.apache.spark.sql.expressions.{Window => W}
-    withConf("spark.graft.topk.partialMaxKeys", "8") {
+    withoutAQE(withConf("spark.graft.topk.partialMaxKeys", "8") {
       val df = spark.range(0, 5000)
         .select(col("id").as("k"),
           (col("id") * 2654435761L % 1009L).as("v"), col("id"))
         .repartition(4)
       def asSet(rows: Array[org.apache.spark.sql.Row]) =
         rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-      val nat = asSet(graft.plans.TopK.perKey(df, Seq("k"),
-        Seq("v" -> false, "id" -> true), 3).collect())
+      val natDf = graft.plans.TopK.perKey(df, Seq("k"),
+        Seq("v" -> false, "id" -> true), 3)
+      val nat = asSet(natDf.collect())
       val w = W.partitionBy(col("k")).orderBy(col("v").desc, col("id").asc)
       val win = asSet(df.withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3).drop("rn").collect())
       assert(nat == win, s"flush path diverged: ${nat.size} vs ${win.size} rows")
-    }
+      // the numFlushes metric proves the overflow path actually ran (8-key
+      // cap against 5000 distinct keys) — not just that results agree
+      val flushes = natDf.queryExecution.executedPlan
+        .collect { case t: graft.plans.TopKPerKeyExec if t.partial => t }
+        .map(_.metrics("numFlushes").value).sum
+      assert(flushes > 0, "partial map never flushed under the forced cap")
+    })
   }
 
   test("TopKPerKey under order ties selects the invariant order-value multiset") {
