@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
-import org.apache.spark.sql.functions.udaf
+import org.apache.spark.sql.functions.{lit, udaf, when}
 
 /** Typed custom aggregators (SURVEY §2.5: the reference has no UDAF surface;
   * this is the Spark-native extension point for one). An Aggregator's
@@ -30,7 +30,17 @@ object Aggregators {
     override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
 
-  /** Column form: weighted mean of `x` with weight `w`. */
-  def weightedMean(x: Column, w: Column): Column =
-    udaf(WeightedMean).apply(x.cast("double"), w.cast("double"))
+  /** Column form: weighted mean of `x` with weight `w`. Rows where either
+    * side is NULL are SKIPPED (mapped to the (0, 0) no-op pair — a weight
+    * of zero contributes to neither sum), matching SQL aggregate
+    * semantics: the primitive (Double, Double) input encoder cannot
+    * represent null, so an unguarded null column would fail
+    * deserialization instead of being ignored.
+    */
+  def weightedMean(x: Column, w: Column): Column = {
+    val (xd, wd) = (x.cast("double"), w.cast("double"))
+    val ok = xd.isNotNull && wd.isNotNull
+    udaf(WeightedMean).apply(
+      when(ok, xd).otherwise(lit(0.0)), when(ok, wd).otherwise(lit(0.0)))
+  }
 }

@@ -27,7 +27,11 @@ object Geo {
     */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.udf.register("ST_Point", (x: Double, y: Double) => (x, y))
+    // reference-typed UDF args receive null AS null (unlike primitive args,
+    // which Spark null-checks around the call) — propagate it instead of
+    // NPE-ing on the field access
     spark.udf.register("ST_AsText", (pt: org.apache.spark.sql.Row) =>
-      s"POINT (${pt.getDouble(0)} ${pt.getDouble(1)})")
+      if (pt == null) null
+      else s"POINT (${pt.getDouble(0)} ${pt.getDouble(1)})")
   }
 }

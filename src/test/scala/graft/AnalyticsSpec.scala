@@ -395,6 +395,25 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     assert(!sketch.contains(null), "null token leaked into the sketch")
   }
 
+  test("weighted mean skips null rows like a SQL aggregate") {
+    // same hardening class as the Misra-Gries null guard: the primitive
+    // (Double, Double) buffer can't represent null, so nulls must map to
+    // the no-op pair instead of failing deserialization or biasing the sum
+    import graft.functions.Aggregators
+    val df = spark.range(0, 10).select(
+      when(col("id") % 3 === 0, col("id").cast("double")).as("x"),
+      when(col("id") % 4 =!= 1, lit(2.0)).as("w"))
+    val got = df.agg(Aggregators.weightedMean(col("x"), col("w")).as("wm"))
+      .collect()(0).getDouble(0)
+    // non-null (x, w) pairs: id ∈ {0, 3, 6} (id=9 has null w) → mean = 3.0
+    assert(math.abs(got - 3.0) < 1e-12, s"weighted mean with nulls: $got")
+    // all-null input → NaN (the 0-weight sentinel), not a crash
+    val empty = df.filter(col("x").isNull)
+      .agg(Aggregators.weightedMean(col("x"), col("w")).as("wm"))
+      .collect()(0).getDouble(0)
+    assert(empty.isNaN, s"all-null weighted mean: $empty")
+  }
+
   test("triangles: broadcast and shuffle closing-edge paths agree") {
     // the size-based flip (q_triangles' chooser) is a pure physical
     // decision — both paths must return identical rows in identical order
