@@ -128,10 +128,14 @@ object BasketOps {
       val deg = und.select(col("pa").as("v"))
         .unionByName(und.select(col("pb").as("v")))
         .groupBy(col("v")).agg(count(lit(1)).as("deg"))
-      // orient each edge low → high in the (deg, id) total order
+      // orient each edge low → high in the (deg, id) total order. The
+      // degree census rides as a BROADCAST on both attachment joins —
+      // it is vertex-sized (catalog cardinality, the supp bound), while
+      // the edge set it annotates is corpus-sized: broadcasting deg keeps
+      // und pipelined out of its cache instead of shuffling it twice
       val dir = und
-        .join(deg.select(col("v").as("pa"), col("deg").as("da")), "pa")
-        .join(deg.select(col("v").as("pb"), col("deg").as("db")), "pb")
+        .join(broadcast(deg.select(col("v").as("pa"), col("deg").as("da"))), "pa")
+        .join(broadcast(deg.select(col("v").as("pb"), col("deg").as("db"))), "pb")
         .select(
           when(col("da") < col("db") ||
             (col("da") === col("db") && col("pa") < col("pb")),
@@ -140,6 +144,11 @@ object BasketOps {
             .otherwise(struct(col("pb").as("src"), col("pa").as("dst"),
               col("da").as("ddst"))).as("e"))
         .select(col("e.src"), col("e.dst"), col("e.ddst"))
+        // pre-partition on src BEFORE caching: the wedge self-join below
+        // clusters BOTH sides on src, so the cache's partitioning satisfies
+        // both and the join runs exchange-free — one shuffle paid at cache
+        // build instead of two (e1 + e2) paid per consumer
+        .repartition(col("src"))
         .persist()
       val wedge = dir.as("e1").join(dir.as("e2"),
           col("e1.src") === col("e2.src") &&

@@ -514,6 +514,16 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
         .collect { case h: HashPartitioning => h.expressions.map(_.toString) }
         .filter(ks => ks.exists(_.contains("v")) && ks.exists(_.contains("w")))
       assert(wedgeShuffles.isEmpty, s"wedge stream shuffled: $wedgeShuffles")
+      // and the wedge SELF-join is exchange-free: dir is cached already
+      // partitioned on src (the one shuffle paid at cache build), so no
+      // visible exchange may carry the src key — losing this re-shuffles
+      // the edge set twice per consumer
+      val srcShuffles = plan
+        .collect { case e: ShuffleExchangeExec => e.outputPartitioning }
+        .collect { case h: HashPartitioning => h.expressions.map(_.toString) }
+        .filter(_.exists(_.contains("src")))
+      assert(srcShuffles.isEmpty,
+        s"wedge self-join re-shuffled the cached edge set: $srcShuffles")
     }
   }
 
