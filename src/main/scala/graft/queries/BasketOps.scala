@@ -25,7 +25,14 @@ import graft.Tables
 object BasketOps {
   type Q = (SparkSession, String) => DataFrame
 
-  /** distinct (order, part) incidence — the shared spine. */
+  /** distinct (order, part) incidence — the shared spine. NOT re-keyed on
+    * `o` for the pair self-join: the distinct already pays one corpus
+    * shuffle on (o, p), and a measured attempt to add repartition(o)
+    * before the cache cost MORE than the two o-keyed join exchanges it
+    * saved (2.57→2.92 s / 1.96→2.46 s at sf0.1) — unlike the triangle
+    * edge cache, whose build ends at broadcast joins and so gains its
+    * src-partitioning for one net-new (smaller, 3-column) exchange.
+    */
   private def items(s: SparkSession, d: String): DataFrame =
     Tables(s, d, "lineitem")
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
