@@ -319,6 +319,10 @@ object TopK {
       k: Int): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.Descending
     import org.apache.spark.sql.graftx.Bridge
+    // k = 0 would surface later as an opaque NoSuchElementException on an
+    // empty heap inside a task; fail fast at plan build (the rewrite path
+    // already guards k >= 1 structurally)
+    require(k >= 1, s"top-k requires k >= 1, got $k")
     val spark = df.sparkSession
     ensureRegistered(spark)
     val analyzed = df.queryExecution.analyzed

@@ -320,6 +320,10 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     // empty input stays empty
     assert(graft.plans.TopK.perKey(df.filter(lit(false)), Seq("k"),
       Seq("v" -> false, "id" -> true), 3).collect().isEmpty)
+    // k = 0 fails fast at plan build, not as a task-side heap exception
+    intercept[IllegalArgumentException] {
+      graft.plans.TopK.perKey(df, Seq("k"), Seq("v" -> false), 0)
+    }
   }
 
   test("TopKPerKey stays correct when the partial map overflows its key cap") {
