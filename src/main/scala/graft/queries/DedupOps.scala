@@ -479,8 +479,53 @@ object DedupOps {
           .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
         .withColumn("is_keep", col("doc_id") === col("cluster_id"))
         .select(col("doc_id").as("vec_id"), col("cluster_id"), col("is_keep"))
-        .orderBy("vec_id"))
+        .orderBy("vec_id")),
+
+    // ---- sorted-neighborhood near-dup (Hernández & Stolfo 1995, the
+    //      classic entity-resolution blocking): sort the corpus on a
+    //      normalized key, slide a fixed window of w=3 over the sorted
+    //      order, run the EXPENSIVE pair check (edit distance) only on
+    //      neighbors — O(n·w) comparisons instead of O(n²). The window is
+    //      partitioned by a coarse prefix block, never a global
+    //      single-partition WindowExec: the sort is a range exchange and
+    //      each block's neighborhood scan is independent, so the shape
+    //      holds at any corpus size (cross-block neighbors are the known
+    //      SN blind spot — production runs multi-pass with rotated keys).
+    //      Complements minhash/simhash: SN catches short-edit near-dups
+    //      that set-based signatures dilute ----
+    "q_dedup_sorted_neighborhood" -> ((s, d) =>
+      sortedNeighborhoodPairs(docs(s, d)).orderBy("doc_a", "doc_b"))
   )
+
+  /** Sorted-neighborhood pair generation over a (doc_id, text) frame —
+    * shared by q_dedup_sorted_neighborhood and the synthetic-corpus spec.
+    * Window size w=3 (lead 1 and 2), block = 4-char prefix of the
+    * normalized sort key, duplicate cut: edit distance ≤ 10% of the
+    * longer text.
+    */
+  def sortedNeighborhoodPairs(docsDf: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = docsDf.select(col("doc_id"),
+      lower(trim(col("text"))).as("skey"))
+      .withColumn("blk", substring(col("skey"), 1, 4))
+    val w = Window.partitionBy(col("blk"))
+      .orderBy(col("skey"), col("doc_id"))
+    val r = n.select(col("doc_id"), col("skey"),
+      lead(col("doc_id"), 1).over(w).as("id1"),
+      lead(col("skey"), 1).over(w).as("s1"),
+      lead(col("doc_id"), 2).over(w).as("id2"),
+      lead(col("skey"), 2).over(w).as("s2"))
+    def pairs(idc: String, sc: String) = r
+      .filter(col(idc).isNotNull)
+      .select(least(col("doc_id"), col(idc)).as("doc_a"),
+        greatest(col("doc_id"), col(idc)).as("doc_b"),
+        levenshtein(col("skey"), col(sc)).as("dist"),
+        greatest(length(col("skey")), length(col(sc))).as("mx"))
+    pairs("id1", "s1").unionAll(pairs("id2", "s2"))
+      // duplicate iff edit distance ≤ 10% of the longer normalized text
+      .filter(col("dist") * 10 <= col("mx"))
+      .select(col("doc_a"), col("doc_b"), col("dist"))
+  }
 
   /** Hyperplane-LSH embedding near-dup pairs (vec_a, vec_b, cos ≥ 0.4) —
     * shared by q_dedup_embedding and q_semantic_clusters.
@@ -791,6 +836,32 @@ object DedupOps {
          |  FROM cand c JOIN g a ON a.doc_id = c.doc_a JOIN g b ON b.doc_id = c.doc_b)
          |SELECT doc_a, doc_b, containment FROM pairs
          |WHERE containment >= 0.45 ORDER BY doc_a, doc_b""".stripMargin
-    }
+    },
+
+    // the oracle replays the exact sorted-neighborhood semantics: same
+    // normalized sort key, same prefix block, same w=3 window (lead 1 and
+    // lead 2), same edit-distance cut — both engines compare lower-cased
+    // ASCII with binary collation, so the sort orders agree
+    "q_dedup_sorted_neighborhood" ->
+      """WITH n AS (
+        |  SELECT doc_id, lower(trim(text)) AS skey,
+        |         substr(lower(trim(text)), 1, 4) AS blk
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, skey,
+        |         lead(doc_id, 1) OVER w AS id1, lead(skey, 1) OVER w AS s1,
+        |         lead(doc_id, 2) OVER w AS id2, lead(skey, 2) OVER w AS s2
+        |  FROM n WINDOW w AS (PARTITION BY blk ORDER BY skey, doc_id)),
+        |p AS (
+        |  SELECT least(doc_id, id1) AS doc_a, greatest(doc_id, id1) AS doc_b,
+        |         levenshtein(skey, s1) AS dist,
+        |         greatest(len(skey), len(s1)) AS mx
+        |  FROM r WHERE id1 IS NOT NULL
+        |  UNION ALL
+        |  SELECT least(doc_id, id2), greatest(doc_id, id2),
+        |         levenshtein(skey, s2), greatest(len(skey), len(s2))
+        |  FROM r WHERE id2 IS NOT NULL)
+        |SELECT doc_a, doc_b, dist FROM p
+        |WHERE dist * 10 <= mx ORDER BY doc_a, doc_b""".stripMargin
   )
 }

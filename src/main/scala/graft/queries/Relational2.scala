@@ -557,7 +557,34 @@ object Relational2 {
         .select(col("l_returnflag"), col("exact_parts"),
           (abs(col("approx_parts") - col("exact_parts")) /
             col("exact_parts") <= 0.05).as("approx_ok"))
-        .orderBy("l_returnflag"))
+        .orderBy("l_returnflag")),
+
+    // ---- HLL sketch ROLLUP: materialized re-aggregatable sketches (the
+    //      Apache DataSketches HLL surface, binary-column sketches) —
+    //      distinct parts are sketched once at the FINE grain
+    //      (l_returnflag, l_linestatus), then the coarse per-flag count
+    //      comes from hll_union_agg over the 6 fine sketches WITHOUT
+    //      rescanning the fact table. That is the 100 TB cube pattern:
+    //      sketch per partition/cell, persist the binary column, answer
+    //      any coarser distinct-count by unioning cells (register-max
+    //      merge — associative, commutative, lossless at equal lgK).
+    //      Gate: per-flag exact anchor + a flag that the rolled-up
+    //      estimate lands within 5% (lgK=12 ⇒ σ≈1.6%, so 5% ≈ 3σ on a
+    //      fixed-hash deterministic draw — the q_hll_sketch device) ----
+    "q_hll_rollup" -> ((s, d) => {
+      val fine = li(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(hll_sketch_agg(col("l_partkey"), 12).as("sk"))
+      val coarse = fine.groupBy(col("l_returnflag"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("rollup_est"))
+      val exact = li(s, d).groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("exact_parts"))
+      exact.join(broadcast(coarse), Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("rollup_est") - col("exact_parts")) /
+            col("exact_parts") <= 0.05).as("rollup_ok"))
+        .orderBy("l_returnflag")
+    })
   )
 
   /** Timed by Bench, NOT oracle-verified: plans whose values are
@@ -571,6 +598,16 @@ object Relational2 {
     "q_hll_only" -> ((s, d) =>
       li(s, d).groupBy(col("l_returnflag"))
         .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+        .orderBy("l_returnflag")),
+
+    // HLL rollup, production shape: fine-grain sketches unioned to the
+    // coarse grain with NO exact anchor and no fact-table rescan — the
+    // cost a 100 TB cube cell re-aggregation actually pays
+    "q_hll_rollup_only" -> ((s, d) =>
+      li(s, d).groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(hll_sketch_agg(col("l_partkey"), 12).as("sk"))
+        .groupBy(col("l_returnflag"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("rollup_est"))
         .orderBy("l_returnflag"))
   )
 
@@ -921,6 +958,16 @@ object Relational2 {
       """SELECT l_returnflag,
         |       CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
         |       true AS approx_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // the rolled-up (fine-sketch union) estimate must satisfy the same
+    // bound as a direct sketch — the oracle pins the exact anchor and the
+    // flag; a union that lost registers would blow the 5% band and fail
+    // the hash gate
+    "q_hll_rollup" ->
+      """SELECT l_returnflag,
+        |       CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        |       true AS rollup_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.HeavyHitters
+import graft.functions.{CountMin, HeavyHitters}
 
 /** Statistical profiling operators: column dependency (mutual information
   * and χ²/Cramér's V), an exact-arithmetic Pearson correlation matrix,
@@ -341,6 +341,39 @@ object StatsOps {
           round((col("sy") - (col("n") * col("sxy") - col("sx") * col("sy")) /
             (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx")) /
             col("n"), 4).as("intercept"))
+    }),
+
+    // ---- Count-Min point-frequency sketch: the complement of
+    //      q_heavy_hitters — Misra-Gries keeps WHICH items are heavy,
+    //      Count-Min answers "how often did THIS token occur" for ANY
+    //      token from d·w counters (16 KB here) regardless of vocabulary
+    //      size. Merge is element-wise addition, so unlike MG the final
+    //      sketch is bit-identical under any partial-aggregation tree and
+    //      the ESTIMATE itself is gateable, not just its bounds. Gate:
+    //      exact top-10 anchor + est ≥ cnt (CM never undercounts —
+    //      deterministic) + all-integer width bound (est−cnt)·w ≤ 3·N
+    //      (ε = e/w ≤ 3/w). The sketch rides a 1-row broadcast to the
+    //      10-row probe side; the corpus is scanned once, map-side
+    //      combined — at 100 TB the shuffled state is one 16 KB array
+    //      per partition ----
+    "q_cms_freq" -> ((s, d) => {
+      val (dRows, wCols) = (4, 512)
+      val toks = Tables(s, d, "documents")
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+        .filter(col("token") =!= "")
+      val exact = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token").asc).limit(10)
+      val nRow = toks.agg(count(lit(1)).as("n_total"))
+      val sk = toks.agg(CountMin.countMin(col("token"), dRows, wCols).as("cms"))
+      val cmEst = udf((sketch: Seq[Long], t: String) =>
+        CountMin.estimate(sketch, t, dRows, wCols))
+      exact.crossJoin(broadcast(sk)).crossJoin(broadcast(nRow))
+        .withColumn("est", cmEst(col("cms"), col("token")))
+        .select(col("token"), col("cnt"), col("n_total"),
+          (col("est") >= col("cnt")).cast("int").as("cms_ge_exact"),
+          ((col("est") - col("cnt")) * wCols.toLong <= lit(3L) * col("n_total"))
+            .cast("int").as("cms_within_bound"))
+        .orderBy(col("cnt").desc, col("token").asc)
     })
   )
 
@@ -355,7 +388,17 @@ object StatsOps {
         .filter(col("token") =!= "")
         .agg(HeavyHitters.misraGries(col("token"), 20).as("mg"))
         .select(explode(col("mg")).as(Seq("token", "est")))
-        .orderBy(col("est").desc, col("token").asc))
+        .orderBy(col("est").desc, col("token").asc)),
+
+    // Count-Min, production shape: the one-pass mergeable sketch alone —
+    // no exact-anchor second aggregation (q_cms_freq is the value gate)
+    "q_cms_only" -> ((s, d) =>
+      Tables(s, d, "documents")
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+        .filter(col("token") =!= "")
+        .agg(CountMin.countMin(col("token"), 4, 512).as("cms"))
+        .select(aggregate(col("cms"), lit(0L), (acc, x) => acc + x)
+          .as("counter_mass")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -515,6 +558,26 @@ object StatsOps {
         |  ORDER BY cnt DESC, token ASC LIMIT 10),
         |tot AS (SELECT count(*) AS n_total FROM tok)
         |SELECT token, cnt, n_total, 1 AS within_bound
+        |FROM exact CROSS JOIN tot
+        |ORDER BY cnt DESC, token ASC""".stripMargin,
+
+    // the oracle pins the exact anchor and asserts both Count-Min
+    // guarantee flags are 1: est ≥ cnt is the deterministic no-undercount
+    // property, the width bound is the fixed-hash ε·N check — a Spark
+    // sketch violating either fails the hash gate
+    "q_cms_freq" ->
+      """WITH tok AS (
+        |  SELECT t.token
+        |  FROM documents,
+        |       unnest(regexp_split_to_array(lower(trim(text)), '\s+'))
+        |         AS t(token)
+        |  WHERE t.token <> ''),
+        |exact AS (
+        |  SELECT token, count(*) AS cnt FROM tok GROUP BY token
+        |  ORDER BY cnt DESC, token ASC LIMIT 10),
+        |tot AS (SELECT count(*) AS n_total FROM tok)
+        |SELECT token, cnt, n_total,
+        |       1 AS cms_ge_exact, 1 AS cms_within_bound
         |FROM exact CROSS JOIN tot
         |ORDER BY cnt DESC, token ASC""".stripMargin,
 

@@ -449,4 +449,56 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
         single.map(_.getAs[Double]("rrf")).max - 1e-12,
         "a single-list doc outranked every both-list doc")
   }
+
+  test("Count-Min guarantees hold and the sketch is merge-order-invariant") {
+    import spark.implicits._
+    import graft.functions.CountMin
+    // 10 000 tokens: one 40% hitter, one 10%, 50 rares at 1% each —
+    // adversarial for collision checks because the rares share slots
+    val rows = Seq.fill(4000)("hot") ++ Seq.fill(1000)("warm") ++
+      (0 until 50).flatMap(i => Seq.fill(100)(s"rare_$i"))
+    val truth = rows.groupBy(identity).map { case (t, v) => t -> v.size.toLong }
+    val n = rows.size
+    val (d, w) = (4, 256)
+    def sketchOf(parts: Int): Seq[Long] = {
+      val ds = new scala.util.Random(7).shuffle(rows).toDS()
+        .repartition(parts).select(col("value").as("token"))
+      ds.agg(CountMin.countMin(col("token"), d, w).as("cms"))
+        .collect()(0).getSeq[Long](0)
+    }
+    val sk = sketchOf(7)
+    // merge is element-wise addition ⇒ the sketch must be bit-identical
+    // whatever partial-aggregation tree Spark picks
+    assert(sk == sketchOf(1), "sketch differs across merge trees")
+    truth.foreach { case (t, tru) =>
+      val est = CountMin.estimate(sk, t, d, w)
+      assert(est >= tru, s"$t undercounted: est=$est true=$tru")
+      assert(est - tru <= 3L * n / w, s"$t bound broken: est=$est true=$tru")
+    }
+    // total counter mass per row = number of non-null inputs
+    (0 until d).foreach { r =>
+      assert(sk.slice(r * w, (r + 1) * w).sum == n.toLong,
+        s"row $r lost mass")
+    }
+  }
+
+  test("Count-Min skips null tokens like COUNT(col)") {
+    import spark.implicits._
+    import graft.functions.CountMin
+    val ds = (Seq.fill(100)(Option("hot")) ++ Seq.fill(50)(None))
+      .toDF("token").repartition(3)
+    val sk = ds.agg(CountMin.countMin(col("token"), 2, 64).as("cms"))
+      .collect()(0).getSeq[Long](0)
+    assert(sk.sum == 2L * 100L, "null rows leaked into the counters")
+    assert(CountMin.estimate(sk, "hot", 2, 64) == 100L)
+  }
+
+  test("q_cms_freq guarantee flags are all green") {
+    val rows = q("q_cms_freq").collect()
+    assert(rows.length == 10, "expected the exact top-10 anchor")
+    rows.foreach { r =>
+      assert(r.getAs[Int]("cms_ge_exact") == 1, s"undercount at $r")
+      assert(r.getAs[Int]("cms_within_bound") == 1, s"width bound broken at $r")
+    }
+  }
 }

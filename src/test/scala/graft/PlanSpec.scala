@@ -619,4 +619,30 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
         .exists(_.contains("c_nationkey"))),
       s"trend exchanges: ${ex.map(_.expressions.map(_.toString))}")
   }
+
+  test("sorted-neighborhood window partitions on the block, never globally") {
+    // the neighborhood scan must shuffle on the prefix block — a window
+    // with an empty partition spec serializes the whole sorted corpus
+    // through one task at 100 TB
+    import org.apache.spark.sql.execution.window.WindowExec
+    val win = physical("q_dedup_sorted_neighborhood")
+      .collect { case w: WindowExec => w }
+    assert(win.nonEmpty, "SN dedup lost its window")
+    assert(win.forall(_.partitionSpec.nonEmpty),
+      "SN window has an empty partition spec (single-partition sort)")
+    assert(hashExchanges("q_dedup_sorted_neighborhood")
+        .exists(_.expressions.map(_.toString).exists(_.contains("blk"))),
+      "SN dedup should exchange on the prefix block")
+  }
+
+  test("HLL rollup unions fine sketches instead of rescanning the fact") {
+    // two aggregations over the SKETCH column (fine build + coarse union)
+    // but the exact anchor is the only other lineitem scan: the rollup
+    // path itself must touch lineitem exactly once
+    val pureRollup = SparkEntry.benchOnly("q_hll_rollup_only")(spark, sf)
+    val scans = pureRollup.queryExecution.sparkPlan
+      .collect { case f: FileSourceScanExec => f }
+    assert(scans.size == 1,
+      s"rollup-only plan should scan lineitem once, saw ${scans.size}")
+  }
 }

@@ -232,4 +232,50 @@ class TextDedupSpec extends AnyFunSuite with SparkSpec {
     assert(rows.map(_.getAs[String]("lang_guess")).forall(
       Set("en", "de", "fr", "es", "other").contains))
   }
+
+  test("sorted neighborhood: dup groups recovered, distant texts rejected") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // crafted corpus: a triple of identical docs, a near-dup pair (one
+    // char edit in ~40), and unrelated texts sharing the same block prefix
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    val near = base.replace("theta", "thetb")
+    val far = "alpha completely different content entirely unrelated words"
+    val docsDf = Seq(
+      (1L, base), (2L, base), (3L, base), (4L, near), (5L, far),
+      (6L, "zzz isolated text with its own block prefix")
+    ).toDF("doc_id", "text").repartition(3)
+    val got = graft.queries.DedupOps.sortedNeighborhoodPairs(docsDf)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+      .toSet
+    // identical texts sort adjacently: all three intra-triple pairs are
+    // within the w=3 window and dist=0 passes any cut
+    Seq((1L, 2L), (2L, 3L), (1L, 3L)).foreach(p =>
+      assert(got.contains(p), s"exact-duplicate pair $p missed"))
+    // the near-dup sorts next to the triple (shared prefix) and is one
+    // edit away — must be caught by the 10% cut
+    assert(got.exists { case (a, b) => b == 4L && a >= 1L && a <= 3L },
+      s"near-dup doc 4 missed: $got")
+    // the same-block but distant text must NOT pair with anything
+    assert(!got.exists { case (a, b) => a == 5L || b == 5L },
+      s"distant doc 5 wrongly flagged: $got")
+    assert(got.forall { case (a, b) => a < b }, "pairs not canonicalized")
+  }
+
+  test("sorted neighborhood on the corpus agrees with its oracle shape") {
+    // fixture has near-dups but (at sf0.001) no exact dups — assert the
+    // reported pairs are canonical and respect the edit-distance cut
+    import org.apache.spark.sql.functions._
+    val rows = q("q_dedup_sorted_neighborhood").collect()
+    val norm = Tables(spark, sf, "documents")
+      .select(col("doc_id"), lower(trim(col("text"))).as("skey"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val (a, b, d) =
+        (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Int]("dist"))
+      assert(a < b, s"pair ($a,$b) not canonical")
+      assert(d * 10 <= math.max(norm(a).length, norm(b).length),
+        s"pair ($a,$b) dist=$d breaks the 10% cut")
+    }
+  }
 }
