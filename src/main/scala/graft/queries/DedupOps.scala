@@ -494,8 +494,76 @@ object DedupOps {
     //      Complements minhash/simhash: SN catches short-edit near-dups
     //      that set-based signatures dilute ----
     "q_dedup_sorted_neighborhood" -> ((s, d) =>
-      sortedNeighborhoodPairs(docs(s, d)).orderBy("doc_a", "doc_b"))
+      sortedNeighborhoodPairs(docs(s, d)).orderBy("doc_a", "doc_b")),
+
+    // ---- EXACT set-similarity self-join with prefix filtering (the
+    //      AllPairs/PPJoin family — Bayardo et al. WWW'07, Chaudhuri et
+    //      al. ICDE'06): unlike minhash/simhash this is NOT approximate —
+    //      it returns exactly the pairs with shingle-set Jaccard ≥ t, but
+    //      prunes the candidate space with the prefix-filter theorem: two
+    //      sets with overlap ≥ α must share a token among their first
+    //      (|s|−α+1) tokens under any shared global token order. Ordering
+    //      tokens rarest-first (df asc) makes prefixes maximally
+    //      selective. The oracle IS the O(n²) brute-force definition —
+    //      proving the pruned rewrite equivalent (the q_pareto device) ----
+    "q_dedup_ppjoin" -> ((s, d) =>
+      ppjoinPairs(docs(s, d), 0.5).orderBy("doc_a", "doc_b"))
   )
+
+  /** PPJoin-style exact Jaccard-≥-t pairs over 3-word shingle sets.
+    *
+    * Scale shape: the document-frequency join shuffles on the token key
+    * (vocabulary-sized aggregate, corpus-sized explode); only PREFIX
+    * tokens — the |s|−⌈t·|s|⌉+1 RAREST shingles of each doc — enter the
+    * candidate index, so bucket fan-out is bounded by rare-token df, not
+    * corpus size; candidate de-dup and both verification joins shuffle on
+    * fine doc-id keys; nothing corpus-sized is ever broadcast.
+    */
+  def ppjoinPairs(docsDf: DataFrame, t: Double): DataFrame = {
+    val toks = docsDf
+      .withColumn("ws",
+        expr("filter(split(lower(trim(text)), '\\\\s+'), x -> x <> '')"))
+      .filter(size(col("ws")) >= 3)
+      .withColumn("toks", expr(
+        """array_distinct(transform(sequence(1, size(ws) - 2),
+          |  i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1),
+          |              ' ', element_at(ws, i + 2))))""".stripMargin))
+      .select(col("doc_id"), col("toks"), size(col("toks")).as("len"))
+      .persist()
+    val ex = toks.select(col("doc_id"), col("len"),
+      explode(col("toks")).as("tok"))
+    val dfreq = ex.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // canonical global order (df asc, tok asc) realized per doc by sorting
+    // (df, tok) structs — no global rank assignment needed
+    val pref = ex.join(dfreq, "tok")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("ord"),
+        first(col("len")).as("len"))
+      // prefix length |s| − ⌈t·|s|⌉ + 1: enough for overlap α = ⌈t·|s|⌉,
+      // which Jaccard ≥ t implies on BOTH sides (|∩| ≥ t·|∪| ≥ t·|s|)
+      .withColumn("p",
+        (col("len") - ceil(lit(t) * col("len")) + 1).cast("int"))
+      .select(col("doc_id"), col("len"),
+        explode(expr("transform(slice(ord, 1, p), x -> x.tok)")).as("tok"))
+    val cand = pref.select(col("tok"), col("doc_id").as("doc_a"),
+        col("len").as("la"))
+      .join(pref.select(col("tok"), col("doc_id").as("doc_b"),
+        col("len").as("lb")), "tok")
+      .filter(col("doc_a") < col("doc_b"))
+      // length filter: Jaccard ≥ t ⇒ min(|a|,|b|) ≥ t·max(|a|,|b|)
+      .filter(greatest(col("la"), col("lb")) * t <=
+        least(col("la"), col("lb")))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val va = toks.select(col("doc_id").as("doc_a"), col("toks").as("ta"))
+    val vb = toks.select(col("doc_id").as("doc_b"), col("toks").as("tb"))
+    cand.join(va, "doc_a").join(vb, "doc_b")
+      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
+      .withColumn("uni",
+        size(col("ta")) + size(col("tb")) - col("inter"))
+      .filter(col("inter").cast("double") / col("uni") >= t)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter").cast("double") / col("uni"), 4).as("jaccard"))
+  }
 
   /** Sorted-neighborhood pair generation over a (doc_id, text) frame —
     * shared by q_dedup_sorted_neighborhood and the synthetic-corpus spec.
@@ -862,6 +930,31 @@ object DedupOps {
         |         levenshtein(skey, s2), greatest(len(skey), len(s2))
         |  FROM r WHERE id2 IS NOT NULL)
         |SELECT doc_a, doc_b, dist FROM p
-        |WHERE dist * 10 <= mx ORDER BY doc_a, doc_b""".stripMargin
+        |WHERE dist * 10 <= mx ORDER BY doc_a, doc_b""".stripMargin,
+
+    // the oracle IS the O(n²) all-pairs definition of shingle-set Jaccard
+    // ≥ t — any candidate the prefix filter wrongly pruned (or extra pair
+    // it let through) fails the hash gate
+    "q_dedup_ppjoin" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(trim(text)),
+        |                                           '\s+'),
+        |                     x -> x <> '') AS ws
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |         list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+        |                        for i in range(1, len(ws) - 1)]) AS toks
+        |  FROM w WHERE len(ws) >= 3),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         len(list_intersect(a.toks, b.toks)) AS i,
+        |         len(a.toks) AS la, len(b.toks) AS lb
+        |  FROM g a JOIN g b ON a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b,
+        |       round(CAST(i AS DOUBLE) / (la + lb - i), 4) AS jaccard
+        |FROM p WHERE CAST(i AS DOUBLE) / (la + lb - i) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin
   )
 }

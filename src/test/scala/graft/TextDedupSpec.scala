@@ -262,6 +262,39 @@ class TextDedupSpec extends AnyFunSuite with SparkSpec {
     assert(got.forall { case (a, b) => a < b }, "pairs not canonicalized")
   }
 
+  test("ppjoin equals brute force on an adversarial hot-token corpus") {
+    import spark.implicits._
+    // every doc shares the hot shingle run "the quick brown fox jumps";
+    // a naive inverted index would go quadratic on it, but hot shingles
+    // have MAX df, so they sort to the END of the canonical order and
+    // never enter a prefix — candidates come only from the rare tails
+    val docsDf = (0 until 60).map { i =>
+      val tail = if (i % 3 == 0) s"alpha$i beta$i gamma$i delta$i"
+        else if (i % 3 == 1) s"alpha${i - 1} beta${i - 1} gamma${i - 1} x$i"
+        else s"unique$i only$i here$i now$i"
+      (i.toLong, s"the quick brown fox jumps $tail")
+    }.toDF("doc_id", "text").repartition(5)
+    def shingles(text: String): Set[String] = {
+      val ws = text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+      ws.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    }
+    val t = 0.5
+    val texts = docsDf.collect().map(r => r.getLong(0) -> r.getString(1))
+    val expected = (for {
+      (a, ta) <- texts; (b, tb) <- texts if a < b
+      sa = shingles(ta); sb = shingles(tb)
+      inter = (sa & sb).size
+      uni = sa.size + sb.size - inter
+      if uni > 0 && inter.toDouble / uni >= t
+    } yield (a, b)).toSet
+    val got = graft.queries.DedupOps.ppjoinPairs(docsDf, t)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+      .toSet
+    assert(expected.nonEmpty, "degenerate fixture: brute force found no pairs")
+    assert(got == expected,
+      s"missed=${expected -- got} extra=${got -- expected}")
+  }
+
   test("sorted neighborhood on the corpus agrees with its oracle shape") {
     // fixture has near-dups but (at sf0.001) no exact dups — assert the
     // reported pairs are canonical and respect the edit-distance cut
