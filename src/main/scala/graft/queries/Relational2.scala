@@ -584,6 +584,33 @@ object Relational2 {
           (abs(col("rollup_est") - col("exact_parts")) /
             col("exact_parts") <= 0.05).as("rollup_ok"))
         .orderBy("l_returnflag")
+    }),
+
+    // ---- HLL sketch SET ALGEBRA: audience-overlap estimation by
+    //      inclusion-exclusion — |A∩B| ≈ est(A) + est(B) − est(A∪B),
+    //      where est(A∪B) comes from hll_union over the two sketches.
+    //      The 100 TB shape: per-segment sketches are built once (one
+    //      grouped pass), then ANY pairwise overlap question is answered
+    //      from the sketches alone — no re-scan, no distinct-intersect
+    //      shuffle of the fact table. Gate: exact intersect anchor +
+    //      a 10% flag (the union error dominates; at gate scale the
+    //      sketches are in exact sparse mode, at bench scale ~3σ) ----
+    "q_hll_intersect" -> ((s, d) => {
+      val o = Tables(s, d, "orders")
+        .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+      val ests = o.groupBy(col("o_orderpriority"))
+        .agg(hll_sketch_agg(col("o_custkey"), 12).as("sk"))
+        .agg(sum(hll_sketch_estimate(col("sk"))).as("sum_est"),
+          hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_union"))
+      val ua = o.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey")).distinct()
+      val ub = o.filter(col("o_orderpriority") === "2-HIGH")
+        .select(col("o_custkey")).distinct()
+      ua.intersect(ub).agg(count(lit(1)).as("exact_overlap"))
+        .crossJoin(broadcast(ests))
+        .select(col("exact_overlap"),
+          (abs(col("sum_est") - col("est_union") - col("exact_overlap")) <=
+            lit(0.10) * col("exact_overlap")).as("overlap_ok"))
     })
   )
 
@@ -608,7 +635,17 @@ object Relational2 {
         .agg(hll_sketch_agg(col("l_partkey"), 12).as("sk"))
         .groupBy(col("l_returnflag"))
         .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("rollup_est"))
-        .orderBy("l_returnflag"))
+        .orderBy("l_returnflag")),
+
+    // sketch-algebra only: one grouped sketch pass + inclusion-exclusion,
+    // no exact-intersect anchor (q_hll_intersect is the value gate)
+    "q_hll_intersect_only" -> ((s, d) =>
+      Tables(s, d, "orders")
+        .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .groupBy(col("o_orderpriority"))
+        .agg(hll_sketch_agg(col("o_custkey"), 12).as("sk"))
+        .agg((sum(hll_sketch_estimate(col("sk"))) -
+          hll_sketch_estimate(hll_union_agg(col("sk")))).as("est_overlap")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -968,6 +1005,16 @@ object Relational2 {
       """SELECT l_returnflag,
         |       CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
         |       true AS rollup_ok
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // exact-intersect anchor + the inclusion-exclusion accuracy flag
+    "q_hll_intersect" ->
+      """SELECT CAST(count(*) AS BIGINT) AS exact_overlap,
+        |       true AS overlap_ok
+        |FROM (SELECT DISTINCT o_custkey FROM orders
+        |      WHERE o_orderpriority = '1-URGENT'
+        |      INTERSECT
+        |      SELECT DISTINCT o_custkey FROM orders
+        |      WHERE o_orderpriority = '2-HIGH')""".stripMargin
   )
 }
