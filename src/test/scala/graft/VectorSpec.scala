@@ -157,6 +157,46 @@ class VectorSpec extends AnyFunSuite with SparkSpec {
     assert(multiRecall >= 15, s"multi-probe recalls only $multiRecall/30")
   }
 
+  test("JL projection: sign rows decorrelated, pairwise distances preserved") {
+    // 1) the mid-square sign matrix must stay at the random-matrix
+    //    correlation level — the plain (affine) LCG gave rows correlated
+    //    up to 0.94, a degenerate projection this pins against
+    val signs = Array.tabulate(16, 64) { (i, j) =>
+      val h = ((i.toLong * 64 + j) * 1103515245L + 12345L) % 2147483648L
+      if ((h * h % 2147483648L / 1048576L) % 2 == 0) 1.0 else -1.0
+    }
+    for (a <- 0 until 16; b <- (a + 1) until 16) {
+      val r = signs(a).zip(signs(b)).map { case (x, y) => x * y }.sum / 64.0
+      assert(math.abs(r) <= 0.5,
+        f"sign rows $a,$b correlate at $r%.2f — projection degenerate")
+    }
+    // 2) JL distortion on the fixture: k=16 ⇒ per-pair std ≈ √(2/16) = 35%,
+    //    so assert the DISTRIBUTION, not per-pair bounds: median squared-
+    //    distance ratio within ±20%, and ≥90% of pairs within [1/3, 3]
+    val proj = q("q_embed_project").collect()
+      .groupBy(_.getAs[Long]("vec_id"))
+      .map { case (id, rows) =>
+        id -> rows.sortBy(_.getAs[Int]("dim")).map(_.getAs[Double]("val"))
+      }
+    val orig = Tables(spark, sf, "embeddings").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding")
+          .map(_.toDouble).toArray).toMap
+    val ids = orig.keys.toSeq.sorted.take(50)
+    val ratios = (for {
+      ia <- ids.indices; ib <- (ia + 1) until ids.size
+      a = ids(ia); b = ids(ib)
+      d0 = orig(a).zip(orig(b)).map { case (x, y) => (x - y) * (x - y) }.sum
+      if d0 > 1e-12
+      d1 = proj(a).zip(proj(b)).map { case (x, y) => (x - y) * (x - y) }.sum
+    } yield d1 / d0).sorted
+    val median = ratios(ratios.size / 2)
+    assert(median > 0.8 && median < 1.2, s"median distortion $median")
+    val within = ratios.count(r => r > 1.0 / 3 && r < 3.0).toDouble
+    assert(within / ratios.size >= 0.9,
+      f"only ${within / ratios.size}%.2f of pairs within [1/3, 3]")
+  }
+
   test("PQ rerank: exact re-rank of the ADC shortlist dominates raw ADC recall") {
     def pairs(rows: Array[org.apache.spark.sql.Row]) =
       rows.map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
