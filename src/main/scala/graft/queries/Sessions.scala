@@ -39,6 +39,56 @@ object Sessions {
         .orderBy("user_id", "purchase_id", "click_id")
     }),
 
+    // ---- multi-touch attribution over the 24 h lookback: first-touch,
+    //      last-touch and LINEAR credit per channel for every purchase.
+    //      Builds on the q_interval_join shape (one user_id shuffle, time
+    //      range as a join filter) but resolves each purchase's touch set
+    //      with min_by/max_by over (ts, touch_id) structs — map-side
+    //      partial aggregation, NO per-purchase window sort. Credit
+    //      arithmetic is all-integer: revenue in cents, linear credit in
+    //      basis points via floor division (k·10000 div n) — deterministic
+    //      under any merge order, value-exact vs the oracle ----
+    "q_attribution" -> ((s, d) => {
+      val e = events(s, d).select(col("user_id"), col("event_id"),
+        col("event_type"), unix_timestamp(col("ts")).as("secs"), col("value"))
+      val t = e.filter(col("event_type").isin("click", "view", "signup"))
+        .select(col("user_id"), col("event_id").as("touch_id"),
+          col("event_type").as("channel"), col("secs").as("touch_s"))
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("secs").as("purchase_s"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val j = p.join(t, Seq("user_id"))
+        .filter(col("touch_s") <= col("purchase_s") &&
+          col("touch_s") >= col("purchase_s") - 86400)
+        .select(col("purchase_id"), col("cents"), col("channel"),
+          col("touch_s"), col("touch_id")).persist()
+      val per = j.groupBy(col("purchase_id"))
+        .agg(min_by(col("channel"),
+            struct(col("touch_s"), col("touch_id"))).as("first_ch"),
+          max_by(col("channel"),
+            struct(col("touch_s"), col("touch_id"))).as("last_ch"),
+          count(lit(1)).as("n_touch"), min(col("cents")).as("cents"))
+      val firsts = per.groupBy(col("first_ch").as("channel"))
+        .agg(count(lit(1)).as("first_touch"))
+      val lasts = per.groupBy(col("last_ch").as("channel"))
+        .agg(count(lit(1)).as("last_touch"),
+          sum(col("cents")).as("last_rev_cents"))
+      val lin = j.groupBy(col("purchase_id"), col("channel"))
+        .agg(count(lit(1)).as("k"))
+        .join(per.select(col("purchase_id"), col("n_touch")), "purchase_id")
+        .groupBy(col("channel"))
+        .agg(sum(expr("k * 10000 div n_touch")).as("linear_bp"))
+      lin.join(broadcast(firsts), Seq("channel"), "left")
+        .join(broadcast(lasts), Seq("channel"), "left")
+        .select(col("channel"),
+          coalesce(col("first_touch"), lit(0L)).as("first_touch"),
+          coalesce(col("last_touch"), lit(0L)).as("last_touch"),
+          col("linear_bp"),
+          coalesce(col("last_rev_cents"), lit(0L)).as("last_rev_cents"))
+        .orderBy("channel")
+    }),
+
     // ---- gaps-and-islands sessionization (30-minute inactivity gap) ----
     "q_sessionize" -> ((s, d) => {
       val byUser = Window.partitionBy(col("user_id"))
@@ -259,6 +309,46 @@ object Sessions {
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |         AS cum_users
         |FROM daily ORDER BY day""".stripMargin,
+
+    // row_number in the oracle == min_by/max_by over (ts, id) structs in
+    // the engine: touch_id is unique, so both induce the same total order
+    "q_attribution" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |                  CAST(floor(epoch(ts)) AS BIGINT) AS secs, value
+        |           FROM events),
+        |t AS (SELECT user_id, event_id AS touch_id, event_type AS channel,
+        |             secs AS touch_s
+        |      FROM e WHERE event_type IN ('click', 'view', 'signup')),
+        |p AS (SELECT user_id, event_id AS purchase_id, secs AS purchase_s,
+        |             CAST(round(value * 100) AS BIGINT) AS cents
+        |      FROM e WHERE event_type = 'purchase'),
+        |j AS (SELECT purchase_id, cents, channel, touch_s, touch_id
+        |      FROM p JOIN t ON p.user_id = t.user_id
+        |       AND touch_s <= purchase_s AND touch_s >= purchase_s - 86400),
+        |rk AS (SELECT purchase_id, cents, channel,
+        |         row_number() OVER (PARTITION BY purchase_id
+        |                            ORDER BY touch_s ASC, touch_id ASC) AS rf,
+        |         row_number() OVER (PARTITION BY purchase_id
+        |                            ORDER BY touch_s DESC, touch_id DESC) AS rl
+        |       FROM j),
+        |firsts AS (SELECT channel, count(*) AS first_touch
+        |           FROM rk WHERE rf = 1 GROUP BY channel),
+        |lasts AS (SELECT channel, count(*) AS last_touch,
+        |                 CAST(sum(cents) AS BIGINT) AS last_rev_cents
+        |          FROM rk WHERE rl = 1 GROUP BY channel),
+        |nn AS (SELECT purchase_id, count(*) AS n FROM j GROUP BY purchase_id),
+        |kk AS (SELECT purchase_id, channel, count(*) AS k
+        |       FROM j GROUP BY purchase_id, channel),
+        |lin AS (SELECT channel, CAST(sum((k * 10000) // n) AS BIGINT) AS linear_bp
+        |        FROM kk JOIN nn USING (purchase_id) GROUP BY channel)
+        |SELECT l.channel,
+        |       coalesce(f.first_touch, 0) AS first_touch,
+        |       coalesce(s.last_touch, 0) AS last_touch,
+        |       l.linear_bp,
+        |       coalesce(s.last_rev_cents, 0) AS last_rev_cents
+        |FROM lin l LEFT JOIN firsts f USING (channel)
+        |           LEFT JOIN lasts s USING (channel)
+        |ORDER BY l.channel""".stripMargin,
 
     "q_interval_join" ->
       """WITH e AS (SELECT event_id, user_id, event_type,
