@@ -118,6 +118,42 @@ object BasketOps {
         .orderBy(col("cosine_sim").desc, col("pa").asc, col("pb").asc)
     }),
 
+    // ---- Newman modularity of the brand partition over the co-purchase
+    //      graph (assortativity: do co-purchases concentrate within
+    //      brands?). Q = Σ_c [e_c/m − (d_c/2m)²] with e_c = within-
+    //      community edges, d_c = degree mass, m = |E|. Per-community
+    //      contribution computed as (4·m·e_c − d_c²)/(4m²): the numerator
+    //      and denominator are EXACT integers (< 2⁵³, exact in doubles),
+    //      so the single final division is deterministic cross-engine.
+    //      Brand attachment joins ride as broadcasts (part-dim bound, the
+    //      supp convention); m rides as a 1-row broadcast — no driver
+    //      action in the plan ----
+    "q_modularity" -> ((s, d) => {
+      val e = coEdges(items(s, d)).select(col("pa"), col("pb")).persist()
+      val brand = Tables(s, d, "part")
+        .select(col("p_partkey"), col("p_brand"))
+      val eb = e
+        .join(broadcast(brand.select(col("p_partkey").as("pa"),
+          col("p_brand").as("ba"))), "pa")
+        .join(broadcast(brand.select(col("p_partkey").as("pb"),
+          col("p_brand").as("bb"))), "pb")
+        .select(col("ba"), col("bb")).persist()
+      val mRow = e.agg(count(lit(1)).as("m"))
+      val within = eb.filter(col("ba") === col("bb"))
+        .groupBy(col("ba").as("brand")).agg(count(lit(1)).as("e_c"))
+      val degs = eb.select(col("ba").as("brand"))
+        .unionByName(eb.select(col("bb").as("brand")))
+        .groupBy(col("brand")).agg(count(lit(1)).as("d_c"))
+      degs.join(within, Seq("brand"), "left")
+        .crossJoin(broadcast(mRow))
+        .select(col("brand"),
+          coalesce(col("e_c"), lit(0L)).as("e_c"), col("d_c"),
+          round((lit(4.0) * col("m") * coalesce(col("e_c"), lit(0L)) -
+            col("d_c").cast("double") * col("d_c")) /
+            (lit(4.0) * col("m") * col("m")), 9).as("q_contrib"))
+        .orderBy("brand")
+    }),
+
     // ---- triangle counting, degree-oriented (compact-forward): every
     //      undirected edge points from its lower-(deg, id) endpoint, so
     //      wedges enumerate from low-degree vertices only and each
@@ -255,6 +291,34 @@ object BasketOps {
 
     // naive id-ordered triangle definition a<b<c — the orientation-free
     // ground truth the compact-forward plan must reproduce
+    // same exact-integer numerator/denominator — one final division,
+    // rounded 9 dp on both engines
+    "q_modularity" ->
+      """WITH it AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (
+        |  SELECT DISTINCT a.p AS pa, b.p AS pb
+        |  FROM it a JOIN it b ON a.o = b.o AND a.p < b.p),
+        |eb AS (
+        |  SELECT x.p_brand AS ba, y.p_brand AS bb
+        |  FROM e JOIN part x ON x.p_partkey = e.pa
+        |         JOIN part y ON y.p_partkey = e.pb),
+        |m AS (SELECT count(*) AS m FROM e),
+        |wc AS (SELECT ba AS brand, count(*) AS e_c
+        |       FROM eb WHERE ba = bb GROUP BY ba),
+        |dc AS (SELECT brand, count(*) AS d_c FROM (
+        |         SELECT ba AS brand FROM eb
+        |         UNION ALL SELECT bb FROM eb)
+        |       GROUP BY brand)
+        |SELECT dc.brand,
+        |       CAST(coalesce(e_c, 0) AS BIGINT) AS e_c,
+        |       CAST(d_c AS BIGINT) AS d_c,
+        |       round((4.0 * m * coalesce(e_c, 0) -
+        |              CAST(d_c AS DOUBLE) * d_c) / (4.0 * m * m), 9)
+        |         AS q_contrib
+        |FROM dc LEFT JOIN wc USING (brand) CROSS JOIN m
+        |ORDER BY dc.brand""".stripMargin,
+
     "q_triangles" ->
       """WITH it AS (
         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),

@@ -507,7 +507,32 @@ object DedupOps {
     //      selective. The oracle IS the O(n²) brute-force definition —
     //      proving the pruned rewrite equivalent (the q_pareto device) ----
     "q_dedup_ppjoin" -> ((s, d) =>
-      ppjoinPairs(docs(s, d), 0.5).orderBy("doc_a", "doc_b"))
+      ppjoinPairs(docs(s, d), 0.5).orderBy("doc_a", "doc_b")),
+
+    // ---- reciprocal best match (entity-resolution matching step): from
+    //      the exact similarity pairs, keep only pairs where EACH side is
+    //      the other's highest-Jaccard partner (ties → smaller partner
+    //      id). The standard 1:1 matching heuristic after candidate
+    //      generation — stops a hub record from absorbing a whole block.
+    //      Best-partner per node is max_by over (jaccard, −partner)
+    //      structs: map-side partial agg on the fine node key, no
+    //      per-node window sort ----
+    "q_er_best_match" -> ((s, d) => {
+      val pairs = ppjoinPairs(docs(s, d), 0.5).persist()
+      val directed = pairs
+        .select(col("doc_a").as("x"), col("doc_b").as("y"), col("jaccard"))
+        .unionByName(pairs
+          .select(col("doc_b").as("x"), col("doc_a").as("y"), col("jaccard")))
+      val best = directed.groupBy(col("x"))
+        .agg(max_by(col("y"),
+          struct(col("jaccard"), (-col("y")).as("ny"))).as("best"))
+      pairs
+        .join(best.select(col("x").as("doc_a"), col("best").as("ba")), "doc_a")
+        .join(best.select(col("x").as("doc_b"), col("best").as("bb")), "doc_b")
+        .filter(col("ba") === col("doc_b") && col("bb") === col("doc_a"))
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    })
   )
 
   /** PPJoin-style exact Jaccard-≥-t pairs over 3-word shingle sets.
@@ -955,6 +980,41 @@ object DedupOps {
         |SELECT doc_a, doc_b,
         |       round(CAST(i AS DOUBLE) / (la + lb - i), 4) AS jaccard
         |FROM p WHERE CAST(i AS DOUBLE) / (la + lb - i) >= 0.5
-        |ORDER BY doc_a, doc_b""".stripMargin
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // brute-force pairs + per-side best via row_number == the engine's
+    // max_by over (jaccard, −partner) structs (partner ids unique)
+    "q_er_best_match" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(trim(text)),
+        |                                           '\s+'),
+        |                     x -> x <> '') AS ws
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |         list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+        |                        for i in range(1, len(ws) - 1)]) AS toks
+        |  FROM w WHERE len(ws) >= 3),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         len(list_intersect(a.toks, b.toks)) AS i,
+        |         len(a.toks) AS la, len(b.toks) AS lb
+        |  FROM g a JOIN g b ON a.doc_id < b.doc_id),
+        |pr AS (
+        |  SELECT doc_a, doc_b,
+        |         round(CAST(i AS DOUBLE) / (la + lb - i), 4) AS j
+        |  FROM p WHERE CAST(i AS DOUBLE) / (la + lb - i) >= 0.5),
+        |d2 AS (SELECT doc_a AS x, doc_b AS y, j FROM pr
+        |       UNION ALL SELECT doc_b, doc_a, j FROM pr),
+        |bm AS (SELECT x, y,
+        |         row_number() OVER (PARTITION BY x
+        |                            ORDER BY j DESC, y ASC) AS rn
+        |       FROM d2)
+        |SELECT pr.doc_a, pr.doc_b, pr.j AS jaccard
+        |FROM pr
+        |JOIN bm a ON a.x = pr.doc_a AND a.y = pr.doc_b AND a.rn = 1
+        |JOIN bm b ON b.x = pr.doc_b AND b.y = pr.doc_a AND b.rn = 1
+        |ORDER BY pr.doc_a, pr.doc_b""".stripMargin
   )
 }
