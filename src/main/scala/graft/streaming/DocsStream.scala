@@ -59,10 +59,36 @@ object DocsStream {
       .select(col("doc_id"), col("fp"))
   }
 
-  /** Load the documents table as a STREAM from a parquet directory. */
-  def readDocsStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
+  /** Streaming per-source heavy hitters: the Misra-Gries aggregator from
+    * the batch path ([[graft.functions.HeavyHitters]]) dropped into a
+    * streaming groupBy. The state store holds ONE ≤k-entry sketch buffer
+    * per source — bounded regardless of stream length or vocabulary size;
+    * each micro-batch folds in through the same merge the batch
+    * partial-aggregation tree uses, and the MG guarantee (est ≤ true ≤
+    * est + n/(k+1); no supra-threshold item evicted) holds under ANY
+    * merge order, so it holds at every emission. Mergeable summaries ARE
+    * the streaming-sketch story: the same property that makes the batch
+    * plan one map-side-combined pass makes the streaming state bounded.
+    * Runs identically on a batch frame (groupBy is mode-agnostic) —
+    * StreamingSpec checks both modes against exact counts.
+    */
+  def heavyHitters(docs: DataFrame, k: Int): DataFrame =
+    docs.select(col("source"),
+      explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("source"))
+      .agg(graft.functions.HeavyHitters.misraGries(col("token"), k).as("mg"))
+
+  /** Load the documents table as a STREAM from a parquet directory.
+    * `filesPerTrigger > 0` throttles ingest so a multi-file directory
+    * arrives as multiple micro-batches (exercises cross-batch state). */
+  def readDocsStream(spark: SparkSession, dir: String,
+      filesPerTrigger: Int = 0): DataFrame = {
+    val r = spark.readStream
       .schema("doc_id BIGINT, text STRING, lang STRING, " +
         "source STRING, n_chars BIGINT")
-      .parquet(dir)
+    (if (filesPerTrigger > 0)
+      r.option("maxFilesPerTrigger", filesPerTrigger)
+    else r).parquet(dir)
+  }
 }

@@ -251,6 +251,50 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       s"nondeterministic keep chose a re-crawl id: ${batch.filter(_._1 >= 1000000L).take(3)}")
   }
 
+  test("streaming heavy hitters: MG bounds hold across micro-batch state") {
+    // the corpus arrives as 3 micro-batches (maxFilesPerTrigger=1 over a
+    // 3-file directory); the state store carries one ≤k-entry Misra-Gries
+    // buffer per source across batches. The MG guarantee is merge-order
+    // independent, so it must hold for the streamed sketch exactly as it
+    // does for the batch one — that invariance is what makes the sketch
+    // streamable at all
+    import graft.streaming.DocsStream
+    val dir = "target/stream_docs_hh"
+    Tables(spark, sf, "documents").repartition(3)
+      .write.mode("overwrite").parquet(dir)
+    val k = 20
+    val q = DocsStream.heavyHitters(
+        DocsStream.readDocsStream(spark, dir, filesPerTrigger = 1), k)
+      .writeStream.format("memory").queryName("hh_out")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("hh_out").collect()
+      .map(r => r.getString(0) ->
+        r.getMap[String, Long](1).toMap).toMap
+    val truth = Tables(spark, sf, "documents")
+      .select(col("source"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("source", "token").count().collect()
+      .groupBy(_.getString(0))
+      .map { case (src, rows) =>
+        src -> rows.map(r => r.getString(1) -> r.getLong(2)).toMap
+      }
+    assert(streamed.keySet == truth.keySet, "a source lost its sketch")
+    streamed.foreach { case (src, sketch) =>
+      val exact = truth(src)
+      val n = exact.values.sum
+      assert(sketch.size <= k, s"$src sketch exceeded k")
+      // every supra-threshold token present; estimates undercount ≤ n/(k+1)
+      exact.filter(_._2 > n / (k + 1)).keys.foreach(t =>
+        assert(sketch.contains(t), s"$src: guaranteed hitter $t evicted"))
+      sketch.foreach { case (t, est) =>
+        assert(est <= exact(t), s"$src/$t overcounted")
+        assert(exact(t) - est <= n / (k + 1) + 1, s"$src/$t bound broken")
+      }
+    }
+  }
+
   test("sessions partition each user's events") {
     val nEvents = Tables(spark, sf, "events").count()
     val sessions = SparkEntry.queries("q_sessionize")(spark, sf).collect()
