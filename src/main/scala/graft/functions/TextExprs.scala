@@ -50,6 +50,78 @@ object TextHash {
   }
 }
 
+/** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003 —
+  * the MOSS local-fingerprinting algorithm, public result): the IN-ORDER
+  * n-token shingle hash sequence is scanned with a sliding window of `w`
+  * hashes; each window contributes its MINIMUM hash and the distinct
+  * selected values are the document's fingerprint set.
+  *
+  * Guarantee: any shared run of w + n − 1 tokens between two documents
+  * yields at least one shared fingerprint, while expected per-doc density
+  * is ~2/(w+1) — position-robust LOCAL match detection that a global
+  * minhash signature cannot give. Selection is by VALUE (the window
+  * minimum), so the set is engine-agnostic regardless of tie positions.
+  *
+  * The scan is the O(m) monotonic-deque sweep; the DuckDB oracle twin
+  * ([[TextExprs.winnowHashesSql]]) is the O(m·w) list_min-per-window
+  * formulation — same values, the native expression is the scale path.
+  * Docs shorter than n tokens hash their whole token string; hash
+  * sequences shorter than w contribute their single overall minimum
+  * (one truncated window) — both mirrored in the SQL twin.
+  */
+case class WinnowHashes(child: Expression, n: Int, w: Int)
+    extends UnaryExpression with CodegenFallback {
+  import TextHash.P
+  require(n > 0 && w > 0, s"winnowing needs positive n/w, got n=$n w=$w")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.toString.toLowerCase(java.util.Locale.ROOT)
+      .trim.split("\\s+")
+    val m = if (toks.length < n) 1 else toks.length - n + 1
+    val hs = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      val len = if (toks.length < n) toks.length else n
+      var h = 0L
+      var t = i
+      val end = i + len
+      while (t < end) {
+        if (t > i) h = (h * 131 + ' ') % P
+        val s = toks(t)
+        var j = 0
+        while (j < s.length) { h = (h * 131 + s.charAt(j)) % P; j += 1 }
+        t += 1
+      }
+      hs(i) = h
+      i += 1
+    }
+    if (m <= w) {
+      var mn = hs(0)
+      var k = 1
+      while (k < m) { if (hs(k) < mn) mn = hs(k); k += 1 }
+      new GenericArrayData(Array(mn))
+    } else {
+      // monotonic deque of indices with ascending hash values: each index
+      // enters/leaves once — O(m) total for all m−w+1 windows
+      val deque = new Array[Int](m)
+      var head = 0; var tail = 0 // [head, tail) holds candidate indices
+      val out = new Array[Long](m - w + 1)
+      var x = 0
+      while (x < m) {
+        while (tail > head && hs(deque(tail - 1)) >= hs(x)) tail -= 1
+        deque(tail) = x; tail += 1
+        if (deque(head) <= x - w) head += 1
+        if (x >= w - 1) out(x - w + 1) = hs(deque(head))
+        x += 1
+      }
+      new GenericArrayData(TextHash.sortedDistinct(out, out.length))
+    }
+  }
+  override protected def withNewChildInternal(newChild: Expression): WinnowHashes =
+    copy(child = newChild)
+}
+
 /** Distinct sorted mod-P hashes of word n-gram shingles, one pass from raw
   * text: lowercase, split on whitespace, hash each n-token window (tokens
   * joined by a single space) with poly-131. A doc shorter than n tokens
@@ -386,6 +458,8 @@ object TextExprs {
   def containmentSorted(a: Column, b: Column): Column =
     column(ContainmentSorted(expression(a), expression(b)))
   def rollingHash(text: Column): Column = column(RollingHash(expression(text)))
+  def winnowHashes(text: Column, n: Int, w: Int): Column =
+    column(WinnowHashes(expression(text), n, w))
   def charEntropy(text: Column): Column = column(CharEntropy(expression(text)))
 
   /** SQL names, so the console can call them too. */
@@ -473,4 +547,17 @@ object TextExprs {
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
        |  list_transform(${tokensSql(text)}, t -> ${charPolySql("t", 131)})),
        |  (acc, h) -> (acc * 131 + h) % $P)""".stripMargin
+
+  /** Winnowing fingerprint set (= [[WinnowHashes]]): window-min over the
+    * IN-ORDER shingle hash sequence, O(m·w) here vs the expression's
+    * O(m) deque — same values. `hs[i:i+w-1]` truncates past the end, so
+    * the single short-sequence window falls out of the same formula.
+    */
+  def winnowHashesSql(text: String, n: Int, w: Int): String = {
+    val hs = s"list_transform(${shinglesSql(tokensSql(text), n)}, " +
+      s"s -> ${charPolySql("s", 131)})"
+    s"""list_sort(list_distinct(list_transform(
+       |  range(1, greatest(len($hs) - $w + 1, 1) + 1),
+       |  i -> list_min(($hs)[i:i+${w - 1}]))))""".stripMargin
+  }
 }

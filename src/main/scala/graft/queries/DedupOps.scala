@@ -509,6 +509,28 @@ object DedupOps {
     "q_dedup_ppjoin" -> ((s, d) =>
       ppjoinPairs(docs(s, d), 0.5).orderBy("doc_a", "doc_b")),
 
+    // ---- winnowing local-fingerprint dedup (Schleimer et al. 2003, the
+    //      MOSS algorithm): each doc keeps the window-min of its in-order
+    //      shingle hash stream (native O(m) deque expression — see
+    //      functions.WinnowHashes); docs sharing ≥3 selected fingerprints
+    //      are local-overlap candidates. Winnowing GUARANTEES any shared
+    //      w+n−1-token run yields a shared fingerprint at ~2/(w+1) doc
+    //      density — position-robust span detection where minhash only
+    //      sees whole-set similarity. The fp join shuffles on the hash
+    //      value (fine keys); pair dedup groups on fine (a,b) keys ----
+    "q_winnow_dedup" -> ((s, d) => {
+      val fp = docs(s, d).select(col("doc_id"),
+        explode(graft.functions.TextExprs
+          .winnowHashes(col("text"), 3, 4)).as("fp"))
+      fp.select(col("fp"), col("doc_id").as("doc_a"))
+        .join(fp.select(col("fp"), col("doc_id").as("doc_b")), "fp")
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 3)
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // ---- reciprocal best match (entity-resolution matching step): from
     //      the exact similarity pairs, keep only pairs where EACH side is
     //      the other's highest-Jaccard partner (ties → smaller partner
@@ -1022,6 +1044,20 @@ object DedupOps {
         |       round(CAST(i AS DOUBLE) / (la + lb - i), 4) AS jaccard
         |FROM p WHERE CAST(i AS DOUBLE) / (la + lb - i) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // the oracle replays the window-min selection with the O(m·w)
+    // list_min twin — same fingerprint VALUES (selection is by window
+    // minimum, tie positions can't change the set)
+    "q_winnow_dedup" ->
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |         unnest(${graft.functions.TextExprs.winnowHashesSql("text", 3, 4)}) AS fp
+         |  FROM documents)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       CAST(count(*) AS BIGINT) AS n_shared
+         |FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     // brute-force pairs + per-side best via row_number == the engine's
     // max_by over (jaccard, −partner) structs (partner ids unique)

@@ -295,6 +295,39 @@ class TextDedupSpec extends AnyFunSuite with SparkSpec {
       s"missed=${expected -- got} extra=${got -- expected}")
   }
 
+  test("winnowing: shared runs guaranteed a shared fingerprint, density bounded") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextExprs
+    val (n, w) = (3, 4)
+    // two docs sharing EXACTLY a w+n−1 = 6-token run inside otherwise
+    // disjoint text — the winnowing guarantee says ≥1 shared fingerprint
+    val run = "omega psi chi phi upsilon tau"
+    val docs = Seq(
+      (1L, s"aaa bbb ccc ddd eee $run fff ggg hhh iii"),
+      (2L, s"zzz yyy xxx www $run vvv uuu ttt sss rrr")
+    ).toDF("doc_id", "text")
+    val fps = docs.select(col("doc_id"),
+        TextExprs.winnowHashes(col("text"), n, w).as("fps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert((fps(1L) & fps(2L)).nonEmpty,
+      "winnowing guarantee broken: shared 6-token run, no shared fingerprint")
+    // density: on the real corpus, selected fingerprints per doc should be
+    // far below the gram count but nonzero — expected ~2/(w+1) of windows
+    val corpus = Tables(spark, sf, "documents")
+      .select(col("doc_id"),
+        size(TextExprs.winnowHashes(col("text"), n, w)).as("n_fp"),
+        (size(split(lower(trim(col("text"))), "\\s+")) - (n - 1)).as("m"))
+      .filter(col("m") >= 10).collect()
+    assert(corpus.nonEmpty)
+    corpus.foreach { r =>
+      val (nf, m) = (r.getAs[Int]("n_fp"), r.getAs[Int]("m"))
+      assert(nf >= 1 && nf <= m, s"degenerate selection: $nf of $m")
+      assert(nf <= m * 3 / (w + 1) + 2,
+        s"selection density $nf/$m far above the 2/(w+1) expectation")
+    }
+  }
+
   test("sorted neighborhood on the corpus agrees with its oracle shape") {
     // fixture has near-dups but (at sf0.001) no exact dups — assert the
     // reported pairs are canonical and respect the edit-distance cut
