@@ -15,7 +15,67 @@ object TextOps {
 
   private def docs(s: SparkSession, d: String) = Tables(s, d, "documents")
 
+  /** Greedy leftmost application of one ranked merge (x_i, y_i) over a
+    * space-joined token string — the BPE application step at word level.
+    * Fold state is the merged-so-far string: a token equal to y_i fuses
+    * with a trailing x_i TOKEN (boundary-checked — merged tokens use '+'
+    * so they can never be re-matched as their suffix). `endswith` +
+    * left-assoc aggregate == DuckDB ends_with + list_reduce, value-exact.
+    */
+  private def mergeRound(prev: String, i: Int): org.apache.spark.sql.Column =
+    expr(
+      s"""aggregate(filter(split($prev, ' '), t -> t <> ''),
+         |  CAST('' AS STRING),
+         |  (acc, t) -> CASE
+         |    WHEN acc = '' THEN t
+         |    WHEN (acc = x$i OR endswith(acc, concat(' ', x$i))) AND t = y$i
+         |      THEN concat(substring(acc, 1, length(acc) - length(x$i)),
+         |                  x$i, '+', y$i)
+         |    ELSE concat(acc, ' ', t) END)""".stripMargin)
+
   val queries: Map[String, Q] = Map(
+    // ---- phrase-merge application (the BPE APPLY step, word-level —
+    //      q_bpe_pairs is the induction twin): learn the top-8 adjacent
+    //      word pairs, then apply them as a greedy merge table — each
+    //      merge fully applied leftmost-first before the next, exactly
+    //      BPE's application order. The merge table is derived once
+    //      (alphabet²-bounded agg, constant-row heap) and rides as a
+    //      1-row broadcast; application is a per-row fold — no shuffle
+    //      beyond the derivation, linear in corpus size. Gate: per-doc
+    //      token counts before/after (all-integer) ----
+    "q_phrase_merge" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ws = docs(s, d).filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"),
+          expr("filter(split(lower(trim(text)), '\\\\s+'), t -> t <> '')")
+            .as("ws"))
+      val big = ws.filter(size(col("ws")) >= 2)
+        .select(explode(expr(
+          """transform(sequence(1, size(ws) - 1),
+            |  i -> struct(element_at(ws, i) AS w1,
+            |              element_at(ws, i + 1) AS w2))""".stripMargin))
+          .as("p"))
+        .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .agg(count(lit(1)).as("cb"))
+      // rank the top-8 merges; the window runs over an 8-row frame
+      val ranked = big
+        .orderBy(col("cb").desc, col("w1").asc, col("w2").asc).limit(8)
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("cb").desc, col("w1").asc, col("w2").asc)))
+      val pivotCols = (1 to 8).flatMap(i => Seq(
+        max(when(col("rk") === i, col("w1"))).as(s"x$i"),
+        max(when(col("rk") === i, col("w2"))).as(s"y$i")))
+      val mrow = ranked.agg(pivotCols.head, pivotCols.tail: _*)
+      var cur = ws.crossJoin(broadcast(mrow))
+        .withColumn("t0", concat_ws(" ", col("ws")))
+      for (i <- 1 to 8) cur = cur.withColumn(s"t$i", mergeRound(s"t${i - 1}", i))
+      cur.select(col("doc_id"),
+          size(col("ws")).cast("long").as("n_tok_before"),
+          size(split(col("t8"), " ")).cast("long").as("n_tok_after"))
+        .withColumn("n_merged", col("n_tok_before") - col("n_tok_after"))
+        .orderBy("doc_id")
+    }),
+
     // ---- character-level stats ----
     "q_text_stats" -> ((s, d) =>
       docs(s, d).select(col("doc_id"), col("n_chars"),
@@ -245,7 +305,51 @@ object TextOps {
       .orderBy("term")
   }
 
+  /** DuckDB twin of [[mergeRound]] — same fold, ends_with for endswith.
+    * NOTE: this string is inlined into an outer stripMargin template, so
+    * no line may start with '|' after whitespace (concat operators sit at
+    * line ends) — the outer strip would otherwise eat them as margins. */
+  private def mergeRoundSql(prev: String, i: Int): String =
+    s"""list_reduce(list_prepend(CAST('' AS VARCHAR),
+       |  list_filter(string_split($prev, ' '), t -> t <> '')),
+       |  (acc, t) -> CASE
+       |    WHEN acc = '' THEN t
+       |    WHEN (acc = m.x$i OR ends_with(acc, ' ' || m.x$i)) AND t = m.y$i
+       |      THEN substr(acc, 1, length(acc) - length(m.x$i)) ||
+       |           m.x$i || '+' || m.y$i
+       |    ELSE acc || ' ' || t END)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    // the oracle re-derives the same top-8 merge table and replays the
+    // same greedy per-merge fold
+    "q_phrase_merge" -> {
+      val fin = (1 to 8)
+        .foldLeft("array_to_string(ws.ws, ' ')")((p, i) => mergeRoundSql(p, i))
+      val pivot = (1 to 8).map(i =>
+        s"max(CASE WHEN rk = $i THEN w1 END) AS x$i, " +
+          s"max(CASE WHEN rk = $i THEN w2 END) AS y$i").mkString(", ")
+      s"""WITH ws AS (
+         |  SELECT doc_id,
+         |         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+         |                     t -> t <> '') AS ws
+         |  FROM documents WHERE length(trim(text)) > 0),
+         |bg AS (SELECT t.p.w1 AS w1, t.p.w2 AS w2
+         |       FROM ws, unnest([{'w1': ws.ws[i], 'w2': ws.ws[i+1]}
+         |                        for i in range(1, len(ws.ws))]) AS t(p)
+         |       WHERE len(ws.ws) >= 2),
+         |bc AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2),
+         |rk AS (SELECT w1, w2,
+         |         row_number() OVER (ORDER BY cb DESC, w1, w2) AS rk
+         |       FROM bc QUALIFY rk <= 8),
+         |m AS (SELECT $pivot FROM rk),
+         |t AS (SELECT ws.doc_id, len(ws.ws) AS nb, $fin AS fin
+         |      FROM ws CROSS JOIN m)
+         |SELECT doc_id, CAST(nb AS BIGINT) AS n_tok_before,
+         |       CAST(len(string_split(fin, ' ')) AS BIGINT) AS n_tok_after,
+         |       CAST(nb - len(string_split(fin, ' ')) AS BIGINT) AS n_merged
+         |FROM t ORDER BY doc_id""".stripMargin
+    },
+
     "q_char_entropy" ->
       """WITH ch AS (
         |  SELECT doc_id, t.ch
