@@ -79,6 +79,20 @@ object DocsStream {
       .groupBy(col("source"))
       .agg(graft.functions.HeavyHitters.misraGries(col("token"), k).as("mg"))
 
+  /** Streaming Count-Min sketch over the token stream — one d·w counter
+    * array in the state store regardless of stream length. Stronger
+    * equivalence than [[heavyHitters]]: CM merge is element-wise ADDITION,
+    * so the streamed sketch is BIT-IDENTICAL to the batch sketch over the
+    * same rows — not merely bound-equivalent — whatever the micro-batch
+    * cut points (StreamingSpec asserts array equality). The streaming
+    * form answers point-frequency queries mid-ingest with no rescan.
+    */
+  def tokenFrequencies(docs: DataFrame, d: Int, w: Int): DataFrame =
+    docs.select(
+      explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+      .agg(graft.functions.CountMin.countMin(col("token"), d, w).as("cms"))
+
   /** Load the documents table as a STREAM from a parquet directory.
     * `filesPerTrigger > 0` throttles ingest so a multi-file directory
     * arrives as multiple micro-batches (exercises cross-batch state). */

@@ -295,6 +295,28 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("streaming Count-Min sketch is bit-identical to the batch sketch") {
+    // CM merge is element-wise addition, so micro-batch cut points cannot
+    // change the final counters — a strictly stronger claim than the MG
+    // bounds above, and the reason a 100 TB ingest can answer
+    // point-frequency queries mid-stream with no rescan
+    import graft.streaming.DocsStream
+    val dir = "target/stream_docs_cms"
+    Tables(spark, sf, "documents").repartition(3)
+      .write.mode("overwrite").parquet(dir)
+    val (d, w) = (4, 256)
+    val q = DocsStream.tokenFrequencies(
+        DocsStream.readDocsStream(spark, dir, filesPerTrigger = 1), d, w)
+      .writeStream.format("memory").queryName("cms_out")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("cms_out").collect()(0).getSeq[Long](0)
+    val batch = DocsStream.tokenFrequencies(
+      Tables(spark, sf, "documents"), d, w).collect()(0).getSeq[Long](0)
+    assert(streamed == batch, "streamed sketch differs from batch sketch")
+    assert(batch.sum > 0, "degenerate fixture: empty token stream")
+  }
+
   test("sessions partition each user's events") {
     val nEvents = Tables(spark, sf, "events").count()
     val sessions = SparkEntry.queries("q_sessionize")(spark, sf).collect()
