@@ -416,21 +416,60 @@ object VectorOps {
     //      loop); the left-assoc chain keeps the fold's association order
     //      bit-for-bit ----
     "q_embed_project" -> ((s, d) => {
-      def positive(i: Int, j: Int): Boolean = {
-        val h = ((i.toLong * 64 + j) * 1103515245L + 12345L) % 2147483648L
-        (h * h % 2147483648L / 1048576L) % 2 == 0
-      }
-      val dims = (0 until 16).map { i =>
-        val terms = (0 until 64).map { j =>
-          val e = s"CAST(element_at(embedding, ${j + 1}) AS DOUBLE)"
-          if (positive(i, j)) s"+ $e" else s"- $e"
-        }.mkString(" ")
-        s"round((CAST(0.0 AS DOUBLE) $terms) / 4.0, 6)"
-      }
-      val proj = expr(s"array(${dims.mkString(", ")})")
+      val proj = jlProjectCol
       emb(s, d).select(col("vec_id"), proj.as("proj"))
         .select(col("vec_id"), posexplode(col("proj")).as(Seq("dim", "val")))
         .orderBy("vec_id", "dim")
+    }),
+
+    // ---- ANN in the JL-projected space (the q_embed_project composition
+    //      proof): exact top-5 in 64-dim vs top-5 by cosine over the
+    //      16-dim projections, recall@5 per probe — the measured answer
+    //      to "what does 4× cheaper buy and what does it cost". Same
+    //      plan scale shape as q_ann_recall: probes broadcast, corpus
+    //      never shuffled for candidates; the projected leg reads 4×
+    //      less per comparison ----
+    "q_ann_projected" -> ((s, d) => {
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cos").desc, col("neighbor_id").asc)
+      def fold(prod: String) =
+        s"aggregate($prod, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+      // dot/(√na·√nb) with sequential folds — the cosineSql association
+      val pcos = expr("round(" +
+        fold("zip_with(probe_proj, nb_proj, (x, y) -> x * y)") + " / (sqrt(" +
+        fold("transform(probe_proj, x -> x * x)") + ") * sqrt(" +
+        fold("transform(nb_proj, x -> x * x)") + ")), 6)")
+      val base = emb(s, d)
+        .select(col("vec_id"), col("embedding"), jlProjectCol.as("proj"))
+        .persist()
+      val probes = base.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"),
+          col("embedding").as("probe_emb"), col("proj").as("probe_proj"))
+      val exact = base
+        .select(col("vec_id").as("neighbor_id"), col("embedding").as("nb_emb"))
+        .join(broadcast(probes.select(col("probe_id"), col("probe_emb"))),
+          col("probe_id") =!= col("neighbor_id"))
+        .select(col("probe_id"), col("neighbor_id"),
+          round(VectorExprs.cosine(col("probe_emb"), col("nb_emb")), 6)
+            .as("cos"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+        .select(col("probe_id"), col("neighbor_id"))
+      val projTop = base
+        .select(col("vec_id").as("neighbor_id"), col("proj").as("nb_proj"))
+        .join(broadcast(probes.select(col("probe_id"), col("probe_proj"))),
+          col("probe_id") =!= col("neighbor_id"))
+        .select(col("probe_id"), col("neighbor_id"), pcos.as("cos"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+        .select(col("probe_id"), col("neighbor_id").as("proj_id"))
+      exact.join(projTop,
+          exact("probe_id") === projTop("probe_id") &&
+            col("neighbor_id") === col("proj_id"), "left")
+        .groupBy(exact("probe_id").as("probe_id"))
+        .agg(count(lit(1)).as("k"),
+          sum(col("proj_id").isNotNull.cast("long")).as("n_hit"))
+        .select(col("probe_id"), col("k"), col("n_hit"),
+          round(col("n_hit").cast("double") / col("k"), 4).as("recall"))
+        .orderBy("probe_id")
     }),
 
     // ---- hybrid retrieval via reciprocal-rank fusion (RRF, k=60): the
@@ -577,6 +616,45 @@ object VectorOps {
     (perSub.map(_._1).reduce(_ unionByName _), perSub.map(_._2))
   }
 
+  /** Mid-square-LCG JL sign: true ⇒ +x_j in output dim i (see
+    * q_embed_project's scaladoc for the derivation and the measured
+    * row-correlation story).
+    */
+  private def jlPositive(i: Int, j: Int): Boolean = {
+    val h = ((i.toLong * 64 + j) * 1103515245L + 12345L) % 2147483648L
+    (h * h % 2147483648L / 1048576L) % 2 == 0
+  }
+
+  /** The 64→16 JL projection as 16 plan-time-baked codegen sum chains
+    * (left-assoc == the oracle's sequential fold), elements rounded 6 dp.
+    */
+  private def jlProjectCol: org.apache.spark.sql.Column = {
+    val dims = (0 until 16).map { i =>
+      val terms = (0 until 64).map { j =>
+        val e = s"CAST(element_at(embedding, ${j + 1}) AS DOUBLE)"
+        if (jlPositive(i, j)) s"+ $e" else s"- $e"
+      }.mkString(" ")
+      s"round((CAST(0.0 AS DOUBLE) $terms) / 4.0, 6)"
+    }
+    expr(s"array(${dims.mkString(", ")})")
+  }
+
+  /** DuckDB twin of [[jlProjectCol]] over an embedding column reference —
+    * signs via the same mid-square hash, same fold, same rounding.
+    */
+  private def jlProjectSql(embRef: String): String =
+    s"""list_transform(range(0, 16), i ->
+       |      round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |        list_transform(range(0, 64), j ->
+       |          CASE WHEN (((((i * 64 + j) * 1103515245 + 12345)
+       |                       % 2147483648) *
+       |                      (((i * 64 + j) * 1103515245 + 12345)
+       |                       % 2147483648)) % 2147483648 // 1048576)
+       |                    % 2 = 0
+       |            THEN  CAST($embRef[j + 1] AS DOUBLE)
+       |            ELSE -CAST($embRef[j + 1] AS DOUBLE) END)),
+       |        (acc, x) -> acc + x) / 4.0, 6))""".stripMargin
+
   private val cosAB = VectorExprs.cosineSql("a.embedding", "b.embedding")
 
   /** index-order sequential dot fold — the DuckDB twin of
@@ -602,23 +680,46 @@ object VectorOps {
     // same mid-square LCG sign matrix, same sequential fold, same
     // rounding — the projection is value-exact across engines
     "q_embed_project" ->
-      """WITH p AS (
-        |  SELECT vec_id,
-        |    list_transform(range(0, 16), i ->
-        |      round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-        |        list_transform(range(0, 64), j ->
-        |          CASE WHEN (((((i * 64 + j) * 1103515245 + 12345)
-        |                       % 2147483648) *
-        |                      (((i * 64 + j) * 1103515245 + 12345)
-        |                       % 2147483648)) % 2147483648 // 1048576)
-        |                    % 2 = 0
-        |            THEN  CAST(embedding[j + 1] AS DOUBLE)
-        |            ELSE -CAST(embedding[j + 1] AS DOUBLE) END)),
-        |        (acc, x) -> acc + x) / 4.0, 6)) AS proj
-        |  FROM embeddings)
-        |SELECT vec_id, i AS dim, proj[i + 1] AS val
-        |FROM p, range(0, 16) r(i)
-        |ORDER BY vec_id, dim""".stripMargin,
+      s"""WITH p AS (
+         |  SELECT vec_id, ${jlProjectSql("embedding")} AS proj
+         |  FROM embeddings)
+         |SELECT vec_id, i AS dim, proj[i + 1] AS val
+         |FROM p, range(0, 16) r(i)
+         |ORDER BY vec_id, dim""".stripMargin,
+
+    // the JL leg re-projects with the same sign hash; both cosines use
+    // the dim-parametric sequential-fold form (dot/(√na·√nb))
+    "q_ann_projected" -> {
+      val cos16 = VectorExprs.cosineSql("pa.proj", "pb.proj", 16)
+      s"""WITH p AS (
+         |  SELECT vec_id, embedding, ${jlProjectSql("embedding")} AS proj
+         |  FROM embeddings),
+         |exact AS (
+         |  SELECT probe_id, neighbor_id FROM (
+         |    SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+         |           row_number() OVER (PARTITION BY a.vec_id
+         |             ORDER BY round($cosAB, 6) DESC, b.vec_id ASC) AS rn
+         |    FROM embeddings a, embeddings b
+         |    WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id)
+         |  WHERE rn <= 5),
+         |proj AS (
+         |  SELECT probe_id, neighbor_id AS proj_id FROM (
+         |    SELECT pa.vec_id AS probe_id, pb.vec_id AS neighbor_id,
+         |           row_number() OVER (PARTITION BY pa.vec_id
+         |             ORDER BY round($cos16, 6) DESC, pb.vec_id ASC) AS rn
+         |    FROM p pa, p pb
+         |    WHERE pa.vec_id < 10 AND pb.vec_id <> pa.vec_id)
+         |  WHERE rn <= 5)
+         |SELECT exact.probe_id, count(*) AS k,
+         |       CAST(sum(CASE WHEN proj_id IS NOT NULL THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_hit,
+         |       round(CAST(sum(CASE WHEN proj_id IS NOT NULL THEN 1 ELSE 0 END)
+         |         AS DOUBLE) / count(*), 4) AS recall
+         |FROM exact LEFT JOIN proj
+         |  ON exact.probe_id = proj.probe_id
+         |  AND exact.neighbor_id = proj.proj_id
+         |GROUP BY exact.probe_id ORDER BY exact.probe_id""".stripMargin
+    },
 
     "q_embed_stats" ->
       """SELECT vec_id, len(embedding) AS dim,

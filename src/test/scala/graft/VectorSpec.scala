@@ -197,6 +197,20 @@ class VectorSpec extends AnyFunSuite with SparkSpec {
       f"only ${within / ratios.size}%.2f of pairs within [1/3, 3]")
   }
 
+  test("projected-space ANN recall beats the random-shortlist baseline") {
+    // k=16 JL is deliberately lossy (σ≈35% per pair) — the recall gate's
+    // job is to MEASURE that honestly. But it must still carry signal:
+    // a random 5-shortlist expects recall 5/(N−1) ≈ 0.01; require ≥ 4×
+    val rows = q("q_ann_projected").collect()
+    assert(rows.length == 10)
+    val n = Tables(spark, sf, "embeddings").count()
+    val meanRecall = rows.map(_.getAs[Double]("recall")).sum / rows.length
+    val baseline = 5.0 / (n - 1)
+    assert(meanRecall >= 4 * baseline,
+      f"projected recall $meanRecall%.3f under 4× the random baseline $baseline%.4f")
+    rows.foreach(r => assert(r.getAs[Long]("k") == 5L))
+  }
+
   test("PQ rerank: exact re-rank of the ADC shortlist dominates raw ADC recall") {
     def pairs(rows: Array[org.apache.spark.sql.Row]) =
       rows.map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
