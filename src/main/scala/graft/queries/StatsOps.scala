@@ -374,6 +374,35 @@ object StatsOps {
           ((col("est") - col("cnt")) * wCols.toLong <= lit(3L) * col("n_total"))
             .cast("int").as("cms_within_bound"))
         .orderBy(col("cnt").desc, col("token").asc)
+    }),
+
+    // ---- incremental Count-Min maintenance (the q_pq_append story for
+    //      sketches): the historical corpus half and the new-ingest half
+    //      are sketched INDEPENDENTLY, merged by element-wise addition
+    //      (zip_with — the same arithmetic the aggregator's merge does),
+    //      and the merged sketch must equal the full-corpus sketch
+    //      BIT-FOR-BIT — no rescan of history when a batch lands. Gate:
+    //      the exact corpus token total anchors, the equality flag and
+    //      the conserved counter mass are deterministic ints ----
+    "q_cms_append" -> ((s, d) => {
+      val (dRows, wCols) = (4, 512)
+      def toks(f: DataFrame) = f
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+        .filter(col("token") =!= "")
+      val docsDf = Tables(s, d, "documents")
+      def sk(f: DataFrame, name: String) =
+        toks(f).agg(CountMin.countMin(col("token"), dRows, wCols).as(name))
+      val hist = sk(docsDf.filter(col("doc_id") % 10 =!= 9), "sk_hist")
+      val batch = sk(docsDf.filter(col("doc_id") % 10 === 9), "sk_batch")
+      val full = sk(docsDf, "sk_full")
+      val nRow = toks(docsDf).agg(count(lit(1)).as("n_total"))
+      hist.crossJoin(broadcast(batch)).crossJoin(broadcast(full))
+        .crossJoin(broadcast(nRow))
+        .select(col("n_total"),
+          (expr("zip_with(sk_hist, sk_batch, (a, b) -> a + b)") ===
+            col("sk_full")).cast("int").as("merge_eq_full"),
+          (expr("aggregate(sk_full, 0L, (acc, x) -> acc + x)") ===
+            col("n_total") * dRows.toLong).cast("int").as("mass_conserved"))
     })
   )
 
@@ -580,6 +609,18 @@ object StatsOps {
         |       1 AS cms_ge_exact, 1 AS cms_within_bound
         |FROM exact CROSS JOIN tot
         |ORDER BY cnt DESC, token ASC""".stripMargin,
+
+    // exact token-total anchor + two deterministic proof flags
+    "q_cms_append" ->
+      """WITH tok AS (
+        |  SELECT t.token
+        |  FROM documents,
+        |       unnest(regexp_split_to_array(lower(trim(text)), '\s+'))
+        |         AS t(token)
+        |  WHERE t.token <> '')
+        |SELECT CAST(count(*) AS BIGINT) AS n_total,
+        |       1 AS merge_eq_full, 1 AS mass_conserved
+        |FROM tok""".stripMargin,
 
     "q_heavy_hitters_by_source" ->
       """WITH tok AS (
