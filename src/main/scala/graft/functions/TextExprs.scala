@@ -470,6 +470,8 @@ object TextExprs {
       "simhash62", exprs => SimHashBits(exprs.head, 62), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "rolling_hash", exprs => RollingHash(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "winnow_hashes", exprs => WinnowHashes(exprs.head, 3, 4), "scala_udf")
   }
 
   // ---------- DuckDB oracle SQL generators (identical arithmetic) ----------

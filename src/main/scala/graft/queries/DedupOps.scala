@@ -509,6 +509,35 @@ object DedupOps {
     "q_dedup_ppjoin" -> ((s, d) =>
       ppjoinPairs(docs(s, d), 0.5).orderBy("doc_a", "doc_b")),
 
+    // ---- blocking-quality census (the record-linkage evaluation pair:
+    //      reduction ratio + pairs completeness): how well does the CHEAP
+    //      sorted-neighborhood blocking cover the EXPENSIVE exact-Jaccard
+    //      truth set (the ppjoin result)? RR = 1 − |candidates|/C(n,2)
+    //      says what the blocking saves; PC = |cand ∩ truth|/|truth| says
+    //      what it misses — the two numbers every blocking scheme must
+    //      report before it replaces an O(n²) pass at 100 TB. All counts
+    //      deterministic; censuses meet as 1-row broadcasts ----
+    "q_blocking_quality" -> ((s, d) => {
+      val cand = snNeighbors(docs(s, d))
+        .select(least(col("doc_id"), col("nb.nid")).as("doc_a"),
+          greatest(col("doc_id"), col("nb.nid")).as("doc_b"))
+      val truth = ppjoinPairs(docs(s, d), 0.5)
+        .select(col("doc_a"), col("doc_b"))
+      val nDocs = docs(s, d).agg(count(lit(1)).as("n_docs"))
+      val nCand = cand.agg(count(lit(1)).as("n_cand"))
+      val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+      val nHit = truth.join(cand, Seq("doc_a", "doc_b"), "left_semi")
+        .agg(count(lit(1)).as("n_caught"))
+      nDocs.crossJoin(broadcast(nCand)).crossJoin(broadcast(nTruth))
+        .crossJoin(broadcast(nHit))
+        .select(col("n_docs"), col("n_cand"), col("n_truth"), col("n_caught"),
+          round(lit(1.0) - col("n_cand") /
+            (col("n_docs") * (col("n_docs") - 1) / 2.0), 6)
+            .as("reduction_ratio"),
+          round(col("n_caught") / col("n_truth").cast("double"), 4)
+            .as("pairs_completeness"))
+    }),
+
     // ---- winnowing local-fingerprint dedup (Schleimer et al. 2003, the
     //      MOSS algorithm): each doc keeps the window-min of its in-order
     //      shingle hash stream (native O(m) deque expression — see
@@ -640,7 +669,10 @@ object DedupOps {
     * normalized sort key, duplicate cut: edit distance ≤ 10% of the
     * longer text.
     */
-  def sortedNeighborhoodPairs(docsDf: DataFrame): DataFrame = {
+  /** SN window candidates BEFORE the edit-distance cut — (doc_id, skey,
+    * nb.nid, nb.ns) neighbor rows; exposed separately so the blocking-
+    * quality census can count candidates without paying the verify DP. */
+  def snNeighbors(docsDf: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val n = docsDf.select(col("doc_id"),
       lower(trim(col("text"))).as("skey"))
@@ -649,7 +681,7 @@ object DedupOps {
       .orderBy(col("skey"), col("doc_id"))
     // both neighbor offsets come out of ONE window pass: a union of two
     // lead() branches would re-sort the corpus per branch (measured 2×)
-    val r = n.select(col("doc_id"), col("skey"),
+    n.select(col("doc_id"), col("skey"),
       lead(col("doc_id"), 1).over(w).as("id1"),
       lead(col("skey"), 1).over(w).as("s1"),
       lead(col("doc_id"), 2).over(w).as("id2"),
@@ -658,6 +690,11 @@ object DedupOps {
         explode(array(
           struct(col("id1").as("nid"), col("s1").as("ns")),
           struct(col("id2").as("nid"), col("s2").as("ns")))).as("nb"))
+      .filter(col("nb.nid").isNotNull)
+  }
+
+  def sortedNeighborhoodPairs(docsDf: DataFrame): DataFrame = {
+    val r = snNeighbors(docsDf)
     // edit distance verifies the 200-char KEY PREFIX, not the whole text:
     // levenshtein is O(L²) per pair, and SN's contract is cheap blocking +
     // bounded verify — the windowed O(n·w) pair count is pointless if each
@@ -669,8 +706,7 @@ object DedupOps {
     // per-pair DP so every core runs levenshtein (measured 3×)
     val parts = docsDf.sparkSession.conf
       .get("spark.sql.shuffle.partitions").toInt
-    r.filter(col("nb.nid").isNotNull)
-      .repartition(parts)
+    r.repartition(parts)
       .select(least(col("doc_id"), col("nb.nid")).as("doc_a"),
         greatest(col("doc_id"), col("nb.nid")).as("doc_b"),
         levenshtein(substring(col("skey"), 1, 200),
@@ -1044,6 +1080,55 @@ object DedupOps {
         |       round(CAST(i AS DOUBLE) / (la + lb - i), 4) AS jaccard
         |FROM p WHERE CAST(i AS DOUBLE) / (la + lb - i) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // the oracle reruns both legs: the SN window candidates (pre-cut) and
+    // the O(n²) Jaccard truth set, then the two census ratios
+    "q_blocking_quality" ->
+      """WITH n AS (
+        |  SELECT doc_id, lower(trim(text)) AS skey,
+        |         substr(lower(trim(text)), 1, 4) AS blk
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id,
+        |         lead(doc_id, 1) OVER w AS id1, lead(doc_id, 2) OVER w AS id2
+        |  FROM n WINDOW w AS (PARTITION BY blk ORDER BY skey, doc_id)),
+        |cand AS (
+        |  SELECT least(doc_id, id1) AS doc_a, greatest(doc_id, id1) AS doc_b
+        |  FROM r WHERE id1 IS NOT NULL
+        |  UNION ALL
+        |  SELECT least(doc_id, id2), greatest(doc_id, id2)
+        |  FROM r WHERE id2 IS NOT NULL),
+        |w2 AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(trim(text)),
+        |                                           '\s+'),
+        |                     x -> x <> '') AS ws
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |         list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+        |                        for i in range(1, len(ws) - 1)]) AS toks
+        |  FROM w2 WHERE len(ws) >= 3),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         len(list_intersect(a.toks, b.toks)) AS i,
+        |         len(a.toks) AS la, len(b.toks) AS lb
+        |  FROM g a JOIN g b ON a.doc_id < b.doc_id),
+        |truth AS (
+        |  SELECT doc_a, doc_b FROM p
+        |  WHERE CAST(i AS DOUBLE) / (la + lb - i) >= 0.5),
+        |nd AS (SELECT count(*) AS n_docs FROM documents),
+        |nc AS (SELECT count(*) AS n_cand FROM cand),
+        |nt AS (SELECT count(*) AS n_truth FROM truth),
+        |nh AS (SELECT count(*) AS n_caught FROM truth t
+        |       WHERE EXISTS (SELECT 1 FROM cand c
+        |                     WHERE c.doc_a = t.doc_a AND c.doc_b = t.doc_b))
+        |SELECT n_docs, n_cand, n_truth, n_caught,
+        |       round(1.0 - n_cand / (n_docs * (n_docs - 1) / 2.0), 6)
+        |         AS reduction_ratio,
+        |       round(CAST(n_caught AS DOUBLE) / n_truth, 4)
+        |         AS pairs_completeness
+        |FROM nd CROSS JOIN nc CROSS JOIN nt CROSS JOIN nh""".stripMargin,
 
     // the oracle replays the window-min selection with the O(m·w)
     // list_min twin — same fingerprint VALUES (selection is by window

@@ -328,6 +328,25 @@ class TextDedupSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("new dedup operators degrade cleanly on empty and degenerate input") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.functions.TextExprs
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    // empty corpus → empty pair sets, no exceptions
+    assert(graft.queries.DedupOps.ppjoinPairs(empty, 0.5).count() == 0)
+    assert(graft.queries.DedupOps.sortedNeighborhoodPairs(empty).count() == 0)
+    // single doc → no pairs
+    val one = Seq((1L, "solo document with a few words here")).toDF("doc_id", "text")
+    assert(graft.queries.DedupOps.ppjoinPairs(one, 0.5).count() == 0)
+    assert(graft.queries.DedupOps.sortedNeighborhoodPairs(one).count() == 0)
+    // winnowing on a doc shorter than n tokens → one whole-string hash
+    val short = Seq((1L, "ab")).toDF("doc_id", "text")
+      .select(TextExprs.winnowHashes(col("text"), 3, 4).as("fps"))
+      .collect()(0).getSeq[Long](0)
+    assert(short.length == 1)
+  }
+
   test("sorted neighborhood on the corpus agrees with its oracle shape") {
     // fixture has near-dups but (at sf0.001) no exact dups — assert the
     // reported pairs are canonical and respect the edit-distance cut
