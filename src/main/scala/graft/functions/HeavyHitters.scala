@@ -60,4 +60,30 @@ object HeavyHitters {
   /** Column form: Misra-Gries sketch of `tok` with k counters. */
   def misraGries(tok: Column, k: Int): Column =
     udaf(new MisraGries(k)).apply(tok)
+
+  /** Re-aggregates FINISHED Misra-Gries sketches (Map columns) into one —
+    * the rollup path: per-cell sketches persist, any coarser grain merges
+    * them without rescanning tokens. Same Agarwal et al. merge as the
+    * partial tree, so the merged summary keeps the mergeable-summaries
+    * bound: est ≤ true ≤ est + n_total/(k+1) for the COMBINED stream.
+    */
+  class MergeMG(k: Int)
+      extends Aggregator[Map[String, Long], Map[String, Long], Map[String, Long]] {
+    private val inner = new MisraGries(k)
+    override def zero: Map[String, Long] = Map.empty
+    override def reduce(b: Map[String, Long],
+        a: Map[String, Long]): Map[String, Long] =
+      if (a == null) b else inner.merge(b, a)
+    override def merge(l: Map[String, Long],
+        r: Map[String, Long]): Map[String, Long] = inner.merge(l, r)
+    override def finish(b: Map[String, Long]): Map[String, Long] = b
+    override def bufferEncoder: Encoder[Map[String, Long]] =
+      ExpressionEncoder()
+    override def outputEncoder: Encoder[Map[String, Long]] =
+      ExpressionEncoder()
+  }
+
+  /** Column form: merge a column of finished MG sketches into one. */
+  def mergeSketches(sketch: Column, k: Int): Column =
+    udaf(new MergeMG(k)).apply(sketch)
 }

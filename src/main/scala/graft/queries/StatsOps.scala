@@ -376,6 +376,40 @@ object StatsOps {
         .orderBy(col("cnt").desc, col("token").asc)
     }),
 
+    // ---- Misra-Gries sketch ROLLUP: per-source sketches re-aggregated
+    //      to the global sketch WITHOUT rescanning tokens (the
+    //      q_hll_rollup pattern for heavy hitters — per-cell sketches
+    //      persist, coarser grains merge them). The Agarwal merge keeps
+    //      the mergeable-summaries bound for the COMBINED stream, so the
+    //      gate is the q_heavy_hitters device against global exact
+    //      counts: est ≤ cnt and (cnt−est)·(k+1) ≤ n_total, presence
+    //      itself ungated (merge-tree-dependent below threshold) ----
+    "q_mg_rollup" -> ((s, d) => {
+      val k = 20
+      val toks = Tables(s, d, "documents")
+        .select(col("source"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+        .filter(col("token") =!= "").persist()
+      val rolled = toks.groupBy(col("source"))
+        .agg(HeavyHitters.misraGries(col("token"), k).as("mg"))
+        .agg(HeavyHitters.mergeSketches(col("mg"), k).as("mg"))
+        .select(explode(col("mg")).as(Seq("token", "est")))
+      val exact = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token").asc).limit(10)
+      val nRow = toks.agg(count(lit(1)).as("n_total"))
+      exact.join(rolled, Seq("token"), "left")
+        .crossJoin(broadcast(nRow))
+        .select(col("token"), col("cnt"), col("n_total"),
+          when(col("est").isNotNull,
+            (col("est") <= col("cnt") &&
+              (col("cnt") - col("est")) * (k + 1).toLong <= col("n_total"))
+              .cast("int"))
+            .otherwise((col("cnt") * (k + 1).toLong <= col("n_total"))
+              .cast("int"))
+            .as("within_bound"))
+        .orderBy(col("cnt").desc, col("token").asc)
+    }),
+
     // ---- incremental Count-Min maintenance (the q_pq_append story for
     //      sketches): the historical corpus half and the new-ingest half
     //      are sketched INDEPENDENTLY, merged by element-wise addition
@@ -607,6 +641,23 @@ object StatsOps {
         |tot AS (SELECT count(*) AS n_total FROM tok)
         |SELECT token, cnt, n_total,
         |       1 AS cms_ge_exact, 1 AS cms_within_bound
+        |FROM exact CROSS JOIN tot
+        |ORDER BY cnt DESC, token ASC""".stripMargin,
+
+    // the rolled-up sketch must satisfy the same merge-order-proof bound
+    // as the directly-built one — the q_heavy_hitters oracle, verbatim
+    "q_mg_rollup" ->
+      """WITH tok AS (
+        |  SELECT t.token
+        |  FROM documents,
+        |       unnest(regexp_split_to_array(lower(trim(text)), '\s+'))
+        |         AS t(token)
+        |  WHERE t.token <> ''),
+        |exact AS (
+        |  SELECT token, count(*) AS cnt FROM tok GROUP BY token
+        |  ORDER BY cnt DESC, token ASC LIMIT 10),
+        |tot AS (SELECT count(*) AS n_total FROM tok)
+        |SELECT token, cnt, n_total, 1 AS within_bound
         |FROM exact CROSS JOIN tot
         |ORDER BY cnt DESC, token ASC""".stripMargin,
 

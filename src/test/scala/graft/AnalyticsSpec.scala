@@ -450,6 +450,32 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
         "a single-list doc outranked every both-list doc")
   }
 
+  test("MG sketch rollup keeps the mergeable-summaries bound for the union") {
+    import spark.implicits._
+    import graft.functions.HeavyHitters
+    // 3 shards with DIFFERENT hot items; per-shard sketches rolled up must
+    // still satisfy the combined-stream bound — the Agarwal merge theorem
+    val rows = (0 until 3).flatMap { s =>
+      Seq.fill(2000)(s"hot_$s") ++ (0 until 20).flatMap(i =>
+        Seq.fill(50)(s"rare_${s}_$i"))
+    }.zipWithIndex.map { case (t, i) => (s"shard_${i % 3}", t) }
+    val truth = rows.groupBy(_._2).map { case (t, v) => t -> v.size.toLong }
+    val n = rows.size
+    val k = 5
+    val rolled = rows.toDF("shard", "token").repartition(6)
+      .groupBy($"shard").agg(HeavyHitters.misraGries($"token", k).as("mg"))
+      .agg(HeavyHitters.mergeSketches($"mg", k).as("mg"))
+      .select(explode($"mg").as(Seq("token", "est")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rolled.size <= k, "rolled sketch exceeded k counters")
+    rolled.foreach { case (t, est) =>
+      assert(est <= truth(t), s"$t overcounted after rollup")
+      assert(truth(t) - est <= n / (k + 1) + 1, s"$t bound broken after rollup")
+    }
+    truth.filter(_._2 > n / (k + 1)).keys.foreach(t =>
+      assert(rolled.contains(t), s"guaranteed hitter $t lost in rollup"))
+  }
+
   test("Count-Min guarantees hold and the sketch is merge-order-invariant") {
     import spark.implicits._
     import graft.functions.CountMin
