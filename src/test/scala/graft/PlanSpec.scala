@@ -160,7 +160,8 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     // the production sketch plans' whole value is that the sketch state is
     // partial-aggregated map-side and merged — a plan that ships raw rows
     // to one reducer per group would still be correct and useless at scale
-    Seq("q_quantile_sketch", "q_hll_sketch", "q_agg_approx").foreach { n =>
+    Seq("q_quantile_sketch", "q_hll_sketch", "q_agg_approx",
+        "q_cms_freq", "q_hll_rollup", "q_mg_rollup").foreach { n =>
       val plan = physical(n).toString
       assert(plan.contains("partial_"), s"$n lost partial sketch aggregation")
     }
