@@ -611,6 +611,32 @@ object Relational2 {
         .select(col("exact_overlap"),
           (abs(col("sum_est") - col("est_union") - col("exact_overlap")) <=
             lit(0.10) * col("exact_overlap")).as("overlap_ok"))
+    }),
+
+    // ---- sketch set DIFFERENCE: |A \ B| ≈ est(A∪B) − est(B), closing
+    //      the HLL algebra (rollup = union, intersect, now difference) —
+    //      "how many customers does segment A reach that B doesn't",
+    //      answered from the two persisted segment sketches with no
+    //      EXCEPT shuffle of the fact table. Same gate device: exact
+    //      EXCEPT anchor + accuracy flag ----
+    "q_hll_diff" -> ((s, d) => {
+      val o = Tables(s, d, "orders")
+        .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+      val ests = o.groupBy(col("o_orderpriority"))
+        .agg(hll_sketch_agg(col("o_custkey"), 12).as("sk"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_union"),
+          hll_sketch_estimate(
+            max_by(col("sk"), col("o_orderpriority") === "2-HIGH"))
+            .as("est_b"))
+      val ua = o.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey")).distinct()
+      val ub = o.filter(col("o_orderpriority") === "2-HIGH")
+        .select(col("o_custkey")).distinct()
+      ua.exceptAll(ub).agg(count(lit(1)).as("exact_diff"))
+        .crossJoin(broadcast(ests))
+        .select(col("exact_diff"),
+          (abs(col("est_union") - col("est_b") - col("exact_diff")) <=
+            lit(0.15) * col("exact_diff")).as("diff_ok"))
     })
   )
 
@@ -1006,6 +1032,16 @@ object Relational2 {
         |       CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
         |       true AS rollup_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // exact EXCEPT anchor + the sketch-difference accuracy flag
+    "q_hll_diff" ->
+      """SELECT CAST(count(*) AS BIGINT) AS exact_diff,
+        |       true AS diff_ok
+        |FROM (SELECT DISTINCT o_custkey FROM orders
+        |      WHERE o_orderpriority = '1-URGENT'
+        |      EXCEPT
+        |      SELECT DISTINCT o_custkey FROM orders
+        |      WHERE o_orderpriority = '2-HIGH')""".stripMargin,
 
     // exact-intersect anchor + the inclusion-exclusion accuracy flag
     "q_hll_intersect" ->
