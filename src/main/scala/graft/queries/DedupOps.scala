@@ -509,6 +509,19 @@ object DedupOps {
     "q_dedup_ppjoin" -> ((s, d) =>
       ppjoinPairs(docs(s, d), 0.5).orderBy("doc_a", "doc_b")),
 
+    // ---- multi-pass SN (the standard fix for SN's boundary blind spot):
+    //      pass 1 sorts by the key, pass 2 by the REVERSED key — dups
+    //      differing in their first characters land in different pass-1
+    //      blocks but sort adjacently by suffix in pass 2. Union of the
+    //      per-pass verified pairs, min edit distance per pair. Each pass
+    //      keeps the single-pass shape (one window, bounded verify) ----
+    "q_dedup_sn_multipass" -> ((s, d) =>
+      sortedNeighborhoodPairs(docs(s, d))
+        .unionByName(sortedNeighborhoodPairs(docs(s, d), reversed = true))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(min(col("dist")).as("dist"))
+        .orderBy("doc_a", "doc_b")),
+
     // ---- blocking-quality census (the record-linkage evaluation pair:
     //      reduction ratio + pairs completeness): how well does the CHEAP
     //      sorted-neighborhood blocking cover the EXPENSIVE exact-Jaccard
@@ -672,10 +685,15 @@ object DedupOps {
   /** SN window candidates BEFORE the edit-distance cut — (doc_id, skey,
     * nb.nid, nb.ns) neighbor rows; exposed separately so the blocking-
     * quality census can count candidates without paying the verify DP. */
-  def snNeighbors(docsDf: DataFrame): DataFrame = {
+  def snNeighbors(docsDf: DataFrame, reversed: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // a reversed sort key flips the blind spot: pass 1 misses dups that
+    // differ in their first characters (different block/sort position),
+    // pass 2 sorts by the SUFFIX — the classic multi-pass SN rotation.
+    // Edit distance is reversal-invariant, so the verify cut is unchanged
+    val rawKey = lower(trim(col("text")))
     val n = docsDf.select(col("doc_id"),
-      lower(trim(col("text"))).as("skey"))
+      (if (reversed) reverse(rawKey) else rawKey).as("skey"))
       .withColumn("blk", substring(col("skey"), 1, 4))
     val w = Window.partitionBy(col("blk"))
       .orderBy(col("skey"), col("doc_id"))
@@ -693,8 +711,9 @@ object DedupOps {
       .filter(col("nb.nid").isNotNull)
   }
 
-  def sortedNeighborhoodPairs(docsDf: DataFrame): DataFrame = {
-    val r = snNeighbors(docsDf)
+  def sortedNeighborhoodPairs(docsDf: DataFrame,
+      reversed: Boolean = false): DataFrame = {
+    val r = snNeighbors(docsDf, reversed)
     // edit distance verifies the 200-char KEY PREFIX, not the whole text:
     // levenshtein is O(L²) per pair, and SN's contract is cheap blocking +
     // bounded verify — the windowed O(n·w) pair count is pointless if each
@@ -1080,6 +1099,48 @@ object DedupOps {
         |       round(CAST(i AS DOUBLE) / (la + lb - i), 4) AS jaccard
         |FROM p WHERE CAST(i AS DOUBLE) / (la + lb - i) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // both passes replayed (forward + reversed key), verified pairs
+    // unioned, min distance per pair — levenshtein is reversal-invariant
+    "q_dedup_sn_multipass" ->
+      """WITH n0 AS (SELECT doc_id, lower(trim(text)) AS k FROM documents),
+        |n1 AS (SELECT doc_id, k AS skey, substr(k, 1, 4) AS blk FROM n0),
+        |n2 AS (SELECT doc_id, reverse(k) AS skey,
+        |              substr(reverse(k), 1, 4) AS blk
+        |       FROM n0),
+        |r1 AS (
+        |  SELECT doc_id, skey,
+        |         lead(doc_id, 1) OVER w AS id1, lead(skey, 1) OVER w AS s1,
+        |         lead(doc_id, 2) OVER w AS id2, lead(skey, 2) OVER w AS s2
+        |  FROM n1 WINDOW w AS (PARTITION BY blk ORDER BY skey, doc_id)),
+        |r2 AS (
+        |  SELECT doc_id, skey,
+        |         lead(doc_id, 1) OVER w AS id1, lead(skey, 1) OVER w AS s1,
+        |         lead(doc_id, 2) OVER w AS id2, lead(skey, 2) OVER w AS s2
+        |  FROM n2 WINDOW w AS (PARTITION BY blk ORDER BY skey, doc_id)),
+        |p AS (
+        |  SELECT least(doc_id, id1) AS doc_a, greatest(doc_id, id1) AS doc_b,
+        |         levenshtein(substr(skey, 1, 200), substr(s1, 1, 200)) AS dist,
+        |         greatest(least(len(skey), 200), least(len(s1), 200)) AS mx
+        |  FROM r1 WHERE id1 IS NOT NULL
+        |  UNION ALL
+        |  SELECT least(doc_id, id2), greatest(doc_id, id2),
+        |         levenshtein(substr(skey, 1, 200), substr(s2, 1, 200)),
+        |         greatest(least(len(skey), 200), least(len(s2), 200))
+        |  FROM r1 WHERE id2 IS NOT NULL
+        |  UNION ALL
+        |  SELECT least(doc_id, id1), greatest(doc_id, id1),
+        |         levenshtein(substr(skey, 1, 200), substr(s1, 1, 200)),
+        |         greatest(least(len(skey), 200), least(len(s1), 200))
+        |  FROM r2 WHERE id1 IS NOT NULL
+        |  UNION ALL
+        |  SELECT least(doc_id, id2), greatest(doc_id, id2),
+        |         levenshtein(substr(skey, 1, 200), substr(s2, 1, 200)),
+        |         greatest(least(len(skey), 200), least(len(s2), 200))
+        |  FROM r2 WHERE id2 IS NOT NULL)
+        |SELECT doc_a, doc_b, min(dist) AS dist
+        |FROM p WHERE dist * 10 <= mx
+        |GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b""".stripMargin,
 
     // the oracle reruns both legs: the SN window candidates (pre-cut) and
     // the O(n²) Jaccard truth set, then the two census ratios

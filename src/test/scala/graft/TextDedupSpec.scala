@@ -328,6 +328,28 @@ class TextDedupSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("multi-pass SN catches the first-character blind spot pass 1 misses") {
+    import spark.implicits._
+    // two docs identical except the FIRST word: different pass-1 blocks
+    // (prefix differs) so the forward pass can't pair them, but reversed
+    // keys share block and sort position — pass 2 must catch them
+    val a = "xxxx alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val b = "yyyy alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docsDf = (Seq((1L, a), (2L, b)) ++
+      (3 to 30).map(i => (i.toLong, s"filler$i totally unrelated words $i")))
+      .toDF("doc_id", "text").repartition(3)
+    def pairsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val single = pairsOf(graft.queries.DedupOps.sortedNeighborhoodPairs(docsDf))
+    val multi = pairsOf(graft.queries.DedupOps.sortedNeighborhoodPairs(docsDf)
+      .unionByName(graft.queries.DedupOps
+        .sortedNeighborhoodPairs(docsDf, reversed = true)))
+    assert(!single.contains((1L, 2L)),
+      "fixture broken: forward pass already pairs them — blind spot untested")
+    assert(multi.contains((1L, 2L)),
+      "reversed pass missed the suffix-identical pair")
+  }
+
   test("new dedup operators degrade cleanly on empty and degenerate input") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
