@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -438,6 +438,60 @@ case class CharEntropy(child: Expression)
     copy(child = newChild)
 }
 
+/** One-pass greedy merge-table application — the BPE APPLY hot loop of
+  * q_phrase_merge as a single native expression instead of 8 chained
+  * interpreted `aggregate` HOF folds (each of which re-splits and
+  * re-concatenates the whole document string per round, with one closure
+  * invocation per token per round).
+  *
+  * Semantics are EXACTLY the HOF fold's, round by round: for merge i the
+  * running result's LAST token is compared to x_i (the fold's
+  * `acc = x OR endswith(acc, ' ' || x)` boundary check is precisely
+  * last-token equality, because tokens never contain spaces and merged
+  * tokens are fused with '+'), and a following token equal to y_i fuses
+  * into `x+y`. Each merge is fully applied leftmost-first before the
+  * next — BPE's application order. Null merge slots (fewer than 8 learned
+  * merges) are identity rounds in the fold (a NULL comparison never
+  * matches) and are skipped here.
+  *
+  * The DuckDB oracle keeps the list_reduce formulation (TextOps
+  * `mergeRoundSql`), so the cross-engine gate now proves the tight loop
+  * against an independently-written fold — stronger than HOF-vs-HOF.
+  */
+case class GreedyMergeApply(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(t: Any, xa: Any, ya: Any): Any = {
+    var toks: Array[String] =
+      t.toString.split(' ').filter(_.nonEmpty)
+    val xs = xa.asInstanceOf[ArrayData]
+    val ys = ya.asInstanceOf[ArrayData]
+    val m = math.min(xs.numElements(), ys.numElements())
+    var i = 0
+    while (i < m) {
+      if (!xs.isNullAt(i) && !ys.isNullAt(i)) {
+        val x = xs.getUTF8String(i).toString
+        val y = ys.getUTF8String(i).toString
+        val out = new Array[String](toks.length)
+        var n = 0
+        var j = 0
+        while (j < toks.length) {
+          val tk = toks(j)
+          if (n > 0 && out(n - 1) == x && tk == y) out(n - 1) = x + "+" + y
+          else { out(n) = tk; n += 1 }
+          j += 1
+        }
+        toks = java.util.Arrays.copyOf(out, n)
+      }
+      i += 1
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromString(toks.mkString(" "))
+  }
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): GreedyMergeApply =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 object TextExprs {
   // Spark 4's Column wraps a ColumnNode, not an Expression — the classic
   // bridge converts in both directions
@@ -461,6 +515,8 @@ object TextExprs {
   def winnowHashes(text: Column, n: Int, w: Int): Column =
     column(WinnowHashes(expression(text), n, w))
   def charEntropy(text: Column): Column = column(CharEntropy(expression(text)))
+  def greedyMergeApply(text: Column, xs: Column, ys: Column): Column =
+    column(GreedyMergeApply(expression(text), expression(xs), expression(ys)))
 
   /** SQL names, so the console can call them too. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

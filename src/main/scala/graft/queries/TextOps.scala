@@ -22,7 +22,7 @@ object TextOps {
     * so they can never be re-matched as their suffix). `endswith` +
     * left-assoc aggregate == DuckDB ends_with + list_reduce, value-exact.
     */
-  private def mergeRound(prev: String, i: Int): org.apache.spark.sql.Column =
+  private[graft] def mergeRound(prev: String, i: Int): org.apache.spark.sql.Column =
     expr(
       s"""aggregate(filter(split($prev, ' '), t -> t <> ''),
          |  CAST('' AS STRING),
@@ -66,9 +66,17 @@ object TextOps {
         max(when(col("rk") === i, col("w1"))).as(s"x$i"),
         max(when(col("rk") === i, col("w2"))).as(s"y$i")))
       val mrow = ranked.agg(pivotCols.head, pivotCols.tail: _*)
-      var cur = ws.crossJoin(broadcast(mrow))
+      // all 8 rounds in ONE native pass per row (GreedyMergeApply) — the
+      // chained-HOF formulation re-split and re-folded the whole string
+      // per round interpreted; [[mergeRound]] stays as the spec's
+      // semantics witness and the DuckDB oracle keeps the independent
+      // list_reduce fold, so the tight loop stays cross-checked twice
+      val cur = ws.crossJoin(broadcast(mrow))
         .withColumn("t0", concat_ws(" ", col("ws")))
-      for (i <- 1 to 8) cur = cur.withColumn(s"t$i", mergeRound(s"t${i - 1}", i))
+        .withColumn("t8", graft.functions.TextExprs.greedyMergeApply(
+          col("t0"),
+          array((1 to 8).map(i => col(s"x$i")): _*),
+          array((1 to 8).map(i => col(s"y$i")): _*)))
       cur.select(col("doc_id"),
           size(col("ws")).cast("long").as("n_tok_before"),
           size(split(col("t8"), " ")).cast("long").as("n_tok_after"))

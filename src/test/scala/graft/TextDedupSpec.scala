@@ -7,6 +7,46 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class TextDedupSpec extends AnyFunSuite with SparkSpec {
 
+  test("GreedyMergeApply equals the chained HOF merge fold, round for round") {
+    import org.apache.spark.sql.functions._
+    // adversarial token streams: overlapping self-merges ("a a a"), a
+    // merged token re-used as a later merge's x, y matching a merged
+    // token, suffix-collision bait ("ba" vs x="a" — the boundary check),
+    // and null merge slots (fewer than 8 learned merges)
+    val fixtures = Seq(
+      "a a a b a",            // overlapping self-merge: (a,a) → "a+a a"
+      "x y x y z x",          // repeated pair, tail never merged
+      "ba a b a a",           // "ba" must NOT suffix-match x="a"
+      "p q r p q",            // chained: (p,q) then (p+q,r)
+      "solo")
+    val merges = Seq(
+      ("a", "a"), ("x", "y"), ("p", "q"), ("p+q", "r"), ("b", "a"))
+    val df = spark.createDataFrame(
+      fixtures.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+      .toDF("doc_id", "t0")
+    // bind the merge table as literal columns x1..y8 (nulls past slot 5)
+    val withM = merges.zipWithIndex.foldLeft(df) { case (d, ((x, y), i)) =>
+      d.withColumn(s"x${i + 1}", lit(x)).withColumn(s"y${i + 1}", lit(y))
+    }
+    val padded = (merges.size + 1 to 8).foldLeft(withM)((d, i) =>
+      d.withColumn(s"x$i", lit(null).cast("string"))
+        .withColumn(s"y$i", lit(null).cast("string")))
+    var hof = padded
+    for (i <- 1 to 8)
+      hof = hof.withColumn(s"t$i", queries.TextOps.mergeRound(s"t${i - 1}", i))
+    val native = padded.withColumn("tn",
+      functions.TextExprs.greedyMergeApply(col("t0"),
+        array((1 to 8).map(i => col(s"x$i")): _*),
+        array((1 to 8).map(i => col(s"y$i")): _*)))
+    val hofOut = hof.orderBy("doc_id").select("t8").collect().map(_.getString(0))
+    val natOut = native.orderBy("doc_id").select("tn").collect().map(_.getString(0))
+    assert(natOut.toSeq == hofOut.toSeq)
+    // and the first fixture lands where greedy-leftmost semantics say
+    // rounds: (a,a) fuses only the FIRST overlap pair ("a a a" → "a+a a"),
+    // then (b,a) catches the trailing "b a" — greedy-leftmost, per round
+    assert(natOut(0) == "a+a a b+a")
+  }
+
   test("exact dedup partitions the corpus") {
     val rows = q("q_dedup_exact").collect()
     val total = Tables(spark, sf, "documents").count()
