@@ -136,6 +136,52 @@ object CorpusOps {
         .orderBy("lang")
     }),
 
+    // ---- cross-source quantile normalization (the mixing prerequisite:
+    //      per-source quality scores are NOT comparable — a "good" blog
+    //      post and a "good" arXiv paper sit at different raw-score
+    //      ranges, so one global threshold over/under-selects whole
+    //      sources). Map each doc's WITHIN-source rank onto the GLOBAL
+    //      score distribution: rank r of n in its source → basis-point
+    //      quantile pr_bp = ((r-1)·10⁴) div (n-1), then norm_score = the
+    //      smallest global score whose cumulative basis-point mass covers
+    //      pr_bp. ALL INTEGER (ranks, divs) — no float boundary can
+    //      disagree across engines. Scale shape: the rank window
+    //      partitions BY SOURCE (fine keys at web scale — millions of
+    //      hosts, each small); the global CDF is a distinct-score census
+    //      (bounded by the score domain, ~max doc length, NOT corpus
+    //      size) whose window runs over that bounded table; the per-doc
+    //      mapping is a broadcast range join against the tiny CDF. The
+    //      corpus shuffles once (the source window) and never sorts
+    //      globally ----
+    "q_quantile_normalize" -> ((s, d) => {
+      val dd = docs(s, d).select(col("doc_id"), col("source"),
+        col("n_chars").as("score"))
+      val wSrc = Window.partitionBy(col("source"))
+        .orderBy(col("score").asc, col("doc_id").asc)
+      val ranked = dd
+        .withColumn("rk", row_number().over(wSrc).cast("long"))
+        .withColumn("n_s", count(lit(1)).over(
+          Window.partitionBy(col("source"))))
+        .withColumn("pr_bp", when(col("n_s") === 1L, 0L)
+          .otherwise(expr("((rk - 1) * 10000) div (n_s - 1)")))
+      // grand total rides as a 1-row broadcast (repo convention — never a
+      // driver action, never OVER () on the corpus)
+      val nTot = dd.agg(count(lit(1)).as("n_tot"))
+      val cdf = dd.groupBy(col("score")).agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(
+          Window.orderBy(col("score")).rowsBetween(Window.unboundedPreceding, 0)))
+        .crossJoin(broadcast(nTot))
+        .withColumn("cum_bp", expr("(cum * 10000) div n_tot"))
+        .withColumn("prev_bp", coalesce(lag(col("cum_bp"), 1).over(
+          Window.orderBy(col("score"))), lit(-1L)))
+        .select(col("score").as("g_score"), col("prev_bp"), col("cum_bp"))
+      ranked.join(broadcast(cdf),
+          col("pr_bp") > col("prev_bp") && col("pr_bp") <= col("cum_bp"))
+        .select(col("doc_id"), col("source"), col("score"), col("pr_bp"),
+          col("g_score").as("norm_score"))
+        .orderBy("doc_id")
+    }),
+
     // ---- approx quality gate (the 100 TB shape of q_quality_percentile —
     //      see [[qualityGateApprox]]): the oracle value-checks the exact
     //      per-lang populations and the Spark side reduces the kept fraction
@@ -501,6 +547,37 @@ object CorpusOps {
         |SELECT source, n_docs, n_tokens,
         |       round(w / sum(w) OVER (), 6) AS mix_weight
         |FROM w ORDER BY source""".stripMargin,
+
+    "q_quantile_normalize" ->
+      """WITH dd AS (
+        |  SELECT doc_id, source, n_chars AS score FROM documents),
+        |ranked AS (
+        |  SELECT doc_id, source, score,
+        |         row_number() OVER (PARTITION BY source
+        |                            ORDER BY score, doc_id) AS rk,
+        |         count(*) OVER (PARTITION BY source) AS n_s
+        |  FROM dd),
+        |pr AS (
+        |  SELECT doc_id, source, score,
+        |         CASE WHEN n_s = 1 THEN 0
+        |              ELSE ((rk - 1) * 10000) // (n_s - 1) END AS pr_bp
+        |  FROM ranked),
+        |tot AS (SELECT count(*) AS n_tot FROM dd),
+        |cdf AS (
+        |  SELECT score AS g_score,
+        |         (sum(count(*)) OVER (ORDER BY score
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          * 10000) // (SELECT n_tot FROM tot) AS cum_bp
+        |  FROM dd GROUP BY score),
+        |cdf2 AS (
+        |  SELECT g_score, cum_bp,
+        |         coalesce(lag(cum_bp) OVER (ORDER BY g_score), -1) AS prev_bp
+        |  FROM cdf)
+        |SELECT pr.doc_id, pr.source, pr.score, CAST(pr.pr_bp AS BIGINT) AS pr_bp,
+        |       cdf2.g_score AS norm_score
+        |FROM pr JOIN cdf2
+        |  ON pr.pr_bp > cdf2.prev_bp AND pr.pr_bp <= cdf2.cum_bp
+        |ORDER BY doc_id""".stripMargin,
 
     "q_quality_percentile" ->
       """WITH s AS (

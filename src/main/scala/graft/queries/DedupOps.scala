@@ -308,6 +308,52 @@ object DedupOps {
         .withColumn("is_keep", col("doc_id") === col("cluster_id"))
         .orderBy("doc_id")),
 
+    // ---- leakage-safe train/val/test split: a doc-level hash split puts
+    //      near-duplicate pairs on BOTH sides of the train/test boundary —
+    //      the eval set then scores memorization, not generalization
+    //      (the published dedup literature's core motivation). Assign
+    //      whole NEAR-DUP CLUSTERS to splits instead: split = LCG(cluster
+    //      label) so every member lands together; singletons are their own
+    //      cluster. The audit columns make the difference measurable:
+    //      naive_leaky_pairs = confirmed near-dup pairs a doc-id hash
+    //      split would straddle; cluster_leaky_pairs = pairs this split
+    //      straddles (structurally 0 — split is a function of the shared
+    //      label — but COMPUTED from the pair set, not asserted). Scale:
+    //      the cluster machinery is q_dedup_clusters' (banded, capped,
+    //      fixpoint CC); assignment is per-row arithmetic; the audit joins
+    //      key on fine doc ids ----
+    "q_split_cluster_safe" -> ((s, d) => {
+      val dd = docs(s, d).select(col("doc_id"))
+      val pairs = minhashPairs(docs(s, d))
+        .select(col("doc_a"), col("doc_b")).persist()
+      val cc = connectedComponents(pairs)
+      def lcg(c: org.apache.spark.sql.Column) =
+        ((c % 2147483647L) * 1103515245L + 12345L) % 2147483647L
+      def splitOf(c: org.apache.spark.sql.Column) =
+        when(lcg(c) % 10 < 8, "train")
+          .when(lcg(c) % 10 === 8, "val").otherwise("test")
+      val assigned = dd
+        .join(cc.select(col("doc_id"), col("cluster_id")), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+        .withColumn("split", splitOf(col("cluster_id")))
+        .persist()
+      val naive = pairs.agg(coalesce(sum(
+        when(splitOf(col("doc_a")) =!= splitOf(col("doc_b")), 1L)
+          .otherwise(0L)), lit(0L)).as("naive_leaky_pairs"))
+      val a1 = assigned.select(col("doc_id").as("doc_a"), col("split").as("sp_a"))
+      val a2 = assigned.select(col("doc_id").as("doc_b"), col("split").as("sp_b"))
+      val clusterLeak = pairs.join(a1, "doc_a").join(a2, "doc_b")
+        .agg(coalesce(sum(when(col("sp_a") =!= col("sp_b"), 1L)
+          .otherwise(0L)), lit(0L)).as("cluster_leaky_pairs"))
+      assigned.groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("cluster_id")).as("n_clusters"))
+        .crossJoin(broadcast(naive))
+        .crossJoin(broadcast(clusterLeak))
+        .orderBy("split")
+    }),
+
     // ---- the END-TO-END training-data funnel (the engine's capstone
     //      composition): raw → nonempty → exact dedup (md5, keep min id)
     //      → language gate (langs holding ≥5% of the corpus, integer
@@ -871,6 +917,59 @@ object DedupOps {
          |        FROM reach GROUP BY src)
          |SELECT doc_id, cluster_id, (doc_id = cluster_id) AS is_keep
          |FROM lab ORDER BY doc_id""".stripMargin,
+
+    // same recursive closure as q_dedup_clusters; split assignment is the
+    // shared integer LCG over the cluster label (doc label for the naive
+    // comparison split), so both engines compute identical assignments
+    "q_split_cluster_safe" ->
+      s"""WITH RECURSIVE $minhashPairCtes,
+         |pf AS MATERIALIZED (
+         |  SELECT doc_a, doc_b FROM pairs WHERE est_jaccard >= 0.5),
+         |edges AS MATERIALIZED (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pf
+         |  UNION SELECT doc_b, doc_a FROM pf),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |lab AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+         |        FROM reach GROUP BY src),
+         |assigned AS (
+         |  SELECT d.doc_id,
+         |         coalesce(lab.cluster_id, d.doc_id) AS cluster_id,
+         |         CASE WHEN (((coalesce(lab.cluster_id, d.doc_id)
+         |                      % 2147483647) * 1103515245 + 12345)
+         |                    % 2147483647) % 10 < 8 THEN 'train'
+         |              WHEN (((coalesce(lab.cluster_id, d.doc_id)
+         |                      % 2147483647) * 1103515245 + 12345)
+         |                    % 2147483647) % 10 = 8 THEN 'val'
+         |              ELSE 'test' END AS split
+         |  FROM documents d LEFT JOIN lab ON d.doc_id = lab.doc_id),
+         |naive AS (
+         |  SELECT coalesce(CAST(sum(CASE WHEN
+         |    (CASE WHEN (((doc_a % 2147483647) * 1103515245 + 12345)
+         |                % 2147483647) % 10 < 8 THEN 'train'
+         |          WHEN (((doc_a % 2147483647) * 1103515245 + 12345)
+         |                % 2147483647) % 10 = 8 THEN 'val'
+         |          ELSE 'test' END) <>
+         |    (CASE WHEN (((doc_b % 2147483647) * 1103515245 + 12345)
+         |                % 2147483647) % 10 < 8 THEN 'train'
+         |          WHEN (((doc_b % 2147483647) * 1103515245 + 12345)
+         |                % 2147483647) % 10 = 8 THEN 'val'
+         |          ELSE 'test' END)
+         |    THEN 1 ELSE 0 END) AS BIGINT), 0) AS naive_leaky_pairs
+         |  FROM pf),
+         |cleak AS (
+         |  SELECT coalesce(CAST(sum(CASE WHEN a1.split <> a2.split
+         |           THEN 1 ELSE 0 END) AS BIGINT), 0) AS cluster_leaky_pairs
+         |  FROM pf JOIN assigned a1 ON pf.doc_a = a1.doc_id
+         |          JOIN assigned a2 ON pf.doc_b = a2.doc_id)
+         |SELECT split, count(*) AS n_docs,
+         |       count(DISTINCT cluster_id) AS n_clusters,
+         |       naive_leaky_pairs, cluster_leaky_pairs
+         |FROM assigned CROSS JOIN naive CROSS JOIN cleak
+         |GROUP BY split, naive_leaky_pairs, cluster_leaky_pairs
+         |ORDER BY split""".stripMargin,
 
     // every stage CTE mirrors its standalone oracle-gated twin; the
     // near-dup keep set is the same recursive closure as q_dedup_clusters

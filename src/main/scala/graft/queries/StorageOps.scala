@@ -32,6 +32,35 @@ object StorageOps {
   private val PredHi = 852076800L
 
   val queries: Map[String, Q] = Map(
+    // ---- order-independent corpus checksum: verify a 100 TB rewrite
+    //      (compaction, re-partition, format migration, engine swap)
+    //      preserved CONTENT without sorting or co-locating either copy.
+    //      Per row: h = first 15 hex chars of md5(text) as an integer
+    //      (60 bits — exact in both engines via conv / a hex fold), taken
+    //      mod P = 2³¹−1. Two commutative channels: Σh mod P and
+    //      Σ(h·h mod P) mod P — the second catches multiset edits that
+    //      preserve the plain sum (a pair of offsetting ±δ corruptions).
+    //      Sums accumulate in decimal(38,0) (wrap-proof at any corpus
+    //      size — the q_dedup_clusters Σ-label lesson), reduced mod P at
+    //      output. One map-side-combined groupBy(source); no sort, no
+    //      window, no broadcast — commutative partial aggregation is the
+    //      entire point, so the plan is shuffle-minimal by construction ----
+    "q_corpus_checksum" -> ((s, d) => {
+      val h = expr("CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT)")
+      val hm = h % 2147483647L
+      Tables(s, d, "documents")
+        .select(col("source"), hm.as("hm"),
+          ((hm * hm) % 2147483647L).as("hm2"), col("n_chars"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          (sum(col("hm").cast("decimal(38,0)")) % 2147483647L)
+            .cast("long").as("checksum"),
+          (sum(col("hm2").cast("decimal(38,0)")) % 2147483647L)
+            .cast("long").as("checksum2"),
+          sum(col("n_chars")).as("total_chars"))
+        .orderBy("source")
+    }),
+
     // ---- small-file compaction plan: documents stand in for a directory
     //      listing (one "file" per doc, size = n_chars). Within each
     //      source partition, files are laid end to end in id order and
@@ -134,6 +163,24 @@ object StorageOps {
     col("mxcb") < 50 || col("mncb") > 99 || col("mxdb") < 30 || col("mndb") > 59
 
   val oracles: Map[String, String] = Map(
+    // DuckDB has no conv(); the hex value is an exact list_reduce fold
+    // (acc·16 + digit), the repo's standard overflow-free arithmetic twin.
+    // HUGEINT sums are exact, reduced mod P at output like the Spark side.
+    "q_corpus_checksum" ->
+      """WITH h AS (
+        |  SELECT source, n_chars,
+        |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |           [CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)
+        |            for c in string_split(substr(md5(text), 1, 15), '')]),
+        |           (acc, d) -> acc * 16 + d) % 2147483647 AS hm
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |       CAST(sum(hm) % 2147483647 AS BIGINT) AS checksum,
+        |       CAST(sum((hm * hm) % 2147483647) % 2147483647 AS BIGINT)
+        |         AS checksum2,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM h GROUP BY source ORDER BY source""".stripMargin,
+
     "q_compaction_plan" ->
       """WITH f AS (
         |  SELECT source, doc_id, n_chars,

@@ -229,6 +229,56 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("cluster-safe split partitions the corpus with zero cluster leakage") {
+    val rows = q("q_split_cluster_safe").collect()
+    val total = Tables(spark, sf, "documents").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == total)
+    // structural guarantee, COMPUTED from the pair set: no near-dup pair
+    // straddles a split boundary
+    rows.foreach(r => assert(r.getAs[Long]("cluster_leaky_pairs") == 0L))
+    // the train share of an LCG%10<8 split concentrates near 80%
+    val train = rows.find(_.getAs[String]("split") == "train").get
+      .getAs[Long]("n_docs").toDouble / total
+    assert(train > 0.6 && train < 0.95, s"train share $train")
+  }
+
+  test("corpus checksum is partition- and order-independent") {
+    import org.apache.spark.sql.functions._
+    val whole = q("q_corpus_checksum").collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("checksum"), r.getAs[Long]("checksum2"))).toMap
+    // recompute over a deliberately re-sharded, re-ordered copy of the
+    // corpus via the same SparkEntry body pointed at a temp view — the
+    // aggregation must not care about layout
+    val docs = Tables(spark, sf, "documents")
+      .repartition(7, col("lang")).sortWithinPartitions(desc("text"))
+    val h = expr("CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT)") % 2147483647L
+    val re = docs.select(col("source"), h.as("hm"))
+      .groupBy("source")
+      .agg((sum(col("hm").cast("decimal(38,0)")) % 2147483647L)
+        .cast("long").as("checksum"))
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Long]("checksum")).toMap
+    whole.foreach { case (src, (c1, _)) => assert(re(src) == c1, s"source $src") }
+  }
+
+  test("quantile normalization is monotone and covers every doc") {
+    val rows = q("q_quantile_normalize").collect()
+    val total = Tables(spark, sf, "documents").count()
+    assert(rows.length == total, "every doc mapped exactly once")
+    // within a source, a higher raw score can never map LOWER globally
+    rows.groupBy(_.getAs[String]("source")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(r => (r.getAs[Long]("score"), r.getAs[Long]("doc_id")))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("norm_score") <= b.getAs[Long]("norm_score"))
+        case _ => ()
+      }
+    }
+    // normalized scores live in the global score domain
+    val domain = rows.map(_.getAs[Long]("score")).toSet
+    rows.foreach(r => assert(domain.contains(r.getAs[Long]("norm_score"))))
+  }
+
   test("repetition signals are bounded and consistent") {
     val rows = q("q_quality_repetition").collect()
     rows.foreach { r =>
