@@ -527,6 +527,46 @@ object DedupOps {
         .select(col("doc_id").as("vec_id"), col("cluster_id"), col("is_keep"))
         .orderBy("vec_id")),
 
+    // ---- cluster representative selection (medoid): after semantic
+    //      clustering, downstream curation keeps ONE exemplar per cluster;
+    //      picking by id (q_dedup_clusters' keep) is arbitrary — the
+    //      medoid (member nearest the cluster mean) is the standard
+    //      representative. Determinism without float argmin hazards:
+    //      embeddings quantize to integers q = floor(2²⁰·v) and the
+    //      objective Σ_d (v_d − avg_d)² is ranked via its n²-scaled twin
+    //      Σ_d (n·q_d − S_d)² — ALL INTEGER (decimal(38,0) squares), so
+    //      the argmin can never flip on summation order or libm ulps,
+    //      across engines OR across Spark's own retries. Scale: member
+    //      explode joins on fine vec_id keys; per-(cluster,dim) sums are
+    //      fine-keyed; the final rank-1 window partitions by cluster ----
+    "q_cluster_medoid" -> ((s, d) => {
+      val labels = connectedComponents(embeddingPairs(emb(s, d))
+          .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+        .select(col("doc_id").as("vec_id"), col("cluster_id"))
+      val qv = emb(s, d).select(col("vec_id"),
+        posexplode(transform(col("embedding"),
+          x => floor(x.cast("double") * 1048576L))).as(Seq("dim", "q")))
+      val member = qv.join(labels, "vec_id")
+      val sums = member.groupBy(col("cluster_id"), col("dim"))
+        .agg(sum(col("q")).as("sd"))
+      val ns = labels.groupBy(col("cluster_id")).agg(count(lit(1)).as("n"))
+      val dist2 = member
+        .join(sums, Seq("cluster_id", "dim"))
+        .join(ns, "cluster_id")
+        .withColumn("r", (col("n") * col("q") - col("sd")).cast("decimal(38,0)"))
+        .groupBy(col("cluster_id"), col("vec_id"), col("n"))
+        .agg(sum(col("r") * col("r")).as("d2"))
+      val w = Window.partitionBy(col("cluster_id"))
+        .orderBy(col("d2").asc, col("vec_id").asc)
+      dist2.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select(col("cluster_id"), col("vec_id").as("medoid_vec_id"),
+          col("n").as("n_members"),
+          round(col("d2").cast("double") /
+            (col("n").cast("double") * col("n") * 1099511627776.0), 6)
+            .as("dist2_q"))
+        .orderBy("cluster_id")
+    }),
+
     // ---- sorted-neighborhood near-dup (Hernández & Stolfo 1995, the
     //      classic entity-resolution blocking): sort the corpus on a
     //      normalized key, slide a fixed window of w=3 over the sorted
@@ -872,6 +912,47 @@ object DedupOps {
 
     // same pair set closed transitively — the q_dedup_clusters closure over
     // the embedding modality
+    // same closure as q_semantic_clusters; the medoid rank runs on the
+    // identical integer-quantized objective (HUGEINT squares — DuckDB's
+    // native 128-bit twin of the Spark side's decimal(38,0))
+    "q_cluster_medoid" ->
+      s"""WITH RECURSIVE $embPairCtes,
+         |pf AS MATERIALIZED (
+         |  SELECT vec_a, vec_b FROM pairs WHERE cos >= 0.4),
+         |edges AS MATERIALIZED (
+         |  SELECT vec_a AS src, vec_b AS dst FROM pf
+         |  UNION SELECT vec_b, vec_a FROM pf),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src),
+         |lab AS (SELECT src AS vec_id, least(src, min(dst)) AS cluster_id
+         |        FROM reach GROUP BY src),
+         |nn AS (SELECT cluster_id, count(*) AS n FROM lab GROUP BY cluster_id),
+         |qv AS (
+         |  SELECT l.cluster_id, l.vec_id, d.range AS dim,
+         |         CAST(floor(CAST(em.embedding[d.range] AS DOUBLE)
+         |                    * 1048576) AS BIGINT) AS q
+         |  FROM lab l JOIN embeddings em ON em.vec_id = l.vec_id,
+         |       range(1, 65) d),
+         |sd AS (SELECT cluster_id, dim, CAST(sum(q) AS BIGINT) AS sd
+         |       FROM qv GROUP BY cluster_id, dim),
+         |d2 AS (
+         |  SELECT qv.cluster_id, qv.vec_id, nn.n,
+         |         sum(CAST(nn.n * qv.q - sd.sd AS HUGEINT) *
+         |             CAST(nn.n * qv.q - sd.sd AS HUGEINT)) AS d2
+         |  FROM qv JOIN sd ON qv.cluster_id = sd.cluster_id
+         |                 AND qv.dim = sd.dim
+         |          JOIN nn ON qv.cluster_id = nn.cluster_id
+         |  GROUP BY qv.cluster_id, qv.vec_id, nn.n),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
+         |                 ORDER BY d2, vec_id) AS rk FROM d2)
+         |SELECT cluster_id, vec_id AS medoid_vec_id,
+         |       CAST(n AS BIGINT) AS n_members,
+         |       round(CAST(d2 AS DOUBLE) /
+         |             (CAST(n AS DOUBLE) * n * 1099511627776.0), 6) AS dist2_q
+         |FROM rk WHERE rk = 1 ORDER BY cluster_id""".stripMargin,
+
     "q_semantic_clusters" ->
       s"""WITH RECURSIVE $embPairCtes,
          |pf AS MATERIALIZED (

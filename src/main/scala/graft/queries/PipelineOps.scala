@@ -161,6 +161,43 @@ object PipelineOps {
         .orderBy("lang")
     }),
 
+    // ---- Bloom-gated decontamination (the 100 TB shape of
+    //      q_decontaminate, same exact answer): a Bloom filter over the
+    //      eval gram set (~10 bits/elem at 1% FPP — 10-50× smaller than
+    //      the set itself) pre-gates the TRAIN gram stream with a
+    //      codegen'd per-row predicate BEFORE any shuffle, so ~99% of
+    //      train grams never leave their input partition. Bloom filters
+    //      have no false negatives, so the exact join on the survivors
+    //      removes the ≤1% false positives and the result is IDENTICAL to
+    //      the unfiltered plan — the oracle is the same SQL. Filter sized
+    //      from the actual eval side (the q_bloom_join discipline) ----
+    "q_bloom_decontaminate" -> ((s, d) => {
+      val grams = tokenized(s, d)
+        .filter(size(col("w")) >= 4)
+        .select(col("doc_id"), explode(array_distinct(
+          transform(sequence(lit(1), size(col("w")) - 3),
+            i => concat_ws(" ", slice(col("w"), i, lit(4)))))).as("gram"))
+      val evalG = grams.filter(col("doc_id") % 97 === 0)
+        .select("gram").distinct().persist()
+      // the native might_contain predicate keys on BIGINT — gate on
+      // xxhash64(gram) (both sides). A 64-bit pre-hash adds ~0 collision
+      // mass on top of the filter's own 1% FPP, and the exact join removes
+      // every false positive either way
+      val bf = evalG.stat.bloomFilter(xxhash64(col("gram")),
+        evalG.count().max(1024L), 0.01)
+      val dirty = grams.filter(col("doc_id") % 97 =!= 0)
+        .filter(graft.functions.SketchExprs.bloomMightContain(bf,
+          xxhash64(col("gram"))))
+        .join(evalG, "gram")
+        .select("doc_id").distinct()
+      docs(s, d).filter(col("doc_id") % 97 =!= 0)
+        .join(dirty, Seq("doc_id"), "left_anti")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars").cast("long")).as("sum_chars"))
+        .orderBy("lang")
+    }),
+
     // ---- Gopher-style repetition signals: top-token fraction, distinct
     //      fraction, duplicate-2-gram fraction. Two map-side-combined
     //      aggregations keyed (doc_id, token) / (doc_id, bigram) — fine keys,
@@ -676,6 +713,28 @@ object PipelineOps {
         |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
 
     "q_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |grams AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |           range(1, len(w) - 2),
+        |           i -> array_to_string(w[i:i+3], ' ')))) AS gram
+        |  FROM toks WHERE len(w) >= 4),
+        |eval_g AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0),
+        |dirty AS (SELECT DISTINCT g.doc_id
+        |          FROM grams g JOIN eval_g e USING (gram)
+        |          WHERE g.doc_id % 97 <> 0)
+        |SELECT lang, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents d
+        |WHERE d.doc_id % 97 <> 0
+        |  AND NOT EXISTS (SELECT 1 FROM dirty x WHERE x.doc_id = d.doc_id)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // the Bloom pre-gate changes the PLAN, not the answer (no false
+    // negatives + exact verify join) — same oracle as q_decontaminate
+    "q_bloom_decontaminate" ->
       """WITH toks AS (
         |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
         |  FROM documents WHERE length(trim(text)) > 0),

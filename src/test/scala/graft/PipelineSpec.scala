@@ -279,6 +279,49 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     rows.foreach(r => assert(domain.contains(r.getAs[Long]("norm_score"))))
   }
 
+  test("bloom-gated decontamination equals the exact plan row for row") {
+    val exact = q("q_decontaminate").collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("sum_chars"))).sortBy(_._1)
+    val bloom = q("q_bloom_decontaminate").collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("sum_chars"))).sortBy(_._1)
+    assert(bloom.toSeq == exact.toSeq)
+  }
+
+  test("cluster medoid is a member and minimizes the quantized objective") {
+    val med = q("q_cluster_medoid").collect()
+    val clusters = q("q_semantic_clusters").collect()
+      .groupBy(_.getAs[Long]("cluster_id"))
+      .view.mapValues(_.map(_.getAs[Long]("vec_id")).toSet).toMap
+    assert(med.nonEmpty)
+    med.foreach { r =>
+      val cid = r.getAs[Long]("cluster_id")
+      assert(clusters(cid).contains(r.getAs[Long]("medoid_vec_id")))
+      assert(r.getAs[Long]("n_members") == clusters(cid).size)
+      assert(r.getAs[Double]("dist2_q") >= 0.0)
+    }
+    // brute-force re-derivation on the driver for one cluster: quantize,
+    // average, argmin — must agree with the distributed integer ranking
+    val (cid, members) = clusters.maxBy(_._2.size)
+    val vecs = Tables(spark, sf, "embeddings").collect()
+      .filter(r => members.contains(r.getAs[Long]("vec_id")))
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](r.fieldIndex("embedding"))
+          .map(v => math.floor(v.toDouble * 1048576L).toLong).toArray)
+      .toMap
+    val n = vecs.size
+    val sums = vecs.values.transpose.map(_.sum).toArray
+    val best = vecs.toSeq.map { case (id, q) =>
+      val d2 = q.indices.map { i =>
+        val r = BigInt(n) * q(i) - sums(i); r * r
+      }.sum
+      (d2, id)
+    }.min
+    assert(med.find(_.getAs[Long]("cluster_id") == cid).get
+      .getAs[Long]("medoid_vec_id") == best._2)
+  }
+
   test("repetition signals are bounded and consistent") {
     val rows = q("q_quality_repetition").collect()
     rows.foreach { r =>
