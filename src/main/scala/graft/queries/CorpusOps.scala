@@ -136,6 +136,38 @@ object CorpusOps {
         .orderBy("lang")
     }),
 
+    // ---- exact token-budget allocation (largest-remainder / Hamilton
+    //      apportionment): given a global token budget B, hand each
+    //      source quota_s proportional to its token mass with Σ quota
+    //      EXACTLY B — floor division under-allocates by r < #sources
+    //      units, and the r largest fractional remainders get the +1.
+    //      Float-proportional rounding can miss B by ±#sources tokens
+    //      and is order-dependent; this is ALL INTEGER and total by
+    //      construction. Scale: two census-sized aggregates broadcast
+    //      back; the remainder rank is a window over the CENSUS (one row
+    //      per source — ~10⁶ rows ≈ 100 MB at web scale, census-sized
+    //      not corpus-sized, same bound as q_range_layout's boundary
+    //      frame). The corpus itself is touched once, map-side ----
+    "q_token_budget" -> ((s, d) => {
+      val budget = 100000L
+      val census = docs(s, d).groupBy(col("source"))
+        .agg(sum(col("n_chars")).as("t_s"))
+      val tot = census.agg(sum(col("t_s")).as("t"))
+      val wb = census.crossJoin(broadcast(tot))
+        .select(col("source"), col("t_s"),
+          expr(s"($budget * t_s) div t").as("base"),
+          expr(s"($budget * t_s) % t").as("rem"))
+      val deficit = wb.agg((lit(budget) - sum(col("base"))).as("r"))
+      val w = Window.orderBy(col("rem").desc, col("source").asc)
+      wb.crossJoin(broadcast(deficit))
+        .withColumn("rk", row_number().over(w))
+        .select(col("source"), col("t_s"), col("base"),
+          when(col("rk") <= col("r"), 1L).otherwise(0L).as("extra"),
+          (col("base") +
+            when(col("rk") <= col("r"), 1L).otherwise(0L)).as("quota"))
+        .orderBy("source")
+    }),
+
     // ---- cross-source quantile normalization (the mixing prerequisite:
     //      per-source quality scores are NOT comparable — a "good" blog
     //      post and a "good" arXiv paper sit at different raw-score
@@ -547,6 +579,25 @@ object CorpusOps {
         |SELECT source, n_docs, n_tokens,
         |       round(w / sum(w) OVER (), 6) AS mix_weight
         |FROM w ORDER BY source""".stripMargin,
+
+    "q_token_budget" ->
+      """WITH census AS (
+        |  SELECT source, CAST(sum(n_chars) AS BIGINT) AS t_s
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(sum(t_s) AS BIGINT) AS t FROM census),
+        |wb AS (
+        |  SELECT source, t_s,
+        |         (100000 * t_s) // t AS base,
+        |         (100000 * t_s) % t AS rem
+        |  FROM census CROSS JOIN tot),
+        |def AS (SELECT 100000 - CAST(sum(base) AS BIGINT) AS r FROM wb),
+        |rk AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk
+        |       FROM wb)
+        |SELECT source, t_s, CAST(base AS BIGINT) AS base,
+        |       CAST(CASE WHEN rk <= r THEN 1 ELSE 0 END AS BIGINT) AS extra,
+        |       CAST(base + CASE WHEN rk <= r THEN 1 ELSE 0 END AS BIGINT)
+        |         AS quota
+        |FROM rk CROSS JOIN def ORDER BY source""".stripMargin,
 
     "q_quantile_normalize" ->
       """WITH dd AS (

@@ -201,6 +201,42 @@ object TimeSeriesOps {
     //      binary powers where libm pow(0.5, k) has no cross-engine
     //      warranty. One census agg + a broadcast per-type max; ages
     //      beyond 62 underflow the shift and contribute exactly 0 ----
+    // ---- Holt double-exponential smoothing + h-step forecast (the level/
+    //      trend twin of q_ewma's level-only smoothing): per event_type,
+    //      fold the ordered daily-count series through
+    //        l' = ½y + ½(l+b);  b' = ½(l'−l) + ½b   (α=β=½)
+    //      seeded l=y₁, b=0, then forecast f₇ = l + 7b. The fold is a
+    //      LEFT-TO-RIGHT sequential double chain — both engines execute
+    //      the identical IEEE op sequence, so the result is bit-identical
+    //      before the output rounding even applies (the q_ewma/trend
+    //      determinism discipline). Scale: the per-key state is the
+    //      (time-bounded, not corpus-bounded) daily series — the same
+    //      bounded collect every calendar rollup here rides on; the daily
+    //      census itself is one map-side-combined fine-key agg ----
+    "q_holt_forecast" -> ((s, d) => {
+      val daily = ev(s, d).groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"))
+      daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          expr("""aggregate(
+            transform(array_sort(collect_list(struct(day, n))),
+                      p -> CAST(p.n AS DOUBLE)),
+            CAST(array() AS ARRAY<DOUBLE>),
+            (acc, y) -> CASE WHEN size(acc) = 0
+              THEN array(y, CAST(0.0 AS DOUBLE))
+              ELSE array(
+                0.5D * y + 0.5D * (element_at(acc, 1) + element_at(acc, 2)),
+                0.5D * ((0.5D * y + 0.5D * (element_at(acc, 1)
+                         + element_at(acc, 2))) - element_at(acc, 1))
+                  + 0.5D * element_at(acc, 2)) END)""").as("lb"))
+        .select(col("event_type"), col("n_days"),
+          round(element_at(col("lb"), 1), 4).as("level"),
+          round(element_at(col("lb"), 2), 4).as("trend"),
+          round(element_at(col("lb"), 1) + lit(7.0) * element_at(col("lb"), 2), 4)
+            .as("forecast_7"))
+        .orderBy("event_type")
+    }),
+
     "q_ewma" -> ((s, d) => {
       val daily = ev(s, d).groupBy(col("event_type"), col("day"))
         .agg(count(lit(1)).as("n"))
@@ -496,6 +532,33 @@ object TimeSeriesOps {
 
     // DuckDB `<<` on BIGINT mirrors Spark's shiftleft: both produce the
     // exact integer 2^age, and 1/2^age is an exact double for age ≤ 62
+    // same fold, DuckDB dialect: list_reduce needs acc type == element
+    // type, so elements are 1-elem DOUBLE[] and the state a 2-elem one —
+    // the arithmetic sequence is identical op for op
+    "q_holt_forecast" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |         count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |folded AS (
+        |  SELECT event_type, count(*) AS n_days,
+        |    list_reduce(
+        |      list_prepend(CAST([] AS DOUBLE[]),
+        |        [[CAST(x.n AS DOUBLE)]
+        |         for x in list_sort(list({'d': day, 'n': n}))]),
+        |      (acc, y) -> CASE WHEN len(acc) = 0
+        |        THEN [y[1], CAST(0 AS DOUBLE)]
+        |        ELSE [0.5 * y[1] + 0.5 * (acc[1] + acc[2]),
+        |              0.5 * ((0.5 * y[1] + 0.5 * (acc[1] + acc[2]))
+        |                     - acc[1]) + 0.5 * acc[2]] END) AS lb
+        |  FROM daily GROUP BY event_type)
+        |SELECT event_type, n_days,
+        |       round(lb[1], 4) AS level,
+        |       round(lb[2], 4) AS trend,
+        |       round(lb[1] + 7.0 * lb[2], 4) AS forecast_7
+        |FROM folded ORDER BY event_type""".stripMargin,
+
     "q_ewma" ->
       """WITH daily AS (
         |  SELECT event_type,

@@ -221,6 +221,31 @@ class CorpusSpec extends AnyFunSuite with SparkSpec {
     assert(decayed > 0)
   }
 
+  test("token budget allocation is exactly total and proportional within 1") {
+    val rows = q("q_token_budget").collect()
+    val budget = 100000L
+    assert(rows.map(_.getAs[Long]("quota")).sum == budget)
+    rows.foreach(r => assert(Set(0L, 1L).contains(r.getAs[Long]("extra"))))
+    val tTot = rows.map(_.getAs[Long]("t_s")).sum
+    rows.foreach { r =>
+      // Hamilton apportionment never strays more than 1 from exact shares
+      val exact = BigInt(budget) * r.getAs[Long]("t_s") / tTot
+      assert((BigInt(r.getAs[Long]("quota")) - exact).abs <= 1)
+    }
+  }
+
+  test("holt forecast is consistent with its level and trend") {
+    val rows = q("q_holt_forecast").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val f = r.getAs[Double]("forecast_7")
+      val expect = r.getAs[Double]("level") + 7.0 * r.getAs[Double]("trend")
+      // level/trend/forecast are rounded independently at 4 dp
+      assert(math.abs(f - expect) <= 8e-4, s"$f vs $expect")
+      assert(r.getAs[Long]("n_days") >= 1L)
+    }
+  }
+
   test("topk group returns at most 3 purchases per user, ranked") {
     val rows = q("q_topk_group").collect().groupBy(_.getAs[Long]("user_id"))
     rows.foreach { case (_, rs) =>
