@@ -88,6 +88,45 @@ object GraphOps {
         .orderBy("node")
     }),
 
+    // ---- label-propagation communities (3 synchronous rounds, fully
+    //      deterministic): every node starts as its own label; each round
+    //      adopts the most frequent label among neighbors, ties broken by
+    //      MIN label — the (count desc, label asc) rank makes the update
+    //      a pure function of the graph, unlike classic async LPA whose
+    //      result depends on visit order. Complements q_modularity (which
+    //      SCORES a given partition) with the partition-FINDING step.
+    //      Scale shape per round: one dst-keyed shuffle join moving only
+    //      the label vector (edges persisted once), a (src,label)
+    //      fine-key count, and a per-node rank-1 window — same budget as
+    //      a PageRank round; localCheckpoint kills plan growth ----
+    "q_label_prop" -> ((s, d) => {
+      val edges = Tables(s, d, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+        .select(explode(array(
+          struct((col("l_partkey") * 2).as("src"),
+            (col("l_suppkey") * 2 + 1).as("dst")),
+          struct((col("l_suppkey") * 2 + 1).as("src"),
+            (col("l_partkey") * 2).as("dst")))).as("e"))
+        .select(col("e.src"), col("e.dst")).persist()
+      var lbl = edges.select(col("src").as("v")).distinct()
+        .select(col("v"), col("v").as("lbl"))
+      val w = Window.partitionBy(col("src"))
+        .orderBy(col("c").desc, col("lbl").asc)
+      for (_ <- 1 to 3) {
+        lbl = edges.join(lbl, edges("dst") === lbl("v"))
+          .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("c"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .select(col("src").as("v"), col("lbl"))
+          .localCheckpoint()
+      }
+      lbl.groupBy(col("lbl").as("community"))
+        .agg(count(lit(1)).as("n_members"),
+          sum(when(col("v") % 2 === 0, 1L).otherwise(0L)).as("n_parts"),
+          sum(when(col("v") % 2 === 1, 1L).otherwise(0L)).as("n_suppliers"))
+        .orderBy("community")
+    }),
+
     // ---- degree-distribution histogram (log₂ bins): the diagnostic run
     //      BEFORE an iterative graph algorithm — a heavy-tailed histogram
     //      says the rank join needs AQE skew handling, a flat one says
@@ -245,6 +284,38 @@ object GraphOps {
         |       CASE WHEN node % 2 = 0 THEN 'part' ELSE 'supplier' END AS kind,
         |       node // 2 AS key, pr
         |FROM r3 ORDER BY node""".stripMargin,
+
+    // 3 unrolled synchronous rounds; QUALIFY rank-1 is the deterministic
+    // (count desc, label asc) adoption rule
+    "q_label_prop" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        |e AS (
+        |  SELECT l_partkey*2 AS src, l_suppkey*2+1 AS dst FROM pairs
+        |  UNION ALL
+        |  SELECT l_suppkey*2+1 AS src, l_partkey*2 AS dst FROM pairs),
+        |l0 AS (SELECT DISTINCT src AS v, src AS lbl FROM e),
+        |l1 AS (SELECT e.src AS v, l.lbl
+        |       FROM e JOIN l0 l ON e.dst = l.v
+        |       GROUP BY e.src, l.lbl
+        |       QUALIFY row_number() OVER (PARTITION BY e.src
+        |                 ORDER BY count(*) DESC, l.lbl) = 1),
+        |l2 AS (SELECT e.src AS v, l.lbl
+        |       FROM e JOIN l1 l ON e.dst = l.v
+        |       GROUP BY e.src, l.lbl
+        |       QUALIFY row_number() OVER (PARTITION BY e.src
+        |                 ORDER BY count(*) DESC, l.lbl) = 1),
+        |l3 AS (SELECT e.src AS v, l.lbl
+        |       FROM e JOIN l2 l ON e.dst = l.v
+        |       GROUP BY e.src, l.lbl
+        |       QUALIFY row_number() OVER (PARTITION BY e.src
+        |                 ORDER BY count(*) DESC, l.lbl) = 1)
+        |SELECT lbl AS community, count(*) AS n_members,
+        |       CAST(sum(CASE WHEN v % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_parts,
+        |       CAST(sum(CASE WHEN v % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_suppliers
+        |FROM l3 GROUP BY lbl ORDER BY community""".stripMargin,
 
     "q_degree_hist" ->
       """WITH pairs AS (

@@ -161,6 +161,33 @@ object PipelineOps {
         .orderBy("lang")
     }),
 
+    // ---- n-gram novelty scoring (dedup-aware curriculum signal): the
+    //      fraction of a doc's distinct word-4-grams that appear in NO
+    //      earlier doc (doc_id order = ingest order). High-novelty docs
+    //      carry new content; near-zero novelty marks templated/boiler-
+    //      plate tails that exact+near dedup both miss (they need the
+    //      WHOLE doc to repeat — novelty sees gram-level reuse). One
+    //      fine-key agg (min doc per gram) + one fine-key join back;
+    //      novelty in integer basis points — no float ratios in the gate.
+    //      The gram stream is the q_decontaminate shape, never collected ----
+    "q_gram_novelty" -> ((s, d) => {
+      val grams = tokenized(s, d)
+        .filter(size(col("w")) >= 4)
+        .select(col("doc_id"), explode(array_distinct(
+          transform(sequence(lit(1), size(col("w")) - 3),
+            i => concat_ws(" ", slice(col("w"), i, lit(4)))))).as("gram"))
+      val first = grams.groupBy(col("gram"))
+        .agg(min(col("doc_id")).as("first_doc"))
+      grams.join(first, "gram")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .select(col("doc_id"), col("n_grams"), col("n_novel"),
+          expr("(n_novel * 10000) div n_grams").as("novelty_bp"))
+        .orderBy("doc_id")
+    }),
+
     // ---- Bloom-gated decontamination (the 100 TB shape of
     //      q_decontaminate, same exact answer): a Bloom filter over the
     //      eval gram set (~10 bits/elem at 1% FPP — 10-50× smaller than
@@ -731,6 +758,25 @@ object PipelineOps {
         |WHERE d.doc_id % 97 <> 0
         |  AND NOT EXISTS (SELECT 1 FROM dirty x WHERE x.doc_id = d.doc_id)
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_gram_novelty" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |grams AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |           range(1, len(w) - 2),
+        |           i -> array_to_string(w[i:i+3], ' ')))) AS gram
+        |  FROM toks WHERE len(w) >= 4),
+        |fst AS (SELECT gram, min(doc_id) AS first_doc
+        |        FROM grams GROUP BY gram)
+        |SELECT g.doc_id, count(*) AS n_grams,
+        |       CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_novel,
+        |       (CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+        |             AS BIGINT) * 10000) // count(*) AS novelty_bp
+        |FROM grams g JOIN fst f USING (gram)
+        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
 
     // the Bloom pre-gate changes the PLAN, not the answer (no false
     // negatives + exact verify join) — same oracle as q_decontaminate

@@ -147,6 +147,60 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       "BloomFilterMightContain missing from q_bloom_join plan")
   }
 
+  test("bloom decontaminate gates the gram stream below the first exchange") {
+    withoutAQE {
+      val plan = physical("q_bloom_decontaminate")
+      assert(plan.toString.contains("might_contain"),
+        "Bloom gate missing from q_bloom_decontaminate plan")
+      // the gate must apply DIRECTLY to the raw gram stream (its subtree
+      // is the explode, with no join or aggregate beneath) — i.e. before
+      // any exchange the planner later inserts above it
+      val gates = plan.collect {
+        case f: org.apache.spark.sql.execution.FilterExec
+            if f.condition.toString.contains("might_contain") => f
+      }
+      assert(gates.nonEmpty, "no might_contain FilterExec in the plan")
+      // Catalyst may INFER a second copy of the gate onto the eval side
+      // through the join equality (harmless); what matters is that the
+      // train gram stream itself carries one, directly on its explode,
+      // with no join/aggregate work happening beneath it
+      assert(gates.exists { f =>
+        val sub = f.child.toString
+        sub.contains("Generate explode") &&
+          !sub.contains("Join") && !sub.contains("HashAggregate")
+      }, "no bloom gate sits directly on the exploded train gram stream")
+    }
+  }
+
+  test("corpus checksum is one map-side-combined shuffle, zero sorts/windows") {
+    withoutAQE {
+      val plan = physical("q_corpus_checksum")
+      assert(plan.toString.contains("partial_"),
+        "checksum lost map-side partial aggregation")
+      val windows = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w }
+      assert(windows.isEmpty, "checksum must not plan a window")
+      val hashEx = hashExchanges("q_corpus_checksum")
+      assert(hashEx.size <= 1, s"checksum shuffles ${hashEx.size}× — expected 1")
+    }
+  }
+
+  test("quantile normalize windows partition by source; the CDF side is broadcast") {
+    withoutAQE {
+      val plan = physical("q_quantile_normalize")
+      val wins = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w }
+      // per-doc windows must be keyed by source (fine keys at web scale);
+      // the only unpartitioned windows allowed run over the bounded
+      // distinct-score census, which lives on the broadcast side
+      val perDoc = wins.filter(_.partitionSpec.nonEmpty)
+      assert(perDoc.nonEmpty, "missing the per-source rank window")
+      assert(plan.collect {
+        case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+      }.nonEmpty, "CDF range join should be a broadcast nested-loop join")
+    }
+  }
+
   // ---- aggregation contract: map-side partials -----------------------------
 
   test("group-by aggregates keep map-side partial aggregation") {
