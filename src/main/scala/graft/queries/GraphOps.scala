@@ -110,13 +110,17 @@ object GraphOps {
         .select(col("e.src"), col("e.dst")).persist()
       var lbl = edges.select(col("src").as("v")).distinct()
         .select(col("v"), col("v").as("lbl"))
-      val w = Window.partitionBy(col("src"))
-        .orderBy(col("c").desc, col("lbl").asc)
       for (_ <- 1 to 3) {
+        // adoption = max_by over (count, −label): lexicographic struct
+        // order gives most-frequent-then-min-label — the same rank-1 the
+        // window formulation picks, but as a map-side-combinable
+        // aggregate: no per-node sort, and the second agg rides the
+        // (src)-prefix of the first's (src,lbl) shuffle
         lbl = edges.join(lbl, edges("dst") === lbl("v"))
           .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("c"))
-          .withColumn("rk", row_number().over(w))
-          .filter(col("rk") === 1)
+          .groupBy(col("src"))
+          .agg(max_by(col("lbl"), struct(col("c"), (-col("lbl")).as("nl")))
+            .as("lbl"))
           .select(col("src").as("v"), col("lbl"))
           .localCheckpoint()
       }

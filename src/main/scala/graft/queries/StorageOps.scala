@@ -45,21 +45,13 @@ object StorageOps {
     //      output. One map-side-combined groupBy(source); no sort, no
     //      window, no broadcast — commutative partial aggregation is the
     //      entire point, so the plan is shuffle-minimal by construction ----
-    "q_corpus_checksum" -> ((s, d) => {
-      val h = expr("CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT)")
-      val hm = h % 2147483647L
-      Tables(s, d, "documents")
-        .select(col("source"), hm.as("hm"),
-          ((hm * hm) % 2147483647L).as("hm2"), col("n_chars"))
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"),
-          (sum(col("hm").cast("decimal(38,0)")) % 2147483647L)
-            .cast("long").as("checksum"),
-          (sum(col("hm2").cast("decimal(38,0)")) % 2147483647L)
-            .cast("long").as("checksum2"),
-          sum(col("n_chars")).as("total_chars"))
-        .orderBy("source")
-    }),
+    "q_corpus_checksum" -> ((s, d) =>
+      // the SAME function is the streaming twin (DocsStream.corpusChecksum
+      // runs it over readDocsStream with Complete output) — commutative
+      // modular sums make the streamed state bit-identical to this batch
+      // aggregate at every micro-batch cut
+      graft.streaming.DocsStream.corpusChecksum(Tables(s, d, "documents"))
+        .orderBy("source")),
 
     // ---- small-file compaction plan: documents stand in for a directory
     //      listing (one "file" per doc, size = n_chars). Within each

@@ -93,6 +93,30 @@ object DocsStream {
       .filter(col("token") =!= "")
       .agg(graft.functions.CountMin.countMin(col("token"), d, w).as("cms"))
 
+  /** Streaming corpus checksum — q_corpus_checksum's integrity
+    * fingerprint as a running per-source aggregate. Both channels are
+    * COMMUTATIVE modular sums, so the streamed state after any series of
+    * micro-batches is BIT-IDENTICAL to the batch aggregate over the same
+    * rows (the [[tokenFrequencies]] argument, applied to integrity):
+    * an ingest pipeline certifies "what landed == what was sent" per
+    * source at every trigger, without ever rescanning the corpus. The
+    * BATCH query q_corpus_checksum calls this very function, so the two
+    * can never drift (StreamingSpec pins 3-micro-batch == batch anyway).
+    */
+  def corpusChecksum(docs: DataFrame): DataFrame = {
+    val h = expr("CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT)")
+    val hm = h % 2147483647L
+    docs.select(col("source"), hm.as("hm"),
+        ((hm * hm) % 2147483647L).as("hm2"), col("n_chars"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(col("hm").cast("decimal(38,0)")) % 2147483647L)
+          .cast("long").as("checksum"),
+        (sum(col("hm2").cast("decimal(38,0)")) % 2147483647L)
+          .cast("long").as("checksum2"),
+        sum(col("n_chars")).as("total_chars"))
+  }
+
   /** Load the documents table as a STREAM from a parquet directory.
     * `filesPerTrigger > 0` throttles ingest so a multi-file directory
     * arrives as multiple micro-batches (exercises cross-batch state). */

@@ -317,6 +317,28 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(batch.sum > 0, "degenerate fixture: empty token stream")
   }
 
+  test("streaming corpus checksum is bit-identical to the batch checksum") {
+    // modular sums commute, so the integrity fingerprint is exact at
+    // every micro-batch cut — an ingest can certify content per trigger
+    import graft.streaming.DocsStream
+    val dir = "target/stream_docs_cksum"
+    Tables(spark, sf, "documents").repartition(3)
+      .write.mode("overwrite").parquet(dir)
+    val sq = DocsStream.corpusChecksum(
+        DocsStream.readDocsStream(spark, dir, filesPerTrigger = 1))
+      .writeStream.format("memory").queryName("cksum_out")
+      .outputMode("complete").start()
+    try sq.processAllAvailable() finally sq.stop()
+    def keyed(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("checksum"),
+          r.getAs[Long]("checksum2"), r.getAs[Long]("total_chars"))).toMap
+    val streamed = keyed(spark.table("cksum_out").collect())
+    val batch = keyed(q("q_corpus_checksum").collect())
+    assert(streamed == batch, "streamed checksum state differs from batch")
+    assert(batch.nonEmpty)
+  }
+
   test("sessions partition each user's events") {
     val nEvents = Tables(spark, sf, "events").count()
     val sessions = SparkEntry.queries("q_sessionize")(spark, sf).collect()
