@@ -469,6 +469,32 @@ object DedupOps {
     //      (see [[ngramPairs]]) ----
     "q_dedup_ngram" -> ((s, d) => ngramPairs(docs(s, d))),
 
+    // ---- dedup RECALL measurement ("measure, don't guess" applied to
+    //      the dedup stack itself): take the exact char-5-gram Jaccard
+    //      pairs (q_dedup_ngram's blocked-but-exact ground truth, ≥0.5)
+    //      and report, per 0.1-wide Jaccard band, how many the
+    //      production MinHash+LSH path recalls. The published MinHash
+    //      S-curve predicts recall rising steeply with similarity — this
+    //      query turns that from folklore into a monitored number a
+    //      pipeline can alert on when a corpus shift (new language,
+    //      boilerplate burst) degrades the banding. Banding is integer
+    //      basis points of the 4dp-rounded jaccard — no float bucket
+    //      boundaries. Cost = the two pair pipelines it audits ----
+    "q_dedup_recall_curve" -> ((s, d) => {
+      val exact = ngramPairs(docs(s, d))
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      val mh = minhashPairs(docs(s, d)).select(col("doc_a"), col("doc_b"))
+        .withColumn("hit", lit(1L))
+      exact.join(mh, Seq("doc_a", "doc_b"), "left")
+        .withColumn("jaccard_band",
+          expr("CAST(round(jaccard * 10000) AS INT) div 1000"))
+        .groupBy(col("jaccard_band"))
+        .agg(count(lit(1)).as("n_exact"),
+          coalesce(sum(col("hit")), lit(0L)).as("n_recalled"))
+        .withColumn("recall_bp", expr("(n_recalled * 10000) div n_exact"))
+        .orderBy("jaccard_band")
+    }),
+
     // ---- containment scoring over the same blocked candidates
     //      (see [[containmentPairs]]) ----
     "q_dedup_containment" -> ((s, d) => containmentPairs(docs(s, d))),
@@ -1177,6 +1203,54 @@ object DedupOps {
          |  FROM cand c JOIN g a ON a.doc_id = c.doc_a JOIN g b ON b.doc_id = c.doc_b)
          |SELECT doc_a, doc_b, jaccard FROM pairs
          |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
+    },
+
+    // exact side = the q_dedup_ngram chain (renamed ng* to avoid CTE
+    // collisions), LSH side = the shared minhash chain; the left join +
+    // integer banding mirror the Spark plan
+    "q_dedup_recall_curve" -> {
+      import graft.functions.TextExprs._
+      s"""WITH $minhashPairCtes,
+         |mh AS (SELECT doc_a, doc_b FROM pairs WHERE est_jaccard >= 0.5),
+         |ng1 AS MATERIALIZED (
+         |  SELECT doc_id, lang, n_chars // 64 AS size_bkt,
+         |         ${charNgramHashesSql("text", 5)} AS grams
+         |  FROM documents),
+         |ng2 AS (SELECT doc_id, lang, size_bkt,
+         |               ${minhashSigSql("grams", 8)} AS sig2 FROM ng1),
+         |ng3 AS (SELECT doc_id, lang, size_bkt,
+         |               ${bandHashesSql("sig2", 4, 2)} AS bands2 FROM ng2),
+         |ng4 AS (SELECT doc_id, lang, size_bkt, b.range AS band,
+         |               bands2[b.range + 1] AS band_hash
+         |        FROM ng3, range(0, 4) b),
+         |ng5 AS (SELECT lang, size_bkt, band, band_hash,
+         |               list_sort(list_distinct(list(doc_id)))[1:$BucketCap]
+         |                 AS bucket
+         |        FROM ng4 GROUP BY lang, size_bkt, band, band_hash
+         |        HAVING len(list_distinct(list(doc_id))) >= 2),
+         |ngc AS (SELECT DISTINCT pa.x AS doc_a, pb.y AS doc_b
+         |        FROM ng5, unnest(ng5.bucket) AS pa(x),
+         |             unnest(ng5.bucket) AS pb(y)
+         |        WHERE pa.x < pb.y),
+         |np AS (
+         |  SELECT c.doc_a, c.doc_b,
+         |         round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+         |               / (len(a.grams) + len(b.grams)
+         |                  - len(list_intersect(a.grams, b.grams))), 4)
+         |           AS jaccard
+         |  FROM ngc c JOIN ng1 a ON a.doc_id = c.doc_a
+         |             JOIN ng1 b ON b.doc_id = c.doc_b),
+         |ex2 AS (SELECT doc_a, doc_b, jaccard FROM np WHERE jaccard >= 0.5)
+         |SELECT CAST(round(jaccard * 10000) AS INT) // 1000 AS jaccard_band,
+         |       count(*) AS n_exact,
+         |       coalesce(CAST(sum(CASE WHEN m.doc_a IS NOT NULL
+         |                 THEN 1 ELSE 0 END) AS BIGINT), 0) AS n_recalled,
+         |       (coalesce(CAST(sum(CASE WHEN m.doc_a IS NOT NULL
+         |                   THEN 1 ELSE 0 END) AS BIGINT), 0) * 10000)
+         |         // count(*) AS recall_bp
+         |FROM ex2 e LEFT JOIN mh m
+         |  ON e.doc_a = m.doc_a AND e.doc_b = m.doc_b
+         |GROUP BY 1 ORDER BY jaccard_band""".stripMargin
     },
 
     "q_fuzzy_decontaminate" -> {

@@ -47,6 +47,22 @@ class TextDedupSpec extends AnyFunSuite with SparkSpec {
     assert(natOut(0) == "a+a a b+a")
   }
 
+  test("recall curve: bounded, monotone-consistent, and total at the top band") {
+    val rows = q("q_dedup_recall_curve").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, rec, bp) = (r.getAs[Long]("n_exact"),
+        r.getAs[Long]("n_recalled"), r.getAs[Long]("recall_bp"))
+      assert(rec >= 0 && rec <= n)
+      assert(bp == rec * 10000 / n)
+    }
+    // 16 bands × 4 rows at j ≥ 0.9 ⇒ miss probability (1−j⁴)¹⁶ < 10⁻⁸ —
+    // the top band must be fully recalled on any non-adversarial fixture
+    rows.filter(_.getAs[Long]("jaccard_band") >= 9L)
+      .foreach(r => assert(r.getAs[Long]("recall_bp") == 10000L,
+        "LSH missed a ≥0.9-jaccard pair"))
+  }
+
   test("exact dedup partitions the corpus") {
     val rows = q("q_dedup_exact").collect()
     val total = Tables(spark, sf, "documents").count()
