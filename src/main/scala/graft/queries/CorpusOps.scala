@@ -136,6 +136,40 @@ object CorpusOps {
         .orderBy("lang")
     }),
 
+    // ---- distinctive vocabulary per domain (corpus diagnostics: WHAT a
+    //      source contributes, not just how much — the per-source lift
+    //      (c_st/n_s)/(c_t/N) surfaces the terms a domain over-represents
+    //      vs the whole corpus). Ranking is INTEGER: key = (c_st·10⁶) div
+    //      c_t (within a source n_s and N are constant factors, so the
+    //      c_st/c_t ratio IS the lift order); ties break on the token —
+    //      no float comparisons decide ranks, the rounded lift is output
+    //      only. c_st ≥ 3 kills hapax noise. Shapes: two fine-key token
+    //      aggs, one fine source-key join, rank-5 window per source ----
+    "q_domain_terms" -> ((s, d) => {
+      val tk = nonEmpty(docs(s, d))
+        .select(col("source"), explode(toks).as("t"))
+        .filter(col("t") =!= "")
+      val st = tk.groupBy(col("source"), col("t")).agg(count(lit(1)).as("c_st"))
+      val gt = tk.groupBy(col("t")).agg(count(lit(1)).as("c_t"))
+      val ns = st.groupBy(col("source")).agg(sum(col("c_st")).as("n_s"))
+      val tot = gt.agg(sum(col("c_t")).as("n_tot"))
+      val scored = st.filter(col("c_st") >= 3)
+        .join(gt, "t")
+        .join(ns, "source")
+        .crossJoin(broadcast(tot))
+        .withColumn("key", expr("(c_st * 1000000) div c_t"))
+        .withColumn("lift", round(
+          (col("c_st").cast("double") * col("n_tot")) /
+            (col("n_s").cast("double") * col("c_t")), 6))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("key").desc, col("t").asc)
+      scored.withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 5)
+        .select(col("source"), col("t").as("token"), col("c_st"),
+          col("c_t"), col("rk"), col("lift"))
+        .orderBy("source", "rk")
+    }),
+
     // ---- exact token-budget allocation (largest-remainder / Hamilton
     //      apportionment): given a global token budget B, hand each
     //      source quota_s proportional to its token mass with Σ quota
@@ -579,6 +613,31 @@ object CorpusOps {
         |SELECT source, n_docs, n_tokens,
         |       round(w / sum(w) OVER (), 6) AS mix_weight
         |FROM w ORDER BY source""".stripMargin,
+
+    "q_domain_terms" ->
+      """WITH tk AS (
+        |  SELECT source, u.t
+        |  FROM documents,
+        |       unnest(list_filter(regexp_split_to_array(lower(trim(text)),
+        |                                                '\s+'),
+        |                          x -> x <> '')) AS u(t)
+        |  WHERE length(trim(text)) > 0),
+        |st AS (SELECT source, t, count(*) AS c_st FROM tk GROUP BY 1, 2),
+        |gt AS (SELECT t, count(*) AS c_t FROM tk GROUP BY 1),
+        |ns AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS n_s
+        |       FROM st GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c_t) AS BIGINT) AS n_tot FROM gt),
+        |sc AS (
+        |  SELECT st.source, st.t, c_st, c_t, n_s, n_tot,
+        |         (c_st * 1000000) // c_t AS key
+        |  FROM st JOIN gt USING (t) JOIN ns USING (source) CROSS JOIN tot
+        |  WHERE c_st >= 3),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY source
+        |                  ORDER BY key DESC, t) AS rk FROM sc)
+        |SELECT source, t AS token, c_st, c_t, CAST(rk AS BIGINT) AS rk,
+        |       round((CAST(c_st AS DOUBLE) * n_tot) /
+        |             (CAST(n_s AS DOUBLE) * c_t), 6) AS lift
+        |FROM rk WHERE rk <= 5 ORDER BY source, rk""".stripMargin,
 
     "q_token_budget" ->
       """WITH census AS (

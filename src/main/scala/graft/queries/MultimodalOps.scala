@@ -48,6 +48,27 @@ object MultimodalOps {
           col("meta.width").as("width"), col("meta.height").as("height"))
         .orderBy("media_id")),
 
+    // ---- exact blob dedup census (the multimodal twin of q_dedup_exact:
+    //      media lakes duplicate aggressively — re-crawled images, mirror
+    //      hosts, re-encoded containers with identical payloads — and
+    //      blob dedup is pure content-hash arithmetic on the BINARY
+    //      column, no decode needed). Per kind: distinct blobs, total
+    //      blobs, and the bytes a content-addressed store saves by
+    //      keeping one copy per hash. Map-side-combined (kind, md5)
+    //      agg → kind census; nothing corpus-sized moves ----
+    "q_media_dedup" -> ((s, d) => {
+      val m = Multimodal.mediaFromDocuments(docs(s, d))
+        .select(col("kind"), md5(col("bytes")).as("h"),
+          octet_length(col("bytes")).cast("long").as("nb"))
+      m.groupBy(col("kind"), col("h"))
+        .agg(count(lit(1)).as("n"), max(col("nb")).as("nb"))
+        .groupBy(col("kind"))
+        .agg(count(lit(1)).as("n_distinct"),
+          sum(col("n")).as("n_blobs"),
+          sum((col("n") - 1) * col("nb")).as("dup_bytes"))
+        .orderBy("kind")
+    }),
+
     // ---- frame sampling over binary columns (stride 4, 256-byte frames) ----
     "q_media_frames" -> ((s, d) =>
       Multimodal.mediaFromDocuments(docs(s, d))
@@ -94,6 +115,20 @@ object MultimodalOps {
         |       CAST(doc_id % 8 * 64 + 256 AS INTEGER) AS width,
         |       CAST(doc_id % 6 * 64 + 256 AS INTEGER) AS height
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    "q_media_dedup" ->
+      """WITH m AS (
+        |  SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |              ELSE 'video' END AS kind,
+        |         md5(text) AS h,
+        |         octet_length(CAST(text AS BLOB)) AS nb
+        |  FROM documents),
+        |g AS (SELECT kind, h, count(*) AS n, max(nb) AS nb
+        |      FROM m GROUP BY kind, h)
+        |SELECT kind, count(*) AS n_distinct,
+        |       CAST(sum(n) AS BIGINT) AS n_blobs,
+        |       CAST(sum((n - 1) * nb) AS BIGINT) AS dup_bytes
+        |FROM g GROUP BY kind ORDER BY kind""".stripMargin,
 
     "q_media_frames" ->
       """SELECT doc_id AS media_id,
