@@ -469,6 +469,36 @@ object DedupOps {
     //      (see [[ngramPairs]]) ----
     "q_dedup_ngram" -> ((s, d) => ngramPairs(docs(s, d))),
 
+    // ---- dedup LOCALITY census: are near-dups intra-source (mirrors,
+    //      re-posts within a host) or cross-source (syndication, scraped
+    //      copies)? The answer decides the 100 TB partitioning strategy —
+    //      a mostly-intra-source corpus can dedup per source partition
+    //      (no global shuffle, embarrassingly parallel); heavy
+    //      cross-source mass forces the global band-bucket exchange.
+    //      This query turns that decision into a measured number: the
+    //      confirmed near-dup pairs bucketed by (same_source, same_lang)
+    //      with integer basis-point shares. Meta joins on fine doc ids;
+    //      total rides as a 1-row broadcast ----
+    "q_dedup_locality" -> ((s, d) => {
+      val meta = docs(s, d).select(col("doc_id"), col("source"), col("lang"))
+      val pairs = minhashPairs(docs(s, d)).select(col("doc_a"), col("doc_b"))
+      val lab = pairs
+        .join(meta.select(col("doc_id").as("doc_a"),
+          col("source").as("src_a"), col("lang").as("lang_a")), "doc_a")
+        .join(meta.select(col("doc_id").as("doc_b"),
+          col("source").as("src_b"), col("lang").as("lang_b")), "doc_b")
+        .select((col("src_a") === col("src_b")).as("same_source"),
+          (col("lang_a") === col("lang_b")).as("same_lang"))
+      val tot = lab.agg(count(lit(1)).as("n_total"))
+      lab.groupBy(col("same_source"), col("same_lang"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .crossJoin(broadcast(tot))
+        .withColumn("share_bp", expr("(n_pairs * 10000) div n_total"))
+        .select(col("same_source"), col("same_lang"), col("n_pairs"),
+          col("share_bp"))
+        .orderBy("same_source", "same_lang")
+    }),
+
     // ---- dedup RECALL measurement ("measure, don't guess" applied to
     //      the dedup stack itself): take the exact char-5-gram Jaccard
     //      pairs (q_dedup_ngram's blocked-but-exact ground truth, ≥0.5)
@@ -1204,6 +1234,21 @@ object DedupOps {
          |SELECT doc_a, doc_b, jaccard FROM pairs
          |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
     },
+
+    "q_dedup_locality" ->
+      s"""WITH $minhashPairCtes,
+         |pf AS (SELECT doc_a, doc_b FROM pairs WHERE est_jaccard >= 0.5),
+         |lab AS (
+         |  SELECT (a.source = b.source) AS same_source,
+         |         (a.lang = b.lang) AS same_lang
+         |  FROM pf JOIN documents a ON pf.doc_a = a.doc_id
+         |          JOIN documents b ON pf.doc_b = b.doc_id),
+         |tot AS (SELECT count(*) AS n_total FROM lab)
+         |SELECT same_source, same_lang, count(*) AS n_pairs,
+         |       (count(*) * 10000) // n_total AS share_bp
+         |FROM lab CROSS JOIN tot
+         |GROUP BY same_source, same_lang, n_total
+         |ORDER BY same_source, same_lang""".stripMargin,
 
     // exact side = the q_dedup_ngram chain (renamed ng* to avoid CTE
     // collisions), LSH side = the shared minhash chain; the left join +

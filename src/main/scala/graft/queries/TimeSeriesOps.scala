@@ -201,6 +201,31 @@ object TimeSeriesOps {
     //      binary powers where libm pow(0.5, k) has no cross-engine
     //      warranty. One census agg + a broadcast per-type max; ages
     //      beyond 62 underflow the shift and contribute exactly 0 ----
+    // ---- watermark-lateness census (the number that SIZES a streaming
+    //      watermark): for each event, lateness = running event-time
+    //      high-water mark at its ARRIVAL (event_id = ingest order) minus
+    //      its own event time; the per-type census of events later than
+    //      1 m / 5 m / 1 h says which `withWatermark` horizon would have
+    //      dropped how much — measured from batch history instead of
+    //      guessed. Integer seconds throughout. The running-max window
+    //      partitions by event_type (watermarks are per-stream state);
+    //      within a type it is a range-partitioned sort on the monotone
+    //      ingest id — the same cost class as any per-key ordered scan ----
+    "q_lateness_census" -> ((s, d) => {
+      val e = Tables(s, d, "events").select(col("event_type"),
+        col("event_id"), unix_timestamp(col("ts")).as("secs"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      e.withColumn("late_s", max(col("secs")).over(w) - col("secs"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("late_s") > 60, 1L).otherwise(0L)).as("late_1m"),
+          sum(when(col("late_s") > 300, 1L).otherwise(0L)).as("late_5m"),
+          sum(when(col("late_s") > 3600, 1L).otherwise(0L)).as("late_1h"),
+          max(col("late_s")).as("max_late_s"))
+        .orderBy("event_type")
+    }),
+
     // ---- Holt double-exponential smoothing + h-step forecast (the level/
     //      trend twin of q_ewma's level-only smoothing): per event_type,
     //      fold the ordered daily-count series through
@@ -532,6 +557,27 @@ object TimeSeriesOps {
 
     // DuckDB `<<` on BIGINT mirrors Spark's shiftleft: both produce the
     // exact integer 2^age, and 1/2^age is an exact double for age ≤ 62
+    "q_lateness_census" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS secs
+        |  FROM events),
+        |l AS (
+        |  SELECT event_type,
+        |         max(secs) OVER (PARTITION BY event_type ORDER BY event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           - secs AS late_s
+        |  FROM e)
+        |SELECT event_type, count(*) AS n_events,
+        |       CAST(sum(CASE WHEN late_s > 60 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS late_1m,
+        |       CAST(sum(CASE WHEN late_s > 300 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS late_5m,
+        |       CAST(sum(CASE WHEN late_s > 3600 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS late_1h,
+        |       max(late_s) AS max_late_s
+        |FROM l GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     // same fold, DuckDB dialect: list_reduce needs acc type == element
     // type, so elements are 1-elem DOUBLE[] and the state a 2-elem one —
     // the arithmetic sequence is identical op for op
