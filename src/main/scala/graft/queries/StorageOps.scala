@@ -53,6 +53,42 @@ object StorageOps {
       graft.streaming.DocsStream.corpusChecksum(Tables(s, d, "documents"))
         .orderBy("source")),
 
+    // ---- clustering-depth metric (the Iceberg/Delta "overlap depth"
+    //      read-amplification measure): model files as per-(priority,
+    //      month) order groups whose sort-key ranges [min, max orderkey]
+    //      OVERLAP across months (orders interleave), then sweep the key
+    //      axis per priority: +1 at each file's lo, −1 past its hi, depth
+    //      = running sum — a point lookup must open `depth` files, so
+    //      max/avg depth say when to re-cluster (depth→1 = perfectly
+    //      clustered). Deltas aggregate per position BEFORE the running
+    //      sum, so coincident boundaries are order-independent. Integer
+    //      arithmetic; windows partition by priority over the FILE census
+    //      (bounded by file count, not row count) ----
+    "q_clustering_depth" -> ((s, d) => {
+      val files = Tables(s, d, "orders")
+        .select(col("o_orderpriority").as("prio"),
+          expr("month(o_orderdate)").as("m"), col("o_orderkey"))
+        .groupBy(col("prio"), col("m"))
+        .agg(min(col("o_orderkey")).as("lo"), max(col("o_orderkey")).as("hi"))
+      val deltas = files.select(col("prio"), col("lo").as("pos"), lit(1L).as("dd"))
+        .unionByName(files.select(col("prio"), (col("hi") + 1).as("pos"),
+          lit(-1L).as("dd")))
+        .groupBy(col("prio"), col("pos")).agg(sum(col("dd")).as("dd"))
+      val w = Window.partitionBy(col("prio")).orderBy(col("pos"))
+      val swept = deltas
+        .withColumn("depth", sum(col("dd")).over(
+          w.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("span", lead(col("pos"), 1).over(w) - col("pos"))
+      swept.filter(col("depth") > 0 && col("span").isNotNull)
+        .groupBy(col("prio"))
+        .agg(max(col("depth")).as("max_depth"),
+          expr("(sum(depth * span) * 10000) div sum(span)").as("avg_depth_bp"))
+        .join(files.groupBy(col("prio")).agg(count(lit(1)).as("n_files")), "prio")
+        .select(col("prio"), col("n_files"), col("max_depth"),
+          col("avg_depth_bp"))
+        .orderBy("prio")
+    }),
+
     // ---- small-file compaction plan: documents stand in for a directory
     //      listing (one "file" per doc, size = n_chars). Within each
     //      source partition, files are laid end to end in id order and
@@ -172,6 +208,36 @@ object StorageOps {
         |         AS checksum2,
         |       CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM h GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_clustering_depth" ->
+      """WITH files AS (
+        |  SELECT o_orderpriority AS prio, month(o_orderdate) AS m,
+        |         min(o_orderkey) AS lo, max(o_orderkey) AS hi
+        |  FROM orders GROUP BY 1, 2),
+        |deltas AS (
+        |  SELECT prio, pos, CAST(sum(dd) AS BIGINT) AS dd FROM (
+        |    SELECT prio, lo AS pos, 1 AS dd FROM files
+        |    UNION ALL
+        |    SELECT prio, hi + 1 AS pos, -1 AS dd FROM files)
+        |  GROUP BY prio, pos),
+        |swept AS (
+        |  SELECT prio, pos,
+        |         sum(dd) OVER (PARTITION BY prio ORDER BY pos
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS depth,
+        |         lead(pos) OVER (PARTITION BY prio ORDER BY pos) - pos
+        |           AS span
+        |  FROM deltas),
+        |agg AS (
+        |  SELECT prio, CAST(max(depth) AS BIGINT) AS max_depth,
+        |         (CAST(sum(depth * span) AS BIGINT) * 10000)
+        |           // CAST(sum(span) AS BIGINT) AS avg_depth_bp
+        |  FROM swept WHERE depth > 0 AND span IS NOT NULL
+        |  GROUP BY prio)
+        |SELECT a.prio, f.n_files, a.max_depth, a.avg_depth_bp
+        |FROM agg a JOIN (SELECT prio, count(*) AS n_files
+        |                 FROM files GROUP BY prio) f ON a.prio = f.prio
+        |ORDER BY a.prio""".stripMargin,
 
     "q_compaction_plan" ->
       """WITH f AS (
