@@ -322,6 +322,40 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
       .getAs[Long]("medoid_vec_id") == best._2)
   }
 
+  test("dedup locality shares cover the pair set within rounding") {
+    val rows = q("q_dedup_locality").collect()
+    assert(rows.nonEmpty)
+    val totalBp = rows.map(_.getAs[Long]("share_bp")).sum
+    val n = rows.length
+    // integer floor division loses < 1 bp per bucket
+    assert(totalBp > 10000L - n && totalBp <= 10000L, s"shares sum to $totalBp")
+  }
+
+  test("lateness census is internally consistent") {
+    val rows = q("q_lateness_census").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, l1, l5, l60) = (r.getAs[Long]("n_events"),
+        r.getAs[Long]("late_1m"), r.getAs[Long]("late_5m"),
+        r.getAs[Long]("late_1h"))
+      assert(l1 >= l5 && l5 >= l60, "horizon counts must be monotone")
+      assert(l1 <= n)
+      assert(r.getAs[Long]("max_late_s") >= 0L)
+    }
+  }
+
+  test("clustering depth is at least 1 and avg <= max") {
+    val rows = q("q_clustering_depth").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val mx = r.getAs[Long]("max_depth")
+      val avg = r.getAs[Long]("avg_depth_bp")
+      assert(mx >= 1L && mx <= r.getAs[Long]("n_files"))
+      assert(avg >= 10000L && avg <= mx * 10000L,
+        s"avg $avg outside [1, max=$mx] depth range")
+    }
+  }
+
   test("repetition signals are bounded and consistent") {
     val rows = q("q_quality_repetition").collect()
     rows.foreach { r =>
