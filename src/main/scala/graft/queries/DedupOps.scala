@@ -469,6 +469,57 @@ object DedupOps {
     //      (see [[ngramPairs]]) ----
     "q_dedup_ngram" -> ((s, d) => ngramPairs(docs(s, d))),
 
+    // ---- Fellegi–Sunter field weights (the classic probabilistic
+    //      record-linkage model, Fellegi & Sunter JASA 1969): per field,
+    //      m = P(agree | match) estimated over the CONFIRMED near-dup
+    //      pairs, and u = P(agree | random pair) computed EXACTLY from
+    //      the field's value marginals — Σ c_v(c_v−1) / n(n−1) — with no
+    //      pair sampling at all (the frequency-based u estimator). The
+    //      log₂(m/u) weight is what a linkage engine adds per agreeing
+    //      field; fields with high m and low u (head token) discriminate,
+    //      fields that agree by chance (lang in a monolingual corpus)
+    //      score near zero. Integer moments in decimal(38,0); the single
+    //      final division is double + rounded (the q_trend discipline).
+    //      Shapes: marginals are census aggs; the m join keys fine doc
+    //      ids; output is 4 rows ----
+    "q_fs_weights" -> ((s, d) => {
+      val meta = docs(s, d).select(col("doc_id"), col("lang"), col("source"),
+        expr("n_chars div 64").as("size_bkt"),
+        expr("element_at(filter(split(lower(trim(text)), '\\\\s+'), " +
+          "x -> x <> ''), 1)").as("head_tok"))
+        .persist()
+      val mp = minhashPairs(docs(s, d)).select(col("doc_a"), col("doc_b"))
+        .join(meta.select(col("doc_id").as("doc_a"), col("lang").as("la"),
+          col("source").as("sa"), col("size_bkt").as("ka"),
+          col("head_tok").as("ha")), "doc_a")
+        .join(meta.select(col("doc_id").as("doc_b"), col("lang").as("lb"),
+          col("source").as("sb"), col("size_bkt").as("kb"),
+          col("head_tok").as("hb")), "doc_b")
+        .persist()
+      def fieldRow(name: String, agree: org.apache.spark.sql.Column,
+          v: org.apache.spark.sql.Column): DataFrame = {
+        val m = mp.agg(count(lit(1)).as("n_match"),
+          sum(when(agree, 1L).otherwise(0L)).as("n_agree"))
+        val u = meta.groupBy(v.as("v")).agg(count(lit(1)).as("c"))
+          .agg(sum(col("c").cast("decimal(38,0)") * (col("c") - 1)).as("num"),
+            sum(col("c").cast("decimal(38,0)")).as("nn"))
+        m.crossJoin(u).select(lit(name).as("field"), col("n_match"),
+          round(col("n_agree").cast("double") / col("n_match"), 6).as("m_r"),
+          round(col("num").cast("double") /
+            (col("nn").cast("double") * (col("nn").cast("double") - 1.0)), 8)
+            .as("u_r"))
+      }
+      fieldRow("head_tok", col("ha") === col("hb"), col("head_tok"))
+        .unionByName(fieldRow("lang", col("la") === col("lb"), col("lang")))
+        .unionByName(fieldRow("size_bkt", col("ka") === col("kb"),
+          col("size_bkt")))
+        .unionByName(fieldRow("source", col("sa") === col("sb"),
+          col("source")))
+        .withColumn("weight", round(
+          log2((col("m_r") + 1e-6) / (col("u_r") + 1e-6)), 4))
+        .orderBy("field")
+    }),
+
     // ---- dedup LOCALITY census: are near-dups intra-source (mirrors,
     //      re-posts within a host) or cross-source (syndication, scraped
     //      copies)? The answer decides the 100 TB partitioning strategy —
@@ -1234,6 +1285,71 @@ object DedupOps {
          |SELECT doc_a, doc_b, jaccard FROM pairs
          |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
     },
+
+    // m over the shared minhash pair chain; u exactly from marginals —
+    // Σ c(c−1)/n(n−1) per field, one double division + round at the end
+    "q_fs_weights" ->
+      s"""WITH $minhashPairCtes,
+         |pf AS (SELECT doc_a, doc_b FROM pairs WHERE est_jaccard >= 0.5),
+         |meta AS (
+         |  SELECT doc_id, lang, source, n_chars // 64 AS size_bkt,
+         |         list_filter(regexp_split_to_array(lower(trim(text)),
+         |                                           '\\s+'),
+         |                     x -> x <> '')[1] AS head_tok
+         |  FROM documents),
+         |mp AS (
+         |  SELECT a.lang AS la, b.lang AS lb, a.source AS sa,
+         |         b.source AS sb, a.size_bkt AS ka, b.size_bkt AS kb,
+         |         a.head_tok AS ha, b.head_tok AS hb
+         |  FROM pf JOIN meta a ON pf.doc_a = a.doc_id
+         |          JOIN meta b ON pf.doc_b = b.doc_id),
+         |fields AS (
+         |  SELECT 'head_tok' AS field,
+         |    (SELECT count(*) FROM mp) AS n_match,
+         |    round((SELECT CAST(sum(CASE WHEN ha = hb THEN 1 ELSE 0 END)
+         |                   AS DOUBLE) FROM mp)
+         |          / (SELECT count(*) FROM mp), 6) AS m_r,
+         |    round((SELECT CAST(sum(c * (c - 1)) AS DOUBLE)
+         |           FROM (SELECT count(*) AS c FROM meta GROUP BY head_tok))
+         |          / ((SELECT CAST(count(*) AS DOUBLE) FROM meta)
+         |             * ((SELECT CAST(count(*) AS DOUBLE) FROM meta) - 1.0)),
+         |          8) AS u_r
+         |  UNION ALL
+         |  SELECT 'lang',
+         |    (SELECT count(*) FROM mp),
+         |    round((SELECT CAST(sum(CASE WHEN la = lb THEN 1 ELSE 0 END)
+         |                   AS DOUBLE) FROM mp)
+         |          / (SELECT count(*) FROM mp), 6),
+         |    round((SELECT CAST(sum(c * (c - 1)) AS DOUBLE)
+         |           FROM (SELECT count(*) AS c FROM meta GROUP BY lang))
+         |          / ((SELECT CAST(count(*) AS DOUBLE) FROM meta)
+         |             * ((SELECT CAST(count(*) AS DOUBLE) FROM meta) - 1.0)),
+         |          8)
+         |  UNION ALL
+         |  SELECT 'size_bkt',
+         |    (SELECT count(*) FROM mp),
+         |    round((SELECT CAST(sum(CASE WHEN ka = kb THEN 1 ELSE 0 END)
+         |                   AS DOUBLE) FROM mp)
+         |          / (SELECT count(*) FROM mp), 6),
+         |    round((SELECT CAST(sum(c * (c - 1)) AS DOUBLE)
+         |           FROM (SELECT count(*) AS c FROM meta GROUP BY size_bkt))
+         |          / ((SELECT CAST(count(*) AS DOUBLE) FROM meta)
+         |             * ((SELECT CAST(count(*) AS DOUBLE) FROM meta) - 1.0)),
+         |          8)
+         |  UNION ALL
+         |  SELECT 'source',
+         |    (SELECT count(*) FROM mp),
+         |    round((SELECT CAST(sum(CASE WHEN sa = sb THEN 1 ELSE 0 END)
+         |                   AS DOUBLE) FROM mp)
+         |          / (SELECT count(*) FROM mp), 6),
+         |    round((SELECT CAST(sum(c * (c - 1)) AS DOUBLE)
+         |           FROM (SELECT count(*) AS c FROM meta GROUP BY source))
+         |          / ((SELECT CAST(count(*) AS DOUBLE) FROM meta)
+         |             * ((SELECT CAST(count(*) AS DOUBLE) FROM meta) - 1.0)),
+         |          8))
+         |SELECT field, n_match, m_r, u_r,
+         |       round(log2((m_r + 0.000001) / (u_r + 0.000001)), 4) AS weight
+         |FROM fields ORDER BY field""".stripMargin,
 
     "q_dedup_locality" ->
       s"""WITH $minhashPairCtes,
