@@ -308,6 +308,33 @@ object DedupOps {
         .withColumn("is_keep", col("doc_id") === col("cluster_id"))
         .orderBy("doc_id")),
 
+    // ---- cluster-density audit (transitive-drift diagnostic): connected
+    //      components MERGE through single edges, so a chain a~b~c~d of
+    //      0.5-jaccard links can fuse documents with no pairwise
+    //      similarity at all. Density = edges present / edges possible
+    //      per cluster separates tight duplicate groups (≈10⁴ bp) from
+    //      chained merges (→ 2/(n−1)) — the audit that decides whether a
+    //      cluster's members are safe to collapse to one exemplar or the
+    //      threshold needs raising. Integer bp; edge counts ride the
+    //      label join on fine doc ids ----
+    "q_cluster_density" -> ((s, d) => {
+      val pairs = minhashPairs(docs(s, d))
+        .select(col("doc_a"), col("doc_b")).persist()
+      val cc = connectedComponents(pairs)
+        .select(col("doc_id"), col("cluster_id"))
+      val members = cc.groupBy(col("cluster_id")).agg(count(lit(1)).as("n"))
+      // every confirmed edge is intra-cluster by construction; one label
+      // join keys the edge census
+      val edges = pairs
+        .join(cc.select(col("doc_id").as("doc_a"),
+          col("cluster_id")), "doc_a")
+        .groupBy(col("cluster_id")).agg(count(lit(1)).as("n_edges"))
+      members.join(edges, "cluster_id")
+        .select(col("cluster_id"), col("n"), col("n_edges"),
+          expr("(n_edges * 2 * 10000) div (n * (n - 1))").as("density_bp"))
+        .orderBy("cluster_id")
+    }),
+
     // ---- leakage-safe train/val/test split: a doc-level hash split puts
     //      near-duplicate pairs on BOTH sides of the train/test boundary —
     //      the eval set then scores memorization, not generalization
@@ -1105,6 +1132,27 @@ object DedupOps {
          |        FROM reach GROUP BY src)
          |SELECT doc_id, cluster_id, (doc_id = cluster_id) AS is_keep
          |FROM lab ORDER BY doc_id""".stripMargin,
+
+    "q_cluster_density" ->
+      s"""WITH RECURSIVE $minhashPairCtes,
+         |pf AS MATERIALIZED (
+         |  SELECT doc_a, doc_b FROM pairs WHERE est_jaccard >= 0.5),
+         |edges AS MATERIALIZED (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pf
+         |  UNION SELECT doc_b, doc_a FROM pf),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |lab AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+         |        FROM reach GROUP BY src),
+         |mem AS (SELECT cluster_id, count(*) AS n FROM lab GROUP BY 1),
+         |ec AS (SELECT l.cluster_id, count(*) AS n_edges
+         |       FROM pf JOIN lab l ON pf.doc_a = l.doc_id GROUP BY 1)
+         |SELECT m.cluster_id, m.n, ec.n_edges,
+         |       (ec.n_edges * 2 * 10000) // (m.n * (m.n - 1)) AS density_bp
+         |FROM mem m JOIN ec ON m.cluster_id = ec.cluster_id
+         |ORDER BY m.cluster_id""".stripMargin,
 
     // same recursive closure as q_dedup_clusters; split assignment is the
     // shared integer LCG over the cluster label (doc label for the naive

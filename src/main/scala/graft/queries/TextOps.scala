@@ -134,6 +134,43 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // ---- language-mixing entropy (the multilingual-corpus quality
+    //      signal q_lang_guess's single label can't see: a doc that is
+    //      half English half German gets ONE label there, but its marker
+    //      distribution has high entropy HERE — mixed-language docs are
+    //      usually boilerplate collages or misparsed navigation). Marker
+    //      hits per language via replace-length arithmetic (integer,
+    //      engine-exact); entropy terms summed in FIXED lang order so the
+    //      double chain is identical cross-engine; per-row only ----
+    "q_lang_mix" -> ((s, d) => {
+      val t = concat(lit(" "), lower(col("text")), lit(" "))
+      def hits(markers: Seq[String]) = markers.map(m =>
+        (length(t) - length(replace(t, lit(m), lit("")))) / m.length)
+        .reduce(_ + _)
+      val cEn = hits(Seq(" the ", " a "))
+      val cDe = hits(Seq(" der ", " und "))
+      val cFr = hits(Seq(" le ", " et "))
+      val cEs = hits(Seq(" el ", " y "))
+      val tot = cEn + cDe + cFr + cEs
+      def term(c: org.apache.spark.sql.Column) =
+        when(c > 0, -(c.cast("double") / col("total_hits")) *
+          log2(c.cast("double") / col("total_hits"))).otherwise(lit(0.0))
+      docs(s, d)
+        .select(col("doc_id"), col("lang"),
+          cEn.cast("long").as("c_en"), cDe.cast("long").as("c_de"),
+          cFr.cast("long").as("c_fr"), cEs.cast("long").as("c_es"),
+          tot.cast("long").as("total_hits"))
+        .filter(col("total_hits") > 0)
+        .select(col("doc_id"), col("lang"), col("total_hits"),
+          ((col("c_en") > 0).cast("long") + (col("c_de") > 0).cast("long") +
+            (col("c_fr") > 0).cast("long") + (col("c_es") > 0).cast("long"))
+            .as("n_langs_hit"),
+          round(
+            ((term(col("c_en")) + term(col("c_de"))) + term(col("c_fr"))) +
+              term(col("c_es")), 4).as("mix_entropy"))
+        .orderBy("doc_id")
+    }),
+
     // ---- document fingerprints: md5 (content-addressed) ----
     "q_doc_fingerprint" -> ((s, d) =>
       docs(s, d).select(col("doc_id"),
@@ -357,6 +394,51 @@ object TextOps {
          |       CAST(nb - len(string_split(fin, ' ')) AS BIGINT) AS n_merged
          |FROM t ORDER BY doc_id""".stripMargin
     },
+
+    "q_lang_mix" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang,
+        |    (length(' ' || lower(text) || ' ')
+        |     - length(replace(' ' || lower(text) || ' ', ' the ', ''))) // 5
+        |    + (length(' ' || lower(text) || ' ')
+        |     - length(replace(' ' || lower(text) || ' ', ' a ', ''))) // 3
+        |      AS c_en,
+        |    (length(' ' || lower(text) || ' ')
+        |     - length(replace(' ' || lower(text) || ' ', ' der ', ''))) // 5
+        |    + (length(' ' || lower(text) || ' ')
+        |     - length(replace(' ' || lower(text) || ' ', ' und ', ''))) // 5
+        |      AS c_de,
+        |    (length(' ' || lower(text) || ' ')
+        |     - length(replace(' ' || lower(text) || ' ', ' le ', ''))) // 4
+        |    + (length(' ' || lower(text) || ' ')
+        |     - length(replace(' ' || lower(text) || ' ', ' et ', ''))) // 4
+        |      AS c_fr,
+        |    (length(' ' || lower(text) || ' ')
+        |     - length(replace(' ' || lower(text) || ' ', ' el ', ''))) // 4
+        |    + (length(' ' || lower(text) || ' ')
+        |     - length(replace(' ' || lower(text) || ' ', ' y ', ''))) // 3
+        |      AS c_es
+        |  FROM documents),
+        |t AS (SELECT doc_id, lang, c_en, c_de, c_fr, c_es,
+        |             c_en + c_de + c_fr + c_es AS total_hits
+        |      FROM h WHERE c_en + c_de + c_fr + c_es > 0)
+        |SELECT doc_id, lang, CAST(total_hits AS BIGINT) AS total_hits,
+        |  CAST((CASE WHEN c_en > 0 THEN 1 ELSE 0 END)
+        |     + (CASE WHEN c_de > 0 THEN 1 ELSE 0 END)
+        |     + (CASE WHEN c_fr > 0 THEN 1 ELSE 0 END)
+        |     + (CASE WHEN c_es > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_langs_hit,
+        |  round(
+        |    ((CASE WHEN c_en > 0 THEN -(CAST(c_en AS DOUBLE) / total_hits)
+        |          * log2(CAST(c_en AS DOUBLE) / total_hits) ELSE 0 END
+        |     + CASE WHEN c_de > 0 THEN -(CAST(c_de AS DOUBLE) / total_hits)
+        |          * log2(CAST(c_de AS DOUBLE) / total_hits) ELSE 0 END)
+        |     + CASE WHEN c_fr > 0 THEN -(CAST(c_fr AS DOUBLE) / total_hits)
+        |          * log2(CAST(c_fr AS DOUBLE) / total_hits) ELSE 0 END)
+        |     + CASE WHEN c_es > 0 THEN -(CAST(c_es AS DOUBLE) / total_hits)
+        |          * log2(CAST(c_es AS DOUBLE) / total_hits) ELSE 0 END, 4)
+        |    AS mix_entropy
+        |FROM t ORDER BY doc_id""".stripMargin,
 
     "q_char_entropy" ->
       """WITH ch AS (
