@@ -131,6 +131,48 @@ object GraphOps {
         .orderBy("community")
     }),
 
+    // ---- degree assortativity (Newman 2002): the Pearson correlation of
+    //      endpoint degrees over edges — positive r = hubs attach to hubs
+    //      (social-like), negative = hubs attach to leaves (bipartite
+    //      supply graphs, as here). The number says which iterative-
+    //      algorithm skew defenses matter: disassortative graphs
+    //      concentrate join fan-in on hub partitions. Moments Σx, Σy,
+    //      Σxy, Σx², Σy² accumulate as EXACT integers in decimal(38,0)
+    //      (the q_trend closed-form discipline — co-moment update order
+    //      differs across engines, exact moments don't); ONE final double
+    //      expression computes r. Degrees ride a broadcast census; the
+    //      moment agg is map-side combined ----
+    "q_assortativity" -> ((s, d) => {
+      val edges = Tables(s, d, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+        .select(explode(array(
+          struct((col("l_partkey") * 2).as("src"),
+            (col("l_suppkey") * 2 + 1).as("dst")),
+          struct((col("l_suppkey") * 2 + 1).as("src"),
+            (col("l_partkey") * 2).as("dst")))).as("e"))
+        .select(col("e.src"), col("e.dst")).persist()
+      val deg = edges.groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
+      val xy = edges
+        .join(broadcast(deg.select(col("v").as("src"), col("deg").as("x"))),
+          "src")
+        .join(broadcast(deg.select(col("v").as("dst"), col("deg").as("y"))),
+          "dst")
+        .select(col("x").cast("decimal(38,0)").as("x"),
+          col("y").cast("decimal(38,0)").as("y"))
+      xy.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .select(col("n").as("n_edges"), round(
+          (col("n").cast("double") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double")) /
+            sqrt((col("n").cast("double") * col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double")) *
+              (col("n").cast("double") * col("syy").cast("double") -
+                col("sy").cast("double") * col("sy").cast("double"))), 6)
+          .as("assortativity"))
+    }),
+
     // ---- degree-distribution histogram (log₂ bins): the diagnostic run
     //      BEFORE an iterative graph algorithm — a heavy-tailed histogram
     //      says the rank join needs AQE skew handling, a flat one says
@@ -288,6 +330,33 @@ object GraphOps {
         |       CASE WHEN node % 2 = 0 THEN 'part' ELSE 'supplier' END AS kind,
         |       node // 2 AS key, pr
         |FROM r3 ORDER BY node""".stripMargin,
+
+    // exact HUGEINT moments (the decimal(38,0) twin), identical final
+    // double expression — co-moment streaming updates would NOT match
+    "q_assortativity" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        |e AS (
+        |  SELECT l_partkey*2 AS src, l_suppkey*2+1 AS dst FROM pairs
+        |  UNION ALL
+        |  SELECT l_suppkey*2+1 AS src, l_partkey*2 AS dst FROM pairs),
+        |deg AS (SELECT src AS v, count(*) AS deg FROM e GROUP BY src),
+        |xy AS (
+        |  SELECT dx.deg AS x, dy.deg AS y
+        |  FROM e JOIN deg dx ON e.src = dx.v JOIN deg dy ON e.dst = dy.v),
+        |m AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |             sum(x * y) AS sxy, sum(x * x) AS sxx,
+        |             sum(y * y) AS syy
+        |      FROM xy)
+        |SELECT CAST(n AS BIGINT) AS n_edges,
+        |       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |             / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+        |             6) AS assortativity
+        |FROM m""".stripMargin,
 
     // 3 unrolled synchronous rounds; QUALIFY rank-1 is the deterministic
     // (count desc, label asc) adoption rule
