@@ -3,8 +3,13 @@ package graft.functions
 import scala.util.hashing.MurmurHash3
 
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions.udaf
+import org.apache.spark.sql.graftx.Bridge.{column, expression}
+import org.apache.spark.sql.types.{DataType, LongType}
 import org.apache.spark.sql.{Column, Encoder}
 
 /** Count-Min sketch as a typed Aggregator (SURVEY §2.5 UDAF surface) —
@@ -88,4 +93,39 @@ object CountMin {
   /** Column form: Count-Min sketch of `tok` with d rows × w columns. */
   def countMin(tok: Column, d: Int, w: Int): Column =
     udaf(new Sketch(d, w)).apply(tok)
+
+  /** Column form of [[estimate]] as a native expression — keeps the probe
+    * side inside Catalyst (the repo's only remaining scalar UDF outside the
+    * reference-mandated ST_* pair lived here).
+    */
+  def cmsEstimate(sketch: Column, tok: Column, d: Int, w: Int): Column =
+    column(CmsEstimate(expression(sketch), expression(tok), d, w))
+}
+
+/** Native point-query twin of [[CountMin.estimate]]: min over the d
+  * row counters of a finished sketch for one token. Same arithmetic
+  * ([[CountMin.slot]] — murmur3 with row-indexed seeds), one tight loop
+  * per row instead of a boxed Scala udf call. Deterministic pure function
+  * of (sketch, token): retry/AQE-safe.
+  */
+case class CmsEstimate(left: Expression, right: Expression, d: Int, w: Int)
+    extends BinaryExpression with CodegenFallback {
+  require(d > 0 && w > 0, s"count-min needs positive dims, got d=$d w=$w")
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(sketch: Any, tok: Any): Any = {
+    val arr = sketch.asInstanceOf[ArrayData]
+    val t = tok.toString
+    var best = Long.MaxValue
+    var i = 0
+    while (i < d) {
+      val c = arr.getLong(i * w + CountMin.slot(t, i, w))
+      if (c < best) best = c
+      i += 1
+    }
+    best
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CmsEstimate =
+    copy(left = newLeft, right = newRight)
 }

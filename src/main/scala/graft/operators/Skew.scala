@@ -79,6 +79,21 @@ object Skew {
     else "salted"
   }
 
+  /** The count-then-choose broadcast gate, extracted from the triangle
+    * closing-edge probe so every future maybe-corpus-sized build side gets
+    * the discipline by default instead of by review: broadcast `build`
+    * iff a MEASURED row count is within `maxRows`; otherwise pin an
+    * explicit shuffle_hash hint so the planner can never re-broadcast an
+    * over-threshold relation off a stale size estimate. Both branches are
+    * result-identical — only the exchange strategy moves.
+    *
+    * @param rows a count already paid by the caller (usually on a frame
+    *             that is persisted anyway); passing it in keeps the gate
+    *             from forcing a second action on an unpersisted plan
+    */
+  def sizeGatedBroadcast(build: DataFrame, rows: Long, maxRows: Long): DataFrame =
+    if (rows <= maxRows) broadcast(build) else build.hint("shuffle_hash")
+
   /** Profile-then-join: [[profile]] the fact side's key, [[choose]] a
     * strategy, build that join. Results are identical in every branch —
     * the chooser only moves physical cost.

@@ -218,8 +218,7 @@ object BasketOps {
       // reducer build is |E|/parts (bounded), and the explicit hint keeps
       // the planner from re-broadcasting off a stale size estimate
       val probeSide =
-        if (dir.count() <= maxBcastEdges) broadcast(closing)
-        else closing.hint("shuffle_hash")
+        graft.operators.Skew.sizeGatedBroadcast(closing, dir.count(), maxBcastEdges)
       val tri = wedge.join(probeSide,
           col("v") === col("c_src") && col("w") === col("c_dst"))
         .select(col("u"), col("v"), col("w"))

@@ -187,10 +187,16 @@ object CorpusOps {
       val census = docs(s, d).groupBy(col("source"))
         .agg(sum(col("n_chars")).as("t_s"))
       val tot = census.agg(sum(col("t_s")).as("t"))
+      // the B·t_s product accumulates in decimal(38,0): at the 100 TB
+      // design point (total chars ~1e14) the BIGINT product ~1e19 would
+      // silently wrap under Spark's non-ANSI arithmetic while DuckDB
+      // raises — decimal keeps both engines exact (the q_corpus_checksum
+      // discipline); div/% then land back in BIGINT-ranged values
       val wb = census.crossJoin(broadcast(tot))
         .select(col("source"), col("t_s"),
-          expr(s"($budget * t_s) div t").as("base"),
-          expr(s"($budget * t_s) % t").as("rem"))
+          expr(s"(CAST($budget AS DECIMAL(38,0)) * t_s) div t").as("base"),
+          expr(s"CAST((CAST($budget AS DECIMAL(38,0)) * t_s) % t AS BIGINT)")
+            .as("rem"))
       val deficit = wb.agg((lit(budget) - sum(col("base"))).as("r"))
       val w = Window.orderBy(col("rem").desc, col("source").asc)
       wb.crossJoin(broadcast(deficit))
@@ -646,8 +652,8 @@ object CorpusOps {
         |tot AS (SELECT CAST(sum(t_s) AS BIGINT) AS t FROM census),
         |wb AS (
         |  SELECT source, t_s,
-        |         (100000 * t_s) // t AS base,
-        |         (100000 * t_s) % t AS rem
+        |         (100000::HUGEINT * t_s) // t AS base,
+        |         CAST((100000::HUGEINT * t_s) % t AS BIGINT) AS rem
         |  FROM census CROSS JOIN tot),
         |def AS (SELECT 100000 - CAST(sum(base) AS BIGINT) AS r FROM wb),
         |rk AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk

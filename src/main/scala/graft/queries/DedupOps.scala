@@ -13,6 +13,17 @@ import graft.functions.{Text, Vectors}
   * an explicit bucket-size cap so a degenerate key cannot produce O(n²) pairs
   * on a skewed dataset. At 100 TB the bucket keys are the shuffle partitioning
   * keys; nothing here ever compares all pairs.
+  *
+  * Persist lifecycle: query builders here `persist()` frames reused across
+  * branches of the SAME query plan (pair sets, meta joins) and do NOT
+  * unpersist them — the cache must outlive the caller's single
+  * materializing action, which no code inside a lazy plan builder can
+  * observe. The harness owns the boundary: Verify and Bench call
+  * `spark.catalog.clearCache()` after each query's action, so these
+  * caches are query-scoped, never session-accumulating. Iterative
+  * algorithms ([[connectedComponents]]) DO unpersist eagerly — their
+  * superseded iterations die inside the builder where the fixpoint loop
+  * has already materialized the next state.
   */
 object DedupOps {
   type Q = (SparkSession, String) => DataFrame
@@ -34,6 +45,14 @@ object DedupOps {
     * cap²/2 per bucket regardless of data skew.
     */
   val BucketCap = 64
+
+  /** Max document frequency for a winnowing fingerprint to enter the
+    * candidate self-join (q_winnow_dedup). An fp shared by more docs than
+    * this is boilerplate — it carries no local-overlap signal and would
+    * emit O(df²) candidate rows from one hot key. The standard stop-gram
+    * cut; mirrored verbatim in the oracle so the gate stays exact.
+    */
+  val WinnowDfCap = 64
 
   /** bucket array<long> of doc ids → exploded (doc_a < doc_b) pairs.
     * Package-visible: Relational2's fuzzy entity-resolution join blocks with
@@ -507,6 +526,11 @@ object DedupOps {
     //      fields that agree by chance (lang in a monolingual corpus)
     //      score near zero. Integer moments in decimal(38,0); the single
     //      final division is double + rounded (the q_trend discipline).
+    //      NULL field values (head_tok of an empty doc) are excluded from
+    //      BOTH estimates — from the u marginals AND from the m pair
+    //      denominator — since a missing value neither agrees nor
+    //      disagrees (the standard FS missing-data treatment; counting
+    //      them only in u biased the weight for null-heavy fields).
     //      Shapes: marginals are census aggs; the m join keys fine doc
     //      ids; output is 4 rows ----
     "q_fs_weights" -> ((s, d) => {
@@ -523,11 +547,14 @@ object DedupOps {
           col("source").as("sb"), col("size_bkt").as("kb"),
           col("head_tok").as("hb")), "doc_b")
         .persist()
-      def fieldRow(name: String, agree: org.apache.spark.sql.Column,
+      def fieldRow(name: String, va: org.apache.spark.sql.Column,
+          vb: org.apache.spark.sql.Column,
           v: org.apache.spark.sql.Column): DataFrame = {
-        val m = mp.agg(count(lit(1)).as("n_match"),
-          sum(when(agree, 1L).otherwise(0L)).as("n_agree"))
-        val u = meta.groupBy(v.as("v")).agg(count(lit(1)).as("c"))
+        val m = mp.filter(va.isNotNull && vb.isNotNull)
+          .agg(count(lit(1)).as("n_match"),
+            sum(when(va === vb, 1L).otherwise(0L)).as("n_agree"))
+        val u = meta.filter(v.isNotNull)
+          .groupBy(v.as("v")).agg(count(lit(1)).as("c"))
           .agg(sum(col("c").cast("decimal(38,0)") * (col("c") - 1)).as("num"),
             sum(col("c").cast("decimal(38,0)")).as("nn"))
         m.crossJoin(u).select(lit(name).as("field"), col("n_match"),
@@ -536,11 +563,11 @@ object DedupOps {
             (col("nn").cast("double") * (col("nn").cast("double") - 1.0)), 8)
             .as("u_r"))
       }
-      fieldRow("head_tok", col("ha") === col("hb"), col("head_tok"))
-        .unionByName(fieldRow("lang", col("la") === col("lb"), col("lang")))
-        .unionByName(fieldRow("size_bkt", col("ka") === col("kb"),
+      fieldRow("head_tok", col("ha"), col("hb"), col("head_tok"))
+        .unionByName(fieldRow("lang", col("la"), col("lb"), col("lang")))
+        .unionByName(fieldRow("size_bkt", col("ka"), col("kb"),
           col("size_bkt")))
-        .unionByName(fieldRow("source", col("sa") === col("sb"),
+        .unionByName(fieldRow("source", col("sa"), col("sb"),
           col("source")))
         .withColumn("weight", round(
           log2((col("m_r") + 1e-6) / (col("u_r") + 1e-6)), 4))
@@ -778,20 +805,17 @@ object DedupOps {
     //      are local-overlap candidates. Winnowing GUARANTEES any shared
     //      w+n−1-token run yields a shared fingerprint at ~2/(w+1) doc
     //      density — position-robust span detection where minhash only
-    //      sees whole-set similarity. The fp join shuffles on the hash
-    //      value (fine keys); pair dedup groups on fine (a,b) keys ----
-    "q_winnow_dedup" -> ((s, d) => {
-      val fp = docs(s, d).select(col("doc_id"),
-        explode(graft.functions.TextExprs
-          .winnowHashes(col("text"), 3, 4)).as("fp"))
-      fp.select(col("fp"), col("doc_id").as("doc_a"))
-        .join(fp.select(col("fp"), col("doc_id").as("doc_b")), "fp")
-        .filter(col("doc_a") < col("doc_b"))
-        .groupBy(col("doc_a"), col("doc_b"))
-        .agg(count(lit(1)).as("n_shared"))
-        .filter(col("n_shared") >= 3)
-        .orderBy("doc_a", "doc_b")
-    }),
+    //      sees whole-set similarity. Stop-fingerprint cut BEFORE the
+    //      self-join: an fp with document frequency > WinnowDfCap is
+    //      boilerplate (a header, a license line) carrying no local-overlap
+    //      signal, and without the cut one viral fp key emits O(df²)
+    //      candidate rows on a single reducer — the exact blowup
+    //      [[cappedBuckets]] exists to prevent (and the same df-suppression
+    //      the PPJoin prefix filter applies). df ≥ 2 additionally drops the
+    //      (majority) fps unique to one doc, which cannot witness a pair.
+    //      The df agg and both joins shuffle on the fp value (fine,
+    //      vocabulary-sized keys); pair dedup groups on fine (a,b) keys ----
+    "q_winnow_dedup" -> ((s, d) => winnowPairs(docs(s, d))),
 
     // ---- reciprocal best match (entity-resolution matching step): from
     //      the exact similarity pairs, keep only pairs where EACH side is
@@ -818,6 +842,29 @@ object DedupOps {
         .orderBy("doc_a", "doc_b")
     })
   )
+
+  /** Winnowing local-overlap candidate pairs (q_winnow_dedup body; a
+    * helper so the viral-fingerprint spec can run it on a crafted corpus).
+    * df ∈ [2, WinnowDfCap] stop-fingerprint cut before the self-join —
+    * bounds any one fp key's candidate output at cap²/2 rows.
+    */
+  def winnowPairs(docsDf: DataFrame): DataFrame = {
+    val fp = docsDf.select(col("doc_id"),
+      explode(graft.functions.TextExprs
+        .winnowHashes(col("text"), 3, 4)).as("fp"))
+    val keep = fp.groupBy(col("fp"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= WinnowDfCap)
+      .select(col("fp"))
+    val fpk = fp.join(keep, "fp")
+    fpk.select(col("fp"), col("doc_id").as("doc_a"))
+      .join(fpk.select(col("fp"), col("doc_id").as("doc_b")), "fp")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 3)
+      .orderBy("doc_a", "doc_b")
+  }
 
   /** PPJoin-style exact Jaccard-≥-t pairs over 3-word shingle sets.
     *
@@ -1005,16 +1052,23 @@ object DedupOps {
 
   /** Shared DuckDB CTE chain replicating [[minhashPairs]] bit-for-bit up to
     * the scored candidate pair set (`pairs`); suffix queries select from it.
-    * The signature CTE is MATERIALIZED: DuckDB otherwise re-inlines the
-    * (interpreted, per-element) sketch lambdas at every reference — measured
-    * 8 minutes for the clusters closure at sf0.01 vs seconds materialized.
+    * EVERY sketch stage is its own MATERIALIZED CTE: DuckDB inlines
+    * non-materialized CTEs as expression substitution, so a downstream
+    * lambda that references the upstream value k times re-EVALUATES the
+    * whole upstream expression k times — the un-staged signature chain
+    * re-computed the shingle-hash list 2×64 times per row (once per
+    * permutation lambda reference; measured 58 s for 500 docs at sf0.01
+    * vs 0.5 s staged, and this chain is embedded in ~12 oracles).
     */
   private lazy val minhashPairCtes: String = {
     import graft.functions.TextExprs._
-    s"""s AS MATERIALIZED (
-       |      SELECT doc_id, ${minhashSigSql(shingleHashesSql("text", 3), 64)} AS sig
+    s"""h0 AS MATERIALIZED (
+       |      SELECT doc_id, ${shingleHashesSql("text", 3)} AS hashes
        |      FROM documents),
-       |s2 AS (SELECT doc_id, sig, ${bandHashesSql("sig", 16, 4)} AS bands FROM s),
+       |s AS MATERIALIZED (
+       |      SELECT doc_id, ${minhashSigSql("hashes", 64)} AS sig FROM h0),
+       |s2 AS MATERIALIZED (
+       |      SELECT doc_id, sig, ${bandHashesSql("sig", 16, 4)} AS bands FROM s),
        |ex AS (SELECT doc_id, b.range AS band, bands[b.range + 1] AS band_hash
        |       FROM s2, range(0, 16) b),
        |bk AS (SELECT band, band_hash,
@@ -1168,9 +1222,10 @@ object DedupOps {
          |  SELECT src, dst FROM edges
          |  UNION
          |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
-         |lab AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
-         |        FROM reach GROUP BY src),
-         |assigned AS (
+         |lab AS MATERIALIZED (
+         |  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+         |  FROM reach GROUP BY src),
+         |assigned AS MATERIALIZED (
          |  SELECT d.doc_id,
          |         coalesce(lab.cluster_id, d.doc_id) AS cluster_id,
          |         CASE WHEN (((coalesce(lab.cluster_id, d.doc_id)
@@ -1286,11 +1341,16 @@ object DedupOps {
          |       CAST(sum(n_chars) AS BIGINT) AS total_chars
          |FROM sized GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
 
+    // features staged into their own MATERIALIZED CTE: inlined, the
+    // 62-bit majority loop references the feature list 2×62 times and
+    // DuckDB re-evaluates the shingle scan per reference (~30 s → <1 s)
     "q_dedup_simhash" -> {
       import graft.functions.TextExprs._
-      s"""WITH s AS MATERIALIZED (
-         |  SELECT doc_id, ${simhashSql(shingleFeatures62Sql("text", 3))} AS sim
-         |           FROM documents),
+      s"""WITH f0 AS MATERIALIZED (
+         |  SELECT doc_id, ${shingleFeatures62Sql("text", 3)} AS feats
+         |  FROM documents),
+         |s AS MATERIALIZED (
+         |  SELECT doc_id, ${simhashSql("feats")} AS sim FROM f0),
          |ch AS (SELECT doc_id, c.range AS chunk, (sim >> (c.range * 16)) & 65535 AS chunk_val
          |       FROM s, range(0, 4) c),
          |bk AS (SELECT chunk, chunk_val,
@@ -1313,8 +1373,10 @@ object DedupOps {
          |  SELECT doc_id, lang, n_chars // 64 AS size_bkt,
          |                  ${charNgramHashesSql("text", 5)} AS grams
          |           FROM documents),
-         |g2 AS (SELECT doc_id, lang, size_bkt, ${minhashSigSql("grams", 8)} AS sig FROM g),
-         |g3 AS (SELECT doc_id, lang, size_bkt, ${bandHashesSql("sig", 4, 2)} AS bands FROM g2),
+         |g2 AS MATERIALIZED (
+         |  SELECT doc_id, lang, size_bkt, ${minhashSigSql("grams", 8)} AS sig FROM g),
+         |g3 AS MATERIALIZED (
+         |  SELECT doc_id, lang, size_bkt, ${bandHashesSql("sig", 4, 2)} AS bands FROM g2),
          |ex AS (SELECT doc_id, lang, size_bkt, b.range AS band, bands[b.range + 1] AS band_hash
          |       FROM g3, range(0, 4) b),
          |bk AS (SELECT lang, size_bkt, band, band_hash,
@@ -1335,69 +1397,53 @@ object DedupOps {
     },
 
     // m over the shared minhash pair chain; u exactly from marginals —
-    // Σ c(c−1)/n(n−1) per field, one double division + round at the end
-    "q_fs_weights" ->
+    // Σ c(c−1)/n(n−1) per field over NON-NULL values, one double division
+    // + round at the end. meta/mp MATERIALIZED: each is referenced by all
+    // four field branches, and inlined DuckDB re-ran the whole minhash
+    // chain per reference (measured 65 s at sf0.01 vs seconds split).
+    "q_fs_weights" -> {
+      def fld(name: String, a: String, b: String, v: String) =
+        s"""  SELECT '$name' AS field,
+           |    (SELECT count(*) FROM mp
+           |     WHERE $a IS NOT NULL AND $b IS NOT NULL) AS n_match,
+           |    round((SELECT CAST(sum(CASE WHEN $a = $b THEN 1 ELSE 0 END)
+           |                   AS DOUBLE) FROM mp
+           |           WHERE $a IS NOT NULL AND $b IS NOT NULL)
+           |          / (SELECT count(*) FROM mp
+           |             WHERE $a IS NOT NULL AND $b IS NOT NULL), 6) AS m_r,
+           |    round((SELECT CAST(sum(c * (c - 1)) AS DOUBLE)
+           |           FROM (SELECT count(*) AS c FROM meta
+           |                 WHERE $v IS NOT NULL GROUP BY $v))
+           |          / ((SELECT CAST(count($v) AS DOUBLE) FROM meta)
+           |             * ((SELECT CAST(count($v) AS DOUBLE) FROM meta)
+           |                - 1.0)), 8) AS u_r""".stripMargin
       s"""WITH $minhashPairCtes,
-         |pf AS (SELECT doc_a, doc_b FROM pairs WHERE est_jaccard >= 0.5),
-         |meta AS (
+         |pf AS MATERIALIZED (
+         |  SELECT doc_a, doc_b FROM pairs WHERE est_jaccard >= 0.5),
+         |meta AS MATERIALIZED (
          |  SELECT doc_id, lang, source, n_chars // 64 AS size_bkt,
          |         list_filter(regexp_split_to_array(lower(trim(text)),
          |                                           '\\s+'),
          |                     x -> x <> '')[1] AS head_tok
          |  FROM documents),
-         |mp AS (
+         |mp AS MATERIALIZED (
          |  SELECT a.lang AS la, b.lang AS lb, a.source AS sa,
          |         b.source AS sb, a.size_bkt AS ka, b.size_bkt AS kb,
          |         a.head_tok AS ha, b.head_tok AS hb
          |  FROM pf JOIN meta a ON pf.doc_a = a.doc_id
          |          JOIN meta b ON pf.doc_b = b.doc_id),
          |fields AS (
-         |  SELECT 'head_tok' AS field,
-         |    (SELECT count(*) FROM mp) AS n_match,
-         |    round((SELECT CAST(sum(CASE WHEN ha = hb THEN 1 ELSE 0 END)
-         |                   AS DOUBLE) FROM mp)
-         |          / (SELECT count(*) FROM mp), 6) AS m_r,
-         |    round((SELECT CAST(sum(c * (c - 1)) AS DOUBLE)
-         |           FROM (SELECT count(*) AS c FROM meta GROUP BY head_tok))
-         |          / ((SELECT CAST(count(*) AS DOUBLE) FROM meta)
-         |             * ((SELECT CAST(count(*) AS DOUBLE) FROM meta) - 1.0)),
-         |          8) AS u_r
+         |${fld("head_tok", "ha", "hb", "head_tok")}
          |  UNION ALL
-         |  SELECT 'lang',
-         |    (SELECT count(*) FROM mp),
-         |    round((SELECT CAST(sum(CASE WHEN la = lb THEN 1 ELSE 0 END)
-         |                   AS DOUBLE) FROM mp)
-         |          / (SELECT count(*) FROM mp), 6),
-         |    round((SELECT CAST(sum(c * (c - 1)) AS DOUBLE)
-         |           FROM (SELECT count(*) AS c FROM meta GROUP BY lang))
-         |          / ((SELECT CAST(count(*) AS DOUBLE) FROM meta)
-         |             * ((SELECT CAST(count(*) AS DOUBLE) FROM meta) - 1.0)),
-         |          8)
+         |${fld("lang", "la", "lb", "lang")}
          |  UNION ALL
-         |  SELECT 'size_bkt',
-         |    (SELECT count(*) FROM mp),
-         |    round((SELECT CAST(sum(CASE WHEN ka = kb THEN 1 ELSE 0 END)
-         |                   AS DOUBLE) FROM mp)
-         |          / (SELECT count(*) FROM mp), 6),
-         |    round((SELECT CAST(sum(c * (c - 1)) AS DOUBLE)
-         |           FROM (SELECT count(*) AS c FROM meta GROUP BY size_bkt))
-         |          / ((SELECT CAST(count(*) AS DOUBLE) FROM meta)
-         |             * ((SELECT CAST(count(*) AS DOUBLE) FROM meta) - 1.0)),
-         |          8)
+         |${fld("size_bkt", "ka", "kb", "size_bkt")}
          |  UNION ALL
-         |  SELECT 'source',
-         |    (SELECT count(*) FROM mp),
-         |    round((SELECT CAST(sum(CASE WHEN sa = sb THEN 1 ELSE 0 END)
-         |                   AS DOUBLE) FROM mp)
-         |          / (SELECT count(*) FROM mp), 6),
-         |    round((SELECT CAST(sum(c * (c - 1)) AS DOUBLE)
-         |           FROM (SELECT count(*) AS c FROM meta GROUP BY source))
-         |          / ((SELECT CAST(count(*) AS DOUBLE) FROM meta)
-         |             * ((SELECT CAST(count(*) AS DOUBLE) FROM meta) - 1.0)),
-         |          8))
+         |${fld("source", "sa", "sb", "source")})
          |SELECT field, n_match, m_r, u_r,
          |       round(log2((m_r + 0.000001) / (u_r + 0.000001)), 4) AS weight
-         |FROM fields ORDER BY field""".stripMargin,
+         |FROM fields ORDER BY field""".stripMargin
+    },
 
     "q_dedup_locality" ->
       s"""WITH $minhashPairCtes,
@@ -1425,10 +1471,12 @@ object DedupOps {
          |  SELECT doc_id, lang, n_chars // 64 AS size_bkt,
          |         ${charNgramHashesSql("text", 5)} AS grams
          |  FROM documents),
-         |ng2 AS (SELECT doc_id, lang, size_bkt,
-         |               ${minhashSigSql("grams", 8)} AS sig2 FROM ng1),
-         |ng3 AS (SELECT doc_id, lang, size_bkt,
-         |               ${bandHashesSql("sig2", 4, 2)} AS bands2 FROM ng2),
+         |ng2 AS MATERIALIZED (
+         |  SELECT doc_id, lang, size_bkt,
+         |         ${minhashSigSql("grams", 8)} AS sig2 FROM ng1),
+         |ng3 AS MATERIALIZED (
+         |  SELECT doc_id, lang, size_bkt,
+         |         ${bandHashesSql("sig2", 4, 2)} AS bands2 FROM ng2),
          |ng4 AS (SELECT doc_id, lang, size_bkt, b.range AS band,
          |               bands2[b.range + 1] AS band_hash
          |        FROM ng3, range(0, 4) b),
@@ -1464,10 +1512,13 @@ object DedupOps {
 
     "q_fuzzy_decontaminate" -> {
       import graft.functions.TextExprs._
-      s"""WITH s AS MATERIALIZED (
-         |      SELECT doc_id, ${minhashSigSql(shingleHashesSql("text", 3), 64)} AS sig
+      s"""WITH h0 AS MATERIALIZED (
+         |      SELECT doc_id, ${shingleHashesSql("text", 3)} AS hashes
          |      FROM documents),
-         |s2 AS (SELECT doc_id, sig, ${bandHashesSql("sig", 16, 4)} AS bands FROM s),
+         |s AS MATERIALIZED (
+         |      SELECT doc_id, ${minhashSigSql("hashes", 64)} AS sig FROM h0),
+         |s2 AS MATERIALIZED (
+         |      SELECT doc_id, sig, ${bandHashesSql("sig", 16, 4)} AS bands FROM s),
          |ex AS (SELECT doc_id, b.range AS band, bands[b.range + 1] AS band_hash
          |       FROM s2, range(0, 16) b),
          |ev AS (SELECT doc_id AS eval_id, band, band_hash FROM ex WHERE doc_id % 10 = 0),
@@ -1491,8 +1542,10 @@ object DedupOps {
          |  SELECT doc_id, lang, n_chars // 64 AS size_bkt,
          |                  ${charNgramHashesSql("text", 5)} AS grams
          |           FROM documents),
-         |g2 AS (SELECT doc_id, lang, size_bkt, ${minhashSigSql("grams", 8)} AS sig FROM g),
-         |g3 AS (SELECT doc_id, lang, size_bkt, ${bandHashesSql("sig", 4, 2)} AS bands FROM g2),
+         |g2 AS MATERIALIZED (
+         |  SELECT doc_id, lang, size_bkt, ${minhashSigSql("grams", 8)} AS sig FROM g),
+         |g3 AS MATERIALIZED (
+         |  SELECT doc_id, lang, size_bkt, ${bandHashesSql("sig", 4, 2)} AS bands FROM g2),
          |ex AS (SELECT doc_id, lang, size_bkt, b.range AS band, bands[b.range + 1] AS band_hash
          |       FROM g3, range(0, 4) b),
          |bk AS (SELECT lang, size_bkt, band, band_hash,
@@ -1638,7 +1691,7 @@ object DedupOps {
         |         len(list_intersect(a.toks, b.toks)) AS i,
         |         len(a.toks) AS la, len(b.toks) AS lb
         |  FROM g a JOIN g b ON a.doc_id < b.doc_id),
-        |truth AS (
+        |truth AS MATERIALIZED (
         |  SELECT doc_a, doc_b FROM p
         |  WHERE CAST(i AS DOUBLE) / (la + lb - i) >= 0.5),
         |nd AS (SELECT count(*) AS n_docs FROM documents),
@@ -1656,17 +1709,33 @@ object DedupOps {
 
     // the oracle replays the window-min selection with the O(m·w)
     // list_min twin — same fingerprint VALUES (selection is by window
-    // minimum, tie positions can't change the set)
-    "q_winnow_dedup" ->
-      s"""WITH f AS (
-         |  SELECT doc_id,
-         |         unnest(${graft.functions.TextExprs.winnowHashesSql("text", 3, 4)}) AS fp
-         |  FROM documents)
+    // minimum, tie positions can't change the set). The shingle-hash list
+    // is MATERIALIZED as a column FIRST: inlined into the per-window
+    // lambda DuckDB re-evaluates the whole list per window (O(m²)/doc —
+    // measured 68 s at sf0.01 vs ~1 s split). The df 2..cap cut mirrors
+    // the engine's WinnowDfCap stop-fingerprint filter exactly.
+    "q_winnow_dedup" -> {
+      import graft.functions.TextExprs._
+      val hs = s"list_transform(${shinglesSql(tokensSql("text"), 3)}, " +
+        s"s -> ${charPolySql("s", 131)})"
+      s"""WITH t AS MATERIALIZED (
+         |  SELECT doc_id, $hs AS hs FROM documents),
+         |f AS MATERIALIZED (
+         |  SELECT DISTINCT doc_id, fp FROM (
+         |    SELECT doc_id,
+         |           unnest(list_transform(
+         |             range(1, greatest(len(hs) - 3, 1) + 1),
+         |             i -> list_min(hs[i:i+3]))) AS fp
+         |    FROM t)),
+         |k AS (SELECT fp FROM f GROUP BY fp
+         |      HAVING count(*) BETWEEN 2 AND $WinnowDfCap)
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |       CAST(count(*) AS BIGINT) AS n_shared
-         |FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |FROM f a JOIN k ka ON a.fp = ka.fp
+         |JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 HAVING count(*) >= 3
-         |ORDER BY doc_a, doc_b""".stripMargin,
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
 
     // brute-force pairs + per-side best via row_number == the engine's
     // max_by over (jaccard, −partner) structs (partner ids unique)
@@ -1687,13 +1756,14 @@ object DedupOps {
         |         len(list_intersect(a.toks, b.toks)) AS i,
         |         len(a.toks) AS la, len(b.toks) AS lb
         |  FROM g a JOIN g b ON a.doc_id < b.doc_id),
-        |pr AS (
+        |pr AS MATERIALIZED (
         |  SELECT doc_a, doc_b,
         |         round(CAST(i AS DOUBLE) / (la + lb - i), 4) AS j
         |  FROM p WHERE CAST(i AS DOUBLE) / (la + lb - i) >= 0.5),
         |d2 AS (SELECT doc_a AS x, doc_b AS y, j FROM pr
         |       UNION ALL SELECT doc_b, doc_a, j FROM pr),
-        |bm AS (SELECT x, y,
+        |bm AS MATERIALIZED (
+        |       SELECT x, y,
         |         row_number() OVER (PARTITION BY x
         |                            ORDER BY j DESC, y ASC) AS rn
         |       FROM d2)

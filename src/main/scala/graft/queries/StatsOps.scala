@@ -365,10 +365,9 @@ object StatsOps {
         .orderBy(col("cnt").desc, col("token").asc).limit(10)
       val nRow = toks.agg(count(lit(1)).as("n_total"))
       val sk = toks.agg(CountMin.countMin(col("token"), dRows, wCols).as("cms"))
-      val cmEst = udf((sketch: Seq[Long], t: String) =>
-        CountMin.estimate(sketch, t, dRows, wCols))
       exact.crossJoin(broadcast(sk)).crossJoin(broadcast(nRow))
-        .withColumn("est", cmEst(col("cms"), col("token")))
+        .withColumn("est",
+          CountMin.cmsEstimate(col("cms"), col("token"), dRows, wCols))
         .select(col("token"), col("cnt"), col("n_total"),
           (col("est") >= col("cnt")).cast("int").as("cms_ge_exact"),
           ((col("est") - col("cnt")) * wCols.toLong <= lit(3L) * col("n_total"))

@@ -195,12 +195,6 @@ object TimeSeriesOps {
         .orderBy("bin")
     }),
 
-    // ---- exponentially-weighted moving average (α = ½) of the daily
-    //      event counts, evaluated at each series' end: weight 2^(day−dmax)
-    //      comes from an INTEGER bit shift (1.0 / (1L << age)) — exact
-    //      binary powers where libm pow(0.5, k) has no cross-engine
-    //      warranty. One census agg + a broadcast per-type max; ages
-    //      beyond 62 underflow the shift and contribute exactly 0 ----
     // ---- watermark-lateness census (the number that SIZES a streaming
     //      watermark): for each event, lateness = running event-time
     //      high-water mark at its ARRIVAL (event_id = ingest order) minus
@@ -262,6 +256,12 @@ object TimeSeriesOps {
         .orderBy("event_type")
     }),
 
+    // ---- exponentially-weighted moving average (α = ½) of the daily
+    //      event counts, evaluated at each series' end: weight 2^(day−dmax)
+    //      comes from an INTEGER bit shift (1.0 / (1L << age)) — exact
+    //      binary powers where libm pow(0.5, k) has no cross-engine
+    //      warranty. One census agg + a broadcast per-type max; ages
+    //      beyond 62 underflow the shift and contribute exactly 0 ----
     "q_ewma" -> ((s, d) => {
       val daily = ev(s, d).groupBy(col("event_type"), col("day"))
         .agg(count(lit(1)).as("n"))

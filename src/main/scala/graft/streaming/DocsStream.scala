@@ -117,6 +117,36 @@ object DocsStream {
         sum(col("n_chars")).as("total_chars"))
   }
 
+  /** Streaming winnow-fingerprint near-dup detection — the set-similarity
+    * twin the sketch family (CMS/MG/checksum) already has: an arriving doc
+    * is flagged when it shares ≥ `minShared` winnowing fingerprints with
+    * the HISTORICAL corpus. The history side is the batch-side fingerprint
+    * table ((fp) rows, already stop-cut by [[graft.queries.DedupOps
+    * .WinnowDfCap]] discipline upstream), so the stream side is a
+    * STATELESS stream-static inner join on the fp value — no growing
+    * state; the only stateful piece is the per-doc micro-batch count,
+    * keyed on doc_id (bounded by docs in flight, emitted in update mode).
+    * At 100 TB the history side is a bucketed fp table and the join
+    * co-locates on fp — the q_dedup_incremental scale story applied to
+    * LOCAL overlap instead of exact equality.
+    *
+    * `historyFps` must be DISTINCT (fp) rows — n_shared counts how many
+    * of the doc's (already-distinct) fingerprints appear in the history
+    * SET, a corpus-level containment signal rather than q_winnow_dedup's
+    * per-pair count. Same function runs on a batch frame; StreamingSpec
+    * pins three-way equivalence (stream == batch twin == an independent
+    * set-arithmetic computation of the same semantics) on the flagged set.
+    */
+  def winnowNearDups(newDocs: DataFrame, historyFps: DataFrame,
+      minShared: Int = 3): DataFrame =
+    newDocs.select(col("doc_id"),
+        explode(graft.functions.TextExprs
+          .winnowHashes(col("text"), 3, 4)).as("fp"))
+      .join(historyFps, Seq("fp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+
   /** Load the documents table as a STREAM from a parquet directory.
     * `filesPerTrigger > 0` throttles ingest so a multi-file directory
     * arrives as multiple micro-batches (exercises cross-batch state). */

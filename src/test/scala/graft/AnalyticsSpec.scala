@@ -519,6 +519,26 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     assert(CountMin.estimate(sk, "hot", 2, 64) == 100L)
   }
 
+  test("CmsEstimate expression matches the Scala point query exactly") {
+    import spark.implicits._
+    import graft.functions.CountMin
+    val (d, w) = (4, 256)
+    val toks = (Seq.fill(500)("hot") ++ (0 until 40).map(i => s"t_$i"))
+    val skDf = toks.toDF("token").repartition(3)
+      .agg(CountMin.countMin(col("token"), d, w).as("cms"))
+    val sk = skDf.collect()(0).getSeq[Long](0)
+    val probes = ("hot" +: (0 until 40 by 7).map(i => s"t_$i") :+ "absent")
+      .toDF("token")
+    val got = probes.crossJoin(broadcast(skDf))
+      .select(col("token"),
+        CountMin.cmsEstimate(col("cms"), col("token"), d, w).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    got.foreach { case (t, est) =>
+      assert(est == CountMin.estimate(sk, t, d, w),
+        s"expression diverges from the Scala estimate at $t")
+    }
+  }
+
   test("q_cms_freq guarantee flags are all green") {
     val rows = q("q_cms_freq").collect()
     assert(rows.length == 10, "expected the exact top-10 anchor")

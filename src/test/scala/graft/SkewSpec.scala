@@ -145,6 +145,25 @@ class SkewSpec extends AnyFunSuite with SparkSpec {
     assert(auto.exceptAll(plain).isEmpty && plain.exceptAll(auto).isEmpty)
   }
 
+  test("size-gated broadcast flips exchange strategy, never the result") {
+    val fact = Tables(spark, sf, "orders")
+    val build = Tables(spark, sf, "customer")
+    val n = build.count()
+    def joined(probe: org.apache.spark.sql.DataFrame) =
+      fact.join(probe, col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("c_custkey"))
+    val under = joined(Skew.sizeGatedBroadcast(build, n, n + 1))
+    val over = joined(Skew.sizeGatedBroadcast(build, n, n - 1))
+    val underPlan = under.queryExecution.executedPlan.toString
+    val overPlan = over.queryExecution.executedPlan.toString
+    assert(underPlan.contains("BroadcastHashJoin"),
+      "under-threshold build side was not broadcast")
+    assert(overPlan.contains("ShuffledHashJoin"),
+      "over-threshold build side must pin shuffle_hash, not re-broadcast")
+    assert(under.exceptAll(over).isEmpty && over.exceptAll(under).isEmpty,
+      "the gate moved results, not just the exchange")
+  }
+
   test("salted join result equals the plain join (pure physical rewrite)") {
     val fact = Tables(spark, sf, "orders")
     val build = Tables(spark, sf, "customer")

@@ -251,6 +251,43 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       s"nondeterministic keep chose a re-crawl id: ${batch.filter(_._1 >= 1000000L).take(3)}")
   }
 
+  test("streaming winnow near-dup flags match batch twin and set arithmetic") {
+    // the set-similarity family's streaming twin: new docs stream in, the
+    // history winnow-fingerprint set is static, and a doc is flagged when
+    // ≥3 of its fingerprints are already in the corpus. Stream == batch
+    // twin == an independent Scala set computation, on the flagged-doc set
+    import graft.streaming.DocsStream
+    import graft.functions.TextExprs
+    val dir = "target/stream_docs_winnow"
+    val newDocs = Tables(spark, sf, "documents").filter(col("doc_id") % 10 === 9)
+    newDocs.repartition(2).write.mode("overwrite").parquet(dir)
+    val hist = Tables(spark, sf, "documents").filter(col("doc_id") % 10 =!= 9)
+      .select(explode(TextExprs.winnowHashes(col("text"), 3, 4)).as("fp"))
+      .distinct().persist()
+    val q = DocsStream.winnowNearDups(
+        DocsStream.readDocsStream(spark, dir, filesPerTrigger = 1), hist)
+      .writeStream.format("memory").queryName("winnow_out")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("winnow_out").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = DocsStream.winnowNearDups(newDocs, hist).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // independent set arithmetic on driver-collected fingerprint sets
+    val histSet = hist.collect().map(_.getLong(0)).toSet
+    val expected = newDocs
+      .select(col("doc_id"), TextExprs.winnowHashes(col("text"), 3, 4).as("fps"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet.count(histSet))
+      .filter(_._2 >= 3).toMap.map { case (k, v) => k -> v.toLong }
+    hist.unpersist()
+    assert(expected.nonEmpty, "degenerate fixture: nothing shares 3 fps")
+    assert(batch == expected,
+      s"batch twin vs set arithmetic: ${(batch.toSet diff expected.toSet).take(3)}")
+    assert(streamed == batch,
+      s"stream vs batch twin: ${(streamed.toSet diff batch.toSet).take(3)}")
+  }
+
   test("streaming heavy hitters: MG bounds hold across micro-batch state") {
     // the corpus arrives as 3 micro-batches (maxFilesPerTrigger=1 over a
     // 3-file directory); the state store carries one ≤k-entry Misra-Gries

@@ -384,6 +384,36 @@ class TextDedupSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("winnow pairs: viral boilerplate fingerprint is stop-cut, true overlap survives") {
+    import spark.implicits._
+    val cap = graft.queries.DedupOps.WinnowDfCap
+    val nViral = cap * 3 // boilerplate df far above the cap
+    // every doc carries the SAME long boilerplate run (a shared header) —
+    // its fingerprints have df = nViral > cap and must be dropped before
+    // the self-join, else the candidate set is C(nViral, 2) pairs from
+    // boilerplate alone. Docs 1 and 2 additionally share a long UNIQUE
+    // run (df = 2 fingerprints) that must still pair them.
+    val boiler = "creative commons license applies to this entire document text"
+    val shared = "aurora borealis shimmers over the frozen tundra tonight while " +
+      "quiet rivers carve ancient valleys beneath pale silver starlight"
+    val docsDf = (1 to nViral).map { i =>
+      val unique =
+        if (i <= 2) shared
+        else s"w${i}a w${i}b w${i}c w${i}d w${i}e w${i}f w${i}g w${i}h w${i}i"
+      (i.toLong, s"$boiler $unique")
+    }.toDF("doc_id", "text").repartition(4)
+    val pairs = graft.queries.DedupOps.winnowPairs(docsDf)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+      .toSet
+    assert(pairs.contains((1L, 2L)),
+      "stop-cut dropped the genuine near-dup pair (its fps have df=2)")
+    // bounded candidates: without the cut every doc pair shares the
+    // boilerplate fps; with it only the genuine pair survives
+    assert(pairs.size < 10,
+      s"viral fingerprint not capped: ${pairs.size} pairs (expected ~1 of " +
+        s"${nViral.toLong * (nViral - 1) / 2} uncapped)")
+  }
+
   test("multi-pass SN catches the first-character blind spot pass 1 misses") {
     import spark.implicits._
     // two docs identical except the FIRST word: different pass-1 blocks

@@ -5,7 +5,7 @@ over the same sf directory and compare values (columns sorted by name).
 
 Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir>
 """
-import json, sys, math
+import json, sys, math, time
 import duckdb
 import pandas as pd
 
@@ -42,6 +42,8 @@ def main(sf_dir: str, out_dir: str) -> None:
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    t_start = time.time()
+    slow = []  # (seconds, name) per oracle — regression visibility
     for name, sql in sorted(oracle.items()):
         try:
             got = norm(pd.read_parquet(f"{out_dir}/{name}"))
@@ -50,7 +52,9 @@ def main(sf_dir: str, out_dir: str) -> None:
             n_fail += 1
             continue
         try:
+            t0 = time.time()
             exp = norm(con.sql(sql).df())
+            slow.append((time.time() - t0, name))
         except Exception as e:
             print(f"FAIL {name}: oracle error {e}")
             n_fail += 1
@@ -92,7 +96,14 @@ def main(sf_dir: str, out_dir: str) -> None:
         else:
             print(f"PASS {name} ({len(got)} rows)")
             n_pass += 1
-    print(f"\n{n_pass} pass, {n_fail} fail")
+    # the oracle-suite budget is the round's hard-signal lifeline: the
+    # driver's gate silently writes {} past its wall clock, so any oracle
+    # creeping toward tens of seconds must be visible the round it regresses
+    print(f"\nslowest oracles (s):")
+    for sec, name in sorted(slow, reverse=True)[:8]:
+        print(f"  {sec:7.2f} {name}")
+    print(f"oracle suite total: {time.time() - t_start:.1f} s")
+    print(f"{n_pass} pass, {n_fail} fail")
     sys.exit(1 if n_fail else 0)
 
 if __name__ == "__main__":
