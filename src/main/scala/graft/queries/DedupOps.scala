@@ -840,6 +840,80 @@ object DedupOps {
         .filter(col("ba") === col("doc_b") && col("bb") === col("doc_a"))
         .select(col("doc_a"), col("doc_b"), col("jaccard"))
         .orderBy("doc_a", "doc_b")
+    }),
+
+    // ---- shingle document-frequency profile (the number that JUSTIFIES
+    //      every df cut in this file): per floor(log2(df)) bucket, how
+    //      many distinct 3-word shingles sit there and what share of the
+    //      posting mass they carry, plus the stop mass above WinnowDfCap.
+    //      A healthy corpus is Zipfian — almost all shingles df=1..2
+    //      (bucket 0-1), a thin boilerplate head carrying outsized
+    //      postings — and THIS query is what a pipeline monitors to size
+    //      the cap before a viral header melts a reducer. floor(log2) is
+    //      length(bin(df))−1: pure integer in both engines, no float log.
+    //      Shapes: one vocabulary-keyed agg (fine keys), bucket census,
+    //      1-row broadcast for the shares ----
+    "q_shingle_df_profile" -> ((s, d) => {
+      val dfq = docs(s, d)
+        .select(explode(graft.functions.TextExprs
+          .shingleHashes(col("text"), 3)).as("h"))
+        .groupBy(col("h")).agg(count(lit(1)).as("df"))
+      val bucketed = dfq.withColumn("bucket",
+        (length(bin(col("df"))) - 1).cast("int"))
+      val tot = bucketed.agg(sum(col("df")).as("n_post"),
+        coalesce(sum(when(col("df") > WinnowDfCap, col("df"))), lit(0L))
+          .as("n_stop"))
+      bucketed.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_shingles"), sum(col("df")).as("n_postings"),
+          max(col("df")).as("max_df"))
+        .crossJoin(broadcast(tot))
+        .select(col("bucket"), col("n_shingles"), col("n_postings"),
+          col("max_df"),
+          expr("(n_postings * 10000) div n_post").as("postings_share_bp"),
+          expr("(n_stop * 10000) div n_post").as("stop_mass_bp"))
+        .orderBy("bucket")
+    }),
+
+    // ---- LSH banding S-curve tuner: the ANALYTIC twin of
+    //      q_dedup_recall_curve's measured recall. For each exact-Jaccard
+    //      band of the ngram ground-truth pairs, the expected candidate
+    //      probability P = 1 − (1 − j^r)^b of three (b,r) configs sharing
+    //      the 64-perm budget — the published S-curve a banding choice is
+    //      made from, evaluated on the corpus's OWN similarity
+    //      distribution instead of a textbook j grid. All powers are
+    //      EXPLICIT squaring chains (j2=j·j, j4=j2·j2, …, q32=q16·q16) —
+    //      the identical IEEE multiplication tree in both engines, no
+    //      libm pow — and per-pair probabilities round to integer basis
+    //      points BEFORE the sum, so the aggregate is order-independent.
+    //      Cost: one pass over the (already blocked) exact pair set ----
+    "q_lsh_tuning" -> ((s, d) => {
+      val px = ngramPairs(docs(s, d))
+        .select(expr("CAST(round(jaccard * 10000) AS INT) div 1000")
+          .as("jaccard_band"), col("jaccard").as("j"))
+        .withColumn("j2", col("j") * col("j"))
+        .withColumn("j4", col("j2") * col("j2"))
+        .withColumn("j8", col("j4") * col("j4"))
+      def cfg(b: Int, r: Int) = {
+        val jr = r match {
+          case 2 => col("j2"); case 4 => col("j4"); case 8 => col("j8")
+        }
+        px.select(col("jaccard_band"), lit(b).as("bands"),
+          lit(r).as("rows_per_band"), (lit(1.0) - jr).as("q"))
+      }
+      cfg(32, 2).unionByName(cfg(16, 4)).unionByName(cfg(8, 8))
+        .withColumn("q2", col("q") * col("q"))
+        .withColumn("q4", col("q2") * col("q2"))
+        .withColumn("q8", col("q4") * col("q4"))
+        .withColumn("q16", col("q8") * col("q8"))
+        .withColumn("q32", col("q16") * col("q16"))
+        .withColumn("p", lit(1.0) - when(col("bands") === 8, col("q8"))
+          .when(col("bands") === 16, col("q16")).otherwise(col("q32")))
+        .withColumn("p_bp", expr("CAST(round(p * 10000) AS BIGINT)"))
+        .groupBy(col("jaccard_band"), col("bands"), col("rows_per_band"))
+        .agg(count(lit(1)).as("n_pairs"), sum(col("p_bp")).as("s_bp"))
+        .withColumn("expected_recall_bp", expr("s_bp div n_pairs"))
+        .drop("s_bp")
+        .orderBy("jaccard_band", "bands")
     })
   )
 
@@ -1771,6 +1845,87 @@ object DedupOps {
         |FROM pr
         |JOIN bm a ON a.x = pr.doc_a AND a.y = pr.doc_b AND a.rn = 1
         |JOIN bm b ON b.x = pr.doc_b AND b.y = pr.doc_a AND b.rn = 1
-        |ORDER BY pr.doc_a, pr.doc_b""".stripMargin
+        |ORDER BY pr.doc_a, pr.doc_b""".stripMargin,
+
+    // floor(log2) as binary-string length: integer in both engines
+    "q_shingle_df_profile" -> {
+      import graft.functions.TextExprs._
+      s"""WITH h0 AS MATERIALIZED (
+         |  SELECT doc_id, ${shingleHashesSql("text", 3)} AS hashes
+         |  FROM documents),
+         |dfq AS MATERIALIZED (
+         |  SELECT h, CAST(count(*) AS BIGINT) AS df
+         |  FROM (SELECT unnest(hashes) AS h FROM h0) GROUP BY h),
+         |b AS (SELECT df, CAST(length(bin(df)) - 1 AS INT) AS bucket
+         |      FROM dfq),
+         |tot AS (SELECT CAST(sum(df) AS BIGINT) AS n_post,
+         |               CAST(coalesce(sum(CASE WHEN df > $WinnowDfCap
+         |                                  THEN df END), 0) AS BIGINT)
+         |                 AS n_stop
+         |        FROM b)
+         |SELECT bucket, CAST(count(*) AS BIGINT) AS n_shingles,
+         |       CAST(sum(df) AS BIGINT) AS n_postings, max(df) AS max_df,
+         |       (CAST(sum(df) AS BIGINT) * 10000) // n_post
+         |         AS postings_share_bp,
+         |       (n_stop * 10000) // n_post AS stop_mass_bp
+         |FROM b CROSS JOIN tot
+         |GROUP BY bucket, n_post, n_stop ORDER BY bucket""".stripMargin
+    },
+
+    // the same staged squaring chains as the engine — identical IEEE
+    // multiplication trees, integer basis points before any aggregation
+    "q_lsh_tuning" -> {
+      import graft.functions.TextExprs._
+      s"""WITH g AS MATERIALIZED (
+         |  SELECT doc_id, lang, n_chars // 64 AS size_bkt,
+         |                  ${charNgramHashesSql("text", 5)} AS grams
+         |           FROM documents),
+         |g2 AS MATERIALIZED (
+         |  SELECT doc_id, lang, size_bkt, ${minhashSigSql("grams", 8)} AS sig FROM g),
+         |g3 AS MATERIALIZED (
+         |  SELECT doc_id, lang, size_bkt, ${bandHashesSql("sig", 4, 2)} AS bands FROM g2),
+         |ex AS (SELECT doc_id, lang, size_bkt, b.range AS band, bands[b.range + 1] AS band_hash
+         |       FROM g3, range(0, 4) b),
+         |bk AS (SELECT lang, size_bkt, band, band_hash,
+         |              list_sort(list_distinct(list(doc_id)))[1:$BucketCap] AS bucket
+         |       FROM ex GROUP BY lang, size_bkt, band, band_hash
+         |       HAVING len(list_distinct(list(doc_id))) >= 2),
+         |cand AS (SELECT DISTINCT pa.x AS doc_a, pb.y AS doc_b
+         |         FROM bk, unnest(bk.bucket) AS pa(x), unnest(bk.bucket) AS pb(y)
+         |         WHERE pa.x < pb.y),
+         |pairs AS (
+         |  SELECT c.doc_a, c.doc_b,
+         |         round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+         |               / (len(a.grams) + len(b.grams)
+         |                  - len(list_intersect(a.grams, b.grams))), 4) AS jaccard
+         |  FROM cand c JOIN g a ON a.doc_id = c.doc_a JOIN g b ON b.doc_id = c.doc_b),
+         |px AS MATERIALIZED (
+         |  SELECT CAST(round(jaccard * 10000) AS INT) // 1000 AS jaccard_band,
+         |         jaccard AS j
+         |  FROM pairs WHERE jaccard >= 0.5),
+         |s1 AS (SELECT *, j*j AS j2 FROM px),
+         |s2 AS (SELECT *, j2*j2 AS j4 FROM s1),
+         |s3 AS MATERIALIZED (SELECT *, j4*j4 AS j8 FROM s2),
+         |uni AS (
+         |  SELECT jaccard_band, 32 AS bands, 2 AS rows_per_band,
+         |         1.0 - j2 AS q FROM s3
+         |  UNION ALL SELECT jaccard_band, 16, 4, 1.0 - j4 FROM s3
+         |  UNION ALL SELECT jaccard_band, 8, 8, 1.0 - j8 FROM s3),
+         |t1 AS (SELECT *, q*q AS q2 FROM uni),
+         |t2 AS (SELECT *, q2*q2 AS q4 FROM t1),
+         |t3 AS (SELECT *, q4*q4 AS q8 FROM t2),
+         |t4 AS (SELECT *, q8*q8 AS q16 FROM t3),
+         |t5 AS (SELECT *, q16*q16 AS q32 FROM t4),
+         |p AS (SELECT jaccard_band, bands, rows_per_band,
+         |        CAST(round((1.0 - CASE bands WHEN 8 THEN q8
+         |                           WHEN 16 THEN q16 ELSE q32 END) * 10000)
+         |             AS BIGINT) AS p_bp
+         |      FROM t5)
+         |SELECT jaccard_band, bands, rows_per_band,
+         |       CAST(count(*) AS BIGINT) AS n_pairs,
+         |       CAST(sum(p_bp) AS BIGINT) // CAST(count(*) AS BIGINT)
+         |         AS expected_recall_bp
+         |FROM p GROUP BY 1, 2, 3 ORDER BY jaccard_band, bands""".stripMargin
+    }
   )
 }

@@ -290,8 +290,50 @@ object GraphOps {
         .agg(count(lit(1)).as("n_nodes"), min(col("node")).as("min_node"),
           max(col("node")).as("max_node"))
         .orderBy("hop", "kind")
+    }),
+
+    // ---- link prediction over the bipartite projection (the classic
+    //      common-neighbors / neighborhood-Jaccard scorer): two suppliers
+    //      sharing many parts are substitution candidates — score every
+    //      co-supplying pair by |Γ(a)∩Γ(b)| and Jaccard of part
+    //      neighborhoods, report the top 20. ALL-INTEGER (counts + bp
+    //      floor division); the top-k cut orders on the unique (common,
+    //      s_a, s_b) triple so the limit boundary is deterministic.
+    //      Scale: the wedge self-join keys on the PART id (fine keys) and
+    //      applies the same df stop-cut as the dedup family — a part
+    //      supplied by > LinkDfCap suppliers is dropped BEFORE the join
+    //      (a universal supplier carries no affinity signal and would
+    //      emit O(df²) wedge rows from one hot key); degree joins key on
+    //      fine supplier ids; output is top-k (TakeOrdered), never a
+    //      global sort ----
+    "q_link_predict" -> ((s, d) => {
+      val e = Tables(s, d, "lineitem")
+        .select(col("l_suppkey").as("sk"), col("l_partkey").as("p"))
+        .distinct().persist()
+      val keep = e.groupBy(col("p")).agg(count(lit(1)).as("pdf"))
+        .filter(col("pdf") >= 2 && col("pdf") <= LinkDfCap)
+        .select(col("p"))
+      val ek = e.join(keep, "p")
+      val deg = e.groupBy(col("sk")).agg(count(lit(1)).as("deg"))
+      ek.select(col("p"), col("sk").as("s_a"))
+        .join(ek.select(col("p"), col("sk").as("s_b")), "p")
+        .filter(col("s_a") < col("s_b"))
+        .groupBy(col("s_a"), col("s_b")).agg(count(lit(1)).as("common"))
+        .join(deg.select(col("sk").as("s_a"), col("deg").as("da")), "s_a")
+        .join(deg.select(col("sk").as("s_b"), col("deg").as("db")), "s_b")
+        .select(col("s_a"), col("s_b"), col("common").as("common_parts"),
+          expr("(common * 10000) div (da + db - common)").as("jaccard_bp"))
+        .orderBy(col("common_parts").desc, col("s_a").asc, col("s_b").asc)
+        .limit(20)
     })
   )
+
+  /** Max suppliers per part admitted to the link-prediction wedge join —
+    * the [[DedupOps.WinnowDfCap]] stop-cut applied to graph projection:
+    * bounds any one part key's wedge output at cap²/2 rows. Mirrored in
+    * the oracle, so the gate stays exact.
+    */
+  val LinkDfCap = 64
 
   val oracles: Map[String, String] = Map(
     // identical recurrence, identical 9-dp per-iteration rounding; all
@@ -476,6 +518,23 @@ object GraphOps {
         |       CASE WHEN node % 2 = 0 THEN 'part' ELSE 'supplier' END AS kind,
         |       count(*) AS n_nodes, min(node) AS min_node,
         |       max(node) AS max_node
-        |FROM r3 GROUP BY hop, kind ORDER BY hop, kind""".stripMargin
+        |FROM r3 GROUP BY hop, kind ORDER BY hop, kind""".stripMargin,
+
+    // same df stop-cut, same integer Jaccard, same unique-triple ordering
+    "q_link_predict" ->
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT DISTINCT l_suppkey AS sk, l_partkey AS p FROM lineitem),
+         |keep AS (SELECT p FROM e GROUP BY p
+         |         HAVING count(*) BETWEEN 2 AND $LinkDfCap),
+         |ek AS (SELECT e.sk, e.p FROM e JOIN keep USING (p)),
+         |deg AS (SELECT sk, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY sk),
+         |w AS (SELECT a.sk AS s_a, b.sk AS s_b,
+         |             CAST(count(*) AS BIGINT) AS common
+         |      FROM ek a JOIN ek b ON a.p = b.p AND a.sk < b.sk
+         |      GROUP BY 1, 2)
+         |SELECT s_a, s_b, common AS common_parts,
+         |       (common * 10000) // (da.d + db.d - common) AS jaccard_bp
+         |FROM w JOIN deg da ON da.sk = w.s_a JOIN deg db ON db.sk = w.s_b
+         |ORDER BY common_parts DESC, s_a, s_b LIMIT 20""".stripMargin
   )
 }
