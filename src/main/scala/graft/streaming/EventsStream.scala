@@ -184,6 +184,49 @@ object EventsStream {
       }
   }
 
+  case class LateEvent(event_id: Long, event_type: String, secs: Long)
+  // public for the janino state-store serializer (the RingState caveat)
+  case class LatenessState(hwm: Long, n: Long, l1: Long, l5: Long,
+      lh: Long, mx: Long)
+  case class LatenessCensus(event_type: String, n_events: Long,
+      late_1m: Long, late_5m: Long, late_1h: Long, max_late_s: Long)
+
+  /** Streaming watermark-lateness census — the state-machine twin of the
+    * batch q_lateness_census (which measures from history what
+    * `withWatermark` horizon would have dropped how much). Per event type
+    * the state is SIX longs — the running event-time high-water mark and
+    * five counters — O(1) per key at any stream length, no window sort:
+    * the batch side's running-max window becomes a fold over arrival
+    * order. Events process in event_id (ingest) order within each
+    * micro-batch group; equivalence with the batch query holds when
+    * micro-batch cuts respect ingest order per key (true for a replayed
+    * log, pinned by StreamingSpec with controlled MemoryStream chunks).
+    * Emits the census-so-far per key each trigger (update mode) — exactly
+    * the live number an ingest dashboard sizes its watermark from.
+    */
+  def latenessCensus(events: Dataset[LateEvent]): Dataset[LatenessCensus] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_type)
+      .mapGroupsWithState[LatenessState, LatenessCensus](
+        GroupStateTimeout.NoTimeout) {
+        (typ: String, it: Iterator[LateEvent], state: GroupState[LatenessState]) =>
+          var s = state.getOption
+            .getOrElse(LatenessState(Long.MinValue, 0L, 0L, 0L, 0L, 0L))
+          it.toSeq.sortBy(_.event_id).foreach { e =>
+            val hwm = math.max(s.hwm, e.secs)
+            val late = hwm - e.secs
+            s = LatenessState(hwm, s.n + 1,
+              s.l1 + (if (late > 60) 1L else 0L),
+              s.l5 + (if (late > 300) 1L else 0L),
+              s.lh + (if (late > 3600) 1L else 0L),
+              math.max(s.mx, late))
+          }
+          state.update(s)
+          LatenessCensus(typ, s.n, s.l1, s.l5, s.lh, s.mx)
+      }
+  }
+
   /** Stream-stream interval join (attribution): purchases joined to every
     * same-user click in the preceding `windowMinutes`. Both sides carry
     * event-time watermarks and the join condition bounds click_ts relative

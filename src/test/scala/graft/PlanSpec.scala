@@ -281,6 +281,25 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(plan.toString.contains("partial_"), "star join lost partial agg")
   }
 
+  test("r9 additions: pruned scans, partial aggs, heap top-k, no stray hints") {
+    // q_shingle_df_profile reads ONLY text; its df agg partial-aggregates
+    val read = scans("q_shingle_df_profile").flatMap(_.schema.fieldNames).toSet
+    assert(read == Set("text"), s"read: $read")
+    assert(physical("q_shingle_df_profile").toString.contains("partial_"),
+      "q_shingle_df_profile lost partial aggregation")
+    // q_lsh_tuning's band census partial-aggregates (integer sums)
+    assert(physical("q_lsh_tuning").toString.contains("partial_"),
+      "q_lsh_tuning lost partial aggregation")
+    // q_link_predict's top-20 is a heap, not a global sort, and the wedge
+    // join carries no broadcast hint (the corpus-sized-relation rule)
+    assert(physical("q_link_predict").toString.contains("TakeOrderedAndProject"),
+      "q_link_predict lost the top-k heap")
+    val hinted = optimized("q_link_predict").collect { case j: Join => j.hint }
+      .filter(h => h.leftHint.flatMap(_.strategy).nonEmpty ||
+        h.rightHint.flatMap(_.strategy).nonEmpty)
+    assert(hinted.isEmpty, s"q_link_predict has join strategy hints: $hinted")
+  }
+
   test("weighted sample plans as per-partition top-k heaps, not a global sort") {
     // the 50-smallest-priority selection must be TakeOrderedAndProject
     // (constant rows moved per partition); a global Sort would shuffle the

@@ -136,6 +136,50 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("lateness-census state machine: batch fn == streamed fn == oracle query") {
+    // the watermark-sizing measure as a live stream: running high-water
+    // mark + five counters per event type, fed in ingest (event_id) order
+    // across two micro-batches; the final update per key must equal the
+    // batch window formulation exactly (all-integer state)
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val evs = Tables(spark, sf, "events")
+      .select(col("event_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("secs"))
+      .as[EventsStream.LateEvent]
+    val batchOut = EventsStream.latenessCensus(evs).collect()
+      .map(c => c.event_type -> c).toMap
+    val oracle = SparkEntry.queries("q_lateness_census")(spark, sf).collect()
+    assert(oracle.nonEmpty && oracle.length == batchOut.size)
+    oracle.foreach { r =>
+      val c = batchOut(r.getAs[String]("event_type"))
+      assert(c.n_events == r.getAs[Long]("n_events") &&
+        c.late_1m == r.getAs[Long]("late_1m") &&
+        c.late_5m == r.getAs[Long]("late_5m") &&
+        c.late_1h == r.getAs[Long]("late_1h") &&
+        c.max_late_s == r.getAs[Long]("max_late_s"),
+        s"batch fn vs query diverge at ${c.event_type}")
+    }
+    val rows = evs.collect().sortBy(_.event_id)
+    val cut = rows(rows.length / 2).event_id
+    val ms = MemoryStream[EventsStream.LateEvent](spark)
+    val sq = EventsStream.latenessCensus(ms.toDS()).writeStream
+      .format("memory").queryName("late_out").outputMode("update").start()
+    try {
+      ms.addData(rows.filter(_.event_id <= cut).toSeq)
+      sq.processAllAvailable()
+      ms.addData(rows.filter(_.event_id > cut).toSeq)
+      sq.processAllAvailable()
+    } finally sq.stop()
+    // update mode re-emits per trigger; the LAST row per key (max n_events)
+    // is the final census
+    val streamed = spark.table("late_out").as[EventsStream.LatenessCensus]
+      .collect().groupBy(_.event_type)
+      .map { case (k, cs) => k -> cs.maxBy(_.n_events) }
+    assert(streamed == batchOut,
+      s"stream vs batch: ${(streamed.toSet diff batchOut.toSet).take(3)}")
+  }
+
   test("streaming dedup (dropDuplicates + watermark) matches batch distinct") {
     // content-keyed streaming dedup: the state store holds one entry per key
     // until the watermark passes — the streaming form of exact dedup
