@@ -542,6 +542,59 @@ object CorpusOps {
         .filter(col("rk") <= 10)
         .select(col("source"), col("rk"), col("doc_id"))
         .orderBy("source", "rk")
+    }),
+
+    // ---- stratified exact-k sample THROUGH the native TopKPerKey
+    //      operator (q_group_sample_cap's semantics, the custom plan's
+    //      physics): exactly 5 docs per language, chosen by a
+    //      deterministic LCG priority — reproducible across engines,
+    //      runs, partitionings. Where the window formulation sorts each
+    //      partition, the native operator keeps ≤k-entry HEAPS per key in
+    //      both its partial and final passes (PlanSpec asserts
+    //      TopKPerKeyExec, zero window sorts) — per-stratum sampling at
+    //      100 TB moves k rows per key per partition, never the corpus.
+    //      LCG reduced mod 2³¹−1 before the multiply (the q_domain_sample
+    //      overflow discipline) ----
+    "q_stratified_sample" -> ((s, d) => {
+      val pr = docs(s, d).select(col("lang"), col("doc_id"),
+        expr("((doc_id % 2147483647) * 1103515245 + 12345) % 2147483647")
+          .as("priority"))
+      graft.plans.TopK.perKey(pr, Seq("lang"),
+          Seq("priority" -> true, "doc_id" -> true), 5)
+        .orderBy("lang", "priority", "doc_id")
+    }),
+
+    // ---- vocabulary drift census (distribution-shift monitoring): per
+    //      source, the Jaccard overlap between its top-50 tokens and the
+    //      CORPUS top-50 — the cheap early-warning number a multi-source
+    //      ingest watches; a source whose head vocabulary diverges from
+    //      the corpus (new language, spam burst, encoding break) drops
+    //      fast. ALL-INTEGER: ranks break ties on the token string, set
+    //      sizes and overlap are counts, drift is basis points. Shapes:
+    //      two fine-key token aggs; the global top-50 rides as a
+    //      broadcast; the per-source rank window partitions on source ----
+    "q_vocab_drift" -> ((s, d) => {
+      val tk = nonEmpty(docs(s, d))
+        .select(col("source"), explode(toks).as("t"))
+        .filter(col("t") =!= "")
+      val srcTop = tk.groupBy(col("source"), col("t"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("rk", row_number().over(Window.partitionBy(col("source"))
+          .orderBy(col("c").desc, col("t").asc)))
+        .filter(col("rk") <= 50)
+      val globTop = tk.groupBy(col("t")).agg(count(lit(1)).as("gc"))
+        .orderBy(col("gc").desc, col("t").asc).limit(50)
+        .select(col("t"), lit(1L).as("hit"))
+      val scored = srcTop.join(broadcast(globTop), Seq("t"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_top"),
+          coalesce(sum(col("hit")), lit(0L)).as("n_common"))
+      scored.select(col("source"), col("n_top"), col("n_common"),
+          expr("(n_common * 10000) div (n_top + 50 - n_common)")
+            .as("overlap_bp"),
+          expr("10000 - (n_common * 10000) div (n_top + 50 - n_common)")
+            .as("drift_bp"))
+        .orderBy("source")
     })
   )
 
@@ -596,6 +649,47 @@ object CorpusOps {
         |  FROM documents)
         |SELECT source, rk, doc_id FROM r WHERE rk <= 10
         |ORDER BY source, rk""".stripMargin,
+
+    // the oracle is the window formulation of the same exact-k selection —
+    // the native heap operator must agree row for row
+    "q_stratified_sample" ->
+      """WITH p AS (
+        |  SELECT lang, doc_id,
+        |         ((doc_id % 2147483647) * 1103515245 + 12345) % 2147483647
+        |           AS priority
+        |  FROM documents),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY lang
+        |        ORDER BY priority, doc_id) AS rn FROM p)
+        |SELECT lang, doc_id, priority FROM r WHERE rn <= 5
+        |ORDER BY lang, priority, doc_id""".stripMargin,
+
+    "q_vocab_drift" ->
+      """WITH tk AS (
+        |  SELECT source,
+        |         unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |tk2 AS (SELECT source, t FROM tk WHERE t <> ''),
+        |st AS (
+        |  SELECT source, t, count(*) AS c FROM tk2 GROUP BY source, t),
+        |sr AS (
+        |  SELECT source, t,
+        |         row_number() OVER (PARTITION BY source
+        |                            ORDER BY c DESC, t ASC) AS rk
+        |  FROM st),
+        |stop AS (SELECT source, t FROM sr WHERE rk <= 50),
+        |gtop AS (
+        |  SELECT t, 1 AS hit FROM (
+        |    SELECT t, count(*) AS gc FROM tk2 GROUP BY t
+        |    ORDER BY gc DESC, t ASC LIMIT 50)),
+        |sc AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_top,
+        |         CAST(coalesce(sum(hit), 0) AS BIGINT) AS n_common
+        |  FROM stop LEFT JOIN gtop USING (t) GROUP BY source)
+        |SELECT source, n_top, n_common,
+        |       (n_common * 10000) // (n_top + 50 - n_common) AS overlap_bp,
+        |       10000 - (n_common * 10000) // (n_top + 50 - n_common)
+        |         AS drift_bp
+        |FROM sc ORDER BY source""".stripMargin,
 
     "q_kanonymity" ->
       """WITH g AS (

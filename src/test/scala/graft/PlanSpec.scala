@@ -294,6 +294,13 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     // join carries no broadcast hint (the corpus-sized-relation rule)
     assert(physical("q_link_predict").toString.contains("TakeOrderedAndProject"),
       "q_link_predict lost the top-k heap")
+    // the stratified sample routes through the NATIVE per-key heap
+    // operator — zero window sorts anywhere in its plan
+    val sampPlan = physical("q_stratified_sample").toString
+    assert(sampPlan.contains("TopKPerKey"),
+      "q_stratified_sample does not use the native TopKPerKey operator")
+    assert(!sampPlan.contains("Window"),
+      "q_stratified_sample fell back to a window sort")
     val hinted = optimized("q_link_predict").collect { case j: Join => j.hint }
       .filter(h => h.leftHint.flatMap(_.strategy).nonEmpty ||
         h.rightHint.flatMap(_.strategy).nonEmpty)
