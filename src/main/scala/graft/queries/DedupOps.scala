@@ -195,8 +195,12 @@ object DedupOps {
     // `s == prevSum` a (vanishingly unlikely) false-converge. decimal(38,0)
     // holds Σ of 2^63-scale ids up to ~10^19 rows exactly: wrap-proof, still
     // one 1-row aggregate per round, no old-vs-new join.
+    // empty edge set ⇒ empty labels ⇒ null Σ: treat as 0 so the loop
+    // converges on the first round instead of NPE-ing (the incremental
+    // path can legitimately hand this an empty "old" graph)
     def sigma(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head.getDecimal(0)
+      Option(df.agg(sum(col("cluster_id").cast("decimal(38,0)")))
+        .head.getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
     var prevSum = sigma(labels)
     var converged = false
     var round = 0
@@ -914,6 +918,53 @@ object DedupOps {
         .withColumn("expected_recall_bp", expr("s_bp div n_pairs"))
         .drop("s_bp")
         .orderBy("jaccard_band", "bands")
+    }),
+
+    // ---- incremental cluster maintenance (the lakehouse story for
+    //      near-dup clusters): when an ingest batch lands, do NOT re-run
+    //      connected components over the whole corpus — CONTRACT
+    //      yesterday's clusters to their min-id representatives, run CC
+    //      only on the new edges mapped through those reps (a graph
+    //      bounded by the new batch, not the corpus), and compose. Sound
+    //      because contraction preserves connectivity and each rep IS the
+    //      minimum id of its old component, so the merged component's
+    //      min-over-reps equals its min-over-members — the oracle is the
+    //      FULL-corpus recursive closure and the gate proves incremental
+    //      == full recompute label for label. "New" batch = doc_id % 10
+    //      == 9 (the q_dedup_incremental split); yesterday's labels are
+    //      recomputed here for the gate — in production they are read
+    //      from the last run's output, which is the point ----
+    "q_cluster_increment" -> ((s, d) => {
+      val pairs = minhashPairs(docs(s, d))
+        .select(col("doc_a"), col("doc_b")).persist()
+      def isNew(c: org.apache.spark.sql.Column) = c % 10 === 9
+      val oldPairs = pairs.filter(!isNew(col("doc_a")) && !isNew(col("doc_b")))
+      val newPairs = pairs.filter(isNew(col("doc_a")) || isNew(col("doc_b")))
+      val ccOld = connectedComponents(oldPairs).persist()
+      val contracted = newPairs
+        .join(ccOld.select(col("doc_id").as("doc_a"),
+          col("cluster_id").as("ra")), Seq("doc_a"), "left")
+        .join(ccOld.select(col("doc_id").as("doc_b"),
+          col("cluster_id").as("rb")), Seq("doc_b"), "left")
+        .select(coalesce(col("ra"), col("doc_a")).as("sa"),
+          coalesce(col("rb"), col("doc_b")).as("sb"))
+        .filter(col("sa") =!= col("sb"))
+        .select(least(col("sa"), col("sb")).as("doc_a"),
+          greatest(col("sa"), col("sb")).as("doc_b"))
+        .distinct()
+      val supMap = connectedComponents(contracted)
+        .select(col("cluster_id").as("sup"), col("doc_id").as("rep"))
+      val docsInPairs = pairs.select(col("doc_a").as("doc_id"))
+        .unionByName(pairs.select(col("doc_b").as("doc_id"))).distinct()
+      docsInPairs
+        .join(ccOld, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("rep"))
+        .join(supMap, Seq("rep"), "left")
+        .select(col("doc_id"),
+          coalesce(col("sup"), col("rep")).as("cluster_id"))
+        .withColumn("is_keep", col("doc_id") === col("cluster_id"))
+        .orderBy("doc_id")
     })
   )
 
@@ -1160,6 +1211,27 @@ object DedupOps {
        |  FROM cand c JOIN s a ON a.doc_id = c.doc_a JOIN s b ON b.doc_id = c.doc_b)""".stripMargin
   }
 
+  /** Full-corpus recursive transitive closure over the confirmed minhash
+    * pairs — the oracle for BOTH q_dedup_clusters (which computes it
+    * directly) and q_cluster_increment (whose contracted incremental
+    * composition must reproduce it label for label).
+    */
+  private lazy val fullClusterClosureSql: String =
+    s"""WITH RECURSIVE $minhashPairCtes,
+       |pf AS MATERIALIZED (
+       |  SELECT doc_a, doc_b FROM pairs WHERE est_jaccard >= 0.5),
+       |edges AS MATERIALIZED (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pf
+       |  UNION SELECT doc_b, doc_a FROM pf),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |lab AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+       |        FROM reach GROUP BY src)
+       |SELECT doc_id, cluster_id, (doc_id = cluster_id) AS is_keep
+       |FROM lab ORDER BY doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_dups
@@ -1245,21 +1317,11 @@ object DedupOps {
     // transitive closure of the confirmed pair set; cluster id = least
     // reachable doc_id — identical semantics to the Spark min-label
     // propagation fixpoint
-    "q_dedup_clusters" ->
-      s"""WITH RECURSIVE $minhashPairCtes,
-         |pf AS MATERIALIZED (
-         |  SELECT doc_a, doc_b FROM pairs WHERE est_jaccard >= 0.5),
-         |edges AS MATERIALIZED (
-         |  SELECT doc_a AS src, doc_b AS dst FROM pf
-         |  UNION SELECT doc_b, doc_a FROM pf),
-         |reach(src, dst) AS (
-         |  SELECT src, dst FROM edges
-         |  UNION
-         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
-         |lab AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
-         |        FROM reach GROUP BY src)
-         |SELECT doc_id, cluster_id, (doc_id = cluster_id) AS is_keep
-         |FROM lab ORDER BY doc_id""".stripMargin,
+    "q_dedup_clusters" -> fullClusterClosureSql,
+
+    // the incremental composition must equal the FULL recompute label for
+    // label — the oracle IS the full-corpus closure, verbatim
+    "q_cluster_increment" -> fullClusterClosureSql,
 
     "q_cluster_density" ->
       s"""WITH RECURSIVE $minhashPairCtes,

@@ -414,6 +414,48 @@ class TextDedupSpec extends AnyFunSuite with SparkSpec {
         s"${nViral.toLong * (nViral - 1) / 2} uncapped)")
   }
 
+  test("incremental cluster composition equals full CC when a new doc merges two old clusters") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.queries.DedupOps.connectedComponents
+    // old graph: two separate components {1,2} and {10,11}; the new batch
+    // (ids % 10 == 9) brings doc 19 adjacent to BOTH — full CC merges
+    // everything into one min-label-1 component, and the contracted
+    // composition must reproduce exactly that
+    val pairs = Seq((1L, 2L), (10L, 11L), (2L, 19L), (11L, 19L), (29L, 39L))
+      .toDF("doc_a", "doc_b").repartition(3)
+    def isNew(c: org.apache.spark.sql.Column) = c % 10 === 9
+    val full = connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val oldPairs = pairs.filter(!isNew(col("doc_a")) && !isNew(col("doc_b")))
+    val newPairs = pairs.filter(isNew(col("doc_a")) || isNew(col("doc_b")))
+    val ccOld = connectedComponents(oldPairs)
+    val contracted = newPairs
+      .join(ccOld.select(col("doc_id").as("doc_a"), col("cluster_id").as("ra")),
+        Seq("doc_a"), "left")
+      .join(ccOld.select(col("doc_id").as("doc_b"), col("cluster_id").as("rb")),
+        Seq("doc_b"), "left")
+      .select(coalesce(col("ra"), col("doc_a")).as("sa"),
+        coalesce(col("rb"), col("doc_b")).as("sb"))
+      .filter(col("sa") =!= col("sb"))
+      .select(least(col("sa"), col("sb")).as("doc_a"),
+        greatest(col("sa"), col("sb")).as("doc_b")).distinct()
+    val supMap = connectedComponents(contracted)
+      .select(col("cluster_id").as("sup"), col("doc_id").as("rep"))
+    val docsInPairs = pairs.select(col("doc_a").as("doc_id"))
+      .unionByName(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    val inc = docsInPairs.join(ccOld, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("rep"))
+      .join(supMap, Seq("rep"), "left")
+      .select(col("doc_id"), coalesce(col("sup"), col("rep")).as("cluster_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(full.values.toSet.contains(1L) && full(19L) == 1L && full(11L) == 1L,
+      s"fixture broken: full CC did not merge across the batch ($full)")
+    assert(inc == full, s"incremental diverges: inc=$inc full=$full")
+    // the all-new-edge component {29,39} survives with no old labels at all
+    assert(inc(39L) == 29L)
+  }
+
   test("multi-pass SN catches the first-character blind spot pass 1 misses") {
     import spark.implicits._
     // two docs identical except the FIRST word: different pass-1 blocks
