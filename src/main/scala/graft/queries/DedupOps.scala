@@ -891,12 +891,15 @@ object DedupOps {
     //      points BEFORE the sum, so the aggregate is order-independent.
     //      Cost: one pass over the (already blocked) exact pair set ----
     "q_lsh_tuning" -> ((s, d) => {
+      // persisted: all three config branches read px — uncached, each
+      // union branch re-runs the whole ngram pair chain (measured 3×)
       val px = ngramPairs(docs(s, d))
         .select(expr("CAST(round(jaccard * 10000) AS INT) div 1000")
           .as("jaccard_band"), col("jaccard").as("j"))
         .withColumn("j2", col("j") * col("j"))
         .withColumn("j4", col("j2") * col("j2"))
         .withColumn("j8", col("j4") * col("j4"))
+        .persist()
       def cfg(b: Int, r: Int) = {
         val jr = r match {
           case 2 => col("j2"); case 4 => col("j4"); case 8 => col("j8")

@@ -310,17 +310,28 @@ object GraphOps {
       val e = Tables(s, d, "lineitem")
         .select(col("l_suppkey").as("sk"), col("l_partkey").as("p"))
         .distinct().persist()
-      val keep = e.groupBy(col("p")).agg(count(lit(1)).as("pdf"))
+      // ONE p-keyed exchange for cut + bucket: the window count shares the
+      // groupBy's hash shuffle (the cappedBuckets device), the df filter
+      // runs BEFORE collect_set so no buffer ever exceeds LinkDfCap rows,
+      // and pairs explode from the bucket array — no second shuffle of e
+      // for a self-join
+      val withCnt = e.withColumn("pdf",
+        count(lit(1)).over(Window.partitionBy(col("p"))))
         .filter(col("pdf") >= 2 && col("pdf") <= LinkDfCap)
-        .select(col("p"))
-      val ek = e.join(keep, "p")
-      val deg = e.groupBy(col("sk")).agg(count(lit(1)).as("deg"))
-      ek.select(col("p"), col("sk").as("s_a"))
-        .join(ek.select(col("p"), col("sk").as("s_b")), "p")
-        .filter(col("s_a") < col("s_b"))
+      val bkt = withCnt.groupBy(col("p"))
+        .agg(sort_array(collect_set(col("sk"))).as("bucket"))
+      val pairs = bkt
+        .select(explode(DedupOps.pairsFromBucket(col("bucket"))).as("pr"))
+        .select(col("pr.doc_a").as("s_a"), col("pr.doc_b").as("s_b"))
         .groupBy(col("s_a"), col("s_b")).agg(count(lit(1)).as("common"))
-        .join(deg.select(col("sk").as("s_a"), col("deg").as("da")), "s_a")
-        .join(deg.select(col("sk").as("s_b"), col("deg").as("db")), "s_b")
+      // degree census is supplier-cardinality (dim-sized, the
+      // q_copurchase_rules supp bound) — broadcast both sides
+      val deg = e.groupBy(col("sk")).agg(count(lit(1)).as("deg"))
+      pairs
+        .join(broadcast(deg.select(col("sk").as("s_a"),
+          col("deg").as("da"))), "s_a")
+        .join(broadcast(deg.select(col("sk").as("s_b"),
+          col("deg").as("db"))), "s_b")
         .select(col("s_a"), col("s_b"), col("common").as("common_parts"),
           expr("(common * 10000) div (da + db - common)").as("jaccard_bp"))
         .orderBy(col("common_parts").desc, col("s_a").asc, col("s_b").asc)

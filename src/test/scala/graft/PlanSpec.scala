@@ -290,10 +290,14 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     // q_lsh_tuning's band census partial-aggregates (integer sums)
     assert(physical("q_lsh_tuning").toString.contains("partial_"),
       "q_lsh_tuning lost partial aggregation")
-    // q_link_predict's top-20 is a heap, not a global sort, and the wedge
-    // join carries no broadcast hint (the corpus-sized-relation rule)
-    assert(physical("q_link_predict").toString.contains("TakeOrderedAndProject"),
+    // q_link_predict's top-20 is a heap, not a global sort; wedges come
+    // from ONE capped bucket pass (no e⋈e self-join), and the only
+    // broadcasts are the dim-sized degree censuses
+    val lpPlan = physical("q_link_predict")
+    assert(lpPlan.toString.contains("TakeOrderedAndProject"),
       "q_link_predict lost the top-k heap")
+    val lpBhj = lpPlan.collect { case b: BroadcastHashJoinExec => b }
+    assert(lpBhj.size == 2, s"expected 2 broadcast degree joins, got ${lpBhj.size}")
     // the stratified sample routes through the NATIVE per-key heap
     // operator — zero window sorts anywhere in its plan
     val sampPlan = physical("q_stratified_sample").toString
@@ -301,10 +305,6 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       "q_stratified_sample does not use the native TopKPerKey operator")
     assert(!sampPlan.contains("Window"),
       "q_stratified_sample fell back to a window sort")
-    val hinted = optimized("q_link_predict").collect { case j: Join => j.hint }
-      .filter(h => h.leftHint.flatMap(_.strategy).nonEmpty ||
-        h.rightHint.flatMap(_.strategy).nonEmpty)
-    assert(hinted.isEmpty, s"q_link_predict has join strategy hints: $hinted")
   }
 
   test("weighted sample plans as per-partition top-k heaps, not a global sort") {
