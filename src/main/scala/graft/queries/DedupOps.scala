@@ -923,6 +923,40 @@ object DedupOps {
         .orderBy("jaccard_band", "bands")
     }),
 
+    // ---- MinHash estimator calibration (completes the self-measurement
+    //      triad: recall curve = what the banding MISSES, S-curve tuner =
+    //      what theory PREDICTS, this = how far the ESTIMATE itself sits
+    //      from truth): for every confirmed pair, the exact shingle-set
+    //      Jaccard (same 3-word feature space the signature sketches — an
+    //      apples-to-apples residual, unlike comparing against the char-
+    //      5-gram chain) and the |est − exact| residual in basis points,
+    //      censused per estimate band. Expected |err| ~ √(j(1−j)/64) ≈
+    //      600 bp at j=0.5 — a pipeline alerts when the measured residual
+    //      drifts above the binomial bound (hash corruption, truncated
+    //      sigs). Per-pair integer rounding BEFORE the sum (the
+    //      q_lsh_tuning discipline); verification joins shuffle on fine
+    //      doc ids; the hash arrays never broadcast ----
+    "q_minhash_calibration" -> ((s, d) => {
+      val hs = docs(s, d).select(col("doc_id"),
+        graft.functions.TextExprs.shingleHashes(col("text"), 3).as("hs"))
+        .persist()
+      minhashPairs(docs(s, d))
+        .join(hs.select(col("doc_id").as("doc_a"), col("hs").as("ha")), "doc_a")
+        .join(hs.select(col("doc_id").as("doc_b"), col("hs").as("hb")), "doc_b")
+        .withColumn("inter", size(array_intersect(col("ha"), col("hb"))))
+        .withColumn("exact", round(col("inter").cast("double") /
+          (size(col("ha")) + size(col("hb")) - col("inter")), 4))
+        .withColumn("err_bp",
+          expr("CAST(round(abs(est_jaccard - exact) * 10000) AS BIGINT)"))
+        .withColumn("band",
+          expr("CAST(round(est_jaccard * 10000) AS INT) div 1000"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_pairs"), sum(col("err_bp")).as("s_bp"),
+          max(col("err_bp")).as("max_err_bp"))
+        .withColumn("mean_err_bp", expr("s_bp div n_pairs")).drop("s_bp")
+        .orderBy("band")
+    }),
+
     // ---- incremental cluster maintenance (the lakehouse story for
     //      near-dup clusters): when an ingest batch lands, do NOT re-run
     //      connected components over the whole corpus — CONTRACT
@@ -1325,6 +1359,31 @@ object DedupOps {
     // the incremental composition must equal the FULL recompute label for
     // label — the oracle IS the full-corpus closure, verbatim
     "q_cluster_increment" -> fullClusterClosureSql,
+
+    // exact Jaccard from the SAME materialized hash lists the signature
+    // chain consumed (h0) — identical residual arithmetic, per-pair
+    // integer rounding before the census sum
+    "q_minhash_calibration" ->
+      s"""WITH $minhashPairCtes,
+         |mp AS (SELECT doc_a, doc_b, est_jaccard FROM pairs
+         |       WHERE est_jaccard >= 0.5),
+         |j AS (
+         |  SELECT mp.est_jaccard,
+         |         len(list_intersect(a.hashes, b.hashes)) AS i,
+         |         len(a.hashes) AS la, len(b.hashes) AS lb
+         |  FROM mp JOIN h0 a ON a.doc_id = mp.doc_a
+         |          JOIN h0 b ON b.doc_id = mp.doc_b),
+         |x AS (
+         |  SELECT CAST(round(est_jaccard * 10000) AS INT) // 1000 AS band,
+         |         CAST(round(abs(est_jaccard -
+         |             round(CAST(i AS DOUBLE) / (la + lb - i), 4)) * 10000)
+         |           AS BIGINT) AS err_bp
+         |  FROM j)
+         |SELECT band, CAST(count(*) AS BIGINT) AS n_pairs,
+         |       max(err_bp) AS max_err_bp,
+         |       CAST(sum(err_bp) AS BIGINT) // CAST(count(*) AS BIGINT)
+         |         AS mean_err_bp
+         |FROM x GROUP BY band ORDER BY band""".stripMargin,
 
     "q_cluster_density" ->
       s"""WITH RECURSIVE $minhashPairCtes,

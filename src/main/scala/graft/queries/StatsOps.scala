@@ -409,6 +409,51 @@ object StatsOps {
         .orderBy(col("cnt").desc, col("token").asc)
     }),
 
+    // ---- Count-Min JOIN-SIZE estimation (the sketch as a planning aid,
+    //      the published inner-product use: |A ⋈ B| on a key = Σ_t
+    //      cntA(t)·cntB(t), estimated as min over the d rows of the
+    //      sketch inner product Σ_j a[i][j]·b[i][j] — what a distributed
+    //      optimizer consults to choose broadcast vs shuffle BEFORE
+    //      paying the join). Guarantees carried into the gate: the
+    //      estimate never undercounts (every product lands in some
+    //      shared slot — deterministic) and overshoots by ≤ ε·Na·Nb with
+    //      ε = e/w (fixed hashes ⇒ one deterministic number, asserted ≤
+    //      3·Na·Nb/w). ALL moments in decimal(38,0) — at 100 TB the
+    //      exact Σ cntA·cntB (~10²⁸) wraps BIGINT, the q_token_budget
+    //      overflow discipline. The two corpora halves are sketched in
+    //      one pass each (16 KB partials); the exact anchor is two
+    //      fine-key token aggs + one vocabulary join ----
+    "q_cms_join_est" -> ((s, d) => {
+      val (dRows, wCols) = (4, 512)
+      def toksOf(f: DataFrame) = f
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+        .filter(col("token") =!= "")
+      val docsDf = Tables(s, d, "documents")
+      val a = toksOf(docsDf.filter(col("doc_id") % 2 === 0))
+      val b = toksOf(docsDf.filter(col("doc_id") % 2 === 1))
+      val skA = a.agg(CountMin.countMin(col("token"), dRows, wCols).as("cms_a"),
+        count(lit(1)).as("n_a"))
+      val skB = b.agg(CountMin.countMin(col("token"), dRows, wCols).as("cms_b"),
+        count(lit(1)).as("n_b"))
+      val exact = a.groupBy(col("token")).agg(count(lit(1)).as("ca"))
+        .join(b.groupBy(col("token")).agg(count(lit(1)).as("cb")), "token")
+        .agg(coalesce(sum(col("ca").cast("decimal(38,0)") * col("cb")),
+          lit(0).cast("decimal(38,0)")).as("nj"))
+      skA.crossJoin(broadcast(skB)).crossJoin(broadcast(exact))
+        .withColumn("est", expr(
+          s"""array_min(transform(sequence(0, ${dRows - 1}), i ->
+             |  aggregate(zip_with(slice(cms_a, i * $wCols + 1, $wCols),
+             |                     slice(cms_b, i * $wCols + 1, $wCols),
+             |                     (x, y) -> CAST(x AS DECIMAL(38,0)) * y),
+             |    CAST(0 AS DECIMAL(38,0)), (acc, v) -> acc + v)))""".stripMargin))
+        .select(col("n_a").as("n_tok_a"), col("n_b").as("n_tok_b"),
+          col("nj").cast("long").as("n_exact_join"),
+          (col("est") >= col("nj")).cast("int").as("est_ge_exact"),
+          ((col("est") - col("nj")) * wCols.toLong <=
+            lit(3).cast("decimal(38,0)") * col("n_a") * col("n_b"))
+            .cast("int").as("est_within_bound"))
+    }),
+
     // ---- incremental Count-Min maintenance (the q_pq_append story for
     //      sketches): the historical corpus half and the new-ingest half
     //      are sketched INDEPENDENTLY, merged by element-wise addition
@@ -627,6 +672,28 @@ object StatsOps {
     // guarantee flags are 1: est ≥ cnt is the deterministic no-undercount
     // property, the width bound is the fixed-hash ε·N check — a Spark
     // sketch violating either fails the hash gate
+    // exact join size + totals recomputed in SQL; the sketch-side flags
+    // are deterministic for fixed hashes, asserted as constants (the
+    // q_cms_freq gate device)
+    "q_cms_join_est" ->
+      """WITH tok AS (
+        |  SELECT doc_id % 2 AS side, t.token
+        |  FROM documents,
+        |       unnest(regexp_split_to_array(lower(trim(text)), '\s+'))
+        |         AS t(token)
+        |  WHERE t.token <> ''),
+        |ca AS (SELECT token, count(*) AS c FROM tok WHERE side = 0
+        |       GROUP BY token),
+        |cb AS (SELECT token, count(*) AS c FROM tok WHERE side = 1
+        |       GROUP BY token),
+        |nj AS (SELECT CAST(coalesce(sum(ca.c * cb.c), 0) AS BIGINT) AS j
+        |       FROM ca JOIN cb USING (token)),
+        |na AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok WHERE side = 0),
+        |nb AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok WHERE side = 1)
+        |SELECT na.n AS n_tok_a, nb.n AS n_tok_b, nj.j AS n_exact_join,
+        |       1 AS est_ge_exact, 1 AS est_within_bound
+        |FROM na CROSS JOIN nb CROSS JOIN nj""".stripMargin,
+
     "q_cms_freq" ->
       """WITH tok AS (
         |  SELECT t.token
