@@ -923,6 +923,52 @@ object DedupOps {
         .orderBy("jaccard_band", "bands")
     }),
 
+    // ---- LSH pipeline cost census (observability for the dedup stack's
+    //      own cost model): the stage-by-stage candidate funnel — docs →
+    //      band entries → ≥2-member buckets → distinct candidate pairs →
+    //      confirmed pairs — plus candidate share of C(n,2) and
+    //      precision, in basis points. THESE are the numbers a production
+    //      dedup run charts per batch: a boilerplate burst shows up as a
+    //      candidate-count spike (bucket blowup) long before a reducer
+    //      dies, and precision collapsing says the banding no longer fits
+    //      the corpus (q_lsh_tuning says what to re-tune it to). All
+    //      counts deterministic; C(n,2) in decimal(38,0) — n(n−1) wraps
+    //      BIGINT past ~3·10⁹ docs ----
+    "q_lsh_cost_census" -> ((s, d) => {
+      import graft.functions.TextExprs
+      val sigs = docs(s, d).select(col("doc_id"),
+        TextExprs.minhashSig(
+          TextExprs.shingleHashes(col("text"), 3), 64).as("sig"))
+        .persist()
+      val banded = sigs.select(col("doc_id"),
+        posexplode(TextExprs.bandHashes(col("sig"), 16, 4))
+          .as(Seq("band", "band_hash")))
+      val buckets = cappedBuckets(banded, "doc_id", "band", "band_hash")
+        .persist()
+      val cand = buckets
+        .select(explode(pairsFromBucket(col("bucket"))).as("p"))
+        .select(col("p.doc_a"), col("p.doc_b")).distinct().persist()
+      val a = sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+      val b = sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+      val confirmed = cand.join(a, "doc_a").join(b, "doc_b")
+        .filter(round(TextExprs.sigMatchFrac(col("sig_a"), col("sig_b")), 4)
+          >= 0.5)
+      val nd = sigs.agg(count(lit(1)).as("n_docs"))
+      val ne = banded.agg(count(lit(1)).as("n_band_entries"))
+      val nb = buckets.agg(count(lit(1)).as("n_hot_buckets"))
+      val nc = cand.agg(count(lit(1)).as("n_candidates"))
+      val nf = confirmed.agg(count(lit(1)).as("n_confirmed"))
+      nd.crossJoin(broadcast(ne)).crossJoin(broadcast(nb))
+        .crossJoin(broadcast(nc)).crossJoin(broadcast(nf))
+        .select(col("n_docs"), col("n_band_entries"), col("n_hot_buckets"),
+          col("n_candidates"), col("n_confirmed"),
+          expr("""(n_candidates * 10000) div
+                 |(CAST(n_docs AS DECIMAL(38,0)) * (n_docs - 1) div 2)"""
+            .stripMargin).as("cand_share_bp"),
+          expr("(n_confirmed * 10000) div n_candidates")
+            .as("precision_bp"))
+    }),
+
     // ---- MinHash estimator calibration (completes the self-measurement
     //      triad: recall curve = what the banding MISSES, S-curve tuner =
     //      what theory PREDICTS, this = how far the ESTIMATE itself sits
@@ -1359,6 +1405,25 @@ object DedupOps {
     // the incremental composition must equal the FULL recompute label for
     // label — the oracle IS the full-corpus closure, verbatim
     "q_cluster_increment" -> fullClusterClosureSql,
+
+    // every stage count reads the shared chain's own CTEs — the census IS
+    // the chain's instrumentation
+    "q_lsh_cost_census" ->
+      s"""WITH $minhashPairCtes,
+         |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM s),
+         |ne AS (SELECT CAST(count(*) AS BIGINT) AS n_band_entries FROM ex),
+         |nb AS (SELECT CAST(count(*) AS BIGINT) AS n_hot_buckets FROM bk),
+         |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM cand),
+         |nf AS (SELECT CAST(count(*) AS BIGINT) AS n_confirmed FROM pairs
+         |       WHERE est_jaccard >= 0.5)
+         |SELECT n_docs, n_band_entries, n_hot_buckets, n_candidates,
+         |       n_confirmed,
+         |       CAST((n_candidates * 10000) //
+         |            (n_docs::HUGEINT * (n_docs - 1) // 2) AS BIGINT)
+         |         AS cand_share_bp,
+         |       (n_confirmed * 10000) // n_candidates AS precision_bp
+         |FROM nd CROSS JOIN ne CROSS JOIN nb CROSS JOIN nc
+         |     CROSS JOIN nf""".stripMargin,
 
     // exact Jaccard from the SAME materialized hash lists the signature
     // chain consumed (h0) — identical residual arithmetic, per-pair
