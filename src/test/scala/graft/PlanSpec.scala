@@ -446,6 +446,12 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     // the dedup verify joins re-shuffle the O(corpus) signature table on doc
     // id in the unbucketed plan; a corpus stored bucketed on doc_id exposes
     // HashPartitioning straight from the scan, so those exchanges vanish
+    // plan-building in OTHER tests registers persist() fragments (e.g.
+    // q_lsh_cost_census's candidate set) in the shared session's cache
+    // manager; the substituted InMemoryRelations would elide exchanges
+    // from the unbucketed plan and break the strict comparison — count
+    // both plans from a clean cache
+    spark.catalog.clearCache()
     withoutAQE(withConf("spark.sql.autoBroadcastJoinThreshold", "-1") {
       def exchanges(df: org.apache.spark.sql.DataFrame): Int =
         df.queryExecution.executedPlan
