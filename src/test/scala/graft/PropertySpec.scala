@@ -216,6 +216,46 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("incremental contracted-CC composition equals full CC on random graphs and splits") {
+    import spark.implicits._
+    val caseGen = for {
+      raw <- Gen.listOfN(25,
+        Gen.zip(Gen.chooseNum(0L, 19L), Gen.chooseNum(0L, 19L)))
+      newMask <- Gen.listOfN(20, Gen.oneOf(true, false))
+    } yield (raw.collect {
+      case (a, b) if a != b => (math.min(a, b), math.max(a, b))
+    }.distinct, newMask.zipWithIndex.collect { case (true, i) => i.toLong }.toSet)
+    samples(caseGen.suchThat(_._1.nonEmpty), 5).foreach { case (edges, newNodes) =>
+      val full = graft.queries.DedupOps.connectedComponents(
+          edges.toDF("doc_a", "doc_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val oldPairs = edges.filter { case (a, b) =>
+        !newNodes(a) && !newNodes(b) }
+      val newPairs = edges.filter { case (a, b) =>
+        newNodes(a) || newNodes(b) }
+      val ccOld =
+        if (oldPairs.isEmpty) Map.empty[Long, Long]
+        else graft.queries.DedupOps.connectedComponents(
+            oldPairs.toDF("doc_a", "doc_b"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      def rep(x: Long) = ccOld.getOrElse(x, x)
+      val contracted = newPairs.map { case (a, b) => (rep(a), rep(b)) }
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      val sup =
+        if (contracted.isEmpty) Map.empty[Long, Long]
+        else graft.queries.DedupOps.connectedComponents(
+            contracted.toDF("doc_a", "doc_b"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val docsInPairs = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val inc = docsInPairs.map { x =>
+        val r = rep(x); x -> sup.getOrElse(r, r)
+      }.toMap
+      assert(inc == full,
+        s"edges=$edges newNodes=$newNodes inc=$inc full=$full")
+    }
+  }
+
   test("connectedComponents resolves a deep chain (pointer-halving path)") {
     // a 100-node path with the minimum at one END is the adversarial shape:
     // pure min-propagation needs ~100 rounds (one Spark job each); the
