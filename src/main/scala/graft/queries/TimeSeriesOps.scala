@@ -195,6 +195,29 @@ object TimeSeriesOps {
         .orderBy("bin")
     }),
 
+    // ---- day-of-week seasonality profile: per (event_type, dow), event
+    //      count and basis-point share within the type, plus the type's
+    //      peak day — the weekly-periodicity census capacity planning and
+    //      anomaly baselines start from. dow is PURE INTEGER arithmetic,
+    //      (day + 4) % 7 with 0 = Monday (1970-01-01 was a Thursday) —
+    //      both engines' dayofweek() builtins disagree on the week start,
+    //      so neither is used. One map-side-combined fine-key agg; the
+    //      per-type total and argmax ride a type-cardinality broadcast ----
+    "q_seasonal_profile" -> ((s, d) => {
+      val dow = ev(s, d).withColumn("dow", expr("(day + 4) % 7"))
+        .groupBy(col("event_type"), col("dow"))
+        .agg(count(lit(1)).as("n_events"))
+      val per = dow.groupBy(col("event_type"))
+        .agg(sum(col("n_events")).as("n_type"),
+          max_by(col("dow"), struct(col("n_events"), -col("dow")))
+            .as("peak_dow"))
+      dow.join(broadcast(per), "event_type")
+        .select(col("event_type"), col("dow"), col("n_events"),
+          expr("(n_events * 10000) div n_type").as("share_bp"),
+          col("peak_dow"))
+        .orderBy("event_type", "dow")
+    }),
+
     // ---- watermark-lateness census (the number that SIZES a streaming
     //      watermark): for each event, lateness = running event-time
     //      high-water mark at its ARRIVAL (event_id = ingest order) minus
@@ -404,6 +427,30 @@ object TimeSeriesOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // same integer dow ((day + 4) % 7, 0 = Monday); peak via row_number
+    // on the identical (n desc, dow asc) total order
+    "q_seasonal_profile" ->
+      """WITH dw AS (
+        |  SELECT event_type,
+        |         ((CAST(floor(epoch(ts)) AS BIGINT) // 86400) + 4) % 7
+        |           AS dow,
+        |         count(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |per AS (
+        |  SELECT event_type, CAST(sum(n_events) AS BIGINT) AS n_type
+        |  FROM dw GROUP BY 1),
+        |pk AS (
+        |  SELECT event_type, dow AS peak_dow FROM (
+        |    SELECT event_type, dow,
+        |           row_number() OVER (PARTITION BY event_type
+        |             ORDER BY n_events DESC, dow ASC) AS rn
+        |    FROM dw) WHERE rn = 1)
+        |SELECT dw.event_type, dow, n_events,
+        |       (n_events * 10000) // n_type AS share_bp, peak_dow
+        |FROM dw JOIN per ON dw.event_type = per.event_type
+        |        JOIN pk ON dw.event_type = pk.event_type
+        |ORDER BY dw.event_type, dow""".stripMargin,
+
     "q_resample_ffill" ->
       """WITH e AS (
         |  SELECT user_id, event_id, value,
