@@ -147,6 +147,47 @@ object DocsStream {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
 
+  case class DocPriority(lang: String, doc_id: Long, priority: Long)
+  // public for the janino state-store serializer (the EventsStream
+  // RingState caveat); holds ≤k "id:priority" slots packed in one string
+  case class SampleState(packed: String)
+
+  /** Streaming stratified exact-k sample — the bounded-state twin of
+    * q_stratified_sample's native TopKPerKey heap: per language the state
+    * is the k smallest (priority, doc_id) pairs seen so far, O(k) per key
+    * at any stream length, folded exactly like the batch operator's
+    * partial heaps. Because the priority is a DETERMINISTIC function of
+    * doc_id (the shared LCG), the final k per stratum is a pure function
+    * of the row SET — independent of arrival order and micro-batch cuts —
+    * so stream == batch fn == the oracle-gated query row for row, not
+    * merely set-equivalent (StreamingSpec pins all three). This is why
+    * hash-priority sampling, not RNG sampling, is the streamable design:
+    * random() state would make the sample depend on replay history.
+    */
+  def stratifiedSample(docs: DataFrame, k: Int = 5): DataFrame = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val prio = docs.select(col("lang"), col("doc_id"),
+      expr("((doc_id % 2147483647) * 1103515245 + 12345) % 2147483647")
+        .as("priority")).as[DocPriority]
+    prio.groupByKey(_.lang)
+      .flatMapGroupsWithState[SampleState, DocPriority](
+        org.apache.spark.sql.streaming.OutputMode.Update,
+        GroupStateTimeout.NoTimeout) {
+        (lang: String, it: Iterator[DocPriority],
+            state: org.apache.spark.sql.streaming.GroupState[SampleState]) =>
+          val prev = state.getOption.filter(_.packed.nonEmpty)
+            .map(_.packed.split(',').toList.map { s =>
+              val Array(i, p) = s.split(':'); (p.toLong, i.toLong)
+            }).getOrElse(Nil)
+          val next = (prev ++ it.map(d => (d.priority, d.doc_id)))
+            .distinct.sorted.take(k)
+          state.update(SampleState(
+            next.map { case (p, i) => s"$i:$p" }.mkString(",")))
+          next.iterator.map { case (p, i) => DocPriority(lang, i, p) }
+      }.toDF()
+  }
+
   /** Load the documents table as a STREAM from a parquet directory.
     * `filesPerTrigger > 0` throttles ingest so a multi-file directory
     * arrives as multiple micro-batches (exercises cross-batch state). */

@@ -332,6 +332,44 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       s"stream vs batch twin: ${(streamed.toSet diff batch.toSet).take(3)}")
   }
 
+  test("streaming stratified sample: stream == batch fn == native-operator query") {
+    // deterministic hash priorities make the exact-k sample a pure
+    // function of the row SET: arrival order and micro-batch cuts cannot
+    // change it, so all three formulations agree row for row. Union of
+    // all update-mode emissions reduced to the k smallest per stratum
+    // equals the final state (an evicted row is strictly worse than the
+    // final k, an unevicted one was emitted)
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.DocsStream
+    val docsDf = Tables(spark, sf, "documents").select(col("lang"), col("doc_id"))
+    def reduceK(rows: Seq[(String, Long, Long)]): Map[String, Seq[(Long, Long)]] =
+      rows.groupBy(_._1).map { case (l, rs) =>
+        l -> rs.map(r => (r._3, r._2)).distinct.sorted.take(5)
+      }
+    val batchOut = reduceK(DocsStream.stratifiedSample(docsDf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))))
+    val queryOut = reduceK(SparkEntry.queries("q_stratified_sample")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))))
+    assert(batchOut == queryOut, "batch fn vs native-operator query diverge")
+    val rows = docsDf.collect().map(r => (r.getString(0), r.getLong(1)))
+    val cut = rows.length / 2
+    val ms = MemoryStream[(String, Long)](spark)
+    val sq = DocsStream.stratifiedSample(ms.toDS().toDF("lang", "doc_id"))
+      .writeStream.format("memory").queryName("strat_out")
+      .outputMode("update").start()
+    try {
+      ms.addData(rows.take(cut).toSeq)
+      sq.processAllAvailable()
+      ms.addData(rows.drop(cut).toSeq)
+      sq.processAllAvailable()
+    } finally sq.stop()
+    val streamed = reduceK(spark.table("strat_out").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))))
+    assert(streamed == batchOut,
+      s"stream vs batch: ${(streamed.toSet diff batchOut.toSet).take(2)}")
+  }
+
   test("streaming heavy hitters: MG bounds hold across micro-batch state") {
     // the corpus arrives as 3 micro-batches (maxFilesPerTrigger=1 over a
     // 3-file directory); the state store carries one ≤k-entry Misra-Gries
