@@ -218,6 +218,33 @@ object TimeSeriesOps {
         .orderBy("event_type", "dow")
     }),
 
+    // ---- burstiness census (Fano factor / index of dispersion): per
+    //      event type, var(daily n)/mean(daily n) — the overdispersion
+    //      number that says whether a stream is Poisson-like (≈1) or
+    //      bursty (≫1), which decides provisioning headroom and whether
+    //      the 3σ anomaly baseline needs a heavier tail. EXACT integer
+    //      moments in decimal(38,0) (Σn² at 100 TB event rates wraps
+    //      BIGINT); fano > 1 is decided on pure integers (k·Σn² > (Σn)²
+    //      + k·Σn), only the reported ratio is one rounded division ----
+    "q_burstiness" -> ((s, d) => {
+      val daily = ev(s, d).groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"))
+      daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"), sum(col("n")).as("n_total"),
+          sum(col("n").cast("decimal(38,0)") * col("n")).as("snn"))
+        .select(col("event_type"), col("n_days"), col("n_total"),
+          round((col("n_days") * col("snn") -
+              col("n_total").cast("decimal(38,0)") * col("n_total"))
+              .cast("double") /
+            (col("n_days").cast("decimal(38,0)") * col("n_total"))
+              .cast("double"), 4).as("fano"),
+          (col("n_days") * col("snn") >
+            col("n_total").cast("decimal(38,0)") * col("n_total") +
+              col("n_days").cast("decimal(38,0)") * col("n_total"))
+            .cast("int").as("overdispersed"))
+        .orderBy("event_type")
+    }),
+
     // ---- watermark-lateness census (the number that SIZES a streaming
     //      watermark): for each event, lateness = running event-time
     //      high-water mark at its ARRIVAL (event_id = ingest order) minus
@@ -427,6 +454,30 @@ object TimeSeriesOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // identical integer moments (HUGEINT = the decimal(38,0) twin); the
+    // overdispersion flag decided on integers, the ratio one division
+    "q_burstiness" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |         count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |         CAST(sum(n) AS BIGINT) AS n_total,
+        |         sum(CAST(n AS HUGEINT) * n) AS snn
+        |  FROM daily GROUP BY 1)
+        |SELECT event_type, n_days, n_total,
+        |       round(CAST(n_days * snn -
+        |                  CAST(n_total AS HUGEINT) * n_total AS DOUBLE) /
+        |             CAST(CAST(n_days AS HUGEINT) * n_total AS DOUBLE), 4)
+        |         AS fano,
+        |       CAST(CASE WHEN n_days * snn >
+        |                      CAST(n_total AS HUGEINT) * n_total +
+        |                      CAST(n_days AS HUGEINT) * n_total
+        |                 THEN 1 ELSE 0 END AS INTEGER) AS overdispersed
+        |FROM m ORDER BY event_type""".stripMargin,
+
     // same integer dow ((day + 4) % 7, 0 = Monday); peak via row_number
     // on the identical (n desc, dow asc) total order
     "q_seasonal_profile" ->
