@@ -218,6 +218,42 @@ object TimeSeriesOps {
         .orderBy("event_type", "dow")
     }),
 
+    // ---- watermark SIZING (the measure → decide step over
+    //      q_lateness_census, the Skew.choose philosophy applied to
+    //      streaming config): per event type, the smallest horizon from
+    //      {1 m, 5 m, 1 h} whose measured drop rate stays ≤ 1% of events
+    //      (late_h·100 ≤ n_events — integer compare, no float rate), else
+    //      86400 s as the bounded fallback. The chosen number is exactly
+    //      what `withWatermark` takes, derived from batch history instead
+    //      of guessed; same running-max window as the census ----
+    "q_watermark_sizing" -> ((s, d) => {
+      val e = Tables(s, d, "events").select(col("event_type"),
+        col("event_id"), unix_timestamp(col("ts")).as("secs"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      e.withColumn("late_s", max(col("secs")).over(w) - col("secs"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("late_s") > 60, 1L).otherwise(0L)).as("late_1m"),
+          sum(when(col("late_s") > 300, 1L).otherwise(0L)).as("late_5m"),
+          sum(when(col("late_s") > 3600, 1L).otherwise(0L)).as("late_1h"))
+        .select(col("event_type"), col("n_events"),
+          when(col("late_1m") * 100 <= col("n_events"), 60L)
+            .when(col("late_5m") * 100 <= col("n_events"), 300L)
+            .when(col("late_1h") * 100 <= col("n_events"), 3600L)
+            .otherwise(86400L).as("horizon_s"),
+          when(col("late_1m") * 100 <= col("n_events"),
+              col("late_1m") * 10000)
+            .when(col("late_5m") * 100 <= col("n_events"),
+              col("late_5m") * 10000)
+            .when(col("late_1h") * 100 <= col("n_events"),
+              col("late_1h") * 10000)
+            .otherwise(lit(0L)).as("dropped_x10k"))
+        .withColumn("drop_bp", expr("dropped_x10k div n_events"))
+        .drop("dropped_x10k")
+        .orderBy("event_type")
+    }),
+
     // ---- burstiness census (Fano factor / index of dispersion): per
     //      event type, var(daily n)/mean(daily n) — the overdispersion
     //      number that says whether a stream is Poisson-like (≈1) or
@@ -454,6 +490,38 @@ object TimeSeriesOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // same census, same integer ≤1% decision ladder
+    "q_watermark_sizing" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS secs
+        |  FROM events),
+        |l AS (
+        |  SELECT event_type,
+        |         max(secs) OVER (PARTITION BY event_type ORDER BY event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           - secs AS late_s
+        |  FROM e),
+        |c AS (
+        |  SELECT event_type, count(*) AS n_events,
+        |         CAST(sum(CASE WHEN late_s > 60 THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS l1,
+        |         CAST(sum(CASE WHEN late_s > 300 THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS l5,
+        |         CAST(sum(CASE WHEN late_s > 3600 THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS lh
+        |  FROM l GROUP BY event_type)
+        |SELECT event_type, n_events,
+        |       CASE WHEN l1 * 100 <= n_events THEN 60
+        |            WHEN l5 * 100 <= n_events THEN 300
+        |            WHEN lh * 100 <= n_events THEN 3600
+        |            ELSE 86400 END AS horizon_s,
+        |       CASE WHEN l1 * 100 <= n_events THEN (l1 * 10000) // n_events
+        |            WHEN l5 * 100 <= n_events THEN (l5 * 10000) // n_events
+        |            WHEN lh * 100 <= n_events THEN (lh * 10000) // n_events
+        |            ELSE 0 END AS drop_bp
+        |FROM c ORDER BY event_type""".stripMargin,
+
     // identical integer moments (HUGEINT = the decimal(38,0) twin); the
     // overdispersion flag decided on integers, the ratio one division
     "q_burstiness" ->
