@@ -608,6 +608,34 @@ object DedupOps {
         .orderBy("same_source", "same_lang")
     }),
 
+    // ---- cross-source duplication MATRIX (q_dedup_locality at source-
+    //      pair granularity): confirmed near-dup pair counts per
+    //      UNORDERED source pair, with each cell's share of its row
+    //      source's total involvement in basis points. The mirror-
+    //      detection census: a (blog, forum) cell spiking says one
+    //      syndicates the other — drop the copy side at INGEST and the
+    //      global dedup never pays for it. Pair labels join on fine doc
+    //      ids; cells are source²-bounded (census-sized); totals ride the
+    //      same census ----
+    "q_dedup_source_matrix" -> ((s, d) => {
+      val meta = docs(s, d).select(col("doc_id"), col("source"))
+      val lab = minhashPairs(docs(s, d)).select(col("doc_a"), col("doc_b"))
+        .join(meta.select(col("doc_id").as("doc_a"),
+          col("source").as("src_a")), "doc_a")
+        .join(meta.select(col("doc_id").as("doc_b"),
+          col("source").as("src_b")), "doc_b")
+        .select(least(col("src_a"), col("src_b")).as("source_lo"),
+          greatest(col("src_a"), col("src_b")).as("source_hi"))
+      val cells = lab.groupBy(col("source_lo"), col("source_hi"))
+        .agg(count(lit(1)).as("n_pairs"))
+      val tot = cells.agg(sum(col("n_pairs")).as("n_total"))
+      cells.crossJoin(broadcast(tot))
+        .select(col("source_lo"), col("source_hi"), col("n_pairs"),
+          expr("(n_pairs * 10000) div n_total").as("share_bp"),
+          (col("source_lo") === col("source_hi")).as("intra_source"))
+        .orderBy("source_lo", "source_hi")
+    }),
+
     // ---- dedup RECALL measurement ("measure, don't guess" applied to
     //      the dedup stack itself): take the exact char-5-gram Jaccard
     //      pairs (q_dedup_ngram's blocked-but-exact ground truth, ≥0.5)
@@ -1707,6 +1735,24 @@ object DedupOps {
          |       round(log2((m_r + 0.000001) / (u_r + 0.000001)), 4) AS weight
          |FROM fields ORDER BY field""".stripMargin
     },
+
+    "q_dedup_source_matrix" ->
+      s"""WITH $minhashPairCtes,
+         |pf AS (SELECT doc_a, doc_b FROM pairs WHERE est_jaccard >= 0.5),
+         |lab AS (
+         |  SELECT least(a.source, b.source) AS source_lo,
+         |         greatest(a.source, b.source) AS source_hi
+         |  FROM pf JOIN documents a ON pf.doc_a = a.doc_id
+         |          JOIN documents b ON pf.doc_b = b.doc_id),
+         |cells AS (
+         |  SELECT source_lo, source_hi, count(*) AS n_pairs
+         |  FROM lab GROUP BY 1, 2),
+         |tot AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS n_total FROM cells)
+         |SELECT source_lo, source_hi, n_pairs,
+         |       (n_pairs * 10000) // n_total AS share_bp,
+         |       (source_lo = source_hi) AS intra_source
+         |FROM cells CROSS JOIN tot
+         |ORDER BY source_lo, source_hi""".stripMargin,
 
     "q_dedup_locality" ->
       s"""WITH $minhashPairCtes,
