@@ -608,6 +608,35 @@ object DedupOps {
         .orderBy("same_source", "same_lang")
     }),
 
+    // ---- per-source dedup YIELD (the curation budget sheet): docs and
+    //      whitespace tokens per source BEFORE vs AFTER dropping
+    //      non-canonical near-dup cluster members, with keep rate in
+    //      basis points — the census that prices each source's real
+    //      contribution (a source that is 40% copies of itself or others
+    //      costs ingest, storage and dedup compute for 60% usable mass).
+    //      Same canonical-keep set as q_dedup_clusters; the anti-join
+    //      keys fine doc ids; output is source-cardinality ----
+    "q_dedup_yield" -> ((s, d) => {
+      val base = docs(s, d).select(col("doc_id"), col("source"),
+        size(expr("filter(split(lower(trim(text)), '\\\\s+'), x -> x <> '')"))
+          .cast("long").as("n_tok"))
+      val nonCanon = connectedComponents(
+        minhashPairs(docs(s, d)).select(col("doc_a"), col("doc_b")))
+        .filter(col("doc_id") =!= col("cluster_id"))
+        .select(col("doc_id"), lit(1L).as("dropped"))
+      base.join(nonCanon, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("n_tokens"),
+          sum(when(col("dropped").isNull, 1L).otherwise(0L)).as("n_docs_kept"),
+          sum(when(col("dropped").isNull, col("n_tok")).otherwise(0L))
+            .as("n_tokens_kept"))
+        .withColumn("keep_bp", expr(
+          """CASE WHEN n_tokens = 0 THEN 10000
+            |ELSE (n_tokens_kept * 10000) div n_tokens END""".stripMargin))
+        .orderBy("source")
+    }),
+
     // ---- cross-source duplication MATRIX (q_dedup_locality at source-
     //      pair granularity): confirmed near-dup pair counts per
     //      UNORDERED source pair, with each cell's share of its row
@@ -1735,6 +1764,42 @@ object DedupOps {
          |       round(log2((m_r + 0.000001) / (u_r + 0.000001)), 4) AS weight
          |FROM fields ORDER BY field""".stripMargin
     },
+
+    // same recursive canonical-keep set; token counts from the shared
+    // whitespace tokenization
+    "q_dedup_yield" ->
+      s"""WITH RECURSIVE $minhashPairCtes,
+         |pf AS MATERIALIZED (
+         |  SELECT doc_a, doc_b FROM pairs WHERE est_jaccard >= 0.5),
+         |edges AS MATERIALIZED (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pf
+         |  UNION SELECT doc_b, doc_a FROM pf),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |lab AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+         |        FROM reach GROUP BY src),
+         |noncanon AS (SELECT doc_id FROM lab WHERE doc_id <> cluster_id),
+         |base AS (
+         |  SELECT doc_id, source,
+         |         CAST(len(list_filter(
+         |           regexp_split_to_array(lower(trim(text)), '\\s+'),
+         |           x -> x <> '')) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |agg AS (
+         |  SELECT source, count(*) AS n_docs,
+         |         CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |         CAST(sum(CASE WHEN nc.doc_id IS NULL THEN 1 ELSE 0 END)
+         |              AS BIGINT) AS n_docs_kept,
+         |         CAST(sum(CASE WHEN nc.doc_id IS NULL THEN n_tok
+         |                  ELSE 0 END) AS BIGINT) AS n_tokens_kept
+         |  FROM base LEFT JOIN noncanon nc ON base.doc_id = nc.doc_id
+         |  GROUP BY source)
+         |SELECT source, n_docs, n_tokens, n_docs_kept, n_tokens_kept,
+         |       CASE WHEN n_tokens = 0 THEN 10000
+         |            ELSE (n_tokens_kept * 10000) // n_tokens END AS keep_bp
+         |FROM agg ORDER BY source""".stripMargin,
 
     "q_dedup_source_matrix" ->
       s"""WITH $minhashPairCtes,
