@@ -36,6 +36,17 @@ import graft.Tables
 object CorpusOps {
   type Q = (SparkSession, String) => DataFrame
 
+  /** The deterministic doc_id → sampling-priority LCG, ONE definition for
+    * every consumer: q_stratified_sample's engine side, its DuckDB oracle
+    * and the streaming twin ([[graft.streaming.DocsStream
+    * .stratifiedSample]]). The stream == batch == oracle three-way
+    * equivalence depends on these staying bit-identical, so the string
+    * must never be re-typed at a call site. doc_id is reduced mod 2³¹−1
+    * BEFORE the multiply (the q_domain_sample overflow discipline).
+    */
+  val LcgPrioritySql: String =
+    "((doc_id % 2147483647) * 1103515245 + 12345) % 2147483647"
+
   private def docs(s: SparkSession, d: String) = Tables(s, d, "documents")
 
   private def nonEmpty(df: DataFrame): DataFrame =
@@ -557,8 +568,7 @@ object CorpusOps {
     //      overflow discipline) ----
     "q_stratified_sample" -> ((s, d) => {
       val pr = docs(s, d).select(col("lang"), col("doc_id"),
-        expr("((doc_id % 2147483647) * 1103515245 + 12345) % 2147483647")
-          .as("priority"))
+        expr(LcgPrioritySql).as("priority"))
       graft.plans.TopK.perKey(pr, Seq("lang"),
           Seq("priority" -> true, "doc_id" -> true), 5)
         .orderBy("lang", "priority", "doc_id")
@@ -574,9 +584,10 @@ object CorpusOps {
     //      two fine-key token aggs; the global top-50 rides as a
     //      broadcast; the per-source rank window partitions on source ----
     "q_vocab_drift" -> ((s, d) => {
+      // persisted: both top-k branches read the corpus-sized explode
       val tk = nonEmpty(docs(s, d))
         .select(col("source"), explode(toks).as("t"))
-        .filter(col("t") =!= "")
+        .filter(col("t") =!= "").persist()
       val srcTop = tk.groupBy(col("source"), col("t"))
         .agg(count(lit(1)).as("c"))
         .withColumn("rk", row_number().over(Window.partitionBy(col("source"))
@@ -584,15 +595,20 @@ object CorpusOps {
         .filter(col("rk") <= 50)
       val globTop = tk.groupBy(col("t")).agg(count(lit(1)).as("gc"))
         .orderBy(col("gc").desc, col("t").asc).limit(50)
-        .select(col("t"), lit(1L).as("hit"))
+        .select(col("t"), lit(1L).as("hit")).persist()
+      // the global-top size is MEASURED, not assumed 50 — a degenerate
+      // corpus with < 50 distinct tokens would otherwise report phantom
+      // drift for a source whose top set equals the global top exactly
+      val nGlob = globTop.agg(count(lit(1)).as("n_glob"))
       val scored = srcTop.join(broadcast(globTop), Seq("t"), "left")
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_top"),
           coalesce(sum(col("hit")), lit(0L)).as("n_common"))
-      scored.select(col("source"), col("n_top"), col("n_common"),
-          expr("(n_common * 10000) div (n_top + 50 - n_common)")
+      scored.crossJoin(broadcast(nGlob))
+        .select(col("source"), col("n_top"), col("n_common"),
+          expr("(n_common * 10000) div (n_top + n_glob - n_common)")
             .as("overlap_bp"),
-          expr("10000 - (n_common * 10000) div (n_top + 50 - n_common)")
+          expr("10000 - (n_common * 10000) div (n_top + n_glob - n_common)")
             .as("drift_bp"))
         .orderBy("source")
     })
@@ -653,10 +669,8 @@ object CorpusOps {
     // the oracle is the window formulation of the same exact-k selection —
     // the native heap operator must agree row for row
     "q_stratified_sample" ->
-      """WITH p AS (
-        |  SELECT lang, doc_id,
-        |         ((doc_id % 2147483647) * 1103515245 + 12345) % 2147483647
-        |           AS priority
+      s"""WITH p AS (
+        |  SELECT lang, doc_id, $LcgPrioritySql AS priority
         |  FROM documents),
         |r AS (SELECT *, row_number() OVER (PARTITION BY lang
         |        ORDER BY priority, doc_id) AS rn FROM p)
@@ -681,15 +695,17 @@ object CorpusOps {
         |  SELECT t, 1 AS hit FROM (
         |    SELECT t, count(*) AS gc FROM tk2 GROUP BY t
         |    ORDER BY gc DESC, t ASC LIMIT 50)),
+        |ng AS (SELECT CAST(count(*) AS BIGINT) AS n_glob FROM gtop),
         |sc AS (
         |  SELECT source, CAST(count(*) AS BIGINT) AS n_top,
         |         CAST(coalesce(sum(hit), 0) AS BIGINT) AS n_common
         |  FROM stop LEFT JOIN gtop USING (t) GROUP BY source)
         |SELECT source, n_top, n_common,
-        |       (n_common * 10000) // (n_top + 50 - n_common) AS overlap_bp,
-        |       10000 - (n_common * 10000) // (n_top + 50 - n_common)
+        |       (n_common * 10000) // (n_top + n_glob - n_common)
+        |         AS overlap_bp,
+        |       10000 - (n_common * 10000) // (n_top + n_glob - n_common)
         |         AS drift_bp
-        |FROM sc ORDER BY source""".stripMargin,
+        |FROM sc CROSS JOIN ng ORDER BY source""".stripMargin,
 
     "q_kanonymity" ->
       """WITH g AS (

@@ -915,19 +915,23 @@ object DedupOps {
     //      Shapes: one vocabulary-keyed agg (fine keys), bucket census,
     //      1-row broadcast for the shares ----
     "q_shingle_df_profile" -> ((s, d) => {
+      // ONE corpus pass: the stop-mass and posting totals re-aggregate
+      // from the (log₂-bounded) bucket census instead of a second scan
+      // of the corpus-sized explode
       val dfq = docs(s, d)
         .select(explode(graft.functions.TextExprs
           .shingleHashes(col("text"), 3)).as("h"))
         .groupBy(col("h")).agg(count(lit(1)).as("df"))
-      val bucketed = dfq.withColumn("bucket",
-        (length(bin(col("df"))) - 1).cast("int"))
-      val tot = bucketed.agg(sum(col("df")).as("n_post"),
-        coalesce(sum(when(col("df") > WinnowDfCap, col("df"))), lit(0L))
-          .as("n_stop"))
-      bucketed.groupBy(col("bucket"))
+      val census = dfq
+        .withColumn("bucket", (length(bin(col("df"))) - 1).cast("int"))
+        .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n_shingles"), sum(col("df")).as("n_postings"),
-          max(col("df")).as("max_df"))
-        .crossJoin(broadcast(tot))
+          max(col("df")).as("max_df"),
+          sum(when(col("df") > WinnowDfCap, col("df")).otherwise(0L))
+            .as("stop_in_bucket"))
+      val tot = census.agg(sum(col("n_postings")).as("n_post"),
+        sum(col("stop_in_bucket")).as("n_stop"))
+      census.crossJoin(broadcast(tot))
         .select(col("bucket"), col("n_shingles"), col("n_postings"),
           col("max_df"),
           expr("(n_postings * 10000) div n_post").as("postings_share_bp"),

@@ -418,11 +418,15 @@ object StatsOps {
     //      estimate never undercounts (every product lands in some
     //      shared slot — deterministic) and overshoots by ≤ ε·Na·Nb with
     //      ε = e/w (fixed hashes ⇒ one deterministic number, asserted ≤
-    //      3·Na·Nb/w). ALL moments in decimal(38,0) — at 100 TB the
-    //      exact Σ cntA·cntB (~10²⁸) wraps BIGINT, the q_token_budget
-    //      overflow discipline. The two corpora halves are sketched in
-    //      one pass each (16 KB partials); the exact anchor is two
-    //      fine-key token aggs + one vocabulary join ----
+    //      3·Na·Nb/w). ALL comparison arithmetic in decimal(38,0) — at
+    //      100 TB the exact Σ cntA·cntB (~10²⁸) wraps BIGINT, the
+    //      q_token_budget overflow discipline; the n_exact_join ANCHOR
+    //      column itself is reported as BIGINT (a gate-scale device —
+    //      past BIGINT range the flags remain exact in decimal but the
+    //      raw anchor would be reported via the estimate, not this
+    //      column). The two corpora halves are sketched in one pass each
+    //      (16 KB partials); the exact anchor is two fine-key token aggs
+    //      + one vocabulary join ----
     "q_cms_join_est" -> ((s, d) => {
       val (dRows, wCols) = (4, 512)
       def toksOf(f: DataFrame) = f

@@ -33,6 +33,26 @@ object TimeSeriesOps {
         unix_timestamp(col("ts")).as("secs"))
       .withColumn("day", expr("secs div 86400"))
 
+  /** Shared spine of q_lateness_census and q_watermark_sizing: per event
+    * type, the running event-time high-water-mark lateness distribution —
+    * ONE definition so the census and the decision built on it can never
+    * measure different things. The running-max window partitions by
+    * event_type (per-stream state) over the monotone ingest id.
+    */
+  private def latenessCounts(s: SparkSession, d: String): DataFrame = {
+    val e = Tables(s, d, "events").select(col("event_type"),
+      col("event_id"), unix_timestamp(col("ts")).as("secs"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    e.withColumn("late_s", max(col("secs")).over(w) - col("secs"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("late_s") > 60, 1L).otherwise(0L)).as("late_1m"),
+        sum(when(col("late_s") > 300, 1L).otherwise(0L)).as("late_5m"),
+        sum(when(col("late_s") > 3600, 1L).otherwise(0L)).as("late_1h"),
+        max(col("late_s")).as("max_late_s"))
+  }
+
   val queries: Map[String, Q] = Map(
     // ---- resample to a daily grid + forward fill (gap filling): every
     //      (user, calendar day) gets the user's most recent observed value.
@@ -227,16 +247,7 @@ object TimeSeriesOps {
     //      what `withWatermark` takes, derived from batch history instead
     //      of guessed; same running-max window as the census ----
     "q_watermark_sizing" -> ((s, d) => {
-      val e = Tables(s, d, "events").select(col("event_type"),
-        col("event_id"), unix_timestamp(col("ts")).as("secs"))
-      val w = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, 0)
-      e.withColumn("late_s", max(col("secs")).over(w) - col("secs"))
-        .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n_events"),
-          sum(when(col("late_s") > 60, 1L).otherwise(0L)).as("late_1m"),
-          sum(when(col("late_s") > 300, 1L).otherwise(0L)).as("late_5m"),
-          sum(when(col("late_s") > 3600, 1L).otherwise(0L)).as("late_1h"))
+      latenessCounts(s, d)
         .select(col("event_type"), col("n_events"),
           when(col("late_1m") * 100 <= col("n_events"), 60L)
             .when(col("late_5m") * 100 <= col("n_events"), 300L)
@@ -291,20 +302,8 @@ object TimeSeriesOps {
     //      partitions by event_type (watermarks are per-stream state);
     //      within a type it is a range-partitioned sort on the monotone
     //      ingest id — the same cost class as any per-key ordered scan ----
-    "q_lateness_census" -> ((s, d) => {
-      val e = Tables(s, d, "events").select(col("event_type"),
-        col("event_id"), unix_timestamp(col("ts")).as("secs"))
-      val w = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, 0)
-      e.withColumn("late_s", max(col("secs")).over(w) - col("secs"))
-        .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n_events"),
-          sum(when(col("late_s") > 60, 1L).otherwise(0L)).as("late_1m"),
-          sum(when(col("late_s") > 300, 1L).otherwise(0L)).as("late_5m"),
-          sum(when(col("late_s") > 3600, 1L).otherwise(0L)).as("late_1h"),
-          max(col("late_s")).as("max_late_s"))
-        .orderBy("event_type")
-    }),
+    "q_lateness_census" -> ((s, d) =>
+      latenessCounts(s, d).orderBy("event_type")),
 
     // ---- Holt double-exponential smoothing + h-step forecast (the level/
     //      trend twin of q_ewma's level-only smoothing): per event_type,

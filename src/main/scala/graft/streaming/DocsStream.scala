@@ -123,12 +123,16 @@ object DocsStream {
     * the HISTORICAL corpus. The history side is the batch-side fingerprint
     * table ((fp) rows, already stop-cut by [[graft.queries.DedupOps
     * .WinnowDfCap]] discipline upstream), so the stream side is a
-    * STATELESS stream-static inner join on the fp value — no growing
-    * state; the only stateful piece is the per-doc micro-batch count,
-    * keyed on doc_id (bounded by docs in flight, emitted in update mode).
-    * At 100 TB the history side is a bucketed fp table and the join
-    * co-locates on fp — the q_dedup_incremental scale story applied to
-    * LOCAL overlap instead of exact equality.
+    * STATELESS stream-static inner join on the fp value; the per-doc
+    * count aggregates under a synthetic-ingest-time watermark (the
+    * [[incrementalDedup]] device: crawl order = doc_id → 1 doc/second),
+    * with the window key alongside doc_id so closed windows EVICT — state
+    * is bounded by the watermark horizon, never by stream lifetime (a
+    * bare groupBy(doc_id) would keep one entry per doc forever). Each doc
+    * has one ingest timestamp, so the window column refines nothing and
+    * is dropped from the output. At 100 TB the history side is a bucketed
+    * fp table and the join co-locates on fp — the q_dedup_incremental
+    * scale story applied to LOCAL overlap instead of exact equality.
     *
     * `historyFps` must be DISTINCT (fp) rows — n_shared counts how many
     * of the doc's (already-distinct) fingerprints appear in the history
@@ -139,13 +143,18 @@ object DocsStream {
     */
   def winnowNearDups(newDocs: DataFrame, historyFps: DataFrame,
       minShared: Int = 3): DataFrame =
-    newDocs.select(col("doc_id"),
+    newDocs
+      .withColumn("ingest_ts",
+        timestamp_seconds(lit(1700000000L) + col("doc_id")))
+      .withWatermark("ingest_ts", "1 hour")
+      .select(col("doc_id"), col("ingest_ts"),
         explode(graft.functions.TextExprs
           .winnowHashes(col("text"), 3, 4)).as("fp"))
       .join(historyFps, Seq("fp"))
-      .groupBy(col("doc_id"))
+      .groupBy(window(col("ingest_ts"), "1 hour"), col("doc_id"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
+      .select(col("doc_id"), col("n_shared"))
 
   case class DocPriority(lang: String, doc_id: Long, priority: Long)
   // public for the janino state-store serializer (the EventsStream
@@ -168,8 +177,8 @@ object DocsStream {
     import docs.sparkSession.implicits._
     import org.apache.spark.sql.streaming.GroupStateTimeout
     val prio = docs.select(col("lang"), col("doc_id"),
-      expr("((doc_id % 2147483647) * 1103515245 + 12345) % 2147483647")
-        .as("priority")).as[DocPriority]
+      expr(graft.queries.CorpusOps.LcgPrioritySql).as("priority"))
+      .as[DocPriority]
     prio.groupByKey(_.lang)
       .flatMapGroupsWithState[SampleState, DocPriority](
         org.apache.spark.sql.streaming.OutputMode.Update,
