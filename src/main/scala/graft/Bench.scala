@@ -58,13 +58,18 @@ object Bench {
       val t0 = System.nanoTime()
       try run(name) catch { case _: Throwable => () }
       val dt = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache() // drop this query's persists before the next
+      // drop this query's persists before the next: the ledger releases
+      // exactly what the body registered; clearCache backstops anything
+      // cached outside the tracked path
+      graft.operators.Persisted.releaseAll()
+      spark.catalog.clearCache()
       dt
     }
     val calib = calibrate()
     val names = allQueries.keys.toSeq.sorted
     names.foreach { n => // warm pass
       try run(n) catch { case _: Throwable => () }
+      graft.operators.Persisted.releaseAll()
       spark.catalog.clearCache()
     }
     // Interleave passes round-robin (pass 0 of all queries, then pass 1, ...)
@@ -81,9 +86,24 @@ object Bench {
       s(s.size / 2) // odd n → true median; even n → upper-median (conservative)
     }
     val results = names.map(n => n -> median(samples(n)))
+    // Contamination self-identification: alongside each median, record the
+    // per-query MIN (the cleanest sample this session) and SPREAD = max/min.
+    // A co-scheduled driver window inflates some samples but rarely all of
+    // them — a query whose spread >= 1.5 with a min near last round's median
+    // is noise, not a regression, and the file alone now says so (r9 lost a
+    // perf-review cycle to 5 queries reading 2-5x high from exactly this).
+    val mins = names.map(n => n -> samples(n).min)
+    val spreads = names.map { n =>
+      val xs = samples(n)
+      n -> (if (xs.min > 0) xs.max / xs.min else 1.0)
+    }
+    val spreadHi = spreads.filter(_._2 >= 1.5)
     val total = results.map(_._2).sum
     def qjson(rs: Seq[(String, Double)]): String = rs
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    def qjson2(rs: Seq[(String, Double)]): String = rs
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
       .mkString("{", ",", "}")
     // The driver captures only the LAST 2000 chars of output; at 125+
     // queries the full per-query map no longer fits one line (r4 lost 40
@@ -95,7 +115,7 @@ object Bench {
     // the fixed CPU workload — comparable across host-speed windows.
     val norm = total / calib
     val fullJson =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$nRuns,"calib_s":$calib%.3f,"total_norm":$norm%.2f,"queries":${qjson(results)},"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$nRuns,"calib_s":$calib%.3f,"total_norm":$norm%.2f,"queries":${qjson(results)},"mins":${qjson(mins)},"spread":${qjson2(spreads)},"sf":"$sfDir"}"""
     // a failed write must not kill the one-line contract, but it also must
     // not leave the "full" pointer referencing a STALE file from a prior
     // run — on failure the pointer is nulled so consumers see the map is
@@ -106,9 +126,20 @@ object Bench {
           java.nio.file.Paths.get("BENCH_FULL.json"), fullJson + "\n")
         "\"BENCH_FULL.json\""
       } catch { case scala.util.control.NonFatal(_) => "null" }
+    // Compact summary guaranteed to survive any driver tail truncation:
+    // headline numbers + top-10 by median + the spread-flagged set. If the
+    // driver's BENCH_rNN.json parse fails again (open since r7), this file
+    // is machine-readable on its own.
+    val top10 = results.sortBy(-_._2).take(10)
+    val summaryJson =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$nRuns,"calib_s":$calib%.3f,"total_norm":$norm%.2f,"n_queries":${names.size},"top10":${qjson(top10)},"spread_hi":${qjson2(spreadHi)},"sf":"$sfDir"}"""
+    try
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_SUMMARY.json"), summaryJson + "\n")
+    catch { case scala.util.control.NonFatal(_) => () }
     val (slow, fast) = results.partition(_._2 >= 0.4)
     val fastTotal = fast.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$nRuns,"calib_s":$calib%.3f,"total_norm":$norm%.2f,"queries":${qjson(slow)},"fast_n":${fast.size},"fast_total":$fastTotal%.3f,"full":$fullRef,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$nRuns,"calib_s":$calib%.3f,"total_norm":$norm%.2f,"queries":${qjson(slow)},"fast_n":${fast.size},"fast_total":$fastTotal%.3f,"spread_hi":${qjson2(spreadHi)},"full":$fullRef,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

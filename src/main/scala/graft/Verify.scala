@@ -27,8 +27,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // queries persist() intermediates; drop them so cache doesn't
-      // accumulate across the whole inventory run
+      // queries persistTracked() intermediates; the ledger releases
+      // exactly what this query registered so cache doesn't accumulate
+      // across the whole inventory run (clearCache as backstop for any
+      // untracked cache)
+      graft.operators.Persisted.releaseAll()
       spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -115,6 +115,12 @@ case class CmsEstimate(left: Expression, right: Expression, d: Int, w: Int)
 
   override def nullSafeEval(sketch: Any, tok: Any): Any = {
     val arr = sketch.asInstanceOf[ArrayData]
+    // dims are caller-supplied and independent of the sketch column: a d/w
+    // that disagrees with the sketch's construction (or a transposed pair
+    // with the same product) would otherwise read out of bounds mid-task or
+    // return silently wrong estimates.
+    require(arr.numElements() == d * w,
+      s"count-min sketch has ${arr.numElements()} counters, expected d*w = ${d * w} (d=$d, w=$w)")
     val t = tok.toString
     var best = Long.MaxValue
     var i = 0

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.operators.Persisted._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -62,19 +63,30 @@ object BasketOps {
       // the incidence feeds both sides of the pair self-join plus the
       // support census — without persist each reference re-runs the
       // lineitem scan + distinct
-      val it = items(s, d).persist()
+      val it = items(s, d).persistTracked()
       val pairs = coEdges(it).filter(col("n_ab") >= 2)
+      // support census through the count-then-choose gate (the q_triangles
+      // device, hoisted to Skew.sizeGatedBroadcast): the "~200k/SF stays
+      // broadcastable" claim above is now MEASURED per run, and the
+      // billion-item-catalog flip to a shuffled item-key join happens by
+      // itself instead of by code review
       val supp = it.groupBy(col("p")).agg(count(lit(1)).as("n_p"))
+        .persistTracked()
+      val maxSuppRows = s.conf
+        .get("spark.graft.basket.broadcastMaxSuppRows", "4000000").toLong
+      val nSupp = supp.count()
+      def gatedSupp(key: String, cnt: String) =
+        graft.operators.Skew.sizeGatedBroadcast(
+          supp.withColumnRenamed("p", key).withColumnRenamed("n_p", cnt),
+          nSupp, maxSuppRows)
       val tot = it.agg(countDistinct(col("o")).as("n_orders"))
       val directed = pairs.select(col("pa").as("lhs"), col("pb").as("rhs"),
           col("n_ab"))
         .unionByName(pairs.select(col("pb").as("lhs"), col("pa").as("rhs"),
           col("n_ab")))
       directed
-        .join(broadcast(supp).withColumnRenamed("p", "lhs")
-          .withColumnRenamed("n_p", "n_lhs"), "lhs")
-        .join(broadcast(supp).withColumnRenamed("p", "rhs")
-          .withColumnRenamed("n_p", "n_rhs"), "rhs")
+        .join(gatedSupp("lhs", "n_lhs"), "lhs")
+        .join(gatedSupp("rhs", "n_rhs"), "rhs")
         .crossJoin(broadcast(tot))
         .select(col("lhs"), col("rhs"), col("n_ab"), col("n_lhs"),
           col("n_rhs"),
@@ -100,14 +112,22 @@ object BasketOps {
     //      by; supports ride as broadcasts (same item-cardinality bound
     //      as q_copurchase_rules' supp — dim-sized, not corpus-sized) ----
     "q_item_sim" -> ((s, d) => {
-      val it = items(s, d).persist()
+      val it = items(s, d).persistTracked()
       val pairs = coEdges(it).filter(col("n_ab") >= 2)
+      // same measured gate as q_copurchase_rules: dim-sized today, proven
+      // so per run, shuffled on the item key the day it isn't
       val supp = it.groupBy(col("p")).agg(count(lit(1)).as("n_p"))
+        .persistTracked()
+      val nSupp = supp.count()
+      val maxSuppRows = s.conf
+        .get("spark.graft.basket.broadcastMaxSuppRows", "4000000").toLong
       pairs
-        .join(broadcast(supp.select(col("p").as("pa"),
-          col("n_p").as("n_a"))), "pa")
-        .join(broadcast(supp.select(col("p").as("pb"),
-          col("n_p").as("n_b"))), "pb")
+        .join(graft.operators.Skew.sizeGatedBroadcast(
+          supp.select(col("p").as("pa"), col("n_p").as("n_a")),
+          nSupp, maxSuppRows), "pa")
+        .join(graft.operators.Skew.sizeGatedBroadcast(
+          supp.select(col("p").as("pb"), col("n_p").as("n_b")),
+          nSupp, maxSuppRows), "pb")
         .select(col("pa"), col("pb"), col("n_ab"), col("n_a"), col("n_b"),
           (col("n_ab").cast("double") /
             sqrt((col("n_a") * col("n_b")).cast("double"))).as("sim"))
@@ -129,7 +149,7 @@ object BasketOps {
     //      supp convention); m rides as a 1-row broadcast — no driver
     //      action in the plan ----
     "q_modularity" -> ((s, d) => {
-      val e = coEdges(items(s, d)).select(col("pa"), col("pb")).persist()
+      val e = coEdges(items(s, d)).select(col("pa"), col("pb")).persistTracked()
       val brand = Tables(s, d, "part")
         .select(col("p_partkey"), col("p_brand"))
       val eb = e
@@ -137,7 +157,7 @@ object BasketOps {
           col("p_brand").as("ba"))), "pa")
         .join(broadcast(brand.select(col("p_partkey").as("pb"),
           col("p_brand").as("bb"))), "pb")
-        .select(col("ba"), col("bb")).persist()
+        .select(col("ba"), col("bb")).persistTracked()
       val mRow = e.agg(count(lit(1)).as("m"))
       val within = eb.filter(col("ba") === col("bb"))
         .groupBy(col("ba").as("brand")).agg(count(lit(1)).as("e_c"))
@@ -154,6 +174,48 @@ object BasketOps {
         .orderBy("brand")
     }),
 
+    // ---- conductance of the brand partition — q_modularity's companion
+    //      census: modularity says whether co-purchases CONCENTRATE within
+    //      brands; conductance says how LEAKY each brand's boundary is,
+    //      φ(c) = cut(c) / min(vol(c), 2m − vol(c)). Same shared eb frame
+    //      (edge set + two dim-bounded brand broadcasts), three map-side-
+    //      combined brand-keyed aggregations, m as a 1-row broadcast;
+    //      all-integer φ in basis points (floor division) ----
+    "q_conductance" -> ((s, d) => {
+      val e = coEdges(items(s, d)).select(col("pa"), col("pb")).persistTracked()
+      val brand = Tables(s, d, "part")
+        .select(col("p_partkey"), col("p_brand"))
+      val eb = e
+        .join(broadcast(brand.select(col("p_partkey").as("pa"),
+          col("p_brand").as("ba"))), "pa")
+        .join(broadcast(brand.select(col("p_partkey").as("pb"),
+          col("p_brand").as("bb"))), "pb")
+        .select(col("ba"), col("bb")).persistTracked()
+      val mRow = e.agg(count(lit(1)).as("m"))
+      val within = eb.filter(col("ba") === col("bb"))
+        .groupBy(col("ba").as("brand")).agg(count(lit(1)).as("e_within"))
+      val cut = eb.filter(col("ba") =!= col("bb"))
+        .select(explode(array(col("ba"), col("bb"))).as("brand"))
+        .groupBy(col("brand")).agg(count(lit(1)).as("n_cut"))
+      val degs = eb.select(col("ba").as("brand"))
+        .unionByName(eb.select(col("bb").as("brand")))
+        .groupBy(col("brand")).agg(count(lit(1)).as("vol"))
+      degs.join(within, Seq("brand"), "left")
+        .join(cut, Seq("brand"), "left")
+        .crossJoin(broadcast(mRow))
+        .select(col("brand"),
+          coalesce(col("e_within"), lit(0L)).as("e_within"),
+          coalesce(col("n_cut"), lit(0L)).as("cut_edges"),
+          col("vol"),
+          // vol == 2m means the brand IS the whole graph: no boundary to
+          // leak through, φ = 0 by convention (min-volume side is empty)
+          expr("""CASE WHEN least(vol, 2*m - vol) = 0 THEN 0
+                 |ELSE (coalesce(n_cut, 0) * 10000)
+                 |     div least(vol, 2*m - vol) END""".stripMargin)
+            .as("phi_bp"))
+        .orderBy("brand")
+    }),
+
     // ---- triangle counting, degree-oriented (compact-forward): every
     //      undirected edge points from its lower-(deg, id) endpoint, so
     //      wedges enumerate from low-degree vertices only and each
@@ -166,8 +228,8 @@ object BasketOps {
       // THREE roles (wedge e1/e2, closing-edge e3). Unpersisted, Spark
       // re-derives the whole basket self-join under every role — measured
       // 4× the work at sf0.1; both frames are edge-sized, cache-safe
-      val und = coEdges(items(s, d).persist())
-        .select(col("pa"), col("pb")).persist()
+      val und = coEdges(items(s, d).persistTracked())
+        .select(col("pa"), col("pb")).persistTracked()
       val deg = und.select(col("pa").as("v"))
         .unionByName(und.select(col("pb").as("v")))
         .groupBy(col("v")).agg(count(lit(1)).as("deg"))
@@ -192,7 +254,7 @@ object BasketOps {
         // both and the join runs exchange-free — one shuffle paid at cache
         // build instead of two (e1 + e2) paid per consumer
         .repartition(col("src"))
-        .persist()
+        .persistTracked()
       val wedge = dir.as("e1").join(dir.as("e2"),
           col("e1.src") === col("e2.src") &&
             (col("e1.ddst") < col("e2.ddst") ||
@@ -292,6 +354,39 @@ object BasketOps {
     // ground truth the compact-forward plan must reproduce
     // same exact-integer numerator/denominator — one final division,
     // rounded 9 dp on both engines
+    // same eb frame, same integer φ (floor division), same vol == 2m guard
+    "q_conductance" ->
+      """WITH it AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS MATERIALIZED (
+        |  SELECT DISTINCT a.p AS pa, b.p AS pb
+        |  FROM it a JOIN it b ON a.o = b.o AND a.p < b.p),
+        |eb AS MATERIALIZED (
+        |  SELECT x.p_brand AS ba, y.p_brand AS bb
+        |  FROM e JOIN part x ON x.p_partkey = e.pa
+        |         JOIN part y ON y.p_partkey = e.pb),
+        |m AS (SELECT count(*) AS m FROM e),
+        |wc AS (SELECT ba AS brand, count(*) AS e_within
+        |       FROM eb WHERE ba = bb GROUP BY ba),
+        |ct AS (SELECT brand, count(*) AS n_cut FROM (
+        |         SELECT ba AS brand FROM eb WHERE ba <> bb
+        |         UNION ALL SELECT bb FROM eb WHERE ba <> bb)
+        |       GROUP BY brand),
+        |dc AS (SELECT brand, count(*) AS vol FROM (
+        |         SELECT ba AS brand FROM eb
+        |         UNION ALL SELECT bb FROM eb)
+        |       GROUP BY brand)
+        |SELECT dc.brand,
+        |       CAST(coalesce(e_within, 0) AS BIGINT) AS e_within,
+        |       CAST(coalesce(n_cut, 0) AS BIGINT) AS cut_edges,
+        |       CAST(vol AS BIGINT) AS vol,
+        |       CASE WHEN least(vol, 2*m - vol) = 0 THEN 0
+        |            ELSE (coalesce(n_cut, 0) * 10000)
+        |                 // least(vol, 2*m - vol) END AS phi_bp
+        |FROM dc LEFT JOIN wc USING (brand) LEFT JOIN ct USING (brand)
+        |CROSS JOIN m
+        |ORDER BY dc.brand""".stripMargin,
+
     "q_modularity" ->
       """WITH it AS (
         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),

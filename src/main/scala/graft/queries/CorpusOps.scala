@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.operators.Persisted._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -587,7 +588,7 @@ object CorpusOps {
       // persisted: both top-k branches read the corpus-sized explode
       val tk = nonEmpty(docs(s, d))
         .select(col("source"), explode(toks).as("t"))
-        .filter(col("t") =!= "").persist()
+        .filter(col("t") =!= "").persistTracked()
       val srcTop = tk.groupBy(col("source"), col("t"))
         .agg(count(lit(1)).as("c"))
         .withColumn("rk", row_number().over(Window.partitionBy(col("source"))
@@ -595,7 +596,7 @@ object CorpusOps {
         .filter(col("rk") <= 50)
       val globTop = tk.groupBy(col("t")).agg(count(lit(1)).as("gc"))
         .orderBy(col("gc").desc, col("t").asc).limit(50)
-        .select(col("t"), lit(1L).as("hit")).persist()
+        .select(col("t"), lit(1L).as("hit")).persistTracked()
       // the global-top size is MEASURED, not assumed 50 — a degenerate
       // corpus with < 50 distinct tokens would otherwise report phantom
       // drift for a source whose top set equals the global top exactly

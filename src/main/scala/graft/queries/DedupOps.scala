@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.operators.Persisted._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -94,7 +95,7 @@ object DedupOps {
     val sigs = documents.select(col("doc_id"),
       graft.functions.TextExprs.minhashSig(
         graft.functions.TextExprs.shingleHashes(col("text"), 3), k).as("sig"))
-      .persist()
+      .persistTracked()
     val buckets = cappedBuckets(
       sigs.select(col("doc_id"),
         posexplode(graft.functions.TextExprs.bandHashes(col("sig"), bands, rows))
@@ -180,16 +181,16 @@ object DedupOps {
     // cache the edge set BEFORE symmetrizing: the union's two branches would
     // otherwise each recompute the full upstream pipeline (for minhash pairs
     // that's the whole sketch + bucket + verify chain — the dominant cost)
-    val e = edges.persist()
+    val e = edges.persistTracked()
     val sym = e.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(e.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .persist()
+      .persistTracked()
     // seed with the 1-hop minimum — same shuffle the plain distinct() would
     // cost, but a whole propagation round cheaper
     var labels = sym.groupBy(col("src"))
       .agg(min(col("dst")).as("mn"))
       .select(col("src").as("doc_id"), least(col("src"), col("mn")).as("cluster_id"))
-      .persist()
+      .persistTracked()
     // labels only ever decrease, so (count, Σ) is a fixpoint witness — but a
     // raw Long Σ of 64-bit doc ids can WRAP at ≥2^26 labeled docs, making
     // `s == prevSum` a (vanishingly unlikely) false-converge. decimal(38,0)
@@ -255,7 +256,7 @@ object DedupOps {
     val g = documents.select(col("doc_id"), col("lang"),
       (col("n_chars") / 64).cast("int").as("size_bkt"),
       graft.functions.TextExprs.charNgramHashes(col("text"), 5).as("grams"))
-      .persist()
+      .persistTracked()
     val banded = g.select(col("doc_id"), col("lang"), col("size_bkt"),
       posexplode(graft.functions.TextExprs.bandHashes(
         graft.functions.TextExprs.minhashSig(col("grams"), k), bands, rows))
@@ -342,7 +343,7 @@ object DedupOps {
     //      label join on fine doc ids ----
     "q_cluster_density" -> ((s, d) => {
       val pairs = minhashPairs(docs(s, d))
-        .select(col("doc_a"), col("doc_b")).persist()
+        .select(col("doc_a"), col("doc_b")).persistTracked()
       val cc = connectedComponents(pairs)
         .select(col("doc_id"), col("cluster_id"))
       val members = cc.groupBy(col("cluster_id")).agg(count(lit(1)).as("n"))
@@ -375,7 +376,7 @@ object DedupOps {
     "q_split_cluster_safe" -> ((s, d) => {
       val dd = docs(s, d).select(col("doc_id"))
       val pairs = minhashPairs(docs(s, d))
-        .select(col("doc_a"), col("doc_b")).persist()
+        .select(col("doc_a"), col("doc_b")).persistTracked()
       val cc = connectedComponents(pairs)
       def lcg(c: org.apache.spark.sql.Column) =
         ((c % 2147483647L) * 1103515245L + 12345L) % 2147483647L
@@ -387,7 +388,7 @@ object DedupOps {
         .select(col("doc_id"),
           coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
         .withColumn("split", splitOf(col("cluster_id")))
-        .persist()
+        .persistTracked()
       val naive = pairs.agg(coalesce(sum(
         when(splitOf(col("doc_a")) =!= splitOf(col("doc_b")), 1L)
           .otherwise(0L)), lit(0L)).as("naive_leaky_pairs"))
@@ -417,7 +418,7 @@ object DedupOps {
       val all = docs(s, d).select(col("doc_id"), col("text"), col("lang"),
           col("n_chars"),
           size(split(lower(trim(col("text"))), "\\s+")).as("n_tok"))
-        .persist()
+        .persistTracked()
       def census(stage: Int, name: String, df: DataFrame): DataFrame =
         df.agg(count(lit(1)).as("n_docs"),
             coalesce(sum(col("n_tok")), lit(0L)).as("n_tokens"))
@@ -427,26 +428,26 @@ object DedupOps {
       val exactKeep = nonempty
         .withColumn("rn", row_number().over(Window
           .partitionBy(md5(col("text"))).orderBy(col("doc_id").asc)))
-        .filter(col("rn") === 1).drop("rn").persist()
+        .filter(col("rn") === 1).drop("rn").persistTracked()
       val total = exactKeep.agg(count(lit(1)).as("nn"))
       val langKeep = exactKeep
         .join(broadcast(exactKeep.groupBy(col("lang"))
           .agg(count(lit(1)).as("lc"))), "lang")
         .crossJoin(broadcast(total))
         .filter(col("lc") * 20 >= col("nn"))
-        .select(exactKeep.columns.map(col): _*).persist()
+        .select(exactKeep.columns.map(col): _*).persistTracked()
       val thr = langKeep.agg(
         percentile_approx(col("n_chars"), lit(0.25), lit(1000000)).as("p25"))
       val lenKeep = langKeep.crossJoin(broadcast(thr))
         .filter(col("n_chars") >= col("p25"))
-        .select(langKeep.columns.map(col): _*).persist()
+        .select(langKeep.columns.map(col): _*).persistTracked()
       // near-dup: drop non-canonical members of the corpus-wide clusters
       val nonCanon = connectedComponents(
         minhashPairs(docs(s, d)).select(col("doc_a"), col("doc_b")))
         .filter(col("doc_id") =!= col("cluster_id"))
         .select(col("doc_id"))
       val finalKeep = lenKeep.join(nonCanon, Seq("doc_id"), "left_anti")
-        .persist()
+        .persistTracked()
       val packed = finalKeep
         .agg(expr("sum(n_tok) div 2048").as("n_docs"),
           coalesce(sum(col("n_tok")), lit(0L)).as("n_tokens"))
@@ -493,7 +494,7 @@ object DedupOps {
       val sims = docs(s, d)
         .select(col("doc_id"), graft.functions.TextExprs.simhashBits(
           graft.functions.TextExprs.shingleFeatures62(col("text"), 3)).as("sim"))
-        .persist()
+        .persistTracked()
       val buckets = cappedBuckets(
         sims.select(col("doc_id"), posexplode(Text.simhashChunks(col("sim")))
           .as(Seq("chunk", "chunk_val"))),
@@ -542,7 +543,7 @@ object DedupOps {
         expr("n_chars div 64").as("size_bkt"),
         expr("element_at(filter(split(lower(trim(text)), '\\\\s+'), " +
           "x -> x <> ''), 1)").as("head_tok"))
-        .persist()
+        .persistTracked()
       val mp = minhashPairs(docs(s, d)).select(col("doc_a"), col("doc_b"))
         .join(meta.select(col("doc_id").as("doc_a"), col("lang").as("la"),
           col("source").as("sa"), col("size_bkt").as("ka"),
@@ -550,7 +551,7 @@ object DedupOps {
         .join(meta.select(col("doc_id").as("doc_b"), col("lang").as("lb"),
           col("source").as("sb"), col("size_bkt").as("kb"),
           col("head_tok").as("hb")), "doc_b")
-        .persist()
+        .persistTracked()
       def fieldRow(name: String, va: org.apache.spark.sql.Column,
           vb: org.apache.spark.sql.Column,
           v: org.apache.spark.sql.Column): DataFrame = {
@@ -711,7 +712,7 @@ object DedupOps {
       val sigs = docs(s, d).select(col("doc_id"),
         graft.functions.TextExprs.minhashSig(
           graft.functions.TextExprs.shingleHashes(col("text"), 3), 64).as("sig"))
-        .persist()
+        .persistTracked()
       val banded = sigs.select(col("doc_id"),
         posexplode(graft.functions.TextExprs.bandHashes(col("sig"), bands, rows))
           .as(Seq("band", "band_hash")))
@@ -887,7 +888,7 @@ object DedupOps {
     //      structs: map-side partial agg on the fine node key, no
     //      per-node window sort ----
     "q_er_best_match" -> ((s, d) => {
-      val pairs = ppjoinPairs(docs(s, d), 0.5).persist()
+      val pairs = ppjoinPairs(docs(s, d), 0.5).persistTracked()
       val directed = pairs
         .select(col("doc_a").as("x"), col("doc_b").as("y"), col("jaccard"))
         .unionByName(pairs
@@ -960,7 +961,7 @@ object DedupOps {
         .withColumn("j2", col("j") * col("j"))
         .withColumn("j4", col("j2") * col("j2"))
         .withColumn("j8", col("j4") * col("j4"))
-        .persist()
+        .persistTracked()
       def cfg(b: Int, r: Int) = {
         val jr = r match {
           case 2 => col("j2"); case 4 => col("j4"); case 8 => col("j8")
@@ -1000,15 +1001,15 @@ object DedupOps {
       val sigs = docs(s, d).select(col("doc_id"),
         TextExprs.minhashSig(
           TextExprs.shingleHashes(col("text"), 3), 64).as("sig"))
-        .persist()
+        .persistTracked()
       val banded = sigs.select(col("doc_id"),
         posexplode(TextExprs.bandHashes(col("sig"), 16, 4))
           .as(Seq("band", "band_hash")))
       val buckets = cappedBuckets(banded, "doc_id", "band", "band_hash")
-        .persist()
+        .persistTracked()
       val cand = buckets
         .select(explode(pairsFromBucket(col("bucket"))).as("p"))
-        .select(col("p.doc_a"), col("p.doc_b")).distinct().persist()
+        .select(col("p.doc_a"), col("p.doc_b")).distinct().persistTracked()
       val a = sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))
       val b = sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))
       val confirmed = cand.join(a, "doc_a").join(b, "doc_b")
@@ -1046,7 +1047,7 @@ object DedupOps {
     "q_minhash_calibration" -> ((s, d) => {
       val hs = docs(s, d).select(col("doc_id"),
         graft.functions.TextExprs.shingleHashes(col("text"), 3).as("hs"))
-        .persist()
+        .persistTracked()
       minhashPairs(docs(s, d))
         .join(hs.select(col("doc_id").as("doc_a"), col("hs").as("ha")), "doc_a")
         .join(hs.select(col("doc_id").as("doc_b"), col("hs").as("hb")), "doc_b")
@@ -1080,11 +1081,11 @@ object DedupOps {
     //      from the last run's output, which is the point ----
     "q_cluster_increment" -> ((s, d) => {
       val pairs = minhashPairs(docs(s, d))
-        .select(col("doc_a"), col("doc_b")).persist()
+        .select(col("doc_a"), col("doc_b")).persistTracked()
       def isNew(c: org.apache.spark.sql.Column) = c % 10 === 9
       val oldPairs = pairs.filter(!isNew(col("doc_a")) && !isNew(col("doc_b")))
       val newPairs = pairs.filter(isNew(col("doc_a")) || isNew(col("doc_b")))
-      val ccOld = connectedComponents(oldPairs).persist()
+      val ccOld = connectedComponents(oldPairs).persistTracked()
       val contracted = newPairs
         .join(ccOld.select(col("doc_id").as("doc_a"),
           col("cluster_id").as("ra")), Seq("doc_a"), "left")
@@ -1154,7 +1155,7 @@ object DedupOps {
           |  i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1),
           |              ' ', element_at(ws, i + 2))))""".stripMargin))
       .select(col("doc_id"), col("toks"), size(col("toks")).as("len"))
-      .persist()
+      .persistTracked()
     val ex = toks.select(col("doc_id"), col("len"),
       explode(col("toks")).as("tok"))
     val dfreq = ex.groupBy(col("tok")).agg(count(lit(1)).as("df"))
@@ -1280,7 +1281,7 @@ object DedupOps {
     val e = embTable.select(col("vec_id"),
       col("embedding"),
       graft.functions.VectorExprs.hyperplaneBucket(col("embedding"), 6).as("bkt"))
-      .persist()
+      .persistTracked()
     val buckets = cappedBuckets(
       e.select(col("vec_id"), col("bkt")), "vec_id", "bkt")
     val cand = buckets

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.operators.Persisted._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -44,7 +45,7 @@ object GeoOps {
           // of the same key are collinear mod the lattice and collapse the
           // distance spectrum to a handful of values
           (pmod(pmod(k * k, lit(P)) * 69069L + 1L, lit(P)) % 1000).as("y"))
-        .persist()
+        .persistTracked()
       val right = pts.select(col("id").as("b_id"), col("x").as("bx"),
         col("y").as("by"), expr("x div 20").as("cx"), expr("y div 20").as("cy"))
       val probes = pts

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.operators.Persisted._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -56,7 +57,7 @@ object GraphOps {
       val ew = edges
         .withColumn("outdeg",
           count(lit(1)).over(Window.partitionBy(col("src"))))
-        .persist()
+        .persistTracked()
       val deg = ew.select(col("src")).distinct()
       // N rides along as a 1-row broadcast (every node appears as src in
       // the symmetric edge set) — NO driver-side count() action: the whole
@@ -107,7 +108,7 @@ object GraphOps {
             (col("l_suppkey") * 2 + 1).as("dst")),
           struct((col("l_suppkey") * 2 + 1).as("src"),
             (col("l_partkey") * 2).as("dst")))).as("e"))
-        .select(col("e.src"), col("e.dst")).persist()
+        .select(col("e.src"), col("e.dst")).persistTracked()
       var lbl = edges.select(col("src").as("v")).distinct()
         .select(col("v"), col("v").as("lbl"))
       for (_ <- 1 to 3) {
@@ -150,7 +151,7 @@ object GraphOps {
             (col("l_suppkey") * 2 + 1).as("dst")),
           struct((col("l_suppkey") * 2 + 1).as("src"),
             (col("l_partkey") * 2).as("dst")))).as("e"))
-        .select(col("e.src"), col("e.dst")).persist()
+        .select(col("e.src"), col("e.dst")).persistTracked()
       val deg = edges.groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
       val xy = edges
         .join(broadcast(deg.select(col("v").as("src"), col("deg").as("x"))),
@@ -270,7 +271,7 @@ object GraphOps {
             (col("l_suppkey") * 2 + 1).as("dst")),
           struct((col("l_suppkey") * 2 + 1).as("src"),
             (col("l_partkey") * 2).as("dst")))).as("e"))
-        .select(col("e.src"), col("e.dst")).persist()
+        .select(col("e.src"), col("e.dst")).persistTracked()
       // seeds: suppliers 1 and 2 (nodes 3 and 5)
       var reach = edges.select(col("src").as("node")).distinct()
         .filter(col("node").isin(3L, 5L))
@@ -309,7 +310,7 @@ object GraphOps {
     "q_link_predict" -> ((s, d) => {
       val e = Tables(s, d, "lineitem")
         .select(col("l_suppkey").as("sk"), col("l_partkey").as("p"))
-        .distinct().persist()
+        .distinct().persistTracked()
       // ONE p-keyed exchange for cut + bucket: the window count shares the
       // groupBy's hash shuffle (the cappedBuckets device), the df filter
       // runs BEFORE collect_set so no buffer ever exceeds LinkDfCap rows,
@@ -325,13 +326,23 @@ object GraphOps {
         .select(col("pr.doc_a").as("s_a"), col("pr.doc_b").as("s_b"))
         .groupBy(col("s_a"), col("s_b")).agg(count(lit(1)).as("common"))
       // degree census is supplier-cardinality (dim-sized, the
-      // q_copurchase_rules supp bound) — broadcast both sides
+      // q_copurchase_rules supp bound) — but the bound is MEASURED, not
+      // assumed: the count-then-choose gate broadcasts when the census is
+      // within budget and pins shuffle_hash on the fine supplier key when
+      // a bigger catalog flips it (the q_triangles device via
+      // Skew.sizeGatedBroadcast; both branches result-identical)
       val deg = e.groupBy(col("sk")).agg(count(lit(1)).as("deg"))
+        .persistTracked()
+      val nDeg = deg.count()
+      val maxDegRows = s.conf
+        .get("spark.graft.linkpredict.broadcastMaxDegRows", "4000000").toLong
       pairs
-        .join(broadcast(deg.select(col("sk").as("s_a"),
-          col("deg").as("da"))), "s_a")
-        .join(broadcast(deg.select(col("sk").as("s_b"),
-          col("deg").as("db"))), "s_b")
+        .join(graft.operators.Skew.sizeGatedBroadcast(
+          deg.select(col("sk").as("s_a"), col("deg").as("da")),
+          nDeg, maxDegRows), "s_a")
+        .join(graft.operators.Skew.sizeGatedBroadcast(
+          deg.select(col("sk").as("s_b"), col("deg").as("db")),
+          nDeg, maxDegRows), "s_b")
         .select(col("s_a"), col("s_b"), col("common").as("common_parts"),
           expr("(common * 10000) div (da + db - common)").as("jaccard_bp"))
         .orderBy(col("common_parts").desc, col("s_a").asc, col("s_b").asc)

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.operators.Persisted._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -60,7 +61,7 @@ object MLOps {
 
   val queries: Map[String, Q] = Map(
     "q_logreg" -> ((s, d) => {
-      val data = lrData(s, d).persist()
+      val data = lrData(s, d).persistTracked()
       val w = lrTrain(s, data)
       // accuracy: predict purchase ⇔ z > 0 (sign-exact, libm-free)
       data.crossJoin(broadcast(w))
@@ -84,7 +85,7 @@ object MLOps {
     //      rates one IEEE division, avg_p rounds away summation order.
     //      Same iterate-broadcast scale shape as training ----
     "q_calibration" -> ((s, d) => {
-      val data = lrData(s, d).persist()
+      val data = lrData(s, d).persistTracked()
       val w = lrTrain(s, data)
       data.crossJoin(broadcast(w))
         .withColumn("p", lit(1.0) / (lit(1.0) +
@@ -113,7 +114,7 @@ object MLOps {
       val tok = Tables(s, d, "documents")
         .select(col("doc_id"), col("lang"),
           explode(split(lower(trim(col("text"))), "\\s+")).as("t"))
-        .filter(col("t") =!= "").persist()
+        .filter(col("t") =!= "").persistTracked()
       val counts = tok.groupBy(col("lang").as("l"), col("t").as("tt"))
         .agg(count(lit(1)).as("c"))
       val langTot = tok.groupBy(col("lang").as("l"))

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.operators.Persisted._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -82,7 +83,7 @@ object MultimodalOps {
 
     // ---- stub decode → features → per-kind nearest neighbor (rows-only) ----
     "q_media_ann" -> ((s, d) => {
-      val feats = Multimodal.featuresFromDocuments(s, docs(s, d)).persist()
+      val feats = Multimodal.featuresFromDocuments(s, docs(s, d)).persistTracked()
       val probes = feats.filter(col("media_id") < 5)
         .select(col("media_id").as("probe_id"), col("features").as("pf"))
       val corpus = feats.select(col("media_id").as("neighbor_id"), col("features").as("nf"))

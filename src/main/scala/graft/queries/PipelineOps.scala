@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.operators.Persisted._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -205,7 +206,7 @@ object PipelineOps {
           transform(sequence(lit(1), size(col("w")) - 3),
             i => concat_ws(" ", slice(col("w"), i, lit(4)))))).as("gram"))
       val evalG = grams.filter(col("doc_id") % 97 === 0)
-        .select("gram").distinct().persist()
+        .select("gram").distinct().persistTracked()
       // the native might_contain predicate keys on BIGINT — gate on
       // xxhash64(gram) (both sides). A 64-bit pre-hash adds ~0 collision
       // mass on top of the filter's own 1% FPP, and the exact join removes
@@ -308,7 +309,7 @@ object PipelineOps {
       val sel = Tables(s, d, "orders")
         .filter(col("o_totalprice") > 450000.0)
         .select(col("o_orderkey"), col("o_totalprice"))
-        .persist()
+        .persistTracked()
       // filter sized from the actual build side (a count on the small,
       // already-persisted side), not a constant — the false-positive rate
       // holds at every scale factor instead of degrading past a fixed cap
@@ -694,7 +695,7 @@ object PipelineOps {
         .select(col("doc_id"), explode(transform(
           sequence(lit(0), expr("size(w) div 3").cast("int") - 1),
           i => concat_ws(" ", slice(col("w"), i * 3 + 1, lit(3))))).as("span"))
-        .persist() // df + both hybrid branches reuse the exploded spans
+        .persistTracked() // df + both hybrid branches reuse the exploded spans
       val df = sp.groupBy(col("span"))
         .agg(countDistinct(col("doc_id")).as("ndocs"))
       val head = df.orderBy(col("ndocs").desc, col("span").asc).limit(1024)

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.operators.Persisted._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -57,7 +58,7 @@ object Relational2 {
   def fuzzyPairs(parts: DataFrame): DataFrame = {
     val p = parts.select(col("p_partkey"), col("p_name"), col("p_brand"),
       col("p_size"), split(col("p_name"), " ").as("words"))
-      .persist()
+      .persistTracked()
     val banded = p
       .select(col("p_partkey"), col("p_brand"), col("p_size"), col("words"),
         posexplode(col("words")).as(Seq("slot", "_w")))

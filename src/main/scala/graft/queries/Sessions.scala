@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.operators.Persisted._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -62,7 +63,7 @@ object Sessions {
         .filter(col("touch_s") <= col("purchase_s") &&
           col("touch_s") >= col("purchase_s") - 86400)
         .select(col("purchase_id"), col("cents"), col("channel"),
-          col("touch_s"), col("touch_id")).persist()
+          col("touch_s"), col("touch_id")).persistTracked()
       val per = j.groupBy(col("purchase_id"))
         .agg(min_by(col("channel"),
             struct(col("touch_s"), col("touch_id"))).as("first_ch"),
@@ -177,7 +178,7 @@ object Sessions {
     //      Census output: total users and survivors per stage ----
     "q_funnel" -> ((s, d) => {
       val e = events(s, d).select(col("user_id"), col("event_type"),
-        unix_timestamp(col("ts")).as("secs")).persist()
+        unix_timestamp(col("ts")).as("secs")).persistTracked()
       val v = e.filter(col("event_type") === "view")
         .groupBy(col("user_id")).agg(min(col("secs")).as("t1"))
       val c = e.filter(col("event_type") === "click").join(v, "user_id")

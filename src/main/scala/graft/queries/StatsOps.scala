@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.operators.Persisted._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -257,7 +258,7 @@ object StatsOps {
       val toks = Tables(s, d, "documents")
         .select(col("source"),
           explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
-        .filter(col("token") =!= "").persist()
+        .filter(col("token") =!= "").persistTracked()
       val exact = toks.groupBy(col("source"), col("token"))
         .agg(count(lit(1)).as("cnt"))
         .withColumn("rk", row_number().over(Window
@@ -388,7 +389,7 @@ object StatsOps {
       val toks = Tables(s, d, "documents")
         .select(col("source"),
           explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
-        .filter(col("token") =!= "").persist()
+        .filter(col("token") =!= "").persistTracked()
       val rolled = toks.groupBy(col("source"))
         .agg(HeavyHitters.misraGries(col("token"), k).as("mg"))
         .agg(HeavyHitters.mergeSketches(col("mg"), k).as("mg"))

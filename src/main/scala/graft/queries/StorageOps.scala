@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.operators.Persisted._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -123,7 +124,7 @@ object StorageOps {
     "q_zonemap_prune" -> ((s, d) => {
       val o = Tables(s, d, "orders")
         .select(col("o_orderkey"), unix_timestamp(col("o_orderdate")).as("k"))
-        .persist()
+        .persistTracked()
       val natural = o.select(expr("o_orderkey div 1000").as("file_id"), col("k"))
       val bounds = o.agg(percentile_approx(col("k"),
           array((1 to 7).map(i => lit(i / 8.0)): _*), lit(1000000)).as("bs"))
@@ -167,7 +168,7 @@ object StorageOps {
           shiftleft(shiftright(col("cb"), i).bitwiseAND(lit(1L)), 2 * i) +
             shiftleft(shiftright(col("db"), i).bitwiseAND(lit(1L)), 2 * i + 1)
         }.reduce(_ + _))
-        .persist()
+        .persistTracked()
       val linear = o.select(expr("cb div 4").as("file_id"), col("cb"), col("db"))
       val zord = o.select(expr("z div 1024").as("file_id"), col("cb"), col("db"))
       def audit(df: DataFrame, layout: String): DataFrame =

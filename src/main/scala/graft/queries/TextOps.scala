@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.operators.Persisted._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -93,6 +94,65 @@ object TextOps {
         .orderBy("doc_id")),
 
     // ---- whitespace + BPE-ish token counting ----
+    // ---- bag-of-words dedup census (the reordered/repeated-content
+    //      class exact dedup can't see): normalize (lowercase, digit runs
+    //      masked to '#'), reduce each doc to its SORTED DISTINCT token
+    //      set, fingerprint that, and census groups of ≥2 docs sharing a
+    //      vocabulary fingerprint — permutations, repetitions and
+    //      number-only variants of the same content all collide here
+    //      (n-gram-Jaccard-1.0 pairs at shingle order 1) while exact
+    //      dedup sees distinct texts. n_exact_variants counts DISTINCT
+    //      raw fingerprints inside each group — >1 is precisely the
+    //      content a byte-level pass missed. One map-side-combined
+    //      groupBy on the set fingerprint (fine key), top-k via
+    //      TakeOrdered on the unique (n_docs, tfp) pair — no global sort,
+    //      no pair join: O(n) where MinHash pays candidate pairs ----
+    "q_bow_dedup" -> ((s, d) => {
+      val m = docs(s, d)
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), col("source"),
+          md5(concat_ws(" ", array_sort(array_distinct(expr(
+            """filter(split(regexp_replace(lower(trim(text)),
+              |       '[0-9]+', '#'), '\\s+'), t -> t <> '')"""
+              .stripMargin))))).as("tfp"),
+          md5(col("text")).as("efp"))
+      m.groupBy(col("tfp"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("efp")).as("n_exact_variants"),
+          countDistinct(col("source")).as("n_sources"),
+          min(col("doc_id")).as("exemplar_doc"))
+        .filter(col("n_docs") >= 2)
+        .orderBy(col("n_docs").desc, col("tfp").asc)
+        .limit(20)
+        .select(col("tfp"), col("n_docs"), col("n_exact_variants"),
+          col("n_sources"), col("exemplar_doc"))
+    }),
+
+    // ---- tokenizer fertility census: subword-per-word ratio per language
+    //      — the number that tells a pipeline how expensive each language
+    //      is to tokenize (fertility ≈ 1 for analytic scripts, higher for
+    //      agglutinative/unsegmented ones) and how to budget token counts
+    //      from word counts. Reuses q_text_tokens' two tokenizations
+    //      verbatim (whitespace words vs BPE-ish runs) so the two queries
+    //      can never disagree; all-integer output (bp floor division).
+    //      One map-side-combined groupBy on lang — lang-cardinality
+    //      output, linear scan, no data-sized shuffle ----
+    "q_tokenizer_fertility" -> ((s, d) =>
+      docs(s, d)
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("lang"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("nw"),
+          (size(split(trim(col("text")),
+            "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]")) - 1).cast("long").as("nb"),
+          length(col("text")).cast("long").as("nc"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nw")).as("n_words"),
+          sum(col("nb")).as("n_subwords"), sum(col("nc")).as("n_chars"))
+        .select(col("lang"), col("n_docs"), col("n_words"), col("n_subwords"),
+          expr("(n_subwords * 10000) div n_words").as("fertility_bp"),
+          expr("(n_chars * 100) div n_subwords").as("chars_per_subword_cp"))
+        .orderBy("lang")),
+
     "q_text_tokens" -> ((s, d) =>
       docs(s, d)
         .filter(length(trim(col("text"))) > 0)
@@ -219,7 +279,7 @@ object TextOps {
         .select(col("doc_id"),
           explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
         .filter(col("term").rlike("^[a-z]+$"))
-        .persist() // regex tokenization is the expensive stage — run it once
+        .persistTracked() // regex tokenization is the expensive stage — run it once
       // df and the doc count both derive from the tf aggregate — no second
       // distinct pass over the raw token stream. tf itself is cheap to
       // recompute from the cached tokens, so it is NOT cached: columnar
@@ -487,6 +547,44 @@ object TextOps {
         |       length(text) - length(replace(text, ' ', '')) AS n_spaces,
         |       length(text) - length(replace(text, '.', '')) AS n_periods
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // same normalize → sort → distinct → fingerprint chain (DuckDB needs
+    // the explicit 'g' regexp flag Spark defaults to; list_sort and
+    // Spark's array_sort agree on plain lexicographic string order)
+    "q_bow_dedup" ->
+      """WITH m AS MATERIALIZED (
+        |  SELECT doc_id, source,
+        |         md5(list_aggregate(list_sort(list_distinct(list_filter(
+        |             regexp_split_to_array(regexp_replace(lower(trim(text)),
+        |               '[0-9]+', '#', 'g'), '\s+'),
+        |             t -> t <> ''))), 'string_agg', ' ')) AS tfp,
+        |         md5(text) AS efp
+        |  FROM documents WHERE length(trim(text)) > 0)
+        |SELECT tfp, count(*) AS n_docs,
+        |       count(DISTINCT efp) AS n_exact_variants,
+        |       count(DISTINCT source) AS n_sources,
+        |       min(doc_id) AS exemplar_doc
+        |FROM m GROUP BY tfp HAVING count(*) >= 2
+        |ORDER BY n_docs DESC, tfp ASC LIMIT 20""".stripMargin,
+
+    "q_tokenizer_fertility" ->
+      """WITH t AS MATERIALIZED (
+        |  SELECT lang,
+        |         CAST(length(regexp_split_to_array(trim(text), '\s+'))
+        |              AS BIGINT) AS nw,
+        |         CAST(length(regexp_split_to_array(trim(text),
+        |              '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) - 1
+        |              AS BIGINT) AS nb,
+        |         CAST(length(text) AS BIGINT) AS nc
+        |  FROM documents WHERE length(trim(text)) > 0)
+        |SELECT lang, count(*) AS n_docs,
+        |       CAST(sum(nw) AS BIGINT) AS n_words,
+        |       CAST(sum(nb) AS BIGINT) AS n_subwords,
+        |       (CAST(sum(nb) AS BIGINT) * 10000)
+        |         // CAST(sum(nw) AS BIGINT) AS fertility_bp,
+        |       (CAST(sum(nc) AS BIGINT) * 100)
+        |         // CAST(sum(nb) AS BIGINT) AS chars_per_subword_cp
+        |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_text_tokens" ->
       """SELECT doc_id,

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.operators.Persisted._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -387,7 +388,7 @@ object TimeSeriesOps {
       val p = cells.join(broadcast(fromTot), "from_type")
         .select(col("from_type"), col("to_type"), col("n_ab"),
           (col("n_ab").cast("double") / col("n_a")).as("p"))
-        .persist()
+        .persistTracked()
       // state count rides as a 1-row broadcast — no driver-side action
       // blocks the benched plan (the PageRank nRow device)
       val nRow = p.select(col("from_type")).distinct()
@@ -461,6 +462,97 @@ object TimeSeriesOps {
     //      not. Two shuffles total: the orders⋈customer join (customer
     //      side broadcast-able per dim-table sizing) and the
     //      (nation, month) census agg ----
+    // ---- sample autocorrelation function (lags 1..7) of the per-type
+    //      daily event-count series — the seasonality detector that turns
+    //      q_seasonal_profile's "is there a weekly cycle?" into a number
+    //      per lag. Textbook estimator r_k = Σ(y_t−ȳ)(y_{t+k}−ȳ) / Σ(y−ȳ)²
+    //      computed CROSS-ENGINE-EXACTLY: multiply through by n² so every
+    //      moment is an integer (ȳ = S/n never materializes as a float) —
+    //      r_k = (n²·Σy_t·y_{t+k} − n·S·(A_k+B_k) + (n−k)·S²) / (n·(n·Σy²
+    //      − S²)) with A_k/B_k the head/tail partial sums; ONE IEEE
+    //      division at the end. Scale: one day-level aggregation (map-side
+    //      combined), then the lag windows run inside the per-type
+    //      partition of a SINGLE shuffle — series length is |days|,
+    //      independent of event volume ----
+    "q_autocorr" -> ((s, d) => {
+      val daily = ev(s, d)
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("y"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val withLags = (1 to 7).foldLeft(daily) { (df, k) =>
+        df.withColumn(s"l$k", lag(col("y"), k).over(w))
+      }
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val aggCols =
+        count(lit(1)).cast("decimal(38,0)").as("n") ::
+          sum(dec(col("y"))).as("s") ::
+          sum(dec(col("y") * col("y"))).as("syy") ::
+          (1 to 7).flatMap(k => Seq(
+            sum(dec(col("y") * col(s"l$k"))).as(s"sxy$k"),
+            sum(dec(when(col(s"l$k").isNotNull, col("y")))).as(s"b$k"),
+            sum(dec(col(s"l$k"))).as(s"a$k"))).toList
+      val agg0 = withLags.groupBy(col("event_type"))
+        .agg(aggCols.head, aggCols.tail: _*)
+      agg0
+        .select(col("event_type"), col("n"), col("s"), col("syy"),
+          explode(array((1 to 7).map(k =>
+            struct(lit(k).as("lag"), col(s"sxy$k").as("sxy"),
+              col(s"a$k").as("ak"), col(s"b$k").as("bk"))): _*)).as("m"))
+        .select(col("event_type"), col("m.lag").as("lag"),
+          // constant series (or lag ≥ n) → zero variance / no pairs: NULL,
+          // not NaN (NaN hashing differs across engines)
+          when(col("n") * col("syy") === col("s") * col("s") ||
+              col("m.sxy").isNull, lit(null).cast("double"))
+            .otherwise(round(
+              (col("n") * col("n") * col("m.sxy")
+                - col("n") * col("s") * (col("m.ak") + col("m.bk"))
+                + (col("n") - col("m.lag")) * col("s") * col("s"))
+                .cast("double") /
+              (col("n") * (col("n") * col("syy") - col("s") * col("s")))
+                .cast("double"), 6)).as("acf"))
+        .orderBy("event_type", "lag")
+    }),
+
+    // ---- CUSUM changepoint detection on the same per-type daily series:
+    //      the day t* maximizing |Σ_{i≤t}(y_i − ȳ)| — where the cumulative
+    //      deviation from the global mean peaks is where the level shifts.
+    //      All-integer argmax: n·c_t = n·cum_t − t·S never divides, ties
+    //      break on earliest day; the reported before/after means are the
+    //      only divisions (IEEE, rounded). Same one-shuffle shape as
+    //      q_autocorr: day-level series, per-type window partitions ----
+    "q_changepoint" -> ((s, d) => {
+      val daily = ev(s, d)
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("y"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val full = Window.partitionBy(col("event_type"))
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val scored = daily
+        .withColumn("t", row_number().over(w))
+        .withColumn("cum", sum(dec(col("y"))).over(w))
+        .withColumn("n", count(lit(1)).over(full))
+        .withColumn("s", sum(dec(col("y"))).over(full))
+        .withColumn("ndev",
+          abs(col("n") * col("cum") - col("t") * col("s")))
+      scored
+        .withColumn("rk", row_number().over(Window
+          .partitionBy(col("event_type"))
+          .orderBy(col("ndev").desc, col("day").asc)))
+        .filter(col("rk") === 1)
+        .select(col("event_type"), col("day").as("cp_day"),
+          round(col("ndev").cast("double") / col("n").cast("double"), 4)
+            .as("max_cusum"),
+          round(col("cum").cast("double") / col("t").cast("double"), 4)
+            .as("mean_before"),
+          // t == n (single-day series) leaves no "after" segment — NULL,
+          // not 0/0 (the tie-break's day-asc order makes this reachable
+          // only when the series has one row)
+          when(col("n") === col("t"), lit(null).cast("double"))
+            .otherwise(round((col("s") - col("cum")).cast("double") /
+              (col("n") - col("t")).cast("double"), 4)).as("mean_after"))
+        .orderBy("event_type")
+    }),
+
     "q_trend" -> ((s, d) => {
       val monthly = Tables(s, d, "orders")
         .join(Tables(s, d, "customer"),
@@ -488,7 +580,83 @@ object TimeSeriesOps {
     })
   )
 
+  /** q_autocorr oracle: the same n²-scaled integer moments, one UNION ALL
+    * branch per lag (generated — identical arithmetic text per k). */
+  private def autocorrOracle: String = {
+    val lags = (1 to 7).map { k =>
+      s"""SELECT event_type, $k AS lag,
+         |  CASE WHEN n * syy = s * s OR sxy$k IS NULL THEN NULL
+         |       ELSE round(CAST(n*n*sxy$k - n*s*(a$k+b$k) + (n-$k)*s*s
+         |                       AS DOUBLE)
+         |                  / CAST(n*(n*syy - s*s) AS DOUBLE), 6)
+         |  END AS acf
+         |FROM m""".stripMargin
+    }.mkString("\n", "\nUNION ALL\n", "\n")
+    val lagCols = (1 to 7).map(k =>
+      s"lag(y, $k) OVER w AS l$k").mkString(",\n|         ")
+    val momCols = (1 to 7).map(k =>
+      s"""CAST(sum(y*l$k) AS HUGEINT) AS sxy$k,
+         |         CAST(sum(CASE WHEN l$k IS NOT NULL THEN y END) AS HUGEINT)
+         |           AS b$k,
+         |         CAST(sum(l$k) AS HUGEINT) AS a$k""").mkString(",\n")
+    s"""WITH daily AS MATERIALIZED (
+       |  SELECT event_type,
+       |         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+       |         count(*) AS y
+       |  FROM events GROUP BY 1, 2),
+       |lagged AS MATERIALIZED (
+       |  SELECT event_type, y,
+       |         $lagCols
+       |  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+       |m AS MATERIALIZED (
+       |  SELECT event_type,
+       |         CAST(count(*) AS HUGEINT) AS n,
+       |         CAST(sum(y) AS HUGEINT) AS s,
+       |         CAST(sum(y*y) AS HUGEINT) AS syy,
+       |         $momCols
+       |  FROM lagged GROUP BY 1)
+       |$lags
+       |ORDER BY event_type, lag""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_autocorr" -> autocorrOracle,
+
+    // same all-integer CUSUM argmax, same earliest-day tie-break
+    "q_changepoint" ->
+      """WITH daily AS MATERIALIZED (
+        |  SELECT event_type,
+        |         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |         count(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |scored AS MATERIALIZED (
+        |  SELECT event_type, day,
+        |         row_number() OVER w AS t,
+        |         CAST(sum(y) OVER (PARTITION BY event_type ORDER BY day
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS HUGEINT) AS cum,
+        |         CAST(count(*) OVER p AS HUGEINT) AS n,
+        |         CAST(sum(y) OVER p AS HUGEINT) AS s
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day),
+        |         p AS (PARTITION BY event_type)),
+        |r AS (
+        |  SELECT event_type, day, t, cum, n, s,
+        |         abs(n*cum - t*s) AS ndev,
+        |         row_number() OVER (PARTITION BY event_type
+        |           ORDER BY abs(n*cum - t*s) DESC, day ASC) AS rk
+        |  FROM scored)
+        |SELECT event_type, day AS cp_day,
+        |       round(CAST(ndev AS DOUBLE) / CAST(n AS DOUBLE), 4)
+        |         AS max_cusum,
+        |       round(CAST(cum AS DOUBLE) / CAST(t AS DOUBLE), 4)
+        |         AS mean_before,
+        |       CASE WHEN n = t THEN NULL
+        |            ELSE round(CAST(s - cum AS DOUBLE)
+        |                       / CAST(n - t AS DOUBLE), 4)
+        |       END AS mean_after
+        |FROM r WHERE rk = 1 ORDER BY event_type""".stripMargin,
+
     // same census, same integer ≤1% decision ladder
     "q_watermark_sizing" ->
       """WITH e AS (

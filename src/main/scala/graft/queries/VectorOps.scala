@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.operators.Persisted._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -150,7 +151,7 @@ object VectorOps {
     //      production index uses to schedule retraining ----
     "q_pq_append" -> ((s, d) => {
       val all = emb(s, d).select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double")).as("vd")).persist()
+        transform(col("embedding"), x => x.cast("double")).as("vd")).persistTracked()
       val old = all.filter(col("vec_id") % 10 =!= 9)
       val nb = all.filter(col("vec_id") % 10 === 9)
       val (oldAssign, codebooks) = pqAssignmentsFrom(old)
@@ -179,7 +180,7 @@ object VectorOps {
       val k = 16; val nProbe = 2
       import graft.functions.VectorExprs
       val e = emb(s, d).select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double")).as("vd")).persist()
+        transform(col("embedding"), x => x.cast("double")).as("vd")).persistTracked()
       def assign(cents: DataFrame): DataFrame = {
         val w = Window.partitionBy(col("vec_id"))
           .orderBy(col("dist").asc, col("cid").asc)
@@ -259,7 +260,7 @@ object VectorOps {
     //      codes live columnar, floats never touched at query time ----
     "q_ann_pq" -> ((s, d) => {
       val e = emb(s, d).select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double")).as("vd")).persist()
+        transform(col("embedding"), x => x.cast("double")).as("vd")).persistTracked()
       val w = Window.partitionBy(col("probe_id"))
         .orderBy(col("adist").asc, col("neighbor_id").asc)
       adcDistances(e)
@@ -280,7 +281,7 @@ object VectorOps {
     //      ranking (VectorSpec quantifies the recall win vs raw ADC) ----
     "q_ann_pq_rerank" -> ((s, d) => {
       val e = emb(s, d).select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double")).as("vd")).persist()
+        transform(col("embedding"), x => x.cast("double")).as("vd")).persistTracked()
       val wa = Window.partitionBy(col("probe_id"))
         .orderBy(col("adist").asc, col("neighbor_id").asc)
       val shortlist = adcDistances(e)
@@ -368,7 +369,7 @@ object VectorOps {
     //      iteration (the PageRank drift reset) so the per-dim sums'
     //      association-order ulps never accumulate ----
     "q_pca_power" -> ((s, d) => {
-      val e = emb(s, d).select(col("vec_id"), col("embedding")).persist()
+      val e = emb(s, d).select(col("vec_id"), col("embedding")).persistTracked()
       def dotV = expr("aggregate(zip_with(embedding, v, " +
         "(a, b) -> cast(a as double) * b), 0D, (acc, x) -> acc + x)")
       var v = s.range(1).select(expr("array_repeat(0.125D, 64)").as("v"))
@@ -441,7 +442,7 @@ object VectorOps {
         fold("transform(nb_proj, x -> x * x)") + ")), 6)")
       val base = emb(s, d)
         .select(col("vec_id"), col("embedding"), jlProjectCol.as("proj"))
-        .persist()
+        .persistTracked()
       val probes = base.filter(col("vec_id") < 10)
         .select(col("vec_id").as("probe_id"),
           col("embedding").as("probe_emb"), col("proj").as("probe_proj"))
@@ -578,7 +579,7 @@ object VectorOps {
     */
   private def pqAssignments(embDf: DataFrame): (DataFrame, Seq[DataFrame]) =
     pqAssignmentsFrom(embDf.select(col("vec_id"),
-      transform(col("embedding"), x => x.cast("double")).as("vd")).persist())
+      transform(col("embedding"), x => x.cast("double")).as("vd")).persistTracked())
 
   /** Nearest-centroid assignment of a (vec_id, sv) frame against a
     * broadcast (cid, cvec) codebook — shared by the index build and the

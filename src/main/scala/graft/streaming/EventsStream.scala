@@ -187,9 +187,10 @@ object EventsStream {
   case class LateEvent(event_id: Long, event_type: String, secs: Long)
   // public for the janino state-store serializer (the RingState caveat)
   case class LatenessState(hwm: Long, n: Long, l1: Long, l5: Long,
-      lh: Long, mx: Long)
+      lh: Long, mx: Long, lastId: Long, reord: Long)
   case class LatenessCensus(event_type: String, n_events: Long,
-      late_1m: Long, late_5m: Long, late_1h: Long, max_late_s: Long)
+      late_1m: Long, late_5m: Long, late_1h: Long, max_late_s: Long,
+      n_reordered: Long)
 
   /** Streaming watermark-lateness census — the state-machine twin of the
     * batch q_lateness_census (which measures from history what
@@ -201,6 +202,11 @@ object EventsStream {
     * micro-batch group; equivalence with the batch query holds when
     * micro-batch cuts respect ingest order per key (true for a replayed
     * log, pinned by StreamingSpec with controlled MemoryStream chunks).
+    * That ordering assumption is OBSERVABLE, not silent: the state carries
+    * the last-processed event_id across micro-batches, and any arrival
+    * with a lower id (a cut that did not respect ingest order per key)
+    * increments `n_reordered` in the census — a nonzero value tells the
+    * operator the fold's high-water mark may diverge from the batch twin.
     * Emits the census-so-far per key each trigger (update mode) — exactly
     * the live number an ingest dashboard sizes its watermark from.
     */
@@ -212,7 +218,8 @@ object EventsStream {
         GroupStateTimeout.NoTimeout) {
         (typ: String, it: Iterator[LateEvent], state: GroupState[LatenessState]) =>
           var s = state.getOption
-            .getOrElse(LatenessState(Long.MinValue, 0L, 0L, 0L, 0L, 0L))
+            .getOrElse(LatenessState(Long.MinValue, 0L, 0L, 0L, 0L, 0L,
+              Long.MinValue, 0L))
           it.toSeq.sortBy(_.event_id).foreach { e =>
             val hwm = math.max(s.hwm, e.secs)
             val late = hwm - e.secs
@@ -220,10 +227,12 @@ object EventsStream {
               s.l1 + (if (late > 60) 1L else 0L),
               s.l5 + (if (late > 300) 1L else 0L),
               s.lh + (if (late > 3600) 1L else 0L),
-              math.max(s.mx, late))
+              math.max(s.mx, late),
+              math.max(s.lastId, e.event_id),
+              s.reord + (if (e.event_id < s.lastId) 1L else 0L))
           }
           state.update(s)
-          LatenessCensus(typ, s.n, s.l1, s.l5, s.lh, s.mx)
+          LatenessCensus(typ, s.n, s.l1, s.l5, s.lh, s.mx, s.reord)
       }
   }
 

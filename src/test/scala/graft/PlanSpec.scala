@@ -645,9 +645,35 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("basket supports and fusion legs join as broadcasts") {
-    Seq("q_copurchase_rules", "q_item_sim").foreach { n =>
+    Seq("q_copurchase_rules", "q_item_sim", "q_link_predict").foreach { n =>
       val bhj = physical(n).collect { case b: BroadcastHashJoinExec => b }
       assert(bhj.size >= 2, s"$n: support joins must broadcast, got ${bhj.size}")
+    }
+  }
+
+  test("support/degree census broadcasts flip to shuffled joins past the gate") {
+    // the q_triangles count-then-choose discipline, now on every census
+    // attachment: with the row budget forced to 0 the gate must pin
+    // shuffled hash joins (no census broadcast anywhere), and the results
+    // must be IDENTICAL — the gate only moves physical cost
+    import org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+    val cases = Seq(
+      ("q_copurchase_rules", "spark.graft.basket.broadcastMaxSuppRows"),
+      ("q_item_sim", "spark.graft.basket.broadcastMaxSuppRows"),
+      ("q_link_predict", "spark.graft.linkpredict.broadcastMaxDegRows"))
+    cases.foreach { case (n, key) =>
+      val expected = q(n).collect().map(_.toString)
+      graft.operators.Persisted.releaseAll()
+      withoutAQE(withConf(key, "0") {
+        val plan = q(n).queryExecution.executedPlan
+        val shj = plan.collect { case j: ShuffledHashJoinExec => j }
+        assert(shj.size >= 2,
+          s"$n: census joins must shuffle past the gate, got ${shj.size}")
+        val flipped = q(n).collect().map(_.toString)
+        assert(flipped.sameElements(expected),
+          s"$n: flip changed results")
+      })
+      graft.operators.Persisted.releaseAll()
     }
   }
 

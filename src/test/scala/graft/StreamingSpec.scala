@@ -178,6 +178,124 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       .map { case (k, cs) => k -> cs.maxBy(_.n_events) }
     assert(streamed == batchOut,
       s"stream vs batch: ${(streamed.toSet diff batchOut.toSet).take(3)}")
+    // ingest-ordered cuts → the ordering assumption held and the census
+    // says so
+    assert(streamed.values.forall(_.n_reordered == 0L))
+  }
+
+  test("lateness census flags micro-batch cuts that violate ingest order") {
+    // feed the HIGH half of the event_id range first, then the low half:
+    // every low-half arrival has an id below the carried high-water id, so
+    // the fold's documented assumption is violated — n_reordered must say
+    // so instead of the census silently diverging from the batch twin
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val evs = Tables(spark, sf, "events")
+      .select(col("event_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("secs"))
+      .as[EventsStream.LateEvent]
+    val rows = evs.collect().sortBy(_.event_id)
+    val cut = rows(rows.length / 2).event_id
+    val ms = MemoryStream[EventsStream.LateEvent](spark)
+    val sq = EventsStream.latenessCensus(ms.toDS()).writeStream
+      .format("memory").queryName("late_ooo_out").outputMode("update").start()
+    try {
+      ms.addData(rows.filter(_.event_id > cut).toSeq)
+      sq.processAllAvailable()
+      ms.addData(rows.filter(_.event_id <= cut).toSeq)
+      sq.processAllAvailable()
+    } finally sq.stop()
+    val finalCensus = spark.table("late_ooo_out")
+      .as[EventsStream.LatenessCensus]
+      .collect().groupBy(_.event_type)
+      .map { case (k, cs) => k -> cs.maxBy(_.n_events) }
+    // every event in the second batch arrived below the carried id
+    val lowHalfCounts = rows.filter(_.event_id <= cut)
+      .groupBy(_.event_type).view.mapValues(_.length.toLong).toMap
+    finalCensus.foreach { case (typ, c) =>
+      assert(c.n_reordered == lowHalfCounts.getOrElse(typ, 0L),
+        s"$typ: expected ${lowHalfCounts.getOrElse(typ, 0L)} reordered, " +
+          s"census says ${c.n_reordered}")
+    }
+    assert(finalCensus.values.map(_.n_reordered).sum > 0L)
+  }
+
+  test("streaming CDC upsert: foreachBatch merge == batch MERGE == oracle query") {
+    // the one lakehouse op that had no streaming twin: the same change
+    // batch fed as three micro-batches through the foreachBatch upsert
+    // must land on the exact snapshot the batch q_cdc_merge (oracle-gated)
+    // computes in one shot — key, custkey, price, and action, row for row
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.CdcStream
+    val o = Tables(spark, sf, "orders")
+    val base = o.filter(col("o_orderkey") % 10 < 8)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").as("price"))
+    val changes = o.filter((col("o_orderkey") % 10).isin(3, 7, 8))
+      .select(col("o_orderkey"), col("o_custkey").as("ch_custkey"),
+        when(col("o_orderkey") % 10 === 3, "D")
+          .when(col("o_orderkey") % 10 === 7, "U")
+          .otherwise("I").as("op"),
+        (col("o_totalprice") + 100.0).as("new_price"))
+      .as[CdcStream.Change].collect().sortBy(_.o_orderkey)
+    assert(changes.nonEmpty)
+    val snapshot = new CdcStream.CdcSnapshot(base)
+    val ms = MemoryStream[CdcStream.Change](spark)
+    val sq = CdcStream.upsert(ms.toDS(), snapshot)
+    try {
+      val third = changes.length / 3
+      ms.addData(changes.take(third).toSeq); sq.processAllAvailable()
+      ms.addData(changes.slice(third, 2 * third).toSeq); sq.processAllAvailable()
+      ms.addData(changes.drop(2 * third).toSeq); sq.processAllAvailable()
+    } finally sq.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3)))
+      .sortBy(_._1)
+    val streamed = rows(snapshot.current)
+    val batch = rows(q("q_cdc_merge")) // the oracle-gated query IS the twin
+    assert(streamed.length == batch.length && streamed.sameElements(batch),
+      s"stream vs batch merge: ${streamed.zip(batch).find(p => p._1 != p._2)}")
+  }
+
+  test("CDC upsert is exactly-once: a replayed micro-batch cannot double-apply") {
+    // foreachBatch is at-least-once — after a failure the engine re-runs
+    // the last micro-batch with the SAME batchId. The snapshot's version
+    // gate must absorb that. Absolute U/I ops are naturally idempotent and
+    // would mask a broken gate, so the canary is an ADDITIVE adjustment:
+    // apply +100 to every key, replay the same batchId (must be a no-op,
+    // same committed version object, same values), then apply the same
+    // data under a FRESH id (the negative control: it MUST double-apply,
+    // proving the no-op came from the gate, not from value idempotence)
+    import spark.implicits._
+    import graft.streaming.CdcStream
+    val base = Tables(spark, sf, "orders").filter(col("o_orderkey") % 10 < 8)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").as("price")).limit(100)
+    val snapshot = new CdcStream.CdcSnapshot(base)
+    val adj = snapshot.current.select(col("o_orderkey"), col("o_custkey"))
+      .collect()
+      .map(r => CdcStream.Change(r.getLong(0), r.getLong(1), "A", 100.0))
+      .toSeq
+    val adjDs = spark.createDataset(adj)
+    def total(): Double = snapshot.current.agg(sum(col("price")))
+      .head.getDouble(0)
+    val t0 = total()
+    snapshot.applyBatch(adjDs, 0L)
+    val t1 = total()
+    assert(math.abs(t1 - (t0 + 100.0 * adj.length)) < 1e-6)
+    val committedVersion = snapshot.current
+    // replay of batchId 0 — the failure-recovery path
+    snapshot.applyBatch(adjDs, 0L)
+    assert(snapshot.current eq committedVersion,
+      "replayed batch produced a new snapshot version")
+    assert(snapshot.committedThrough == 0L)
+    assert(math.abs(total() - t1) < 1e-6, "replayed batch double-applied")
+    // negative control: same data, fresh id — WITHOUT the gate this is
+    // what every replay would have done to the prices
+    snapshot.applyBatch(adjDs, 1L)
+    assert(math.abs(total() - (t1 + 100.0 * adj.length)) < 1e-6,
+      "fresh-id apply should have moved the total (canary is broken)")
   }
 
   test("streaming dedup (dropDuplicates + watermark) matches batch distinct") {
@@ -330,6 +448,69 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       s"batch twin vs set arithmetic: ${(batch.toSet diff expected.toSet).take(3)}")
     assert(streamed == batch,
       s"stream vs batch twin: ${(streamed.toSet diff batch.toSet).take(3)}")
+  }
+
+  test("winnow near-dup update mode: watermark evicts closed-window state") {
+    // the docstring's bounded-state claim, actually exercised: two
+    // micro-batches ~28 hours apart in synthetic ingest time (ingest_ts =
+    // 1.7e9 + doc_id, so +100000 ids = +100000 s) advance the watermark
+    // past every batch-1 window; a third batch triggers the eviction.
+    // Output must still be the set-arithmetic truth AND the state store's
+    // final numRowsTotal must have dropped batch-1's groups.
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.DocsStream
+    import graft.functions.TextExprs
+    val texts = Tables(spark, sf, "documents")
+      .filter(col("doc_id") % 10 === 9).select(col("text"))
+      .limit(30).collect().map(_.getString(0))
+    val hist = Tables(spark, sf, "documents").filter(col("doc_id") % 10 =!= 9)
+      .select(explode(TextExprs.winnowHashes(col("text"), 3, 4)).as("fp"))
+      .distinct().persist()
+    val histSet = hist.collect().map(_.getLong(0)).toSet
+    // batch 1: ids 1..30 (one open hour window); batch 2: the same texts at
+    // ids 100001..100030 — far past batch 1's window; batch 3: one dummy doc
+    // whose only purpose is a trigger AFTER the watermark passed batch 2's
+    // ingest times, so eviction of batch-1 (and batch-2) state is observable
+    val b1 = texts.zipWithIndex.map { case (t, i) => (i + 1L, t) }
+    val b2 = texts.zipWithIndex.map { case (t, i) => (i + 100001L, t) }
+    val b3 = Seq((200000L, "zzz dummy text with no winnow overlap qqq"))
+    val ms = MemoryStream[(Long, String)](spark)
+    val docs = ms.toDS().toDF("doc_id", "text")
+    val q = DocsStream.winnowNearDups(docs, hist)
+      .writeStream.format("memory").queryName("winnow_upd_out")
+      .outputMode("update").start()
+    val totalRows =
+      try {
+        ms.addData(b1); q.processAllAvailable()
+        ms.addData(b2); q.processAllAvailable()
+        ms.addData(b3); q.processAllAvailable()
+        q.recentProgress.flatMap(_.stateOperators.map(_.numRowsTotal)).last
+      } finally q.stop()
+    // correctness: the last emission per doc_id equals set arithmetic on
+    // both id ranges (texts repeat, so flags repeat shifted by 100000)
+    val sharedPerText: Seq[Long] = texts.toSeq.toDF("text")
+      .select(TextExprs.winnowHashes(col("text"), 3, 4).as("fps"))
+      .collect().map(_.getSeq[Long](0).toSet.count(histSet).toLong).toSeq
+    def flagged(ids: Seq[Long]): Map[Long, Long] = ids.zip(sharedPerText)
+      .collect { case (id, n) if n >= 3 => id -> n }.toMap
+    val expected = flagged(b1.map(_._1)) ++ flagged(b2.map(_._1))
+    val streamed = spark.table("winnow_upd_out").collect()
+      .groupBy(_.getLong(0))
+      .map { case (k, rs) => k -> rs.map(_.getLong(1)).max }
+    hist.unpersist()
+    assert(expected.nonEmpty, "degenerate fixture: nothing shares 3 fps")
+    assert(streamed == expected,
+      s"update-mode flags diverge: ${(streamed.toSet diff expected.toSet).take(3)}")
+    // bounded state: batch-1 groups (docs sharing >=1 fp, one state row
+    // each) must be gone. At the final trigger the watermark sits 1 h
+    // behind batch 2's max ingest time, so only batch-2 windows may remain
+    // open — state holds at most batch-2's joined groups (+1 for the dummy
+    // if it joined), strictly fewer than both batches' groups combined.
+    val groupsPerBatch = sharedPerText.count(_ >= 1)
+    assert(groupsPerBatch > 0)
+    assert(totalRows <= groupsPerBatch + 1,
+      s"state not evicted: $totalRows rows for $groupsPerBatch open-window groups")
   }
 
   test("streaming stratified sample: stream == batch fn == native-operator query") {

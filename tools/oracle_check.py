@@ -4,10 +4,42 @@ parquet written by graft.Verify, run the corresponding oracle SQL in DuckDB
 over the same sf directory and compare values (columns sorted by name).
 
 Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir>
+       python3 tools/oracle_check.py --selftest   # budget-trip self-test
+
+The suite carries a WALL-CLOCK BUDGET (ORACLE_BUDGET_S env, default 480 s):
+the driver's gate silently writes {} past its own wall clock (the r8 outage),
+so a suite creeping toward that cliff must FAIL here, loudest offender named,
+the round the regression lands — not the round the gate dies.
 """
-import json, sys, math, time
+import json, os, sys, math, time
 import duckdb
 import pandas as pd
+
+BUDGET_S_DEFAULT = 480.0  # 8 min: half the driver's observed gate ceiling
+
+
+def budget_failures(total_s, slow, budget_s):
+    """Budget verdict, pure function for the self-test: returns FAIL
+    messages (empty list = within budget). `slow` is [(seconds, name)]."""
+    if total_s <= budget_s:
+        return []
+    worst_s, worst = max(slow) if slow else (0.0, "<none>")
+    return [f"BUDGET FAIL: oracle suite {total_s:.1f}s exceeds "
+            f"{budget_s:.0f}s budget; loudest offender: {worst} "
+            f"({worst_s:.2f}s)"]
+
+
+def selftest():
+    # a deliberately-slow injected oracle must trip the budget, and a
+    # within-budget suite must not
+    trip = budget_failures(100.0, [(60.0, "q_injected_slow"), (1.0, "q_ok")],
+                           budget_s=50.0)
+    assert trip and "q_injected_slow" in trip[0], f"budget did not trip: {trip}"
+    ok = budget_failures(40.0, [(30.0, "q_fine")], budget_s=50.0)
+    assert ok == [], f"false trip: {ok}"
+    empty = budget_failures(100.0, [], budget_s=50.0)
+    assert empty and "<none>" in empty[0]
+    print("selftest PASS: slow-oracle injection trips the budget")
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -102,9 +134,17 @@ def main(sf_dir: str, out_dir: str) -> None:
     print(f"\nslowest oracles (s):")
     for sec, name in sorted(slow, reverse=True)[:8]:
         print(f"  {sec:7.2f} {name}")
-    print(f"oracle suite total: {time.time() - t_start:.1f} s")
+    total_s = time.time() - t_start
+    print(f"oracle suite total: {total_s:.1f} s")
+    budget_s = float(os.environ.get("ORACLE_BUDGET_S", BUDGET_S_DEFAULT))
+    for msg in budget_failures(total_s, slow, budget_s):
+        print(msg)
+        n_fail += 1
     print(f"{n_pass} pass, {n_fail} fail")
     sys.exit(1 if n_fail else 0)
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2])
+    if sys.argv[1:] == ["--selftest"]:
+        selftest()
+    else:
+        main(sys.argv[1], sys.argv[2])
