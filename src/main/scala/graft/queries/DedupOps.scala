@@ -315,6 +315,36 @@ object DedupOps {
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
         .orderBy("h")),
 
+    // ---- shard-local vs global dedup yield — the census that prices the
+    //      corpus-wide shuffle: per-shard (source) dedup is shuffle-FREE
+    //      at ingest (each crawler shard dedups what it holds), global
+    //      dedup costs one corpus-wide exchange on the fingerprint key.
+    //      This one-row verdict counts what local-only leaves behind:
+    //      cross_shard_dups = local_unique − global_unique, the docs a
+    //      1000-executor pipeline pays the global shuffle to remove.
+    //      Fingerprint = the q_bow_dedup set fingerprint (so "duplicate"
+    //      means the same reordered/renumbered content class there).
+    //      ONE aggregation: both distincts and the doc count ride the same
+    //      expand — no second scan, no join ----
+    "q_dedup_local_vs_global" -> ((s, d) => {
+      val f = docs(s, d)
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("source"),
+          md5(concat_ws(" ", array_sort(array_distinct(expr(
+            """filter(split(regexp_replace(lower(trim(text)),
+              |       '[0-9]+', '#'), '\\s+'), t -> t <> '')"""
+              .stripMargin))))).as("tfp"))
+      f.agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("tfp")).as("global_unique"),
+          countDistinct(col("source"), col("tfp")).as("local_unique"))
+        .select(col("n_docs"), col("global_unique"), col("local_unique"),
+          (col("local_unique") - col("global_unique")).as("cross_shard_dups"),
+          expr("((n_docs - global_unique) * 10000) div n_docs")
+            .as("global_drop_bp"),
+          expr("((n_docs - local_unique) * 10000) div n_docs")
+            .as("local_drop_bp"))
+    }),
+
     // ---- MinHash + LSH near-dup: shingle → 64-perm signature → 16 bands of
     //      4 → band-bucket join → signature-estimated Jaccard ≥ 0.5 ----
     "q_dedup_minhash" -> ((s, d) => minhashPairs(docs(s, d))),
@@ -1381,6 +1411,27 @@ object DedupOps {
     "q_dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin,
+
+    // same set fingerprint as q_bow_dedup; count(DISTINCT source||'|'||tfp)
+    // is the (source, tfp) pair distinct — md5 hex can't contain '|'
+    "q_dedup_local_vs_global" ->
+      """WITH f AS MATERIALIZED (
+        |  SELECT source,
+        |         md5(list_aggregate(list_sort(list_distinct(list_filter(
+        |             regexp_split_to_array(regexp_replace(lower(trim(text)),
+        |               '[0-9]+', '#', 'g'), '\s+'),
+        |             t -> t <> ''))), 'string_agg', ' ')) AS tfp
+        |  FROM documents WHERE length(trim(text)) > 0)
+        |SELECT count(*) AS n_docs,
+        |       count(DISTINCT tfp) AS global_unique,
+        |       count(DISTINCT source || '|' || tfp) AS local_unique,
+        |       count(DISTINCT source || '|' || tfp) - count(DISTINCT tfp)
+        |         AS cross_shard_dups,
+        |       ((count(*) - count(DISTINCT tfp)) * 10000) // count(*)
+        |         AS global_drop_bp,
+        |       ((count(*) - count(DISTINCT source || '|' || tfp)) * 10000)
+        |         // count(*) AS local_drop_bp
+        |FROM f""".stripMargin,
 
     // hyperplane weights embedded as literals; bucket + cosine arithmetic is
     // bit-identical to the native expressions (see VectorExprs scaladoc)

@@ -110,6 +110,57 @@ object StorageOps {
         .orderBy("source", "bin_id")
     }),
 
+    // ---- column-encoding advisor (the parquet writer decision, measured):
+    //      for each candidate string column of orders, audit the three
+    //      physical encodings a columnar file can pick — RLE (pays per
+    //      value RUN), dictionary (pays per DISTINCT value + narrow
+    //      codes), plain (pays raw bytes). Runs are counted inside
+    //      file-sized chunks in o_orderkey order (o_orderkey div 1000,
+    //      the q_zonemap_prune natural layout) because that is the unit a
+    //      writer actually encodes; run detection is lag() inside the
+    //      per-file window of ONE fine-keyed shuffle shared by all three
+    //      columns, distincts + byte sums ride the same single
+    //      aggregation. Verdict per column: run/NDV densities in bp and
+    //      the encoding a writer should pick (integer thresholds:
+    //      run-density ≤ 20% → RLE wins; NDV ≤ 1% of rows → dict) ----
+    "q_encoding_advisor" -> ((s, d) => {
+      val o = Tables(s, d, "orders")
+        .select(expr("o_orderkey div 1000").as("file_id"), col("o_orderkey"),
+          col("o_orderstatus").as("c1"), col("o_orderpriority").as("c2"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("c3"),
+          col("o_orderkey").cast("string").as("c4"))
+      val w = Window.partitionBy(col("file_id")).orderBy(col("o_orderkey"))
+      val runs = o.select(
+        (1 to 4).flatMap { i =>
+          Seq(
+            when(lag(col(s"c$i"), 1).over(w).isNull ||
+              lag(col(s"c$i"), 1).over(w) =!= col(s"c$i"), 1L)
+              .otherwise(0L).as(s"r$i"),
+            length(col(s"c$i")).cast("long").as(s"len$i"),
+            col(s"c$i"))
+        }: _*)
+      val aggCols = count(lit(1)).as("n") ::
+        (1 to 4).flatMap(i => Seq(
+          sum(col(s"r$i")).as(s"runs$i"),
+          countDistinct(col(s"c$i")).as(s"ndv$i"),
+          sum(col(s"len$i")).as(s"bytes$i"))).toList
+      val a = runs.agg(aggCols.head, aggCols.tail: _*)
+      val names = Map(1 -> "o_orderstatus", 2 -> "o_orderpriority",
+        3 -> "o_ordermonth", 4 -> "o_orderkey_str")
+      a.select(explode(array((1 to 4).map(i =>
+          struct(lit(names(i)).as("col_name"), col("n").as("n_rows"),
+            col(s"ndv$i").as("ndv"), col(s"runs$i").as("n_runs"),
+            col(s"bytes$i").as("raw_bytes"))): _*)).as("c"))
+        .select(col("c.col_name"), col("c.n_rows"), col("c.ndv"),
+          col("c.n_runs"), col("c.raw_bytes"),
+          expr("(c.n_runs * 10000) div c.n_rows").as("run_density_bp"),
+          expr("(c.ndv * 10000) div c.n_rows").as("ndv_density_bp"),
+          expr("""CASE WHEN c.n_runs * 5 <= c.n_rows THEN 'rle'
+                 |     WHEN c.ndv * 100 <= c.n_rows THEN 'dict'
+                 |     ELSE 'plain' END""".stripMargin).as("advice"))
+        .orderBy("col_name")
+    }),
+
     // ---- zone-map pruning analysis: the same orders table laid out two
     //      ways — NATURAL (files of 1000 rows in ingestion/orderkey order)
     //      vs RANGE (files assigned by the 7 o_orderdate octile boundaries,
@@ -192,6 +243,59 @@ object StorageOps {
     col("mxcb") < 50 || col("mncb") > 99 || col("mxdb") < 30 || col("mndb") > 59
 
   val oracles: Map[String, String] = Map(
+    // same per-file lag() run detection, same integer thresholds
+    "q_encoding_advisor" ->
+      """WITH o AS MATERIALIZED (
+        |  SELECT o_orderkey // 1000 AS file_id, o_orderkey,
+        |         o_orderstatus AS c1, o_orderpriority AS c2,
+        |         strftime(o_orderdate, '%Y-%m') AS c3,
+        |         CAST(o_orderkey AS VARCHAR) AS c4
+        |  FROM orders),
+        |r AS MATERIALIZED (
+        |  SELECT c1, c2, c3, c4,
+        |         length(c1) AS len1, length(c2) AS len2,
+        |         length(c3) AS len3, length(c4) AS len4,
+        |         CASE WHEN lag(c1) OVER w IS NULL
+        |                OR lag(c1) OVER w <> c1 THEN 1 ELSE 0 END AS r1,
+        |         CASE WHEN lag(c2) OVER w IS NULL
+        |                OR lag(c2) OVER w <> c2 THEN 1 ELSE 0 END AS r2,
+        |         CASE WHEN lag(c3) OVER w IS NULL
+        |                OR lag(c3) OVER w <> c3 THEN 1 ELSE 0 END AS r3,
+        |         CASE WHEN lag(c4) OVER w IS NULL
+        |                OR lag(c4) OVER w <> c4 THEN 1 ELSE 0 END AS r4
+        |  FROM o WINDOW w AS (PARTITION BY file_id ORDER BY o_orderkey)),
+        |a AS MATERIALIZED (
+        |  SELECT count(*) AS n,
+        |         CAST(sum(r1) AS BIGINT) AS runs1,
+        |         count(DISTINCT c1) AS ndv1,
+        |         CAST(sum(len1) AS BIGINT) AS bytes1,
+        |         CAST(sum(r2) AS BIGINT) AS runs2,
+        |         count(DISTINCT c2) AS ndv2,
+        |         CAST(sum(len2) AS BIGINT) AS bytes2,
+        |         CAST(sum(r3) AS BIGINT) AS runs3,
+        |         count(DISTINCT c3) AS ndv3,
+        |         CAST(sum(len3) AS BIGINT) AS bytes3,
+        |         CAST(sum(r4) AS BIGINT) AS runs4,
+        |         count(DISTINCT c4) AS ndv4,
+        |         CAST(sum(len4) AS BIGINT) AS bytes4
+        |  FROM r),
+        |u AS (
+        |  SELECT 'o_orderstatus' AS col_name, n AS n_rows, ndv1 AS ndv,
+        |         runs1 AS n_runs, bytes1 AS raw_bytes FROM a
+        |  UNION ALL
+        |  SELECT 'o_orderpriority', n, ndv2, runs2, bytes2 FROM a
+        |  UNION ALL
+        |  SELECT 'o_ordermonth', n, ndv3, runs3, bytes3 FROM a
+        |  UNION ALL
+        |  SELECT 'o_orderkey_str', n, ndv4, runs4, bytes4 FROM a)
+        |SELECT col_name, n_rows, ndv, n_runs, raw_bytes,
+        |       (n_runs * 10000) // n_rows AS run_density_bp,
+        |       (ndv * 10000) // n_rows AS ndv_density_bp,
+        |       CASE WHEN n_runs * 5 <= n_rows THEN 'rle'
+        |            WHEN ndv * 100 <= n_rows THEN 'dict'
+        |            ELSE 'plain' END AS advice
+        |FROM u ORDER BY col_name""".stripMargin,
+
     // DuckDB has no conv(); the hex value is an exact list_reduce fold
     // (acc·16 + digit), the repo's standard overflow-free arithmetic twin.
     // HUGEINT sums are exact, reduced mod P at output like the Spark side.
