@@ -255,6 +255,17 @@ object BasketOps {
         // build instead of two (e1 + e2) paid per consumer
         .repartition(col("src"))
         .persistTracked()
+      // wedge enumeration stays the pipelined self-join. A measured
+      // round-10 attempt at the q_link_predict bucket device (sorted
+      // neighbor arrays + a pair generator, hot vertices >1024 falling
+      // back to this join) was calibration-identical at sf0.1 — norm 25.5
+      // vs 25.6, well inside host noise — because the wedge BUILD is not
+      // the bottleneck: at sf0.1 the graph is 1.196M edges / 20k vertices
+      // with max outdeg 97 (the orientation's √2m bound doing its job),
+      // and the 41M-wedge stream's cost is dominated by the closing-edge
+      // probe + census downstream, which both plans share. The join keeps
+      // the smaller memory envelope (no per-group array buffers), so it
+      // wins the tie.
       val wedge = dir.as("e1").join(dir.as("e2"),
           col("e1.src") === col("e2.src") &&
             (col("e1.ddst") < col("e2.ddst") ||

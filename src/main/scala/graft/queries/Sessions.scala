@@ -91,6 +91,42 @@ object Sessions {
     }),
 
     // ---- gaps-and-islands sessionization (30-minute inactivity gap) ----
+    // ---- inter-event gap histogram — the number the 30-minute session
+    //      gap (and the streaming state timeout built on it) should be
+    //      CHOSEN from, the way q_watermark_sizing chooses the watermark:
+    //      per-user consecutive gaps bucketed on a fixed ladder (≤1m, ≤5m,
+    //      ≤30m, ≤2h, ≤1d, >1d), with each bucket's share in bp and the
+    //      cumulative share — the session cut should sit where the curve
+    //      flattens. One user_id shuffle (the lag window), then a 6-row
+    //      map-side-combined census; all-integer ----
+    "q_gap_histogram" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("secs"), col("event_id"))
+      val gaps = events(s, d)
+        .select(col("user_id"), col("event_id"),
+          unix_timestamp(col("ts")).as("secs"))
+        .withColumn("gap_s", col("secs") - lag(col("secs"), 1).over(w))
+        .filter(col("gap_s").isNotNull)
+        .select(expr(
+          """CASE WHEN gap_s <= 60 THEN 0 WHEN gap_s <= 300 THEN 1
+            |     WHEN gap_s <= 1800 THEN 2 WHEN gap_s <= 7200 THEN 3
+            |     WHEN gap_s <= 86400 THEN 4 ELSE 5 END""".stripMargin)
+          .as("bucket"), col("gap_s"))
+        .persistTracked()
+      val tot = gaps.agg(count(lit(1)).as("n_total"))
+      gaps.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_gaps"), max(col("gap_s")).as("max_gap_s"))
+        .crossJoin(broadcast(tot))
+        .withColumn("share_bp", expr("(n_gaps * 10000) div n_total"))
+        .withColumn("cum_bp", expr(
+          """(sum(n_gaps) OVER (ORDER BY bucket
+            |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            |   * 10000) div n_total""".stripMargin))
+        .select(col("bucket"), col("n_gaps"), col("max_gap_s"),
+          col("share_bp"), col("cum_bp"))
+        .orderBy("bucket")
+    }),
+
     "q_sessionize" -> ((s, d) => {
       val byUser = Window.partitionBy(col("user_id"))
         .orderBy(col("secs").asc, col("event_id").asc)
@@ -251,6 +287,33 @@ object Sessions {
   )
 
   val oracles: Map[String, String] = Map(
+    // same ladder, same integer shares; the running sum is CAST back to
+    // BIGINT so pandas keeps the integer dtype class
+    "q_gap_histogram" ->
+      """WITH e AS MATERIALIZED (
+        |  SELECT user_id, event_id,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS secs
+        |  FROM events),
+        |g AS MATERIALIZED (
+        |  SELECT secs - lag(secs) OVER (PARTITION BY user_id
+        |           ORDER BY secs, event_id) AS gap_s
+        |  FROM e),
+        |b AS MATERIALIZED (
+        |  SELECT CASE WHEN gap_s <= 60 THEN 0 WHEN gap_s <= 300 THEN 1
+        |              WHEN gap_s <= 1800 THEN 2 WHEN gap_s <= 7200 THEN 3
+        |              WHEN gap_s <= 86400 THEN 4 ELSE 5 END AS bucket,
+        |         gap_s
+        |  FROM g WHERE gap_s IS NOT NULL),
+        |t AS (SELECT count(*) AS n_total FROM b),
+        |c AS (SELECT bucket, count(*) AS n_gaps, max(gap_s) AS max_gap_s
+        |      FROM b GROUP BY bucket)
+        |SELECT bucket, n_gaps, max_gap_s,
+        |       (n_gaps * 10000) // n_total AS share_bp,
+        |       (CAST(sum(n_gaps) OVER (ORDER BY bucket
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS BIGINT) * 10000) // n_total AS cum_bp
+        |FROM c CROSS JOIN t ORDER BY bucket""".stripMargin,
+
     "q_event_sequences" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type,
