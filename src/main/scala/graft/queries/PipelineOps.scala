@@ -226,6 +226,46 @@ object PipelineOps {
         .orderBy("lang")
     }),
 
+    // ---- Bloom-filter FPR calibration (the q_minhash_calibration story
+    //      for membership sketches): measure the REAL false-positive rate
+    //      of a d=2 integer-hash Bloom filter at three sizes, with insert
+    //      and probe key sets DISJOINT by construction (o_orderkey % 10
+    //      split) so every probe that passes both hash membership tests
+    //      is a counted false positive. This is the number that sizes
+    //      q_bloom_decontaminate's filter: m per key for a target FPR is
+    //      read off the measured curve, not trusted from the formula.
+    //      Each bit-set is ≤ m ≤ 65536 DISTINCT positions — broadcast by
+    //      construction — so probes are two semi-joins against broadcast
+    //      sets, pipelined, no probe-side shuffle; hashes are the shared
+    //      LCG pair (exact int64, no overflow: (P−1)·1103515245 < 2⁶³) ----
+    "q_bloom_fpr" -> ((s, d) => {
+      val P = 2147483647L
+      def h1(m: Int) = expr(s"((k % $P) * 1103515245 + 12345) % $P % $m")
+      def h2(m: Int) = expr(s"((k % $P) * 69069 + 362437) % $P % $m")
+      val keys = Tables(s, d, "orders").select(col("o_orderkey").as("k"))
+      val ins = keys.filter(col("k") % 10 < 8).persistTracked()
+      val pr = keys.filter(col("k") % 10 >= 8).persistTracked()
+      val insN = ins.agg(count(lit(1)).as("n_inserted"))
+      val prN = pr.agg(count(lit(1)).as("n_probes"))
+      Seq(4096, 16384, 65536).map { m =>
+        val setbits = ins.select(h1(m).as("pos"))
+          .unionByName(ins.select(h2(m).as("pos"))).distinct()
+          .persistTracked()
+        val fp = pr
+          .join(broadcast(setbits.select(col("pos").as("p1"))),
+            h1(m) === col("p1"), "left_semi")
+          .join(broadcast(setbits.select(col("pos").as("p2"))),
+            h2(m) === col("p2"), "left_semi")
+          .agg(count(lit(1)).as("n_false_pos"))
+        fp.crossJoin(broadcast(setbits.agg(count(lit(1)).as("n_set_bits"))))
+          .crossJoin(broadcast(insN))
+          .crossJoin(broadcast(prN))
+          .select(lit(m).as("m_bits"), col("n_inserted"),
+            col("n_set_bits"), col("n_probes"), col("n_false_pos"),
+            expr("(n_false_pos * 10000) div n_probes").as("fpr_bp"))
+      }.reduce(_ unionByName _).orderBy("m_bits")
+    }),
+
     // ---- Gopher-style repetition signals: top-token fraction, distinct
     //      fraction, duplicate-2-gram fraction. Two map-side-combined
     //      aggregations keyed (doc_id, token) / (doc_id, bigram) — fine keys,
@@ -724,7 +764,39 @@ object PipelineOps {
         .orderBy("doc_id"))
   )
 
+  /** q_bloom_fpr oracle: same LCG pair, same disjoint split, one
+    * generated branch per filter size. */
+  private def bloomFprOracle: String = {
+    val P = 2147483647L
+    def h(m: Int, a: Long, b: Long) =
+      s"((k % $P) * $a + $b) % $P % $m"
+    val branches = Seq(4096, 16384, 65536).map { m =>
+      val (x1, x2) = (h(m, 1103515245L, 12345L), h(m, 69069L, 362437L))
+      s"""SELECT $m AS m_bits,
+         |  (SELECT count(*) FROM ins) AS n_inserted,
+         |  (SELECT count(DISTINCT pos) FROM (
+         |     SELECT $x1 AS pos FROM ins
+         |     UNION ALL SELECT $x2 FROM ins)) AS n_set_bits,
+         |  (SELECT count(*) FROM pr) AS n_probes,
+         |  (SELECT count(*) FROM pr
+         |   WHERE $x1 IN (SELECT $x1 FROM ins
+         |                 UNION SELECT $x2 FROM ins)
+         |     AND $x2 IN (SELECT $x1 FROM ins
+         |                 UNION SELECT $x2 FROM ins)) AS n_false_pos""".stripMargin
+    }.mkString("\n", "\nUNION ALL\n", "\n")
+    s"""WITH ins AS MATERIALIZED (
+       |  SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 10 < 8),
+       |pr AS MATERIALIZED (
+       |  SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 10 >= 8),
+       |u AS ($branches)
+       |SELECT m_bits, n_inserted, n_set_bits, n_probes, n_false_pos,
+       |       (n_false_pos * 10000) // n_probes AS fpr_bp
+       |FROM u ORDER BY m_bits""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_bloom_fpr" -> bloomFprOracle,
+
     "q_contamination" ->
       """WITH toks AS (
         |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w

@@ -236,6 +236,54 @@ object EventsStream {
       }
   }
 
+  case class GapEvent(user_id: Long, event_id: Long, secs: Long)
+  // public for the janino state-store serializer (the RingState caveat)
+  case class LastSeen(secs: Long)
+  case class GapObs(bucket: Int, gap_s: Long)
+
+  /** Streaming inter-event gap observer — the stateful half of the batch
+    * q_gap_histogram: per user the state is ONE long (the last-seen
+    * event time), each arrival emits its gap's ladder bucket, and the
+    * downstream bucket census is an ordinary streaming aggregation over
+    * the emitted observations (6 groups — state bounded by the ladder,
+    * not the stream). Events process in (secs, event_id) order within
+    * each micro-batch group; equivalence with the batch window
+    * formulation holds when micro-batch cuts respect time order per user
+    * (the latenessCensus contract; StreamingSpec pins it with ordered
+    * MemoryStream chunks). The same function runs on a batch Dataset —
+    * each key sees its full history at once.
+    */
+  def gapObservations(events: Dataset[GapEvent]): Dataset[GapObs] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastSeen, GapObs](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[GapEvent], state: GroupState[LastSeen]) =>
+          var last = state.getOption.map(_.secs).getOrElse(Long.MinValue)
+          val out = scala.collection.mutable.ArrayBuffer.empty[GapObs]
+          it.toSeq.sortBy(e => (e.secs, e.event_id)).foreach { e =>
+            if (last != Long.MinValue) {
+              val g = e.secs - last
+              val b =
+                if (g <= 60) 0 else if (g <= 300) 1 else if (g <= 1800) 2
+                else if (g <= 7200) 3 else if (g <= 86400) 4 else 5
+              out += GapObs(b, g)
+            }
+            last = e.secs
+          }
+          state.update(LastSeen(last))
+          out.iterator
+      }
+  }
+
+  /** Bucket census over [[gapObservations]] — q_gap_histogram's
+    * (bucket, n_gaps, max_gap_s) core as a live stream. */
+  def gapHistogram(events: Dataset[GapEvent]): DataFrame =
+    gapObservations(events)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_gaps"), max(col("gap_s")).as("max_gap_s"))
+
   /** Stream-stream interval join (attribution): purchases joined to every
     * same-user click in the preceding `windowMinutes`. Both sides carry
     * event-time watermarks and the join condition bounds click_ts relative

@@ -183,6 +183,40 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(streamed.values.forall(_.n_reordered == 0L))
   }
 
+  test("gap histogram state machine: batch fn == streamed fn == oracle query") {
+    // one long of state per user, a 6-group census downstream; two
+    // time-ordered micro-batches must land on the batch window
+    // formulation's exact (bucket, n_gaps, max_gap_s) rows
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val evs = Tables(spark, sf, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("secs"))
+      .as[EventsStream.GapEvent]
+    def toMap(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val batchOut = toMap(EventsStream.gapHistogram(evs).collect())
+    val oracle = SparkEntry.queries("q_gap_histogram")(spark, sf).collect()
+      .map(r => r.getAs[Int]("bucket") ->
+        (r.getAs[Long]("n_gaps"), r.getAs[Long]("max_gap_s"))).toMap
+    assert(batchOut.nonEmpty && batchOut == oracle,
+      s"batch fn vs query: ${(batchOut.toSet diff oracle.toSet).take(3)}")
+    val rows = evs.collect().sortBy(e => (e.secs, e.event_id))
+    val cut = rows(rows.length / 2).secs
+    val ms = MemoryStream[EventsStream.GapEvent](spark)
+    val sq = EventsStream.gapHistogram(ms.toDS()).writeStream
+      .format("memory").queryName("gap_out").outputMode("complete").start()
+    try {
+      ms.addData(rows.filter(_.secs <= cut).toSeq)
+      sq.processAllAvailable()
+      ms.addData(rows.filter(_.secs > cut).toSeq)
+      sq.processAllAvailable()
+    } finally sq.stop()
+    val streamed = toMap(spark.table("gap_out").collect())
+    assert(streamed == batchOut,
+      s"stream vs batch: ${(streamed.toSet diff batchOut.toSet).take(3)}")
+  }
+
   test("lateness census flags micro-batch cuts that violate ingest order") {
     // feed the HIGH half of the event_id range first, then the low half:
     // every low-half arrival has an id below the carried high-water id, so
