@@ -224,77 +224,9 @@ object BasketOps {
     //      The oracle counts the SAME triangles by the naive id-ordered
     //      definition — proving the orientation rewrite loses nothing ----
     "q_triangles" -> ((s, d) => {
-      // und feeds the degree census AND the orientation join; dir plays
-      // THREE roles (wedge e1/e2, closing-edge e3). Unpersisted, Spark
-      // re-derives the whole basket self-join under every role — measured
-      // 4× the work at sf0.1; both frames are edge-sized, cache-safe
       val und = coEdges(items(s, d).persistTracked())
         .select(col("pa"), col("pb")).persistTracked()
-      val deg = und.select(col("pa").as("v"))
-        .unionByName(und.select(col("pb").as("v")))
-        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
-      // orient each edge low → high in the (deg, id) total order. The
-      // degree census rides as a BROADCAST on both attachment joins —
-      // it is vertex-sized (catalog cardinality, the supp bound), while
-      // the edge set it annotates is corpus-sized: broadcasting deg keeps
-      // und pipelined out of its cache instead of shuffling it twice
-      val dir = und
-        .join(broadcast(deg.select(col("v").as("pa"), col("deg").as("da"))), "pa")
-        .join(broadcast(deg.select(col("v").as("pb"), col("deg").as("db"))), "pb")
-        .select(
-          when(col("da") < col("db") ||
-            (col("da") === col("db") && col("pa") < col("pb")),
-            struct(col("pa").as("src"), col("pb").as("dst"),
-              col("db").as("ddst")))
-            .otherwise(struct(col("pb").as("src"), col("pa").as("dst"),
-              col("da").as("ddst"))).as("e"))
-        .select(col("e.src"), col("e.dst"), col("e.ddst"))
-        // pre-partition on src BEFORE caching: the wedge self-join below
-        // clusters BOTH sides on src, so the cache's partitioning satisfies
-        // both and the join runs exchange-free — one shuffle paid at cache
-        // build instead of two (e1 + e2) paid per consumer
-        .repartition(col("src"))
-        .persistTracked()
-      // wedge enumeration stays the pipelined self-join. A measured
-      // round-10 attempt at the q_link_predict bucket device (sorted
-      // neighbor arrays + a pair generator, hot vertices >1024 falling
-      // back to this join) was calibration-identical at sf0.1 — norm 25.5
-      // vs 25.6, well inside host noise — because the wedge BUILD is not
-      // the bottleneck: at sf0.1 the graph is 1.196M edges / 20k vertices
-      // with max outdeg 97 (the orientation's √2m bound doing its job),
-      // and the 41M-wedge stream's cost is dominated by the closing-edge
-      // probe + census downstream, which both plans share. The join keeps
-      // the smaller memory envelope (no per-group array buffers), so it
-      // wins the tie.
-      val wedge = dir.as("e1").join(dir.as("e2"),
-          col("e1.src") === col("e2.src") &&
-            (col("e1.ddst") < col("e2.ddst") ||
-              (col("e1.ddst") === col("e2.ddst") &&
-                col("e1.dst") < col("e2.dst"))))
-        .select(col("e1.dst").as("v"), col("e2.dst").as("w"),
-          col("e1.src").as("u"))
-      // the wedge stream is the big intermediate (Σ outdeg² ≫ |E|).
-      // Broadcasting the 2-column closing-edge set keeps wedges pipelined
-      // from the self-join straight into the probe + partial agg — but the
-      // edge set is CORPUS-sized, so past broadcastable |E| the probe must
-      // flip to a shuffle join on (v, w): the wedge side then pays one
-      // exchange instead of the driver building (and every executor
-      // holding) an over-threshold relation. Same profile-then-choose
-      // shape as Skew.autoJoin: |E| is a free count on the already-
-      // persisted frame, the threshold is conservative (4M edges ≈ 100 MB
-      // of longs — well inside executor broadcast budgets; override with
-      // spark.graft.triangles.broadcastMaxEdges)
-      val closing = dir.select(col("src").as("c_src"), col("dst").as("c_dst"))
-      val maxBcastEdges = s.conf
-        .get("spark.graft.triangles.broadcastMaxEdges", "4000000").toLong
-      // over threshold: SHUFFLE_HASH, not just hint-removal — the per-
-      // reducer build is |E|/parts (bounded), and the explicit hint keeps
-      // the planner from re-broadcasting off a stale size estimate
-      val probeSide =
-        graft.operators.Skew.sizeGatedBroadcast(closing, dir.count(), maxBcastEdges)
-      val tri = wedge.join(probeSide,
-          col("v") === col("c_src") && col("w") === col("c_dst"))
-        .select(col("u"), col("v"), col("w"))
+      val tri = triangleStream(s, und)
       val perNode = tri
         .select(explode(array(col("u"), col("v"), col("w"))).as("part"))
         .groupBy(col("part")).agg(count(lit(1)).as("n_tri"))
@@ -310,8 +242,98 @@ object BasketOps {
         .withColumn("total_triangles", expr("sum(n_tri) over () div 3"))
         .orderBy(col("n_tri").desc, col("part").asc)
         .limit(10)
+    }),
+
+    // ---- global clustering coefficient (transitivity): 3·|triangles| /
+    //      |wedges| over the co-purchase graph — the one-number summary of
+    //      q_triangles' census, with the wedge denominator from the
+    //      degree census (Σ C(deg, 2), never enumerated). Rides the same
+    //      triangleStream machinery; single-row output at any scale ----
+    "q_clustering_coeff" -> ((s, d) => {
+      val und = coEdges(items(s, d).persistTracked())
+        .select(col("pa"), col("pb")).persistTracked()
+      val deg = und.select(col("pa").as("v"))
+        .unionByName(und.select(col("pb").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      // all-integer moments: deg·(deg−1) div 2 stays in int64 per vertex
+      // and the sums ride decimal(38,0) — no double mantissa anywhere
+      val gstats = deg.agg(count(lit(1)).as("n_vertices"),
+        expr("cast(sum(cast(deg as decimal(38,0))) div 2 as bigint)")
+          .as("n_edges"),
+        expr("cast(sum(cast((deg * (deg - 1)) div 2 as decimal(38,0))) as bigint)")
+          .as("n_wedges"))
+      val triN = triangleStream(s, und).agg(count(lit(1)).as("n_triangles"))
+      triN.crossJoin(broadcast(gstats))
+        .select(col("n_vertices"), col("n_edges"), col("n_wedges"),
+          col("n_triangles"),
+          expr("""CASE WHEN n_wedges = 0 THEN 0
+                 |ELSE (3 * n_triangles * 10000) div n_wedges END"""
+            .stripMargin).as("global_cc_bp"))
     })
   )
+
+  /** Degree-oriented (compact-forward) triangle enumeration over an
+    * undirected PERSISTED edge frame (pa, pb): every edge points from its
+    * lower-(deg, id) endpoint, wedges enumerate from low-degree vertices
+    * only, each triangle materializes exactly once as (u, v, w). Shared by
+    * q_triangles (per-node census) and q_clustering_coeff (count).
+    *
+    * Scale notes, measured and kept:
+    *  - und feeds the degree census AND the orientation join; dir plays
+    *    THREE roles (wedge e1/e2, closing-edge e3) — unpersisted, Spark
+    *    re-derives the basket self-join under every role (4× at sf0.1),
+    *    so dir is cached pre-partitioned on src and the wedge self-join
+    *    runs exchange-free.
+    *  - the degree census rides as a BROADCAST on both attachment joins
+    *    (vertex-sized), keeping und pipelined out of its cache.
+    *  - wedge enumeration stays the pipelined self-join: a measured
+    *    round-10 attempt at the q_link_predict bucket device (sorted
+    *    neighbor arrays + pair generator, hot vertices >1024 falling back
+    *    to this join) was calibration-identical at sf0.1 (norm 25.5 vs
+    *    25.6) because the build is not the bottleneck — at sf0.1 the
+    *    graph is 1.196M edges / 20k vertices, max outdeg 97 (the
+    *    orientation's √2m bound), and the 41M-wedge stream's cost sits in
+    *    the closing-edge probe + downstream aggregation both plans share.
+    *    The join keeps the smaller memory envelope, so it wins the tie.
+    *  - the closing-edge probe is COUNT-GATED (Skew.sizeGatedBroadcast):
+    *    broadcast within spark.graft.triangles.broadcastMaxEdges (4M ≈
+    *    100 MB of longs), explicit shuffle_hash on (v, w) past it — the
+    *    wedge side then pays one exchange instead of every executor
+    *    holding an over-threshold relation.
+    */
+  private def triangleStream(s: SparkSession, und: DataFrame): DataFrame = {
+    val deg = und.select(col("pa").as("v"))
+      .unionByName(und.select(col("pb").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val dir = und
+      .join(broadcast(deg.select(col("v").as("pa"), col("deg").as("da"))), "pa")
+      .join(broadcast(deg.select(col("v").as("pb"), col("deg").as("db"))), "pb")
+      .select(
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("pa") < col("pb")),
+          struct(col("pa").as("src"), col("pb").as("dst"),
+            col("db").as("ddst")))
+          .otherwise(struct(col("pb").as("src"), col("pa").as("dst"),
+            col("da").as("ddst"))).as("e"))
+      .select(col("e.src"), col("e.dst"), col("e.ddst"))
+      .repartition(col("src"))
+      .persistTracked()
+    val wedge = dir.as("e1").join(dir.as("e2"),
+        col("e1.src") === col("e2.src") &&
+          (col("e1.ddst") < col("e2.ddst") ||
+            (col("e1.ddst") === col("e2.ddst") &&
+              col("e1.dst") < col("e2.dst"))))
+      .select(col("e1.dst").as("v"), col("e2.dst").as("w"),
+        col("e1.src").as("u"))
+    val closing = dir.select(col("src").as("c_src"), col("dst").as("c_dst"))
+    val maxBcastEdges = s.conf
+      .get("spark.graft.triangles.broadcastMaxEdges", "4000000").toLong
+    val probeSide =
+      graft.operators.Skew.sizeGatedBroadcast(closing, dir.count(), maxBcastEdges)
+    wedge.join(probeSide,
+        col("v") === col("c_src") && col("w") === col("c_dst"))
+      .select(col("u"), col("v"), col("w"))
+  }
 
   val oracles: Map[String, String] = Map(
     "q_copurchase_rules" ->
@@ -423,6 +445,33 @@ object BasketOps {
         |         AS q_contrib
         |FROM dc LEFT JOIN wc USING (brand) CROSS JOIN m
         |ORDER BY dc.brand""".stripMargin,
+
+    // naive id-ordered triangle count + closed-form wedge census — the
+    // same proof shape as q_triangles' oracle
+    "q_clustering_coeff" ->
+      """WITH it AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS MATERIALIZED (
+        |  SELECT DISTINCT a.p AS pa, b.p AS pb
+        |  FROM it a JOIN it b ON a.o = b.o AND a.p < b.p),
+        |deg AS MATERIALIZED (
+        |  SELECT v, count(*) AS dg FROM (
+        |    SELECT pa AS v FROM e UNION ALL SELECT pb FROM e)
+        |  GROUP BY v),
+        |g AS (
+        |  SELECT count(*) AS n_vertices,
+        |         CAST(sum(dg) // 2 AS BIGINT) AS n_edges,
+        |         CAST(sum((dg * (dg - 1)) // 2) AS BIGINT) AS n_wedges
+        |  FROM deg),
+        |t AS (
+        |  SELECT count(*) AS n_triangles
+        |  FROM e e1 JOIN e e2 ON e1.pb = e2.pa
+        |       JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb)
+        |SELECT n_vertices, n_edges, n_wedges, n_triangles,
+        |       CASE WHEN n_wedges = 0 THEN 0
+        |            ELSE (3 * n_triangles * 10000) // n_wedges END
+        |         AS global_cc_bp
+        |FROM g CROSS JOIN t""".stripMargin,
 
     "q_triangles" ->
       """WITH it AS (
