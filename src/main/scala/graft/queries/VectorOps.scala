@@ -177,47 +177,15 @@ object VectorOps {
     //      clusters only. At 100 TB the cluster id is the partition key and
     //      a probe touches nProbe/K of the corpus instead of all of it ----
     "q_ann_ivf" -> ((s, d) => {
-      val k = 16; val nProbe = 2
       import graft.functions.VectorExprs
-      val e = emb(s, d).select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double")).as("vd")).persistTracked()
-      def assign(cents: DataFrame): DataFrame = {
-        val w = Window.partitionBy(col("vec_id"))
-          .orderBy(col("dist").asc, col("cid").asc)
-        e.crossJoin(broadcast(cents))
-          .select(col("vec_id"), col("vd"), col("cid"),
-            VectorExprs.l2DistSq(col("vd"), col("cvec")).as("dist"))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .select(col("vec_id"), col("vd"), col("cid"))
-      }
-      val init = e.filter(col("vec_id") < k)
-        .select(col("vec_id").cast("int").as("cid"), col("vd").as("cvec"))
-      val cents1 = assign(init)
-        .select(col("cid"), posexplode(col("vd")).as(Seq("dim", "v")))
-        .groupBy(col("cid"), col("dim"))
-        .agg(round(avg(col("v")), 6).as("cv"))
-        .groupBy(col("cid"))
-        .agg(transform(array_sort(collect_list(struct(col("dim"), col("cv")))),
-          _.getField("cv")).as("cvec"))
-      val a2 = assign(cents1)
-      val probes = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("probe_id"), col("vd").as("pd"))
-      val wp = Window.partitionBy(col("probe_id"))
-        .orderBy(col("dist").asc, col("cid").asc)
-      val probed = probes.crossJoin(broadcast(cents1))
-        .select(col("probe_id"), col("pd"), col("cid"),
-          VectorExprs.l2DistSq(col("pd"), col("cvec")).as("dist"))
-        .withColumn("crn", row_number().over(wp))
-        .filter(col("crn") <= nProbe)
-        .select(col("probe_id"), col("pd"), col("cid"))
+      val (_, _, a2, probed) = ivfIndex(s, d, maxProbe = 2)
       val wr = Window.partitionBy(col("probe_id"))
         .orderBy(col("cos").desc, col("neighbor_id").asc)
       // corpus-side (a2) stays partitioned; the tiny probe list (nProbe ×
       // probes rows) is the broadcast build side. Joining the other way
       // round would shuffle the whole corpus assignment onto ≤k cluster-id
       // keys — guaranteed stragglers at scale.
-      a2.join(broadcast(probed), "cid")
+      a2.join(broadcast(probed.drop("crn")), "cid")
         .filter(col("vec_id") =!= col("probe_id"))
         .select(col("probe_id"), col("vec_id").as("neighbor_id"),
           round(VectorExprs.cosineD(col("pd"), col("vd")), 6).as("cos"))
@@ -225,6 +193,55 @@ object VectorOps {
         .filter(col("rn") <= 3)
         .select(col("probe_id"), col("rn"), col("neighbor_id"), col("cos"))
         .orderBy("probe_id", "rn")
+    }),
+
+    // ---- IVF nprobe tuning curve (the q_lsh_tuning story for the coarse
+    //      quantizer): recall@5 against the exact top-5 truth and the
+    //      candidate-scan cost, measured at nprobe ∈ {1, 2, 4} from ONE
+    //      probed index — the nprobe=4 probe set is computed once and each
+    //      smaller setting is a crn filter over it, so the three configs
+    //      share every stage (init, Lloyd round, reassignment, probe
+    //      ranking). This is the page a production index picks its
+    //      recall/latency point from; all counts integer, recall in bp ----
+    "q_ivf_tuning" -> ((s, d) => {
+      import graft.functions.VectorExprs
+      val (e, _, a2, probed) = ivfIndex(s, d, maxProbe = 4)
+      val probes = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("vd").as("pd"))
+      // exact truth: full-scan top-5 per probe (the q_ann_recall leg)
+      val wt = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cos").desc, col("neighbor_id").asc)
+      val exact = e.select(col("vec_id").as("neighbor_id"), col("vd"))
+        .join(broadcast(probes), col("probe_id") =!= col("neighbor_id"))
+        .select(col("probe_id"), col("neighbor_id"),
+          round(VectorExprs.cosineD(col("pd"), col("vd")), 6).as("cos"))
+        .withColumn("rn", row_number().over(wt)).filter(col("rn") <= 5)
+        .select(col("probe_id"), col("neighbor_id")).persistTracked()
+      val cand = a2.join(broadcast(probed), "cid")
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("crn"),
+          col("vec_id").as("neighbor_id"),
+          round(VectorExprs.cosineD(col("pd"), col("vd")), 6).as("cos"))
+        .persistTracked()
+      val nps = s.range(1).select(explode(array(lit(1), lit(2), lit(4)))
+        .as("nprobe"))
+      val wk = Window.partitionBy(col("nprobe"), col("probe_id"))
+        .orderBy(col("cos").desc, col("neighbor_id").asc)
+      val perNp = cand.join(broadcast(nps), col("crn") <= col("nprobe"))
+      val topk = perNp
+        .withColumn("rn", row_number().over(wk)).filter(col("rn") <= 5)
+        .select(col("nprobe"), col("probe_id"), col("neighbor_id"))
+      val hits = topk.join(exact, Seq("probe_id", "neighbor_id"))
+        .groupBy(col("nprobe")).agg(count(lit(1)).as("n_hits"))
+      val scanned = perNp.groupBy(col("nprobe"))
+        .agg(count(lit(1)).as("n_candidates"))
+      val truthN = exact.agg(count(lit(1)).as("n_truth"))
+      scanned.join(hits, Seq("nprobe"), "left")
+        .crossJoin(broadcast(truthN))
+        .select(col("nprobe"), col("n_candidates"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          expr("(coalesce(n_hits, 0) * 10000) div n_truth").as("recall_bp"))
+        .orderBy("nprobe")
     }),
 
     // ---- product quantization (the faiss-style compression beyond the
@@ -677,6 +694,84 @@ object VectorOps {
        |v$i AS (SELECT list(round(w / nrm, 9) ORDER BY dim) AS v
        |        FROM w$i CROSS JOIN n$i)""".stripMargin
 
+  /** IVF coarse-quantizer stages shared by q_ann_ivf and q_ivf_tuning:
+    * deterministic init (first 16 vectors), ONE Lloyd round with centroids
+    * rounded to 6dp (both engines agree bit-for-bit), corpus
+    * reassignment, and the probe-side centroid ranking kept to
+    * `maxProbe`. Returns (e, cents1, a2, probed-with-crn); e and a2's
+    * spine are persisted via the ledger. */
+  private def ivfIndex(s: SparkSession, d: String, maxProbe: Int)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    import graft.functions.VectorExprs
+    val k = 16
+    val e = emb(s, d).select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("vd")).persistTracked()
+    def assign(cents: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("dist").asc, col("cid").asc)
+      e.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("vd"), col("cid"),
+          VectorExprs.l2DistSq(col("vd"), col("cvec")).as("dist"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("vd"), col("cid"))
+    }
+    val init = e.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("cid"), col("vd").as("cvec"))
+    val cents1 = assign(init)
+      .select(col("cid"), posexplode(col("vd")).as(Seq("dim", "v")))
+      .groupBy(col("cid"), col("dim"))
+      .agg(round(avg(col("v")), 6).as("cv"))
+      .groupBy(col("cid"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("cv")))),
+        _.getField("cv")).as("cvec"))
+    val a2 = assign(cents1)
+    val probes = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("vd").as("pd"))
+    val wp = Window.partitionBy(col("probe_id"))
+      .orderBy(col("dist").asc, col("cid").asc)
+    val probed = probes.crossJoin(broadcast(cents1))
+      .select(col("probe_id"), col("pd"), col("cid"),
+        VectorExprs.l2DistSq(col("pd"), col("cvec")).as("dist"))
+      .withColumn("crn", row_number().over(wp))
+      .filter(col("crn") <= maxProbe)
+      .select(col("probe_id"), col("pd"), col("cid"), col("crn"))
+    (e, cents1, a2, probed)
+  }
+
+  /** Shared IVF oracle CTE chain (init → one Lloyd round → reassignment →
+    * probe ranking kept to `maxProbe`); the bit-exact DuckDB twin of
+    * [[ivfIndex]]. Ends with a trailing comma so callers append their own
+    * evaluation CTEs. */
+  private def ivfOracleStages(maxProbe: Int): String = {
+    val l2 = VectorExprs.l2DistSqSql _
+    s"""e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+       |           FROM embeddings),
+       |init AS (SELECT CAST(vec_id AS INTEGER) AS cid, vd AS cvec FROM e WHERE vec_id < 16),
+       |d1 AS (SELECT e.vec_id, e.vd, i.cid, ${l2("e.vd", "i.cvec", 64)} AS dist
+       |       FROM e, init i),
+       |a1 AS (SELECT vec_id, vd, cid FROM (
+       |         SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                   ORDER BY dist ASC, cid ASC) AS rn FROM d1)
+       |       WHERE rn = 1),
+       |cd AS (SELECT cid, d.range AS dim, round(avg(vd[d.range]), 6) AS cv
+       |       FROM a1, range(1, 65) d GROUP BY cid, d.range),
+       |c1 AS (SELECT cid, list(cv ORDER BY dim) AS cvec FROM cd GROUP BY cid),
+       |d2 AS (SELECT e.vec_id, e.vd, c.cid, ${l2("e.vd", "c.cvec", 64)} AS dist
+       |       FROM e, c1 c),
+       |a2 AS (SELECT vec_id, vd, cid FROM (
+       |         SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                   ORDER BY dist ASC, cid ASC) AS rn FROM d2)
+       |       WHERE rn = 1),
+       |p AS (SELECT vec_id AS probe_id, vd AS pd FROM e WHERE vec_id < 10),
+       |pd AS (SELECT p.probe_id, p.pd, c.cid, ${l2("p.pd", "c.cvec", 64)} AS dist
+       |       FROM p, c1 c),
+       |pc AS (SELECT probe_id, pd, cid, crn FROM (
+       |         SELECT *, row_number() OVER (PARTITION BY probe_id
+       |                   ORDER BY dist ASC, cid ASC) AS crn FROM pd)
+       |       WHERE crn <= $maxProbe),""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     // same mid-square LCG sign matrix, same sequential fold, same
     // rounding — the projection is value-exact across engines
@@ -810,33 +905,8 @@ object VectorOps {
          |WHERE rn <= 3 ORDER BY probe_id, rn""".stripMargin
     },
 
-    "q_ann_ivf" -> {
-      val l2 = VectorExprs.l2DistSqSql _
-      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
-         |           FROM embeddings),
-         |init AS (SELECT CAST(vec_id AS INTEGER) AS cid, vd AS cvec FROM e WHERE vec_id < 16),
-         |d1 AS (SELECT e.vec_id, e.vd, i.cid, ${l2("e.vd", "i.cvec", 64)} AS dist
-         |       FROM e, init i),
-         |a1 AS (SELECT vec_id, vd, cid FROM (
-         |         SELECT *, row_number() OVER (PARTITION BY vec_id
-         |                   ORDER BY dist ASC, cid ASC) AS rn FROM d1)
-         |       WHERE rn = 1),
-         |cd AS (SELECT cid, d.range AS dim, round(avg(vd[d.range]), 6) AS cv
-         |       FROM a1, range(1, 65) d GROUP BY cid, d.range),
-         |c1 AS (SELECT cid, list(cv ORDER BY dim) AS cvec FROM cd GROUP BY cid),
-         |d2 AS (SELECT e.vec_id, e.vd, c.cid, ${l2("e.vd", "c.cvec", 64)} AS dist
-         |       FROM e, c1 c),
-         |a2 AS (SELECT vec_id, vd, cid FROM (
-         |         SELECT *, row_number() OVER (PARTITION BY vec_id
-         |                   ORDER BY dist ASC, cid ASC) AS rn FROM d2)
-         |       WHERE rn = 1),
-         |p AS (SELECT vec_id AS probe_id, vd AS pd FROM e WHERE vec_id < 10),
-         |pd AS (SELECT p.probe_id, p.pd, c.cid, ${l2("p.pd", "c.cvec", 64)} AS dist
-         |       FROM p, c1 c),
-         |pc AS (SELECT probe_id, pd, cid FROM (
-         |         SELECT *, row_number() OVER (PARTITION BY probe_id
-         |                   ORDER BY dist ASC, cid ASC) AS crn FROM pd)
-         |       WHERE crn <= 2),
+    "q_ann_ivf" ->
+      s"""WITH ${ivfOracleStages(2)}
          |cand AS (
          |  SELECT pc.probe_id, a2.vec_id AS neighbor_id,
          |         round(${VectorExprs.cosineSql("pc.pd", "a2.vd")}, 6) AS cos
@@ -846,8 +916,45 @@ object VectorOps {
          |              ORDER BY cos DESC, neighbor_id ASC) AS rn
          |      FROM cand)
          |SELECT probe_id, rn, neighbor_id, cos FROM r
-         |WHERE rn <= 3 ORDER BY probe_id, rn""".stripMargin
-    },
+         |WHERE rn <= 3 ORDER BY probe_id, rn""".stripMargin,
+
+    // same index CTEs at maxProbe 4; smaller nprobe settings are crn
+    // filters over the ONE probed index, exactly like the Spark side
+    "q_ivf_tuning" ->
+      s"""WITH ${ivfOracleStages(4)}
+         |exact AS MATERIALIZED (
+         |  SELECT probe_id, neighbor_id FROM (
+         |    SELECT p.probe_id, e.vec_id AS neighbor_id,
+         |           row_number() OVER (PARTITION BY p.probe_id
+         |             ORDER BY round(${VectorExprs.cosineSql("p.pd", "e.vd")},
+         |                     6) DESC, e.vec_id ASC) AS rn
+         |    FROM p, e WHERE e.vec_id <> p.probe_id)
+         |  WHERE rn <= 5),
+         |cand AS MATERIALIZED (
+         |  SELECT pc.probe_id, pc.crn, a2.vec_id AS neighbor_id,
+         |         round(${VectorExprs.cosineSql("pc.pd", "a2.vd")}, 6) AS cos
+         |  FROM pc JOIN a2 USING (cid)
+         |  WHERE a2.vec_id <> pc.probe_id),
+         |nps AS (SELECT unnest([1, 2, 4]) AS nprobe),
+         |pernp AS MATERIALIZED (
+         |  SELECT nps.nprobe, cand.probe_id, cand.neighbor_id, cand.cos
+         |  FROM nps JOIN cand ON cand.crn <= nps.nprobe),
+         |topk AS (
+         |  SELECT nprobe, probe_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY nprobe, probe_id
+         |             ORDER BY cos DESC, neighbor_id ASC) AS rn FROM pernp)
+         |  WHERE rn <= 5),
+         |hits AS (SELECT nprobe, count(*) AS n_hits
+         |         FROM topk JOIN exact USING (probe_id, neighbor_id)
+         |         GROUP BY nprobe),
+         |sc AS (SELECT nprobe, count(*) AS n_candidates FROM pernp
+         |       GROUP BY nprobe),
+         |tn AS (SELECT count(*) AS n_truth FROM exact)
+         |SELECT sc.nprobe, n_candidates,
+         |       CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+         |       (coalesce(n_hits, 0) * 10000) // n_truth AS recall_bp
+         |FROM sc LEFT JOIN hits USING (nprobe) CROSS JOIN tn
+         |ORDER BY sc.nprobe""".stripMargin,
 
     // per-subspace CTE chains generated by the same recipe as q_ann_ivf's
     "q_embed_pq" ->
