@@ -97,7 +97,15 @@ object Bench {
       val xs = samples(n)
       n -> (if (xs.min > 0) xs.max / xs.min else 1.0)
     }
-    val spreadHi = spreads.filter(_._2 >= 1.5)
+    // flagged set = spread ≥ 1.5 on queries the perf review tracks
+    // (median ≥ 0.4 s): a 0.2 s jitter on a 0.4 s query flips the ratio
+    // without meaning anything, and the first full run flagged 35 such
+    // rows — noise drowning the signal the field exists to carry
+    val medianOf = samples.map { case (n, xs) => n -> {
+      val s = xs.sorted; s(s.size / 2)
+    } }
+    val spreadHi = spreads.filter { case (n, sp) =>
+      sp >= 1.5 && medianOf(n) >= 0.4 }
     val total = results.map(_._2).sum
     def qjson(rs: Seq[(String, Double)]): String = rs
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
