@@ -101,9 +101,7 @@ object Bench {
     // (median ≥ 0.4 s): a 0.2 s jitter on a 0.4 s query flips the ratio
     // without meaning anything, and the first full run flagged 35 such
     // rows — noise drowning the signal the field exists to carry
-    val medianOf = samples.map { case (n, xs) => n -> {
-      val s = xs.sorted; s(s.size / 2)
-    } }
+    val medianOf = results.toMap
     val spreadHi = spreads.filter { case (n, sp) =>
       sp >= 1.5 && medianOf(n) >= 0.4 }
     val total = results.map(_._2).sum

@@ -116,9 +116,10 @@ case class CmsEstimate(left: Expression, right: Expression, d: Int, w: Int)
   override def nullSafeEval(sketch: Any, tok: Any): Any = {
     val arr = sketch.asInstanceOf[ArrayData]
     // dims are caller-supplied and independent of the sketch column: a d/w
-    // that disagrees with the sketch's construction (or a transposed pair
-    // with the same product) would otherwise read out of bounds mid-task or
-    // return silently wrong estimates.
+    // whose product disagrees with the sketch's construction would
+    // otherwise read out of bounds mid-task. (A transposed pair with the
+    // SAME product still passes — indistinguishable from the data alone —
+    // and returns wrong estimates; only the caller knows the layout.)
     require(arr.numElements() == d * w,
       s"count-min sketch has ${arr.numElements()} counters, expected d*w = ${d * w} (d=$d, w=$w)")
     val t = tok.toString

@@ -226,7 +226,7 @@ object BasketOps {
     "q_triangles" -> ((s, d) => {
       val und = coEdges(items(s, d).persistTracked())
         .select(col("pa"), col("pb")).persistTracked()
-      val tri = triangleStream(s, und)
+      val (tri, _) = triangleStream(s, und)
       val perNode = tri
         .select(explode(array(col("u"), col("v"), col("w"))).as("part"))
         .groupBy(col("part")).agg(count(lit(1)).as("n_tri"))
@@ -252,9 +252,10 @@ object BasketOps {
     "q_clustering_coeff" -> ((s, d) => {
       val und = coEdges(items(s, d).persistTracked())
         .select(col("pa"), col("pb")).persistTracked()
-      val deg = und.select(col("pa").as("v"))
-        .unionByName(und.select(col("pb").as("v")))
-        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      // ONE degree census: triangleStream persists the one it builds for
+      // the orientation and returns it, so the wedge denominator below
+      // reads the same cache instead of re-aggregating the edge set
+      val (tri, deg) = triangleStream(s, und)
       // all-integer moments: deg·(deg−1) div 2 stays in int64 per vertex
       // and the sums ride decimal(38,0) — no double mantissa anywhere
       val gstats = deg.agg(count(lit(1)).as("n_vertices"),
@@ -262,7 +263,7 @@ object BasketOps {
           .as("n_edges"),
         expr("cast(sum(cast((deg * (deg - 1)) div 2 as decimal(38,0))) as bigint)")
           .as("n_wedges"))
-      val triN = triangleStream(s, und).agg(count(lit(1)).as("n_triangles"))
+      val triN = tri.agg(count(lit(1)).as("n_triangles"))
       triN.crossJoin(broadcast(gstats))
         .select(col("n_vertices"), col("n_edges"), col("n_wedges"),
           col("n_triangles"),
@@ -275,8 +276,10 @@ object BasketOps {
   /** Degree-oriented (compact-forward) triangle enumeration over an
     * undirected PERSISTED edge frame (pa, pb): every edge points from its
     * lower-(deg, id) endpoint, wedges enumerate from low-degree vertices
-    * only, each triangle materializes exactly once as (u, v, w). Shared by
-    * q_triangles (per-node census) and q_clustering_coeff (count).
+    * only, each triangle materializes exactly once as (u, v, w). Returns
+    * (triangles, persisted degree census) — shared by q_triangles
+    * (per-node census) and q_clustering_coeff (count + wedge moments from
+    * the returned census, so the edge set aggregates exactly once).
     *
     * Scale notes, measured and kept:
     *  - und feeds the degree census AND the orientation join; dir plays
@@ -301,10 +304,15 @@ object BasketOps {
     *    wedge side then pays one exchange instead of every executor
     *    holding an over-threshold relation.
     */
-  private def triangleStream(s: SparkSession, und: DataFrame): DataFrame = {
+  private def triangleStream(s: SparkSession, und: DataFrame)
+      : (DataFrame, DataFrame) = {
+    // vertex-sized census, PERSISTED: it feeds both orientation joins here
+    // and (for q_clustering_coeff) the wedge-denominator moments — one
+    // aggregation over the edge set, read from cache everywhere else
     val deg = und.select(col("pa").as("v"))
       .unionByName(und.select(col("pb").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      .persistTracked()
     val dir = und
       .join(broadcast(deg.select(col("v").as("pa"), col("deg").as("da"))), "pa")
       .join(broadcast(deg.select(col("v").as("pb"), col("deg").as("db"))), "pb")
@@ -330,9 +338,10 @@ object BasketOps {
       .get("spark.graft.triangles.broadcastMaxEdges", "4000000").toLong
     val probeSide =
       graft.operators.Skew.sizeGatedBroadcast(closing, dir.count(), maxBcastEdges)
-    wedge.join(probeSide,
+    val tri = wedge.join(probeSide,
         col("v") === col("c_src") && col("w") === col("c_dst"))
       .select(col("u"), col("v"), col("w"))
+    (tri, deg)
   }
 
   val oracles: Map[String, String] = Map(

@@ -64,6 +64,19 @@ object CdcStream {
       synchronized {
         if (batchId <= lastCommitted) return
         val ch = changes.toDF()
+        // SQL MERGE semantics: at most ONE source change per key per
+        // batch. Two same-key changes would fan out the full-outer join
+        // and commit duplicate snapshot rows that double on every later
+        // touch — reject the batch loudly (the change batch is the tiny
+        // side; this census is one broadcast-scale job) instead of
+        // corrupting silently.
+        val dup = ch.groupBy(col("o_orderkey"))
+          .agg(count(lit(1)).as("c")).filter(col("c") > 1)
+          .limit(1).collect()
+        require(dup.isEmpty,
+          s"micro-batch $batchId carries ${dup.head.getLong(1)} changes " +
+            s"for key ${dup.head.getLong(0)}: MERGE requires at most one " +
+            "change per key per batch (pre-aggregate the change log first)")
         val merged = snap.join(ch, Seq("o_orderkey"), "full_outer")
           .filter(coalesce(col("op"), lit("K")) =!= "D")
           .select(col("o_orderkey"),

@@ -31,9 +31,9 @@ class PersistLedgerSpec extends AnyFunSuite with SparkSpec {
     // reopen the leak the ledger closed. Allow the helper itself (it wraps
     // the bare call) and non-query infrastructure.
     val dir = java.nio.file.Paths.get("src/main/scala/graft/queries")
-    val bare = java.nio.file.Files.walk(dir).iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
     val offenders = new scala.collection.mutable.ArrayBuffer[String]()
-    bare.forEachRemaining { p =>
+    val walk = java.nio.file.Files.walk(dir)
+    try walk.forEach { p =>
       if (p.toString.endsWith(".scala")) {
         val lines = java.nio.file.Files.readAllLines(p)
         var i = 0
@@ -43,7 +43,7 @@ class PersistLedgerSpec extends AnyFunSuite with SparkSpec {
           i += 1
         }
       }
-    }
+    } finally walk.close()
     assert(offenders.isEmpty,
       s"bare .persist() outside the ledger: ${offenders.mkString(", ")}")
   }

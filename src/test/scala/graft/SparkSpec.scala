@@ -1,9 +1,18 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.scalatest.{BeforeAndAfterAll, Suite}
 
-/** One shared local session for all suites (suites run in one forked JVM). */
-trait SparkSpec {
+/** One shared local session for all suites (suites run in one forked JVM).
+  * Each suite drains the persist ledger on exit — the test-side half of
+  * the Persisted ownership contract (Verify per dump, Bench per pass,
+  * suites here), so caches never accumulate across the 18 suites. */
+trait SparkSpec extends BeforeAndAfterAll { this: Suite =>
+
+  override def afterAll(): Unit = {
+    graft.operators.Persisted.releaseAll()
+    super.afterAll()
+  }
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
     .appName("graft-test")

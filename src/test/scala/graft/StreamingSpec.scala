@@ -332,6 +332,27 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       "fresh-id apply should have moved the total (canary is broken)")
   }
 
+  test("CDC upsert rejects a micro-batch with two changes for one key") {
+    // SQL MERGE errors on duplicate source keys; the full-outer merge
+    // would otherwise fan out and commit duplicate snapshot rows that
+    // double on every later touch — the gate must refuse, not corrupt
+    import spark.implicits._
+    import graft.streaming.CdcStream
+    val base = Tables(spark, sf, "orders").filter(col("o_orderkey") % 10 < 8)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").as("price")).limit(10)
+    val snapshot = new CdcStream.CdcSnapshot(base)
+    val k = snapshot.current.select(min(col("o_orderkey"))).head.getLong(0)
+    val dup = spark.createDataset(Seq(
+      CdcStream.Change(k, 1L, "U", 500.0),
+      CdcStream.Change(k, 1L, "A", 100.0)))
+    val before = snapshot.current.count()
+    val e = intercept[IllegalArgumentException](snapshot.applyBatch(dup, 0L))
+    assert(e.getMessage.contains("at most one"))
+    assert(snapshot.committedThrough == -1L, "rejected batch advanced the id")
+    assert(snapshot.current.count() == before, "rejected batch mutated the snapshot")
+  }
+
   test("streaming dedup (dropDuplicates + watermark) matches batch distinct") {
     // content-keyed streaming dedup: the state store holds one entry per key
     // until the watermark passes — the streaming form of exact dedup
