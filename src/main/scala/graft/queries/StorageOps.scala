@@ -161,6 +161,72 @@ object StorageOps {
         .orderBy("col_name")
     }),
 
+    // ---- file-skipping for POINT lookups: q_zonemap_prune shows range
+    //      predicates pruning date-clustered files; this is the companion
+    //      for point probes on an UNSORTED column (o_custkey), where zone
+    //      maps are near-useless (every file spans most of the key range)
+    //      and a per-file Bloom bit-set is the index that actually skips —
+    //      the parquet bloom_filter_enabled decision, measured. Per file
+    //      (o_orderkey div 1000 chunks): min/max + a 4096-bit d=2 LCG
+    //      bloom (distinct positions, bounded by 2·rows-per-file). The
+    //      50-probe list rides as a broadcast against the file-stats
+    //      manifest (manifest-sized work, never corpus-sized); verdict =
+    //      files opened / true hits / false opens per strategy ----
+    "q_file_skipping" -> ((s, d) => {
+      val P = 2147483647L
+      val M = 4096
+      def h(k: org.apache.spark.sql.Column, a: Long, b: Long) =
+        ((k % P) * a + b) % P % M
+      val o = Tables(s, d, "orders")
+        .select(expr("o_orderkey div 1000").as("file_id"),
+          col("o_orderkey"), col("o_custkey")).persistTracked()
+      val fstats = o.groupBy(col("file_id"))
+        .agg(min(col("o_custkey")).as("mn"), max(col("o_custkey")).as("mx"),
+          sort_array(array_distinct(flatten(collect_list(array(
+            h(col("o_custkey"), 1103515245L, 12345L),
+            h(col("o_custkey"), 69069L, 362437L)))))).as("bits"))
+      val probes = o.filter(col("o_orderkey") < 50)
+        .select(col("o_custkey").as("k")).distinct().persistTracked()
+      val truth = o.select(col("file_id"), col("o_custkey").as("k"))
+        .distinct()
+        .join(broadcast(probes), "k")
+        .select(col("k"), col("file_id"), lit(1L).as("hit"))
+      val evald = fstats.crossJoin(broadcast(probes))
+        .select(col("file_id"), col("k"),
+          (col("k") >= col("mn") && col("k") <= col("mx"))
+            .cast("long").as("zm_open"),
+          (array_contains(col("bits"), h(col("k"), 1103515245L, 12345L)) &&
+            array_contains(col("bits"), h(col("k"), 69069L, 362437L)))
+            .cast("long").as("bf_open"))
+        .join(truth, Seq("k", "file_id"), "left")
+        .withColumn("hit", coalesce(col("hit"), lit(0L)))
+      val tot = evald.agg(count(lit(1)).as("n_pairs"),
+        sum(col("zm_open")).as("zm_opens"),
+        sum(when(col("zm_open") === 1 && col("hit") === 0, 1L)
+          .otherwise(0L)).as("zm_false"),
+        sum(col("bf_open")).as("bf_opens"),
+        sum(when(col("bf_open") === 1 && col("hit") === 0, 1L)
+          .otherwise(0L)).as("bf_false"),
+        sum(col("hit")).as("true_hits"),
+        sum(when(col("zm_open") === 0 && col("hit") === 1, 1L)
+          .otherwise(0L)).as("zm_missed"),
+        sum(when(col("bf_open") === 0 && col("hit") === 1, 1L)
+          .otherwise(0L)).as("bf_missed"))
+      tot.select(explode(array(
+          struct(lit("zonemap").as("strategy"), col("n_pairs"),
+            col("zm_opens").as("n_opens"), col("true_hits"),
+            col("zm_false").as("n_false_opens"),
+            col("zm_missed").as("n_missed")),
+          struct(lit("bloom").as("strategy"), col("n_pairs"),
+            col("bf_opens").as("n_opens"), col("true_hits"),
+            col("bf_false").as("n_false_opens"),
+            col("bf_missed").as("n_missed")))).as("r"))
+        .select(col("r.strategy"), col("r.n_pairs"), col("r.n_opens"),
+          col("r.true_hits"), col("r.n_false_opens"), col("r.n_missed"),
+          expr("(r.n_opens * 10000) div r.n_pairs").as("open_bp"))
+        .orderBy("strategy")
+    }),
+
     // ---- zone-map pruning analysis: the same orders table laid out two
     //      ways — NATURAL (files of 1000 rows in ingestion/orderkey order)
     //      vs RANGE (files assigned by the 7 o_orderdate octile boundaries,
@@ -243,6 +309,62 @@ object StorageOps {
     col("mxcb") < 50 || col("mncb") > 99 || col("mxdb") < 30 || col("mndb") > 59
 
   val oracles: Map[String, String] = Map(
+    // same LCG bloom positions, same manifest-vs-probe cross, 2-row verdict
+    "q_file_skipping" -> {
+      val P = 2147483647L
+      def h(k: String, a: Long, b: Long) = s"(($k % $P) * $a + $b) % $P % 4096"
+      s"""WITH o AS MATERIALIZED (
+         |  SELECT o_orderkey // 1000 AS file_id, o_orderkey, o_custkey
+         |  FROM orders),
+         |f AS MATERIALIZED (
+         |  SELECT file_id, min(o_custkey) AS mn, max(o_custkey) AS mx,
+         |         list_sort(list_distinct(flatten(list(
+         |           [${h("o_custkey", 1103515245L, 12345L)},
+         |            ${h("o_custkey", 69069L, 362437L)}])))) AS bits
+         |  FROM o GROUP BY file_id),
+         |pr AS MATERIALIZED (
+         |  SELECT DISTINCT o_custkey AS k FROM o WHERE o_orderkey < 50),
+         |tr AS MATERIALIZED (
+         |  SELECT DISTINCT o.file_id, o.o_custkey AS k
+         |  FROM o JOIN pr ON o.o_custkey = pr.k),
+         |ev AS MATERIALIZED (
+         |  SELECT f.file_id, pr.k,
+         |         CASE WHEN pr.k >= f.mn AND pr.k <= f.mx
+         |              THEN 1 ELSE 0 END AS zm_open,
+         |         CASE WHEN list_contains(f.bits,
+         |                ${h("pr.k", 1103515245L, 12345L)})
+         |               AND list_contains(f.bits,
+         |                ${h("pr.k", 69069L, 362437L)})
+         |              THEN 1 ELSE 0 END AS bf_open,
+         |         CASE WHEN tr.k IS NULL THEN 0 ELSE 1 END AS hit
+         |  FROM f CROSS JOIN pr
+         |  LEFT JOIN tr ON tr.file_id = f.file_id AND tr.k = pr.k),
+         |t AS (
+         |  SELECT count(*) AS n_pairs,
+         |         CAST(sum(zm_open) AS BIGINT) AS zm_opens,
+         |         CAST(sum(CASE WHEN zm_open = 1 AND hit = 0
+         |                  THEN 1 ELSE 0 END) AS BIGINT) AS zm_false,
+         |         CAST(sum(bf_open) AS BIGINT) AS bf_opens,
+         |         CAST(sum(CASE WHEN bf_open = 1 AND hit = 0
+         |                  THEN 1 ELSE 0 END) AS BIGINT) AS bf_false,
+         |         CAST(sum(hit) AS BIGINT) AS true_hits,
+         |         CAST(sum(CASE WHEN zm_open = 0 AND hit = 1
+         |                  THEN 1 ELSE 0 END) AS BIGINT) AS zm_missed,
+         |         CAST(sum(CASE WHEN bf_open = 0 AND hit = 1
+         |                  THEN 1 ELSE 0 END) AS BIGINT) AS bf_missed
+         |  FROM ev),
+         |u AS (
+         |  SELECT 'bloom' AS strategy, n_pairs, bf_opens AS n_opens,
+         |         true_hits, bf_false AS n_false_opens,
+         |         bf_missed AS n_missed FROM t
+         |  UNION ALL
+         |  SELECT 'zonemap', n_pairs, zm_opens, true_hits, zm_false,
+         |         zm_missed FROM t)
+         |SELECT strategy, n_pairs, n_opens, true_hits, n_false_opens,
+         |       n_missed, (n_opens * 10000) // n_pairs AS open_bp
+         |FROM u ORDER BY strategy""".stripMargin
+    },
+
     // same per-file lag() run detection, same integer thresholds
     "q_encoding_advisor" ->
       """WITH o AS MATERIALIZED (
