@@ -235,6 +235,37 @@ object Sessions {
     //      (cohort_week, offset) retention triangle. Active weeks dedup on
     //      the fine (user, week) key; the cohort label joins back on
     //      user_id. All-integer week arithmetic against a fixed epoch ----
+    // ---- cohort LTV curves — q_retention_cohorts' revenue sibling: per
+    //      signup-week cohort, cumulative purchase revenue by week of
+    //      life and per-user LTV. Revenue rides as BIGINT cents (round at
+    //      ingest, never re-round a float sum); the running sum is a
+    //      window over the (cohort × offset) CENSUS — bounded rows at any
+    //      event volume — and per-user LTV is one integer floor division
+    //      at output. Two fine-key shuffles (user cohort, census), the
+    //      same spine as the retention triangle so the two reports can
+    //      never disagree on cohort definitions ----
+    "q_cohort_ltv" -> ((s, d) => {
+      val e = events(s, d).select(col("user_id"), col("event_type"),
+        expr("(unix_timestamp(ts) - 1704067200) div 604800").as("wk"),
+        col("value"))
+      val cohort = e.groupBy(col("user_id")).agg(min(col("wk")).as("cw"))
+        .persistTracked()
+      val sizes = cohort.groupBy(col("cw")).agg(count(lit(1)).as("n_users"))
+      val rev = e.filter(col("event_type") === "purchase")
+        .join(cohort, "user_id")
+        .groupBy(col("cw"), (col("wk") - col("cw")).as("offset_weeks"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("rev_cents"))
+      val wcum = Window.partitionBy(col("cw")).orderBy(col("offset_weeks"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      rev
+        .withColumn("cum_rev_cents", sum(col("rev_cents")).over(wcum))
+        .join(sizes, "cw")
+        .select(col("cw").as("cohort_week"), col("offset_weeks"),
+          col("n_users"), col("rev_cents"), col("cum_rev_cents"),
+          expr("cum_rev_cents div n_users").as("ltv_cents_per_user"))
+        .orderBy("cohort_week", "offset_weeks")
+    }),
+
     "q_retention_cohorts" -> ((s, d) => {
       val e = events(s, d).select(col("user_id"),
         expr("(unix_timestamp(ts) - 1704067200) div 604800").as("wk"))
@@ -348,6 +379,36 @@ object Sessions {
         |       (SELECT count(*) FROM v) AS n_view,
         |       (SELECT count(*) FROM c) AS n_view_click,
         |       (SELECT count(*) FROM p) AS n_full_funnel""".stripMargin,
+
+    // same cents-at-ingest, same census-level running sum
+    "q_cohort_ltv" ->
+      """WITH e AS MATERIALIZED (
+        |  SELECT user_id, event_type,
+        |         (CAST(floor(epoch(ts)) AS BIGINT) - 1704067200) // 604800
+        |           AS wk,
+        |         value
+        |  FROM events),
+        |cohort AS MATERIALIZED (
+        |  SELECT user_id, min(wk) AS cw FROM e GROUP BY user_id),
+        |sizes AS (SELECT cw, count(*) AS n_users FROM cohort GROUP BY cw),
+        |rev AS MATERIALIZED (
+        |  SELECT c.cw, e.wk - c.cw AS offset_weeks,
+        |         CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+        |           AS rev_cents
+        |  FROM e JOIN cohort c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase'
+        |  GROUP BY c.cw, e.wk - c.cw)
+        |SELECT rev.cw AS cohort_week, offset_weeks, n_users, rev_cents,
+        |       CAST(sum(rev_cents) OVER (PARTITION BY rev.cw
+        |         ORDER BY offset_weeks
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS BIGINT) AS cum_rev_cents,
+        |       CAST(sum(rev_cents) OVER (PARTITION BY rev.cw
+        |         ORDER BY offset_weeks
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS BIGINT) // n_users AS ltv_cents_per_user
+        |FROM rev JOIN sizes ON rev.cw = sizes.cw
+        |ORDER BY cohort_week, offset_weeks""".stripMargin,
 
     "q_retention_cohorts" ->
       """WITH e AS (
