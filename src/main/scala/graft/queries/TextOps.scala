@@ -194,6 +194,33 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // ---- language-ID confusion matrix: q_lang_guess's per-doc verdicts
+    //      scored against the labeled lang — the census that tells a
+    //      pipeline whether the cheap stopword heuristic is good enough
+    //      to route on, per (label, guess) cell with recall in bp. Same
+    //      CASE ladder verbatim (the two queries can never diverge on
+    //      what "guess" means); one label-pair groupBy, cells bounded by
+    //      |langs|² at any corpus size ----
+    "q_lang_confusion" -> ((s, d) => {
+      val t = concat(lit(" "), lower(col("text")), lit(" "))
+      val g = docs(s, d).select(col("lang"),
+        when(t.like("% the %") || t.like("% a %"), "en")
+          .when(t.like("% der %") || t.like("% und %"), "de")
+          .when(t.like("% le %") || t.like("% et %"), "fr")
+          .when(t.like("% el %") || t.like("% y %"), "es")
+          .otherwise("other").as("lang_guess"))
+      val perLabel = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"))
+      g.groupBy(col("lang"), col("lang_guess"))
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("label_total", sum(col("n_docs")).over(perLabel))
+        .select(col("lang"), col("lang_guess"), col("n_docs"),
+          expr("(n_docs * 10000) div label_total").as("cell_bp"),
+          when(col("lang") === col("lang_guess"), lit(1))
+            .otherwise(lit(0)).as("is_correct"))
+        .orderBy("lang", "lang_guess")
+    }),
+
     // ---- language-mixing entropy (the multilingual-corpus quality
     //      signal q_lang_guess's single label can't see: a doc that is
     //      half English half German gets ONE label there, but its marker
@@ -605,6 +632,32 @@ object TextOps {
         |       round(CAST(length(text) AS DOUBLE)
         |             / length(regexp_split_to_array(trim(text), '\s+')), 4) AS chars_per_token
         |FROM documents WHERE length(trim(text)) > 0 ORDER BY doc_id""".stripMargin,
+
+    // same CASE ladder, same per-label window
+    "q_lang_confusion" ->
+      """WITH g AS MATERIALIZED (
+        |  SELECT lang,
+        |         CASE WHEN concat(' ', lower(text), ' ') LIKE '% the %'
+        |                OR concat(' ', lower(text), ' ') LIKE '% a %'
+        |              THEN 'en'
+        |              WHEN concat(' ', lower(text), ' ') LIKE '% der %'
+        |                OR concat(' ', lower(text), ' ') LIKE '% und %'
+        |              THEN 'de'
+        |              WHEN concat(' ', lower(text), ' ') LIKE '% le %'
+        |                OR concat(' ', lower(text), ' ') LIKE '% et %'
+        |              THEN 'fr'
+        |              WHEN concat(' ', lower(text), ' ') LIKE '% el %'
+        |                OR concat(' ', lower(text), ' ') LIKE '% y %'
+        |              THEN 'es'
+        |              ELSE 'other' END AS lang_guess
+        |  FROM documents),
+        |c AS (SELECT lang, lang_guess, count(*) AS n_docs
+        |      FROM g GROUP BY lang, lang_guess)
+        |SELECT lang, lang_guess, n_docs,
+        |       (n_docs * 10000) // CAST(sum(n_docs)
+        |          OVER (PARTITION BY lang) AS BIGINT) AS cell_bp,
+        |       CASE WHEN lang = lang_guess THEN 1 ELSE 0 END AS is_correct
+        |FROM c ORDER BY lang, lang_guess""".stripMargin,
 
     "q_lang_guess" ->
       """SELECT doc_id, lang,

@@ -293,6 +293,28 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     assert(got == want)
   }
 
+  test("q_bloom_fpr's LCG bloom has NO false negatives on arbitrary key sets") {
+    // the property the q_file_skipping verdict's n_missed = 0 column
+    // reports for one fixture, proven over random sets: every inserted
+    // key's two hash positions are in the filter's bit set, for any
+    // insert set and any of the three filter sizes — the one-sided error
+    // guarantee that makes a bloom skip SAFE (a false positive costs a
+    // file open; a false negative would silently lose data)
+    val P = 2147483647L
+    def h1(k: Long, m: Int) = ((k % P) * 1103515245L + 12345L) % P % m
+    def h2(k: Long, m: Int) = ((k % P) * 69069L + 362437L) % P % m
+    for {
+      keys <- samples(Gen.listOf(Gen.chooseNum(0L, 3000000L)), 100)
+      m <- Seq(4096, 16384, 65536)
+    } {
+      val bits = keys.flatMap(k => Seq(h1(k, m), h2(k, m))).toSet
+      keys.foreach { k =>
+        assert(bits.contains(h1(k, m)) && bits.contains(h2(k, m)),
+          s"false negative for key $k at m=$m")
+      }
+    }
+  }
+
   test("RollingHash is order-sensitive where md5 fingerprint content-equal") {
     import spark.implicits._
     val df = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha")).toDF("id", "text")
