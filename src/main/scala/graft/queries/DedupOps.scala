@@ -345,6 +345,43 @@ object DedupOps {
             .as("local_drop_bp"))
     }),
 
+    // ---- dedup strategy advisor — the Skew.choose measure→decide shape
+    //      applied to the dedup family itself: measure the exact-dup rate
+    //      (byte fingerprints), the bag-of-words-dup rate (what
+    //      normalization would recover), and the confirmed near-dup pair
+    //      rate (the full MinHash funnel), then pick the CHEAPEST pass
+    //      that pays: exact dedup is one fine-key shuffle, normalization
+    //      adds a per-row map, MinHash adds the banding pipeline. The
+    //      integer ladder keeps the verdict deterministic; a pipeline
+    //      reads this one row before committing 100 TB to the wrong
+    //      (or an unnecessary) dedup pass ----
+    "q_dedup_advisor" -> ((s, d) => {
+      val base = docs(s, d)
+        .filter(length(trim(col("text"))) > 0)
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(md5(col("text"))).as("n_exact_u"),
+          countDistinct(md5(concat_ws(" ", array_sort(array_distinct(expr(
+            """filter(split(regexp_replace(lower(trim(text)),
+              |       '[0-9]+', '#'), '\\s+'), t -> t <> '')"""
+              .stripMargin)))))).as("n_bow_u"))
+      val near = minhashPairs(docs(s, d))
+        .agg(count(lit(1)).as("n_near_pairs"))
+      base.crossJoin(broadcast(near))
+        .select(col("n_docs"),
+          expr("((n_docs - n_exact_u) * 10000) div n_docs")
+            .as("exact_dup_bp"),
+          expr("((n_docs - n_bow_u) * 10000) div n_docs")
+            .as("bow_dup_bp"),
+          col("n_near_pairs"),
+          expr("""CASE
+                 |  WHEN ((n_docs - n_exact_u) * 10000) div n_docs >= 500
+                 |    THEN 'exact'
+                 |  WHEN ((n_docs - n_bow_u) * 10000) div n_docs >= 500
+                 |    THEN 'normalize_exact'
+                 |  WHEN n_near_pairs * 100 >= n_docs THEN 'minhash'
+                 |  ELSE 'none' END""".stripMargin).as("advice"))
+    }),
+
     // ---- MinHash + LSH near-dup: shingle → 64-perm signature → 16 bands of
     //      4 → band-bucket join → signature-estimated Jaccard ≥ 0.5 ----
     "q_dedup_minhash" -> ((s, d) => minhashPairs(docs(s, d))),
@@ -1411,6 +1448,34 @@ object DedupOps {
     "q_dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin,
+
+    // same fingerprints, same MinHash funnel (confirmed pairs CTE), same
+    // integer ladder
+    "q_dedup_advisor" ->
+      s"""WITH $minhashPairCtes,
+         |np AS (SELECT count(*) AS n_near_pairs FROM pairs
+         |       WHERE est_jaccard >= 0.5),
+         |b AS (
+         |  SELECT count(*) AS n_docs,
+         |         count(DISTINCT md5(text)) AS n_exact_u,
+         |         count(DISTINCT md5(list_aggregate(list_sort(list_distinct(
+         |             list_filter(regexp_split_to_array(
+         |               regexp_replace(lower(trim(text)), '[0-9]+', '#',
+         |                 'g'), '\\s+'), t -> t <> ''))),
+         |             'string_agg', ' '))) AS n_bow_u
+         |  FROM documents WHERE length(trim(text)) > 0)
+         |SELECT n_docs,
+         |       ((n_docs - n_exact_u) * 10000) // n_docs AS exact_dup_bp,
+         |       ((n_docs - n_bow_u) * 10000) // n_docs AS bow_dup_bp,
+         |       n_near_pairs,
+         |       CASE
+         |         WHEN ((n_docs - n_exact_u) * 10000) // n_docs >= 500
+         |           THEN 'exact'
+         |         WHEN ((n_docs - n_bow_u) * 10000) // n_docs >= 500
+         |           THEN 'normalize_exact'
+         |         WHEN n_near_pairs * 100 >= n_docs THEN 'minhash'
+         |         ELSE 'none' END AS advice
+         |FROM b CROSS JOIN np""".stripMargin,
 
     // same set fingerprint as q_bow_dedup; count(DISTINCT source||'|'||tfp)
     // is the (source, tfp) pair distinct — md5 hex can't contain '|'
