@@ -90,6 +90,33 @@ object DedupOps {
     * signature loop (the interpreted HOF chain was ~10× slower); the persist
     * covers the 3 downstream uses of the signature.
     */
+  /** SimHash banded candidate pairs with their hamming distance,
+    * UNFILTERED — q_dedup_simhash applies the ≤3 cut, q_simhash_census
+    * histograms the whole candidate population to justify it. */
+  def simhashCandPairs(documents: DataFrame): DataFrame = {
+    val sims = documents
+      .select(col("doc_id"), graft.functions.TextExprs.simhashBits(
+        graft.functions.TextExprs.shingleFeatures62(col("text"), 3)).as("sim"))
+      .persistTracked()
+    val buckets = cappedBuckets(
+      sims.select(col("doc_id"), posexplode(Text.simhashChunks(col("sim")))
+        .as(Seq("chunk", "chunk_val"))),
+      "doc_id", "chunk", "chunk_val")
+    val cand = buckets
+      .select(explode(pairsFromBucket(col("bucket"))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+      .distinct()
+    // verification joins stay SHUFFLED on doc id: `a`/`b` are the whole
+    // corpus's signatures (O(corpus) — never broadcastable at scale);
+    // `cand` is the small side. AQE may still broadcast at toy scale from
+    // size stats, which is the right call there and impossible at 100 TB.
+    val a = sims.select(col("doc_id").as("doc_a"), col("sim").as("sim_a"))
+    val b = sims.select(col("doc_id").as("doc_b"), col("sim").as("sim_b"))
+    cand.join(a, "doc_a").join(b, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+  }
+
   def minhashPairs(documents: DataFrame): DataFrame = {
     val k = 64; val bands = 16; val rows = 4
     val sigs = documents.select(col("doc_id"),
@@ -557,30 +584,31 @@ object DedupOps {
     //      order in the feature set), 16-bit-chunk LSH, Hamming ≤ 3
     //      verification via bit_count(xor). 62 bits = two 31-bit poly
     //      hashes, so the oracle can replicate without 64-bit overflow ----
-    "q_dedup_simhash" -> ((s, d) => {
-      val sims = docs(s, d)
-        .select(col("doc_id"), graft.functions.TextExprs.simhashBits(
-          graft.functions.TextExprs.shingleFeatures62(col("text"), 3)).as("sim"))
-        .persistTracked()
-      val buckets = cappedBuckets(
-        sims.select(col("doc_id"), posexplode(Text.simhashChunks(col("sim")))
-          .as(Seq("chunk", "chunk_val"))),
-        "doc_id", "chunk", "chunk_val")
-      val cand = buckets
-        .select(explode(pairsFromBucket(col("bucket"))).as("p"))
-        .select(col("p.doc_a"), col("p.doc_b"))
-        .distinct()
-      // verification joins stay SHUFFLED on doc id: `a`/`b` are the whole
-      // corpus's signatures (O(corpus) — never broadcastable at scale);
-      // `cand` is the small side. AQE may still broadcast at toy scale from
-      // size stats, which is the right call there and impossible at 100 TB.
-      val a = sims.select(col("doc_id").as("doc_a"), col("sim").as("sim_a"))
-      val b = sims.select(col("doc_id").as("doc_b"), col("sim").as("sim_b"))
-      cand.join(a, "doc_a").join(b, "doc_b")
-        .select(col("doc_a"), col("doc_b"),
-          bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+    "q_dedup_simhash" -> ((s, d) =>
+      simhashCandPairs(docs(s, d))
         .filter(col("hamming") <= 3)
-        .orderBy("doc_a", "doc_b")
+        .orderBy("doc_a", "doc_b")),
+
+    // ---- simhash threshold census — the watermark-sizing pattern for the
+    //      LAST unmeasured cut in the dedup family: the hamming-distance
+    //      histogram over the banded candidate pairs, with cumulative
+    //      share, is the curve the `hamming <= 3` threshold should be
+    //      read off (a real near-dup population shows a low-hamming mass
+    //      separated from the random-pair bulk around 31). ≤63 output
+    //      rows at any corpus size; same pipeline as q_dedup_simhash so
+    //      the census can never measure a different candidate set ----
+    "q_simhash_census" -> ((s, d) => {
+      val pairs = simhashCandPairs(docs(s, d)).persistTracked()
+      val tot = pairs.agg(count(lit(1)).as("n_total"))
+      val wcum = Window.orderBy(col("hamming"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      pairs.groupBy(col("hamming"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .crossJoin(broadcast(tot))
+        .withColumn("cum_pairs", sum(col("n_pairs")).over(wcum))
+        .select(col("hamming"), col("n_pairs"), col("cum_pairs"),
+          expr("(cum_pairs * 10000) div n_total").as("cum_bp"))
+        .orderBy("hamming")
     }),
 
     // ---- character-5-gram Jaccard near-dup, content-banded blocking
@@ -1397,6 +1425,30 @@ object DedupOps {
     * permutation lambda reference; measured 58 s for 500 docs at sf0.01
     * vs 0.5 s staged, and this chain is embedded in ~12 oracles).
     */
+  /** Shared simhash candidate CTE chain (features → 62-bit sig → 16-bit
+    * chunk buckets → candidate pairs with hamming), the DuckDB twin of
+    * [[simhashCandPairs]]. */
+  private lazy val simhashPairCtes: String = {
+    import graft.functions.TextExprs._
+    s"""f0 AS MATERIALIZED (
+       |  SELECT doc_id, ${shingleFeatures62Sql("text", 3)} AS feats
+       |  FROM documents),
+       |s AS MATERIALIZED (
+       |  SELECT doc_id, ${simhashSql("feats")} AS sim FROM f0),
+       |ch AS (SELECT doc_id, c.range AS chunk, (sim >> (c.range * 16)) & 65535 AS chunk_val
+       |       FROM s, range(0, 4) c),
+       |bk AS (SELECT chunk, chunk_val,
+       |              list_sort(list_distinct(list(doc_id)))[1:$BucketCap] AS bucket
+       |       FROM ch GROUP BY chunk, chunk_val
+       |       HAVING len(list_distinct(list(doc_id))) >= 2),
+       |cand AS (SELECT DISTINCT pa.x AS doc_a, pb.y AS doc_b
+       |         FROM bk, unnest(bk.bucket) AS pa(x), unnest(bk.bucket) AS pb(y)
+       |         WHERE pa.x < pb.y),
+       |pairs AS (
+       |  SELECT c.doc_a, c.doc_b, bit_count(xor(a.sim, b.sim)) AS hamming
+       |  FROM cand c JOIN s a ON a.doc_id = c.doc_a JOIN s b ON b.doc_id = c.doc_b)""".stripMargin
+  }
+
   private lazy val minhashPairCtes: String = {
     import graft.functions.TextExprs._
     s"""h0 AS MATERIALIZED (
@@ -1785,28 +1837,25 @@ object DedupOps {
     // features staged into their own MATERIALIZED CTE: inlined, the
     // 62-bit majority loop references the feature list 2×62 times and
     // DuckDB re-evaluates the shingle scan per reference (~30 s → <1 s)
-    "q_dedup_simhash" -> {
-      import graft.functions.TextExprs._
-      s"""WITH f0 AS MATERIALIZED (
-         |  SELECT doc_id, ${shingleFeatures62Sql("text", 3)} AS feats
-         |  FROM documents),
-         |s AS MATERIALIZED (
-         |  SELECT doc_id, ${simhashSql("feats")} AS sim FROM f0),
-         |ch AS (SELECT doc_id, c.range AS chunk, (sim >> (c.range * 16)) & 65535 AS chunk_val
-         |       FROM s, range(0, 4) c),
-         |bk AS (SELECT chunk, chunk_val,
-         |              list_sort(list_distinct(list(doc_id)))[1:$BucketCap] AS bucket
-         |       FROM ch GROUP BY chunk, chunk_val
-         |       HAVING len(list_distinct(list(doc_id))) >= 2),
-         |cand AS (SELECT DISTINCT pa.x AS doc_a, pb.y AS doc_b
-         |         FROM bk, unnest(bk.bucket) AS pa(x), unnest(bk.bucket) AS pb(y)
-         |         WHERE pa.x < pb.y),
-         |pairs AS (
-         |  SELECT c.doc_a, c.doc_b, bit_count(xor(a.sim, b.sim)) AS hamming
-         |  FROM cand c JOIN s a ON a.doc_id = c.doc_a JOIN s b ON b.doc_id = c.doc_b)
+    "q_dedup_simhash" ->
+      s"""WITH $simhashPairCtes
          |SELECT doc_a, doc_b, hamming FROM pairs
-         |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin
-    },
+         |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin,
+
+    // same candidate population, histogrammed instead of cut
+    "q_simhash_census" ->
+      s"""WITH $simhashPairCtes,
+         |t AS (SELECT count(*) AS n_total FROM pairs),
+         |h AS (SELECT hamming, count(*) AS n_pairs FROM pairs
+         |      GROUP BY hamming)
+         |SELECT hamming, n_pairs,
+         |       CAST(sum(n_pairs) OVER (ORDER BY hamming
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |         AS BIGINT) AS cum_pairs,
+         |       (CAST(sum(n_pairs) OVER (ORDER BY hamming
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |          AS BIGINT) * 10000) // n_total AS cum_bp
+         |FROM h CROSS JOIN t ORDER BY hamming""".stripMargin,
 
     "q_dedup_ngram" -> {
       import graft.functions.TextExprs._
