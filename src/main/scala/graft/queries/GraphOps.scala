@@ -293,6 +293,54 @@ object GraphOps {
         .orderBy("hop", "kind")
     }),
 
+    // ---- personalized PageRank from a 2-supplier seed set — the
+    //      retrieval/recommendation primitive (random walk with restart):
+    //      r ← 0.85·Mᵀr + 0.15·s, 3 iterations, s uniform on the seeds.
+    //      Unlike global PageRank the rank vector stays SPARSE — it only
+    //      ever holds nodes within k hops of the seeds (the BFS frontier),
+    //      so at 100 TB the per-iteration join exchanges a frontier-sized
+    //      vector against the cached degree-annotated edges, never a
+    //      |V|-sized one. The restart mass enters as a 2-row UNION before
+    //      the node re-aggregation (NOT a post-join CASE — a bipartite
+    //      seed receives no propagated mass on odd iterations and would
+    //      silently drop out of a join-only formulation); per-iteration
+    //      9dp rounding keeps both engines bit-identical, the q_pagerank
+    //      discipline ----
+    "q_ppr" -> ((s, d) => {
+      val edges = Tables(s, d, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+        .select(explode(array(
+          struct((col("l_partkey") * 2).as("src"),
+            (col("l_suppkey") * 2 + 1).as("dst")),
+          struct((col("l_suppkey") * 2 + 1).as("src"),
+            (col("l_partkey") * 2).as("dst")))).as("e"))
+        .select(col("e.src"), col("e.dst"))
+      val ew = edges
+        .withColumn("outdeg",
+          count(lit(1)).over(Window.partitionBy(col("src"))))
+        .persistTracked()
+      val seeds = s.range(1).select(
+        explode(array(lit(3L), lit(5L))).as("node"),
+        lit(0.5).as("w"))
+      var pr = seeds.select(col("node"), col("w").as("pr"))
+      for (_ <- 1 to 3) {
+        pr = ew.join(pr, ew("src") === pr("node"))
+          .groupBy(col("dst"))
+          .agg(sum(col("pr") / col("outdeg")).as("m"))
+          .select(col("dst").as("node"), (lit(0.85) * col("m")).as("c"))
+          .unionByName(seeds.select(col("node"), (lit(0.15) * col("w")).as("c")))
+          .groupBy(col("node"))
+          .agg(round(sum(col("c")), 9).as("pr"))
+          .localCheckpoint()
+      }
+      pr.select(col("node"),
+          when(col("node") % 2 === 0, lit("part")).otherwise(lit("supplier"))
+            .as("kind"),
+          expr("node div 2").as("key"), col("pr"))
+        .orderBy(col("pr").desc, col("node").asc)
+        .limit(20)
+    }),
+
     // ---- link prediction over the bipartite projection (the classic
     //      common-neighbors / neighborhood-Jaccard scorer): two suppliers
     //      sharing many parts are substitution candidates — score every
@@ -360,6 +408,51 @@ object GraphOps {
   val oracles: Map[String, String] = Map(
     // identical recurrence, identical 9-dp per-iteration rounding; all
     // literals CAST to DOUBLE so DuckDB never routes through DECIMAL
+    // same sparse frontier, same 2-row restart union, same 9dp rounding
+    "q_ppr" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        |e AS MATERIALIZED (
+        |  SELECT l_partkey*2 AS src, l_suppkey*2+1 AS dst FROM pairs
+        |  UNION ALL
+        |  SELECT l_suppkey*2+1 AS src, l_partkey*2 AS dst FROM pairs),
+        |deg AS MATERIALIZED (
+        |  SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+        |sd AS (SELECT * FROM (VALUES (3, 0.5), (5, 0.5)) AS t(node, w)),
+        |r0 AS (SELECT CAST(node AS BIGINT) AS node,
+        |              CAST(w AS DOUBLE) AS pr FROM sd),
+        |r1 AS (SELECT node, round(sum(c), 9) AS pr FROM (
+        |         SELECT e.dst AS node,
+        |                0.85 * sum(r.pr / deg.outdeg) AS c
+        |         FROM e JOIN r0 r ON e.src = r.node
+        |                JOIN deg ON e.src = deg.src
+        |         GROUP BY e.dst
+        |         UNION ALL
+        |         SELECT CAST(node AS BIGINT), 0.15 * w FROM sd)
+        |       GROUP BY node),
+        |r2 AS (SELECT node, round(sum(c), 9) AS pr FROM (
+        |         SELECT e.dst AS node,
+        |                0.85 * sum(r.pr / deg.outdeg) AS c
+        |         FROM e JOIN r1 r ON e.src = r.node
+        |                JOIN deg ON e.src = deg.src
+        |         GROUP BY e.dst
+        |         UNION ALL
+        |         SELECT CAST(node AS BIGINT), 0.15 * w FROM sd)
+        |       GROUP BY node),
+        |r3 AS (SELECT node, round(sum(c), 9) AS pr FROM (
+        |         SELECT e.dst AS node,
+        |                0.85 * sum(r.pr / deg.outdeg) AS c
+        |         FROM e JOIN r2 r ON e.src = r.node
+        |                JOIN deg ON e.src = deg.src
+        |         GROUP BY e.dst
+        |         UNION ALL
+        |         SELECT CAST(node AS BIGINT), 0.15 * w FROM sd)
+        |       GROUP BY node)
+        |SELECT node,
+        |       CASE WHEN node % 2 = 0 THEN 'part' ELSE 'supplier' END AS kind,
+        |       node // 2 AS key, pr
+        |FROM r3 ORDER BY pr DESC, node ASC LIMIT 20""".stripMargin,
+
     "q_pagerank" ->
       """WITH pairs AS (
         |  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
