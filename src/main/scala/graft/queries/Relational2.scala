@@ -427,6 +427,43 @@ object Relational2 {
           count(lit(1)).as("n_lines"))
         .orderBy(col("revenue").desc, col("n_name").asc)),
 
+    // ---- market share (TPC-H Q8 shape): each supplier nation's share of
+    //      a customer region's yearly revenue, in basis points. Same
+    //      dims-broadcast / facts-shuffled star as q_join_star plus the
+    //      share dimension: revenue rides as BIGINT cents (exact sums,
+    //      deterministic across engines), the share divides the census —
+    //      (year × region × nation) rows, never fact rows — inside a
+    //      window over the SAME (year, region) partition the groupBy
+    //      already produced ----
+    "q_market_share" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val cents = expr(
+        "cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)")
+      val j = li(s, d)
+        .join(ord(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(cust(s, d), col("o_custkey") === col("c_custkey"))
+        .join(Tables(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nation(s, d)
+          .select(col("n_nationkey").as("cn_key"),
+            col("n_regionkey").as("cr_key"))),
+          col("c_nationkey") === col("cn_key"))
+        .join(broadcast(region(s, d)),
+          col("cr_key") === col("r_regionkey"))
+        .join(broadcast(nation(s, d)
+          .select(col("n_nationkey").as("sn_key"),
+            col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("sn_key"))
+      val w = Window.partitionBy(col("year"), col("cust_region"))
+      j.groupBy(year(col("o_orderdate")).cast("long").as("year"),
+          col("r_name").as("cust_region"), col("supp_nation"))
+        .agg(sum(cents).as("rev_cents"))
+        .withColumn("region_total", sum(col("rev_cents")).over(w))
+        .select(col("year"), col("cust_region"), col("supp_nation"),
+          col("rev_cents"),
+          expr("(rev_cents * 10000) div region_total").as("share_bp"))
+        .orderBy("year", "cust_region", "supp_nation")
+    }),
+
     // ---- fuzzy self-join (entity resolution): see [[fuzzyPairs]] ----
     "q_fuzzy_join" -> ((s, d) => fuzzyPairs(part(s, d))),
 
@@ -975,6 +1012,30 @@ object Relational2 {
         |JOIN region   ON n_regionkey = r_regionkey
         |WHERE r_name = 'EUROPE' AND c_nationkey = s_nationkey
         |GROUP BY n_name ORDER BY revenue DESC, n_name ASC""".stripMargin,
+
+    // same cents-exact star, same census-level share window
+    "q_market_share" ->
+      """WITH j AS MATERIALIZED (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS year,
+        |         r.r_name AS cust_region, sn.n_name AS supp_nation,
+        |         CAST(round(l_extendedprice * (1 - l_discount) * 100)
+        |              AS BIGINT) AS cents
+        |  FROM lineitem
+        |  JOIN orders   ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |  JOIN region r  ON cn.n_regionkey = r.r_regionkey
+        |  JOIN nation sn ON s_nationkey = sn.n_nationkey),
+        |c AS (
+        |  SELECT year, cust_region, supp_nation,
+        |         CAST(sum(cents) AS BIGINT) AS rev_cents
+        |  FROM j GROUP BY year, cust_region, supp_nation)
+        |SELECT year, cust_region, supp_nation, rev_cents,
+        |       (rev_cents * 10000) // CAST(sum(rev_cents)
+        |          OVER (PARTITION BY year, cust_region) AS BIGINT)
+        |         AS share_bp
+        |FROM c ORDER BY year, cust_region, supp_nation""".stripMargin,
 
     // replicates fuzzyPairs' deletion-neighborhood blocking bit-for-bit
     // (string split + list slicing), then the same exact Levenshtein
