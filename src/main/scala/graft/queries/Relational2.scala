@@ -464,6 +464,33 @@ object Relational2 {
         .orderBy("year", "cust_region", "supp_nation")
     }),
 
+    // ---- supply concentration (Herfindahl index) per brand —
+    //      q_market_share's structure metric: how concentrated is each
+    //      brand's supply across suppliers? Shares in bp by integer floor
+    //      division, HHI = Σ share_bp² div 10000 (0..10000, deterministic
+    //      integers end to end). One fact shuffle onto the fine
+    //      (brand, supplier) key, the HHI reduction runs on the census ----
+    "q_hhi_concentration" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val cents = expr(
+        "cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)")
+      val bySupp = li(s, d)
+        .join(broadcast(part(s, d).select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("l_suppkey"))
+        .agg(sum(cents).as("cents"))
+      val w = Window.partitionBy(col("p_brand"))
+      bySupp
+        .withColumn("total_cents", sum(col("cents")).over(w))
+        .withColumn("share_bp", expr("(cents * 10000) div total_cents"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_suppliers"),
+          max(col("total_cents")).as("total_cents"),
+          max(col("share_bp")).as("top_share_bp"),
+          expr("sum(share_bp * share_bp) div 10000").as("hhi"))
+        .orderBy("p_brand")
+    }),
+
     // ---- fuzzy self-join (entity resolution): see [[fuzzyPairs]] ----
     "q_fuzzy_join" -> ((s, d) => fuzzyPairs(part(s, d))),
 
@@ -1012,6 +1039,27 @@ object Relational2 {
         |JOIN region   ON n_regionkey = r_regionkey
         |WHERE r_name = 'EUROPE' AND c_nationkey = s_nationkey
         |GROUP BY n_name ORDER BY revenue DESC, n_name ASC""".stripMargin,
+
+    // same integer shares, same census-level HHI reduction
+    "q_hhi_concentration" ->
+      """WITH bys AS MATERIALIZED (
+        |  SELECT p_brand, l_suppkey,
+        |         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+        |              * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY p_brand, l_suppkey),
+        |sh AS (
+        |  SELECT p_brand, cents,
+        |         CAST(sum(cents) OVER (PARTITION BY p_brand) AS BIGINT)
+        |           AS total_cents,
+        |         (cents * 10000) // CAST(sum(cents)
+        |            OVER (PARTITION BY p_brand) AS BIGINT) AS share_bp
+        |  FROM bys)
+        |SELECT p_brand, count(*) AS n_suppliers,
+        |       max(total_cents) AS total_cents,
+        |       CAST(max(share_bp) AS BIGINT) AS top_share_bp,
+        |       CAST(sum(share_bp * share_bp) AS BIGINT) // 10000 AS hhi
+        |FROM sh GROUP BY p_brand ORDER BY p_brand""".stripMargin,
 
     // same cents-exact star, same census-level share window
     "q_market_share" ->
