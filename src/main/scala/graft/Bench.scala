@@ -143,9 +143,20 @@ object Bench {
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("BENCH_SUMMARY.json"), summaryJson + "\n")
     catch { case scala.util.control.NonFatal(_) => () }
-    val (slow, fast) = results.partition(_._2 >= 0.4)
-    val fastTotal = fast.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$nRuns,"calib_s":$calib%.3f,"total_norm":$norm%.2f,"queries":${qjson(slow)},"fast_n":${fast.size},"fast_total":$fastTotal%.3f,"spread_hi":${qjson2(spreadHi)},"full":$fullRef,"sf":"$sfDir"}""")
+    // The one-line stdout contract must FIT the driver's 2000-char tail
+    // capture END TO END or the driver records parsed:null (the r7-r9
+    // failure: "every query ≥ 0.4 s" grew to ~200 entries ≈ 4-5 KB, so
+    // the captured tail lost the line's HEAD — including "metric" — and
+    // nothing parsed). Carry the top-20 by median plus count/total of the
+    // remainder and the 10 widest spread flags: ~900 chars, parseable in
+    // any 2000-char window; the complete maps live in BENCH_FULL.json and
+    // the headline survives independently in BENCH_SUMMARY.json.
+    val top20 = results.sortBy(r => (-r._2, r._1)).take(20)
+    val restTotal = total - top20.map(_._2).sum
+    val lineSpread = spreadHi.sortBy(r => (-r._2, r._1)).take(10)
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$nRuns,"calib_s":$calib%.3f,"total_norm":$norm%.2f,"queries":${qjson(top20)},"rest_n":${names.size - top20.size},"rest_total":$restTotal%.3f,"spread_hi":${qjson2(lineSpread)},"full":$fullRef,"sf":"$sfDir"}"""
+    println(line)
     spark.stop()
   }
 }
