@@ -581,22 +581,34 @@ object CorpusOps {
     //      ingest watches; a source whose head vocabulary diverges from
     //      the corpus (new language, spam burst, encoding break) drops
     //      fast. ALL-INTEGER: ranks break ties on the token string, set
-    //      sizes and overlap are counts, drift is basis points. Shapes:
-    //      two fine-key token aggs; the global top-50 rides as a
-    //      broadcast; the per-source rank window partitions on source ----
+    //      sizes and overlap are counts, drift is basis points. Shape:
+    //      the corpus explode is folded ONCE into a fine-key
+    //      (source, token) census — partial-agg'd map-side — and every
+    //      branch hangs off that ONE exchange, which AQE's stage reuse
+    //      materializes exactly once (ReusedExchange; no persist needed).
+    //      This closed a ~2× regression: the old body persisted the raw
+    //      corpus explode LAZILY and read it from three independent AQE
+    //      leaf stages (the per-source window leg plus two broadcast
+    //      builds), which AQE materializes CONCURRENTLY — the stages raced
+    //      to populate the cache and each recomputed the full explode
+    //      ("Block already exists" warns in the bench log). Making the
+    //      shared work an exchange instead of a lazy cache turns the race
+    //      into a DAG dependency: consumers cannot start before the census
+    //      stage exists. Same device scales: at 100 TB shuffle-reuse of a
+    //      fine-key census beats caching a corpus-sized explode ----
     "q_vocab_drift" -> ((s, d) => {
-      // persisted: both top-k branches read the corpus-sized explode
-      val tk = nonEmpty(docs(s, d))
+      val cnt = nonEmpty(docs(s, d))
         .select(col("source"), explode(toks).as("t"))
-        .filter(col("t") =!= "").persistTracked()
-      val srcTop = tk.groupBy(col("source"), col("t"))
+        .filter(col("t") =!= "")
+        .groupBy(col("source"), col("t"))
         .agg(count(lit(1)).as("c"))
+      val srcTop = cnt
         .withColumn("rk", row_number().over(Window.partitionBy(col("source"))
           .orderBy(col("c").desc, col("t").asc)))
         .filter(col("rk") <= 50)
-      val globTop = tk.groupBy(col("t")).agg(count(lit(1)).as("gc"))
+      val globTop = cnt.groupBy(col("t")).agg(sum(col("c")).as("gc"))
         .orderBy(col("gc").desc, col("t").asc).limit(50)
-        .select(col("t"), lit(1L).as("hit")).persistTracked()
+        .select(col("t"), lit(1L).as("hit"))
       // the global-top size is MEASURED, not assumed 50 — a degenerate
       // corpus with < 50 distinct tokens would otherwise report phantom
       // drift for a source whose top set equals the global top exactly
