@@ -54,9 +54,17 @@ object Bench {
     def run(name: String): Unit =
       allQueries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
+    // A query that throws must be VISIBLE in the artifact, not just in the
+    // correctness gate: a broken body returns in ~ms, scores near-0s, and
+    // silently flatters the total (r10 verdict finding). Every caught
+    // throwable increments this per-query counter, which flows into
+    // BENCH_FULL.json as "failed" and nulls the query's spread (a spread
+    // computed over failure-speed samples is meaningless).
+    val failures = scala.collection.mutable.Map.empty[String, Int]
+      .withDefaultValue(0)
     def timedPass(name: String): Double = {
       val t0 = System.nanoTime()
-      try run(name) catch { case _: Throwable => () }
+      try run(name) catch { case _: Throwable => failures(name) += 1 }
       val dt = (System.nanoTime() - t0) / 1e9
       // drop this query's persists before the next: the ledger releases
       // exactly what the body registered; clearCache backstops anything
@@ -67,8 +75,8 @@ object Bench {
     }
     val calib = calibrate()
     val names = allQueries.keys.toSeq.sorted
-    names.foreach { n => // warm pass
-      try run(n) catch { case _: Throwable => () }
+    names.foreach { n => // warm pass (failures counted here too)
+      try run(n) catch { case _: Throwable => failures(n) += 1 }
       graft.operators.Persisted.releaseAll()
       spark.catalog.clearCache()
     }
@@ -93,23 +101,37 @@ object Bench {
     // is noise, not a regression, and the file alone now says so (r9 lost a
     // perf-review cycle to 5 queries reading 2-5x high from exactly this).
     val mins = names.map(n => n -> samples(n).min)
-    val spreads = names.map { n =>
+    // spread sentinel: a query that failed any pass (or whose min is ~0,
+    // the failure signature even if the counter somehow missed it) gets
+    // spread null, NOT 1.0 — 1.0 reads as "perfectly clean" for a query
+    // that was broken every pass (ADVICE r10)
+    val spreads: Seq[(String, Option[Double])] = names.map { n =>
       val xs = samples(n)
-      n -> (if (xs.min > 0) xs.max / xs.min else 1.0)
+      n -> (if (failures(n) > 0 || xs.min <= 1e-3) None
+            else Some(xs.max / xs.min))
     }
     // flagged set = spread ≥ 1.5 on queries the perf review tracks
     // (median ≥ 0.4 s): a 0.2 s jitter on a 0.4 s query flips the ratio
     // without meaning anything, and the first full run flagged 35 such
     // rows — noise drowning the signal the field exists to carry
     val medianOf = results.toMap
-    val spreadHi = spreads.filter { case (n, sp) =>
-      sp >= 1.5 && medianOf(n) >= 0.4 }
+    val spreadHi = spreads.collect { case (n, Some(sp))
+      if sp >= 1.5 && medianOf(n) >= 0.4 => n -> sp }
     val total = results.map(_._2).sum
     def qjson(rs: Seq[(String, Double)]): String = rs
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     def qjson2(rs: Seq[(String, Double)]): String = rs
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
+      .mkString("{", ",", "}")
+    // Option-valued spreads: None (failed / ~0-min query) renders as JSON
+    // null — machine-distinguishable from a genuinely clean 1.0
+    def qjsonOpt(rs: Seq[(String, Option[Double])]): String = rs
+      .map { case (k, v) =>
+        "\"" + k + "\":" + v.map(x => f"$x%.2f").getOrElse("null") }
+      .mkString("{", ",", "}")
+    val failedJson = failures.toSeq.sorted
+      .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // The driver captures only the LAST 2000 chars of output; at 125+
     // queries the full per-query map no longer fits one line (r4 lost 40
@@ -121,7 +143,7 @@ object Bench {
     // the fixed CPU workload — comparable across host-speed windows.
     val norm = total / calib
     val fullJson =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$nRuns,"calib_s":$calib%.3f,"total_norm":$norm%.2f,"queries":${qjson(results)},"mins":${qjson(mins)},"spread":${qjson2(spreads)},"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$nRuns,"calib_s":$calib%.3f,"total_norm":$norm%.2f,"queries":${qjson(results)},"mins":${qjson(mins)},"spread":${qjsonOpt(spreads)},"failed":$failedJson,"sf":"$sfDir"}"""
     // a failed write must not kill the one-line contract, but it also must
     // not leave the "full" pointer referencing a STALE file from a prior
     // run — on failure the pointer is nulled so consumers see the map is
@@ -136,9 +158,15 @@ object Bench {
     // headline numbers + top-10 by median + the spread-flagged set. If the
     // driver's BENCH_rNN.json parse fails again (open since r7), this file
     // is machine-readable on its own.
+    // top10 carries BOTH median and min: a contaminated median (one co-
+    // scheduled window inflating 2 of 3 samples) still ranks a query into
+    // the top10, but its min is the clean sample — a cross-round perf diff
+    // needs only BENCH_SUMMARY files, no BENCH_FULL archaeology (r10 ask)
     val top10 = results.sortBy(-_._2).take(10)
+    val minOf = mins.toMap
+    val top10Mins = top10.map { case (n, _) => n -> minOf(n) }
     val summaryJson =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$nRuns,"calib_s":$calib%.3f,"total_norm":$norm%.2f,"n_queries":${names.size},"top10":${qjson(top10)},"spread_hi":${qjson2(spreadHi)},"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$nRuns,"calib_s":$calib%.3f,"total_norm":$norm%.2f,"n_queries":${names.size},"top10":${qjson(top10)},"top10_mins":${qjson(top10Mins)},"spread_hi":${qjson2(spreadHi)},"failed":$failedJson,"sf":"$sfDir"}"""
     try
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("BENCH_SUMMARY.json"), summaryJson + "\n")
@@ -155,7 +183,7 @@ object Bench {
     val restTotal = total - top20.map(_._2).sum
     val lineSpread = spreadHi.sortBy(r => (-r._2, r._1)).take(10)
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$nRuns,"calib_s":$calib%.3f,"total_norm":$norm%.2f,"queries":${qjson(top20)},"rest_n":${names.size - top20.size},"rest_total":$restTotal%.3f,"spread_hi":${qjson2(lineSpread)},"full":$fullRef,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$nRuns,"calib_s":$calib%.3f,"total_norm":$norm%.2f,"queries":${qjson(top20)},"rest_n":${names.size - top20.size},"rest_total":$restTotal%.3f,"spread_hi":${qjson2(lineSpread)},"failed_n":${failures.size},"full":$fullRef,"sf":"$sfDir"}"""
     println(line)
     spark.stop()
   }
