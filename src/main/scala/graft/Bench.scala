@@ -69,7 +69,7 @@ object Bench {
       // drop this query's persists before the next: the ledger releases
       // exactly what the body registered; clearCache backstops anything
       // cached outside the tracked path
-      graft.operators.Persisted.releaseAll()
+      graft.operators.Persisted.releaseAll(spark)
       spark.catalog.clearCache()
       dt
     }
@@ -77,7 +77,7 @@ object Bench {
     val names = allQueries.keys.toSeq.sorted
     names.foreach { n => // warm pass (failures counted here too)
       try run(n) catch { case _: Throwable => failures(n) += 1 }
-      graft.operators.Persisted.releaseAll()
+      graft.operators.Persisted.releaseAll(spark)
       spark.catalog.clearCache()
     }
     // Interleave passes round-robin (pass 0 of all queries, then pass 1, ...)

@@ -31,7 +31,7 @@ object Verify {
       // exactly what this query registered so cache doesn't accumulate
       // across the whole inventory run (clearCache as backstop for any
       // untracked cache)
-      graft.operators.Persisted.releaseAll()
+      graft.operators.Persisted.releaseAll(spark)
       spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

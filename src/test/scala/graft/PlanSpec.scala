@@ -663,7 +663,7 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       ("q_link_predict", "spark.graft.linkpredict.broadcastMaxDegRows"))
     cases.foreach { case (n, key) =>
       val expected = q(n).collect().map(_.toString)
-      graft.operators.Persisted.releaseAll()
+      graft.operators.Persisted.releaseAll(spark)
       withoutAQE(withConf(key, "0") {
         val plan = q(n).queryExecution.executedPlan
         val shj = plan.collect { case j: ShuffledHashJoinExec => j }
@@ -673,7 +673,7 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
         assert(flipped.sameElements(expected),
           s"$n: flip changed results")
       })
-      graft.operators.Persisted.releaseAll()
+      graft.operators.Persisted.releaseAll(spark)
     }
   }
 

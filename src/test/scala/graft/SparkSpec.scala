@@ -10,7 +10,7 @@ import org.scalatest.{BeforeAndAfterAll, Suite}
 trait SparkSpec extends BeforeAndAfterAll { this: Suite =>
 
   override def afterAll(): Unit = {
-    graft.operators.Persisted.releaseAll()
+    graft.operators.Persisted.releaseAll(spark)
     super.afterAll()
   }
   lazy val spark: SparkSession = SparkSession.builder()
