@@ -601,16 +601,25 @@ object VectorOps {
   /** Nearest-centroid assignment of a (vec_id, sv) frame against a
     * broadcast (cid, cvec) codebook — shared by the index build and the
     * APPEND path (new vectors coded against fixed codebooks, no retrain).
+    *
+    * MAP-ONLY: the codebook is folded into ONE broadcast row and the
+    * argmin is a pure projection — a per-row sort of k (dist, cid)
+    * structs, tie-broken on cid exactly like the row_number() window this
+    * replaced. The old shape expanded k rows per vector and shuffled the
+    * corpus onto vec_id for the window sort; assignment now has no
+    * exchange at all (PlanSpec asserts it), which is the difference
+    * between a map stage and a corpus shuffle at 100 TB.
     */
   private def assignToCodebook(sv: DataFrame, cents: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("dist").asc, col("cid").asc)
-    sv.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("sv"), col("cid"),
-        VectorExprs.l2DistSq(col("sv"), col("cvec")).as("dist"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("sv"), col("cid"), col("dist"))
+    val centsRow = cents.agg(
+      collect_list(struct(col("cid"), col("cvec"))).as("cs"))
+    sv.crossJoin(broadcast(centsRow))
+      .select(col("vec_id"), col("sv"),
+        element_at(array_sort(transform(col("cs"), c =>
+          struct(VectorExprs.l2DistSq(col("sv"), c.getField("cvec")).as("dist"),
+            c.getField("cid").as("cid")))), 1).as("best"))
+      .select(col("vec_id"), col("sv"),
+        col("best.cid").as("cid"), col("best.dist").as("dist"))
   }
 
   private def pqAssignmentsFrom(e: DataFrame): (DataFrame, Seq[DataFrame]) = {
@@ -706,15 +715,19 @@ object VectorOps {
     val k = 16
     val e = emb(s, d).select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("vd")).persistTracked()
+    // map-only nearest-centroid assignment: codebook folded to ONE
+    // broadcast row, per-vector argmin as a pure projection (sorted
+    // (dist, cid) structs — same tie-break as the row_number() window it
+    // replaced, zero exchange in the assignment stage; see
+    // assignToCodebook's scaladoc for the scale argument)
     def assign(cents: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("dist").asc, col("cid").asc)
-      e.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("vd"), col("cid"),
-          VectorExprs.l2DistSq(col("vd"), col("cvec")).as("dist"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("vd"), col("cid"))
+      val centsRow = cents.agg(
+        collect_list(struct(col("cid"), col("cvec"))).as("cs"))
+      e.crossJoin(broadcast(centsRow))
+        .select(col("vec_id"), col("vd"),
+          element_at(array_sort(transform(col("cs"), c =>
+            struct(VectorExprs.l2DistSq(col("vd"), c.getField("cvec")).as("dist"),
+              c.getField("cid").as("cid")))), 1).getField("cid").as("cid"))
     }
     val init = e.filter(col("vec_id") < k)
       .select(col("vec_id").cast("int").as("cid"), col("vd").as("cvec"))
@@ -728,14 +741,21 @@ object VectorOps {
     val a2 = assign(cents1)
     val probes = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("probe_id"), col("vd").as("pd"))
-    val wp = Window.partitionBy(col("probe_id"))
-      .orderBy(col("dist").asc, col("cid").asc)
-    val probed = probes.crossJoin(broadcast(cents1))
-      .select(col("probe_id"), col("pd"), col("cid"),
-        VectorExprs.l2DistSq(col("pd"), col("cvec")).as("dist"))
-      .withColumn("crn", row_number().over(wp))
-      .filter(col("crn") <= maxProbe)
-      .select(col("probe_id"), col("pd"), col("cid"), col("crn"))
+    // probe-side centroid ranking, window-free like the assignment: the
+    // top-maxProbe slice of the per-probe sorted (dist, cid) array,
+    // posexploded so crn (1-based centroid rank) survives for the
+    // per-nprobe cuts in q_ivf_tuning
+    val cents1Row = cents1.agg(
+      collect_list(struct(col("cid"), col("cvec"))).as("cs"))
+    val probed = probes.crossJoin(broadcast(cents1Row))
+      .select(col("probe_id"), col("pd"),
+        slice(array_sort(transform(col("cs"), c =>
+          struct(VectorExprs.l2DistSq(col("pd"), c.getField("cvec")).as("dist"),
+            c.getField("cid").as("cid")))), 1, maxProbe).as("top"))
+      .select(col("probe_id"), col("pd"),
+        posexplode(col("top")).as(Seq("p", "tc")))
+      .select(col("probe_id"), col("pd"),
+        col("tc.cid").as("cid"), (col("p") + 1).as("crn"))
     (e, cents1, a2, probed)
   }
 

@@ -630,6 +630,23 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     })
   }
 
+  test("IVF/PQ nearest-centroid assignment is map-only: no vec_id window") {
+    // the codebook is folded to one broadcast row and the argmin is a pure
+    // projection (sorted (dist, cid) structs); the old shape expanded k
+    // rows per vector and shuffled the corpus onto vec_id for a
+    // row_number window — a Window partitioned on vec_id reappearing in
+    // any of these plans means the assignment stage regressed from a map
+    // stage back to a corpus shuffle
+    Seq("q_ann_ivf", "q_ivf_tuning", "q_embed_pq", "q_pq_append").foreach { n =>
+      val vecWins = physical(n).collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.exists(_.toString.contains("vec_id")) => w
+      }
+      assert(vecWins.isEmpty,
+        s"$n: assignment-stage window partitioned on vec_id: $vecWins")
+    }
+  }
+
   test("top-k auto-rewrite honors its config gate") {
     import org.apache.spark.sql.execution.window.WindowExec
     // the rewrite re-checks spark.graft.topk.autoRewrite per query, so a
