@@ -98,13 +98,24 @@ object CdcStream {
 
   /** Wire a change stream into a snapshot: every micro-batch MERGEs in
     * through the version gate. Returns the started query; the caller owns
-    * stop(). */
-  def upsert(changeStream: Dataset[Change], snapshot: CdcSnapshot)
-      : org.apache.spark.sql.streaming.StreamingQuery =
-    changeStream.writeStream
+    * stop().
+    *
+    * SCOPE: with no checkpoint path the batchId high-water mark and the
+    * snapshot live in driver memory only — the exactly-once guarantee
+    * holds within one driver lifetime (the MemoryStream spec shape). A
+    * real deployment passes `checkpointLocation` so the engine's offset
+    * log survives restarts and the replayed batch arrives with its
+    * original id for the gate to absorb; the snapshot side then needs a
+    * durable table (the lakehouse version log localCheckpoint stands in
+    * for) rather than driver memory. */
+  def upsert(changeStream: Dataset[Change], snapshot: CdcSnapshot,
+      checkpointLocation: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = changeStream.writeStream
       .foreachBatch { (batch: Dataset[Change], id: Long) =>
         snapshot.applyBatch(batch, id)
       }
       .outputMode("update")
-      .start()
+    checkpointLocation.fold(w)(p => w.option("checkpointLocation", p)).start()
+  }
 }

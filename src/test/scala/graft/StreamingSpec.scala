@@ -292,6 +292,61 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       s"stream vs batch merge: ${streamed.zip(batch).find(p => p._1 != p._2)}")
   }
 
+  test("streaming IVM rollup: foreachBatch delta-merge == batch q_ivm_rollup == oracle") {
+    // the last incremental-maintenance op without a streaming form: the
+    // same change set fed as three micro-batches through the foreachBatch
+    // delta-merge must land on the rollup the (oracle-gated) batch
+    // q_ivm_rollup computes in one shot. n_orders exactly; revenue within
+    // FP tolerance — the batch sums base+deltas in one expression, the
+    // stream accumulates across three commits, so association differs.
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.IvmStream
+    val o = Tables(spark, sf, "orders")
+    val oldRoll = o.filter(col("o_orderkey") % 10 < 8)
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice")).as("rev"), count(lit(1)).as("n"))
+    val changes = o.filter((col("o_orderkey") % 10).isin(3, 7, 8))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .as[IvmStream.OrderChange].collect().sortBy(_.o_orderkey)
+    assert(changes.nonEmpty)
+    val snapshot = new IvmStream.RollupSnapshot(oldRoll)
+    val ms = MemoryStream[IvmStream.OrderChange](spark)
+    val sq = IvmStream.maintain(ms.toDS(), snapshot)
+    try {
+      val third = changes.length / 3
+      ms.addData(changes.take(third).toSeq); sq.processAllAvailable()
+      ms.addData(changes.slice(third, 2 * third).toSeq); sq.processAllAvailable()
+      ms.addData(changes.drop(2 * third).toSeq); sq.processAllAvailable()
+    } finally sq.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      .sortBy(_._1)
+    val streamed = rows(snapshot.current.select(col("o_custkey"),
+      col("rev_raw"), col("n_orders")))
+    val batch = rows(q("q_ivm_rollup").select(col("o_custkey"),
+      col("revenue").cast("double"), col("n_orders")))
+    assert(streamed.length == batch.length,
+      s"key sets differ: ${streamed.length} streamed vs ${batch.length} batch")
+    streamed.zip(batch).foreach { case ((sk, sr, sn), (bk, br, bn)) =>
+      assert(sk == bk && sn == bn, s"key/count mismatch: ($sk,$sn) vs ($bk,$bn)")
+      assert(math.abs(sr - br) < 1e-4, s"revenue drift at key $sk: $sr vs $br")
+    }
+    // exactly-once canary: deltas are additive, so a replayed batchId
+    // must be a no-op while the same data under a FRESH id must move the
+    // total (proving the no-op came from the gate, not value idempotence)
+    val lastBatch = spark.createDataset(changes.drop(2 * changes.length / 3).toSeq)
+    def total(): Double = snapshot.current.agg(sum(col("rev_raw"))).head.getDouble(0)
+    val committed = snapshot.current
+    val t0 = total()
+    snapshot.applyBatch(lastBatch, snapshot.committedThrough) // replay
+    assert(snapshot.current eq committed, "replayed batch produced a new version")
+    assert(math.abs(total() - t0) < 1e-6, "replayed IVM batch double-applied")
+    snapshot.applyBatch(lastBatch, snapshot.committedThrough + 1) // fresh id
+    assert(math.abs(total() - t0) > 1.0,
+      "fresh-id apply should have moved the rollup (canary is broken)")
+  }
+
   test("CDC upsert is exactly-once: a replayed micro-batch cannot double-apply") {
     // foreachBatch is at-least-once — after a failure the engine re-runs
     // the last micro-batch with the SAME batchId. The snapshot's version
