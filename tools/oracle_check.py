@@ -137,9 +137,28 @@ def main(sf_dir: str, out_dir: str) -> None:
     total_s = time.time() - t_start
     print(f"oracle suite total: {total_s:.1f} s")
     budget_s = float(os.environ.get("ORACLE_BUDGET_S", BUDGET_S_DEFAULT))
-    for msg in budget_failures(total_s, slow, budget_s):
+    budget_msgs = budget_failures(total_s, slow, budget_s)
+    for msg in budget_msgs:
         print(msg)
         n_fail += 1
+    # headroom census, the BENCH_SUMMARY pattern applied to the gate: the
+    # budget now TRIPS, but nothing recorded how close each round sails —
+    # one archivable JSON line carries the suite cost trend so a regression
+    # is visible rounds before it reaches the cliff
+    census = {
+        "suite_total_s": round(total_s, 1),
+        "budget_s": budget_s,
+        "headroom_pct": round(max(0.0, 1 - total_s / budget_s) * 100, 1),
+        "n_oracles": len(slow),
+        "top3": {name: round(sec, 2)
+                 for sec, name in sorted(slow, reverse=True)[:3]},
+        "budget_ok": not budget_msgs,
+    }
+    try:
+        with open("ORACLE_COST.json", "w") as f:
+            f.write(json.dumps(census) + "\n")
+    except OSError:
+        pass  # census is telemetry; never fail the gate over it
     print(f"{n_pass} pass, {n_fail} fail")
     sys.exit(1 if n_fail else 0)
 
