@@ -702,6 +702,76 @@ object Relational2 {
         .select(col("exact_diff"),
           (abs(col("est_union") - col("est_b") - col("exact_diff")) <=
             lit(0.15) * col("exact_diff")).as("diff_ok"))
+    }),
+
+    // ---- top supplier by quarterly revenue (TPC-H Q15 shape, the view +
+    //      max-equality form): revenue per supplier over one quarter, then
+    //      every supplier achieving the maximum. Window-free: the quarter
+    //      filter prunes at the scan, one fine-key agg builds the revenue
+    //      census, the max rides back as a 1-ROW broadcast crossJoin and
+    //      the equality filter runs on the census — cents-exact integers,
+    //      so cross-engine max equality is bit-safe (a double-revenue
+    //      formulation would tie-break on summation dust). Supplier dim
+    //      broadcasts. At 100 TB: one shuffle on s_suppkey, census-sized
+    //      everything after ----
+    "q_top_supplier" -> ((s, d) => {
+      val cents = expr(
+        "cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)")
+      val rev = li(s, d)
+        .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1996-04-01")))
+        .groupBy(col("l_suppkey")).agg(sum(cents).as("rev_cents"))
+      val mx = rev.agg(max(col("rev_cents")).as("mx"))
+      rev.crossJoin(broadcast(mx))
+        .filter(col("rev_cents") === col("mx"))
+        .join(broadcast(Tables(s, d, "supplier")
+          .select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("rev_cents"))
+        .orderBy("s_suppkey")
+    }),
+
+    // ---- cheapest supplier per part (TPC-H Q2's correlated-min shape,
+    //      argmin form): for each part, the supplier whose lineitem MIN
+    //      price is lowest (ties → lowest suppkey). Two chained fine-key
+    //      aggregations, both map-side combinable; the per-part argmin is
+    //      min(struct(price, suppkey)) — the same struct-ordering argmin
+    //      device as the IVF assignment, NO window, NO per-part sort. MIN
+    //      over raw doubles is order-independent, so the value is
+    //      bit-identical across engines with no rounding. Q2's correlated
+    //      subquery (price = (SELECT min ...)) decorrelates to exactly
+    //      this aggregate + argmin ----
+    "q_cheapest_supplier" -> ((s, d) =>
+      li(s, d)
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(col("l_extendedprice")).as("minp"))
+        .groupBy(col("l_partkey"))
+        .agg(min(struct(col("minp"), col("l_suppkey"))).as("b"),
+          count(lit(1)).as("n_suppliers"))
+        .select(col("l_partkey").as("p_partkey"),
+          col("b.l_suppkey").as("best_supp"),
+          col("b.minp").as("best_price"), col("n_suppliers"))
+        .orderBy("p_partkey")),
+
+    // ---- promo revenue share per month (TPC-H Q14 shape): the share of
+    //      monthly revenue from PROMO-type parts, in basis points by the
+    //      cents discipline (sum cents exactly, integer floor division —
+    //      no double division at the boundary). Part flags broadcast as a
+    //      2-column pruned dim; one fact shuffle onto the month census ----
+    "q_promo_share" -> ((s, d) => {
+      val cents = expr(
+        "cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)")
+      li(s, d)
+        .join(broadcast(part(s, d)
+          .select(col("p_partkey"), (col("p_type") === "PROMO").as("promo"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(date_format(col("l_shipdate").cast("date"), "yyyy-MM")
+          .as("month"))
+        .agg(sum(when(col("promo"), cents).otherwise(0L)).as("promo_cents"),
+          sum(cents).as("total_cents"))
+        .select(col("month"), col("promo_cents"), col("total_cents"),
+          expr("(promo_cents * 10000) div total_cents").as("promo_bp"))
+        .orderBy("month")
     })
   )
 
@@ -1161,6 +1231,55 @@ object Relational2 {
         |      WHERE o_orderpriority = '1-URGENT'
         |      INTERSECT
         |      SELECT DISTINCT o_custkey FROM orders
-        |      WHERE o_orderpriority = '2-HIGH')""".stripMargin
+        |      WHERE o_orderpriority = '2-HIGH')""".stripMargin,
+
+    // same cents-exact census, same 1-row max equality
+    "q_top_supplier" ->
+      """WITH rev AS MATERIALIZED (
+        |  SELECT l_suppkey,
+        |         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+        |              * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate <  TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey),
+        |mx AS (SELECT max(rev_cents) AS mx FROM rev)
+        |SELECT s_suppkey, s_name, rev_cents
+        |FROM rev CROSS JOIN mx
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE rev_cents = mx
+        |ORDER BY s_suppkey""".stripMargin,
+
+    // the argmin spelled as a deterministic rank window (min over raw
+    // doubles — bit-identical, no rounding needed)
+    "q_cheapest_supplier" ->
+      """WITH mp AS MATERIALIZED (
+        |  SELECT l_partkey, l_suppkey, min(l_extendedprice) AS minp
+        |  FROM lineitem GROUP BY l_partkey, l_suppkey),
+        |rk AS (
+        |  SELECT l_partkey, l_suppkey, minp,
+        |         row_number() OVER (PARTITION BY l_partkey
+        |                            ORDER BY minp ASC, l_suppkey ASC) AS rn,
+        |         count(*) OVER (PARTITION BY l_partkey) AS n_suppliers
+        |  FROM mp)
+        |SELECT l_partkey AS p_partkey, l_suppkey AS best_supp,
+        |       minp AS best_price, CAST(n_suppliers AS BIGINT) AS n_suppliers
+        |FROM rk WHERE rn = 1 ORDER BY p_partkey""".stripMargin,
+
+    // same cents sums, same integer bp division
+    "q_promo_share" ->
+      """SELECT strftime(CAST(l_shipdate AS DATE), '%Y-%m') AS month,
+        |       CAST(sum(CASE WHEN p_type = 'PROMO'
+        |           THEN CAST(round(l_extendedprice * (1 - l_discount) * 100)
+        |                AS BIGINT) ELSE 0 END) AS BIGINT) AS promo_cents,
+        |       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+        |                AS BIGINT)) AS BIGINT) AS total_cents,
+        |       CAST(sum(CASE WHEN p_type = 'PROMO'
+        |           THEN CAST(round(l_extendedprice * (1 - l_discount) * 100)
+        |                AS BIGINT) ELSE 0 END) AS BIGINT) * 10000
+        |         // CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+        |                * 100) AS BIGINT)) AS BIGINT) AS promo_bp
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY month ORDER BY month""".stripMargin
   )
 }

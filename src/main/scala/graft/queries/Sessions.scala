@@ -314,6 +314,85 @@ object Sessions {
         .agg(count(lit(1)).as("n_new"))
         .withColumn("cum_users", sum(col("n_new")).over(w))
         .orderBy("day")
+    }),
+
+    // ---- audience overlap matrix: Jaccard between the user sets of every
+    //      event-type pair — which audiences are the same people, which
+    //      are disjoint (the targeting/segmentation census). Shape: ONE
+    //      distinct (type, user) census on the fine user key, self-joined
+    //      on user_id — per-user fanout is bounded by the type alphabet
+    //      (≤5², never quadratic in users), and the ≤5-row per-type totals
+    //      ride back as a broadcast. Jaccard in basis points by integer
+    //      floor division. At 100 TB the census distinct is the only
+    //      corpus-sized shuffle ----
+    "q_audience_overlap" -> ((s, d) => {
+      val au = events(s, d)
+        .select(col("event_type").as("et"), col("user_id")).distinct()
+      val sizes = au.groupBy(col("et")).agg(count(lit(1)).as("n"))
+      val both = au.as("a").join(au.as("b"), "user_id")
+        .filter(col("a.et") < col("b.et"))
+        .groupBy(col("a.et").as("et_a"), col("b.et").as("et_b"))
+        .agg(count(lit(1)).as("n_both"))
+      both
+        .join(broadcast(sizes.select(col("et").as("et_a"), col("n").as("n_a"))),
+          "et_a")
+        .join(broadcast(sizes.select(col("et").as("et_b"), col("n").as("n_b"))),
+          "et_b")
+        .select(col("et_a"), col("et_b"), col("n_a"), col("n_b"), col("n_both"),
+          expr("(n_both * 10000) div (n_a + n_b - n_both)").as("jaccard_bp"))
+        .orderBy("et_a", "et_b")
+    }),
+
+    // ---- conversion lag histogram: days from first signup to first
+    //      subsequent purchase, with never-converted as the -1 bucket —
+    //      the funnel's TIME dimension (q_funnel counts who, this counts
+    //      how long). Three fine-key user aggregations and one user-keyed
+    //      join; the histogram reduction is alphabet-sized. All-integer
+    //      day arithmetic ----
+    "q_conversion_lag" -> ((s, d) => {
+      val e = events(s, d).select(col("user_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("secs"))
+      val sg = e.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("secs")).as("s0"))
+      val conv = e.filter(col("event_type") === "purchase")
+        .join(sg, "user_id")
+        .filter(col("secs") >= col("s0"))
+        .groupBy(col("user_id")).agg(min(col("secs")).as("p0"))
+      sg.join(conv, Seq("user_id"), "left")
+        .select(col("user_id"), col("s0"),
+          when(col("p0").isNull, lit(-1L))
+            .otherwise(expr("(p0 - s0) div 86400")).as("lag_days"))
+        .groupBy(col("lag_days")).agg(count(lit(1)).as("n_users"))
+        .orderBy("lag_days")
+    }),
+
+    // ---- RFM segmentation census: per purchasing user, Recency (days
+    //      since last purchase, against the corpus max-ts anchor),
+    //      Frequency (purchase count) and Monetary (cents) — bucketed by
+    //      FIXED integer thresholds (quantile buckets would make every
+    //      bucket edge an FP tie across engines), then the
+    //      (r, f, m)-bucket census. One fine-key user aggregation, the
+    //      1-row anchor broadcast, an alphabet-sized reduction ----
+    "q_rfm_segments" -> ((s, d) => {
+      val p = events(s, d).filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_timestamp(col("ts")).as("secs"),
+          col("value"))
+      val anchor = p.agg(max(col("secs")).as("t_max"))
+      val rfm = p.groupBy(col("user_id"))
+        .agg(max(col("secs")).as("last_s"),
+          count(lit(1)).as("f"),
+          sum(round(col("value") * 100).cast("long")).as("m_cents"))
+        .crossJoin(broadcast(anchor))
+        .select(col("user_id"),
+          least(expr("((t_max - last_s) div 86400) div 2"), lit(5L))
+            .as("r_bucket"),
+          least(expr("f div 5"), lit(5L)).as("f_bucket"),
+          least(expr("m_cents div 30000"), lit(5L)).as("m_bucket"),
+          col("m_cents"))
+      rfm.groupBy(col("r_bucket"), col("f_bucket"), col("m_bucket"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("m_cents")).as("segment_cents"))
+        .orderBy("r_bucket", "f_bucket", "m_bucket")
     })
   )
 
@@ -549,6 +628,63 @@ object Sessions {
         |         AS start_s,
         |       event_type, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events, range(0, 4) k
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // same distinct census, same alphabet-bounded self-join, integer bp
+    "q_audience_overlap" ->
+      """WITH au AS MATERIALIZED (
+        |  SELECT DISTINCT event_type AS et, user_id FROM events),
+        |sz AS (SELECT et, count(*) AS n FROM au GROUP BY et),
+        |b AS (SELECT a.et AS et_a, bb.et AS et_b, count(*) AS n_both
+        |      FROM au a JOIN au bb
+        |        ON a.user_id = bb.user_id AND a.et < bb.et
+        |      GROUP BY 1, 2)
+        |SELECT et_a, et_b, CAST(sa.n AS BIGINT) AS n_a,
+        |       CAST(sb.n AS BIGINT) AS n_b, CAST(n_both AS BIGINT) AS n_both,
+        |       (CAST(n_both AS BIGINT) * 10000)
+        |         // (sa.n + sb.n - n_both) AS jaccard_bp
+        |FROM b JOIN sz sa ON b.et_a = sa.et JOIN sz sb ON b.et_b = sb.et
+        |ORDER BY et_a, et_b""".stripMargin,
+
+    // same first-signup / first-subsequent-purchase aggregation, -1 bucket
+    // for the never-converted
+    "q_conversion_lag" ->
+      """WITH e AS MATERIALIZED (
+        |  SELECT user_id, event_type,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS secs
+        |  FROM events),
+        |sg AS MATERIALIZED (
+        |  SELECT user_id, min(secs) AS s0 FROM e
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |conv AS (
+        |  SELECT e.user_id, min(secs) AS p0
+        |  FROM e JOIN sg ON e.user_id = sg.user_id
+        |  WHERE event_type = 'purchase' AND secs >= s0
+        |  GROUP BY e.user_id)
+        |SELECT CASE WHEN p0 IS NULL THEN CAST(-1 AS BIGINT)
+        |            ELSE (p0 - s0) // 86400 END AS lag_days,
+        |       count(*) AS n_users
+        |FROM sg LEFT JOIN conv ON sg.user_id = conv.user_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // same cents-at-ingest, same fixed-threshold buckets
+    "q_rfm_segments" ->
+      """WITH p AS MATERIALIZED (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS secs,
+        |         CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |a AS (SELECT max(secs) AS t_max FROM p),
+        |rfm AS (
+        |  SELECT user_id,
+        |         least(((t_max - max(secs)) // 86400) // 2,
+        |               CAST(5 AS BIGINT)) AS r_bucket,
+        |         least(count(*) // 5, CAST(5 AS BIGINT)) AS f_bucket,
+        |         least(CAST(sum(cents) AS BIGINT) // 30000,
+        |               CAST(5 AS BIGINT)) AS m_bucket,
+        |         CAST(sum(cents) AS BIGINT) AS m_cents
+        |  FROM p CROSS JOIN a GROUP BY user_id, t_max)
+        |SELECT r_bucket, f_bucket, m_bucket, count(*) AS n_users,
+        |       CAST(sum(m_cents) AS BIGINT) AS segment_cents
+        |FROM rfm GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
   )
 }
