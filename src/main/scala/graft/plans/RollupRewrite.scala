@@ -1,0 +1,176 @@
+package graft.plans
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+/** Aggregate navigation: rewrite a coarse aggregate over a FACT scan to
+  * re-aggregate a registered fine-grain ROLLUP instead (the classic
+  * materialized-view rewrite — Calcite's "aggregate navigation", Oracle's
+  * query rewrite). At 100 TB this is the difference between re-scanning the
+  * fact table for every dashboard grain and answering from a census-sized
+  * materialization: `register` once per session, and EVERY later aggregate
+  * whose group keys are a subset of the rollup grain and whose aggregates
+  * are re-aggregable (SUM → SUM of partial sums, COUNT → SUM of partial
+  * counts, MIN/MAX → MIN/MAX of partial extrema) is navigated to the rollup
+  * automatically — the query text still targets the fact.
+  *
+  * Safety properties, enforced structurally:
+  *  - the rewrite fires only when EVERY output expression translates: any
+  *    aggregate the rollup can't answer (a different SUM child, AVG, a
+  *    DISTINCT, a filter clause, a non-attribute group key) leaves the plan
+  *    untouched — partial matches never produce half-navigated plans;
+  *  - the fact is matched by its scan path (the registered parquet leaf),
+  *    never by table name heuristics, and a Filter anywhere between the
+  *    aggregate and the scan blocks the rewrite (the rollup pre-aggregated
+  *    ALL fact rows — answering a filtered query from it would be wrong
+  *    unless the filter sits on grain keys, a refinement not attempted);
+  *  - output attribute names, order, and exprIds are preserved, so parent
+  *    operators (sorts, projects) remain valid untouched;
+  *  - the registry is per-SparkSession (same WeakHashMap discipline as the
+  *    persist ledger), so a multi-session JVM can't cross-navigate.
+  *
+  * SUM children are matched by their canonical SQL text (backticks
+  * stripped): registration declares e.g. `"CAST(l_quantity AS BIGINT)" ->
+  * "sum_qty"`, and only a Sum over that exact expression navigates. Exact
+  * is the point — a near-miss silently answering from the wrong partial
+  * would be a correctness bug, not a missed optimization.
+  */
+object RollupRewrite extends Rule[LogicalPlan] {
+
+  /** One registered rollup: the fact's parquet path suffix, the rollup's
+    * grain keys, SUM-child SQL → rollup partial-sum column, the partial
+    * count column, MIN/MAX-child SQL → partial extremum column, and the
+    * rollup's OPTIMIZED plan (cache-substituted, so a persisted rollup is
+    * answered from memory, the fact untouched).
+    */
+  final case class Rollup(
+      factPath: String,
+      keys: Set[String],
+      sums: Map[String, String],
+      countCol: String,
+      mins: Map[String, String],
+      maxs: Map[String, String],
+      mv: LogicalPlan)
+
+  private val registry =
+    new mutable.WeakHashMap[SparkSession, mutable.ArrayBuffer[Rollup]]
+
+  /** Register a rollup for `factPath` (suffix-matched against the scan's
+    * root path) and idempotently inject this rule into the session's
+    * optimizer. The rollup DataFrame should already be persisted +
+    * materialized if navigation is to read memory rather than re-derive.
+    */
+  def register(spark: SparkSession, factPath: String, keys: Set[String],
+      sums: Map[String, String], countCol: String, mv: DataFrame,
+      mins: Map[String, String] = Map.empty,
+      maxs: Map[String, String] = Map.empty): Unit = synchronized {
+    val buf = registry.getOrElseUpdate(spark, mutable.ArrayBuffer.empty)
+    // re-registration REPLACES: a runner calling the same pipeline twice
+    // must navigate to the fresh (persisted) rollup, not a stale plan
+    // whose cache a ledger drain already released
+    buf.filterInPlace(r => !(r.factPath == factPath && r.keys == keys &&
+      r.sums == sums && r.countCol == countCol &&
+      r.mins == mins && r.maxs == maxs))
+    buf += Rollup(factPath, keys, sums, countCol, mins, maxs,
+      mv.queryExecution.optimizedPlan)
+    if (!spark.experimental.extraOptimizations.contains(this))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ this
+  }
+
+  /** Drop this session's rollups (specs; a production session would
+    * re-register after a rollup refresh instead). */
+  def clear(spark: SparkSession): Unit =
+    synchronized { registry.remove(spark); () }
+
+  private def sessionRollups: Seq[Rollup] = synchronized {
+    SparkSession.getActiveSession.toSeq
+      .flatMap(s => registry.getOrElse(s, Seq.empty).toSeq)
+  }
+
+  /** The scan path under `plan` if it is EXACTLY a (possibly
+    * attribute-pruned) file scan — a Filter, Join, or computed Project
+    * anywhere below the aggregate returns None and blocks the rewrite. */
+  private def bareFactPath(plan: LogicalPlan): Option[String] = plan match {
+    case Project(ps, child) if ps.forall(_.isInstanceOf[AttributeReference]) =>
+      bareFactPath(child)
+    case l: LogicalRelation => l.relation match {
+      case h: HadoopFsRelation =>
+        h.location.rootPaths.headOption.map(_.toString)
+      case _ => None
+    }
+    case _ => None
+  }
+
+  private def sqlOf(e: Expression): String = e.sql.replace("`", "")
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val mvs = sessionRollups
+    if (mvs.isEmpty) plan
+    else plan.transformUp {
+      case agg @ Aggregate(groupExprs, _, child, _)
+          if groupExprs.forall(_.isInstanceOf[AttributeReference]) =>
+        val hit = for {
+          path <- bareFactPath(child)
+          mv <- mvs.find(m => path.endsWith(m.factPath) &&
+            groupExprs.forall { case a: AttributeReference =>
+              m.keys.contains(a.name)
+            })
+          rewritten <- navigate(agg, mv)
+        } yield rewritten
+        hit.getOrElse(agg)
+    }
+  }
+
+  /** Translate every output expression of `agg` onto the rollup, or None
+    * if ANY fails to translate. */
+  private def navigate(agg: Aggregate, r: Rollup): Option[Aggregate] = {
+    val byName: Map[String, Attribute] =
+      r.mv.output.map(a => a.name -> a).toMap
+    def reAgg(f: Expression => Expression, col: String,
+        name: String, id: NamedExpression): Option[NamedExpression] =
+      byName.get(col).map { a =>
+        Alias(AggregateExpression(
+          f(a).asInstanceOf[
+            org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction],
+          Complete, isDistinct = false), name)(exprId = id.exprId)
+      }
+
+    val translated: Seq[Option[NamedExpression]] =
+      agg.aggregateExpressions.map {
+        // group-key passthrough: re-point at the rollup's attribute,
+        // keeping the original name + exprId
+        case a: AttributeReference =>
+          byName.get(a.name).map(m => Alias(m, a.name)(exprId = a.exprId))
+        case al @ Alias(
+            AggregateExpression(Sum(c, _), _, false, None, _), name) =>
+          r.sums.get(sqlOf(c))
+            .flatMap(reAgg(e => Sum(e), _, name, al))
+        case al @ Alias(
+            AggregateExpression(Count(Seq(Literal(1, _))), _, false, None, _),
+            name) =>
+          reAgg(e => Sum(e), r.countCol, name, al)
+        case al @ Alias(
+            AggregateExpression(Min(c), _, false, None, _), name) =>
+          r.mins.get(sqlOf(c)).flatMap(reAgg(e => Min(e), _, name, al))
+        case al @ Alias(
+            AggregateExpression(Max(c), _, false, None, _), name) =>
+          r.maxs.get(sqlOf(c)).flatMap(reAgg(e => Max(e), _, name, al))
+        case _ => None
+      }
+
+    if (translated.exists(_.isEmpty)) None
+    else {
+      val newGroup = agg.groupingExpressions.map {
+        case a: AttributeReference => byName(a.name)
+      }
+      Some(Aggregate(newGroup, translated.map(_.get), r.mv))
+    }
+  }
+}

@@ -772,6 +772,117 @@ object Relational2 {
         .select(col("month"), col("promo_cents"), col("total_cents"),
           expr("(promo_cents * 10000) div total_cents").as("promo_bp"))
         .orderBy("month")
+    }),
+
+    // ---- small-quantity revenue per brand (TPC-H Q17's correlated-avg
+    //      shape, decorrelated): revenue from lineitems whose quantity is
+    //      below 20% of their part's average. The correlated scalar
+    //      subquery (SELECT 0.2*avg(l_quantity) WHERE l_partkey = ...)
+    //      decorrelates to ONE per-part census (sum_qty, n) that joins
+    //      back onto the fact scan; the boundary is the all-integer
+    //      cross-multiplication 5·qty·n < sum_qty — no 0.2·avg double at
+    //      the cut, so the qualifying set is bit-identical cross-engine.
+    //      At 100 TB: the census is part-cardinality (tiny vs the fact) →
+    //      broadcast back; the only corpus shuffle is the census agg
+    //      itself, map-side combinable ----
+    "q_small_qty_revenue" -> ((s, d) => {
+      val cents = expr(
+        "cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)")
+      val census = li(s, d).groupBy(col("l_partkey").as("pk"))
+        .agg(sum(col("l_quantity").cast("long")).as("sum_qty"),
+          count(lit(1)).as("n_lines"))
+      li(s, d)
+        .join(broadcast(census), col("l_partkey") === col("pk"))
+        .filter(expr("5 * cast(l_quantity as bigint) * n_lines < sum_qty"))
+        .join(broadcast(part(s, d).select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_small"), sum(cents).as("rev_cents"))
+        .orderBy("p_brand")
+    }),
+
+    // ---- large-volume orders (TPC-H Q18 shape): orders whose total
+    //      quantity exceeds 150, with customer attribution. The HAVING-IN
+    //      subquery decorrelates to a per-order quantity census that is
+    //      ITSELF the probe side: filter the census (2.9k rows at sf0.01,
+    //      ~0.02% of orders at any SF), then join orders + customer onto
+    //      the survivors — the fact table is touched once, and both
+    //      dimension joins run on the filtered census, not the raw fact.
+    //      Integer quantities end to end ----
+    "q_large_orders" -> ((s, d) => {
+      val oq = li(s, d).groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .filter(col("sum_qty") > 150L)
+      oq.join(ord(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust(s, d).select(col("c_custkey"), col("c_name"))),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          date_format(col("o_orderdate").cast("date"), "yyyy-MM-dd")
+            .as("o_date"),
+          col("o_totalprice"), col("sum_qty"))
+        .orderBy("o_orderkey")
+    }),
+
+    // ---- waiting suppliers (TPC-H Q21's multi-EXISTS shape, adapted to
+    //      this schema's dates): on finished orders with >1 supplier,
+    //      suppliers who were the ONLY one to ship >60 days after the
+    //      order date. The EXISTS (another supplier) / NOT EXISTS (another
+    //      LATE supplier) pair decorrelates into one per-(order, supplier)
+    //      lateness census and one per-order census carrying n_suppliers,
+    //      n_late, and the unique late suppkey via max(CASE) — zero
+    //      re-probes of the fact, no anti-join against the corpus. The
+    //      explicit repartition on l_orderkey makes BOTH chained aggs
+    //      exchange-free (a subset partitioning satisfies the
+    //      (l_orderkey, l_suppkey) clustering too): ONE fact-sized
+    //      exchange end to end instead of two agg exchanges, plan-asserted.
+    //      Supplier dim broadcast; ~4 lines/order so the single-key
+    //      partitioning carries no skew ----
+    "q_waiting_suppliers" -> ((s, d) => {
+      val l2 = li(s, d)
+        .join(ord(s, d).filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .repartition(col("l_orderkey"))
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max(col("l_shipdate") >
+          col("o_orderdate") + expr("interval 60 days")).as("late"))
+      val oc = l2.groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_supp"),
+          sum(when(col("late"), 1L).otherwise(0L)).as("n_late"),
+          max(when(col("late"), col("l_suppkey"))).as("late_supp"))
+        .filter(col("n_supp") > 1L && col("n_late") === 1L)
+      oc.groupBy(col("late_supp"))
+        .agg(count(lit(1)).as("numwait"))
+        .join(broadcast(Tables(s, d, "supplier")
+          .select(col("s_suppkey"), col("s_name"))),
+          col("late_supp") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("numwait"))
+        .orderBy("s_suppkey")
+    }),
+
+    // ---- high-balance dormant segments (TPC-H Q22 shape, adapted: every
+    //      customer here HAS orders, so the anti-join target is URGENT
+    //      orders): per market segment, customers whose balance beats the
+    //      positive-balance average and who never placed a 1-URGENT order.
+    //      The scalar subquery is a 1-row broadcast; the boundary is the
+    //      integer cross-multiplication cents·n > sum_cents (no avg double
+    //      at the cut); the NOT EXISTS is a left-anti join against the
+    //      DISTINCT urgent-customer census, never the raw orders. At
+    //      100 TB: customer exchanges once onto the census key; orders is
+    //      scanned once, pre-shrunk by the priority filter ----
+    "q_dormant_segments" -> ((s, d) => {
+      val c = cust(s, d).select(col("c_custkey"), col("c_mktsegment"),
+        expr("cast(round(c_acctbal * 100) as bigint)").as("bal_cents"))
+      val avgRow = c.filter(col("bal_cents") > 0L)
+        .agg(sum(col("bal_cents")).as("sum_cents"), count(lit(1)).as("n_pos"))
+      val urgent = ord(s, d).filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey")).distinct()
+      c.crossJoin(broadcast(avgRow))
+        .filter(expr("bal_cents * n_pos > sum_cents"))
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_cust"), sum(col("bal_cents")).as("tot_cents"))
+        .orderBy("c_mktsegment")
     })
   )
 
@@ -1280,6 +1391,69 @@ object Relational2 {
         |         // CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
         |                * 100) AS BIGINT)) AS BIGINT) AS promo_bp
         |FROM lineitem JOIN part ON l_partkey = p_partkey
-        |GROUP BY month ORDER BY month""".stripMargin
+        |GROUP BY month ORDER BY month""".stripMargin,
+
+    // same per-part census, same all-integer 5·qty·n < sum_qty boundary
+    "q_small_qty_revenue" ->
+      """WITH pa AS MATERIALIZED (
+        |  SELECT l_partkey AS pk,
+        |         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |         count(*) AS n_lines
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT p_brand, count(*) AS n_small,
+        |       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+        |                AS BIGINT)) AS BIGINT) AS rev_cents
+        |FROM lineitem JOIN pa ON l_partkey = pk
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE 5 * CAST(l_quantity AS BIGINT) * n_lines < sum_qty
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    // the HAVING-IN spelled directly; integer quantity sums
+    "q_large_orders" ->
+      """WITH oq AS MATERIALIZED (
+        |  SELECT l_orderkey,
+        |         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey HAVING sum_qty > 150)
+        |SELECT c_custkey, c_name, o_orderkey,
+        |       strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS o_date,
+        |       o_totalprice, sum_qty
+        |FROM oq JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // the EXISTS / NOT-EXISTS pair spelled as the same two censuses
+    "q_waiting_suppliers" ->
+      """WITH l2 AS MATERIALIZED (
+        |  SELECT l_orderkey AS ok, l_suppkey AS sk,
+        |         max(l_shipdate > o_orderdate + INTERVAL 60 DAY) AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'
+        |  GROUP BY 1, 2),
+        |oc AS (
+        |  SELECT ok, count(*) AS n_supp,
+        |         sum(CASE WHEN late THEN 1 ELSE 0 END) AS n_late,
+        |         max(CASE WHEN late THEN sk END) AS late_supp
+        |  FROM l2 GROUP BY ok)
+        |SELECT s_suppkey, s_name, count(*) AS numwait
+        |FROM oc JOIN supplier ON late_supp = s_suppkey
+        |WHERE n_supp > 1 AND n_late = 1
+        |GROUP BY 1, 2 ORDER BY s_suppkey""".stripMargin,
+
+    // same integer cents·n > sum_cents boundary, same DISTINCT anti target
+    "q_dormant_segments" ->
+      """WITH c AS MATERIALIZED (
+        |  SELECT c_custkey, c_mktsegment,
+        |         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+        |  FROM customer),
+        |a AS (SELECT CAST(sum(bal_cents) AS BIGINT) AS sum_cents,
+        |             count(*) AS n_pos FROM c WHERE bal_cents > 0),
+        |u AS (SELECT DISTINCT o_custkey FROM orders
+        |      WHERE o_orderpriority = '1-URGENT')
+        |SELECT c_mktsegment, count(*) AS n_cust,
+        |       CAST(sum(bal_cents) AS BIGINT) AS tot_cents
+        |FROM c CROSS JOIN a
+        |WHERE bal_cents * n_pos > sum_cents
+        |  AND c_custkey NOT IN (SELECT o_custkey FROM u)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
   )
 }

@@ -299,6 +299,76 @@ object StorageOps {
             sum(when(pruned2d, 0L).otherwise(col("rows"))).as("rows_scanned"))
       audit(linear, "linear_cb").unionByName(audit(zord, "zorder"))
         .orderBy("layout")
+    }),
+
+    // ---- partition-key advisor: for each candidate hive/iceberg-style
+    //      partition column of the events stream (event_type, day(ts),
+    //      user_id, user_id div 100), the census that decides the layout —
+    //      NDV (partition count), rows per partition, max-partition share
+    //      (skew) — and an integer advice ladder: too many partitions →
+    //      small-files death ('too_fine'), one partition holding >20% →
+    //      'skewed', <4 partitions → 'too_coarse', else 'ok'. Shape: one
+    //      pruned scan exploded to (candidate, value) pairs → ONE fine-key
+    //      census (map-side combinable; candidate alphabet ×4 the scan,
+    //      but each census row collapses at the combiner), then a
+    //      4-row summary. The thresholds are integer cross-products — no
+    //      percentage doubles at the cut. At 100 TB this is manifest-
+    //      design work: the census is the only shuffle, its cardinality
+    //      is sum of candidate NDVs, never corpus-sized ----
+    "q_partition_advisor" -> ((s, d) => {
+      val e = Tables(s, d, "events").select(
+        explode(array(
+          struct(lit("event_type").as("cand"),
+            col("event_type").as("pval")),
+          struct(lit("day").as("cand"),
+            date_format(col("ts"), "yyyy-MM-dd").as("pval")),
+          struct(lit("user_id").as("cand"),
+            col("user_id").cast("string").as("pval")),
+          struct(lit("user_bucket").as("cand"),
+            expr("user_id div 100").cast("string").as("pval"))))
+          .as("c"))
+        .select(col("c.cand"), col("c.pval"))
+      e.groupBy(col("cand"), col("pval"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("cand"))
+        .agg(count(lit(1)).as("ndv"), sum(col("n")).as("n_rows"),
+          max(col("n")).as("max_part"))
+        .select(col("cand"), col("ndv"), col("n_rows"),
+          expr("n_rows div ndv").as("rows_per_part"),
+          expr("(max_part * 10000) div n_rows").as("max_share_bp"),
+          expr("""CASE WHEN ndv * 1000 > n_rows THEN 'too_fine'
+                 |     WHEN max_part * 5 > n_rows THEN 'skewed'
+                 |     WHEN ndv < 4 THEN 'too_coarse'
+                 |     ELSE 'ok' END""".stripMargin).as("advice"))
+        .orderBy("cand")
+    }),
+
+    // ---- materialized-rollup navigation (aggregate navigation / MV query
+    //      rewrite): register a (returnflag, linestatus)-grain rollup of
+    //      lineitem once, then ask the COARSER (returnflag) question
+    //      against the FACT — plans.RollupRewrite navigates the aggregate
+    //      onto the persisted rollup (SUM → SUM of partials, COUNT → SUM
+    //      of counts), the fact never rescanned (PlanSpec asserts zero
+    //      lineitem scans + the in-memory read). At 100 TB this is the
+    //      dashboard pattern: one fact pass builds the census, every
+    //      coarser grain re-aggregates 6 rows. The rewrite is value-
+    //      invariant by construction, which is exactly what the oracle
+    //      (raw fact aggregation in DuckDB) certifies ----
+    "q_mv_rewrite" -> ((s, d) => {
+      val mv = Tables(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity").cast("long")).as("sum_qty"),
+          count(lit(1)).as("n_rows"))
+        .persistTracked()
+      mv.count() // materialize: navigation must read memory, not the fact
+      graft.plans.RollupRewrite.register(s, s"$d/lineitem.parquet",
+        Set("l_returnflag", "l_linestatus"),
+        Map("CAST(l_quantity AS BIGINT)" -> "sum_qty"), "n_rows", mv)
+      Tables(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("l_quantity").cast("long")).as("sum_qty"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")
     })
   )
 
@@ -539,6 +609,41 @@ object StorageOps {
          |                       OR mxdb < 30 OR mndb > 59
          |                     THEN 0 ELSE rows_f END) AS BIGINT) AS rows_scanned
          |FROM stats GROUP BY layout ORDER BY layout""".stripMargin
-    }
+    },
+
+    // same 4-candidate explode, same integer advice ladder
+    "q_partition_advisor" ->
+      """WITH e AS MATERIALIZED (
+        |  SELECT cand, pval FROM (
+        |    SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+        |           CAST(user_id AS VARCHAR) AS uid,
+        |           CAST(user_id // 100 AS VARCHAR) AS ub
+        |    FROM events) t
+        |  CROSS JOIN (VALUES ('event_type'), ('day'), ('user_id'),
+        |              ('user_bucket')) cands(cand)
+        |  CROSS JOIN LATERAL (SELECT CASE cand WHEN 'event_type' THEN event_type
+        |                       WHEN 'day' THEN day WHEN 'user_id' THEN uid
+        |                       ELSE ub END AS pval) v),
+        |census AS (SELECT cand, pval, count(*) AS n FROM e GROUP BY 1, 2),
+        |summary AS (
+        |  SELECT cand, count(*) AS ndv, CAST(sum(n) AS BIGINT) AS n_rows,
+        |         CAST(max(n) AS BIGINT) AS max_part
+        |  FROM census GROUP BY cand)
+        |SELECT cand, ndv, n_rows, n_rows // ndv AS rows_per_part,
+        |       (max_part * 10000) // n_rows AS max_share_bp,
+        |       CASE WHEN ndv * 1000 > n_rows THEN 'too_fine'
+        |            WHEN max_part * 5 > n_rows THEN 'skewed'
+        |            WHEN ndv < 4 THEN 'too_coarse'
+        |            ELSE 'ok' END AS advice
+        |FROM summary ORDER BY cand""".stripMargin,
+
+    // the raw fact aggregation — certifying the navigation is
+    // value-invariant is the entire point of this gate
+    "q_mv_rewrite" ->
+      """SELECT l_returnflag,
+        |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |       count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin
   )
 }

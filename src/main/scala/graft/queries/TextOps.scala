@@ -401,6 +401,39 @@ object TextOps {
             .as("pmi"))
         .orderBy(col("cb").desc, col("w1").asc, col("w2").asc)
         .limit(20)
+    }),
+
+    // ---- trigram substring search: the scale path for LIKE '%pattern%'.
+    //      A full-corpus contains() is a 100 TB scan per query; the
+    //      production shape is an inverted TRIGRAM index probed by the
+    //      pattern's trigrams, candidates = docs containing ALL of them
+    //      (a necessary condition for a contiguous match), verify
+    //      contains() on candidates only. Here the index build + probe run
+    //      in one plan: per-doc distinct trigrams via a native transform/
+    //      sequence (no UDF), the posting explode filtered to the
+    //      pattern's ~10 trigram keys BEFORE the shuffle — so the exchange
+    //      carries only matching postings (the true index-probe cost,
+    //      ~selectivity·corpus), never the full posting table. Output
+    //      keeps is_match so trigram false positives (all grams present,
+    //      pattern not contiguous) stay visible. At 100 TB the postings
+    //      frame is the one you materialize once and bucket by trigram;
+    //      the probe is then an index lookup, corpus untouched until the
+    //      candidate verify ----
+    "q_trigram_search" -> ((s, d) => {
+      val pat = "window table"
+      val patGrams = pat.sliding(3).toSeq.distinct
+      val docs = Tables(s, d, "documents").select(col("doc_id"), col("text"))
+      val postings = docs.select(col("doc_id"),
+        explode(array_distinct(expr(
+          "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")))
+          .as("g"))
+      val cand = postings
+        .filter(col("g").isin(patGrams: _*))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("ng"))
+        .filter(col("ng") === lit(patGrams.size.toLong))
+      cand.join(docs, "doc_id")
+        .select(col("doc_id"), col("text").contains(pat).as("is_match"))
+        .orderBy("doc_id")
     })
   )
 
@@ -736,6 +769,26 @@ object TextOps {
         |       WHERE rn <= 20 GROUP BY term)
         |SELECT term, df, postings
         |FROM df JOIN pl USING (term)
-        |WHERE df >= 25 ORDER BY term""".stripMargin
+        |WHERE df >= 25 ORDER BY term""".stripMargin,
+
+    // same trigram index probe: all pattern grams present -> candidate,
+    // contains() verifies; false positives stay visible
+    "q_trigram_search" ->
+      """WITH idx AS MATERIALIZED (
+        |  SELECT CAST(i AS INT) AS i FROM range(1, 2000) r(i)),
+        |g AS MATERIALIZED (
+        |  SELECT DISTINCT substr(pat, i, 3) AS g
+        |  FROM (SELECT 'window table' AS pat) p JOIN idx
+        |    ON i <= length(pat) - 2),
+        |post AS (
+        |  SELECT DISTINCT doc_id, substr(text, i, 3) AS g
+        |  FROM documents JOIN idx ON i <= length(text) - 2),
+        |cand AS (
+        |  SELECT doc_id FROM post JOIN g USING (g)
+        |  GROUP BY doc_id
+        |  HAVING count(*) = (SELECT count(*) FROM g))
+        |SELECT doc_id, contains(text, 'window table') AS is_match
+        |FROM cand JOIN documents USING (doc_id)
+        |ORDER BY doc_id""".stripMargin
   )
 }

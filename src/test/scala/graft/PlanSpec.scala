@@ -307,6 +307,71 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       "q_stratified_sample fell back to a window sort")
   }
 
+  test("r11 additions: single-exchange chained aggs, broadcast censuses, " +
+    "pre-shuffle trigram probe filter") {
+    // q_waiting_suppliers: the explicit l_orderkey repartition serves BOTH
+    // chained groupBys (subset partitioning satisfies the two-key
+    // clustering) — exactly ONE fact-keyed exchange; the rest are the
+    // tiny late_supp agg and the output sort
+    val wsHx = hashExchanges("q_waiting_suppliers")
+    val wsOrderKeyed = wsHx.filter(
+      _.expressions.map(_.toString).exists(_.contains("l_orderkey")))
+    assert(wsOrderKeyed.size == 1,
+      s"expected 1 l_orderkey exchange, got: ${wsHx.map(_.expressions)}")
+    // q_small_qty_revenue: the per-part census joins back by HINT, never
+    // a sort-merge of fact against census; partial aggs everywhere
+    val sqPlan = physical("q_small_qty_revenue")
+    assert(sqPlan.collect { case j: SortMergeJoinExec => j }.isEmpty,
+      "q_small_qty_revenue plans a sort-merge join against the census")
+    assert(sqPlan.toString.contains("partial_"),
+      "q_small_qty_revenue lost partial aggregation")
+    // q_trigram_search: the pattern-trigram IN filter must sit BELOW the
+    // doc_id exchange — the shuffle carries only matching postings, never
+    // the full posting table
+    val tgEx = withoutAQE {
+      q("q_trigram_search").queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec
+          if e.outputPartitioning.isInstanceOf[HashPartitioning] => e
+      }
+    }
+    assert(tgEx.nonEmpty)
+    assert(tgEx.forall(_.child.toString.contains(" IN (")),
+      "trigram probe filter not below the posting exchange")
+    // q_partition_advisor: one corpus-keyed census then alphabet-sized
+    // work; both aggs keep map-side partials
+    assert(physical("q_partition_advisor").toString.contains("partial_"),
+      "q_partition_advisor lost partial aggregation")
+  }
+
+  test("rollup navigation: the coarse aggregate reads the MV, never the fact") {
+    // q_mv_rewrite registers a (returnflag, linestatus) rollup then asks
+    // the (returnflag) question against the FACT; RollupRewrite must
+    // navigate it — zero lineitem file scans in the executed tree, the
+    // read comes from the in-memory rollup
+    val df = q("q_mv_rewrite")
+    val plan = df.queryExecution.executedPlan
+    val factScans = plan.collect {
+      case f: FileSourceScanExec
+        if f.metadata.get("Location").exists(_.contains("lineitem")) => f
+    }
+    assert(factScans.isEmpty,
+      s"navigation did not fire: ${factScans.size} lineitem scans")
+    assert(plan.toString.contains("InMemoryTableScan"),
+      "rewritten plan does not read the cached rollup")
+    // and it is value-invariant vs a hand-built raw fact aggregation
+    // (clearing the registry FIRST so the control plan can't navigate)
+    val navigated = df.collect().map(_.toString).sorted
+    graft.plans.RollupRewrite.clear(spark)
+    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    val raw = graft.Tables(spark, sf, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("l_quantity").cast("long")).as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+      .collect().map(_.toString).sorted
+    assert(navigated.sameElements(raw), "navigated values differ from raw")
+    graft.operators.Persisted.releaseAll(spark)
+  }
+
   test("weighted sample plans as per-partition top-k heaps, not a global sort") {
     // the 50-smallest-priority selection must be TakeOrderedAndProject
     // (constant rows moved per partition); a global Sort would shuffle the
