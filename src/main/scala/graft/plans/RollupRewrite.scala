@@ -3,9 +3,9 @@ package graft.plans
 import scala.collection.mutable
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, Cast, Expression, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
@@ -26,10 +26,12 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   *    DISTINCT, a filter clause, a non-attribute group key) leaves the plan
   *    untouched — partial matches never produce half-navigated plans;
   *  - the fact is matched by its scan path (the registered parquet leaf),
-  *    never by table name heuristics, and a Filter anywhere between the
-  *    aggregate and the scan blocks the rewrite (the rollup pre-aggregated
-  *    ALL fact rows — answering a filtered query from it would be wrong
-  *    unless the filter sits on grain keys, a refinement not attempted);
+  *    never by table name heuristics; a Filter between the aggregate and
+  *    the scan navigates ONLY when every column it references is a grain
+  *    key (such a predicate selects whole rollup groups, so it is
+  *    remapped onto the rollup — the WHERE key = … GROUP BY … dashboard
+  *    shape); any other referenced column blocks the rewrite, because the
+  *    rollup pre-aggregated those rows away;
   *  - output attribute names, order, and exprIds are preserved, so parent
   *    operators (sorts, projects) remain valid untouched;
   *  - the registry is per-SparkSession (same WeakHashMap discipline as the
@@ -94,19 +96,29 @@ object RollupRewrite extends Rule[LogicalPlan] {
       .flatMap(s => registry.getOrElse(s, Seq.empty).toSeq)
   }
 
-  /** The scan path under `plan` if it is EXACTLY a (possibly
-    * attribute-pruned) file scan — a Filter, Join, or computed Project
-    * anywhere below the aggregate returns None and blocks the rewrite. */
-  private def bareFactPath(plan: LogicalPlan): Option[String] = plan match {
-    case Project(ps, child) if ps.forall(_.isInstanceOf[AttributeReference]) =>
-      bareFactPath(child)
-    case l: LogicalRelation => l.relation match {
-      case h: HadoopFsRelation =>
-        h.location.rootPaths.headOption.map(_.toString)
+  /** The scan path under `plan` — plus any Filter conditions met on the
+    * way — if it is EXACTLY a chain of attribute-only Projects and
+    * Filters over a file scan. A Join, Window, or computed Project
+    * anywhere below the aggregate returns None and blocks the rewrite.
+    * Filters are allowed here and vetted by the CALLER: a condition
+    * touching only grain-key columns selects whole rollup groups, so it
+    * navigates (remapped onto the rollup); any other column reference
+    * blocks navigation — the rollup pre-aggregated those away. */
+  private def unwrapFact(plan: LogicalPlan,
+      cond: Option[Expression] = None): Option[(Option[Expression], String)] =
+    plan match {
+      case Project(ps, child)
+          if ps.forall(_.isInstanceOf[AttributeReference]) =>
+        unwrapFact(child, cond)
+      case Filter(f, child) =>
+        unwrapFact(child, cond.map(And(_, f)).orElse(Some(f)))
+      case l: LogicalRelation => l.relation match {
+        case h: HadoopFsRelation =>
+          h.location.rootPaths.headOption.map(p => (cond, p.toString))
+        case _ => None
+      }
       case _ => None
     }
-    case _ => None
-  }
 
   private def sqlOf(e: Expression): String = e.sql.replace("`", "")
 
@@ -116,21 +128,26 @@ object RollupRewrite extends Rule[LogicalPlan] {
     else plan.transformUp {
       case agg @ Aggregate(groupExprs, _, child, _)
           if groupExprs.forall(_.isInstanceOf[AttributeReference]) =>
-        val hit = for {
-          path <- bareFactPath(child)
-          mv <- mvs.find(m => path.endsWith(m.factPath) &&
-            groupExprs.forall { case a: AttributeReference =>
-              m.keys.contains(a.name)
-            })
-          rewritten <- navigate(agg, mv)
-        } yield rewritten
+        // try every candidate rollup until one translates COMPLETELY —
+        // two rollups can share a grain but carry different partials
+        val hit = unwrapFact(child).flatMap { case (cond, path) =>
+          mvs.iterator
+            .filter(m => path.endsWith(m.factPath) &&
+              groupExprs.forall { case a: AttributeReference =>
+                m.keys.contains(a.name)
+              } &&
+              cond.forall(_.references.forall(a => m.keys.contains(a.name))))
+            .map(m => navigate(agg, m, cond))
+            .collectFirst { case Some(r) => r }
+        }
         hit.getOrElse(agg)
     }
   }
 
-  /** Translate every output expression of `agg` onto the rollup, or None
-    * if ANY fails to translate. */
-  private def navigate(agg: Aggregate, r: Rollup): Option[Aggregate] = {
+  /** Translate every output expression of `agg` — and the optional
+    * grain-key filter — onto the rollup, or None if ANY fails. */
+  private def navigate(agg: Aggregate, r: Rollup,
+      cond: Option[Expression]): Option[Aggregate] = {
     val byName: Map[String, Attribute] =
       r.mv.output.map(a => a.name -> a).toMap
     def reAgg(f: Expression => Expression, col: String,
@@ -170,7 +187,14 @@ object RollupRewrite extends Rule[LogicalPlan] {
       val newGroup = agg.groupingExpressions.map {
         case a: AttributeReference => byName(a.name)
       }
-      Some(Aggregate(newGroup, translated.map(_.get), r.mv))
+      // a grain-key filter selects whole rollup groups: remap its
+      // attributes onto the rollup and filter the rollup instead
+      val source = cond.fold(r.mv) { c =>
+        Filter(c.transform {
+          case a: AttributeReference => byName(a.name)
+        }, r.mv)
+      }
+      Some(Aggregate(newGroup, translated.map(_.get), source))
     }
   }
 }

@@ -369,6 +369,34 @@ object StorageOps {
         .agg(sum(col("l_quantity").cast("long")).as("sum_qty"),
           count(lit(1)).as("n_rows"))
         .orderBy("l_returnflag")
+    }),
+
+    // ---- filtered rollup navigation: the WHERE key = … GROUP BY …
+    //      dashboard shape. A predicate touching ONLY grain keys selects
+    //      whole rollup groups, so RollupRewrite remaps it onto the
+    //      rollup and the filtered coarse aggregate still never rescans
+    //      the fact (PlanSpec asserts; a predicate on any OTHER column
+    //      blocks navigation — also spec-pinned). Registers min/max
+    //      partials too, exercising the extrema re-aggregation legs ----
+    "q_mv_filter_rewrite" -> ((s, d) => {
+      val mv = Tables(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity").cast("long")).as("sum_qty"),
+          count(lit(1)).as("n_rows"),
+          max(col("l_quantity").cast("long")).as("max_qty"))
+        .persistTracked()
+      mv.count()
+      graft.plans.RollupRewrite.register(s, s"$d/lineitem.parquet",
+        Set("l_returnflag", "l_linestatus"),
+        Map("CAST(l_quantity AS BIGINT)" -> "sum_qty"), "n_rows", mv,
+        maxs = Map("CAST(l_quantity AS BIGINT)" -> "max_qty"))
+      Tables(s, d, "lineitem")
+        .filter(col("l_linestatus") === "F")
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("l_quantity").cast("long")).as("sum_qty"),
+          count(lit(1)).as("n_rows"),
+          max(col("l_quantity").cast("long")).as("max_qty"))
+        .orderBy("l_returnflag")
     })
   )
 
@@ -644,6 +672,16 @@ object StorageOps {
         |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
         |       count(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag
-        |ORDER BY l_returnflag""".stripMargin
+        |ORDER BY l_returnflag""".stripMargin,
+
+    // the raw FILTERED fact aggregation certifies the grain-key-filter
+    // remap and the max re-aggregation leg
+    "q_mv_filter_rewrite" ->
+      """SELECT l_returnflag,
+        |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |       count(*) AS n_rows,
+        |       CAST(max(CAST(l_quantity AS BIGINT)) AS BIGINT) AS max_qty
+        |FROM lineitem WHERE l_linestatus = 'F'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }

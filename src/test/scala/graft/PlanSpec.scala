@@ -349,14 +349,16 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     // navigate it — zero lineitem file scans in the executed tree, the
     // read comes from the in-memory rollup
     val df = q("q_mv_rewrite")
-    val plan = df.queryExecution.executedPlan
-    val factScans = plan.collect {
+    // sparkPlan, not executedPlan: the AQE wrapper hides children from
+    // collect, which would make the no-fact-scan assert vacuous
+    val factScans = df.queryExecution.sparkPlan.collect {
       case f: FileSourceScanExec
         if f.metadata.get("Location").exists(_.contains("lineitem")) => f
     }
     assert(factScans.isEmpty,
       s"navigation did not fire: ${factScans.size} lineitem scans")
-    assert(plan.toString.contains("InMemoryTableScan"),
+    assert(df.queryExecution.executedPlan.toString
+        .contains("InMemoryTableScan"),
       "rewritten plan does not read the cached rollup")
     // and it is value-invariant vs a hand-built raw fact aggregation
     // (clearing the registry FIRST so the control plan can't navigate)
@@ -369,6 +371,33 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
         count(lit(1)).as("n_rows"))
       .collect().map(_.toString).sorted
     assert(navigated.sameElements(raw), "navigated values differ from raw")
+    graft.operators.Persisted.releaseAll(spark)
+  }
+
+  test("rollup navigation: grain-key filters navigate, other filters block") {
+    import org.apache.spark.sql.functions.{col, count, lit, max, sum}
+    // sparkPlan, not executedPlan: AQE hides children from collect
+    def factScans(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.sparkPlan.collect {
+        case f: FileSourceScanExec
+          if f.metadata.get("Location").exists(_.contains("lineitem")) => f
+      }
+    // q_mv_filter_rewrite: WHERE l_linestatus='F' (a grain key) must
+    // navigate — zero fact scans — and carry the max leg through
+    val df = q("q_mv_filter_rewrite")
+    assert(factScans(df).isEmpty, "grain-key filter blocked navigation")
+    assert(df.queryExecution.executedPlan.toString.contains("InMemoryTableScan"))
+    // a predicate on a NON-grain column (l_shipdate) must BLOCK
+    // navigation — the rollup pre-aggregated those rows away
+    val blocked = graft.Tables(spark, sf, "lineitem")
+      .filter(col("l_shipdate") > "1999-01-01")
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("l_quantity").cast("long")).as("sum_qty"),
+        count(lit(1)).as("n_rows"),
+        max(col("l_quantity").cast("long")).as("max_qty"))
+    assert(factScans(blocked).nonEmpty,
+      "non-grain filter wrongly navigated to the rollup")
+    graft.plans.RollupRewrite.clear(spark)
     graft.operators.Persisted.releaseAll(spark)
   }
 
