@@ -3,8 +3,9 @@ package graft.plans
 import scala.collection.mutable
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, Cast, Expression, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, Cast, Divide, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Complete, Count, Max, Min, Sum}
+import org.apache.spark.sql.types.{DoubleType, LongType}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -18,7 +19,11 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   * whose group keys are a subset of the rollup grain and whose aggregates
   * are re-aggregable (SUM → SUM of partial sums, COUNT → SUM of partial
   * counts, MIN/MAX → MIN/MAX of partial extrema) is navigated to the rollup
-  * automatically — the query text still targets the fact.
+  * automatically — the query text still targets the fact (DataFrame or
+  * `spark.sql` alike: views resolve to the same scan). AVG over an
+  * exact-sum (integer) child navigates as SUM-of-sums / SUM-of-counts,
+  * which is the identical double; AVG over a double child never
+  * navigates (re-associating an FP sum is not bit-invariant).
   *
   * Safety properties, enforced structurally:
   *  - the rewrite fires only when EVERY output expression translates: any
@@ -120,7 +125,14 @@ object RollupRewrite extends Rule[LogicalPlan] {
       case _ => None
     }
 
-  private def sqlOf(e: Expression): String = e.sql.replace("`", "")
+  /** Canonical text of an aggregate child for matching against the
+    * registered maps: qualifiers stripped (the SQL path prints
+    * `view.col`, the DataFrame path bare `col` — same expression),
+    * backticks stripped. */
+  private def sqlOf(e: Expression): String =
+    e.transform {
+      case a: AttributeReference => a.withQualifier(Seq.empty)
+    }.sql.replace("`", "")
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val mvs = sessionRollups
@@ -179,6 +191,25 @@ object RollupRewrite extends Rule[LogicalPlan] {
         case al @ Alias(
             AggregateExpression(Max(c), _, false, None, _), name) =>
           r.maxs.get(sqlOf(c)).flatMap(reAgg(e => Max(e), _, name, al))
+        // AVG over an exact-sum (long) child decomposes value-exactly:
+        // sum of partial sums is the integer total, so total/count is the
+        // same double Average itself computes. FP-sum children (double)
+        // are NOT navigated — re-associating a double sum can change the
+        // last ulp, and navigation must be bit-invariant
+        case al @ Alias(
+            AggregateExpression(Average(c, _), _, false, None, _), name)
+            if c.dataType == LongType =>
+          for {
+            sumCol <- r.sums.get(sqlOf(c))
+            sumAttr <- byName.get(sumCol)
+            cntAttr <- byName.get(r.countCol)
+          } yield Alias(
+            Divide(
+              Cast(AggregateExpression(Sum(sumAttr), Complete,
+                isDistinct = false), DoubleType),
+              Cast(AggregateExpression(Sum(cntAttr), Complete,
+                isDistinct = false), DoubleType)),
+            name)(exprId = al.exprId)
         case _ => None
       }
 

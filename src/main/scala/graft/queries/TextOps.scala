@@ -409,11 +409,12 @@ object TextOps {
     //      pattern's trigrams, candidates = docs containing ALL of them
     //      (a necessary condition for a contiguous match), verify
     //      contains() on candidates only. Here the index build + probe run
-    //      in one plan: per-doc distinct trigrams via a native transform/
-    //      sequence (no UDF), the posting explode filtered to the
-    //      pattern's ~10 trigram keys BEFORE the shuffle — so the exchange
-    //      carries only matching postings (the true index-probe cost,
-    //      ~selectivity·corpus), never the full posting table. Output
+    //      in one plan: per-doc trigrams via a native transform/sequence
+    //      (no UDF), cut to the pattern's ~10 trigram keys BEFORE the
+    //      explode (array_intersect both dedupes and prunes, so the
+    //      flattened posting stream is ≤|pattern| rows per doc) — the
+    //      exchange carries only matching postings (the true index-probe
+    //      cost, ~selectivity·corpus), never the full posting table. Output
     //      keeps is_match so trigram false positives (all grams present,
     //      pattern not contiguous) stay visible. At 100 TB the postings
     //      frame is the one you materialize once and bucket by trigram;
@@ -424,11 +425,11 @@ object TextOps {
       val patGrams = pat.sliding(3).toSeq.distinct
       val docs = Tables(s, d, "documents").select(col("doc_id"), col("text"))
       val postings = docs.select(col("doc_id"),
-        explode(array_distinct(expr(
-          "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")))
-          .as("g"))
+        explode(array_intersect(
+          expr("transform(sequence(1, length(text) - 2), " +
+            "i -> substring(text, i, 3))"),
+          lit(patGrams.toArray))).as("g"))
       val cand = postings
-        .filter(col("g").isin(patGrams: _*))
         .groupBy(col("doc_id")).agg(count(lit(1)).as("ng"))
         .filter(col("ng") === lit(patGrams.size.toLong))
       cand.join(docs, "doc_id")

@@ -325,9 +325,9 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       "q_small_qty_revenue plans a sort-merge join against the census")
     assert(sqPlan.toString.contains("partial_"),
       "q_small_qty_revenue lost partial aggregation")
-    // q_trigram_search: the pattern-trigram IN filter must sit BELOW the
-    // doc_id exchange — the shuffle carries only matching postings, never
-    // the full posting table
+    // q_trigram_search: the pattern-trigram cut (array_intersect) must
+    // sit BELOW the doc_id exchange — the shuffle carries only matching
+    // postings (≤|pattern| rows per doc), never the full posting table
     val tgEx = withoutAQE {
       q("q_trigram_search").queryExecution.executedPlan.collect {
         case e: ShuffleExchangeExec
@@ -335,8 +335,8 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       }
     }
     assert(tgEx.nonEmpty)
-    assert(tgEx.forall(_.child.toString.contains(" IN (")),
-      "trigram probe filter not below the posting exchange")
+    assert(tgEx.forall(_.child.toString.contains("array_intersect")),
+      "trigram probe cut not below the posting exchange")
     // q_partition_advisor: one corpus-keyed census then alphabet-sized
     // work; both aggs keep map-side partials
     assert(physical("q_partition_advisor").toString.contains("partial_"),
@@ -397,7 +397,27 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
         max(col("l_quantity").cast("long")).as("max_qty"))
     assert(factScans(blocked).nonEmpty,
       "non-grain filter wrongly navigated to the rollup")
+    // the SQL path navigates too: a temp view resolves to the same scan.
+    // AVG over the exact-sum child decomposes to sum-of-sums / count —
+    // value-identical (asserted) and still zero fact scans
+    graft.Tables(spark, sf, "lineitem").createOrReplaceTempView("lineitem")
+    val sqlDf = spark.sql(
+      """SELECT l_returnflag,
+        |       avg(cast(l_quantity as bigint)) AS avg_qty,
+        |       sum(cast(l_quantity as bigint)) AS sum_qty
+        |FROM lineitem WHERE l_linestatus = 'F'
+        |GROUP BY l_returnflag""".stripMargin)
+    assert(factScans(sqlDf).isEmpty, "SQL-path aggregate did not navigate")
+    val navSql = sqlDf.collect().map(_.toString).sorted
     graft.plans.RollupRewrite.clear(spark)
+    val rawSql = spark.sql(
+      """SELECT l_returnflag,
+        |       avg(cast(l_quantity as bigint)) AS avg_qty,
+        |       sum(cast(l_quantity as bigint)) AS sum_qty
+        |FROM lineitem WHERE l_linestatus = 'F'
+        |GROUP BY l_returnflag""".stripMargin)
+      .collect().map(_.toString).sorted
+    assert(navSql.sameElements(rawSql), "navigated AVG differs from raw")
     graft.operators.Persisted.releaseAll(spark)
   }
 

@@ -154,11 +154,19 @@ def main(sf_dir: str, out_dir: str) -> None:
                  for sec, name in sorted(slow, reverse=True)[:3]},
         "budget_ok": not budget_msgs,
     }
-    try:
-        with open("ORACLE_COST.json", "w") as f:
-            f.write(json.dumps(census) + "\n")
-    except OSError:
-        pass  # census is telemetry; never fail the gate over it
+    # only a FULL-inventory run may write the census: a filtered local
+    # iteration (Verify with query args) dumps the complete oracle_sql.json
+    # but only a few result dirs, and its near-empty cost line would stomp
+    # the committed full census (it did, twice, in round 11)
+    if len(slow) >= 0.9 * max(1, len(oracle)):
+        try:
+            with open("ORACLE_COST.json", "w") as f:
+                f.write(json.dumps(census) + "\n")
+        except OSError:
+            pass  # census is telemetry; never fail the gate over it
+    else:
+        print(f"(partial run: {len(slow)}/{len(oracle)} oracles — "
+              "ORACLE_COST.json left untouched)")
     print(f"{n_pass} pass, {n_fail} fail")
     sys.exit(1 if n_fail else 0)
 
