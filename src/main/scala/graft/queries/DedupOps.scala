@@ -1160,6 +1160,56 @@ object DedupOps {
         .orderBy("band")
     }),
 
+    // ---- MinHash signature ROLLUP (the missing member of the mergeable-
+    //      sketch family next to q_hll_rollup / q_cms_append / q_mg_rollup):
+    //      a per-SOURCE MinHash signature is the element-wise min of its
+    //      docs' signatures — min distributes over set union, so the
+    //      rolled-up signature IS the signature of the source's whole
+    //      shingle set, mergeable across shards/cells with no re-shingling.
+    //      Pairwise source similarity from signatures alone (64 bigints per
+    //      source, what a 100 TB fleet actually ships to the driver),
+    //      gated against the EXACT shingle-set Jaccard computed from the
+    //      same corpus. Shape: per-doc sigs (native expr) → posexplode →
+    //      (source, pos) min census (alphabet×64 rows); the exact leg's
+    //      (source, hash) distinct census self-joins on the hash key with
+    //      per-key fanout bounded by the source alphabet. All-integer
+    //      outputs in basis points ----
+    "q_minhash_rollup" -> ((s, d) => {
+      // the rollup stage IS the streaming function (DocsStream.
+      // minhashRollup), so batch and live signatures can never drift;
+      // StreamingSpec pins micro-batched == batch bit-equality on top
+      val srcSig = graft.streaming.DocsStream.minhashRollup(docs(s, d))
+        .persistTracked()
+      val est = srcSig.select(col("source").as("src_a"), col("pos"),
+          col("mv").as("va"))
+        .join(srcSig.select(col("source").as("src_b"), col("pos"),
+          col("mv").as("vb")), "pos")
+        .filter(col("src_a") < col("src_b"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(sum(when(col("va") === col("vb"), 1L).otherwise(0L))
+          .as("n_match"))
+      val sh = docs(s, d).select(col("source"),
+          explode(graft.functions.TextExprs.shingleHashes(col("text"), 3))
+            .as("h"))
+        .distinct().persistTracked()
+      val sz = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val inter = sh.select(col("source").as("src_a"), col("h"))
+        .join(sh.select(col("source").as("src_b"), col("h")), "h")
+        .filter(col("src_a") < col("src_b"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("n_inter"))
+      est.join(inter, Seq("src_a", "src_b"))
+        .join(broadcast(sz.select(col("source").as("src_a"),
+          col("n").as("n_a"))), "src_a")
+        .join(broadcast(sz.select(col("source").as("src_b"),
+          col("n").as("n_b"))), "src_b")
+        .select(col("src_a"), col("src_b"), col("n_match"),
+          expr("(n_match * 10000) div 64").as("est_bp"),
+          col("n_a"), col("n_b"), col("n_inter"),
+          expr("(n_inter * 10000) div (n_a + n_b - n_inter)").as("exact_bp"))
+        .orderBy("src_a", "src_b")
+    }),
+
     // ---- incremental cluster maintenance (the lakehouse story for
     //      near-dup clusters): when an ingest batch lands, do NOT re-run
     //      connected components over the whole corpus — CONTRACT
@@ -1679,6 +1729,46 @@ object DedupOps {
          |       CAST(sum(err_bp) AS BIGINT) // CAST(count(*) AS BIGINT)
          |         AS mean_err_bp
          |FROM x GROUP BY band ORDER BY band""".stripMargin,
+
+    // same per-doc sigs, same element-wise min rollup, same exact
+    // shingle-set Jaccard anchor
+    "q_minhash_rollup" ->
+      s"""WITH h0 AS MATERIALIZED (
+         |  SELECT doc_id, source,
+         |         ${graft.functions.TextExprs.shingleHashesSql("text", 3)}
+         |           AS hashes
+         |  FROM documents),
+         |s AS MATERIALIZED (
+         |  SELECT source, ${graft.functions.TextExprs.minhashSigSql(
+                 "hashes", 64)} AS sig FROM h0),
+         |e AS (SELECT source, j.range AS pos,
+         |             sig[CAST(j.range + 1 AS INT)] AS v
+         |      FROM s, range(0, 64) j),
+         |m AS MATERIALIZED (
+         |  SELECT source, pos, min(v) AS mv FROM e GROUP BY 1, 2),
+         |est AS (
+         |  SELECT a.source AS src_a, b.source AS src_b,
+         |         CAST(sum(CASE WHEN a.mv = b.mv THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS n_match
+         |  FROM m a JOIN m b ON a.pos = b.pos AND a.source < b.source
+         |  GROUP BY 1, 2),
+         |sh AS MATERIALIZED (
+         |  SELECT DISTINCT source, h FROM h0, unnest(hashes) t(h)),
+         |sz AS (SELECT source, count(*) AS n FROM sh GROUP BY 1),
+         |ix AS (
+         |  SELECT a.source AS src_a, b.source AS src_b,
+         |         CAST(count(*) AS BIGINT) AS n_inter
+         |  FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT est.src_a, est.src_b, n_match,
+         |       (n_match * 10000) // 64 AS est_bp,
+         |       CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+         |       n_inter,
+         |       (n_inter * 10000) // (sa.n + sb.n - n_inter) AS exact_bp
+         |FROM est JOIN ix ON est.src_a = ix.src_a AND est.src_b = ix.src_b
+         |JOIN sz sa ON sa.source = est.src_a
+         |JOIN sz sb ON sb.source = est.src_b
+         |ORDER BY est.src_a, est.src_b""".stripMargin,
 
     "q_cluster_density" ->
       s"""WITH RECURSIVE $minhashPairCtes,

@@ -93,6 +93,24 @@ object DocsStream {
       .filter(col("token") =!= "")
       .agg(graft.functions.CountMin.countMin(col("token"), d, w).as("cms"))
 
+  /** Streaming MinHash signature rollup — q_minhash_rollup's per-source
+    * signature as a running aggregate. Element-wise MIN is commutative,
+    * associative and idempotent, so the streamed (source, pos) minima
+    * after any series of micro-batches are BIT-IDENTICAL to the batch
+    * rollup over the same rows — the [[tokenFrequencies]] argument,
+    * applied to set-similarity sketches. The state store holds
+    * |sources|·64 longs regardless of stream length; a 100 TB ingest
+    * keeps live per-source signatures (→ pairwise source similarity
+    * estimates mid-stream) with no rescan and no re-shingling.
+    */
+  def minhashRollup(docs: DataFrame): DataFrame =
+    docs.select(col("source"),
+      posexplode(graft.functions.TextExprs.minhashSig(
+        graft.functions.TextExprs.shingleHashes(col("text"), 3), 64))
+        .as(Seq("pos", "v")))
+      .groupBy(col("source"), col("pos"))
+      .agg(min(col("v")).as("mv"))
+
   /** Streaming corpus checksum — q_corpus_checksum's integrity
     * fingerprint as a running per-source aggregate. Both channels are
     * COMMUTATIVE modular sums, so the streamed state after any series of

@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Persisted._
+import graft.plans.RollupRewrite
+
+/** Randomized equivalence fuzz for the aggregate-navigation rule: for a
+  * seeded sample of (group-key subset | global) × (grain filter | none) ×
+  * translatable-aggregate combinations, the navigated plan must (a) fire —
+  * zero fact scans — and (b) return EXACTLY the raw plan's rows. The
+  * structural matcher in RollupRewrite is all-or-nothing; this suite is
+  * the behavioral complement that would catch an exprId/alias slip or a
+  * mistranslated re-aggregation that still type-checks.
+  */
+class RollupRewriteSpec extends AnyFunSuite with SparkSpec {
+
+  private val qty = col("l_quantity").cast("long")
+  private val aggPool = Vector(
+    ("sum_qty", sum(qty)),
+    ("n_rows", count(lit(1))),
+    ("max_qty", max(qty)),
+    ("min_qty", min(qty)),
+    ("avg_qty", avg(qty)))
+
+  private def factScans(df: DataFrame) =
+    df.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec
+        if f.metadata.get("Location").exists(_.contains("lineitem")) => f
+    }
+
+  private def registerRollup(): Unit = {
+    val mv = Tables(spark, sf, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(qty).as("sum_qty"), count(lit(1)).as("n_rows"),
+        max(qty).as("max_qty"), min(qty).as("min_qty"))
+      .persistTracked()
+    mv.count()
+    RollupRewrite.register(spark, s"$sf/lineitem.parquet",
+      Set("l_returnflag", "l_linestatus"),
+      Map("CAST(l_quantity AS BIGINT)" -> "sum_qty"), "n_rows", mv,
+      mins = Map("CAST(l_quantity AS BIGINT)" -> "min_qty"),
+      maxs = Map("CAST(l_quantity AS BIGINT)" -> "max_qty"))
+  }
+
+  test("seeded fuzz: every translatable shape navigates and matches raw") {
+    val rnd = new scala.util.Random(42)
+    val keyChoices = Vector(
+      Seq("l_returnflag"), Seq("l_linestatus"),
+      Seq("l_returnflag", "l_linestatus"), Seq.empty)
+    registerRollup()
+    try {
+      (1 to 12).foreach { i =>
+        val keys = keyChoices(rnd.nextInt(keyChoices.size))
+        val nAggs = 1 + rnd.nextInt(aggPool.size)
+        val aggs = rnd.shuffle(aggPool).take(nAggs)
+          .map { case (n, c) => c.as(n) }
+        val filtered = rnd.nextBoolean()
+        def build(): DataFrame = {
+          val base = Tables(spark, sf, "lineitem")
+          val src = if (filtered) base.filter(col("l_linestatus") === "F")
+                    else base
+          val grouped =
+            if (keys.isEmpty) src.agg(aggs.head, aggs.tail: _*)
+            else src.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+          if (keys.isEmpty) grouped else grouped.orderBy(keys.map(col): _*)
+        }
+        val nav = build()
+        assert(factScans(nav).isEmpty,
+          s"combo $i (keys=$keys filtered=$filtered aggs=$nAggs) " +
+            "did not navigate")
+        val got = nav.collect().map(_.toString).sorted.toSeq
+        RollupRewrite.clear(spark)
+        val want = build().collect().map(_.toString).sorted.toSeq
+        registerRollup()
+        assert(got == want,
+          s"combo $i (keys=$keys filtered=$filtered aggs=$nAggs) differs")
+      }
+    } finally {
+      RollupRewrite.clear(spark)
+      graft.operators.Persisted.releaseAll(spark)
+    }
+  }
+
+  test("a non-translatable aggregate in the list blocks navigation entirely") {
+    registerRollup()
+    try {
+      // sum over a DIFFERENT column than the registered partial
+      val blocked = Tables(spark, sf, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(sum(qty).as("sum_qty"),
+          sum(col("l_extendedprice")).as("sum_price"))
+      assert(factScans(blocked).nonEmpty,
+        "partially-translatable aggregate list wrongly navigated")
+      // avg over a DOUBLE child must block (FP re-association)
+      val blockedAvg = Tables(spark, sf, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(avg(col("l_quantity")).as("avg_raw"))
+      assert(factScans(blockedAvg).nonEmpty,
+        "double-child AVG wrongly navigated")
+    } finally {
+      RollupRewrite.clear(spark)
+      graft.operators.Persisted.releaseAll(spark)
+    }
+  }
+}

@@ -727,6 +727,28 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(batch.sum > 0, "degenerate fixture: empty token stream")
   }
 
+  test("streaming MinHash rollup is bit-identical to the batch rollup") {
+    // element-wise MIN is commutative, associative AND idempotent, so the
+    // per-source signature state is exact at every micro-batch cut — live
+    // source-similarity estimates mid-ingest with no re-shingling
+    import graft.streaming.DocsStream
+    val dir = "target/stream_docs_minhash"
+    Tables(spark, sf, "documents").repartition(3)
+      .write.mode("overwrite").parquet(dir)
+    val q = DocsStream.minhashRollup(
+        DocsStream.readDocsStream(spark, dir, filesPerTrigger = 1))
+      .writeStream.format("memory").queryName("minhash_out")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getInt(1)) -> r.getLong(2)
+    val streamed = spark.table("minhash_out").collect().map(key).toMap
+    val batch = DocsStream.minhashRollup(Tables(spark, sf, "documents"))
+      .collect().map(key).toMap
+    assert(streamed == batch, "streamed signatures differ from batch")
+    assert(batch.keySet.map(_._1).size > 1, "degenerate fixture: 1 source")
+  }
+
   test("streaming corpus checksum is bit-identical to the batch checksum") {
     // modular sums commute, so the integrity fingerprint is exact at
     // every micro-batch cut — an ingest can certify content per trigger
