@@ -141,14 +141,23 @@ object RollupRewrite extends Rule[LogicalPlan] {
       case agg @ Aggregate(groupExprs, _, child, _)
           if groupExprs.forall(_.isInstanceOf[AttributeReference]) =>
         // try every candidate rollup until one translates COMPLETELY —
-        // two rollups can share a grain but carry different partials
+        // two rollups can share a grain but carry different partials.
+        // Filter guards: the condition must be DETERMINISTIC (a rand()
+        // filter on fact ROWS is not a rand() filter on rollup GROUPS)
+        // and reference only grain keys. Self-reference guard: never
+        // rewrite an aggregate that IS a registered rollup's own
+        // definition — with an unpersisted rollup the inserted plan
+        // contains that very aggregate, and rewriting it again each
+        // fixed-point iteration would grow the plan without bound.
         val hit = unwrapFact(child).flatMap { case (cond, path) =>
           mvs.iterator
             .filter(m => path.endsWith(m.factPath) &&
+              agg.canonicalized != m.mv.canonicalized &&
               groupExprs.forall { case a: AttributeReference =>
                 m.keys.contains(a.name)
               } &&
-              cond.forall(_.references.forall(a => m.keys.contains(a.name))))
+              cond.forall(c => c.deterministic &&
+                c.references.forall(a => m.keys.contains(a.name))))
             .map(m => navigate(agg, m, cond))
             .collectFirst { case Some(r) => r }
         }

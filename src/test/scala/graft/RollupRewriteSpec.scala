@@ -101,9 +101,40 @@ class RollupRewriteSpec extends AnyFunSuite with SparkSpec {
         .agg(avg(col("l_quantity")).as("avg_raw"))
       assert(factScans(blockedAvg).nonEmpty,
         "double-child AVG wrongly navigated")
+      // a NON-DETERMINISTIC filter must block even with zero column
+      // references: rand() over fact ROWS is not rand() over rollup GROUPS
+      val blockedRand = Tables(spark, sf, "lineitem")
+        .filter(rand(7) < 0.5)
+        .groupBy(col("l_returnflag"))
+        .agg(sum(qty).as("sum_qty"))
+      assert(factScans(blockedRand).nonEmpty,
+        "non-deterministic filter wrongly navigated")
     } finally {
       RollupRewrite.clear(spark)
       graft.operators.Persisted.releaseAll(spark)
+    }
+  }
+
+  test("an unpersisted rollup terminates (self-reference guard) and is correct") {
+    // without cache substitution the inserted plan CONTAINS the rollup's
+    // own defining aggregate over the fact; the guard must stop the
+    // fixed-point batch from re-rewriting it every iteration
+    val mv = Tables(spark, sf, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(qty).as("sum_qty"), count(lit(1)).as("n_rows"))
+    RollupRewrite.register(spark, s"$sf/lineitem.parquet",
+      Set("l_returnflag", "l_linestatus"),
+      Map("CAST(l_quantity AS BIGINT)" -> "sum_qty"), "n_rows", mv)
+    try {
+      def coarse() = Tables(spark, sf, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(sum(qty).as("sum_qty"), count(lit(1)).as("n_rows"))
+      val got = coarse().collect().map(_.toString).sorted.toSeq
+      RollupRewrite.clear(spark)
+      val want = coarse().collect().map(_.toString).sorted.toSeq
+      assert(got == want, "unpersisted-rollup navigation differs from raw")
+    } finally {
+      RollupRewrite.clear(spark)
     }
   }
 }
