@@ -325,4 +325,60 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     assert(rows(0)._1 != rows(1)._1, "rolling hash must see order")
     assert(rows(0)._2 == rows(1)._2, "bag fingerprint must not")
   }
+
+  test("trigram index: candidates == all-grams-present set; verify is exact " +
+    "contains, for arbitrary patterns") {
+    // the q_trigram_search SHAPE generalized over patterns: the candidate
+    // set must equal the all-pattern-trigrams-present set (the index
+    // guarantee — a SUPERSET of true matches, never a miss), and the
+    // verified flag must equal text.contains
+    import org.apache.spark.sql.functions._
+    val corpus = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def sparkSearch(p: String): Map[Long, Boolean] = {
+      val grams = p.sliding(3).toSeq.distinct
+      val docs = Tables(spark, sf, "documents")
+        .select(col("doc_id"), col("text"))
+      docs.select(col("doc_id"), explode(array_intersect(
+          expr("transform(sequence(1, length(text) - 2), " +
+            "i -> substring(text, i, 3))"),
+          lit(grams.toArray))).as("g"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("ng"))
+        .filter(col("ng") === lit(grams.size.toLong))
+        .join(docs, "doc_id")
+        .select(col("doc_id"), col("text").contains(p).as("m"))
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    }
+    // seeded patterns: substrings of real docs (guaranteed hits), a
+    // cross-doc frankenstein (trigram-possible, likely non-contiguous),
+    // and an alphabet miss
+    val rnd = new scala.util.Random(7)
+    val texts = corpus.values.toVector
+    val fromDocs = (1 to 6).map { _ =>
+      val t = texts(rnd.nextInt(texts.size))
+      val start = rnd.nextInt(math.max(1, t.length - 15))
+      t.substring(start, math.min(t.length, start + 6 + rnd.nextInt(9)))
+    }
+    val patterns = (fromDocs :+ "table scan merge" :+ "zzzqqqxxx")
+      .filter(_.length >= 3).distinct
+    patterns.foreach { p =>
+      val grams = p.sliding(3).toSeq.distinct
+      val got = sparkSearch(p)
+      val wantCand = corpus.filter { case (_, t) =>
+        val tg = t.sliding(3).toSet
+        grams.forall(tg.contains)
+      }
+      assert(got.keySet == wantCand.keySet,
+        s"pattern '$p': candidate set mismatch")
+      got.foreach { case (id, m) =>
+        assert(m == corpus(id).contains(p),
+          s"pattern '$p' doc $id: verify flag wrong")
+      }
+      // the index guarantee: no true match escapes the candidate set
+      val trueMatches = corpus.filter(_._2.contains(p)).keySet
+      assert(trueMatches.subsetOf(got.keySet),
+        s"pattern '$p': a true match escaped the trigram index")
+    }
+  }
 }

@@ -115,6 +115,28 @@ class RollupRewriteSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("HAVING above a navigated aggregate survives the rewrite") {
+    // the rewrite preserves output exprIds, so a parent Filter (HAVING)
+    // keeps resolving — and the aggregate below it still navigates
+    registerRollup()
+    try {
+      def coarse() = Tables(spark, sf, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(sum(qty).as("sum_qty"), count(lit(1)).as("n_rows"))
+        .filter(col("n_rows") > 100L) // HAVING
+        .orderBy(col("l_returnflag"))
+      val nav = coarse()
+      assert(factScans(nav).isEmpty, "HAVING blocked navigation")
+      val got = nav.collect().map(_.toString).toSeq
+      RollupRewrite.clear(spark)
+      val want = coarse().collect().map(_.toString).toSeq
+      assert(got == want, "HAVING-over-navigation differs from raw")
+    } finally {
+      RollupRewrite.clear(spark)
+      graft.operators.Persisted.releaseAll(spark)
+    }
+  }
+
   test("an unpersisted rollup terminates (self-reference guard) and is correct") {
     // without cache substitution the inserted plan CONTAINS the rollup's
     // own defining aggregate over the fact; the guard must stop the
