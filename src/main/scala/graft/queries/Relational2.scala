@@ -870,6 +870,60 @@ object Relational2 {
     //      DISTINCT urgent-customer census, never the raw orders. At
     //      100 TB: customer exchanges once onto the census key; orders is
     //      scanned once, pre-shrunk by the priority filter ----
+    // ---- nation-pair trade volume (TPC-H Q7 shape): yearly revenue
+    //      between supplier-nation and customer-nation pairs, for two
+    //      nations in both directions. The interesting plan property is
+    //      the TWO-ROLE dimension: nation joins the fact twice under
+    //      different roles (supplier side via supplier, customer side via
+    //      orders→customer) — both role chains fold to broadcast maps, so
+    //      the fact is scanned once and shuffles only onto the final
+    //      (supp_nation, cust_nation, year) census grain. Cents-exact ----
+    "q_nation_trade" -> ((s, d) => {
+      val cents = expr(
+        "cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)")
+      val supNation = Tables(s, d, "supplier")
+        .join(nation(s, d), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val custNation = cust(s, d)
+        .join(nation(s, d), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      val pair = (col("supp_nation") === "NATION_1" &&
+        col("cust_nation") === "NATION_2") ||
+        (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1")
+      li(s, d)
+        .join(ord(s, d).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supNation), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(custNation), col("o_custkey") === col("c_custkey"))
+        .filter(pair)
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(count(lit(1)).as("n_lines"), sum(cents).as("rev_cents"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
+    // ---- priority lateness census (TPC-H Q12's two-bucket CASE shape,
+    //      on this schema's dates): per order priority, lineitems shipped
+    //      more vs no more than 90 days after the order date. ONE join,
+    //      one alphabet-grain census, integer CASE sums — Q12's exact
+    //      plan skeleton (fact ⋈ orders, two conditional counts per
+    //      group). At 100 TB the priority alphabet makes the post-combine
+    //      shuffle rows-per-partition trivial ----
+    "q_priority_lateness" -> ((s, d) => {
+      val late = col("l_shipdate") >
+        col("o_orderdate") + expr("interval 90 days")
+      li(s, d)
+        .join(ord(s, d).select(col("o_orderkey"), col("o_orderdate"),
+          col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(when(late, 1L).otherwise(0L)).as("n_late"),
+          sum(when(late, 0L).otherwise(1L)).as("n_ontime"))
+        .select(col("o_orderpriority"), col("n_late"), col("n_ontime"),
+          expr("(n_late * 10000) div (n_late + n_ontime)").as("late_bp"))
+        .orderBy("o_orderpriority")
+    }),
+
     "q_dormant_segments" -> ((s, d) => {
       val c = cust(s, d).select(col("c_custkey"), col("c_mktsegment"),
         expr("cast(round(c_acctbal * 100) as bigint)").as("bal_cents"))
@@ -1438,6 +1492,38 @@ object Relational2 {
         |FROM oc JOIN supplier ON late_supp = s_suppkey
         |WHERE n_supp > 1 AND n_late = 1
         |GROUP BY 1, 2 ORDER BY s_suppkey""".stripMargin,
+
+    // same two-role nation star, same cents discipline
+    "q_nation_trade" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |       CAST(year(l_shipdate) AS INT) AS l_year,
+        |       count(*) AS n_lines,
+        |       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+        |                AS BIGINT)) AS BIGINT) AS rev_cents
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+        |   OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    // same two-bucket CASE census, integer bp
+    "q_priority_lateness" ->
+      """SELECT o_orderpriority,
+        |       CAST(sum(CASE WHEN l_shipdate > o_orderdate
+        |                  + INTERVAL 90 DAY THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_late,
+        |       CAST(sum(CASE WHEN l_shipdate > o_orderdate
+        |                  + INTERVAL 90 DAY THEN 0 ELSE 1 END) AS BIGINT)
+        |         AS n_ontime,
+        |       (CAST(sum(CASE WHEN l_shipdate > o_orderdate
+        |                   + INTERVAL 90 DAY THEN 1 ELSE 0 END) AS BIGINT)
+        |          * 10000) // CAST(count(*) AS BIGINT) AS late_bp
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     // same integer cents·n > sum_cents boundary, same DISTINCT anti target
     "q_dormant_segments" ->
