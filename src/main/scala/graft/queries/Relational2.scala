@@ -902,6 +902,37 @@ object Relational2 {
         .orderBy("supp_nation", "cust_nation", "l_year")
     }),
 
+    // ---- returned-item revenue (TPC-H Q10 shape): top-20 customers by
+    //      revenue lost to returns in one quarter. Plan skeleton: the
+    //      returnflag + date filters prune the fact AT THE SCAN, one
+    //      fine-key customer census, customer/nation dims broadcast onto
+    //      the census (never the fact), and the top-20 is a
+    //      TakeOrderedAndProject HEAP on (rev_cents DESC, custkey ASC) —
+    //      cents-exact, so the cut is a total order and the boundary row
+    //      is deterministic cross-engine; no global sort ----
+    "q_returned_revenue" -> ((s, d) => {
+      val cents = expr(
+        "cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)")
+      val rev = li(s, d)
+        .filter(col("l_returnflag") === "R" &&
+          col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1996-07-01")))
+        .join(ord(s, d).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey")).agg(sum(cents).as("rev_cents"))
+      rev
+        .join(broadcast(cust(s, d)
+          .select(col("c_custkey"), col("c_name"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation(s, d)
+          .select(col("n_nationkey"), col("n_name"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_name"), col("n_name"),
+          col("rev_cents"))
+        .orderBy(col("rev_cents").desc, col("c_custkey").asc)
+        .limit(20)
+    }),
+
     // ---- priority lateness census (TPC-H Q12's two-bucket CASE shape,
     //      on this schema's dates): per order priority, lineitems shipped
     //      more vs no more than 90 days after the order date. ONE join,
@@ -1509,6 +1540,22 @@ object Relational2 {
         |WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
         |   OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    // same cents census, same deterministic (rev DESC, custkey ASC) cut
+    "q_returned_revenue" ->
+      """WITH rev AS MATERIALIZED (
+        |  SELECT o_custkey,
+        |         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+        |              * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_returnflag = 'R'
+        |    AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate <  TIMESTAMP '1996-07-01'
+        |  GROUP BY o_custkey)
+        |SELECT c_custkey, c_name, n_name, rev_cents
+        |FROM rev JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY rev_cents DESC, c_custkey ASC LIMIT 20""".stripMargin,
 
     // same two-bucket CASE census, integer bp
     "q_priority_lateness" ->
