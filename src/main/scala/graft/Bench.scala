@@ -70,6 +70,7 @@ object Bench {
       // exactly what the body registered; clearCache backstops anything
       // cached outside the tracked path
       graft.operators.Persisted.releaseAll(spark)
+      graft.plans.RollupRewrite.clear(spark)
       spark.catalog.clearCache()
       dt
     }
@@ -78,6 +79,7 @@ object Bench {
     names.foreach { n => // warm pass (failures counted here too)
       try run(n) catch { case _: Throwable => failures(n) += 1 }
       graft.operators.Persisted.releaseAll(spark)
+      graft.plans.RollupRewrite.clear(spark)
       spark.catalog.clearCache()
     }
     // Interleave passes round-robin (pass 0 of all queries, then pass 1, ...)

@@ -32,6 +32,7 @@ object Verify {
       // across the whole inventory run (clearCache as backstop for any
       // untracked cache)
       graft.operators.Persisted.releaseAll(spark)
+      graft.plans.RollupRewrite.clear(spark)
       spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -28,8 +28,12 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   * SparkSession): two concurrent evaluations in one JVM — an embedder
   * running queries on `spark.newSession()` isolates next to a batch runner —
   * release only their own caches, never each other's mid-query. The weak
-  * keys mean a stopped/garbage session's ledger entry disappears with it
-  * rather than pinning Dataset references for the life of the JVM.
+  * key collects ONLY once its ledger is drained: a ledgered Dataset
+  * strongly references its own SparkSession, a value→key reference that
+  * pins a NON-EMPTY entry (and its session) regardless of the weak key —
+  * so cleanup is the runner contract ([[releaseAll]] after every query),
+  * not GC; the weak key merely lets the drained, empty deque of a
+  * stopped session disappear instead of accumulating per session.
   *
   * At 100 TB the same discipline is what keeps a long-lived driver from
   * pinning executor storage memory across queries: every persist a query

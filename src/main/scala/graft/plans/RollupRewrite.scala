@@ -3,7 +3,7 @@ package graft.plans
 import scala.collection.mutable
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, Cast, Divide, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, Cast, Coalesce, Divide, Expression, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Complete, Count, Max, Min, Sum}
 import org.apache.spark.sql.types.{DoubleType, LongType}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
@@ -21,8 +21,10 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   * counts, MIN/MAX → MIN/MAX of partial extrema) is navigated to the rollup
   * automatically — the query text still targets the fact (DataFrame or
   * `spark.sql` alike: views resolve to the same scan). AVG over an
-  * exact-sum (integer) child navigates as SUM-of-sums / SUM-of-counts,
-  * which is the identical double; AVG over a double child never
+  * exact-sum (integer) child navigates as SUM-of-sums / SUM-of-non-null-
+  * counts, which is the identical double — a NULLABLE child requires a
+  * registered count(col) partial (Average divides by the non-null count,
+  * not the row count) and blocks otherwise; AVG over a double child never
   * navigates (re-associating an FP sum is not bit-invariant).
   *
   * Safety properties, enforced structurally:
@@ -40,7 +42,13 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   *  - output attribute names, order, and exprIds are preserved, so parent
   *    operators (sorts, projects) remain valid untouched;
   *  - the registry is per-SparkSession (same WeakHashMap discipline as the
-  *    persist ledger), so a multi-session JVM can't cross-navigate.
+  *    persist ledger), so a multi-session JVM can't cross-navigate. As
+  *    with the ledger, the weak key only collects once the entry is
+  *    DRAINED — a registered Rollup.mv plan can reference its session, a
+  *    value→key strong reference that pins a non-empty entry — so the
+  *    lifecycle guarantee comes from the runner contract: Bench/Verify
+  *    call [[clear]] after every query, exactly like `Persisted
+  *    .releaseAll`, never from GC.
   *
   * SUM children are matched by their canonical SQL text (backticks
   * stripped): registration declares e.g. `"CAST(l_quantity AS BIGINT)" ->
@@ -52,9 +60,12 @@ object RollupRewrite extends Rule[LogicalPlan] {
 
   /** One registered rollup: the fact's parquet path suffix, the rollup's
     * grain keys, SUM-child SQL → rollup partial-sum column, the partial
-    * count column, MIN/MAX-child SQL → partial extremum column, and the
-    * rollup's OPTIMIZED plan (cache-substituted, so a persisted rollup is
-    * answered from memory, the fact untouched).
+    * count column (a count(1) — ALL rows per grain), MIN/MAX-child SQL →
+    * partial extremum column, child SQL → partial NON-NULL count column
+    * (a count(col) per grain — what AVG and COUNT(col) navigation need
+    * when the child is nullable), and the rollup's OPTIMIZED plan
+    * (cache-substituted, so a persisted rollup is answered from memory,
+    * the fact untouched).
     */
   final case class Rollup(
       factPath: String,
@@ -63,6 +74,7 @@ object RollupRewrite extends Rule[LogicalPlan] {
       countCol: String,
       mins: Map[String, String],
       maxs: Map[String, String],
+      counts: Map[String, String],
       mv: LogicalPlan)
 
   private val registry =
@@ -76,15 +88,16 @@ object RollupRewrite extends Rule[LogicalPlan] {
   def register(spark: SparkSession, factPath: String, keys: Set[String],
       sums: Map[String, String], countCol: String, mv: DataFrame,
       mins: Map[String, String] = Map.empty,
-      maxs: Map[String, String] = Map.empty): Unit = synchronized {
+      maxs: Map[String, String] = Map.empty,
+      counts: Map[String, String] = Map.empty): Unit = synchronized {
     val buf = registry.getOrElseUpdate(spark, mutable.ArrayBuffer.empty)
     // re-registration REPLACES: a runner calling the same pipeline twice
     // must navigate to the fresh (persisted) rollup, not a stale plan
     // whose cache a ledger drain already released
     buf.filterInPlace(r => !(r.factPath == factPath && r.keys == keys &&
       r.sums == sums && r.countCol == countCol &&
-      r.mins == mins && r.maxs == maxs))
-    buf += Rollup(factPath, keys, sums, countCol, mins, maxs,
+      r.mins == mins && r.maxs == maxs && r.counts == counts))
+    buf += Rollup(factPath, keys, sums, countCol, mins, maxs, counts,
       mv.queryExecution.optimizedPlan)
     if (!spark.experimental.extraOptimizations.contains(this))
       spark.experimental.extraOptimizations =
@@ -179,6 +192,13 @@ object RollupRewrite extends Rule[LogicalPlan] {
             org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction],
           Complete, isDistinct = false), name)(exprId = id.exprId)
       }
+    // Sum-of-partial-counts, coalesced to 0L — Count's never-null,
+    // zero-on-empty contract, which bare Sum does not have
+    def cntOf(a: Attribute, name: String,
+        id: NamedExpression): NamedExpression =
+      Alias(Coalesce(Seq(
+        AggregateExpression(Sum(a), Complete, isDistinct = false),
+        Literal(0L))), name)(exprId = id.exprId)
 
     val translated: Seq[Option[NamedExpression]] =
       agg.aggregateExpressions.map {
@@ -190,10 +210,22 @@ object RollupRewrite extends Rule[LogicalPlan] {
             AggregateExpression(Sum(c, _), _, false, None, _), name) =>
           r.sums.get(sqlOf(c))
             .flatMap(reAgg(e => Sum(e), _, name, al))
+        // COUNT navigates as Sum of the partial counts, COALESCED to 0:
+        // Sum over ZERO rollup rows (a global aggregate whose grain-key
+        // filter selected no groups) is NULL, where raw COUNT is 0 — the
+        // coalesce restores Count's never-null contract (and is a no-op
+        // for any non-empty group)
         case al @ Alias(
             AggregateExpression(Count(Seq(Literal(1, _))), _, false, None, _),
             name) =>
-          reAgg(e => Sum(e), r.countCol, name, al)
+          byName.get(r.countCol).map(cntOf(_, name, al))
+        // COUNT(col) — the NON-NULL count — navigates only via an
+        // explicitly registered count(col) partial; count(1) can't answer
+        // it for a nullable child
+        case al @ Alias(
+            AggregateExpression(Count(Seq(c)), _, false, None, _), name)
+            if !c.isInstanceOf[Literal] =>
+          r.counts.get(sqlOf(c)).flatMap(byName.get).map(cntOf(_, name, al))
         case al @ Alias(
             AggregateExpression(Min(c), _, false, None, _), name) =>
           r.mins.get(sqlOf(c)).flatMap(reAgg(e => Min(e), _, name, al))
@@ -204,14 +236,21 @@ object RollupRewrite extends Rule[LogicalPlan] {
         // sum of partial sums is the integer total, so total/count is the
         // same double Average itself computes. FP-sum children (double)
         // are NOT navigated — re-associating a double sum can change the
-        // last ulp, and navigation must be bit-invariant
+        // last ulp, and navigation must be bit-invariant. The divisor must
+        // be Average's divisor — the NON-NULL count of the child — so a
+        // NULLABLE child navigates only through a registered count(col)
+        // partial; a provably non-nullable child may divide by the
+        // count(1) partial (equal by construction). Dividing a nullable
+        // child's sum by count(1) would silently dilute the average.
         case al @ Alias(
             AggregateExpression(Average(c, _), _, false, None, _), name)
             if c.dataType == LongType =>
           for {
             sumCol <- r.sums.get(sqlOf(c))
             sumAttr <- byName.get(sumCol)
-            cntAttr <- byName.get(r.countCol)
+            cntCol <- r.counts.get(sqlOf(c))
+              .orElse(if (c.nullable) None else Some(r.countCol))
+            cntAttr <- byName.get(cntCol)
           } yield Alias(
             Divide(
               Cast(AggregateExpression(Sum(sumAttr), Complete,

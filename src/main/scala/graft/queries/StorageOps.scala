@@ -383,13 +383,18 @@ object StorageOps {
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(sum(col("l_quantity").cast("long")).as("sum_qty"),
           count(lit(1)).as("n_rows"),
-          max(col("l_quantity").cast("long")).as("max_qty"))
+          max(col("l_quantity").cast("long")).as("max_qty"),
+          // the NON-NULL count partial: what AVG / COUNT(col) navigation
+          // divides by for this nullable child (count(1) counts all rows
+          // and would silently dilute a nullable child's average)
+          count(col("l_quantity").cast("long")).as("n_qty"))
         .persistTracked()
       mv.count()
       graft.plans.RollupRewrite.register(s, s"$d/lineitem.parquet",
         Set("l_returnflag", "l_linestatus"),
         Map("CAST(l_quantity AS BIGINT)" -> "sum_qty"), "n_rows", mv,
-        maxs = Map("CAST(l_quantity AS BIGINT)" -> "max_qty"))
+        maxs = Map("CAST(l_quantity AS BIGINT)" -> "max_qty"),
+        counts = Map("CAST(l_quantity AS BIGINT)" -> "n_qty"))
       Tables(s, d, "lineitem")
         .filter(col("l_linestatus") === "F")
         .groupBy(col("l_returnflag"))

@@ -776,7 +776,14 @@ object TextOps {
     // contains() verifies; false positives stay visible
     "q_trigram_search" ->
       """WITH idx AS MATERIALIZED (
-        |  SELECT CAST(i AS INT) AS i FROM range(1, 2000) r(i)),
+        |  -- position range derived from the corpus, not a hard cap: a doc
+        |  -- longer than any fixed constant would silently lose trigrams
+        |  -- past it and the candidate set could miss true matches (the
+        |  -- scalar list range + unnest form, because DuckDB's range TABLE
+        |  -- function only accepts constant bounds)
+        |  SELECT CAST(u.i AS INT) AS i FROM (
+        |    SELECT unnest(range(1, (SELECT max(length(text))
+        |                            FROM documents))) AS i) u),
         |g AS MATERIALIZED (
         |  SELECT DISTINCT substr(pat, i, 3) AS g
         |  FROM (SELECT 'window table' AS pat) p JOIN idx

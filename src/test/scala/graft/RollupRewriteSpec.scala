@@ -24,7 +24,8 @@ class RollupRewriteSpec extends AnyFunSuite with SparkSpec {
     ("n_rows", count(lit(1))),
     ("max_qty", max(qty)),
     ("min_qty", min(qty)),
-    ("avg_qty", avg(qty)))
+    ("avg_qty", avg(qty)),
+    ("n_qty", count(qty)))
 
   private def factScans(df: DataFrame) =
     df.queryExecution.sparkPlan.collect {
@@ -36,14 +37,18 @@ class RollupRewriteSpec extends AnyFunSuite with SparkSpec {
     val mv = Tables(spark, sf, "lineitem")
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(sum(qty).as("sum_qty"), count(lit(1)).as("n_rows"),
-        max(qty).as("max_qty"), min(qty).as("min_qty"))
+        max(qty).as("max_qty"), min(qty).as("min_qty"),
+        // the non-null count partial: the parquet scan schema is
+        // nullable, so AVG / COUNT(col) navigation requires it
+        count(qty).as("n_qty"))
       .persistTracked()
     mv.count()
     RollupRewrite.register(spark, s"$sf/lineitem.parquet",
       Set("l_returnflag", "l_linestatus"),
       Map("CAST(l_quantity AS BIGINT)" -> "sum_qty"), "n_rows", mv,
       mins = Map("CAST(l_quantity AS BIGINT)" -> "min_qty"),
-      maxs = Map("CAST(l_quantity AS BIGINT)" -> "max_qty"))
+      maxs = Map("CAST(l_quantity AS BIGINT)" -> "max_qty"),
+      counts = Map("CAST(l_quantity AS BIGINT)" -> "n_qty"))
   }
 
   test("seeded fuzz: every translatable shape navigates and matches raw") {
@@ -157,6 +162,95 @@ class RollupRewriteSpec extends AnyFunSuite with SparkSpec {
       assert(got == want, "unpersisted-rollup navigation differs from raw")
     } finally {
       RollupRewrite.clear(spark)
+    }
+  }
+
+  test("nullable-child AVG blocks without a registered non-null count") {
+    // count(1) counts ALL rows; Average divides by the NON-NULL count —
+    // for a nullable child the two differ, so a rollup that only carries
+    // count(1) must not answer AVG (or COUNT(col))
+    val mv = Tables(spark, sf, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(qty).as("sum_qty"), count(lit(1)).as("n_rows"))
+      .persistTracked()
+    mv.count()
+    RollupRewrite.register(spark, s"$sf/lineitem.parquet",
+      Set("l_returnflag", "l_linestatus"),
+      Map("CAST(l_quantity AS BIGINT)" -> "sum_qty"), "n_rows", mv)
+    try {
+      val blockedAvg = Tables(spark, sf, "lineitem")
+        .groupBy(col("l_returnflag")).agg(avg(qty).as("avg_qty"))
+      assert(factScans(blockedAvg).nonEmpty,
+        "nullable-child AVG navigated without a count(col) partial")
+      val blockedCnt = Tables(spark, sf, "lineitem")
+        .groupBy(col("l_returnflag")).agg(count(qty).as("n_qty"))
+      assert(factScans(blockedCnt).nonEmpty,
+        "nullable-child COUNT(col) navigated without a count(col) partial")
+    } finally {
+      RollupRewrite.clear(spark)
+      graft.operators.Persisted.releaseAll(spark)
+    }
+  }
+
+  test("real NULLs: AVG and COUNT(col) navigate via count(col) and match raw") {
+    // the lineitem fixture is null-free, so this builds a fact with a
+    // genuinely nullable column: every third v is NULL — sum/count(1)
+    // would dilute the average and this test would catch it
+    import graft.operators.Persisted._
+    val dir = java.nio.file.Files.createTempDirectory("graft-mvnull").toString
+    spark.range(0, 1000)
+      .selectExpr("id % 7 AS k",
+        "CASE WHEN id % 3 = 0 THEN NULL ELSE id END AS v")
+      .write.mode("overwrite").parquet(s"$dir/fact.parquet")
+    val fact = spark.read.parquet(s"$dir/fact.parquet")
+    def scans(df: DataFrame) = df.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.metadata.get("Location").exists(_.contains("fact.parquet")) => f
+    }
+    val mv = fact.groupBy("k")
+      .agg(sum("v").as("sum_v"), count(lit(1)).as("n_rows"),
+        count("v").as("n_v"))
+      .persistTracked()
+    mv.count()
+    RollupRewrite.register(spark, s"$dir/fact.parquet", Set("k"),
+      Map("v" -> "sum_v"), "n_rows", mv, counts = Map("v" -> "n_v"))
+    try {
+      def coarse() = fact
+        .agg(avg("v").as("avg_v"), count(col("v")).as("n_v"),
+          count(lit(1)).as("n_rows"), sum("v").as("sum_v"))
+      val nav = coarse()
+      assert(scans(nav).isEmpty, "nulls fact: did not navigate")
+      val got = nav.collect()(0)
+      RollupRewrite.clear(spark)
+      val want = coarse().collect()(0)
+      assert(got.getLong(2) > got.getLong(1),
+        "fixture degenerate: no NULLs — the test proves nothing")
+      assert(got == want,
+        s"navigated $got differs from raw $want over a nullable child")
+    } finally {
+      RollupRewrite.clear(spark)
+      graft.operators.Persisted.releaseAll(spark)
+    }
+  }
+
+  test("global COUNT over an empty grain selection navigates to 0, not NULL") {
+    // Sum over zero rollup rows is NULL; raw COUNT over zero fact rows is
+    // 0 — the navigated translation must coalesce
+    registerRollup()
+    try {
+      def coarse() = Tables(spark, sf, "lineitem")
+        .filter(col("l_linestatus") === "no_such_status")
+        .agg(count(lit(1)).as("n"))
+      val nav = coarse()
+      assert(factScans(nav).isEmpty, "empty grain selection did not navigate")
+      val got = nav.collect()(0)
+      assert(!got.isNullAt(0) && got.getLong(0) == 0L,
+        s"navigated global COUNT over empty selection returned $got, not 0")
+      RollupRewrite.clear(spark)
+      assert(got == coarse().collect()(0), "navigated differs from raw")
+    } finally {
+      RollupRewrite.clear(spark)
+      graft.operators.Persisted.releaseAll(spark)
     }
   }
 }
