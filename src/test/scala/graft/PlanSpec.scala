@@ -343,6 +343,70 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       "q_partition_advisor lost partial aggregation")
   }
 
+  test("r12 star shapes: semi residual, scan-is-the-query, cached census, " +
+    "outer-preserving distribution") {
+    // Q4 shape: the EXISTS is a SEMI join (the probe side never
+    // duplicates, no DISTINCT anywhere) and the half-year window reaches
+    // the orders scan as pushed filters
+    val q4 = physical("q_order_priority_census")
+    assert(q4.toString.contains("LeftSemi"),
+      "q_order_priority_census lost the semi join")
+    val q4Orders = scans("q_order_priority_census")
+      .filter(_.metadata.get("Location").exists(_.contains("orders")))
+    assert(q4Orders.exists(_.metadata.get("PushedFilters")
+        .exists(f => f.contains("GreaterThanOrEqual(o_orderdate") &&
+          f.contains("LessThan(o_orderdate"))),
+      "order window not pushed to the orders scan")
+    // Q6 shape: no joins, no hash exchange — the scan IS the query; the
+    // date and quantity bounds prune in the reader
+    assert(hashExchanges("q_forecast_revenue").isEmpty,
+      "q_forecast_revenue shuffles on a key — global agg expected")
+    val q6Scan = scans("q_forecast_revenue")
+    assert(q6Scan.size == 1 && q6Scan.head.metadata.get("PushedFilters")
+        .exists(f => f.contains("l_shipdate") && f.contains("l_quantity")),
+      "q_forecast_revenue predicates not pushed to the single scan")
+    // Q9 shape: every hash exchange is the census grain (or the output
+    // sort) — the dimension chains broadcast, the fact never exchanges
+    // on a join key other than the orders equi-join at scale (which at
+    // spec scale also broadcasts)
+    val q9 = physical("q_nation_profit")
+    assert(q9.collect { case j: BroadcastHashJoinExec => j }.size >= 3,
+      "q_nation_profit dimension chains stopped broadcasting")
+    // Q11/Q20 shape: the persisted census is built ONCE — both the
+    // threshold branch and the filter branch read the cache; zero direct
+    // fact scans in the final plan
+    Seq("q_value_parts", "q_excess_suppliers").foreach { n =>
+      val p = physical(n)
+      val factScans = p.collect {
+        case f: FileSourceScanExec
+          if f.metadata.get("Location").exists(_.contains("lineitem")) => f
+      }
+      assert(factScans.isEmpty, s"$n re-scans the fact beside its census")
+      assert(p.toString.contains("InMemoryTableScan"),
+        s"$n does not read its persisted census")
+      graft.operators.Persisted.releaseAll(spark)
+      spark.catalog.clearCache()
+    }
+    // Q13 shape: the join stays LEFT OUTER (zero-order customers are the
+    // point); the priority filter lives in the join, not a WHERE
+    assert(physical("q_customer_distribution").toString.contains("LeftOuter"),
+      "q_customer_distribution lost the outer join")
+    // Q16 shape: anti-join suppression present; the pair census is a
+    // real DISTINCT exchange on (l_partkey, l_suppkey)
+    val q16 = physical("q_brand_supplier_census")
+    assert(q16.toString.contains("LeftAnti"),
+      "q_brand_supplier_census lost the anti join")
+    assert(hashExchanges("q_brand_supplier_census").exists(h =>
+        h.expressions.map(_.toString).mkString(",").contains("l_partkey")),
+      "q_brand_supplier_census pair census lost its exchange")
+    // Q19 shape: the disjunction's column envelope prunes both scans
+    val q19Part = scans("q_disjunctive_revenue")
+      .filter(_.metadata.get("Location").exists(_.contains("part")))
+    assert(q19Part.exists(_.schema.fieldNames.toSet ==
+        Set("p_partkey", "p_brand", "p_size")),
+      "q_disjunctive_revenue part scan reads more than its envelope")
+  }
+
   test("rollup navigation: the coarse aggregate reads the MV, never the fact") {
     // q_mv_rewrite registers a (returnflag, linestatus) rollup then asks
     // the (returnflag) question against the FACT; RollupRewrite must
