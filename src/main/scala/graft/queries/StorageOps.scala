@@ -402,6 +402,45 @@ object StorageOps {
           count(lit(1)).as("n_rows"),
           max(col("l_quantity").cast("long")).as("max_qty"))
         .orderBy("l_returnflag")
+    }),
+
+    // ---- rollup advisor (the decision layer in front of RollupRewrite):
+    //      price EVERY grain in the (returnflag, linestatus, shipmonth)
+    //      lattice — group count, rows-per-group reduction, the largest
+    //      group — and emit an integer advice ladder for which rollups
+    //      are worth materializing. The scale trick is TWO-LEVEL: the
+    //      fact is scanned ONCE for the finest-grain census (the very
+    //      rollup a 'materialize' verdict would build), and the CUBE that
+    //      prices all 2³ grains runs over that census, re-aggregating
+    //      partial counts — the aggregate-navigation identity applied to
+    //      the advisor itself. A cube over the raw fact would expand
+    //      every row 8× before the combine; this expands ~500 census
+    //      rows. grouping_id bit semantics (1 = aggregated away, leftmost
+    //      key = high bit) are identical in Spark and DuckDB, so the
+    //      grain labels are cross-engine stable ----
+    "q_rollup_advisor" -> ((s, d) => {
+      val census = Tables(s, d, "lineitem")
+        .groupBy(col("l_returnflag").as("rf"), col("l_linestatus").as("ls"),
+          date_format(col("l_shipdate").cast("date"), "yyyy-MM").as("m"))
+        .agg(count(lit(1)).as("n"))
+      census.cube(col("rf"), col("ls"), col("m"))
+        .agg(grouping_id().as("gid"), sum(col("n")).as("g_rows"))
+        .groupBy(col("gid"))
+        .agg(count(lit(1)).as("n_groups"), sum(col("g_rows")).as("n_rows"),
+          max(col("g_rows")).as("max_group"))
+        .select(
+          expr("""CASE WHEN gid = 7 THEN '(global)' ELSE concat_ws('+',
+                 |  CASE WHEN gid & 4 = 0 THEN 'returnflag' END,
+                 |  CASE WHEN gid & 2 = 0 THEN 'linestatus' END,
+                 |  CASE WHEN gid & 1 = 0 THEN 'shipmonth' END) END"""
+            .stripMargin).as("grain"),
+          col("n_groups"), col("n_rows"), col("max_group"),
+          expr("n_rows div n_groups").as("rows_per_group"),
+          expr("""CASE WHEN n_groups = 1 THEN 'global_only'
+                 |     WHEN n_rows div n_groups >= 1000 THEN 'materialize'
+                 |     WHEN n_rows div n_groups >= 100 THEN 'consider'
+                 |     ELSE 'skip' END""".stripMargin).as("advice"))
+        .orderBy("grain")
     })
   )
 
@@ -687,6 +726,34 @@ object StorageOps {
         |       count(*) AS n_rows,
         |       CAST(max(CAST(l_quantity AS BIGINT)) AS BIGINT) AS max_qty
         |FROM lineitem WHERE l_linestatus = 'F'
-        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // same two-level lattice pricing: census once, CUBE over the census;
+    // GROUPING() bit order matches Spark's grouping_id
+    "q_rollup_advisor" ->
+      """WITH c AS MATERIALIZED (
+        |  SELECT l_returnflag AS rf, l_linestatus AS ls,
+        |         strftime(CAST(l_shipdate AS DATE), '%Y-%m') AS m,
+        |         count(*) AS n
+        |  FROM lineitem GROUP BY 1, 2, 3),
+        |cb AS (
+        |  SELECT GROUPING(rf, ls, m) AS gid, CAST(sum(n) AS BIGINT) AS g_rows
+        |  FROM c GROUP BY CUBE(rf, ls, m)),
+        |s AS (
+        |  SELECT gid, count(*) AS n_groups,
+        |         CAST(sum(g_rows) AS BIGINT) AS n_rows,
+        |         CAST(max(g_rows) AS BIGINT) AS max_group
+        |  FROM cb GROUP BY gid)
+        |SELECT CASE WHEN gid = 7 THEN '(global)' ELSE concat_ws('+',
+        |         CASE WHEN gid & 4 = 0 THEN 'returnflag' END,
+        |         CASE WHEN gid & 2 = 0 THEN 'linestatus' END,
+        |         CASE WHEN gid & 1 = 0 THEN 'shipmonth' END) END AS grain,
+        |       n_groups, n_rows, max_group,
+        |       n_rows // n_groups AS rows_per_group,
+        |       CASE WHEN n_groups = 1 THEN 'global_only'
+        |            WHEN n_rows // n_groups >= 1000 THEN 'materialize'
+        |            WHEN n_rows // n_groups >= 100 THEN 'consider'
+        |            ELSE 'skip' END AS advice
+        |FROM s ORDER BY grain""".stripMargin
   )
 }

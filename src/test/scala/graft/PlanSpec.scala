@@ -407,6 +407,25 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       "q_disjunctive_revenue part scan reads more than its envelope")
   }
 
+  test("rollup advisor cubes the census, not the fact") {
+    // the 8-way grain expansion must sit ABOVE the finest-grain census
+    // aggregation: one fact scan, one (rf, ls, m) exchange, and every
+    // Expand input is census-sized (its child contains the census
+    // HashAggregate, never the parquet scan directly)
+    val p = physical("q_rollup_advisor")
+    assert(scans("q_rollup_advisor").size == 1,
+      "advisor scans the fact more than once")
+    val expands = p.collect {
+      case e: org.apache.spark.sql.execution.ExpandExec => e
+    }
+    assert(expands.nonEmpty, "cube lost its Expand")
+    assert(expands.forall(e => e.child.collectFirst {
+        case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+      }.nonEmpty),
+      "no aggregate below the Expand — the 8x expansion runs over raw " +
+        "fact rows instead of the census")
+  }
+
   test("rollup navigation: the coarse aggregate reads the MV, never the fact") {
     // q_mv_rewrite registers a (returnflag, linestatus) rollup then asks
     // the (returnflag) question against the FACT; RollupRewrite must
