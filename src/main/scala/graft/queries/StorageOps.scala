@@ -404,6 +404,51 @@ object StorageOps {
         .orderBy("l_returnflag")
     }),
 
+    // ---- incremental rollup refresh (the lifecycle step between
+    //      materialize and navigate): a delta batch arrives and the
+    //      registered rollup must move WITHOUT re-scanning the base fact.
+    //      The base/delta split is a deterministic hash slice (~5% of
+    //      orderkeys play the arriving batch); the refresh is a FULL
+    //      OUTER merge of the old rollup's partials with the delta's own
+    //      rollup — sum+sum, count+count, greatest(max, max): exactly the
+    //      re-aggregation algebra RollupRewrite navigates by, applied to
+    //      maintenance. (MAX merges this way for INSERT deltas only —
+    //      deletes would need a re-aggregation of the touched grains;
+    //      that asymmetry is the point of recording it here.) The oracle
+    //      is the plain GROUP BY over the whole fact: refresh(old, delta)
+    //      must be indistinguishable from rebuild(all). At 100 TB the
+    //      cost is delta-sized + rollup-sized — the base is never
+    //      touched ----
+    "q_mv_refresh" -> ((s, d) => {
+      val fact = Tables(s, d, "lineitem")
+      val isDelta = expr("pmod(hash(l_orderkey), 20) = 0")
+      def roll(df: DataFrame) = df
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity").cast("long")).as("sum_qty"),
+          count(lit(1)).as("n_rows"),
+          max(col("l_quantity").cast("long")).as("max_qty"))
+      val old = roll(fact.filter(!isDelta))
+        .withColumnRenamed("sum_qty", "o_sum").withColumnRenamed(
+          "n_rows", "o_n").withColumnRenamed("max_qty", "o_max")
+      val delta = roll(fact.filter(isDelta))
+        .withColumnRenamed("l_returnflag", "d_rf").withColumnRenamed(
+          "l_linestatus", "d_ls").withColumnRenamed(
+          "sum_qty", "d_sum").withColumnRenamed(
+          "n_rows", "d_n").withColumnRenamed("max_qty", "d_max")
+      old.join(delta, col("l_returnflag") === col("d_rf") &&
+          col("l_linestatus") === col("d_ls"), "full_outer")
+        .select(
+          coalesce(col("l_returnflag"), col("d_rf")).as("l_returnflag"),
+          coalesce(col("l_linestatus"), col("d_ls")).as("l_linestatus"),
+          (coalesce(col("o_sum"), lit(0L)) +
+            coalesce(col("d_sum"), lit(0L))).as("sum_qty"),
+          (coalesce(col("o_n"), lit(0L)) +
+            coalesce(col("d_n"), lit(0L))).as("n_rows"),
+          greatest(coalesce(col("o_max"), lit(Long.MinValue)),
+            coalesce(col("d_max"), lit(Long.MinValue))).as("max_qty"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
     // ---- rollup advisor (the decision layer in front of RollupRewrite):
     //      price EVERY grain in the (returnflag, linestatus, shipmonth)
     //      lattice — group count, rows-per-group reduction, the largest
@@ -727,6 +772,16 @@ object StorageOps {
         |       CAST(max(CAST(l_quantity AS BIGINT)) AS BIGINT) AS max_qty
         |FROM lineitem WHERE l_linestatus = 'F'
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // the rebuild-from-scratch: refresh(old, delta) must be
+    // indistinguishable from rollup(all), whatever the split — so the
+    // oracle needs no hash-split replica at all
+    "q_mv_refresh" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |       count(*) AS n_rows,
+        |       CAST(max(CAST(l_quantity AS BIGINT)) AS BIGINT) AS max_qty
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // same two-level lattice pricing: census once, CUBE over the census;
     // GROUPING() bit order matches Spark's grouping_id
