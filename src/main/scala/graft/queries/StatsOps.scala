@@ -486,6 +486,93 @@ object StatsOps {
             col("sk_full")).cast("int").as("merge_eq_full"),
           (expr("aggregate(sk_full, 0L, (acc, x) -> acc + x)") ===
             col("n_total") * dRows.toLong).cast("int").as("mass_conserved"))
+    }),
+
+    // ---- KMV / theta sketch (bottom-k minimum values — the k-minimum-
+    //      values estimator of Beyer et al., the sketch family behind
+    //      DataSketches theta): keep the k SMALLEST deterministic hashes
+    //      of each set; the kth value θ estimates density, distinct ≈
+    //      (k−1)·P/θ. Unlike HLL the sketch retains SAMPLES, so set
+    //      INTERSECTION estimation is direct (see q_theta_intersect) —
+    //      HLL can only inclusion–exclusion. Scale shape: the bottom-k
+    //      per set rides the NATIVE TopKPerKey heap operator (partial
+    //      per-partition heaps, ≤k rows per key cross the wire — a
+    //      128-row sketch per set whatever the corpus size); the hash is
+    //      the repo's LCG (a bijection mod the prime P, so bottom-k of
+    //      hashes is exactly replicable in the DuckDB oracle — the gate
+    //      is hash-exact, no tolerance band). The universe here is
+    //      (part, supplier) shipping pairs per returnflag; the exact
+    //      census anchors the error in basis points ----
+    "q_theta_sketch" -> ((s, d) => {
+      val P = 2147483647L
+      val pr = Tables(s, d, "lineitem")
+        .select(col("l_returnflag").as("flag"),
+          (col("l_partkey") * 1000000L + col("l_suppkey")).as("id"))
+        .distinct()
+        .persistTracked()
+      val hashed = pr.select(col("flag"),
+        pmod(pmod(col("id"), lit(P)) * lit(1103515245L) + lit(12345L),
+          lit(P)).as("h"))
+      val sk = graft.plans.TopK.perKey(hashed,
+        Seq("flag"), Seq(("h", true)), 512)
+      val th = sk.groupBy(col("flag"))
+        .agg(max(col("h")).as("theta"), count(lit(1)).as("kk"))
+      val ex = pr.groupBy(col("flag")).agg(count(lit(1)).as("exact_distinct"))
+      th.join(broadcast(ex), "flag")
+        .select(col("flag"),
+          expr(s"(kk - 1) * $P div theta").as("est_distinct"),
+          col("exact_distinct"),
+          expr(s"abs((kk - 1) * $P div theta - exact_distinct) * 10000" +
+            " div exact_distinct").as("err_bp"))
+        .orderBy("flag")
+    }),
+
+    // ---- theta-sketch set intersection (the operation HLL cannot do
+    //      directly): for each returnflag pair, θ = min(θ_A, θ_B) and
+    //      every retained hash below θ is a uniform sample of BOTH sets,
+    //      so |A∩B| ≈ |{h ∈ sk_A ∩ sk_B : h < θ}|·P/θ. The sketches are
+    //      512 rows per set — the pairwise machinery (self-join on the
+    //      hash, 3-row θ table broadcast) is sketch-sized regardless of
+    //      corpus; only the exact-intersection ANCHOR touches the pair
+    //      census again, and only for the gate ----
+    "q_theta_intersect" -> ((s, d) => {
+      val P = 2147483647L
+      val pr = Tables(s, d, "lineitem")
+        .select(col("l_returnflag").as("flag"),
+          (col("l_partkey") * 1000000L + col("l_suppkey")).as("id"))
+        .distinct()
+        .persistTracked()
+      val hashed = pr.select(col("flag"),
+        pmod(pmod(col("id"), lit(P)) * lit(1103515245L) + lit(12345L),
+          lit(P)).as("h"))
+      val sk = graft.plans.TopK.perKey(hashed,
+        Seq("flag"), Seq(("h", true)), 512).persistTracked()
+      val th = sk.groupBy(col("flag")).agg(max(col("h")).as("theta"))
+      val pairTh = broadcast(th.select(col("flag").as("fa"),
+          col("theta").as("tha")))
+        .join(broadcast(th.select(col("flag").as("fb"),
+          col("theta").as("thb"))), col("fa") < col("fb"))
+        .select(col("fa"), col("fb"),
+          least(col("tha"), col("thb")).as("theta"))
+      val common = sk.select(col("flag").as("fa"), col("h"))
+        .join(sk.select(col("flag").as("fb"), col("h")), Seq("h"))
+        .filter(col("fa") < col("fb"))
+      val est = common.join(broadcast(pairTh), Seq("fa", "fb"))
+        .filter(col("h") < col("theta"))
+        .groupBy(col("fa"), col("fb"))
+        .agg(count(lit(1)).as("n_below"), max(col("theta")).as("theta"))
+      val exact = pr.select(col("flag").as("fa"), col("id"))
+        .join(pr.select(col("flag").as("fb"), col("id")), Seq("id"))
+        .filter(col("fa") < col("fb"))
+        .groupBy(col("fa"), col("fb"))
+        .agg(count(lit(1)).as("exact_inter"))
+      est.join(exact, Seq("fa", "fb"))
+        .select(col("fa"), col("fb"),
+          expr(s"n_below * $P div theta").as("est_inter"),
+          col("exact_inter"),
+          expr(s"abs(n_below * $P div theta - exact_inter) * 10000" +
+            " div exact_inter").as("err_bp"))
+        .orderBy("fa", "fb")
     })
   )
 
@@ -510,10 +597,89 @@ object StatsOps {
         .filter(col("token") =!= "")
         .agg(CountMin.countMin(col("token"), 4, 512).as("cms"))
         .select(aggregate(col("cms"), lit(0L), (acc, x) => acc + x)
-          .as("counter_mass")))
+          .as("counter_mass"))),
+
+    // theta, production shape: dedup + bottom-k heap + estimator only —
+    // no exact-census anchor (q_theta_sketch is the value gate)
+    "q_theta_only" -> ((s, d) => {
+      val P = 2147483647L
+      val hashed = Tables(s, d, "lineitem")
+        .select(col("l_returnflag").as("flag"),
+          (col("l_partkey") * 1000000L + col("l_suppkey")).as("id"))
+        .distinct()
+        .select(col("flag"),
+          pmod(pmod(col("id"), lit(P)) * lit(1103515245L) + lit(12345L),
+            lit(P)).as("h"))
+      graft.plans.TopK.perKey(hashed, Seq("flag"), Seq(("h", true)), 512)
+        .groupBy(col("flag"))
+        .agg(max(col("h")).as("theta"), count(lit(1)).as("kk"))
+        .select(col("flag"), expr(s"(kk - 1) * $P div theta")
+          .as("est_distinct"))
+        .orderBy("flag")
+    })
   )
 
   val oracles: Map[String, String] = Map(
+    // the bottom-k is the same deterministic LCG bijection, so the
+    // sketch — and therefore the estimate — is hash-exact cross-engine
+    "q_theta_sketch" ->
+      """WITH pr AS MATERIALIZED (
+        |  SELECT DISTINCT l_returnflag AS flag,
+        |         l_partkey * 1000000 + l_suppkey AS id
+        |  FROM lineitem),
+        |h AS (SELECT flag,
+        |             ((id % 2147483647) * 1103515245 + 12345) % 2147483647
+        |               AS h
+        |      FROM pr),
+        |sk AS (SELECT flag, h FROM (
+        |         SELECT flag, h, row_number() OVER (PARTITION BY flag
+        |                                            ORDER BY h) AS rn
+        |         FROM h) WHERE rn <= 512),
+        |th AS (SELECT flag, max(h) AS theta, count(*) AS kk
+        |       FROM sk GROUP BY flag),
+        |ex AS (SELECT flag, count(*) AS exact_distinct FROM pr GROUP BY flag)
+        |SELECT flag,
+        |       CAST((kk - 1) * 2147483647 // theta AS BIGINT)
+        |         AS est_distinct,
+        |       exact_distinct,
+        |       CAST(abs((kk - 1) * 2147483647 // theta - exact_distinct)
+        |            * 10000 // exact_distinct AS BIGINT) AS err_bp
+        |FROM th JOIN ex USING (flag) ORDER BY flag""".stripMargin,
+
+    // same sketches, same θ = min rule, same below-θ sample count
+    "q_theta_intersect" ->
+      """WITH pr AS MATERIALIZED (
+        |  SELECT DISTINCT l_returnflag AS flag,
+        |         l_partkey * 1000000 + l_suppkey AS id
+        |  FROM lineitem),
+        |h AS (SELECT flag, id,
+        |             ((id % 2147483647) * 1103515245 + 12345) % 2147483647
+        |               AS h
+        |      FROM pr),
+        |sk AS MATERIALIZED (SELECT flag, h FROM (
+        |         SELECT flag, h, row_number() OVER (PARTITION BY flag
+        |                                            ORDER BY h) AS rn
+        |         FROM h) WHERE rn <= 512),
+        |th AS (SELECT flag, max(h) AS theta FROM sk GROUP BY flag),
+        |pth AS (SELECT a.flag AS fa, b.flag AS fb,
+        |               least(a.theta, b.theta) AS theta
+        |        FROM th a JOIN th b ON a.flag < b.flag),
+        |est AS (SELECT sa.flag AS fa, sb.flag AS fb, count(*) AS n_below
+        |        FROM sk sa JOIN sk sb ON sa.h = sb.h AND sa.flag < sb.flag
+        |        JOIN pth ON pth.fa = sa.flag AND pth.fb = sb.flag
+        |        WHERE sa.h < pth.theta
+        |        GROUP BY 1, 2),
+        |ex AS (SELECT a.flag AS fa, b.flag AS fb, count(*) AS exact_inter
+        |       FROM pr a JOIN pr b ON a.id = b.id AND a.flag < b.flag
+        |       GROUP BY 1, 2)
+        |SELECT fa, fb,
+        |       CAST(n_below * 2147483647 // theta AS BIGINT) AS est_inter,
+        |       exact_inter,
+        |       CAST(abs(n_below * 2147483647 // theta - exact_inter)
+        |            * 10000 // exact_inter AS BIGINT) AS err_bp
+        |FROM est JOIN pth USING (fa, fb) JOIN ex USING (fa, fb)
+        |ORDER BY fa, fb""".stripMargin,
+
     "q_mutual_info" ->
       """WITH c AS (SELECT c_nationkey AS x, c_mktsegment AS y FROM customer),
         |joint AS (SELECT x, y, count(*) AS n_xy FROM c GROUP BY x, y),

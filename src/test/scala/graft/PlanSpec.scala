@@ -407,6 +407,42 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       "q_disjunctive_revenue part scan reads more than its envelope")
   }
 
+  test("theta sketches ride the native bottom-k heap, fact cached once") {
+    // the bottom-512-hashes-per-set runs through TopKPerKeyExec (partial
+    // + final heaps — ≤k rows per key cross the wire), never a window
+    // sort; the distinct pair census persists, so the exact anchor reads
+    // the cache instead of re-scanning the fact
+    Seq("q_theta_sketch", "q_theta_intersect").foreach { n =>
+      val p = physical(n)
+      // q_theta_sketch builds the sketch inline → the partial+final heap
+      // pair is visible; q_theta_intersect PERSISTS the sketch (three
+      // consumers) → the heaps live inside the cached plan and the query
+      // reads InMemoryTableScan instead
+      val heaps = p.collect { case t: graft.plans.TopKPerKeyExec => t }
+      assert(heaps.size >= 2 || p.toString.contains("InMemoryTableScan"),
+        s"$n neither runs the native top-k heap pair nor reads a cached " +
+          "sketch")
+      assert(p.collectFirst {
+          case w: org.apache.spark.sql.execution.window.WindowExec => w
+        }.isEmpty, s"$n ranks through a window sort")
+      val factScans = p.collect {
+        case f: FileSourceScanExec
+          if f.metadata.get("Location").exists(_.contains("lineitem")) => f
+      }
+      assert(factScans.size <= 1,
+        s"$n scans the fact ${factScans.size}x beside its cached census")
+      graft.operators.Persisted.releaseAll(spark)
+      spark.catalog.clearCache()
+    }
+    // the heap operator must be visible in at least the inline variant
+    val inline = physical("q_theta_sketch")
+      .collect { case t: graft.plans.TopKPerKeyExec => t }
+    assert(inline.size >= 2,
+      "q_theta_sketch lost the partial+final TopKPerKeyExec pair")
+    graft.operators.Persisted.releaseAll(spark)
+    spark.catalog.clearCache()
+  }
+
   test("rollup advisor cubes the census, not the fact") {
     // the 8-way grain expansion must sit ABOVE the finest-grain census
     // aggregation: one fact scan, one (rf, ls, m) exchange, and every
