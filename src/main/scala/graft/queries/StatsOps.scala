@@ -527,6 +527,45 @@ object StatsOps {
         .orderBy("flag")
     }),
 
+    // ---- theta-sketch rollup (the mergeability law, same story as
+    //      q_hll_rollup / q_cms_append): per-set bottom-k sketches UNION
+    //      by keeping the k smallest of their concatenation — the union
+    //      sketch built from the three 512-row per-flag sketches must be
+    //      BIT-IDENTICAL to one built from the full universe directly
+    //      (every union-bottom-k hash is in its own set's bottom-k), so
+    //      per-shard sketches roll up without ever rescanning the shards.
+    //      The equality is part of the gate (merge_eq_direct), alongside
+    //      the union-distinct estimate vs the exact census. The global
+    //      bottom-512 is a TakeOrdered HEAP, never a full sort ----
+    "q_theta_rollup" -> ((s, d) => {
+      val P = 2147483647L
+      val pr = Tables(s, d, "lineitem")
+        .select(col("l_returnflag").as("flag"),
+          (col("l_partkey") * 1000000L + col("l_suppkey")).as("id"))
+        .distinct()
+        .persistTracked()
+      val hashed = pr.select(col("flag"),
+        pmod(pmod(col("id"), lit(P)) * lit(1103515245L) + lit(12345L),
+          lit(P)).as("h")).persistTracked()
+      val perFlag = graft.plans.TopK.perKey(hashed,
+        Seq("flag"), Seq(("h", true)), 512)
+      val merged = perFlag.select(col("h")).distinct()
+        .orderBy("h").limit(512)
+      val direct = hashed.select(col("h")).distinct()
+        .orderBy("h").limit(512)
+      val m = merged.agg(sort_array(collect_list(col("h"))).as("marr"),
+        max(col("h")).as("theta"), count(lit(1)).as("kk"))
+      val dd = direct.agg(sort_array(collect_list(col("h"))).as("darr"))
+      val ex = pr.select(col("id")).distinct()
+        .agg(count(lit(1)).as("exact_union"))
+      m.crossJoin(broadcast(dd)).crossJoin(broadcast(ex))
+        .select(expr(s"(kk - 1) * $P div theta").as("est_union"),
+          col("exact_union"),
+          expr(s"abs((kk - 1) * $P div theta - exact_union) * 10000" +
+            " div exact_union").as("err_bp"),
+          (col("marr") === col("darr")).cast("int").as("merge_eq_direct"))
+    }),
+
     // ---- theta-sketch set intersection (the operation HLL cannot do
     //      directly): for each returnflag pair, θ = min(θ_A, θ_B) and
     //      every retained hash below θ is a uniform sample of BOTH sets,
@@ -645,6 +684,34 @@ object StatsOps {
         |       CAST(abs((kk - 1) * 2147483647 // theta - exact_distinct)
         |            * 10000 // exact_distinct AS BIGINT) AS err_bp
         |FROM th JOIN ex USING (flag) ORDER BY flag""".stripMargin,
+
+    // same per-flag sketches, same keep-k-smallest union, same estimator
+    "q_theta_rollup" ->
+      """WITH pr AS MATERIALIZED (
+        |  SELECT DISTINCT l_returnflag AS flag,
+        |         l_partkey * 1000000 + l_suppkey AS id
+        |  FROM lineitem),
+        |h AS MATERIALIZED (
+        |  SELECT flag,
+        |         ((id % 2147483647) * 1103515245 + 12345) % 2147483647 AS h
+        |  FROM pr),
+        |pf AS (SELECT flag, h FROM (
+        |         SELECT flag, h, row_number() OVER (PARTITION BY flag
+        |                                            ORDER BY h) AS rn
+        |         FROM h) WHERE rn <= 512),
+        |merged AS (SELECT DISTINCT h FROM pf ORDER BY h LIMIT 512),
+        |direct AS (SELECT DISTINCT h FROM h ORDER BY h LIMIT 512),
+        |m AS (SELECT list_sort(list(h)) AS marr, max(h) AS theta,
+        |             count(*) AS kk
+        |      FROM merged),
+        |dd AS (SELECT list_sort(list(h)) AS darr FROM direct),
+        |ex AS (SELECT count(DISTINCT id) AS exact_union FROM pr)
+        |SELECT CAST((kk - 1) * 2147483647 // theta AS BIGINT) AS est_union,
+        |       exact_union,
+        |       CAST(abs((kk - 1) * 2147483647 // theta - exact_union)
+        |            * 10000 // exact_union AS BIGINT) AS err_bp,
+        |       CAST(marr = darr AS INT) AS merge_eq_direct
+        |FROM m, dd, ex""".stripMargin,
 
     // same sketches, same θ = min rule, same below-θ sample count
     "q_theta_intersect" ->
