@@ -527,6 +527,41 @@ object StatsOps {
         .orderBy("flag")
     }),
 
+    // ---- theta sketch through the STREAMING-STATE aggregator: the
+    //      gated batch twin of EventsStream.thetaDistinct (the repo's
+    //      sketch-twin convention — q_corpus_checksum / DocsStream). The
+    //      Kmv Aggregator keeps the sorted distinct bottom-k in ≤k longs
+    //      of state; its set-union-keep-k merge is idempotent, so the
+    //      partial tree, a streaming groupBy and a shard rollup all
+    //      produce the SAME array bit-for-bit (StreamingSpec pins the
+    //      micro-batched run against this very query's sketch). The
+    //      estimator goes EXACT when the sketch holds the whole set
+    //      (kk < k — the sketch IS the distinct set), estimator-form
+    //      otherwise; with k=64 the sf0.001 fixture exercises the exact
+    //      branch and sf0.01+ the estimator branch ----
+    "q_theta_users" -> ((s, d) => {
+      val P = 2147483647L
+      val k = 64
+      val sk = graft.streaming.EventsStream.thetaDistinct(
+        Tables(s, d, "events"), k)
+      val ex = Tables(s, d, "events")
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      // kk is size() — an INT: widen before multiplying by P or the
+      // ANSI-mode INT multiply overflows
+      val estExpr = s"CASE WHEN kk < $k THEN cast(kk as bigint)" +
+        s" ELSE (cast(kk as bigint) - 1) * $P div theta END"
+      sk.select(col("event_type"), size(col("sk")).as("kk"),
+          element_at(col("sk"), size(col("sk"))).as("theta"))
+        .join(broadcast(ex), "event_type")
+        .select(col("event_type"),
+          expr(estExpr).cast("long").as("est_users"),
+          col("exact_users"),
+          expr(s"abs(($estExpr) - exact_users) * 10000 div exact_users")
+            .cast("long").as("err_bp"))
+        .orderBy("event_type")
+    }),
+
     // ---- theta-sketch rollup (the mergeability law, same story as
     //      q_hll_rollup / q_cms_append): per-set bottom-k sketches UNION
     //      by keeping the k smallest of their concatenation — the union
@@ -684,6 +719,34 @@ object StatsOps {
         |       CAST(abs((kk - 1) * 2147483647 // theta - exact_distinct)
         |            * 10000 // exact_distinct AS BIGINT) AS err_bp
         |FROM th JOIN ex USING (flag) ORDER BY flag""".stripMargin,
+
+    // same distinct-hash bottom-64, same exact-when-whole-set branch
+    "q_theta_users" ->
+      """WITH du AS MATERIALIZED (
+        |  SELECT DISTINCT event_type, user_id FROM events),
+        |h AS (SELECT event_type,
+        |             ((user_id % 2147483647) * 1103515245 + 12345)
+        |               % 2147483647 AS h
+        |      FROM du),
+        |sk AS (SELECT event_type, h FROM (
+        |         SELECT event_type, h,
+        |                row_number() OVER (PARTITION BY event_type
+        |                                   ORDER BY h) AS rn
+        |         FROM h) WHERE rn <= 64),
+        |th AS (SELECT event_type, max(h) AS theta, count(*) AS kk
+        |       FROM sk GROUP BY event_type),
+        |ex AS (SELECT event_type, count(DISTINCT user_id) AS exact_users
+        |       FROM events GROUP BY event_type)
+        |SELECT event_type,
+        |       CAST(CASE WHEN kk < 64 THEN kk
+        |                 ELSE (kk - 1) * 2147483647 // theta END AS BIGINT)
+        |         AS est_users,
+        |       exact_users,
+        |       CAST(abs(CASE WHEN kk < 64 THEN kk
+        |                     ELSE (kk - 1) * 2147483647 // theta END
+        |                - exact_users) * 10000 // exact_users AS BIGINT)
+        |         AS err_bp
+        |FROM th JOIN ex USING (event_type) ORDER BY event_type""".stripMargin,
 
     // same per-flag sketches, same keep-k-smallest union, same estimator
     "q_theta_rollup" ->

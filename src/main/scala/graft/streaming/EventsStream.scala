@@ -42,6 +42,27 @@ object EventsStream {
       .select(unix_timestamp(col("window.start")).as("start_s"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Streaming KMV/theta distinct-user sketch per event type — the
+    * [[graft.functions.Kmv]] bottom-k as a running aggregate. The merge
+    * is set-union-keep-k: commutative, associative and IDEMPOTENT, so
+    * the streamed ≤k-long state after any series of micro-batches is
+    * BIT-IDENTICAL to the batch sketch over the same rows, and a
+    * replayed event cannot distort it (StreamingSpec pins both). A
+    * 100 TB ingest answers "distinct users per type so far" — and,
+    * because theta sketches retain samples, cross-type overlap — at
+    * every trigger from k longs per type, no rescan. The hash is the
+    * repo's LCG mod the prime P (a bijection on ids), so the batch twin
+    * q_theta_users gates the exact same arithmetic against DuckDB.
+    */
+  def thetaDistinct(events: DataFrame, k: Int): DataFrame = {
+    val P = 2147483647L
+    events.select(col("event_type"),
+        pmod(pmod(col("user_id"), lit(P)) * lit(1103515245L) + lit(12345L),
+          lit(P)).as("h"))
+      .groupBy(col("event_type"))
+      .agg(graft.functions.Kmv.bottomK(col("h"), k).as("sk"))
+  }
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
 

@@ -381,4 +381,25 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
         s"pattern '$p': a true match escaped the trigram index")
     }
   }
+
+  test("Kmv bottom-k equals sorted-distinct-take-k under any split") {
+    // the Aggregator's reduce/merge against the obvious reference, over
+    // seeded random multisets (duplicates included — distinct-set
+    // semantics must hold) and arbitrary reduce/merge splits
+    val rnd = new scala.util.Random(7)
+    val k = 16
+    val agg = new graft.functions.Kmv.Sketch(k)
+    def fold(v: Seq[Long]) = v.foldLeft(agg.zero)((s, x) => agg.reduce(s, x))
+    (1 to 100).foreach { i =>
+      val xs = Vector.fill(rnd.nextInt(200))(rnd.nextInt(60).toLong)
+      val want = xs.distinct.sorted.take(k)
+      val cut = if (xs.isEmpty) 0 else rnd.nextInt(xs.size + 1)
+      val (a, b) = xs.splitAt(cut)
+      val merged = agg.merge(fold(a), fold(b)).toSeq
+      assert(merged == want, s"case $i (cut $cut): $merged != $want")
+      // idempotence: merging a sketch with itself is a no-op
+      val self = agg.merge(fold(xs), fold(xs)).toSeq
+      assert(self == want, s"case $i: self-merge changed the sketch")
+    }
+  }
 }

@@ -771,6 +771,32 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("streaming theta sketch is bit-identical to the batch sketch") {
+    // Kmv's set-union-keep-k merge is idempotent, so micro-batch cut
+    // points and replayed rows cannot change the bottom-k state — live
+    // distinct-user estimates per type from ≤k longs of state per key
+    val dir = "target/stream_events_theta"
+    Tables(spark, sf, "events").repartition(3)
+      .write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream
+      .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+        "event_type STRING, value DOUBLE, props STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+    val q = EventsStream.thetaDistinct(stream, 64).writeStream
+      .format("memory").queryName("theta_out").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    def keyed(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val streamed = keyed(spark.table("theta_out").collect())
+    val batch = keyed(EventsStream.thetaDistinct(
+      Tables(spark, sf, "events"), 64).collect())
+    assert(streamed == batch, "streamed theta state differs from batch")
+    assert(batch.values.forall(a => a == a.sorted && a.toSet.size == a.size),
+      "sketch not sorted-distinct")
+    assert(batch.nonEmpty)
+  }
+
   test("sessions partition each user's events") {
     val nEvents = Tables(spark, sf, "events").count()
     val sessions = SparkEntry.queries("q_sessionize")(spark, sf).collect()
