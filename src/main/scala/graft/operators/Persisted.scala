@@ -66,10 +66,14 @@ object Persisted {
   }
 
   /** Unpersist every frame ledgered under `session` (non-blocking) and
-    * empty that ledger. Idempotent; unpersisting a frame a body already
-    * dropped is a no-op. Other sessions' ledgers are untouched. */
+    * REMOVE that ledger entry — after a drain the map holds nothing for
+    * the session at all, so the value→key pinning documented above has
+    * a one-query lifetime under the runner contract. Idempotent;
+    * unpersisting a frame a body already dropped is a no-op; a body
+    * registering concurrently with a drain lands in a fresh ledger that
+    * the next drain releases. Other sessions' ledgers are untouched. */
   def releaseAll(session: SparkSession): Unit = {
-    val q = ledgers.synchronized { ledgers.get(session) }
+    val q = ledgers.synchronized { ledgers.remove(session) }
     if (q != null) {
       var f = q.synchronized { q.poll() }
       while (f != null) {
