@@ -89,6 +89,48 @@ object GraphOps {
         .orderBy("node")
     }),
 
+    // ---- HITS hubs & authorities (Kleinberg; 3 fixed iterations) over
+    //      the DIRECTED supplier→part supply edges — the two-sided fixed
+    //      point the one-vector family (q_pagerank / q_ppr) doesn't
+    //      cover: hub(s) = Σ auth(p) over parts s supplies, auth(p) =
+    //      Σ hub(s) over its suppliers, each side L∞-normalized (divide
+    //      by the max — a 1-ROW broadcast, like pagerank's N) and
+    //      rounded to 9 dp per iteration (the repo's cross-engine FP
+    //      reset device). Per-iteration plan: one shuffle join of the
+    //      persisted edge list against the current vector + one
+    //      map-side-combined groupBy — the vector is the only thing that
+    //      moves; localCheckpoint truncates the growing plan. At 100 TB
+    //      both sides are corpus-sized and shuffle on the fine node key;
+    //      nothing corpus-sized is ever broadcast ----
+    "q_hits" -> ((s, d) => {
+      val e = Tables(s, d, "lineitem")
+        .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk"))
+        .distinct()
+        .persistTracked()
+      var hub = e.select(col("sk")).distinct()
+        .select(col("sk"), lit(1.0).as("h"))
+      var auth: DataFrame = null
+      for (_ <- 1 to 3) {
+        val ar = e.join(hub, "sk")
+          .groupBy(col("pk")).agg(sum(col("h")).as("ar"))
+        val amax = ar.agg(max(col("ar")).as("am"))
+        auth = ar.crossJoin(broadcast(amax))
+          .select(col("pk"), round(col("ar") / col("am"), 9).as("a"))
+          .localCheckpoint()
+        val hr = e.join(auth, "pk")
+          .groupBy(col("sk")).agg(sum(col("a")).as("hr"))
+        val hmax = hr.agg(max(col("hr")).as("hm"))
+        hub = hr.crossJoin(broadcast(hmax))
+          .select(col("sk"), round(col("hr") / col("hm"), 9).as("h"))
+          .localCheckpoint()
+      }
+      hub.select(lit("supplier").as("kind"), col("sk").as("key"),
+          col("h").as("score"))
+        .unionByName(auth.select(lit("part").as("kind"),
+          col("pk").as("key"), col("a").as("score")))
+        .orderBy("kind", "key")
+    }),
+
     // ---- label-propagation communities (3 synchronous rounds, fully
     //      deterministic): every node starts as its own label; each round
     //      adopts the most frequent label among neighbors, ties broken by
@@ -406,6 +448,42 @@ object GraphOps {
   val LinkDfCap = 64
 
   val oracles: Map[String, String] = Map(
+    // identical two-sided recurrence, unrolled; same L∞ normalization,
+    // same 9-dp per-iteration rounding
+    "q_hits" ->
+      """WITH e AS MATERIALIZED (
+        |  SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk FROM lineitem),
+        |h0 AS MATERIALIZED (SELECT DISTINCT sk, 1.0 AS h FROM e),
+        |a1r AS MATERIALIZED (
+        |  SELECT pk, sum(h) AS ar FROM e JOIN h0 USING (sk) GROUP BY pk),
+        |a1 AS MATERIALIZED (
+        |  SELECT pk, round(ar / (SELECT max(ar) FROM a1r), 9) AS a FROM a1r),
+        |h1r AS MATERIALIZED (
+        |  SELECT sk, sum(a) AS hr FROM e JOIN a1 USING (pk) GROUP BY sk),
+        |h1 AS MATERIALIZED (
+        |  SELECT sk, round(hr / (SELECT max(hr) FROM h1r), 9) AS h FROM h1r),
+        |a2r AS MATERIALIZED (
+        |  SELECT pk, sum(h) AS ar FROM e JOIN h1 USING (sk) GROUP BY pk),
+        |a2 AS MATERIALIZED (
+        |  SELECT pk, round(ar / (SELECT max(ar) FROM a2r), 9) AS a FROM a2r),
+        |h2r AS MATERIALIZED (
+        |  SELECT sk, sum(a) AS hr FROM e JOIN a2 USING (pk) GROUP BY sk),
+        |h2 AS MATERIALIZED (
+        |  SELECT sk, round(hr / (SELECT max(hr) FROM h2r), 9) AS h FROM h2r),
+        |a3r AS MATERIALIZED (
+        |  SELECT pk, sum(h) AS ar FROM e JOIN h2 USING (sk) GROUP BY pk),
+        |a3 AS MATERIALIZED (
+        |  SELECT pk, round(ar / (SELECT max(ar) FROM a3r), 9) AS a FROM a3r),
+        |h3r AS MATERIALIZED (
+        |  SELECT sk, sum(a) AS hr FROM e JOIN a3 USING (pk) GROUP BY sk),
+        |h3 AS MATERIALIZED (
+        |  SELECT sk, round(hr / (SELECT max(hr) FROM h3r), 9) AS h FROM h3r)
+        |SELECT kind, key, score FROM (
+        |  SELECT 'supplier' AS kind, sk AS key, h AS score FROM h3
+        |  UNION ALL
+        |  SELECT 'part' AS kind, pk AS key, a AS score FROM a3)
+        |ORDER BY kind, key""".stripMargin,
+
     // identical recurrence, identical 9-dp per-iteration rounding; all
     // literals CAST to DOUBLE so DuckDB never routes through DECIMAL
     // same sparse frontier, same 2-row restart union, same 9dp rounding
