@@ -420,6 +420,48 @@ object TextOps {
     //      frame is the one you materialize once and bucket by trigram;
     //      the probe is then an index lookup, corpus untouched until the
     //      candidate verify ----
+    // ---- multi-pattern blocklist screening (the N-phrase generalization
+    //      of q_trigram_search — contamination / policy blocklists at
+    //      corpus scale): ONE posting pass answers EVERY pattern. The
+    //      blocklist's trigrams are plan-time literals, so the posting
+    //      build keeps the r11 "cut before the explode" property for the
+    //      UNION of all patterns' grams (the exchange carries only grams
+    //      some pattern needs, never the full posting table); the
+    //      pattern-gram table is a broadcast; a doc is a candidate for a
+    //      pattern when it holds ALL of that pattern's grams, and
+    //      contains() verifies — false positives stay visible, misses
+    //      are impossible (the PropertySpec index guarantee). A
+    //      never-matching phrase rides along: its grams are absent, so it
+    //      costs nothing and fabrication would be caught by the oracle.
+    //      At 100 TB: screening 10k phrases costs one corpus pass + a
+    //      pattern-keyed census, not 10k scans ----
+    "q_blocklist_screen" -> ((s, d) => {
+      val pats = Seq("table hash", "part filter", "merge group",
+        "customer join", "slow key", "quantum flux capacitor")
+      val allGrams = pats.flatMap(_.sliding(3)).distinct
+      val pg = s.range(1)
+        .select(explode(array(pats.map(lit): _*)).as("pattern"))
+        .select(col("pattern"),
+          expr("array_distinct(transform(sequence(1, length(pattern) - 2)," +
+            " i -> substring(pattern, i, 3)))").as("gs"))
+        .select(col("pattern"), size(col("gs")).as("ng"),
+          explode(col("gs")).as("g"))
+      val docs = Tables(s, d, "documents").select(col("doc_id"), col("text"))
+      val postings = docs.select(col("doc_id"),
+        explode(array_intersect(
+          expr("transform(sequence(1, length(text) - 2), " +
+            "i -> substring(text, i, 3))"),
+          lit(allGrams.toArray))).as("g"))
+      val cand = postings.join(broadcast(pg), "g")
+        .groupBy(col("doc_id"), col("pattern"), col("ng"))
+        .agg(count(lit(1)).as("hit"))
+        .filter(col("hit") === col("ng"))
+      cand.join(docs, "doc_id")
+        .select(col("pattern"), col("doc_id"),
+          col("text").contains(col("pattern")).as("is_match"))
+        .orderBy("pattern", "doc_id")
+    }),
+
     "q_trigram_search" -> ((s, d) => {
       val pat = "window table"
       val patGrams = pat.sliding(3).toSeq.distinct
@@ -771,6 +813,31 @@ object TextOps {
         |SELECT term, df, postings
         |FROM df JOIN pl USING (term)
         |WHERE df >= 25 ORDER BY term""".stripMargin,
+
+    // same pattern-gram pre-cut, same all-grams-present candidate rule,
+    // same contains() verify — per pattern
+    "q_blocklist_screen" ->
+      """WITH pats AS MATERIALIZED (
+        |  SELECT * FROM (VALUES ('table hash'), ('part filter'),
+        |    ('merge group'), ('customer join'), ('slow key'),
+        |    ('quantum flux capacitor')) p(pattern)),
+        |pg AS MATERIALIZED (
+        |  SELECT DISTINCT pattern, substr(pattern, CAST(i AS INT), 3) AS g
+        |  FROM pats, unnest(range(1, length(pattern) - 1)) r(i)),
+        |ng AS MATERIALIZED (
+        |  SELECT pattern, count(*) AS ng FROM pg GROUP BY pattern),
+        |post AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 3) AS g
+        |  FROM documents, unnest(range(1, length(text) - 1)) r(i)
+        |  WHERE substr(text, CAST(i AS INT), 3) IN (SELECT g FROM pg)),
+        |cand AS (
+        |  SELECT doc_id, p.pattern
+        |  FROM post JOIN pg p USING (g) JOIN ng USING (pattern)
+        |  GROUP BY doc_id, p.pattern, ng
+        |  HAVING count(*) = ng)
+        |SELECT pattern, doc_id, contains(text, pattern) AS is_match
+        |FROM cand JOIN documents USING (doc_id)
+        |ORDER BY pattern, doc_id""".stripMargin,
 
     // same trigram index probe: all pattern grams present -> candidate,
     // contains() verifies; false positives stay visible
