@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.{FileSourceScanExec, SortExec, WholeStageCodegenExec}
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+import org.apache.spark.sql.execution.window.WindowExec
+
+/** Plan-fingerprint census: one JSON object per gated query counting the
+  * scale-critical physical operators in its fully-PREPARED static plan
+  * (executedPlan with AQE off — exchanges inserted, codegen collapsed,
+  * no runtime re-planning, so the fingerprint is deterministic): file scans, shuffle and
+  * broadcast exchanges, sorts, whole-stage-codegen spans, windows.
+  *
+  * PlanSpec asserts the invariants we KNOW matter; this census covers
+  * every query COARSELY so a cross-round diff (`tools/plan_diff.py`)
+  * surfaces the regressions nobody thought to pin — the r10
+  * q_vocab_drift lesson (a silent plan change found only by timing
+  * archaeology) turned into a mechanical check. An extra exchange or a
+  * lost broadcast shows up as a one-line diff the round it lands, next
+  * to the bench line that explains it.
+  *
+  * `runMain graft.PlanCensus [sfDir] [outPath]` — plan BUILD only; no
+  * query executes (bodies that materialize a rollup/census as part of
+  * plan construction do run that step, which is why the ledger drains
+  * per query here exactly like Bench/Verify).
+  */
+object PlanCensus {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val out = if (args.length > 1) args(1) else "PLAN_CENSUS.json"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val rows = SparkEntry.queries.toSeq.sortBy(_._1).map { case (n, fn) =>
+      val cell =
+        try {
+          val plan = fn(spark, sfDir).queryExecution.executedPlan
+          val scans = plan.collect { case f: FileSourceScanExec => f }.size
+          val exch = plan.collect { case e: ShuffleExchangeExec => e }.size
+          val bc = plan.collect { case b: BroadcastExchangeExec => b }.size
+          val sorts = plan.collect { case s: SortExec => s }.size
+          val wsc = plan.collect { case w: WholeStageCodegenExec => w }.size
+          val wins = plan.collect { case w: WindowExec => w }.size
+          s"""{"scans":$scans,"exchanges":$exch,"broadcasts":$bc,""" +
+            s""""sorts":$sorts,"codegen_spans":$wsc,"windows":$wins}"""
+        } catch {
+          case e: Throwable =>
+            s"""{"error":"${e.getClass.getSimpleName}"}"""
+        } finally {
+          graft.operators.Persisted.releaseAll(spark)
+          graft.plans.RollupRewrite.clear(spark)
+          spark.catalog.clearCache()
+        }
+      s"""  "$n": $cell"""
+    }
+    val json = "{\n" + rows.mkString(",\n") + "\n}\n"
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      json.getBytes("UTF-8"))
+    println(s"[plan-census] ${rows.size} queries -> $out")
+    spark.stop()
+  }
+}
