@@ -420,6 +420,35 @@ object TextOps {
     //      frame is the one you materialize once and bucket by trigram;
     //      the probe is then an index lookup, corpus untouched until the
     //      candidate verify ----
+    // ---- positional proximity search (terms within k tokens — the IR
+    //      operator the substring index can't answer: "merge NEAR group",
+    //      not "merge group" literally): ONE token-position explosion,
+    //      term-filtered to the query terms BEFORE the persist so the
+    //      positional index carries only the two posting lists (at 100 TB
+    //      the index build is the corpus pass; the per-doc position join
+    //      is posting-list-sized). Token split is single-space on BOTH
+    //      engines so positions align exactly; the gap is a position
+    //      DIFFERENCE, so the index base cancels ----
+    "q_proximity_search" -> ((s, d) => {
+      val (ta, tb, k) = ("merge", "group", 3)
+      val toks = Tables(s, d, "documents")
+        .select(col("doc_id"),
+          posexplode(split(lower(trim(col("text"))), " "))
+            .as(Seq("pos", "term")))
+        .filter(col("term").isin(ta, tb))
+        .persistTracked()
+      val a = toks.filter(col("term") === ta)
+        .select(col("doc_id"), col("pos").as("pa"))
+      val b = toks.filter(col("term") === tb)
+        .select(col("doc_id"), col("pos").as("pb"))
+      a.join(b, "doc_id")
+        .groupBy(col("doc_id"))
+        .agg(min(abs(col("pa") - col("pb"))).as("min_gap"))
+        .select(col("doc_id"), col("min_gap"),
+          (col("min_gap") <= k).as("is_match"))
+        .orderBy("doc_id")
+    }),
+
     // ---- multi-pattern blocklist screening (the N-phrase generalization
     //      of q_trigram_search — contamination / policy blocklists at
     //      corpus scale): ONE posting pass answers EVERY pattern. The
@@ -813,6 +842,23 @@ object TextOps {
         |SELECT term, df, postings
         |FROM df JOIN pl USING (term)
         |WHERE df >= 25 ORDER BY term""".stripMargin,
+
+    // same single-space positional split (1-indexed here, 0-indexed in
+    // Spark — differences cancel), same min-gap census
+    "q_proximity_search" ->
+      """WITH t AS MATERIALIZED (
+        |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
+        |  FROM documents),
+        |p AS MATERIALIZED (
+        |  SELECT doc_id, w[CAST(i AS INT)] AS term, CAST(i AS INT) AS pos
+        |  FROM t, unnest(range(1, len(w) + 1)) r(i)
+        |  WHERE w[CAST(i AS INT)] IN ('merge', 'group')),
+        |a AS (SELECT doc_id, pos FROM p WHERE term = 'merge'),
+        |b AS (SELECT doc_id, pos FROM p WHERE term = 'group')
+        |SELECT doc_id, min(abs(a.pos - b.pos)) AS min_gap,
+        |       min(abs(a.pos - b.pos)) <= 3 AS is_match
+        |FROM a JOIN b USING (doc_id)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // same pattern-gram pre-cut, same all-grams-present candidate rule,
     // same contains() verify — per pattern
