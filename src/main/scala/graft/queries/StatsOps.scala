@@ -562,6 +562,67 @@ object StatsOps {
         .orderBy("event_type")
     }),
 
+    // ---- KMV Jaccard between event-type audiences (the sketch-based
+    //      production twin of q_audience_overlap's exact self-join): the
+    //      universe is active USER-DAYS (user × day — raw user sets are
+    //      degenerate here, every type sees every user), one bottom-256
+    //      sketch per type, and per pair J ≈ n_both / k over the UNION
+    //      sketch — an element below the union's θ has exact membership
+    //      answers in both per-type sketches (θ_u ≤ min(θ_A, θ_B)), so
+    //      n_both/kk is the standard KMV Jaccard estimator, all-integer
+    //      in basis points. The pairwise machinery is sketch-sized
+    //      (5×256 rows, 10-pair frame); only the exact anchor touches
+    //      the audience census again, and only for the gate. At 100 TB
+    //      the overlap matrix of N segments costs N sketches + N²
+    //      256-row merges — never N² set intersections ----
+    "q_theta_jaccard" -> ((s, d) => {
+      val P = 2147483647L
+      val k = 256
+      val au = Tables(s, d, "events")
+        .select(col("event_type").as("et"),
+          (col("user_id") * 100000L +
+            datediff(col("ts").cast("date"), lit("1995-01-01")).cast("long"))
+            .as("ud"))
+        .distinct()
+        .persistTracked()
+      val hashed = au.select(col("et"),
+        pmod(pmod(col("ud"), lit(P)) * lit(1103515245L) + lit(12345L),
+          lit(P)).as("h"))
+      val sk = graft.plans.TopK.perKey(hashed, Seq("et"), Seq(("h", true)), k)
+        .persistTracked()
+      val ets = sk.select(col("et")).distinct()
+      val prs = broadcast(ets.select(col("et").as("ea")))
+        .join(broadcast(ets.select(col("et").as("eb"))), col("ea") < col("eb"))
+      val u = prs.join(sk, col("et") === col("ea") || col("et") === col("eb"))
+        .groupBy(col("ea"), col("eb"), col("h"))
+        .agg(max(when(col("et") === col("ea"), 1).otherwise(0)).as("inA"),
+          max(when(col("et") === col("eb"), 1).otherwise(0)).as("inB"))
+      val est = graft.plans.TopK.perKey(u, Seq("ea", "eb"),
+          Seq(("h", true)), k)
+        .groupBy(col("ea"), col("eb"))
+        .agg(count(lit(1)).as("kk"),
+          sum(expr("cast(inA * inB as bigint)")).as("n_both"))
+      val sizes = au.groupBy(col("et")).agg(count(lit(1)).as("n"))
+      val exact = au.select(col("et").as("xa"), col("ud"))
+        .join(au.select(col("et").as("xb"), col("ud")), Seq("ud"))
+        .filter(col("xa") < col("xb"))
+        .groupBy(col("xa"), col("xb"))
+        .agg(count(lit(1)).as("nx"))
+        .join(broadcast(sizes.select(col("et").as("xa"), col("n").as("na"))),
+          "xa")
+        .join(broadcast(sizes.select(col("et").as("xb"), col("n").as("nb"))),
+          "xb")
+        .select(col("xa").as("ea"), col("xb").as("eb"),
+          expr("(nx * 10000) div (na + nb - nx)").as("exact_jaccard_bp"))
+      est.join(exact, Seq("ea", "eb"))
+        .select(col("ea"), col("eb"),
+          expr("(n_both * 10000) div kk").as("est_jaccard_bp"),
+          col("exact_jaccard_bp"),
+          expr("abs((n_both * 10000) div kk - exact_jaccard_bp)")
+            .as("diff_bp"))
+        .orderBy("ea", "eb")
+    }),
+
     // ---- theta-sketch rollup (the mergeability law, same story as
     //      q_hll_rollup / q_cms_append): per-set bottom-k sketches UNION
     //      by keeping the k smallest of their concatenation — the union
@@ -719,6 +780,54 @@ object StatsOps {
         |       CAST(abs((kk - 1) * 2147483647 // theta - exact_distinct)
         |            * 10000 // exact_distinct AS BIGINT) AS err_bp
         |FROM th JOIN ex USING (flag) ORDER BY flag""".stripMargin,
+
+    // same user-day universe, same union-sketch n_both/kk estimator
+    "q_theta_jaccard" ->
+      """WITH au AS MATERIALIZED (
+        |  SELECT DISTINCT event_type AS et,
+        |         user_id * 100000
+        |           + date_diff('day', DATE '1995-01-01', CAST(ts AS DATE))
+        |           AS ud
+        |  FROM events),
+        |h AS MATERIALIZED (
+        |  SELECT et,
+        |         ((ud % 2147483647) * 1103515245 + 12345) % 2147483647 AS h
+        |  FROM au),
+        |sk AS MATERIALIZED (SELECT et, h FROM (
+        |         SELECT et, h, row_number() OVER (PARTITION BY et
+        |                                          ORDER BY h) AS rn
+        |         FROM h) WHERE rn <= 256),
+        |prs AS (SELECT a.et AS ea, b.et AS eb
+        |        FROM (SELECT DISTINCT et FROM sk) a
+        |        JOIN (SELECT DISTINCT et FROM sk) b ON a.et < b.et),
+        |u AS MATERIALIZED (
+        |  SELECT ea, eb, h,
+        |         max(CASE WHEN et = ea THEN 1 ELSE 0 END) AS ina,
+        |         max(CASE WHEN et = eb THEN 1 ELSE 0 END) AS inb
+        |  FROM prs JOIN sk ON et = ea OR et = eb
+        |  GROUP BY ea, eb, h),
+        |tu AS (SELECT ea, eb, ina, inb FROM (
+        |         SELECT ea, eb, ina, inb,
+        |                row_number() OVER (PARTITION BY ea, eb
+        |                                   ORDER BY h) AS rn
+        |         FROM u) WHERE rn <= 256),
+        |est AS (SELECT ea, eb, count(*) AS kk,
+        |               sum(ina * inb) AS n_both
+        |        FROM tu GROUP BY ea, eb),
+        |szs AS (SELECT et, count(*) AS n FROM au GROUP BY et),
+        |ex AS (SELECT a.et AS ea, b.et AS eb, count(*) AS nx
+        |       FROM au a JOIN au b USING (ud) WHERE a.et < b.et
+        |       GROUP BY 1, 2)
+        |SELECT ea, eb,
+        |       CAST(n_both * 10000 // kk AS BIGINT) AS est_jaccard_bp,
+        |       CAST(nx * 10000 // (sa.n + sb.n - nx) AS BIGINT)
+        |         AS exact_jaccard_bp,
+        |       CAST(abs(n_both * 10000 // kk
+        |                - nx * 10000 // (sa.n + sb.n - nx)) AS BIGINT)
+        |         AS diff_bp
+        |FROM est JOIN ex USING (ea, eb)
+        |JOIN szs sa ON sa.et = ea JOIN szs sb ON sb.et = eb
+        |ORDER BY ea, eb""".stripMargin,
 
     // same distinct-hash bottom-64, same exact-when-whole-set branch
     "q_theta_users" ->
