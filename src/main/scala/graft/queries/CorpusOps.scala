@@ -539,6 +539,24 @@ object CorpusOps {
           min(col("n")).as("min_group"), max(col("n")).as("max_group"))
     }),
 
+    // ---- l-diversity audit — [[q_kanonymity]]'s second axis: a QI class
+    //      can be k-anonymous yet leak its sensitive attribute when every
+    //      member shares one value. Per (nation, segment) class: size,
+    //      DISTINCT sensitive buckets (the same floor(acctbal/1000) edge
+    //      as q_kanonymity, one IEEE division + floor, bit-identical),
+    //      and the l ≥ 3 verdict. One fine-key shuffle on the QI pair;
+    //      the distinct count is exact (the class × bucket census is
+    //      |QI| · 20-bounded, never corpus-sized) ----
+    "q_ldiversity" -> ((s, d) =>
+      Tables(s, d, "customer")
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / 1000.0).cast("long").as("bal_bkt"))
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("bal_bkt")).as("l_div"))
+        .withColumn("diverse", col("l_div") >= 3)
+        .orderBy("c_nationkey", "c_mktsegment")),
+
     // ---- per-domain sample cap (C4-style host capping): every source
     //      keeps at most 10 docs, chosen by a deterministic md5 priority —
     //      reproducible across engines, runs, and partitionings (the
@@ -731,6 +749,16 @@ object CorpusOps {
         |       CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS rows_at_risk,
         |       min(n) AS min_group, max(n) AS max_group
         |FROM g""".stripMargin,
+
+    "q_ldiversity" ->
+      """SELECT c_nationkey, c_mktsegment, count(*) AS n,
+        |       count(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT))
+        |         AS l_div,
+        |       count(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT)) >= 3
+        |         AS diverse
+        |FROM customer
+        |GROUP BY c_nationkey, c_mktsegment
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
 
     "q_domain_mix" ->
       """WITH t AS (

@@ -100,6 +100,74 @@ object MLOps {
         .orderBy("bucket")
     }),
 
+    // ---- exact AUC by rank statistic (Mann-Whitney U, tie-corrected):
+    //      how well does transaction value separate purchases from the
+    //      rest. NO per-row global ranking — the classic formulation
+    //      sorts the corpus once through a single-partition window; here
+    //      the statistic reduces over the distinct-SCORE CENSUS (scores
+    //      are integer cents, so the census is value-domain-bounded at
+    //      any event volume): wins×2 = Σ_s 2·pos_s·negBelow_s +
+    //      pos_s·neg_s (ties at half weight), AUC = wins2/(2·P·N). One
+    //      fine-key shuffle on score; all-integer until ONE final IEEE
+    //      division, bit-identical across engines ----
+    "q_auc_rank" -> ((s, d) => {
+      val cen = Tables(s, d, "events")
+        .select(round(col("value") * 100).cast("long").as("score"),
+          (col("event_type") === "purchase").cast("long").as("y"))
+        .groupBy(col("score"))
+        .agg(sum(col("y")).as("np"),
+          (count(lit(1)) - sum(col("y"))).as("nn"))
+      val tot = cen.agg(sum(col("np")).as("n_pos"),
+        sum(col("nn")).as("n_neg"))
+      val wPrev = org.apache.spark.sql.expressions.Window
+        .orderBy(col("score")).rowsBetween(Long.MinValue, -1)
+      cen
+        .withColumn("cneg", coalesce(sum(col("nn")).over(wPrev), lit(0L)))
+        .select((col("np") * col("cneg") * 2 + col("np") * col("nn"))
+          .as("w2"))
+        .agg(sum(col("w2")).as("wins2"))
+        .crossJoin(broadcast(tot))
+        .select(col("n_pos"), col("n_neg"), col("wins2"),
+          round(col("wins2").cast("double") /
+            (col("n_pos") * col("n_neg") * 2.0), 6).as("auc"))
+    }),
+
+    // ---- cumulative gains / lift table over score deciles — the
+    //      "how deep must the campaign dial" report. Same census device
+    //      as q_auc_rank: deciles derive from the cents-score census'
+    //      running count (a score group straddling a boundary lands
+    //      wholly in the decile where it STARTS — deterministic, no
+    //      per-row global rank); gain and lift are integer basis points
+    //      by floor division. Windows only ever run over the score
+    //      census and the 10-row decile table ----
+    "q_lift_gain" -> ((s, d) => {
+      val cen = Tables(s, d, "events")
+        .select(round(col("value") * 100).cast("long").as("score"),
+          (col("event_type") === "purchase").cast("long").as("y"))
+        .groupBy(col("score"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("np"))
+      val tot = cen.agg(sum(col("n")).as("n_tot"),
+        sum(col("np")).as("pos_tot"))
+      val W = org.apache.spark.sql.expressions.Window
+      val wPrev = W.orderBy(col("score").desc).rowsBetween(Long.MinValue, -1)
+      val wDec = W.orderBy(col("decile")).rowsBetween(Long.MinValue, 0)
+      cen.crossJoin(broadcast(tot))
+        .withColumn("cum_before",
+          coalesce(sum(col("n")).over(wPrev), lit(0L)))
+        .withColumn("decile", expr("cum_before * 10 div n_tot"))
+        .groupBy(col("decile"))
+        .agg(sum(col("n")).as("n"), sum(col("np")).as("n_pos"))
+        .crossJoin(broadcast(tot))
+        .withColumn("cum_n", sum(col("n")).over(wDec))
+        .withColumn("cum_pos", sum(col("n_pos")).over(wDec))
+        .select(col("decile"), col("n"), col("n_pos"), col("cum_n"),
+          col("cum_pos"),
+          expr("cum_pos * 10000 div pos_tot").as("gain_bp"),
+          expr("cum_pos * n_tot * 10000 div (cum_n * pos_tot)")
+            .as("lift_bp"))
+        .orderBy("decile")
+    }),
+
     // ---- multinomial Naive Bayes language classifier, trained and
     //      evaluated in-engine (resubstitution): add-one-smoothed token
     //      likelihoods per language. The likelihood table is
@@ -193,6 +261,62 @@ object MLOps {
 
   // (oracles below)
   val oracles: Map[String, String] = Map(
+    // identical score census + tie-corrected rank statistic
+    "q_auc_rank" ->
+      """WITH sc AS (
+        |  SELECT CAST(round(value * 100) AS BIGINT) AS score,
+        |         CAST(event_type = 'purchase' AS BIGINT) AS y
+        |  FROM events),
+        |cen AS (
+        |  SELECT score, CAST(sum(y) AS BIGINT) AS np,
+        |         count(*) - CAST(sum(y) AS BIGINT) AS nn
+        |  FROM sc GROUP BY score),
+        |tot AS (SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+        |               CAST(sum(nn) AS BIGINT) AS n_neg FROM cen),
+        |run AS (
+        |  SELECT np, nn,
+        |         COALESCE(sum(nn) OVER (ORDER BY score ROWS BETWEEN
+        |           UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cneg
+        |  FROM cen)
+        |SELECT n_pos, n_neg,
+        |       CAST(sum(np * cneg * 2 + np * nn) AS BIGINT) AS wins2,
+        |       round(CAST(sum(np * cneg * 2 + np * nn) AS DOUBLE) /
+        |             (n_pos * n_neg * 2.0), 6) AS auc
+        |FROM run, tot GROUP BY n_pos, n_neg""".stripMargin,
+
+    // identical census-decile assignment and integer bp arithmetic
+    "q_lift_gain" ->
+      """WITH sc AS (
+        |  SELECT CAST(round(value * 100) AS BIGINT) AS score,
+        |         CAST(event_type = 'purchase' AS BIGINT) AS y
+        |  FROM events),
+        |cen AS (
+        |  SELECT score, count(*) AS n, CAST(sum(y) AS BIGINT) AS np
+        |  FROM sc GROUP BY score),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_tot,
+        |               CAST(sum(np) AS BIGINT) AS pos_tot FROM cen),
+        |dec AS (
+        |  SELECT CAST((COALESCE(sum(n) OVER (ORDER BY score DESC ROWS BETWEEN
+        |            UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 10) // n_tot
+        |           AS BIGINT) AS decile,
+        |         n, np
+        |  FROM cen, tot),
+        |dt AS (
+        |  SELECT decile, CAST(sum(n) AS BIGINT) AS n,
+        |         CAST(sum(np) AS BIGINT) AS n_pos
+        |  FROM dec GROUP BY decile)
+        |SELECT decile, n, n_pos,
+        |       CAST(sum(n) OVER wc AS BIGINT) AS cum_n,
+        |       CAST(sum(n_pos) OVER wc AS BIGINT) AS cum_pos,
+        |       (CAST(sum(n_pos) OVER wc AS BIGINT) * 10000) // pos_tot
+        |         AS gain_bp,
+        |       (CAST(sum(n_pos) OVER wc AS BIGINT) * n_tot * 10000) //
+        |         (CAST(sum(n) OVER wc AS BIGINT) * pos_tot) AS lift_bp
+        |FROM dt, tot
+        |WINDOW wc AS (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING
+        |              AND CURRENT ROW)
+        |ORDER BY decile""".stripMargin,
+
     "q_calibration" ->
       s"""WITH $gdCtes
          |SELECT bucket, count(*) AS n, CAST(sum(y) AS BIGINT) AS n_pos,

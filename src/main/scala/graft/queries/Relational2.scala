@@ -250,6 +250,42 @@ object Relational2 {
         .orderBy("event_id")
     }),
 
+    // ---- band join (|Δvalue| ≤ ε): same-priority order pairs within
+    //      $25 of each other — the value-distance sibling of q_asof_join
+    //      (time) and q_spatial_join (2D). A naive theta join is O(n²)
+    //      per priority; bucketing prices into ε-wide cells guarantees
+    //      every qualifying pair sits within ±1 bucket, so candidates
+    //      come from ONE equi-join on (priority, bucket) with the probe
+    //      side exploded 3× and the build side untouched — the 1D grid
+    //      recipe. Each ordered pair matches exactly once (the build row
+    //      occupies exactly one of the probe's three cells). Prices ride
+    //      as integer cents end-to-end; bucket population is
+    //      density-bounded (rows per ε of price), never key-skewed ----
+    "q_band_join" -> ((s, d) => {
+      val o = ord(s, d).select(col("o_orderkey").as("okey"),
+        col("o_orderpriority").as("prio"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val right = o.select(col("prio"), col("okey").as("b_key"),
+        col("cents").as("b_cents"), expr("cents div 2500").as("bkt"))
+      val probes = o
+        .crossJoin(broadcast(s.range(-1, 2).toDF("db")))
+        .select(col("prio"), col("okey").as("a_key"),
+          col("cents").as("a_cents"),
+          (expr("cents div 2500") + col("db")).as("bkt"))
+      probes.join(right, Seq("prio", "bkt"))
+        .filter(col("a_key") < col("b_key"))
+        .select(col("prio"),
+          abs(col("a_cents") - col("b_cents")).as("gap"))
+        .filter(col("gap") <= 2500)
+        .groupBy(col("prio"))
+        .agg(count(lit(1)).as("n_pairs"),
+          min(col("gap")).as("min_gap_cents"),
+          max(col("gap")).as("max_gap_cents"),
+          sum(col("gap")).as("sum_gap_cents"))
+        .withColumn("avg_gap_cents", expr("sum_gap_cents div n_pairs"))
+        .orderBy("prio")
+    }),
+
     // ---- full outer join (nulls on both sides) ----
     "q_join_full" -> ((s, d) => {
       val n = nation(s, d).filter(col("n_nationkey") < 20)
@@ -1115,6 +1151,24 @@ object Relational2 {
         |FROM c ASOF LEFT JOIN p
         |  ON c.user_id = p.user_id AND p.psec <= c.secs
         |ORDER BY event_id""".stripMargin,
+
+    // the oracle IS the quadratic band definition — proving the ±1-bucket
+    // candidate generation exhaustive
+    "q_band_join" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS okey, o_orderpriority AS prio,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |pairs AS (
+        |  SELECT a.prio, abs(a.cents - b.cents) AS gap
+        |  FROM o a JOIN o b
+        |    ON a.prio = b.prio AND a.okey < b.okey
+        |   AND abs(a.cents - b.cents) <= 2500)
+        |SELECT prio, count(*) AS n_pairs,
+        |       min(gap) AS min_gap_cents, max(gap) AS max_gap_cents,
+        |       CAST(sum(gap) AS BIGINT) AS sum_gap_cents,
+        |       CAST(sum(gap) AS BIGINT) // count(*) AS avg_gap_cents
+        |FROM pairs GROUP BY prio ORDER BY prio""".stripMargin,
 
     "q_join_full" ->
       """SELECT coalesce(n_nationkey, c_nationkey) AS key, n_name, n_rich

@@ -277,6 +277,56 @@ object Sessions {
         .orderBy("cohort_week", "offset_weeks")
     }),
 
+    // ---- Kaplan-Meier survival over customer lifetimes — the churn
+    //      curve behind every retention model. A customer's lifetime is
+    //      30-day periods between first and last order; one quiet for
+    //      the final 365 days of the horizon is a CHURN EVENT, one still
+    //      ordering is CENSORED (the estimator's whole point: censored
+    //      customers leave the at-risk pool without counting as deaths).
+    //      Life table per distinct duration t: n_risk (alive entering
+    //      t), d (churns at t), Ŝ(t) = Π_{t'≤t} (1 − d/n_risk).
+    //      Scale: one fine-key shuffle (custkey), then ALL windows run
+    //      over the duration CENSUS (≤ horizon-months rows at any order
+    //      volume); the horizon and total ride as 1-row broadcasts, the
+    //      repo's no-driver-action convention. Determinism: counts are
+    //      integer; Ŝ evaluates as exp(Σ ln((n−d)/n)) over the ≤100-term
+    //      census — each term one IEEE division + libm ln, summed in
+    //      census order on both engines, 6-dp rounding absorbing ulps
+    //      (the q_calibration device). d = n_risk (pool dies) would hit
+    //      ln(0): both engines pin Ŝ to 0 from that row on via an
+    //      integer prefix flag, no libm edge case in the output ----
+    "q_kaplan_meier" -> ((s, d) => {
+      val life = Tables(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(min(col("o_orderdate")).as("fd"),
+          max(col("o_orderdate")).as("ld"))
+        .persistTracked()
+      val horizon = life.agg(max(col("ld")).as("hz"))
+      val durs = life.crossJoin(broadcast(horizon))
+        .select(expr("datediff(ld, fd) div 30").as("t"),
+          (datediff(col("hz"), col("ld")) > 365).cast("long").as("ev"))
+        .groupBy(col("t"))
+        .agg(count(lit(1)).as("n_exit"), sum(col("ev")).as("d"))
+      val total = durs.agg(sum(col("n_exit")).as("n_total"))
+      val wPrev = Window.orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wCum = Window.orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      durs.crossJoin(broadcast(total))
+        .withColumn("n_risk", col("n_total") -
+          coalesce(sum(col("n_exit")).over(wPrev), lit(0L)))
+        .withColumn("term", when(col("d") < col("n_risk"),
+          log((col("n_risk") - col("d")).cast("double") / col("n_risk"))))
+        .withColumn("dead",
+          max(when(col("d") === col("n_risk"), 1).otherwise(0)).over(wCum))
+        .select(col("t"), col("n_risk"), col("d"),
+          (col("n_exit") - col("d")).as("censored"),
+          when(col("dead") === 1, lit(0.0))
+            .otherwise(round(exp(sum(col("term")).over(wCum)), 6))
+            .as("s_hat"))
+        .orderBy("t")
+    }),
+
     // ---- frequent event sequences (behavioral trigram mining): each
     //      user's event stream yields its consecutive type trigrams via
     //      two lead() calls over ONE (user_id)-partitioned sort — no
@@ -488,6 +538,41 @@ object Sessions {
         |         AS BIGINT) // n_users AS ltv_cents_per_user
         |FROM rev JOIN sizes ON rev.cw = sizes.cw
         |ORDER BY cohort_week, offset_weeks""".stripMargin,
+
+    // same life table: ln/exp product with the identical census
+    // ordering; the prefix max(z) pins Ŝ to 0 past a pool-death row
+    "q_kaplan_meier" ->
+      """WITH life AS MATERIALIZED (
+        |  SELECT o_custkey, min(o_orderdate) AS fd, max(o_orderdate) AS ld
+        |  FROM orders GROUP BY o_custkey),
+        |h AS (SELECT max(ld) AS hz FROM life),
+        |durs AS (
+        |  SELECT CAST(datediff('day', fd, ld) // 30 AS BIGINT) AS t,
+        |         count(*) AS n_exit,
+        |         CAST(sum(CASE WHEN datediff('day', ld, hz) > 365
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS d
+        |  FROM life, h GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_exit) AS BIGINT) AS n_total FROM durs),
+        |km AS (
+        |  SELECT t, n_exit, d,
+        |         n_total - CAST(COALESCE(sum(n_exit) OVER (ORDER BY t
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS BIGINT) AS n_risk
+        |  FROM durs, tot),
+        |km2 AS (
+        |  SELECT t, n_risk, d, n_exit - d AS censored,
+        |         CASE WHEN d < n_risk
+        |              THEN ln(CAST(n_risk - d AS DOUBLE) / n_risk) END
+        |           AS term,
+        |         CASE WHEN d = n_risk THEN 1 ELSE 0 END AS z
+        |  FROM km)
+        |SELECT t, n_risk, d, censored,
+        |       CASE WHEN max(z) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+        |                 PRECEDING AND CURRENT ROW) = 1 THEN 0.0
+        |            ELSE round(exp(sum(term) OVER (ORDER BY t ROWS BETWEEN
+        |                 UNBOUNDED PRECEDING AND CURRENT ROW)), 6) END
+        |         AS s_hat
+        |FROM km2 ORDER BY t""".stripMargin,
 
     "q_retention_cohorts" ->
       """WITH e AS (
