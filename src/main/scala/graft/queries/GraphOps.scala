@@ -348,6 +348,49 @@ object GraphOps {
     //      silently drop out of a join-only formulation); per-iteration
     //      9dp rounding keeps both engines bit-identical, the q_pagerank
     //      discipline ----
+    // ---- deterministic random walks (DeepWalk/node2vec sampling, the
+    //      corpus generator for graph embeddings): 4-step walks from the
+    //      five lowest part nodes over the bipartite part↔supplier
+    //      graph. The "coin flip" is the repo LCG over (cur, candidate,
+    //      step) — reproducible across engines, runs and partitionings —
+    //      and the hop is the hash-argmin over the current node's
+    //      out-neighbors. Scale: the frontier is walker-sized (at web
+    //      scale, millions of walkers — still ONE equi-join per step
+    //      against the persisted edge list, never a broadcast of the
+    //      graph); the per-walker argmin window is outdeg-bounded. The
+    //      LCG key is reduced mod P before the multiply (repo-wide wrap
+    //      rule) so intermediates stay < 2⁶² at any node-id scale ----
+    "q_random_walk" -> ((s, d) => {
+      val P = 2147483647L
+      val edges = Tables(s, d, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+        .select(explode(array(
+          struct((col("l_partkey") * 2).as("src"),
+            (col("l_suppkey") * 2 + 1).as("dst")),
+          struct((col("l_suppkey") * 2 + 1).as("src"),
+            (col("l_partkey") * 2).as("dst")))).as("e"))
+        .select(col("e.src"), col("e.dst"))
+        .persistTracked()
+      var walk = edges.select(col("src")).distinct()
+        .filter(col("src") % 2 === 0 && col("src") <= 10)
+        .select(col("src").as("seed"), col("src").as("cur"))
+      var out = walk.select(col("seed"), lit(0L).as("step"),
+        col("cur").as("node"))
+      for (st <- 1 to 4) {
+        val h = pmod(pmod(col("cur"), lit(P)) * 1103515245L +
+          col("dst") * 69069L + lit(st.toLong * 12345L), lit(P))
+        val w = Window.partitionBy(col("seed"))
+          .orderBy(col("h").asc, col("dst").asc)
+        walk = walk.join(edges, col("cur") === col("src"))
+          .select(col("seed"), col("dst"), h.as("h"))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("seed"), col("dst").as("cur"))
+        out = out.unionByName(walk.select(col("seed"),
+          lit(st.toLong).as("step"), col("cur").as("node")))
+      }
+      out.orderBy("seed", "step")
+    }),
+
     "q_ppr" -> ((s, d) => {
       val edges = Tables(s, d, "lineitem")
         .select(col("l_partkey"), col("l_suppkey")).distinct()
@@ -448,6 +491,36 @@ object GraphOps {
   val LinkDfCap = 64
 
   val oracles: Map[String, String] = Map(
+    // identical LCG hop selection, unrolled step CTEs
+    "q_random_walk" -> {
+      val steps = (1 to 4).map { st =>
+        val prev = if (st == 1) "w0" else s"s${st - 1}"
+        s"""s$st AS (
+           |  SELECT seed, dst AS cur FROM (
+           |    SELECT w.seed, e.dst,
+           |           row_number() OVER (PARTITION BY w.seed ORDER BY
+           |             ((w.cur % 2147483647) * 1103515245 +
+           |              e.dst * 69069 + ${st * 12345}) % 2147483647 ASC,
+           |             e.dst ASC) AS rn
+           |    FROM $prev w JOIN edges e ON w.cur = e.src)
+           |  WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      val rows = (1 to 4).map(st =>
+        s"UNION ALL SELECT seed, CAST($st AS BIGINT), cur FROM s$st")
+        .mkString("\n")
+      s"""WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+         |edges AS MATERIALIZED (
+         |  SELECT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT l_suppkey * 2 + 1, l_partkey * 2 FROM pairs),
+         |w0 AS (SELECT DISTINCT src AS seed, src AS cur FROM edges
+         |       WHERE src % 2 = 0 AND src <= 10),
+         |$steps
+         |SELECT seed, CAST(0 AS BIGINT) AS step, cur AS node FROM w0
+         |$rows
+         |ORDER BY seed, step""".stripMargin
+    },
+
     // identical two-sided recurrence, unrolled; same L∞ normalization,
     // same 9-dp per-iteration rounding
     "q_hits" ->

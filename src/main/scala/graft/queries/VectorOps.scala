@@ -58,6 +58,95 @@ object VectorOps {
         .orderBy("label")
     }),
 
+    // ---- Matryoshka dimension ablation: recall@5 of truncated-dim
+    //      cosine retrieval (d ∈ {8,16,32}) against the full-64 ranking —
+    //      the measurement that decides how far a deployment can cut
+    //      embedding storage/bandwidth. ONE probe×corpus pass computes
+    //      all four cosines (CosineSim folds over min(len) — slicing the
+    //      BROADCAST probe truncates the pair, the corpus arrays are
+    //      never rewritten), persisted once; the three recall legs rank
+    //      from that same frame. Per-probe windows are probe-bounded;
+    //      the corpus is never shuffled ----
+    "q_dim_ablation" -> ((s, d) => {
+      val probes = emb(s, d).filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"))
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cos").desc, col("neighbor_id").asc)
+      val scored = emb(s, d)
+        .select(col("vec_id").as("neighbor_id"), col("embedding").as("nb_emb"))
+        .join(broadcast(probes), col("probe_id") =!= col("neighbor_id"))
+        .select(col("probe_id"), col("neighbor_id"),
+          round(VectorExprs.cosine(col("probe_emb"), col("nb_emb")), 6)
+            .as("cos64"),
+          round(VectorExprs.cosine(slice(col("probe_emb"), 1, 8),
+            col("nb_emb")), 6).as("cos8"),
+          round(VectorExprs.cosine(slice(col("probe_emb"), 1, 16),
+            col("nb_emb")), 6).as("cos16"),
+          round(VectorExprs.cosine(slice(col("probe_emb"), 1, 32),
+            col("nb_emb")), 6).as("cos32"))
+        .persistTracked()
+      def top5(c: String) = scored
+        .select(col("probe_id"), col("neighbor_id"), col(c).as("cos"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+        .select(col("probe_id"), col("neighbor_id"))
+      val exact = top5("cos64")
+      Seq(8, 16, 32).map { dim =>
+        // both legs are (probes × 5)-row tops — broadcast the truncated
+        // one so the recall join never sort-merges 50-row inputs
+        val t = top5(s"cos$dim")
+          .withColumnRenamed("neighbor_id", "trunc_id")
+        exact.join(broadcast(t), exact("probe_id") === t("probe_id") &&
+            col("neighbor_id") === col("trunc_id"), "left")
+          .groupBy(exact("probe_id").as("probe_id"))
+          .agg(count(lit(1)).as("k"),
+            sum(col("trunc_id").isNotNull.cast("long")).as("n_hit"))
+          .select(lit(dim.toLong).as("dim"), col("probe_id"), col("k"),
+            col("n_hit"),
+            round(col("n_hit").cast("double") / col("k"), 4).as("recall"))
+      }.reduce(_ unionByName _)
+        .orderBy("dim", "probe_id")
+    }),
+
+    // ---- greedy k-center coreset (farthest-first traversal): the
+    //      2-approximation every diversity-selection pipeline starts
+    //      from. Seed = vec_id 0; each of 5 rounds adds the point
+    //      FARTHEST from the chosen set (exact L2², min over centers).
+    //      The iteration is inherently value-dependent — each round's
+    //      argmax becomes the next round's plan literal — so each round
+    //      is ONE bounded driver probe (orderBy desc → limit 1, a heap
+    //      TakeOrdered over the corpus, the Skew.profile device), and
+    //      the corpus itself is persisted once and NEVER shuffled or
+    //      broadcast: per-round cost is a map-side least() over k
+    //      center literals + a top-1 reduction. Distances are exact
+    //      sequential double folds — bit-identical across engines, so
+    //      the argmax (ties by vec_id) picks the same point; rounding
+    //      only at output ----
+    "q_coreset_kcenter" -> ((s, d) => {
+      import s.implicits._
+      val pts = emb(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("vd"))
+        .persistTracked()
+      val seedVec = pts.filter(col("vec_id") === 0)
+        .head().getAs[scala.collection.Seq[Double]]("vd").toSeq
+      var centers = List((0L, seedVec, 0.0))
+      for (step <- 1 to 5) {
+        val dist = centers.map { case (_, v, _) =>
+          VectorExprs.l2DistSq(col("vd"), typedLit(v))
+        }.reduceLeft(least(_, _))
+        val next = pts.select(col("vec_id"), dist.as("dd"))
+          .orderBy(col("dd").desc, col("vec_id").asc).limit(1).head()
+        val nid = next.getAs[Long]("vec_id")
+        val nvec = pts.filter(col("vec_id") === nid)
+          .head().getAs[scala.collection.Seq[Double]]("vd").toSeq
+        centers = (nid, nvec, next.getAs[Double]("dd")) :: centers
+      }
+      centers.reverse.zipWithIndex
+        .map { case ((id, _, dd), i) =>
+          (i.toLong, id, BigDecimal(dd).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+        .toDF("step", "center_id", "dist2")
+        .orderBy("step")
+    }),
+
     // ---- brute-force cosine top-k: probe set (vec_id < 10) × corpus ----
     "q_ann_brute" -> ((s, d) => {
       val probes = emb(s, d).filter(col("vec_id") < 10)
@@ -793,6 +882,71 @@ object VectorOps {
   }
 
   val oracles: Map[String, String] = Map(
+    // each truncated ranking re-derived with the dim-parametric cosine
+    // (same cast-to-double sequential fold, same 6-dp pre-rank rounding)
+    "q_dim_ablation" -> {
+      def leg(dim: Int) = {
+        val c = VectorExprs.cosineSql("a.embedding", "b.embedding", dim)
+        s"""t$dim AS (
+           |  SELECT probe_id, neighbor_id FROM (
+           |    SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+           |           row_number() OVER (PARTITION BY a.vec_id
+           |             ORDER BY round($c, 6) DESC, b.vec_id ASC) AS rn
+           |    FROM embeddings a, embeddings b
+           |    WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id)
+           |  WHERE rn <= 5)""".stripMargin
+      }
+      def res(dim: Int) =
+        s"""SELECT CAST($dim AS BIGINT) AS dim, e.probe_id, count(*) AS k,
+           |       CAST(sum(CASE WHEN t.neighbor_id IS NOT NULL
+           |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+           |       round(CAST(sum(CASE WHEN t.neighbor_id IS NOT NULL
+           |                     THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4)
+           |         AS recall
+           |FROM t64 e LEFT JOIN t$dim t
+           |  ON e.probe_id = t.probe_id AND e.neighbor_id = t.neighbor_id
+           |GROUP BY e.probe_id""".stripMargin
+      s"""WITH ${leg(64)},
+         |${leg(8)},
+         |${leg(16)},
+         |${leg(32)}
+         |${res(8)}
+         |UNION ALL
+         |${res(16)}
+         |UNION ALL
+         |${res(32)}
+         |ORDER BY dim, probe_id""".stripMargin
+    },
+
+    // the same farthest-first recurrence, unrolled: m_i carries each
+    // point's min distance to the chosen set (least() is exact, so the
+    // incremental min equals the Spark side's recomputed fold), p_i is
+    // the round's argmax with the identical (dd DESC, vec_id ASC) pick
+    "q_coreset_kcenter" -> {
+      val l2 = VectorExprs.l2DistSqSql _
+      val steps = (1 to 5).map { i =>
+        val prev = s"m${i - 1}"
+        s"""p$i AS (SELECT vec_id, dd FROM $prev
+           |        ORDER BY dd DESC, vec_id ASC LIMIT 1),
+           |c$i AS (SELECT e2.vd FROM e e2 JOIN p$i ON e2.vec_id = p$i.vec_id),
+           |m$i AS (SELECT m.vec_id, least(m.dd, ${l2("e.vd", "c.vd", 64)}) AS dd
+           |        FROM $prev m JOIN e ON m.vec_id = e.vec_id, c$i c)""".stripMargin
+      }.mkString(",\n")
+      val rows = (1 to 5).map(i =>
+        s"UNION ALL SELECT CAST($i AS BIGINT), vec_id, round(dd, 6) FROM p$i")
+        .mkString("\n")
+      s"""WITH e AS (SELECT vec_id,
+         |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+         |           FROM embeddings),
+         |m0 AS (SELECT e.vec_id, ${l2("e.vd", "c.vd", 64)} AS dd
+         |       FROM e, (SELECT vd FROM e WHERE vec_id = 0) c),
+         |$steps
+         |SELECT CAST(0 AS BIGINT) AS step, CAST(0 AS BIGINT) AS center_id,
+         |       CAST(0.0 AS DOUBLE) AS dist2
+         |$rows
+         |ORDER BY step""".stripMargin
+    },
+
     // same mid-square LCG sign matrix, same sequential fold, same
     // rounding — the projection is value-exact across engines
     "q_embed_project" ->

@@ -107,6 +107,99 @@ class EvalOpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("random walks follow real edges with the brute-force argmin hop") {
+    val P = 2147483647L
+    val pairs = Tables(spark, sf, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.Map.empty[Long, List[Long]]
+      .withDefaultValue(Nil)
+    pairs.foreach { case (p, sKey) =>
+      adj(p * 2) = (sKey * 2 + 1) :: adj(p * 2)
+      adj(sKey * 2 + 1) = (p * 2) :: adj(sKey * 2 + 1)
+    }
+    val walks = q("q_random_walk").collect()
+      .map(r => (r.getAs[Long]("seed"), r.getAs[Long]("step"), r.getAs[Long]("node")))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toList).toMap
+    assert(walks.nonEmpty && walks.keys.forall(_ <= 10))
+    walks.foreach { case (seed, path) =>
+      assert(path.head == seed && path.length == 5)
+      path.zip(path.tail).zipWithIndex.foreach { case ((cur, nxt), i) =>
+        val st = i + 1
+        val best = adj(cur).distinct
+          .map(dst => (((cur % P) * 1103515245L + dst * 69069L + st * 12345L) % P, dst))
+          .minBy(identity)._2
+        assert(nxt == best, s"seed=$seed step=$st: engine hop $nxt vs brute $best")
+      }
+    }
+  }
+
+  test("dim-ablation recall at d=8 equals a plain-Scala reranking") {
+    val all = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def cos(a: Array[Float], b: Array[Float], d: Int): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      val n = math.min(d, math.min(a.length, b.length))
+      while (i < n) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def top5(pid: Long, pv: Array[Float], d: Int): Set[Long] =
+      all.filter(_._1 != pid)
+        .map { case (id, v) =>
+          (BigDecimal(cos(pv, v, d)).setScale(6, BigDecimal.RoundingMode.HALF_UP), id) }
+        .sortBy { case (c, id) => (-c, id) }.take(5).map(_._2).toSet
+    val expected = all.filter(_._1 < 10).map { case (pid, pv) =>
+      pid -> (top5(pid, pv, 64) intersect top5(pid, pv, 8)).size.toLong
+    }.toMap
+    val got = q("q_dim_ablation").collect()
+      .filter(_.getAs[Long]("dim") == 8L)
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val pid = r.getAs[Long]("probe_id")
+      assert(r.getAs[Long]("k") == 5L)
+      assert(r.getAs[Long]("n_hit") == expected(pid),
+        s"probe $pid: engine ${r.getAs[Long]("n_hit")} vs brute ${expected(pid)}")
+    }
+  }
+
+  test("k-center picks match greedy farthest-first and radii never grow") {
+    val all = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val byId = all.toMap
+    var centers = List(0L)
+    var picks = List((0L, 0L, 0.0))
+    for (st <- 1 to 5) {
+      val (id, dd) = all.map { case (id, v) =>
+        (id, centers.map(c => d2(v, byId(c))).min)
+      }.maxBy { case (id, dd) => (dd, -id) }
+      centers = id :: centers
+      picks = (st.toLong, id, dd) :: picks
+    }
+    val expected = picks.reverse
+    val got = q("q_coreset_kcenter").collect()
+      .map(r => (r.getAs[Long]("step"), r.getAs[Long]("center_id"), r.getAs[Double]("dist2")))
+    assert(got.length == 6)
+    got.zip(expected).foreach { case ((s1, c1, dd1), (s2, c2, dd2)) =>
+      assert(s1 == s2 && c1 == c2, s"step $s2: engine center $c1 vs brute $c2")
+      assert(math.abs(dd1 - dd2) < 1e-5)
+    }
+    // farthest-first radius is non-increasing (the 2-approx invariant)
+    val radii = got.sortBy(_._1).map(_._3).drop(1)
+    assert(radii.zip(radii.tail).forall { case (a, b) => b <= a + 1e-9 })
+  }
+
   test("l-diversity census partitions the customer table") {
     val rows = q("q_ldiversity").collect()
     val nCust = Tables(spark, sf, "customer").count()
