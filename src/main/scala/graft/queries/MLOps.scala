@@ -59,6 +59,39 @@ object MLOps {
     w
   }
 
+  /** Score census for AUC: (integer-cents score → positive/negative
+    * counts). Sum/count partials merge associatively, so the census is
+    * exactly incremental under ANY micro-batch cut — the streaming twin
+    * (EventsStream.scoreCensus, StreamingSpec three-way) maintains it as
+    * ≤|score-domain| rows of state and stays bit-equal to this batch form.
+    */
+  def scoreCensus(events: DataFrame): DataFrame =
+    events.select(round(col("value") * 100).cast("long").as("score"),
+        (col("event_type") === "purchase").cast("long").as("y"))
+      .groupBy(col("score"))
+      .agg(sum(col("y")).as("np"),
+        (count(lit(1)) - sum(col("y"))).as("nn"))
+
+  /** Tie-corrected Mann-Whitney reduction over a score census: wins×2 =
+    * Σ 2·pos·negBelow + pos·neg, AUC = wins2/(2·P·N). All-integer until
+    * one final IEEE division; the window runs over the census only.
+    */
+  def aucFromCensus(cen: DataFrame): DataFrame = {
+    val tot = cen.agg(sum(col("np")).as("n_pos"),
+      sum(col("nn")).as("n_neg"))
+    val wPrev = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score")).rowsBetween(Long.MinValue, -1)
+    cen
+      .withColumn("cneg", coalesce(sum(col("nn")).over(wPrev), lit(0L)))
+      .select((col("np") * col("cneg") * 2 + col("np") * col("nn"))
+        .as("w2"))
+      .agg(sum(col("w2")).as("wins2"))
+      .crossJoin(broadcast(tot))
+      .select(col("n_pos"), col("n_neg"), col("wins2"),
+        round(col("wins2").cast("double") /
+          (col("n_pos") * col("n_neg") * 2.0), 6).as("auc"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_logreg" -> ((s, d) => {
       val data = lrData(s, d).persistTracked()
@@ -110,27 +143,8 @@ object MLOps {
     //      pos_s·neg_s (ties at half weight), AUC = wins2/(2·P·N). One
     //      fine-key shuffle on score; all-integer until ONE final IEEE
     //      division, bit-identical across engines ----
-    "q_auc_rank" -> ((s, d) => {
-      val cen = Tables(s, d, "events")
-        .select(round(col("value") * 100).cast("long").as("score"),
-          (col("event_type") === "purchase").cast("long").as("y"))
-        .groupBy(col("score"))
-        .agg(sum(col("y")).as("np"),
-          (count(lit(1)) - sum(col("y"))).as("nn"))
-      val tot = cen.agg(sum(col("np")).as("n_pos"),
-        sum(col("nn")).as("n_neg"))
-      val wPrev = org.apache.spark.sql.expressions.Window
-        .orderBy(col("score")).rowsBetween(Long.MinValue, -1)
-      cen
-        .withColumn("cneg", coalesce(sum(col("nn")).over(wPrev), lit(0L)))
-        .select((col("np") * col("cneg") * 2 + col("np") * col("nn"))
-          .as("w2"))
-        .agg(sum(col("w2")).as("wins2"))
-        .crossJoin(broadcast(tot))
-        .select(col("n_pos"), col("n_neg"), col("wins2"),
-          round(col("wins2").cast("double") /
-            (col("n_pos") * col("n_neg") * 2.0), 6).as("auc"))
-    }),
+    "q_auc_rank" -> ((s, d) =>
+      aucFromCensus(scoreCensus(Tables(s, d, "events")))),
 
     // ---- cumulative gains / lift table over score deciles — the
     //      "how deep must the campaign dial" report. Same census device

@@ -633,6 +633,39 @@ object StatsOps {
     //      The equality is part of the gate (merge_eq_direct), alongside
     //      the union-distinct estimate vs the exact census. The global
     //      bottom-512 is a TakeOrdered HEAP, never a full sort ----
+    // ---- mergeable bottom-k uniform sample (the quantile sibling of the
+    //      theta/KMV family): the k smallest md5(doc_id) rows per source
+    //      are a uniform sample of that source, and because min-k is
+    //      closed under union, the global sample re-derives from the
+    //      per-source SKETCHES — shards sample locally, the coordinator
+    //      merges k-sized states, the corpus is never re-scanned (the
+    //      q_theta_rollup shape, carrying VALUES instead of hashes, so
+    //      it estimates quantiles instead of cardinality). Per-source
+    //      bottom-k via the native TopKPerKey heap (no full sort);
+    //      estimates are exact sample ranks — all-integer output.
+    //      EvalOpsSpec proves merged == direct-global bottom-k ----
+    "q_bottomk_sample" -> ((s, d) => {
+      val hashed = Tables(s, d, "documents")
+        .select(col("source"), col("n_chars"),
+          md5(col("doc_id").cast("string")).as("h"))
+        .persistTracked()
+      val per = graft.plans.TopK.perKey(hashed,
+        Seq("source"), Seq(("h", true)), 32)
+      def est(df: DataFrame, grp: org.apache.spark.sql.Column) = df
+        .groupBy(grp.as("source"))
+        .agg(count(lit(1)).as("k"),
+          sort_array(collect_list(col("n_chars"))).as("lst"))
+        .select(col("source"), col("k"),
+          expr("element_at(lst, cast((k - 1) div 2 + 1 as int))")
+            .as("est_p50"),
+          expr("element_at(lst, cast(((k - 1) * 9) div 10 + 1 as int))")
+            .as("est_p90"))
+      val mergedSample = per.orderBy(col("h").asc).limit(32)
+      est(per, col("source"))
+        .unionByName(est(mergedSample, lit("ALL")))
+        .orderBy("source")
+    }),
+
     "q_theta_rollup" -> ((s, d) => {
       val P = 2147483647L
       val pr = Tables(s, d, "lineitem")
@@ -858,6 +891,30 @@ object StatsOps {
         |FROM th JOIN ex USING (event_type) ORDER BY event_type""".stripMargin,
 
     // same per-flag sketches, same keep-k-smallest union, same estimator
+    // identical md5 sample membership and exact sample-rank estimates
+    "q_bottomk_sample" ->
+      """WITH h AS (
+        |  SELECT source, n_chars, md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |sk AS MATERIALIZED (
+        |  SELECT source, n_chars, h FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY source ORDER BY h)
+        |      AS rn FROM h)
+        |  WHERE rn <= 32),
+        |per AS (
+        |  SELECT source, count(*) AS k,
+        |         list(n_chars ORDER BY n_chars) AS lst
+        |  FROM sk GROUP BY source),
+        |mg AS (
+        |  SELECT 'ALL' AS source, count(*) AS k,
+        |         list(n_chars ORDER BY n_chars) AS lst
+        |  FROM (SELECT n_chars FROM sk ORDER BY h LIMIT 32)),
+        |u AS (SELECT * FROM per UNION ALL SELECT * FROM mg)
+        |SELECT source, k,
+        |       lst[CAST((k - 1) // 2 + 1 AS INTEGER)] AS est_p50,
+        |       lst[CAST(((k - 1) * 9) // 10 + 1 AS INTEGER)] AS est_p90
+        |FROM u ORDER BY source""".stripMargin,
+
     "q_theta_rollup" ->
       """WITH pr AS MATERIALIZED (
         |  SELECT DISTINCT l_returnflag AS flag,

@@ -147,6 +147,59 @@ object VectorOps {
         .orderBy("step")
     }),
 
+    // ---- MMR diversity reranking (maximal marginal relevance): the
+    //      retrieval-side twin of [[q_coreset_kcenter]] — from the query's
+    //      top-20 cosine candidates, greedily pick 5 maximizing
+    //      0.5·relevance − 0.5·max-sim-to-selected. The DISTRIBUTED leg is
+    //      candidate generation (one broadcast-probe pass over the corpus
+    //      + a top-20 heap — the only part that sees data volume); the
+    //      greedy then runs over the FIXED 20-row candidate set collected
+    //      to the driver (bounded by construction — production MMR always
+    //      reranks a k-bounded pool). All pairwise sims are 6-dp-rounded
+    //      cosines, the score one fixed-order IEEE expression — the
+    //      argmax (ties by vec_id) is engine-invariant ----
+    "q_mmr_diverse" -> ((s, d) => {
+      import s.implicits._
+      val query = emb(s, d).filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_emb"))
+      val cands = emb(s, d).filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(query))
+        .select(col("vec_id"),
+          round(VectorExprs.cosine(col("q_emb"), col("embedding")), 6)
+            .as("rel"),
+          col("embedding"))
+        .orderBy(col("rel").desc, col("vec_id").asc).limit(20)
+        .collect()
+        .map(r => (r.getLong(0), r.getDouble(1),
+          r.getSeq[Float](2).toArray))
+      def cos6(a: Array[Float], b: Array[Float]): Double = {
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length && i < b.length) {
+          val x = a(i).toDouble; val y = b(i).toDouble
+          dot += x * y; na += x * x; nb += y * y; i += 1
+        }
+        BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      var selected = List.empty[(Long, Double, Array[Float], Double)]
+      for (rank <- 1 to 5) {
+        val pick = cands
+          .filter(c => !selected.exists(_._1 == c._1))
+          .map { case (id, rel, v) =>
+            val maxSim = if (selected.isEmpty) 0.0
+              else selected.map(sv => cos6(v, sv._3)).max
+            (id, rel, v, 0.5 * rel - 0.5 * maxSim)
+          }
+          .minBy { case (id, _, _, score) => (-score, id) }
+        selected = selected :+ pick
+      }
+      selected.zipWithIndex
+        .map { case ((id, rel, _, score), i) =>
+          (i.toLong + 1, id, rel, score) }
+        .toDF("rank", "vec_id", "rel", "mmr_score")
+        .orderBy("rank")
+    }),
+
     // ---- brute-force cosine top-k: probe set (vec_id < 10) × corpus ----
     "q_ann_brute" -> ((s, d) => {
       val probes = emb(s, d).filter(col("vec_id") < 10)
@@ -916,6 +969,47 @@ object VectorOps {
          |UNION ALL
          |${res(32)}
          |ORDER BY dim, probe_id""".stripMargin
+    },
+
+    // the same greedy, unrolled: a 20×20 rounded-cosine sim matrix is
+    // built once; each step's pick is the (score DESC, vec_id ASC) argmax
+    // over candidates not yet selected, with max-sim via the matrix
+    "q_mmr_diverse" -> {
+      val cq = VectorExprs.cosineSql("q.qe", "e.embedding")
+      val cab = VectorExprs.cosineSql("a.embedding", "b.embedding")
+      val steps = (2 to 5).map { i =>
+        val sel = s"sel${i - 1}"
+        s"""p$i AS (
+           |  SELECT c.vec_id, c.rel,
+           |         0.5 * c.rel - 0.5 * max(s.cs) AS score
+           |  FROM cand c JOIN sim s ON s.ia = c.vec_id
+           |    AND s.ib IN (SELECT vec_id FROM $sel)
+           |  WHERE c.vec_id NOT IN (SELECT vec_id FROM $sel)
+           |  GROUP BY c.vec_id, c.rel
+           |  ORDER BY score DESC, c.vec_id ASC LIMIT 1),
+           |sel$i AS (SELECT vec_id FROM $sel
+           |          UNION ALL SELECT vec_id FROM p$i)""".stripMargin
+      }.mkString(",\n")
+      val rows = (2 to 5).map(i =>
+        s"UNION ALL SELECT CAST($i AS BIGINT), vec_id, rel, score FROM p$i")
+        .mkString("\n")
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |cand AS MATERIALIZED (
+         |  SELECT e.vec_id, e.embedding, round($cq, 6) AS rel
+         |  FROM embeddings e, q
+         |  WHERE e.vec_id <> 0
+         |  ORDER BY rel DESC, e.vec_id ASC LIMIT 20),
+         |sim AS MATERIALIZED (
+         |  SELECT a.vec_id AS ia, b.vec_id AS ib, round($cab, 6) AS cs
+         |  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+         |p1 AS (SELECT vec_id, rel, 0.5 * rel - 0.5 * 0.0 AS score
+         |       FROM cand ORDER BY score DESC, vec_id ASC LIMIT 1),
+         |sel1 AS (SELECT vec_id FROM p1),
+         |$steps
+         |SELECT CAST(1 AS BIGINT) AS rank, vec_id, rel, score AS mmr_score
+         |FROM p1
+         |$rows
+         |ORDER BY rank""".stripMargin
     },
 
     // the same farthest-first recurrence, unrolled: m_i carries each

@@ -63,6 +63,17 @@ object EventsStream {
       .agg(graft.functions.Kmv.bottomK(col("h"), k).as("sk"))
   }
 
+  /** Streaming model-eval census: the (integer-cents score → pos/neg)
+    * state behind a LIVE AUC readout. Works unchanged on a streaming
+    * frame because the census is pure sum/count partials — associative
+    * merges make it bit-equal to the batch census at any micro-batch
+    * cut (StreamingSpec three-way: streamed census == batch census, and
+    * the AUC reduced from the streamed state == q_auc_rank). State is
+    * value-domain-bounded per key, never event-volume-sized.
+    */
+  def scoreCensus(events: DataFrame): DataFrame =
+    graft.queries.MLOps.scoreCensus(events)
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
 

@@ -200,6 +200,49 @@ class EvalOpsSpec extends AnyFunSuite with SparkSpec {
     assert(radii.zip(radii.tail).forall { case (a, b) => b <= a + 1e-9 })
   }
 
+  test("bottom-k sample: merged sketch equals the direct global sample") {
+    val docs = Tables(spark, sf, "documents")
+      .select(col("source"), col("n_chars"),
+        md5(col("doc_id").cast("string")).as("h"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    def est(sample: Seq[Long], q10: Int): Long = {
+      val s = sample.sorted
+      s(((s.length - 1) * q10 / 10).toInt)
+    }
+    val perSrc = docs.groupBy(_._1).view.mapValues(
+      _.sortBy(_._3).take(32).map(_._2).toSeq).toMap
+    // min-k closure: global bottom-32 == bottom-32 of per-source sketches
+    val direct = docs.sortBy(_._3).take(32).map(_._2).toSeq
+    val got = q("q_bottomk_sample").collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("k"), r.getAs[Long]("est_p50"), r.getAs[Long]("est_p90")))
+      .toMap
+    assert(got("ALL") == ((32L, est(direct, 5), est(direct, 9))),
+      s"merged sketch ${got("ALL")} vs direct-global recompute")
+    perSrc.foreach { case (src, sample) =>
+      assert(got(src) == ((sample.length.toLong, est(sample, 5), est(sample, 9))),
+        s"source $src sketch mismatch")
+    }
+  }
+
+  test("MMR picks are distinct, lead with pure relevance, and scores never rise") {
+    val rows = q("q_mmr_diverse").collect()
+      .sortBy(_.getAs[Long]("rank"))
+    assert(rows.length == 5)
+    assert(rows.map(_.getAs[Long]("vec_id")).distinct.length == 5)
+    // pick 1 is the relevance argmax: its mmr_score is 0.5·rel exactly
+    assert(rows.head.getAs[Double]("mmr_score") ==
+      0.5 * rows.head.getAs[Double]("rel"))
+    assert(rows.forall(r => r.getAs[Double]("rel") <=
+      rows.head.getAs[Double]("rel") + 1e-12))
+    // the best available marginal gain shrinks as the selected set grows —
+    // from rank 2 on (rank 1's penalty is defined 0 over the empty set,
+    // while rank 2's max-sim can be NEGATIVE cosine, legally raising the
+    // score across that one boundary)
+    val scores = rows.drop(1).map(_.getAs[Double]("mmr_score"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => b <= a + 1e-12 })
+  }
+
   test("l-diversity census partitions the customer table") {
     val rows = q("q_ldiversity").collect()
     val nCust = Tables(spark, sf, "customer").count()

@@ -797,6 +797,34 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("streaming AUC census is bit-identical to batch; AUC matches q_auc_rank") {
+    // sum/count partials merge associatively, so micro-batch cuts cannot
+    // move the census; the AUC reduction over the streamed state must
+    // then reproduce the gated batch value exactly
+    val dir = "target/stream_events_auc"
+    Tables(spark, sf, "events").repartition(3)
+      .write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream
+      .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+        "event_type STRING, value DOUBLE, props STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+    val qs = graft.streaming.EventsStream.scoreCensus(stream).writeStream
+      .format("memory").queryName("auc_census").outputMode("complete").start()
+    try qs.processAllAvailable() finally qs.stop()
+    def keyed(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val streamed = keyed(spark.table("auc_census").collect())
+    val batch = keyed(graft.queries.MLOps.scoreCensus(
+      Tables(spark, sf, "events")).collect())
+    assert(streamed == batch, "streamed score census differs from batch")
+    val liveAuc = graft.queries.MLOps.aucFromCensus(spark.table("auc_census"))
+      .collect()(0)
+    val gated = q("q_auc_rank").collect()(0)
+    assert(liveAuc.getAs[Long]("wins2") == gated.getAs[Long]("wins2"))
+    assert(liveAuc.getAs[Double]("auc") == gated.getAs[Double]("auc"))
+  }
+
   test("sessions partition each user's events") {
     val nEvents = Tables(spark, sf, "events").count()
     val sessions = SparkEntry.queries("q_sessionize")(spark, sf).collect()
