@@ -192,7 +192,47 @@ object MLOps {
     //      integer; ln lives in the score sums, and the argmax compares
     //      9-dp-rounded scores with a language tie-break — the PageRank
     //      bridging device ----
-    "q_naive_bayes" -> ((s, d) => {
+    "q_naive_bayes" -> ((s, d) =>
+      nbConfusion(s, d).orderBy("true_lang", "pred_lang")),
+
+    // ---- per-class precision/recall/F1 from the same confusion census —
+    //      the report a model gate actually reads. Derivation is pure
+    //      integer census algebra (row/column marginals of the ≤langs²
+    //      confusion, metrics in basis points by floor division); the
+    //      full outer marginal join keeps classes that appear only as
+    //      predictions or only as truth ----
+    "q_f1_scores" -> ((s, d) => {
+      val c = nbConfusion(s, d).persistTracked()
+      val byTrue = c.groupBy(col("true_lang").as("lang"))
+        .agg(sum(col("n")).as("n_true"),
+          sum(when(col("true_lang") === col("pred_lang"), col("n"))
+            .otherwise(0L)).as("tp0"))
+      val byPred = c.groupBy(col("pred_lang").as("lang"))
+        .agg(sum(col("n")).as("n_pred"))
+      byTrue.join(byPred, Seq("lang"), "full")
+        .select(col("lang"),
+          coalesce(col("tp0"), lit(0L)).as("tp"),
+          (coalesce(col("n_pred"), lit(0L)) - coalesce(col("tp0"), lit(0L)))
+            .as("fp"),
+          (coalesce(col("n_true"), lit(0L)) - coalesce(col("tp0"), lit(0L)))
+            .as("fn"))
+        .withColumn("precision_bp", when(col("tp") + col("fp") > 0,
+          expr("tp * 10000 div (tp + fp)")).otherwise(0L))
+        .withColumn("recall_bp", when(col("tp") + col("fn") > 0,
+          expr("tp * 10000 div (tp + fn)")).otherwise(0L))
+        .withColumn("f1_bp", when(col("precision_bp") + col("recall_bp") > 0,
+          expr("2 * precision_bp * recall_bp div (precision_bp + recall_bp)"))
+          .otherwise(0L))
+        .orderBy("lang")
+    })
+  )
+
+  /** Resubstitution confusion census of the Naive Bayes classifier —
+    * shared spine of q_naive_bayes (the raw census) and q_f1_scores
+    * (derived per-class metrics), so the two reports can never disagree
+    * on the classifier.
+    */
+  def nbConfusion(s: SparkSession, d: String): DataFrame = {
       val tok = Tables(s, d, "documents")
         .select(col("doc_id"), col("lang"),
           explode(split(lower(trim(col("text"))), "\\s+")).as("t"))
@@ -231,9 +271,50 @@ object MLOps {
         .filter(col("rn") === 1)
       best.groupBy(col("lang").as("true_lang"), col("l").as("pred_lang"))
         .agg(count(lit(1)).as("n"))
-        .orderBy("true_lang", "pred_lang")
-    })
-  )
+  }
+
+  /** the NB classifier through its confusion census as shared oracle
+    * CTEs — the bit-exact DuckDB twin of [[nbConfusion]]. Ends with the
+    * `conf` CTE (true_lang, pred_lang, n).
+    */
+  private val nbCtes: String =
+    """tok AS (
+      |  SELECT doc_id, lang, t.t
+      |  FROM documents,
+      |       unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t(t)
+      |  WHERE t.t <> ''),
+      |counts AS (SELECT lang AS l, t AS tt, count(*) AS c
+      |           FROM tok GROUP BY 1, 2),
+      |langtot AS (SELECT lang AS l, count(*) AS tot FROM tok GROUP BY 1),
+      |vocab AS (SELECT DISTINCT t AS tt FROM tok),
+      |vs AS (SELECT count(*) AS v FROM vocab),
+      |dpl AS (SELECT lang AS l, count(DISTINCT doc_id) AS nd
+      |        FROM tok GROUP BY 1),
+      |nd AS (SELECT count(*) AS ndocs FROM documents),
+      |lk AS (
+      |  SELECT langtot.l, vocab.tt,
+      |         ln((coalesce(c, 0) + 1) / CAST(tot + v AS DOUBLE)) AS ll
+      |  FROM langtot CROSS JOIN vocab
+      |       LEFT JOIN counts ON counts.l = langtot.l
+      |                       AND counts.tt = vocab.tt
+      |       CROSS JOIN vs),
+      |prior AS (
+      |  SELECT l, ln(nd / CAST(ndocs AS DOUBLE)) AS lp
+      |  FROM dpl CROSS JOIN nd),
+      |scores AS (
+      |  SELECT doc_id, lang, lk.l,
+      |         round(lp + sum(ll), 9) AS score
+      |  FROM tok JOIN lk ON tok.t = lk.tt
+      |       JOIN prior ON lk.l = prior.l
+      |  GROUP BY doc_id, lang, lk.l, lp),
+      |best AS (
+      |  SELECT doc_id, lang, l FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY score DESC, l ASC) AS rn FROM scores)
+      |  WHERE rn = 1),
+      |conf AS (
+      |  SELECT lang AS true_lang, l AS pred_lang, count(*) AS n
+      |  FROM best GROUP BY 1, 2)""".stripMargin
 
   /** the GD recurrence as shared oracle CTEs — identical per-step
     * expressions and 9-dp weight rounding to [[lrTrain]].
@@ -343,42 +424,38 @@ object MLOps {
          |            FROM data CROSS JOIN s3))
          |GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q_naive_bayes" ->
-      """WITH tok AS (
-        |  SELECT doc_id, lang, t.t
-        |  FROM documents,
-        |       unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t(t)
-        |  WHERE t.t <> ''),
-        |counts AS (SELECT lang AS l, t AS tt, count(*) AS c
-        |           FROM tok GROUP BY 1, 2),
-        |langtot AS (SELECT lang AS l, count(*) AS tot FROM tok GROUP BY 1),
-        |vocab AS (SELECT DISTINCT t AS tt FROM tok),
-        |vs AS (SELECT count(*) AS v FROM vocab),
-        |dpl AS (SELECT lang AS l, count(DISTINCT doc_id) AS nd
-        |        FROM tok GROUP BY 1),
-        |nd AS (SELECT count(*) AS ndocs FROM documents),
-        |lk AS (
-        |  SELECT langtot.l, vocab.tt,
-        |         ln((coalesce(c, 0) + 1) / CAST(tot + v AS DOUBLE)) AS ll
-        |  FROM langtot CROSS JOIN vocab
-        |       LEFT JOIN counts ON counts.l = langtot.l
-        |                       AND counts.tt = vocab.tt
-        |       CROSS JOIN vs),
-        |prior AS (
-        |  SELECT l, ln(nd / CAST(ndocs AS DOUBLE)) AS lp
-        |  FROM dpl CROSS JOIN nd),
-        |scores AS (
-        |  SELECT doc_id, lang, lk.l,
-        |         round(lp + sum(ll), 9) AS score
-        |  FROM tok JOIN lk ON tok.t = lk.tt
-        |       JOIN prior ON lk.l = prior.l
-        |  GROUP BY doc_id, lang, lk.l, lp),
-        |best AS (
-        |  SELECT doc_id, lang, l FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY doc_id
-        |      ORDER BY score DESC, l ASC) AS rn FROM scores)
-        |  WHERE rn = 1)
-        |SELECT lang AS true_lang, l AS pred_lang, count(*) AS n
-        |FROM best GROUP BY 1, 2 ORDER BY true_lang, pred_lang""".stripMargin,
+      s"""WITH $nbCtes
+         |SELECT true_lang, pred_lang, n
+         |FROM conf ORDER BY true_lang, pred_lang""".stripMargin,
+
+    // same confusion CTEs; marginal algebra and bp metrics all-integer
+    "q_f1_scores" ->
+      s"""WITH $nbCtes,
+         |bt AS (SELECT true_lang AS lang, CAST(sum(n) AS BIGINT) AS n_true,
+         |              CAST(sum(CASE WHEN true_lang = pred_lang
+         |                            THEN n ELSE 0 END) AS BIGINT) AS tp0
+         |       FROM conf GROUP BY 1),
+         |bp AS (SELECT pred_lang AS lang, CAST(sum(n) AS BIGINT) AS n_pred
+         |       FROM conf GROUP BY 1),
+         |m AS (SELECT COALESCE(bt.lang, bp.lang) AS lang,
+         |             COALESCE(tp0, 0) AS tp,
+         |             COALESCE(n_pred, 0) - COALESCE(tp0, 0) AS fp,
+         |             COALESCE(n_true, 0) - COALESCE(tp0, 0) AS fn
+         |      FROM bt FULL JOIN bp ON bt.lang = bp.lang),
+         |mm AS (SELECT lang, tp, fp, fn,
+         |              CASE WHEN tp + fp > 0
+         |                   THEN tp * 10000 // (tp + fp) ELSE 0 END
+         |                AS precision_bp,
+         |              CASE WHEN tp + fn > 0
+         |                   THEN tp * 10000 // (tp + fn) ELSE 0 END
+         |                AS recall_bp
+         |       FROM m)
+         |SELECT lang, tp, fp, fn, precision_bp, recall_bp,
+         |       CASE WHEN precision_bp + recall_bp > 0
+         |            THEN 2 * precision_bp * recall_bp //
+         |                 (precision_bp + recall_bp)
+         |            ELSE 0 END AS f1_bp
+         |FROM mm ORDER BY lang""".stripMargin,
     // identical recurrence, unrolled; gradients divide by n BEFORE the
     // subtraction exactly as the Spark expression does
     "q_logreg" ->

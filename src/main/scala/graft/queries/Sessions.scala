@@ -327,6 +327,66 @@ object Sessions {
         .orderBy("t")
     }),
 
+    // ---- log-rank test — [[q_kaplan_meier]]'s inferential companion:
+    //      do BUILDING-segment customers churn on a different clock than
+    //      the rest? At each event time the observed group-1 churns are
+    //      compared to the hypergeometric expectation d·n₁/n given the
+    //      at-risk split; χ² = (Σ(O−E))²/ΣV. Same spine as the KM query
+    //      (one custkey shuffle + duration census); the two cumulative
+    //      sums run as ORDERED window folds over the census — the repo's
+    //      deterministic-FP-fold device, so both engines sum the ~100
+    //      double terms in the identical order — and every per-term
+    //      expression is written in the same left-associative shape on
+    //      both sides ----
+    "q_logrank" -> ((s, d) => {
+      val grp = Tables(s, d, "customer")
+        .select(col("c_custkey"),
+          (col("c_mktsegment") === "BUILDING").cast("long").as("g1"))
+      val life = Tables(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(min(col("o_orderdate")).as("fd"),
+          max(col("o_orderdate")).as("ld"))
+        .join(grp, col("o_custkey") === col("c_custkey"))
+        .persistTracked()
+      val horizon = life.agg(max(col("ld")).as("hz"))
+      val durs = life.crossJoin(broadcast(horizon))
+        .select(expr("datediff(ld, fd) div 30").as("t"),
+          (datediff(col("hz"), col("ld")) > 365).cast("long").as("ev"),
+          col("g1"))
+        .groupBy(col("t"))
+        .agg(count(lit(1)).as("n_exit"), sum(col("ev")).as("dd"),
+          sum(col("g1")).as("n1_exit"),
+          sum(col("ev") * col("g1")).as("d1"))
+      val total = durs.agg(sum(col("n_exit")).as("n_tot"),
+        sum(col("n1_exit")).as("n1_tot"),
+        sum(col("dd")).as("d_tot"), sum(col("d1")).as("d1_tot"))
+      val wPrev = Window.orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wCum = Window.orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      durs.crossJoin(broadcast(total))
+        .withColumn("n_at", col("n_tot") -
+          coalesce(sum(col("n_exit")).over(wPrev), lit(0L)))
+        .withColumn("n1_at", col("n1_tot") -
+          coalesce(sum(col("n1_exit")).over(wPrev), lit(0L)))
+        .withColumn("oe", col("d1") -
+          col("dd").cast("double") * col("n1_at") / col("n_at"))
+        .withColumn("v", when(col("n_at") > 1,
+          col("dd").cast("double") * col("n1_at") / col("n_at") *
+            (lit(1.0) - col("n1_at").cast("double") / col("n_at")) *
+            (col("n_at") - col("dd")) / (col("n_at") - 1))
+          .otherwise(lit(0.0)))
+        .withColumn("cum_oe", sum(col("oe")).over(wCum))
+        .withColumn("cum_v", sum(col("v")).over(wCum))
+        .orderBy(col("t").desc).limit(1)
+        .select(col("n1_tot").as("n1"),
+          (col("n_tot") - col("n1_tot")).as("n2"),
+          col("d1_tot").as("d1"), (col("d_tot") - col("d1_tot")).as("d2"),
+          round(col("cum_oe"), 6).as("o_minus_e"),
+          round(col("cum_v"), 6).as("variance"),
+          round(col("cum_oe") * col("cum_oe") / col("cum_v"), 4).as("chi2"))
+    }),
+
     // ---- frequent event sequences (behavioral trigram mining): each
     //      user's event stream yields its consecutive type trigrams via
     //      two lead() calls over ONE (user_id)-partitioned sort — no
@@ -573,6 +633,61 @@ object Sessions {
         |                 UNBOUNDED PRECEDING AND CURRENT ROW)), 6) END
         |         AS s_hat
         |FROM km2 ORDER BY t""".stripMargin,
+
+    // identical census, expectation/variance expressions in the same
+    // left-associative order, cumulative sums as the same ordered fold
+    "q_logrank" ->
+      """WITH life AS MATERIALIZED (
+        |  SELECT l.o_custkey, l.fd, l.ld,
+        |         CAST(c.c_mktsegment = 'BUILDING' AS BIGINT) AS g1
+        |  FROM (SELECT o_custkey, min(o_orderdate) AS fd,
+        |               max(o_orderdate) AS ld
+        |        FROM orders GROUP BY o_custkey) l
+        |  JOIN customer c ON l.o_custkey = c.c_custkey),
+        |h AS (SELECT max(ld) AS hz FROM life),
+        |durs AS (
+        |  SELECT CAST(datediff('day', fd, ld) // 30 AS BIGINT) AS t,
+        |         count(*) AS n_exit,
+        |         CAST(sum(CASE WHEN datediff('day', ld, hz) > 365
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS dd,
+        |         CAST(sum(g1) AS BIGINT) AS n1_exit,
+        |         CAST(sum(CASE WHEN datediff('day', ld, hz) > 365
+        |                       THEN g1 ELSE 0 END) AS BIGINT) AS d1
+        |  FROM life, h GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_exit) AS BIGINT) AS n_tot,
+        |               CAST(sum(n1_exit) AS BIGINT) AS n1_tot,
+        |               CAST(sum(dd) AS BIGINT) AS d_tot,
+        |               CAST(sum(d1) AS BIGINT) AS d1_tot FROM durs),
+        |at AS (
+        |  SELECT t, n_exit, dd, d1, n_tot, n1_tot, d_tot, d1_tot,
+        |         n_tot - CAST(COALESCE(sum(n_exit) OVER wp, 0) AS BIGINT)
+        |           AS n_at,
+        |         n1_tot - CAST(COALESCE(sum(n1_exit) OVER wp, 0) AS BIGINT)
+        |           AS n1_at
+        |  FROM durs, tot
+        |  WINDOW wp AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+        |                AND 1 PRECEDING)),
+        |terms AS (
+        |  SELECT t, n_tot, n1_tot, d_tot, d1_tot,
+        |         d1 - CAST(dd AS DOUBLE) * n1_at / n_at AS oe,
+        |         CASE WHEN n_at > 1
+        |              THEN CAST(dd AS DOUBLE) * n1_at / n_at *
+        |                   (1.0 - CAST(n1_at AS DOUBLE) / n_at) *
+        |                   (n_at - dd) / (n_at - 1)
+        |              ELSE 0.0 END AS v
+        |  FROM at),
+        |cum AS (
+        |  SELECT t, n_tot, n1_tot, d_tot, d1_tot,
+        |         sum(oe) OVER wc AS cum_oe, sum(v) OVER wc AS cum_v
+        |  FROM terms
+        |  WINDOW wc AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+        |                AND CURRENT ROW))
+        |SELECT n1_tot AS n1, n_tot - n1_tot AS n2,
+        |       d1_tot AS d1, d_tot - d1_tot AS d2,
+        |       round(cum_oe, 6) AS o_minus_e,
+        |       round(cum_v, 6) AS variance,
+        |       round(cum_oe * cum_oe / cum_v, 4) AS chi2
+        |FROM cum ORDER BY t DESC LIMIT 1""".stripMargin,
 
     "q_retention_cohorts" ->
       """WITH e AS (

@@ -147,6 +147,61 @@ object VectorOps {
         .orderBy("step")
     }),
 
+    // ---- NDCG@10 + MRR retrieval quality: does cosine ranking surface
+    //      same-label neighbors? Gains are binary (neighbor label ==
+    //      probe label); discount coefficients 1/log₂(i+1) and their
+    //      cumulative ideal sums are SCALA-COMPUTED LITERALS shipped to
+    //      both engines (the weightsSqlLiteral device) — no libm log in
+    //      either plan — and the DCG fold is an rn-ORDERED window cum,
+    //      so the ≤10-term double sum runs in the identical order on
+    //      both sides. One broadcast-probe pass over the corpus; the
+    //      label census for the ideal-DCG denominator is a tiny
+    //      broadcast ----
+    "q_ndcg" -> ((s, d) => {
+      val coef = ndcgCoef
+      val icum = ndcgIdealCum
+      val probes = emb(s, d).filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"),
+          col("embedding").as("probe_emb"), col("label").as("probe_label"))
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cos").desc, col("neighbor_id").asc)
+      val top = emb(s, d)
+        .select(col("vec_id").as("neighbor_id"), col("embedding").as("nb_emb"),
+          col("label").as("nb_label"))
+        .join(broadcast(probes), col("probe_id") =!= col("neighbor_id"))
+        .select(col("probe_id"), col("probe_label"), col("neighbor_id"),
+          col("nb_label"),
+          round(VectorExprs.cosine(col("probe_emb"), col("nb_emb")), 6)
+            .as("cos"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+        .withColumn("gain",
+          (col("nb_label") === col("probe_label")).cast("long"))
+        .persistTracked()
+      val wCum = Window.partitionBy(col("probe_id")).orderBy(col("rn"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val dcg = top
+        .withColumn("cum", sum(col("gain") *
+          element_at(typedLit(coef), col("rn"))).over(wCum))
+        .filter(col("rn") === 10)
+        .select(col("probe_id"), col("cum").as("dcg_raw"))
+      val ag = top.groupBy(col("probe_id"), col("probe_label"))
+        .agg(sum(col("gain")).as("n_rel"),
+          min(when(col("gain") === 1, col("rn"))).as("first_rel"))
+      val lc = emb(s, d).groupBy(col("label")).agg(count(lit(1)).as("cnt"))
+      ag.join(broadcast(lc), col("probe_label") === col("label"))
+        .withColumn("r_total", col("cnt") - 1)
+        .join(dcg, "probe_id")
+        .select(col("probe_id"), col("n_rel"), col("r_total"),
+          round(col("dcg_raw"), 6).as("dcg"),
+          when(col("r_total") >= 1, round(col("dcg_raw") /
+            element_at(typedLit(icum),
+              least(lit(10L), col("r_total")).cast("int")), 6))
+            .otherwise(0.0).as("ndcg"),
+          when(col("first_rel").isNotNull,
+            round(lit(1.0) / col("first_rel"), 6)).otherwise(0.0).as("mrr"))
+        .orderBy("probe_id")
+    }),
+
     // ---- MMR diversity reranking (maximal marginal relevance): the
     //      retrieval-side twin of [[q_coreset_kcenter]] — from the query's
     //      top-20 cosine candidates, greedily pick 5 maximizing
@@ -934,7 +989,64 @@ object VectorOps {
        |       WHERE crn <= $maxProbe),""".stripMargin
   }
 
+  /** NDCG discount coefficients 1/log₂(i+1), i = 1..10, and their
+    * cumulative ideal sums — computed ONCE in Scala and shipped to both
+    * engines as literals (Double.toString is shortest-round-trip, so
+    * DuckDB parses back the exact binary64), keeping libm log out of
+    * both plans.
+    */
+  private val ndcgCoef: List[Double] =
+    (1 to 10).map(i => 1.0 / (math.log(i + 1) / math.log(2))).toList
+  private val ndcgIdealCum: List[Double] =
+    ndcgCoef.scanLeft(0.0)(_ + _).tail
+
   val oracles: Map[String, String] = Map(
+    // same literal discounts, same rn-ordered DCG fold, same 6-dp
+    // pre-rank cosine rounding
+    "q_ndcg" -> {
+      val cos = VectorExprs.cosineSql("a.embedding", "b.embedding")
+      val coefArr = ndcgCoef.mkString("[", ",", "]")
+      val icumArr = ndcgIdealCum.mkString("[", ",", "]")
+      s"""WITH lc AS (SELECT label, count(*) AS cnt
+         |            FROM embeddings GROUP BY label),
+         |top AS MATERIALIZED (
+         |  SELECT * FROM (
+         |    SELECT a.vec_id AS probe_id, a.label AS probe_label,
+         |           b.vec_id AS neighbor_id, b.label AS nb_label,
+         |           row_number() OVER (PARTITION BY a.vec_id
+         |             ORDER BY round($cos, 6) DESC, b.vec_id ASC) AS rn,
+         |           CAST(b.label = a.label AS BIGINT) AS gain
+         |    FROM embeddings a, embeddings b
+         |    WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id)
+         |  WHERE rn <= 10),
+         |dcg AS (
+         |  SELECT probe_id, cum AS dcg_raw FROM (
+         |    SELECT probe_id, rn,
+         |           sum(gain * ($coefArr)[CAST(rn AS INTEGER)])
+         |             OVER (PARTITION BY probe_id ORDER BY rn
+         |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |             AS cum
+         |    FROM top)
+         |  WHERE rn = 10),
+         |ag AS (
+         |  SELECT probe_id, any_value(probe_label) AS pl,
+         |         CAST(sum(gain) AS BIGINT) AS n_rel,
+         |         min(CASE WHEN gain = 1 THEN rn END) AS first_rel
+         |  FROM top GROUP BY probe_id),
+         |j AS (SELECT ag.probe_id, ag.n_rel, ag.first_rel,
+         |             lc.cnt - 1 AS r_total
+         |      FROM ag JOIN lc ON ag.pl = lc.label)
+         |SELECT j.probe_id, n_rel, r_total, round(dcg_raw, 6) AS dcg,
+         |       CASE WHEN r_total >= 1
+         |            THEN round(dcg_raw / ($icumArr)[CAST(least(10, r_total)
+         |                       AS INTEGER)], 6)
+         |            ELSE 0.0 END AS ndcg,
+         |       CASE WHEN first_rel IS NOT NULL
+         |            THEN round(1.0 / first_rel, 6) ELSE 0.0 END AS mrr
+         |FROM j JOIN dcg ON j.probe_id = dcg.probe_id
+         |ORDER BY j.probe_id""".stripMargin
+    },
+
     // each truncated ranking re-derived with the dim-parametric cosine
     // (same cast-to-double sequential fold, same 6-dp pre-rank rounding)
     "q_dim_ablation" -> {

@@ -243,6 +243,106 @@ class EvalOpsSpec extends AnyFunSuite with SparkSpec {
     assert(scores.zip(scores.tail).forall { case (a, b) => b <= a + 1e-12 })
   }
 
+  test("log-rank statistic matches a plain-Scala fold over the life table") {
+    val grp = Tables(spark, sf, "customer")
+      .select(col("c_custkey"), (col("c_mktsegment") === "BUILDING").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // recompute churn against the horizon in Scala from raw durations
+    val raw = Tables(spark, sf, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(expr("datediff(max(o_orderdate), min(o_orderdate)) div 30").as("t"),
+        max(col("o_orderdate")).cast("date").as("ld"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[java.sql.Date]("ld").toLocalDate))
+    val hz = raw.map(_._3).maxBy(_.toEpochDay)
+    val durs = raw.map { case (ck, t, ld) =>
+      (t, java.time.temporal.ChronoUnit.DAYS.between(ld, hz) > 365, grp(ck)) }
+    val byT = durs.groupBy(_._1).toSeq.sortBy(_._1)
+    var nAt = durs.length.toLong
+    var n1At = durs.map(_._3).sum
+    var cumOe = 0.0; var cumV = 0.0
+    byT.foreach { case (_, xs) =>
+      val dd = xs.count(_._2).toLong
+      val d1 = xs.filter(_._2).map(_._3).sum
+      cumOe += d1 - dd.toDouble * n1At / nAt
+      if (nAt > 1)
+        cumV += dd.toDouble * n1At / nAt * (1.0 - n1At.toDouble / nAt) *
+          (nAt - dd) / (nAt - 1)
+      nAt -= xs.length
+      n1At -= xs.map(_._3).sum
+    }
+    val r = q("q_logrank").collect()(0)
+    assert(r.getAs[Long]("n1") == durs.map(_._3).sum)
+    assert(r.getAs[Long]("n1") + r.getAs[Long]("n2") == durs.length.toLong)
+    assert(math.abs(r.getAs[Double]("o_minus_e") - cumOe) < 1e-4,
+      s"O-E ${r.getAs[Double]("o_minus_e")} vs scala $cumOe")
+    assert(math.abs(r.getAs[Double]("variance") - cumV) < 1e-4)
+    assert(math.abs(r.getAs[Double]("chi2") - cumOe * cumOe / cumV) < 1e-3)
+    assert(r.getAs[Double]("variance") > 0)
+  }
+
+  test("NDCG@10 and MRR match a plain-Scala reranking") {
+    val all = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"), col("label"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    def cos6(a: Array[Float], b: Array[Float]): BigDecimal = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    }
+    val coef = (1 to 10).map(i => 1.0 / (math.log(i + 1) / math.log(2)))
+    val got = q("q_ndcg").collect()
+    assert(got.length == all.count(_._1 < 10))
+    got.foreach { r =>
+      val pid = r.getAs[Long]("probe_id")
+      val (_, pv, pl) = all.find(_._1 == pid).get
+      val ranked = all.filter(_._1 != pid)
+        .map { case (id, v, l) => (cos6(pv, v), id, l) }
+        .sortBy { case (c, id, _) => (-c, id) }.take(10)
+      val gains = ranked.map(t => if (t._3 == pl) 1L else 0L)
+      var dcg = 0.0
+      gains.zipWithIndex.foreach { case (g, i) => dcg += g * coef(i) }
+      val rTotal = all.count(t => t._1 != pid && t._3 == pl).toLong
+      val idcg = coef.take(math.min(10L, rTotal).toInt).sum
+      val mrr = gains.indexOf(1L) match {
+        case -1 => 0.0
+        case i  => 1.0 / (i + 1)
+      }
+      assert(r.getAs[Long]("n_rel") == gains.sum, s"probe $pid n_rel")
+      assert(r.getAs[Long]("r_total") == rTotal, s"probe $pid r_total")
+      assert(math.abs(r.getAs[Double]("dcg") - dcg) < 1e-5, s"probe $pid dcg")
+      assert(math.abs(r.getAs[Double]("ndcg") - dcg / idcg) < 1e-5,
+        s"probe $pid ndcg")
+      assert(math.abs(r.getAs[Double]("mrr") - mrr) < 1e-5, s"probe $pid mrr")
+    }
+  }
+
+  test("F1 census marginals reconcile with the confusion matrix") {
+    val conf = q("q_naive_bayes").collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val f1 = q("q_f1_scores").collect()
+    val total = conf.values.sum
+    assert(f1.map(r => r.getAs[Long]("tp") + r.getAs[Long]("fn")).sum == total)
+    assert(f1.map(r => r.getAs[Long]("tp") + r.getAs[Long]("fp")).sum == total)
+    f1.foreach { r =>
+      val lang = r.getAs[String]("lang")
+      val tp = conf.getOrElse((lang, lang), 0L)
+      assert(r.getAs[Long]("tp") == tp, s"$lang tp")
+      val fn = conf.collect { case ((t, p), n) if t == lang && p != lang => n }.sum
+      val fp = conf.collect { case ((t, p), n) if p == lang && t != lang => n }.sum
+      assert(r.getAs[Long]("fn") == fn && r.getAs[Long]("fp") == fp, s"$lang fp/fn")
+      Seq("precision_bp", "recall_bp", "f1_bp").foreach { c =>
+        val v = r.getAs[Long](c)
+        assert(v >= 0 && v <= 10000, s"$lang $c=$v")
+      }
+    }
+  }
+
   test("l-diversity census partitions the customer table") {
     val rows = q("q_ldiversity").collect()
     val nCust = Tables(spark, sf, "customer").count()
