@@ -34,7 +34,65 @@ object TextOps {
          |                  x$i, '+', y$i)
          |    ELSE concat(acc, ' ', t) END)""".stripMargin)
 
+  /** Token array of a wrapped BPE form: '|a||b|' → ['a','b']. */
+  private def bpeToks(s: String): String =
+    s"filter(split($s, '\\\\|'), t -> t <> '')"
+
   val queries: Map[String, Q] = Map(
+    // ---- BPE TRAINING LOOP (char-level, 3 merges): the real algorithm —
+    //      count adjacent symbol pairs, merge the argmax, RECOUNT on the
+    //      new segmentation, repeat. q_bpe_pairs is the one-shot pair
+    //      census; q_phrase_merge the static word-level APPLY; this is
+    //      the iterative retrain between merges that both of them skip.
+    //      Scale: the corpus collapses to the (word, count) VOCAB CENSUS
+    //      in ONE pass (exactly how production BPE trainers work); all 3
+    //      rounds then run census-sized. Each round is pure relational
+    //      algebra: pair explode (weighted by word count) → map-side-
+    //      combined argmax → the winning pair rides as a 1-ROW BROADCAST
+    //      into a literal string replace() over the wrapped form
+    //      '|a||b|c|' — every token carries its own '|…|' wrapper, so
+    //      the pattern '|x||y|' can only match whole adjacent tokens and
+    //      greedy leftmost non-overlapping replace() == BPE's merge
+    //      semantics (shown on 'aaaa': '|a||a||a||a|' → '|aa||aa|').
+    //      Zero driver actions; all-integer counts; string argmax with
+    //      (count DESC, x ASC, y ASC) — engine-invariant ----
+    "q_bpe_train" -> ((s, d) => {
+      val wc = docs(s, d)
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+        .filter(length(col("w")) >= 2)
+        .groupBy(col("w")).agg(count(lit(1)).as("n"))
+        .select(col("w"), col("n"),
+          regexp_replace(col("w"), "(.)", "|$1|").as("s"))
+        .persistTracked()
+      def round(prev: DataFrame, r: Int): (DataFrame, DataFrame) = {
+        val pairs = prev
+          .select(col("n"), expr(bpeToks("s")).as("t"))
+          .select(col("n"), explode(arrays_zip(
+            expr("slice(t, 1, size(t) - 1)"),
+            expr("slice(t, 2, size(t) - 1)")).cast(
+            "array<struct<x:string,y:string>>")).as("p"))
+          .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+          .agg(sum(col("n")).as("cnt"))
+        val best = pairs
+          .orderBy(col("cnt").desc, col("x").asc, col("y").asc).limit(1)
+        val next = prev.crossJoin(broadcast(best))
+          .select(col("w"), col("n"),
+            expr("replace(s, concat('|', x, '||', y, '|')," +
+              " concat('|', x, y, '|'))").as("s"))
+        val report = next.crossJoin(broadcast(best))
+          .select(lit(r.toLong).as("round"), col("x"), col("y"),
+            col("cnt").as("pair_n"),
+            (col("n") * expr(s"size(${bpeToks("s")})")).as("sym"))
+          .groupBy(col("round"), col("x"), col("y"), col("pair_n"))
+          .agg(sum(col("sym")).as("n_symbols"))
+        (next, report)
+      }
+      val (s1, r1) = round(wc, 1)
+      val (s2, r2) = round(s1.persistTracked(), 2)
+      val (_, r3) = round(s2.persistTracked(), 3)
+      r1.unionByName(r2).unionByName(r3).orderBy("round")
+    }),
+
     // ---- phrase-merge application (the BPE APPLY step, word-level —
     //      q_bpe_pairs is the induction twin): learn the top-8 adjacent
     //      word pairs, then apply them as a greedy merge table — each
@@ -557,6 +615,41 @@ object TextOps {
        |    ELSE acc || ' ' || t END)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // identical vocab census, wrapped-form replace, and argmax tie-break
+    "q_bpe_train" -> {
+      def toks(s: String) =
+        s"list_filter(string_split($s, '|'), t -> t <> '')"
+      val rounds = (1 to 3).map { r =>
+        val prev = if (r == 1) "wc" else s"s${r - 1}"
+        s"""p$r AS (
+           |  SELECT l[i] AS x, l[i + 1] AS y, n FROM (
+           |    SELECT n, l, unnest(range(1, len(l))) AS i FROM (
+           |      SELECT n, ${toks("s")} AS l FROM $prev))),
+           |b$r AS (SELECT x, y, CAST(sum(n) AS BIGINT) AS cnt
+           |        FROM p$r GROUP BY x, y
+           |        ORDER BY cnt DESC, x ASC, y ASC LIMIT 1),
+           |s$r AS (SELECT w, n,
+           |          replace(s, '|' || x || '||' || y || '|',
+           |                  '|' || x || y || '|') AS s
+           |        FROM $prev, b$r),
+           |rep$r AS (
+           |  SELECT CAST($r AS BIGINT) AS round, x, y, cnt AS pair_n,
+           |         CAST(sum(n * len(${toks("s")})) AS BIGINT) AS n_symbols
+           |  FROM s$r, b$r GROUP BY 1, 2, 3, 4)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH wc0 AS (
+         |  SELECT t.w AS w, count(*) AS n
+         |  FROM documents,
+         |       unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t(w)
+         |  WHERE length(t.w) >= 2 GROUP BY t.w),
+         |wc AS MATERIALIZED (
+         |  SELECT w, n, regexp_replace(w, '(.)', '|\\1|', 'g') AS s
+         |  FROM wc0),
+         |$rounds
+         |SELECT * FROM rep1 UNION ALL SELECT * FROM rep2
+         |UNION ALL SELECT * FROM rep3 ORDER BY round""".stripMargin
+    },
+
     // the oracle re-derives the same top-8 merge table and replays the
     // same greedy per-merge fold
     "q_phrase_merge" -> {
