@@ -54,6 +54,40 @@ object TimeSeriesOps {
         max(col("late_s")).as("max_late_s"))
   }
 
+  /** The Holt (α=β=½) fold over a grouped (day, n) series — the shared
+    * recurrence spine of q_holt_forecast and q_forecast_backtest. A
+    * LEFT-TO-RIGHT sequential double chain: both engines execute the
+    * identical IEEE op sequence (DuckDB twin: the list_reduce form in
+    * the oracles), so the (level, trend) state is bit-identical before
+    * output rounding.
+    */
+  private val holtFold: String =
+    """aggregate(
+      |  transform(array_sort(collect_list(struct(day, n))),
+      |            p -> CAST(p.n AS DOUBLE)),
+      |  CAST(array() AS ARRAY<DOUBLE>),
+      |  (acc, y) -> CASE WHEN size(acc) = 0
+      |    THEN array(y, CAST(0.0 AS DOUBLE))
+      |    ELSE array(
+      |      0.5D * y + 0.5D * (element_at(acc, 1) + element_at(acc, 2)),
+      |      0.5D * ((0.5D * y + 0.5D * (element_at(acc, 1)
+      |               + element_at(acc, 2))) - element_at(acc, 1))
+      |        + 0.5D * element_at(acc, 2)) END)""".stripMargin
+
+  /** DuckDB twin of [[holtFold]] (list_reduce needs acc type == element
+    * type, so elements are 1-elem DOUBLE[] and the state a 2-elem one).
+    */
+  private val holtFoldSql: String =
+    """list_reduce(
+      |      list_prepend(CAST([] AS DOUBLE[]),
+      |        [[CAST(x.n AS DOUBLE)]
+      |         for x in list_sort(list({'d': day, 'n': n}))]),
+      |      (acc, y) -> CASE WHEN len(acc) = 0
+      |        THEN [y[1], CAST(0 AS DOUBLE)]
+      |        ELSE [0.5 * y[1] + 0.5 * (acc[1] + acc[2]),
+      |              0.5 * ((0.5 * y[1] + 0.5 * (acc[1] + acc[2]))
+      |                     - acc[1]) + 0.5 * acc[2]] END)""".stripMargin
+
   val queries: Map[String, Q] = Map(
     // ---- resample to a daily grid + forward fill (gap filling): every
     //      (user, calendar day) gets the user's most recent observed value.
@@ -318,22 +352,47 @@ object TimeSeriesOps {
     //      (time-bounded, not corpus-bounded) daily series — the same
     //      bounded collect every calendar rollup here rides on; the daily
     //      census itself is one map-side-combined fine-key agg ----
+    // ---- rolling-origin forecast backtest — the evaluation loop
+    //      q_holt_forecast itself skips: re-run the SAME Holt fold on the
+    //      series truncated at 3 cutoffs (7/14/21 days before each
+    //      type's end) and score the 7-day-ahead forecast against the
+    //      actual. One daily census (persisted), cutoffs as a 3-row
+    //      broadcast (the truncation is a per-row filter, never a new
+    //      scan), per-(type, cutoff) fold over the time-bounded series;
+    //      the actual lands via a LEFT join back to the census (a silent
+    //      day gap scores as 0, not a dropped row). The fold is the
+    //      SHARED [[holtFold]] spine, so forecast and backtest can never
+    //      disagree on the recurrence ----
+    "q_forecast_backtest" -> ((s, d) => {
+      val daily = ev(s, d).groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n")).persistTracked()
+      val ends = daily.groupBy(col("event_type")).agg(max(col("day")).as("dmax"))
+      val folded = daily.join(broadcast(ends), "event_type")
+        .crossJoin(broadcast(s.range(1, 4).select((col("id") * 7).as("h_age"))))
+        .filter(col("day") <= col("dmax") - col("h_age"))
+        .groupBy(col("event_type"), col("h_age"), col("dmax"))
+        .agg(count(lit(1)).as("n_days"), expr(holtFold).as("lb"))
+      val act = daily.select(col("event_type").as("a_type"),
+        col("day").as("a_day"), col("n").as("a_n"))
+      folded
+        .join(act, col("event_type") === col("a_type") &&
+          col("a_day") === col("dmax") - col("h_age") + 7, "left")
+        .select(col("event_type"), col("h_age").as("cutoff_age"),
+          col("n_days"),
+          round(element_at(col("lb"), 1) +
+            lit(7.0) * element_at(col("lb"), 2), 4).as("forecast_7"),
+          coalesce(col("a_n"), lit(0L)).as("actual"),
+          round(abs(element_at(col("lb"), 1) +
+            lit(7.0) * element_at(col("lb"), 2) -
+            coalesce(col("a_n"), lit(0L))), 4).as("abs_err"))
+        .orderBy("event_type", "cutoff_age")
+    }),
+
     "q_holt_forecast" -> ((s, d) => {
       val daily = ev(s, d).groupBy(col("event_type"), col("day"))
         .agg(count(lit(1)).as("n"))
       daily.groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n_days"),
-          expr("""aggregate(
-            transform(array_sort(collect_list(struct(day, n))),
-                      p -> CAST(p.n AS DOUBLE)),
-            CAST(array() AS ARRAY<DOUBLE>),
-            (acc, y) -> CASE WHEN size(acc) = 0
-              THEN array(y, CAST(0.0 AS DOUBLE))
-              ELSE array(
-                0.5D * y + 0.5D * (element_at(acc, 1) + element_at(acc, 2)),
-                0.5D * ((0.5D * y + 0.5D * (element_at(acc, 1)
-                         + element_at(acc, 2))) - element_at(acc, 1))
-                  + 0.5D * element_at(acc, 2)) END)""").as("lb"))
+        .agg(count(lit(1)).as("n_days"), expr(holtFold).as("lb"))
         .select(col("event_type"), col("n_days"),
           round(element_at(col("lb"), 1), 4).as("level"),
           round(element_at(col("lb"), 2), 4).as("trend"),
@@ -915,28 +974,49 @@ object TimeSeriesOps {
     // type, so elements are 1-elem DOUBLE[] and the state a 2-elem one —
     // the arithmetic sequence is identical op for op
     "q_holt_forecast" ->
-      """WITH daily AS (
-        |  SELECT event_type,
-        |         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
-        |         count(*) AS n
-        |  FROM events GROUP BY 1, 2),
-        |folded AS (
-        |  SELECT event_type, count(*) AS n_days,
-        |    list_reduce(
-        |      list_prepend(CAST([] AS DOUBLE[]),
-        |        [[CAST(x.n AS DOUBLE)]
-        |         for x in list_sort(list({'d': day, 'n': n}))]),
-        |      (acc, y) -> CASE WHEN len(acc) = 0
-        |        THEN [y[1], CAST(0 AS DOUBLE)]
-        |        ELSE [0.5 * y[1] + 0.5 * (acc[1] + acc[2]),
-        |              0.5 * ((0.5 * y[1] + 0.5 * (acc[1] + acc[2]))
-        |                     - acc[1]) + 0.5 * acc[2]] END) AS lb
-        |  FROM daily GROUP BY event_type)
-        |SELECT event_type, n_days,
-        |       round(lb[1], 4) AS level,
-        |       round(lb[2], 4) AS trend,
-        |       round(lb[1] + 7.0 * lb[2], 4) AS forecast_7
-        |FROM folded ORDER BY event_type""".stripMargin,
+      s"""WITH daily AS (
+         |  SELECT event_type,
+         |         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         |         count(*) AS n
+         |  FROM events GROUP BY 1, 2),
+         |folded AS (
+         |  SELECT event_type, count(*) AS n_days,
+         |    $holtFoldSql AS lb
+         |  FROM daily GROUP BY event_type)
+         |SELECT event_type, n_days,
+         |       round(lb[1], 4) AS level,
+         |       round(lb[2], 4) AS trend,
+         |       round(lb[1] + 7.0 * lb[2], 4) AS forecast_7
+         |FROM folded ORDER BY event_type""".stripMargin,
+
+    // same fold on the truncated series; actual via LEFT join, gap = 0
+    "q_forecast_backtest" ->
+      s"""WITH daily AS MATERIALIZED (
+         |  SELECT event_type,
+         |         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         |         count(*) AS n
+         |  FROM events GROUP BY 1, 2),
+         |ends AS (SELECT event_type, max(day) AS dmax
+         |         FROM daily GROUP BY 1),
+         |folded AS (
+         |  SELECT event_type, h_age, dmax, count(*) AS n_days,
+         |    $holtFoldSql AS lb
+         |  FROM (SELECT d.event_type, d.day, d.n, e.dmax,
+         |               CAST(a.h_age AS BIGINT) AS h_age
+         |        FROM daily d
+         |        JOIN ends e ON d.event_type = e.event_type,
+         |             (VALUES (7), (14), (21)) a(h_age)
+         |        WHERE d.day <= e.dmax - a.h_age)
+         |  GROUP BY event_type, h_age, dmax)
+         |SELECT f.event_type, h_age AS cutoff_age, n_days,
+         |       round(lb[1] + 7.0 * lb[2], 4) AS forecast_7,
+         |       CAST(COALESCE(a.n, 0) AS BIGINT) AS actual,
+         |       round(abs(lb[1] + 7.0 * lb[2] - COALESCE(a.n, 0)), 4)
+         |         AS abs_err
+         |FROM folded f LEFT JOIN daily a
+         |  ON f.event_type = a.event_type
+         | AND a.day = f.dmax - f.h_age + 7
+         |ORDER BY f.event_type, cutoff_age""".stripMargin,
 
     "q_ewma" ->
       """WITH daily AS (

@@ -343,6 +343,85 @@ class EvalOpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("BPE training loop matches a plain-Scala list-based trainer") {
+    // the engine merges via wrapped-form string replace; this twin works
+    // on token LISTS with the textbook greedy left-to-right walk — if the
+    // two agree, the replace trick implements real BPE merge semantics
+    val words = Tables(spark, sf, "documents")
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .collect().map(_.getString(0))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    var seqs: Map[String, List[String]] =
+      words.keys.map(w => w -> w.map(_.toString).toList).toMap
+    val expected = (1 to 3).map { r =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        .withDefaultValue(0L)
+      seqs.foreach { case (w, ts) =>
+        ts.zip(ts.tail).foreach(p => counts(p) += words(w))
+      }
+      val ((x, y), cnt) = counts.toSeq
+        .minBy { case ((a, b), c) => (-c, a, b) }
+      seqs = seqs.map { case (w, ts) =>
+        val out = scala.collection.mutable.ListBuffer.empty[String]
+        var i = 0
+        while (i < ts.length) {
+          if (i + 1 < ts.length && ts(i) == x && ts(i + 1) == y) {
+            out += (x + y); i += 2
+          } else { out += ts(i); i += 1 }
+        }
+        w -> out.toList
+      }
+      val nSym = seqs.map { case (w, ts) => words(w) * ts.length }.sum
+      (r.toLong, x, y, cnt, nSym)
+    }
+    val got = q("q_bpe_train").collect()
+      .map(r => (r.getAs[Long]("round"), r.getAs[String]("x"),
+        r.getAs[String]("y"), r.getAs[Long]("pair_n"),
+        r.getAs[Long]("n_symbols")))
+      .sortBy(_._1)
+    assert(got.toSeq == expected.toSeq,
+      s"engine ${got.toSeq} vs scala ${expected.toSeq}")
+    // merges strictly shrink the symbol stream
+    val syms = got.map(_._5)
+    assert(syms.zip(syms.tail).forall { case (a, b) => b < a })
+  }
+
+  test("forecast backtest matches a plain-Scala Holt fold per cutoff") {
+    val daily = Tables(spark, sf, "events")
+      .select(col("event_type"),
+        expr("unix_timestamp(ts) div 86400").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byType = daily.groupBy(_._1)
+    def holt(series: Seq[(Long, Long)]): (Double, Double) =
+      series.sortBy(_._1).map(_._2.toDouble)
+        .foldLeft((Double.NaN, 0.0)) { case ((l, b), y) =>
+          if (l.isNaN) (y, 0.0)
+          else {
+            val l2 = 0.5 * y + 0.5 * (l + b)
+            (l2, 0.5 * (l2 - l) + 0.5 * b)
+          }
+        }
+    val got = q("q_forecast_backtest").collect()
+    assert(got.length == byType.size * 3)
+    got.foreach { r =>
+      val (et, age) = (r.getAs[String]("event_type"), r.getAs[Long]("cutoff_age"))
+      val series = byType(et).map(t => (t._2, t._3))
+      val dmax = series.map(_._1).max
+      val cut = series.filter(_._1 <= dmax - age)
+      val (l, b) = holt(cut)
+      val fc = l + 7.0 * b
+      val actual = series.find(_._1 == dmax - age + 7).map(_._2).getOrElse(0L)
+      assert(r.getAs[Long]("n_days") == cut.length.toLong, s"$et/$age n_days")
+      assert(math.abs(r.getAs[Double]("forecast_7") - fc) < 1e-3,
+        s"$et/$age forecast ${r.getAs[Double]("forecast_7")} vs $fc")
+      assert(r.getAs[Long]("actual") == actual, s"$et/$age actual")
+      assert(math.abs(r.getAs[Double]("abs_err") - math.abs(fc - actual)) < 1e-3)
+    }
+  }
+
   test("l-diversity census partitions the customer table") {
     val rows = q("q_ldiversity").collect()
     val nCust = Tables(spark, sf, "customer").count()
