@@ -539,6 +539,34 @@ object CorpusOps {
           min(col("n")).as("min_group"), max(col("n")).as("max_group"))
     }),
 
+    // ---- stratified k-fold audit: deterministic hash folds (the shared
+    //      LCG — reproducible across engines/runs/cluster layouts, the
+    //      property sklearn's random_state can't give a distributed
+    //      pipeline) + the per-(fold, stratum) balance census that
+    //      decides whether hash splitting preserved class shares. One
+    //      fine-key census shuffle; marginals ride as broadcasts;
+    //      shares in integer basis points ----
+    "q_stratified_kfold" -> ((s, d) => {
+      val P = 2147483647L
+      val cen = docs(s, d)
+        .select(col("lang"),
+          (pmod(pmod(col("doc_id"), lit(P)) * 1103515245L + 12345L,
+            lit(P)) % 5).as("fold"))
+        .groupBy(col("fold"), col("lang")).agg(count(lit(1)).as("n"))
+        .persistTracked()
+      val foldTot = cen.groupBy(col("fold")).agg(sum(col("n")).as("n_fold"))
+      val langTot = cen.groupBy(col("lang")).agg(sum(col("n")).as("n_lang"))
+      val tot = cen.agg(sum(col("n")).as("n_tot"))
+      cen.join(broadcast(foldTot), "fold").join(broadcast(langTot), "lang")
+        .crossJoin(broadcast(tot))
+        .select(col("fold"), col("lang"), col("n"),
+          expr("n * 10000 div n_fold").as("share_bp"),
+          expr("n_lang * 10000 div n_tot").as("global_bp"),
+          abs(expr("n * 10000 div n_fold") -
+            expr("n_lang * 10000 div n_tot")).as("dev_bp"))
+        .orderBy("fold", "lang")
+    }),
+
     // ---- l-diversity audit — [[q_kanonymity]]'s second axis: a QI class
     //      can be k-anonymous yet leak its sensitive attribute when every
     //      member shares one value. Per (nation, segment) class: size,
@@ -749,6 +777,25 @@ object CorpusOps {
         |       CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS rows_at_risk,
         |       min(n) AS min_group, max(n) AS max_group
         |FROM g""".stripMargin,
+
+    "q_stratified_kfold" ->
+      """WITH cen AS (
+        |  SELECT ((doc_id % 2147483647) * 1103515245 + 12345)
+        |           % 2147483647 % 5 AS fold,
+        |         lang, count(*) AS n
+        |  FROM documents GROUP BY 1, 2),
+        |ft AS (SELECT fold, CAST(sum(n) AS BIGINT) AS n_fold
+        |       FROM cen GROUP BY 1),
+        |lt AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_lang
+        |       FROM cen GROUP BY 1),
+        |tt AS (SELECT CAST(sum(n) AS BIGINT) AS n_tot FROM cen)
+        |SELECT cen.fold, cen.lang, n,
+        |       n * 10000 // n_fold AS share_bp,
+        |       n_lang * 10000 // n_tot AS global_bp,
+        |       abs(n * 10000 // n_fold - n_lang * 10000 // n_tot) AS dev_bp
+        |FROM cen JOIN ft ON cen.fold = ft.fold
+        |     JOIN lt ON cen.lang = lt.lang, tt
+        |ORDER BY cen.fold, cen.lang""".stripMargin,
 
     "q_ldiversity" ->
       """SELECT c_nationkey, c_mktsegment, count(*) AS n,

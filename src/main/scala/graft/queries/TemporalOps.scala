@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.operators.Persisted._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -142,6 +143,51 @@ object TemporalOps {
         .orderBy("event_type")
     }),
 
+    // ---- sequential A/B monitoring (the peeking census) —
+    //      q_ab_ttest's time axis: at each DAY, the cumulative
+    //      conversion z-score between the two user arms, and the first
+    //      day the experiment could have stopped (|z| ≥ 1.96). One
+    //      (day × arm) census shuffle; cumulative counts via ordered
+    //      window folds over the ≤horizon-days census; z is ONE shared
+    //      IEEE expression over exact integers per day, so the crossing
+    //      day (an integer argmin behind a float compare on
+    //      bit-identical inputs) is engine-invariant ----
+    "q_sequential_ab" -> ((s, d) => {
+      val daily = events(s, d)
+        .select(expr("unix_timestamp(ts) div 86400").as("day"),
+          (col("user_id") % 2 === 0).cast("long").as("a"),
+          (col("event_type") === "purchase").cast("long").as("x"))
+        .groupBy(col("day"))
+        .agg(sum(col("a")).as("na_d"),
+          sum(col("a") * col("x")).as("xa_d"),
+          (count(lit(1)) - sum(col("a"))).as("nb_d"),
+          sum((lit(1L) - col("a")) * col("x")).as("xb_d"))
+      val wCum = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val z = daily
+        .withColumn("na", sum(col("na_d")).over(wCum))
+        .withColumn("xa", sum(col("xa_d")).over(wCum))
+        .withColumn("nb", sum(col("nb_d")).over(wCum))
+        .withColumn("xb", sum(col("xb_d")).over(wCum))
+        .withColumn("p",
+          (col("xa") + col("xb")).cast("double") / (col("na") + col("nb")))
+        .withColumn("z", when(col("p") > 0 && col("p") < 1 &&
+            col("na") > 0 && col("nb") > 0,
+          (col("xa").cast("double") / col("na") -
+            col("xb").cast("double") / col("nb")) /
+            sqrt(col("p") * (lit(1.0) - col("p")) *
+              (lit(1.0) / col("na") + lit(1.0) / col("nb"))))
+          .otherwise(lit(0.0)))
+        .persistTracked()
+      val last = z.orderBy(col("day").desc).limit(1)
+        .select(col("na"), col("xa"), col("nb"), col("xb"),
+          round(col("z"), 4).as("z_final"))
+      val cross = z.filter(abs(col("z")) >= 1.96)
+        .agg(min(col("day")).as("first_cross_day"),
+          count(lit(1)).as("n_days_crossed"))
+      last.crossJoin(broadcast(cross))
+    }),
+
     // ---- top-k per group: each user's 3 highest-value purchases via
     //      row_number over (user_id), the canonical per-key top-k (NOT a
     //      global sort; at scale this is one shuffle and a bounded
@@ -198,6 +244,50 @@ object TemporalOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // same day census, cumulative window folds, and ONE shared z
+    // expression (doubles forced everywhere — DuckDB's DECIMAL literal
+    // arithmetic is a different number, the q_rate_ci lesson)
+    "q_sequential_ab" ->
+      """WITH daily AS (
+        |  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |         CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS na_d,
+        |         CAST(sum(CASE WHEN user_id % 2 = 0
+        |                        AND event_type = 'purchase'
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS xa_d,
+        |         CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS nb_d,
+        |         CAST(sum(CASE WHEN user_id % 2 = 1
+        |                        AND event_type = 'purchase'
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS xb_d
+        |  FROM events GROUP BY 1),
+        |cum AS (
+        |  SELECT day,
+        |         CAST(sum(na_d) OVER wc AS BIGINT) AS na,
+        |         CAST(sum(xa_d) OVER wc AS BIGINT) AS xa,
+        |         CAST(sum(nb_d) OVER wc AS BIGINT) AS nb,
+        |         CAST(sum(xb_d) OVER wc AS BIGINT) AS xb
+        |  FROM daily
+        |  WINDOW wc AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+        |                AND CURRENT ROW)),
+        |zt AS (
+        |  SELECT *, CAST(xa + xb AS DOUBLE) / (na + nb) AS p FROM cum),
+        |z2 AS (
+        |  SELECT *, CASE WHEN p > 0 AND p < 1 AND na > 0 AND nb > 0
+        |    THEN (CAST(xa AS DOUBLE) / na - CAST(xb AS DOUBLE) / nb) /
+        |         sqrt(p * (CAST(1 AS DOUBLE) - p) *
+        |              (CAST(1 AS DOUBLE) / na + CAST(1 AS DOUBLE) / nb))
+        |    ELSE CAST(0 AS DOUBLE) END AS z
+        |  FROM zt),
+        |lastrow AS (
+        |  SELECT na, xa, nb, xb, round(z, 4) AS z_final
+        |  FROM z2 ORDER BY day DESC LIMIT 1),
+        |crossed AS (
+        |  SELECT min(day) AS first_cross_day,
+        |         count(*) AS n_days_crossed
+        |  FROM z2 WHERE abs(z) >= 1.96)
+        |SELECT * FROM lastrow, crossed""".stripMargin,
+
     "q_ab_ttest" ->
       """WITH st AS (
         |  SELECT event_type, user_id % 2 = 0 AS grp_a,

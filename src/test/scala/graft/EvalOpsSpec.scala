@@ -422,6 +422,57 @@ class EvalOpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("sequential A/B z-path matches a plain-Scala cumulative fold") {
+    val rows = Tables(spark, sf, "events")
+      .select(expr("unix_timestamp(ts) div 86400").as("day"),
+        (col("user_id") % 2 === 0).as("a"),
+        (col("event_type") === "purchase").as("x"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2)))
+    val days = rows.map(_._1).distinct.sorted
+    var (na, xa, nb, xb) = (0L, 0L, 0L, 0L)
+    var firstCross: Option[Long] = None
+    var crossed = 0L
+    var zLast = 0.0
+    days.foreach { d =>
+      val todays = rows.filter(_._1 == d)
+      na += todays.count(_._2); xa += todays.count(t => t._2 && t._3)
+      nb += todays.count(!_._2); xb += todays.count(t => !t._2 && t._3)
+      val p = (xa + xb).toDouble / (na + nb)
+      val z = if (p > 0 && p < 1 && na > 0 && nb > 0)
+        (xa.toDouble / na - xb.toDouble / nb) /
+          math.sqrt(p * (1.0 - p) * (1.0 / na + 1.0 / nb))
+      else 0.0
+      if (math.abs(z) >= 1.96) {
+        crossed += 1
+        if (firstCross.isEmpty) firstCross = Some(d)
+      }
+      zLast = z
+    }
+    val r = q("q_sequential_ab").collect()(0)
+    assert(r.getAs[Long]("na") == na && r.getAs[Long]("xa") == xa &&
+      r.getAs[Long]("nb") == nb && r.getAs[Long]("xb") == xb)
+    assert(math.abs(r.getAs[Double]("z_final") - zLast) < 1e-3)
+    assert(Option(r.getAs[java.lang.Long]("first_cross_day")).map(_.toLong)
+      == firstCross, "first crossing day")
+    assert(r.getAs[Long]("n_days_crossed") == crossed)
+  }
+
+  test("stratified k-fold census conserves the corpus and its deviations") {
+    val rows = q("q_stratified_kfold").collect()
+    val nDocs = Tables(spark, sf, "documents").count()
+    assert(rows.map(_.getAs[Long]("n")).sum == nDocs)
+    assert(rows.map(_.getAs[Long]("fold")).distinct.sorted.toSeq == (0L to 4L))
+    // per-fold shares are a partition of each fold (floor-division slack < langs)
+    rows.groupBy(_.getAs[Long]("fold")).foreach { case (f, rs) =>
+      val bp = rs.map(_.getAs[Long]("share_bp")).sum
+      assert(bp > 10000 - rs.length && bp <= 10000, s"fold $f shares sum $bp")
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("dev_bp") ==
+        math.abs(r.getAs[Long]("share_bp") - r.getAs[Long]("global_bp")))
+    }
+  }
+
   test("l-diversity census partitions the customer table") {
     val rows = q("q_ldiversity").collect()
     val nCust = Tables(spark, sf, "customer").count()
