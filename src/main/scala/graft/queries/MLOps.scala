@@ -182,6 +182,52 @@ object MLOps {
         .orderBy("decile")
     }),
 
+    // ---- isotonic calibration (PAV), declaratively: fit a monotone
+    //      conversion-rate curve over ascending score deciles WITHOUT
+    //      the sequential pool-adjacent-violators loop — by the minimax
+    //      identity iso(k) = max_{i≤k} min_{j≥k} mean(i..j), which is
+    //      pure relational algebra: interval means from prefix sums of
+    //      the 10-row decile census (each ONE IEEE division of exact
+    //      integers), then a min-then-max aggregation over the ≤10·55
+    //      (k, interval) pairs. Every stage is census-sized at any
+    //      event volume; EvalOpsSpec proves equality with a textbook
+    //      weighted PAV fold ----
+    "q_isotonic_fit" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val cen = scoreCensus(Tables(s, d, "events"))
+      val tot = cen.agg(sum(col("np") + col("nn")).as("n_tot"))
+      val wPrev = W.orderBy(col("score")).rowsBetween(Long.MinValue, -1)
+      val dec = cen.crossJoin(broadcast(tot))
+        .withColumn("cum_before",
+          coalesce(sum(col("np") + col("nn")).over(wPrev), lit(0L)))
+        .withColumn("decile", expr("cum_before * 10 div n_tot"))
+        .groupBy(col("decile"))
+        .agg(sum(col("np") + col("nn")).as("n"), sum(col("np")).as("pos"))
+        .persistTracked()
+      val wCum = W.orderBy(col("decile")).rowsBetween(Long.MinValue, 0)
+      val pre = dec
+        .withColumn("cn", sum(col("n")).over(wCum))
+        .withColumn("cp", sum(col("pos")).over(wCum))
+      val lo = pre.select(col("decile").as("i"),
+        (col("cn") - col("n")).as("cn0"), (col("cp") - col("pos")).as("cp0"))
+      val hi = pre.select(col("decile").as("j"),
+        col("cn").as("cnj"), col("cp").as("cpj"))
+      val iv = lo.crossJoin(hi).filter(col("i") <= col("j"))
+        .select(col("i"), col("j"),
+          ((col("cpj") - col("cp0")).cast("double") /
+            (col("cnj") - col("cn0"))).as("m"))
+      dec.select(col("decile").as("k"), col("n"), col("pos"))
+        .join(iv, col("i") <= col("k") && col("j") >= col("k"))
+        .groupBy(col("k"), col("n"), col("pos"), col("i"))
+        .agg(min(col("m")).as("mn"))
+        .groupBy(col("k"), col("n"), col("pos"))
+        .agg(max(col("mn")).as("iso"))
+        .select(col("k").as("decile"), col("n"), col("pos"),
+          round(col("pos").cast("double") / col("n"), 6).as("raw_rate"),
+          round(col("iso"), 6).as("iso_rate"))
+        .orderBy("decile")
+    }),
+
     // ---- multinomial Naive Bayes language classifier, trained and
     //      evaluated in-engine (resubstitution): add-one-smoothed token
     //      likelihoods per language. The likelihood table is
@@ -427,6 +473,48 @@ object MLOps {
       s"""WITH $nbCtes
          |SELECT true_lang, pred_lang, n
          |FROM conf ORDER BY true_lang, pred_lang""".stripMargin,
+
+    // same census deciles, interval means from prefix sums, and the
+    // minimax identity as min-then-max aggregation
+    "q_isotonic_fit" ->
+      """WITH sc AS (
+        |  SELECT CAST(round(value * 100) AS BIGINT) AS score,
+        |         CAST(event_type = 'purchase' AS BIGINT) AS y
+        |  FROM events),
+        |cen AS (
+        |  SELECT score, count(*) AS n, CAST(sum(y) AS BIGINT) AS np
+        |  FROM sc GROUP BY score),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_tot FROM cen),
+        |dec AS (
+        |  SELECT CAST((COALESCE(sum(n) OVER (ORDER BY score ROWS BETWEEN
+        |           UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 10) // n_tot
+        |           AS BIGINT) AS decile,
+        |         n, np
+        |  FROM cen, tot),
+        |dt AS (
+        |  SELECT decile, CAST(sum(n) AS BIGINT) AS n,
+        |         CAST(sum(np) AS BIGINT) AS pos
+        |  FROM dec GROUP BY decile),
+        |pre AS (
+        |  SELECT decile, n, pos,
+        |         CAST(sum(n) OVER wc AS BIGINT) AS cn,
+        |         CAST(sum(pos) OVER wc AS BIGINT) AS cp
+        |  FROM dt
+        |  WINDOW wc AS (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING
+        |                AND CURRENT ROW)),
+        |iv AS (
+        |  SELECT a.decile AS i, b.decile AS j,
+        |         CAST(b.cp - (a.cp - a.pos) AS DOUBLE) /
+        |           (b.cn - (a.cn - a.n)) AS m
+        |  FROM pre a JOIN pre b ON a.decile <= b.decile),
+        |mn AS (
+        |  SELECT d.decile AS k, d.n, d.pos, iv.i, min(iv.m) AS mn
+        |  FROM dt d JOIN iv ON iv.i <= d.decile AND iv.j >= d.decile
+        |  GROUP BY d.decile, d.n, d.pos, iv.i)
+        |SELECT k AS decile, n, pos,
+        |       round(CAST(pos AS DOUBLE) / n, 6) AS raw_rate,
+        |       round(max(mn), 6) AS iso_rate
+        |FROM mn GROUP BY k, n, pos ORDER BY decile""".stripMargin,
 
     // same confusion CTEs; marginal algebra and bp metrics all-integer
     "q_f1_scores" ->

@@ -473,6 +473,42 @@ class EvalOpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("minimax isotonic fit equals a textbook weighted PAV fold") {
+    val rows = q("q_isotonic_fit").collect()
+      .sortBy(_.getAs[Long]("decile"))
+    val (ns, ps) = (rows.map(_.getAs[Long]("n")), rows.map(_.getAs[Long]("pos")))
+    // weighted pool-adjacent-violators: pools of (sumPos, sumN); merge
+    // while the last pool's mean is <= its predecessor's
+    val pools = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
+    ns.indices.foreach { i =>
+      pools += ((ps(i), ns(i)))
+      while (pools.length >= 2 && {
+        val (p2, n2) = pools(pools.length - 1)
+        val (p1, n1) = pools(pools.length - 2)
+        p2.toDouble / n2 <= p1.toDouble / n1
+      }) {
+        val (p2, n2) = pools.remove(pools.length - 1)
+        val (p1, n1) = pools.remove(pools.length - 1)
+        pools += ((p1 + p2, n1 + n2))
+      }
+    }
+    // expand pool means to per-decile fits
+    val fits = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var idx = 0
+    pools.foreach { case (p, n) =>
+      var w = 0L
+      while (w < n) { fits += p.toDouble / n; w += ns(idx); idx += 1 }
+    }
+    assert(fits.length == rows.length)
+    rows.zip(fits).foreach { case (r, f) =>
+      assert(math.abs(r.getAs[Double]("iso_rate") - f) < 1e-5,
+        s"decile ${r.getAs[Long]("decile")}: minimax ${r.getAs[Double]("iso_rate")} vs PAV $f")
+    }
+    // the fit is monotone non-decreasing
+    val iso = rows.map(_.getAs[Double]("iso_rate"))
+    assert(iso.zip(iso.tail).forall { case (a, b) => b >= a - 1e-12 })
+  }
+
   test("l-diversity census partitions the customer table") {
     val rows = q("q_ldiversity").collect()
     val nCust = Tables(spark, sf, "customer").count()
