@@ -22,6 +22,12 @@ object TemporalOps {
 
   private def events(s: SparkSession, d: String) = Tables(s, d, "events")
 
+  /** z₀.₉₇₅ + z₀.₈₀ for the 80%-power / two-sided-5% MDE — summed ONCE
+    * in Scala and shipped to both engines as a literal (shortest
+    * round-trip), keeping the normal quantiles out of both plans.
+    */
+  private val ZSum: Double = 1.959963984540054 + 0.8416212335729143
+
   val queries: Map[String, Q] = Map(
     // ---- SCD-2 reconstruction: collapse each user's event-type change log
     //      into validity intervals [valid_from, valid_to) with a version
@@ -153,15 +159,7 @@ object TemporalOps {
     //      day (an integer argmin behind a float compare on
     //      bit-identical inputs) is engine-invariant ----
     "q_sequential_ab" -> ((s, d) => {
-      val daily = events(s, d)
-        .select(expr("unix_timestamp(ts) div 86400").as("day"),
-          (col("user_id") % 2 === 0).cast("long").as("a"),
-          (col("event_type") === "purchase").cast("long").as("x"))
-        .groupBy(col("day"))
-        .agg(sum(col("a")).as("na_d"),
-          sum(col("a") * col("x")).as("xa_d"),
-          (count(lit(1)) - sum(col("a"))).as("nb_d"),
-          sum((lit(1L) - col("a")) * col("x")).as("xb_d"))
+      val daily = abDailyCensus(events(s, d))
       val wCum = Window.orderBy(col("day"))
         .rowsBetween(Window.unboundedPreceding, 0)
       val z = daily
@@ -187,6 +185,82 @@ object TemporalOps {
           count(lit(1)).as("n_days_crossed"))
       last.crossJoin(broadcast(cross))
     }),
+
+    // ---- CUPED variance reduction — the adjustment every mature
+    //      experimentation platform applies before reading an A/B
+    //      metric: per user, x = pre-period (first 15 days) total spend
+    //      and y = post-period purchase revenue, both exact BIGINT
+    //      cents; θ = cov(x,y)/var(x) from POOLED integer co-moments
+    //      accumulated in decimal(38,0) (the q_corr_matrix device —
+    //      sum(x·y) overflows int64 at warehouse scale), and the
+    //      adjusted arm difference is diff_y − θ·diff_x. One user-keyed
+    //      shuffle; every reported double is ONE fixed-shape expression
+    //      over exact moments, so both engines compute identical bits;
+    //      ρ² reports the variance fraction CUPED removes ----
+    "q_cuped" -> ((s, d) => {
+      val e = events(s, d).select(col("user_id"),
+        expr("unix_timestamp(ts) div 86400").as("day"),
+        col("event_type"), round(col("value") * 100).cast("long").as("cents"))
+      val dmin = e.agg(min(col("day")).as("d0"))
+      val per = e.crossJoin(broadcast(dmin))
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("day") < col("d0") + 15, col("cents"))
+            .otherwise(0L)).as("x"),
+          sum(when(col("day") >= col("d0") + 15 &&
+              col("event_type") === "purchase", col("cents"))
+            .otherwise(0L)).as("y"))
+        .withColumn("a", (col("user_id") % 2 === 0).cast("long"))
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      per.agg(
+          count(lit(1)).as("n"),
+          sum(col("a")).as("na"),
+          sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+          sum(dec(col("x")) * dec(col("y"))).as("sxy"),
+          sum(dec(col("x")) * dec(col("x"))).as("sxx"),
+          sum(dec(col("y")) * dec(col("y"))).as("syy"),
+          sum(dec(col("a") * col("x"))).as("sxa"),
+          sum(dec(col("a") * col("y"))).as("sya"))
+        .select(col("na"), (col("n") - col("na")).as("nb"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+            .as("theta"),
+          (col("sya").cast("double") / col("na") -
+            (col("sy") - col("sya")).cast("double") / (col("n") - col("na")))
+            .as("dy"),
+          (col("sxa").cast("double") / col("na") -
+            (col("sx") - col("sxa")).cast("double") / (col("n") - col("na")))
+            .as("dx"),
+          (((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") *
+            (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")) /
+            ((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+              (col("n") * col("syy") - col("sy") * col("sy")).cast("double")))
+            .as("r2"))
+        .select(col("na"), col("nb"), round(col("theta"), 6).as("theta"),
+          round(col("dy"), 4).as("diff_raw"),
+          round(col("dy") - col("theta") * col("dx"), 4).as("diff_cuped"),
+          round(col("r2"), 6).as("rho2"))
+    }),
+
+    // ---- A/B power sizing: the minimum detectable effect at the
+    //      CURRENT sample (80% power, two-sided 5%) — z constants are
+    //      Scala-computed literals shipped to both engines, everything
+    //      else exact counts through one fixed IEEE expression ----
+    "q_ab_power" -> ((s, d) =>
+      events(s, d)
+        .select((col("user_id") % 2 === 0).cast("long").as("a"),
+          (col("event_type") === "purchase").cast("long").as("x"))
+        .agg(sum(col("a")).as("na"),
+          (count(lit(1)) - sum(col("a"))).as("nb"),
+          sum(col("x")).as("conv"), count(lit(1)).as("n"))
+        .select(col("na"), col("nb"), col("conv"),
+          (col("conv").cast("double") / col("n")).as("p"),
+          col("na").cast("double").as("nad"), col("nb").cast("double").as("nbd"))
+        .select(col("na"), col("nb"), col("conv"), round(col("p"), 6).as("p"),
+          round(lit(ZSum) * sqrt(col("p") * (lit(1.0) - col("p")) *
+            (lit(1.0) / col("nad") + lit(1.0) / col("nbd"))), 6).as("mde_abs"),
+          round(lit(ZSum) * sqrt(col("p") * (lit(1.0) - col("p")) *
+            (lit(1.0) / col("nad") + lit(1.0) / col("nbd"))) / col("p"), 6)
+            .as("mde_rel"))),
 
     // ---- top-k per group: each user's 3 highest-value purchases via
     //      row_number over (user_id), the canonical per-key top-k (NOT a
@@ -243,7 +317,98 @@ object TemporalOps {
     })
   )
 
+  /** Per-day (arm trials, arm conversions) census behind
+    * [[q_sequential_ab]] — pure sum/count partials, so the STREAMING
+    * twin (EventsStream.abDailyCensus) maintains it bit-equal as
+    * micro-batch state at any cut (the scoreCensus discipline;
+    * StreamingSpec three-way).
+    */
+  def abDailyCensus(events: DataFrame): DataFrame =
+    events
+      .select(expr("unix_timestamp(ts) div 86400").as("day"),
+        (col("user_id") % 2 === 0).cast("long").as("a"),
+        (col("event_type") === "purchase").cast("long").as("x"))
+      .groupBy(col("day"))
+      .agg(sum(col("a")).as("na_d"),
+        sum(col("a") * col("x")).as("xa_d"),
+        (count(lit(1)) - sum(col("a"))).as("nb_d"),
+        sum((lit(1L) - col("a")) * col("x")).as("xb_d"))
+
   val oracles: Map[String, String] = Map(
+    // identical integer co-moments (HUGEINT == decimal(38,0) exactness
+    // at these magnitudes) and the same fixed-shape double expressions
+    "q_cuped" ->
+      """WITH e AS (
+        |  SELECT user_id,
+        |         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |         event_type,
+        |         CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |d0 AS (SELECT min(day) AS d0 FROM e),
+        |per AS (
+        |  SELECT user_id,
+        |         CAST(sum(CASE WHEN day < d0 + 15 THEN cents ELSE 0 END)
+        |           AS BIGINT) AS x,
+        |         CAST(sum(CASE WHEN day >= d0 + 15
+        |                        AND event_type = 'purchase'
+        |                       THEN cents ELSE 0 END) AS BIGINT) AS y
+        |  FROM e, d0 GROUP BY user_id),
+        |m AS (
+        |  SELECT count(*) AS n,
+        |         CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS na,
+        |         sum(CAST(x AS HUGEINT)) AS sx,
+        |         sum(CAST(y AS HUGEINT)) AS sy,
+        |         sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |         sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |         sum(CAST(y AS HUGEINT) * y) AS syy,
+        |         sum(CASE WHEN user_id % 2 = 0
+        |                  THEN CAST(x AS HUGEINT) ELSE 0 END) AS sxa,
+        |         sum(CASE WHEN user_id % 2 = 0
+        |                  THEN CAST(y AS HUGEINT) ELSE 0 END) AS sya
+        |  FROM per),
+        |sel AS (
+        |  SELECT na, n - na AS nb,
+        |         CAST(n * sxy - sx * sy AS DOUBLE) /
+        |           CAST(n * sxx - sx * sx AS DOUBLE) AS theta,
+        |         CAST(sya AS DOUBLE) / na -
+        |           CAST(sy - sya AS DOUBLE) / (n - na) AS dy,
+        |         CAST(sxa AS DOUBLE) / na -
+        |           CAST(sx - sxa AS DOUBLE) / (n - na) AS dx,
+        |         (CAST(n * sxy - sx * sy AS DOUBLE) *
+        |          CAST(n * sxy - sx * sy AS DOUBLE)) /
+        |           (CAST(n * sxx - sx * sx AS DOUBLE) *
+        |            CAST(n * syy - sy * sy AS DOUBLE)) AS r2
+        |  FROM m)
+        |SELECT na, CAST(nb AS BIGINT) AS nb, round(theta, 6) AS theta,
+        |       round(dy, 4) AS diff_raw,
+        |       round(dy - theta * dx, 4) AS diff_cuped,
+        |       round(r2, 6) AS rho2
+        |FROM sel""".stripMargin,
+
+    // same counts, same one-expression MDE with the Scala z literal
+    "q_ab_power" ->
+      s"""WITH c AS (
+         |  SELECT CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS na,
+         |         CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS nb,
+         |         CAST(sum(CASE WHEN event_type = 'purchase'
+         |                       THEN 1 ELSE 0 END) AS BIGINT) AS conv,
+         |         count(*) AS n
+         |  FROM events),
+         |pq AS (SELECT na, nb, conv, CAST(conv AS DOUBLE) / n AS p,
+         |              CAST(na AS DOUBLE) AS nad, CAST(nb AS DOUBLE) AS nbd
+         |       FROM c)
+         |SELECT na, nb, conv, round(p, 6) AS p,
+         |       round($ZSum * sqrt(p * (CAST(1 AS DOUBLE) - p) *
+         |             (CAST(1 AS DOUBLE) / nad + CAST(1 AS DOUBLE) / nbd)),
+         |             6) AS mde_abs,
+         |       round($ZSum * sqrt(p * (CAST(1 AS DOUBLE) - p) *
+         |             (CAST(1 AS DOUBLE) / nad + CAST(1 AS DOUBLE) / nbd)) /
+         |             p, 6) AS mde_rel
+         |FROM pq""".stripMargin,
+
     // same day census, cumulative window folds, and ONE shared z
     // expression (doubles forced everywhere — DuckDB's DECIMAL literal
     // arithmetic is a different number, the q_rate_ci lesson)

@@ -74,6 +74,15 @@ object EventsStream {
   def scoreCensus(events: DataFrame): DataFrame =
     graft.queries.MLOps.scoreCensus(events)
 
+  /** Streaming experiment monitor: the per-day (arm trials, arm
+    * conversions) census behind q_sequential_ab as micro-batch state —
+    * pure sum/count partials, so the streamed census is bit-equal to
+    * batch at any cut and the live z-path reads straight off the state
+    * (StreamingSpec three-way). State is horizon-days-sized.
+    */
+  def abDailyCensus(events: DataFrame): DataFrame =
+    graft.queries.TemporalOps.abDailyCensus(events)
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
 

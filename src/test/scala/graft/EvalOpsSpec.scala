@@ -509,6 +509,51 @@ class EvalOpsSpec extends AnyFunSuite with SparkSpec {
     assert(iso.zip(iso.tail).forall { case (a, b) => b >= a - 1e-12 })
   }
 
+  test("CUPED adjustment matches a plain-Scala exact-moment recompute") {
+    val rows = Tables(spark, sf, "events")
+      .select(col("user_id"), expr("unix_timestamp(ts) div 86400").as("day"),
+        col("event_type"), round(col("value") * 100).cast("long").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val d0 = rows.map(_._2).min
+    val per = rows.groupBy(_._1).map { case (u, es) =>
+      val x = es.filter(_._2 < d0 + 15).map(_._4).sum
+      val y = es.filter(e => e._2 >= d0 + 15 && e._3 == "purchase").map(_._4).sum
+      (u, x, y)
+    }.toSeq
+    val n = per.length.toLong
+    val (sx, sy) = (per.map(_._2).map(BigInt(_)).sum, per.map(_._3).map(BigInt(_)).sum)
+    val sxy = per.map(t => BigInt(t._2) * t._3).sum
+    val sxx = per.map(t => BigInt(t._2) * t._2).sum
+    val syy = per.map(t => BigInt(t._3) * t._3).sum
+    val aSide = per.filter(_._1 % 2 == 0)
+    val (na, sxa, sya) = (aSide.length.toLong,
+      aSide.map(_._2).map(BigInt(_)).sum, aSide.map(_._3).map(BigInt(_)).sum)
+    val theta = (BigInt(n) * sxy - sx * sy).toDouble / (BigInt(n) * sxx - sx * sx).toDouble
+    val dy = sya.toDouble / na - (sy - sya).toDouble / (n - na)
+    val dx = sxa.toDouble / na - (sx - sxa).toDouble / (n - na)
+    val r2num = (BigInt(n) * sxy - sx * sy).toDouble
+    val r2 = r2num * r2num /
+      ((BigInt(n) * sxx - sx * sx).toDouble * (BigInt(n) * syy - sy * sy).toDouble)
+    val r = q("q_cuped").collect()(0)
+    assert(r.getAs[Long]("na") == na && r.getAs[Long]("nb") == n - na)
+    assert(math.abs(r.getAs[Double]("theta") - theta) < 1e-4)
+    assert(math.abs(r.getAs[Double]("diff_raw") - dy) < 1e-2)
+    assert(math.abs(r.getAs[Double]("diff_cuped") - (dy - theta * dx)) < 1e-2)
+    assert(math.abs(r.getAs[Double]("rho2") - r2) < 1e-4)
+    assert(r.getAs[Double]("rho2") >= 0 && r.getAs[Double]("rho2") <= 1)
+  }
+
+  test("A/B power sizing follows the closed form and shrinks with n") {
+    val r = q("q_ab_power").collect()(0)
+    val (na, nb) = (r.getAs[Long]("na"), r.getAs[Long]("nb"))
+    val p = r.getAs[Double]("p")
+    val zsum = 1.959963984540054 + 0.8416212335729143
+    val mde = zsum * math.sqrt(p * (1.0 - p) * (1.0 / na + 1.0 / nb))
+    assert(math.abs(r.getAs[Double]("mde_abs") - mde) < 1e-5)
+    assert(math.abs(r.getAs[Double]("mde_rel") - mde / p) < 1e-4)
+    assert(mde > 0 && p > 0 && p < 1)
+  }
+
   test("l-diversity census partitions the customer table") {
     val rows = q("q_ldiversity").collect()
     val nCust = Tables(spark, sf, "customer").count()

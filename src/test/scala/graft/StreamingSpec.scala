@@ -825,6 +825,28 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(liveAuc.getAs[Double]("auc") == gated.getAs[Double]("auc"))
   }
 
+  test("streaming A/B day census is bit-identical to batch") {
+    val dir = "target/stream_events_ab"
+    Tables(spark, sf, "events").repartition(3)
+      .write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream
+      .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+        "event_type STRING, value DOUBLE, props STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+    val qs = graft.streaming.EventsStream.abDailyCensus(stream).writeStream
+      .format("memory").queryName("ab_census").outputMode("complete").start()
+    try qs.processAllAvailable() finally qs.stop()
+    def keyed(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val streamed = keyed(spark.table("ab_census").collect())
+    val batch = keyed(graft.queries.TemporalOps.abDailyCensus(
+      Tables(spark, sf, "events")).collect())
+    assert(streamed == batch, "streamed A/B census differs from batch")
+    assert(batch.nonEmpty)
+  }
+
   test("sessions partition each user's events") {
     val nEvents = Tables(spark, sf, "events").count()
     val sessions = SparkEntry.queries("q_sessionize")(spark, sf).collect()
