@@ -633,6 +633,35 @@ object StatsOps {
     //      The equality is part of the gate (merge_eq_direct), alongside
     //      the union-distinct estimate vs the exact census. The global
     //      bottom-512 is a TakeOrdered HEAP, never a full sort ----
+    // ---- exact Gini coefficient of customer revenue — the scalar
+    //      q_lorenz_deciles integrates: G = (2·Σᵢ i·x₍ᵢ₎ − (n+1)·Σx) /
+    //      (n·Σx). NO per-row global rank: ties collapse onto the
+    //      distinct-cents CENSUS, where a block of c equal values v
+    //      starting after rank r₀ contributes v·(c·r₀ + c(c+1)/2) —
+    //      ALL INTEGER (decimal(38,0) accumulators — rank-weighted sums
+    //      overflow int64 at warehouse scale), one window over the
+    //      census, ONE final IEEE division ----
+    "q_gini" -> ((s, d) => {
+      val rev = Tables(s, d, "orders")
+        .select(col("o_custkey"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .groupBy(col("o_custkey")).agg(sum(col("cents")).as("v"))
+        .groupBy(col("v")).agg(count(lit(1)).as("c"))
+      val wPrev = org.apache.spark.sql.expressions.Window
+        .orderBy(col("v")).rowsBetween(Long.MinValue, -1)
+      rev
+        .withColumn("r0", coalesce(sum(col("c")).over(wPrev), lit(0L)))
+        .select(col("c"), (col("v").cast("decimal(38,0)") *
+            (col("c") * col("r0") + expr("c * (c + 1) div 2"))).as("s_term"),
+          (col("v").cast("decimal(38,0)") * col("c")).as("t_term"))
+        .agg(sum(col("c")).as("n"), sum(col("s_term")).as("s"),
+          sum(col("t_term")).as("t"))
+        .select(col("n"), col("t").cast("long").as("total_cents"),
+          round((lit(2) * col("s") - (col("n") + 1) * col("t"))
+            .cast("double") / (col("n") * col("t")).cast("double"), 6)
+            .as("gini"))
+    }),
+
     // ---- mergeable bottom-k uniform sample (the quantile sibling of the
     //      theta/KMV family): the k smallest md5(doc_id) rows per source
     //      are a uniform sample of that source, and because min-k is
@@ -891,6 +920,30 @@ object StatsOps {
         |FROM th JOIN ex USING (event_type) ORDER BY event_type""".stripMargin,
 
     // same per-flag sketches, same keep-k-smallest union, same estimator
+    // identical census rank-block algebra, HUGEINT == decimal exactness
+    "q_gini" ->
+      """WITH rev AS (
+        |  SELECT CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |           AS BIGINT) AS v
+        |  FROM orders GROUP BY o_custkey),
+        |cen AS (SELECT v, count(*) AS c FROM rev GROUP BY v),
+        |rk AS (
+        |  SELECT v, c,
+        |         CAST(COALESCE(sum(c) OVER (ORDER BY v ROWS BETWEEN
+        |           UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |           AS r0
+        |  FROM cen),
+        |agg AS (
+        |  SELECT CAST(sum(c) AS BIGINT) AS n,
+        |         sum(CAST(v AS HUGEINT) * (c * r0 + c * (c + 1) // 2))
+        |           AS s,
+        |         sum(CAST(v AS HUGEINT) * c) AS t
+        |  FROM rk)
+        |SELECT n, CAST(t AS BIGINT) AS total_cents,
+        |       round(CAST(2 * s - (n + 1) * t AS DOUBLE) /
+        |             CAST(n * t AS DOUBLE), 6) AS gini
+        |FROM agg""".stripMargin,
+
     // identical md5 sample membership and exact sample-rank estimates
     "q_bottomk_sample" ->
       """WITH h AS (

@@ -554,6 +554,23 @@ class EvalOpsSpec extends AnyFunSuite with SparkSpec {
     assert(mde > 0 && p > 0 && p < 1)
   }
 
+  test("census Gini equals the sorted-rank definition") {
+    val xs = Tables(spark, sf, "orders")
+      .select(col("o_custkey"), round(col("o_totalprice") * 100).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).values.map(_.map(_._2).sum).toSeq.sorted
+    val n = xs.length.toLong
+    val t = xs.map(BigInt(_)).sum
+    val sRank = xs.zipWithIndex.map { case (x, i) => BigInt(i + 1) * x }.sum
+    val gini = (BigInt(2) * sRank - BigInt(n + 1) * t).toDouble / (BigInt(n) * t).toDouble
+    val r = q("q_gini").collect()(0)
+    assert(r.getAs[Long]("n") == n)
+    assert(BigInt(r.getAs[Long]("total_cents")) == t)
+    assert(math.abs(r.getAs[Double]("gini") - gini) < 1e-5,
+      s"census ${r.getAs[Double]("gini")} vs sorted-rank $gini")
+    assert(gini >= 0 && gini < 1)
+  }
+
   test("l-diversity census partitions the customer table") {
     val rows = q("q_ldiversity").collect()
     val nCust = Tables(spark, sf, "customer").count()
