@@ -14,6 +14,27 @@ import org.apache.spark.sql.SparkSession
   * queries (raw doubles at 17 significant digits overflowed it in r4).
   */
 object Bench {
+
+  /** Adaptive re-run policy (r13 verdict item 5): after the standard
+    * interleaved passes, a query whose spread (max/min) exceeds
+    * `threshold` gets up to `maxExtra` extra passes — a contaminated
+    * host window inflates some samples, and one clean extra sample
+    * restores a usable min/median without re-running the whole suite.
+    * Pure function so BenchPolicySpec can inject a stalled sample set.
+    */
+  def adaptiveSamples(initial: List[Double], next: () => Double,
+                      maxExtra: Int = 2,
+                      threshold: Double = 5.0): List[Double] = {
+    var xs = initial
+    var extra = 0
+    while (extra < maxExtra && xs.nonEmpty && xs.min > 1e-3 &&
+           xs.max / xs.min > threshold) {
+      xs = next() :: xs
+      extra += 1
+    }
+    xs
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -37,6 +58,33 @@ object Bench {
         val t0 = System.nanoTime()
         spark.range(0, 400000000L, 1, cpus.toInt)
           .select(sum(col("id") * 2654435761L % 1000003L)).head
+        (System.nanoTime() - t0) / 1e9
+      }
+      pass()
+      Seq.fill(3)(pass()).sorted.apply(1)
+    }
+    // Second, FP/vector-shaped calibration anchor (r13 verdict item 2):
+    // the scalar anchor above is integer-ALU-bound and demonstrably does
+    // not track the host sensitivity of the FP-heavy ANN/PQ family (its
+    // r13 normalized drift sat entirely inside r12's noise envelope).
+    // This anchor runs the SAME machinery those queries run — 64-dim
+    // float arrays through the repo's native cosine Expression — so
+    // normalizing q_ann_*/q_bm25-class timings by calib_fp_s attributes
+    // host FP/array throughput separately from scalar CPU steal.
+    def calibrateFp(): Double = {
+      import org.apache.spark.sql.functions.{col, expr, sum}
+      def pass(): Double = {
+        val t0 = System.nanoTime()
+        spark.range(0, 750000L, 1, cpus.toInt)
+          .select(
+            expr("transform(sequence(0, 63), j -> " +
+              "CAST(pmod(id * 2654435761 + j * 40503, 997) / 997.0 AS FLOAT))")
+              .as("v1"),
+            expr("transform(sequence(0, 63), j -> " +
+              "CAST(pmod(id * 40503 + j * 2654435761, 1009) / 1009.0 AS FLOAT))")
+              .as("v2"))
+          .select(sum(graft.functions.VectorExprs.cosine(col("v1"), col("v2"))))
+          .head
         (System.nanoTime() - t0) / 1e9
       }
       pass()
@@ -75,6 +123,7 @@ object Bench {
       dt
     }
     val calib = calibrate()
+    val calibFp = calibrateFp()
     val names = allQueries.keys.toSeq.sorted
     names.foreach { n => // warm pass (failures counted here too)
       try run(n) catch { case _: Throwable => failures(n) += 1 }
@@ -90,6 +139,19 @@ object Bench {
       .withDefaultValue(Nil)
     (1 to nRuns).foreach { _ =>
       names.foreach { n => samples(n) = timedPass(n) :: samples(n) }
+    }
+    // Adaptive re-runs: spread > 5 after the standard passes means a
+    // stalled host window hit this query; up to 2 extra passes recover a
+    // clean sample (bounded cost — the r13 offenders totaled <40 s).
+    // Skipped for failed / ~0-min queries, whose spread is meaningless.
+    val extraPasses = scala.collection.mutable.Map.empty[String, Int]
+    names.foreach { n =>
+      if (failures(n) == 0) {
+        val before = samples(n).size
+        samples(n) = adaptiveSamples(samples(n), () => timedPass(n))
+        val extra = samples(n).size - before
+        if (extra > 0) extraPasses(n) = extra
+      }
     }
     def median(xs: List[Double]): Double = {
       val s = xs.sorted
@@ -144,8 +206,11 @@ object Bench {
     // total normalized by the calibration anchor: dimensionless multiple of
     // the fixed CPU workload — comparable across host-speed windows.
     val norm = total / calib
+    val extraJson = extraPasses.toSeq.sorted
+      .map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val fullJson =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$nRuns,"calib_s":$calib%.3f,"total_norm":$norm%.2f,"queries":${qjson(results)},"mins":${qjson(mins)},"spread":${qjsonOpt(spreads)},"failed":$failedJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$nRuns,"calib_s":$calib%.3f,"calib_fp_s":$calibFp%.3f,"total_norm":$norm%.2f,"queries":${qjson(results)},"mins":${qjson(mins)},"spread":${qjsonOpt(spreads)},"extra_passes":$extraJson,"failed":$failedJson,"sf":"$sfDir"}"""
     // a failed write must not kill the one-line contract, but it also must
     // not leave the "full" pointer referencing a STALE file from a prior
     // run — on failure the pointer is nulled so consumers see the map is
@@ -168,7 +233,7 @@ object Bench {
     val minOf = mins.toMap
     val top10Mins = top10.map { case (n, _) => n -> minOf(n) }
     val summaryJson =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$nRuns,"calib_s":$calib%.3f,"total_norm":$norm%.2f,"n_queries":${names.size},"top10":${qjson(top10)},"top10_mins":${qjson(top10Mins)},"spread_hi":${qjson2(spreadHi)},"failed":$failedJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$nRuns,"calib_s":$calib%.3f,"calib_fp_s":$calibFp%.3f,"total_norm":$norm%.2f,"n_queries":${names.size},"top10":${qjson(top10)},"top10_mins":${qjson(top10Mins)},"spread_hi":${qjson2(spreadHi)},"failed":$failedJson,"sf":"$sfDir"}"""
     try
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("BENCH_SUMMARY.json"), summaryJson + "\n")
@@ -185,7 +250,7 @@ object Bench {
     val restTotal = total - top20.map(_._2).sum
     val lineSpread = spreadHi.sortBy(r => (-r._2, r._1)).take(10)
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$nRuns,"calib_s":$calib%.3f,"total_norm":$norm%.2f,"queries":${qjson(top20)},"rest_n":${names.size - top20.size},"rest_total":$restTotal%.3f,"spread_hi":${qjson2(lineSpread)},"failed_n":${failures.size},"full":$fullRef,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$nRuns,"calib_s":$calib%.3f,"calib_fp_s":$calibFp%.3f,"total_norm":$norm%.2f,"queries":${qjson(top20)},"rest_n":${names.size - top20.size},"rest_total":$restTotal%.3f,"spread_hi":${qjson2(lineSpread)},"failed_n":${failures.size},"full":$fullRef,"sf":"$sfDir"}"""
     println(line)
     spark.stop()
   }

@@ -165,6 +165,50 @@ case class HyperplaneBucket(child: Expression, nPlanes: Int, table: Int, dim: In
     copy(child = newChild)
 }
 
+/** ±1-sign random projection (Johnson-Lindenstrauss, Achlioptas-2003 ±1
+  * variant): out[i] = Σ_j sign(i,j)·(double)v[j], left-assoc fold per
+  * output dim — bit-identical to a sequential `list_reduce` oracle and to
+  * the 16 flat ±64-term SQL chains it replaces. Those plan-baked chains
+  * put ~1024 adds in one generated processNext(), which blew janino's
+  * method limit (r13 verdict finding #1: InternalCompilerException,
+  * silent interpreted fallback — the chains' codegen rationale was void).
+  * This is the repo's standard native-loop device instead: one virtual
+  * call per row, primitive accumulation, same IEEE op order.
+  *
+  * Elements past `v.length` contribute nothing (inputs are fixed 64-dim;
+  * the SQL chain would null the dim instead — unreachable shape).
+  */
+case class SignProject(child: Expression, signs: IndexedSeq[Boolean],
+                       outDims: Int, inDims: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(signs.length == outDims * inDims, "signs must be outDims x inDims")
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  @transient private lazy val signArr: Array[Boolean] = signs.toArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = VecUtil.floats(input)
+    val n = math.min(inDims, v.length)
+    val out = new Array[Double](outDims)
+    var i = 0
+    while (i < outDims) {
+      val base = i * inDims
+      var acc = 0.0
+      var j = 0
+      while (j < n) {
+        val e = v(j).toDouble
+        acc = if (signArr(base + j)) acc + e else acc - e
+        j += 1
+      }
+      out(i) = acc
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(newChild: Expression): SignProject =
+    copy(child = newChild)
+}
+
 object VectorExprs {
   import org.apache.spark.sql.graftx.Bridge.{column, expression}
 
@@ -185,6 +229,9 @@ object VectorExprs {
   def sumD(a: Column): Column = column(FloatVecSum(expression(a)))
   def hyperplaneBucket(vec: Column, nPlanes: Int, table: Int = 0, dim: Int = 64): Column =
     column(HyperplaneBucket(expression(vec), nPlanes, table, dim))
+  def signProject(vec: Column, signs: IndexedSeq[Boolean],
+                  outDims: Int, inDims: Int): Column =
+    column(SignProject(expression(vec), signs, outDims, inDims))
 
   /** Multi-table LSH signature: array of (tbl, bkt) structs — the scale path
     * for ANN (bucket id = shuffle key; OR-combined tables for recall).

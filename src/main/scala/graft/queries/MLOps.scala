@@ -177,7 +177,12 @@ object MLOps {
         .select(col("decile"), col("n"), col("n_pos"), col("cum_n"),
           col("cum_pos"),
           expr("cum_pos * 10000 div pos_tot").as("gain_bp"),
-          expr("cum_pos * n_tot * 10000 div (cum_n * pos_tot)")
+          // decimal(38,0) on both factors: cum_pos·n_tot·10000 (and
+          // cum_n·pos_tot) wrap int64 past ~9.2e18 — at warehouse scale
+          // (1e6 positives over 1e9 events) Spark would silently wrap
+          // while DuckDB errors. Same device as q_gini / q_cuped.
+          expr("CAST(cum_pos AS DECIMAL(38,0)) * n_tot * 10000 div " +
+            "(CAST(cum_n AS DECIMAL(38,0)) * pos_tot)")
             .as("lift_bp"))
         .orderBy("decile")
     }),
@@ -451,8 +456,9 @@ object MLOps {
         |       CAST(sum(n_pos) OVER wc AS BIGINT) AS cum_pos,
         |       (CAST(sum(n_pos) OVER wc AS BIGINT) * 10000) // pos_tot
         |         AS gain_bp,
-        |       (CAST(sum(n_pos) OVER wc AS BIGINT) * n_tot * 10000) //
-        |         (CAST(sum(n) OVER wc AS BIGINT) * pos_tot) AS lift_bp
+        |       CAST((CAST(sum(n_pos) OVER wc AS HUGEINT) * n_tot * 10000) //
+        |         (CAST(sum(n) OVER wc AS HUGEINT) * pos_tot) AS BIGINT)
+        |         AS lift_bp
         |FROM dt, tot
         |WINDOW wc AS (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING
         |              AND CURRENT ROW)

@@ -17,6 +17,50 @@ object Sessions {
 
   private def events(s: SparkSession, d: String) = Tables(s, d, "events")
 
+  /** Per-customer life bounds — fd = first, ld = last order date. min/max
+    * are associative+commutative partials, so this exact aggregation also
+    * runs as a Structured Streaming complete-mode state
+    * (OrdersStream.custLife); StreamingSpec proves streamed == batch and
+    * that [[kmFromLife]] over the streamed state reproduces the gated
+    * q_kaplan_meier life table bit-for-bit.
+    */
+  private[graft] def custLife(orders: DataFrame): DataFrame =
+    orders.groupBy(col("o_custkey"))
+      .agg(min(col("o_orderdate")).as("fd"),
+        max(col("o_orderdate")).as("ld"))
+
+  /** Kaplan-Meier life table from the (o_custkey, fd, ld) state — the
+    * batch tail shared by the gated query and the streaming twin. All
+    * windows run over the duration census (≤100 rows); horizon and total
+    * ride as 1-row broadcasts.
+    */
+  private[graft] def kmFromLife(life: DataFrame): DataFrame = {
+    val horizon = life.agg(max(col("ld")).as("hz"))
+    val durs = life.crossJoin(broadcast(horizon))
+      .select(expr("datediff(ld, fd) div 30").as("t"),
+        (datediff(col("hz"), col("ld")) > 365).cast("long").as("ev"))
+      .groupBy(col("t"))
+      .agg(count(lit(1)).as("n_exit"), sum(col("ev")).as("d"))
+    val total = durs.agg(sum(col("n_exit")).as("n_total"))
+    val wPrev = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    durs.crossJoin(broadcast(total))
+      .withColumn("n_risk", col("n_total") -
+        coalesce(sum(col("n_exit")).over(wPrev), lit(0L)))
+      .withColumn("term", when(col("d") < col("n_risk"),
+        log((col("n_risk") - col("d")).cast("double") / col("n_risk"))))
+      .withColumn("dead",
+        max(when(col("d") === col("n_risk"), 1).otherwise(0)).over(wCum))
+      .select(col("t"), col("n_risk"), col("d"),
+        (col("n_exit") - col("d")).as("censored"),
+        when(col("dead") === 1, lit(0.0))
+          .otherwise(round(exp(sum(col("term")).over(wCum)), 6))
+          .as("s_hat"))
+      .orderBy("t")
+  }
+
   val queries: Map[String, Q] = Map(
     // ---- interval join (attribution): every click within the 30 minutes
     //      before a same-user purchase. One shuffle on user_id with the
@@ -295,37 +339,8 @@ object Sessions {
     //      (the q_calibration device). d = n_risk (pool dies) would hit
     //      ln(0): both engines pin Ŝ to 0 from that row on via an
     //      integer prefix flag, no libm edge case in the output ----
-    "q_kaplan_meier" -> ((s, d) => {
-      val life = Tables(s, d, "orders")
-        .groupBy(col("o_custkey"))
-        .agg(min(col("o_orderdate")).as("fd"),
-          max(col("o_orderdate")).as("ld"))
-        .persistTracked()
-      val horizon = life.agg(max(col("ld")).as("hz"))
-      val durs = life.crossJoin(broadcast(horizon))
-        .select(expr("datediff(ld, fd) div 30").as("t"),
-          (datediff(col("hz"), col("ld")) > 365).cast("long").as("ev"))
-        .groupBy(col("t"))
-        .agg(count(lit(1)).as("n_exit"), sum(col("ev")).as("d"))
-      val total = durs.agg(sum(col("n_exit")).as("n_total"))
-      val wPrev = Window.orderBy(col("t"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val wCum = Window.orderBy(col("t"))
-        .rowsBetween(Window.unboundedPreceding, 0)
-      durs.crossJoin(broadcast(total))
-        .withColumn("n_risk", col("n_total") -
-          coalesce(sum(col("n_exit")).over(wPrev), lit(0L)))
-        .withColumn("term", when(col("d") < col("n_risk"),
-          log((col("n_risk") - col("d")).cast("double") / col("n_risk"))))
-        .withColumn("dead",
-          max(when(col("d") === col("n_risk"), 1).otherwise(0)).over(wCum))
-        .select(col("t"), col("n_risk"), col("d"),
-          (col("n_exit") - col("d")).as("censored"),
-          when(col("dead") === 1, lit(0.0))
-            .otherwise(round(exp(sum(col("term")).over(wCum)), 6))
-            .as("s_hat"))
-        .orderBy("t")
-    }),
+    "q_kaplan_meier" -> ((s, d) =>
+      kmFromLife(custLife(Tables(s, d, "orders")).persistTracked())),
 
     // ---- log-rank test — [[q_kaplan_meier]]'s inferential companion:
     //      do BUILDING-segment customers churn on a different clock than
@@ -333,11 +348,14 @@ object Sessions {
     //      compared to the hypergeometric expectation d·n₁/n given the
     //      at-risk split; χ² = (Σ(O−E))²/ΣV. Same spine as the KM query
     //      (one custkey shuffle + duration census); the two cumulative
-    //      sums run as ORDERED window folds over the census — the repo's
-    //      deterministic-FP-fold device, so both engines sum the ~100
-    //      double terms in the identical order — and every per-term
-    //      expression is written in the same left-associative shape on
-    //      both sides ----
+    //      sums run as ORDERED window folds over the census. Note the
+    //      cross-engine agreement relies on the 4-dp/6-dp output rounding
+    //      absorbing accumulation-order ulps, NOT on bit-identical sums:
+    //      DuckDB evaluates windowed SUM with a segment-tree (pairwise)
+    //      accumulation, so the ~100-term double folds are only
+    //      ulp-close, not order-identical. Each per-term expression IS
+    //      written in the same left-associative shape on both sides,
+    //      which keeps the terms themselves bit-equal ----
     "q_logrank" -> ((s, d) => {
       val grp = Tables(s, d, "customer")
         .select(col("c_custkey"),
@@ -635,7 +653,8 @@ object Sessions {
         |FROM km2 ORDER BY t""".stripMargin,
 
     // identical census, expectation/variance expressions in the same
-    // left-associative order, cumulative sums as the same ordered fold
+    // left-associative order; cumulative sums are ulp-close (DuckDB's
+    // windowed SUM is a pairwise segment tree), absorbed by the rounding
     "q_logrank" ->
       """WITH life AS MATERIALIZED (
         |  SELECT l.o_custkey, l.fd, l.ld,

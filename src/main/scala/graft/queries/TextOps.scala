@@ -34,9 +34,60 @@ object TextOps {
          |                  x$i, '+', y$i)
          |    ELSE concat(acc, ' ', t) END)""".stripMargin)
 
-  /** Token array of a wrapped BPE form: '|a||b|' → ['a','b']. */
+  /** BPE wrapper delimiter. U+0001 can never appear in a whitespace-split
+    * token the way '|' can — a corpus word containing the delimiter char
+    * would silently corrupt the wrapped-form segmentation (the char
+    * vanishes and adjacent wrappers merge), and since the oracle shares
+    * the encoding the gate could never see it. A control char closes
+    * that hole; EvalOpsSpec runs the trainer on a pipe-containing corpus.
+    */
+  private[graft] val BpeDelim = "\u0001"
+
+  /** Token array of a wrapped BPE form: ␁a␁␁b␁ → ['a','b']. */
   private def bpeToks(s: String): String =
-    s"filter(split($s, '\\\\|'), t -> t <> '')"
+    s"filter(split($s, '$BpeDelim'), t -> t <> '')"
+
+  /** The q_bpe_train body over any `text`-columned corpus — exposed so
+    * EvalOpsSpec can run the trainer on a synthetic corpus containing a
+    * literal '|' word (the former wrapper char) and prove the wrapped-form
+    * segmentation survives delimiter-looking input.
+    */
+  private[graft] def bpeTrain(corpus: DataFrame): DataFrame = {
+    val wc = corpus
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .select(col("w"), col("n"),
+        regexp_replace(col("w"), "(.)", BpeDelim + "$1" + BpeDelim).as("s"))
+      .persistTracked()
+    def round(prev: DataFrame, r: Int): (DataFrame, DataFrame) = {
+      val pairs = prev
+        .select(col("n"), expr(bpeToks("s")).as("t"))
+        .select(col("n"), explode(arrays_zip(
+          expr("slice(t, 1, size(t) - 1)"),
+          expr("slice(t, 2, size(t) - 1)")).cast(
+          "array<struct<x:string,y:string>>")).as("p"))
+        .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+        .agg(sum(col("n")).as("cnt"))
+      val best = pairs
+        .orderBy(col("cnt").desc, col("x").asc, col("y").asc).limit(1)
+      val next = prev.crossJoin(broadcast(best))
+        .select(col("w"), col("n"),
+          expr(s"replace(s, concat('$BpeDelim', x, '$BpeDelim$BpeDelim', y, '$BpeDelim')," +
+            s" concat('$BpeDelim', x, y, '$BpeDelim'))").as("s"))
+      val report = next.crossJoin(broadcast(best))
+        .select(lit(r.toLong).as("round"), col("x"), col("y"),
+          col("cnt").as("pair_n"),
+          (col("n") * expr(s"size(${bpeToks("s")})")).as("sym"))
+        .groupBy(col("round"), col("x"), col("y"), col("pair_n"))
+        .agg(sum(col("sym")).as("n_symbols"))
+      (next, report)
+    }
+    val (s1, r1) = round(wc, 1)
+    val (s2, r2) = round(s1.persistTracked(), 2)
+    val (_, r3) = round(s2.persistTracked(), 3)
+    r1.unionByName(r2).unionByName(r3).orderBy("round")
+  }
 
   val queries: Map[String, Q] = Map(
     // ---- BPE TRAINING LOOP (char-level, 3 merges): the real algorithm —
@@ -50,48 +101,14 @@ object TextOps {
     //      algebra: pair explode (weighted by word count) → map-side-
     //      combined argmax → the winning pair rides as a 1-ROW BROADCAST
     //      into a literal string replace() over the wrapped form
-    //      '|a||b|c|' — every token carries its own '|…|' wrapper, so
-    //      the pattern '|x||y|' can only match whole adjacent tokens and
-    //      greedy leftmost non-overlapping replace() == BPE's merge
-    //      semantics (shown on 'aaaa': '|a||a||a||a|' → '|aa||aa|').
+    //      ␁a␁␁b␁␁c␁ (␁ = [[BpeDelim]], U+0001 — a char no whitespace-
+    //      split token can contain) — every token carries its own ␁…␁
+    //      wrapper, so the pattern ␁x␁␁y␁ can only match whole adjacent
+    //      tokens and greedy leftmost non-overlapping replace() == BPE's
+    //      merge semantics (on 'aaaa': ␁a␁␁a␁␁a␁␁a␁ → ␁aa␁␁aa␁).
     //      Zero driver actions; all-integer counts; string argmax with
     //      (count DESC, x ASC, y ASC) — engine-invariant ----
-    "q_bpe_train" -> ((s, d) => {
-      val wc = docs(s, d)
-        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
-        .filter(length(col("w")) >= 2)
-        .groupBy(col("w")).agg(count(lit(1)).as("n"))
-        .select(col("w"), col("n"),
-          regexp_replace(col("w"), "(.)", "|$1|").as("s"))
-        .persistTracked()
-      def round(prev: DataFrame, r: Int): (DataFrame, DataFrame) = {
-        val pairs = prev
-          .select(col("n"), expr(bpeToks("s")).as("t"))
-          .select(col("n"), explode(arrays_zip(
-            expr("slice(t, 1, size(t) - 1)"),
-            expr("slice(t, 2, size(t) - 1)")).cast(
-            "array<struct<x:string,y:string>>")).as("p"))
-          .groupBy(col("p.x").as("x"), col("p.y").as("y"))
-          .agg(sum(col("n")).as("cnt"))
-        val best = pairs
-          .orderBy(col("cnt").desc, col("x").asc, col("y").asc).limit(1)
-        val next = prev.crossJoin(broadcast(best))
-          .select(col("w"), col("n"),
-            expr("replace(s, concat('|', x, '||', y, '|')," +
-              " concat('|', x, y, '|'))").as("s"))
-        val report = next.crossJoin(broadcast(best))
-          .select(lit(r.toLong).as("round"), col("x"), col("y"),
-            col("cnt").as("pair_n"),
-            (col("n") * expr(s"size(${bpeToks("s")})")).as("sym"))
-          .groupBy(col("round"), col("x"), col("y"), col("pair_n"))
-          .agg(sum(col("sym")).as("n_symbols"))
-        (next, report)
-      }
-      val (s1, r1) = round(wc, 1)
-      val (s2, r2) = round(s1.persistTracked(), 2)
-      val (_, r3) = round(s2.persistTracked(), 3)
-      r1.unionByName(r2).unionByName(r3).orderBy("round")
-    }),
+    "q_bpe_train" -> ((s, d) => bpeTrain(docs(s, d))),
 
     // ---- phrase-merge application (the BPE APPLY step, word-level —
     //      q_bpe_pairs is the induction twin): learn the top-8 adjacent
@@ -618,7 +635,7 @@ object TextOps {
     // identical vocab census, wrapped-form replace, and argmax tie-break
     "q_bpe_train" -> {
       def toks(s: String) =
-        s"list_filter(string_split($s, '|'), t -> t <> '')"
+        s"list_filter(string_split($s, '$BpeDelim'), t -> t <> '')"
       val rounds = (1 to 3).map { r =>
         val prev = if (r == 1) "wc" else s"s${r - 1}"
         s"""p$r AS (
@@ -629,8 +646,8 @@ object TextOps {
            |        FROM p$r GROUP BY x, y
            |        ORDER BY cnt DESC, x ASC, y ASC LIMIT 1),
            |s$r AS (SELECT w, n,
-           |          replace(s, '|' || x || '||' || y || '|',
-           |                  '|' || x || y || '|') AS s
+           |          replace(s, '$BpeDelim' || x || '$BpeDelim$BpeDelim' || y || '$BpeDelim',
+           |                  '$BpeDelim' || x || y || '$BpeDelim') AS s
            |        FROM $prev, b$r),
            |rep$r AS (
            |  SELECT CAST($r AS BIGINT) AS round, x, y, cnt AS pair_n,
@@ -643,7 +660,7 @@ object TextOps {
          |       unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t(w)
          |  WHERE length(t.w) >= 2 GROUP BY t.w),
          |wc AS MATERIALIZED (
-         |  SELECT w, n, regexp_replace(w, '(.)', '|\\1|', 'g') AS s
+         |  SELECT w, n, regexp_replace(w, '(.)', '$BpeDelim\\1$BpeDelim', 'g') AS s
          |  FROM wc0),
          |$rounds
          |SELECT * FROM rep1 UNION ALL SELECT * FROM rep2

@@ -849,18 +849,19 @@ object VectorOps {
     (h * h % 2147483648L / 1048576L) % 2 == 0
   }
 
-  /** The 64→16 JL projection as 16 plan-time-baked codegen sum chains
-    * (left-assoc == the oracle's sequential fold), elements rounded 6 dp.
+  /** The 64→16 JL projection: raw ± sums from the native [[SignProject]]
+    * loop (left-assoc == the oracle's sequential fold — and, unlike the 16
+    * plan-baked 64-term SQL chains it replaced, it cannot blow janino's
+    * method limit: r13's one observed codegen fallback was exactly that
+    * chain's processNext()), then Spark's own round(x/4.0, 6) per element
+    * so output values stay bit-identical to the previous formulation.
     */
   private def jlProjectCol: org.apache.spark.sql.Column = {
-    val dims = (0 until 16).map { i =>
-      val terms = (0 until 64).map { j =>
-        val e = s"CAST(element_at(embedding, ${j + 1}) AS DOUBLE)"
-        if (jlPositive(i, j)) s"+ $e" else s"- $e"
-      }.mkString(" ")
-      s"round((CAST(0.0 AS DOUBLE) $terms) / 4.0, 6)"
-    }
-    expr(s"array(${dims.mkString(", ")})")
+    val signs: IndexedSeq[Boolean] =
+      for { i <- 0 until 16; j <- 0 until 64 } yield jlPositive(i, j)
+    val raw = graft.functions.VectorExprs.signProject(
+      col("embedding"), signs, outDims = 16, inDims = 64)
+    transform(raw, x => round(x / lit(4.0), 6))
   }
 
   /** DuckDB twin of [[jlProjectCol]] over an embedding column reference —

@@ -20,6 +20,7 @@ class EvalOpsSpec extends AnyFunSuite with SparkSpec {
       .collect()
     def day(r: org.apache.spark.sql.Row): java.time.LocalDate = r.get(1) match {
       case d: java.sql.Date              => d.toLocalDate
+      case d: java.time.LocalDate        => d
       case t: java.time.LocalDateTime    => t.toLocalDate
       case t: java.sql.Timestamp         => t.toLocalDateTime.toLocalDate
     }
@@ -343,18 +344,14 @@ class EvalOpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
-  test("BPE training loop matches a plain-Scala list-based trainer") {
-    // the engine merges via wrapped-form string replace; this twin works
-    // on token LISTS with the textbook greedy left-to-right walk — if the
-    // two agree, the replace trick implements real BPE merge semantics
-    val words = Tables(spark, sf, "documents")
-      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
-      .filter(length(col("w")) >= 2)
-      .collect().map(_.getString(0))
-      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+  /** Textbook list-based BPE trainer: greedy left-to-right merge walk on
+    * token lists — the semantics witness for the engine's wrapped-form
+    * string-replace trick. Returns (round, x, y, pair_n, n_symbols).
+    */
+  private def scalaBpe(words: Map[String, Long]): Seq[(Long, String, String, Long, Long)] = {
     var seqs: Map[String, List[String]] =
       words.keys.map(w => w -> w.map(_.toString).toList).toMap
-    val expected = (1 to 3).map { r =>
+    (1 to 3).map { r =>
       val counts = scala.collection.mutable.Map.empty[(String, String), Long]
         .withDefaultValue(0L)
       seqs.foreach { case (w, ts) =>
@@ -375,16 +372,51 @@ class EvalOpsSpec extends AnyFunSuite with SparkSpec {
       val nSym = seqs.map { case (w, ts) => words(w) * ts.length }.sum
       (r.toLong, x, y, cnt, nSym)
     }
-    val got = q("q_bpe_train").collect()
+  }
+
+  private def bpeRows(df: org.apache.spark.sql.DataFrame) =
+    df.collect()
       .map(r => (r.getAs[Long]("round"), r.getAs[String]("x"),
         r.getAs[String]("y"), r.getAs[Long]("pair_n"),
         r.getAs[Long]("n_symbols")))
-      .sortBy(_._1)
-    assert(got.toSeq == expected.toSeq,
-      s"engine ${got.toSeq} vs scala ${expected.toSeq}")
+      .sortBy(_._1).toSeq
+
+  test("BPE training loop matches a plain-Scala list-based trainer") {
+    // the engine merges via wrapped-form string replace; this twin works
+    // on token LISTS with the textbook greedy left-to-right walk — if the
+    // two agree, the replace trick implements real BPE merge semantics
+    val words = Tables(spark, sf, "documents")
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .collect().map(_.getString(0))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val expected = scalaBpe(words)
+    val got = bpeRows(q("q_bpe_train"))
+    assert(got == expected, s"engine $got vs scala $expected")
     // merges strictly shrink the symbol stream
     val syms = got.map(_._5)
     assert(syms.zip(syms.tail).forall { case (a, b) => b < a })
+  }
+
+  test("BPE trainer survives corpus words containing a literal '|'") {
+    // '|' was the wrapped-form delimiter before the U+0001 switch; a word
+    // containing it used to corrupt segmentation invisibly to the oracle
+    // (both engines shared the encoding). This corpus makes '|' a high-
+    // frequency symbol so any wrapper collision would change the argmax.
+    import spark.implicits._
+    val corpus = Seq(
+      "foo|bar foo|bar foo|bar baz||qux",
+      "|| || a|b a|b quux",
+      "pipe||pipe pipe||pipe zzz zzz zzz zzz zzz"
+    ).toDF("text")
+    val words = corpus
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .collect().map(_.getString(0))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(words.keys.exists(_.contains("|")), "corpus must stress '|'")
+    val got = bpeRows(graft.queries.TextOps.bpeTrain(corpus))
+    assert(got == scalaBpe(words), s"pipe corpus: $got vs ${scalaBpe(words)}")
   }
 
   test("forecast backtest matches a plain-Scala Holt fold per cutoff") {

@@ -998,6 +998,51 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       "SN dedup should exchange on the prefix block")
   }
 
+  test("every unpartitioned window rides a bounded census, never raw data") {
+    // The repo's census-window discipline, argued per query in comments
+    // (duration census in KM/logrank, distinct-cents census in q_gini,
+    // decile census in q_isotonic_fit, ...), pinned mechanically (r13
+    // verdict item 4): for EVERY gated query, each WindowExec with an
+    // empty partitionSpec must consume bounded input — every path from
+    // the window down to a leaf must pass an Aggregate (the census), a
+    // Limit, or a plan-time-bounded leaf (local/range data). A window
+    // over a raw scan/join would single-partition corpus-sized data at
+    // 100 TB; this sweep turns ~30 prose claims into one structural check.
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.{BaseAggregateExec, HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.{GlobalLimitExec, LocalLimitExec, LocalTableScanExec, RangeExec, SparkPlan, TakeOrderedAndProjectExec}
+    def bounded(p: SparkPlan): Boolean = p match {
+      case _: HashAggregateExec | _: ObjectHashAggregateExec |
+           _: SortAggregateExec | _: BaseAggregateExec => true
+      case _: GlobalLimitExec | _: LocalLimitExec |
+           _: TakeOrderedAndProjectExec => true
+      case _: LocalTableScanExec | _: RangeExec => true
+      case i: InMemoryTableScanExec => bounded(i.relation.cachedPlan)
+      // leaf wrappers that hide a real subtree
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        bounded(a.inputPlan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        bounded(r.child)
+      case leaf if leaf.children.isEmpty => false
+      case inner => inner.children.forall(bounded)
+    }
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val wins = try {
+        physical(name).collect {
+          case w: WindowExec if w.partitionSpec.isEmpty => w
+        }
+      } finally {
+        graft.operators.Persisted.releaseAll(spark)
+        graft.plans.RollupRewrite.clear(spark)
+        spark.catalog.clearCache()
+      }
+      wins.collect { case w if !bounded(w.child) => name }
+    }.distinct
+    assert(offenders.isEmpty,
+      s"unpartitioned windows over unbounded input: $offenders")
+  }
+
   test("HLL rollup unions fine sketches instead of rescanning the fact") {
     // two aggregations over the SKETCH column (fine build + coarse union)
     // but the exact anchor is the only other lineitem scan: the rollup

@@ -847,6 +847,30 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("streaming customer-life state reproduces the gated KM life table") {
+    // min/max partials merge associatively, so micro-batch cuts cannot
+    // move the per-customer (fd, ld) state; the census-sized KM tail
+    // over the streamed state must then equal the gated batch query
+    val dir = "target/stream_orders_km"
+    Tables(spark, sf, "orders").select("o_custkey", "o_orderdate")
+      .repartition(3).write.mode("overwrite").parquet(dir)
+    val stream = graft.streaming.OrdersStream.readOrdersStream(spark, dir)
+    val qs = graft.streaming.OrdersStream.custLife(stream).writeStream
+      .format("memory").queryName("km_life").outputMode("complete").start()
+    try qs.processAllAvailable() finally qs.stop()
+    def keyed(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.get(0) -> (r.get(1), r.get(2))).toMap
+    val streamed = keyed(spark.table("km_life").collect())
+    val batch = keyed(graft.queries.Sessions.custLife(
+      Tables(spark, sf, "orders")).collect())
+    assert(streamed == batch, "streamed life state differs from batch")
+    val liveKm = graft.queries.Sessions.kmFromLife(spark.table("km_life"))
+      .collect().map(_.toSeq).toSeq
+    val gated = q("q_kaplan_meier").collect().map(_.toSeq).toSeq
+    assert(liveKm == gated, "KM over streamed state differs from gated query")
+    assert(gated.nonEmpty)
+  }
+
   test("sessions partition each user's events") {
     val nEvents = Tables(spark, sf, "events").count()
     val sessions = SparkEntry.queries("q_sessionize")(spark, sf).collect()

@@ -164,6 +164,18 @@ def main(sf_dir: str, out_dir: str) -> None:
                 f.write(json.dumps(census) + "\n")
         except OSError:
             pass  # census is telemetry; never fail the gate over it
+        # trend line (r13 verdict item 7): one appended record per full run
+        # so the headroom trajectory toward the 480s cliff is chartable
+        # without per-round git archaeology. GRAFT_ROUND (optional env)
+        # labels the round; ts anchors runs within one.
+        try:
+            census_line = dict(census)
+            census_line["ts"] = round(time.time(), 1)
+            census_line["round"] = os.environ.get("GRAFT_ROUND")
+            with open("ORACLE_COST_TREND.jsonl", "a") as f:
+                f.write(json.dumps(census_line) + "\n")
+        except OSError:
+            pass
     else:
         print(f"(partial run: {len(slow)}/{len(oracle)} oracles — "
               "ORACLE_COST.json left untouched)")
