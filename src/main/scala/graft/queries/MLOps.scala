@@ -92,6 +92,24 @@ object MLOps {
           (col("n_pos") * col("n_neg") * 2.0), 6).as("auc"))
   }
 
+  /** Ascending score-decile census from [[scoreCensus]] — the
+    * q_isotonic_fit assignment verbatim (a score group straddling a
+    * boundary lands wholly in the decile where its cumulative count
+    * STARTS — deterministic, no per-row global rank). Returns ≤10 rows
+    * (decile, pos, neg).
+    */
+  private def scoreDeciles(cen: DataFrame): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val tot = cen.agg(sum(col("np") + col("nn")).as("n_tot"))
+    val wPrev = W.orderBy(col("score")).rowsBetween(Long.MinValue, -1)
+    cen.crossJoin(broadcast(tot))
+      .withColumn("cum_before",
+        coalesce(sum(col("np") + col("nn")).over(wPrev), lit(0L)))
+      .withColumn("decile", expr("cum_before * 10 div n_tot"))
+      .groupBy(col("decile"))
+      .agg(sum(col("np")).as("pos"), sum(col("nn")).as("neg"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_logreg" -> ((s, d) => {
       val data = lrData(s, d).persistTracked()
@@ -231,6 +249,109 @@ object MLOps {
           round(col("pos").cast("double") / col("n"), 6).as("raw_rate"),
           round(col("iso"), 6).as("iso_rate"))
         .orderBy("decile")
+    }),
+
+    // ---- weight of evidence / information value over score deciles —
+    //      the credit-scoring feature-power report (new in r14). Rides
+    //      the same ascending decile census as q_isotonic_fit: WOE_d =
+    //      ln((pos_d/P)/(neg_d/N)) evaluated in ONE fixed shape —
+    //      (CAST(pos AS DOUBLE)·N) / (CAST(neg AS DOUBLE)·P) then a
+    //      single ln — and the IV accumulates as a census-ORDERED window
+    //      fold (10 terms), 6-dp rounding absorbing fold ulps. Integer
+    //      share terms; empty cells → NULL WOE, 0 IV contribution ----
+    "q_woe_iv" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val dec = scoreDeciles(scoreCensus(Tables(s, d, "events")))
+      val tot = dec.agg(sum(col("pos")).as("p_tot"),
+        sum(col("neg")).as("n_tot"))
+      val wCum = W.orderBy(col("decile")).rowsBetween(Long.MinValue, 0)
+      dec.crossJoin(broadcast(tot))
+        .withColumn("woe_raw",
+          when(col("pos") > 0 && col("neg") > 0,
+            log((col("pos").cast("double") * col("n_tot")) /
+              (col("neg").cast("double") * col("p_tot")))))
+        .withColumn("iv_term",
+          when(col("woe_raw").isNotNull,
+            (col("pos").cast("double") / col("p_tot") -
+              col("neg").cast("double") / col("n_tot")) * col("woe_raw"))
+            .otherwise(lit(0.0)))
+        .select(col("decile"), col("pos"), col("neg"),
+          round(col("woe_raw"), 6).as("woe"),
+          round(col("iv_term"), 6).as("iv_term"),
+          round(sum(col("iv_term")).over(wCum), 6).as("cum_iv"))
+        .orderBy("decile")
+    }),
+
+    // ---- per-decile uplift (two-arm conversion delta) — the campaign
+    //      targeting report joining the A/B layer to the score-decile
+    //      device (new in r14). Arms split on user_id parity (the
+    //      q_sequential_ab convention); deciles come from the COMBINED
+    //      score census so both arms share boundaries. All counts
+    //      integer, rates in basis points by integer div — hash-exact
+    //      at any volume; one fine-key shuffle on score, windows only
+    //      over the census ----
+    "q_uplift_deciles" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val ev = Tables(s, d, "events")
+        .select(round(col("value") * 100).cast("long").as("score"),
+          (col("user_id") % 2 === 0).cast("long").as("a"),
+          (col("event_type") === "purchase").cast("long").as("y"))
+      val cen = ev.groupBy(col("score"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("a")).as("na"), sum(col("a") * col("y")).as("xa"),
+          (count(lit(1)) - sum(col("a"))).as("nb"),
+          sum((lit(1) - col("a")) * col("y")).as("xb"))
+      val tot = cen.agg(sum(col("n")).as("n_tot"))
+      val wPrev = W.orderBy(col("score")).rowsBetween(Long.MinValue, -1)
+      cen.crossJoin(broadcast(tot))
+        .withColumn("cum_before",
+          coalesce(sum(col("n")).over(wPrev), lit(0L)))
+        .withColumn("decile", expr("cum_before * 10 div n_tot"))
+        .groupBy(col("decile"))
+        .agg(sum(col("na")).as("n_a"), sum(col("xa")).as("x_a"),
+          sum(col("nb")).as("n_b"), sum(col("xb")).as("x_b"))
+        .select(col("decile"), col("n_a"), col("x_a"), col("n_b"),
+          col("x_b"),
+          when(col("n_a") > 0, expr("x_a * 10000 div n_a")).as("rate_a_bp"),
+          when(col("n_b") > 0, expr("x_b * 10000 div n_b")).as("rate_b_bp"),
+          when(col("n_a") > 0 && col("n_b") > 0,
+            expr("x_a * 10000 div n_a - x_b * 10000 div n_b"))
+            .as("uplift_bp"))
+        .orderBy("decile")
+    }),
+
+    // ---- smoothed target encoding (new in r14) — the category→number
+    //      feature transform every tabular pipeline ships: encode a
+    //      supplier's nation by its return rate, shrunk toward the
+    //      global prior with pseudo-count m=100 (empirical-Bayes mean):
+    //      enc = (r + m·R/N)/(n + m) = (r·N + m·R)/((n+m)·N), held in
+    //      basis points by integer division so the gate is hash-exact.
+    //      Products ride decimal(38,0)/HUGEINT (the q_gini device —
+    //      r·N wraps int64 at warehouse scale). One fine-key shuffle
+    //      join lineitem⋈supplier, 25-row nation census, nation dim
+    //      broadcast; no windows at all ----
+    "q_target_encode" -> ((s, d) => {
+      val li = Tables(s, d, "lineitem")
+        .select(col("l_suppkey"),
+          (col("l_returnflag") === "R").cast("long").as("y"))
+      val sup = Tables(s, d, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))
+      // the 25-row census persists so the prior's re-aggregation reads
+      // it back instead of re-scanning lineitem (plan census: 3 scans)
+      val per = li.join(sup, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("r"))
+        .persistTracked()
+      val tot = per.agg(sum(col("n")).as("n_tot"), sum(col("r")).as("r_tot"))
+      val nat = Tables(s, d, "nation")
+        .select(col("n_nationkey"), col("n_name"))
+      per.crossJoin(broadcast(tot))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .select(col("n_name").as("nation"), col("n"), col("r"),
+          expr("r * 10000 div n").as("raw_bp"),
+          expr("(CAST(r AS DECIMAL(38,0)) * n_tot + 100 * r_tot) * 10000" +
+            " div (CAST(n + 100 AS DECIMAL(38,0)) * n_tot)").as("enc_bp"))
+        .orderBy("nation")
     }),
 
     // ---- multinomial Naive Bayes language classifier, trained and
@@ -463,6 +584,103 @@ object MLOps {
         |WINDOW wc AS (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING
         |              AND CURRENT ROW)
         |ORDER BY decile""".stripMargin,
+
+    // identical ascending-decile census; WOE evaluated in the one fixed
+    // shape (CAST(pos)·N)/(CAST(neg)·P) then ln; IV as the ordered fold
+    "q_woe_iv" ->
+      """WITH sc AS (
+        |  SELECT CAST(round(value * 100) AS BIGINT) AS score,
+        |         CAST(event_type = 'purchase' AS BIGINT) AS y
+        |  FROM events),
+        |cen AS (
+        |  SELECT score, CAST(sum(y) AS BIGINT) AS np,
+        |         CAST(count(*) - sum(y) AS BIGINT) AS nn
+        |  FROM sc GROUP BY score),
+        |t0 AS (SELECT CAST(sum(np + nn) AS BIGINT) AS n_all FROM cen),
+        |dec AS (
+        |  SELECT CAST((COALESCE(sum(np + nn) OVER (ORDER BY score ROWS
+        |           BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 10)
+        |           // n_all AS BIGINT) AS decile,
+        |         np, nn
+        |  FROM cen, t0),
+        |dt AS (SELECT decile, CAST(sum(np) AS BIGINT) AS pos,
+        |              CAST(sum(nn) AS BIGINT) AS neg
+        |       FROM dec GROUP BY decile),
+        |t2 AS (SELECT CAST(sum(pos) AS BIGINT) AS p_tot,
+        |              CAST(sum(neg) AS BIGINT) AS n_tot FROM dt),
+        |w AS (
+        |  SELECT decile, pos, neg,
+        |         CASE WHEN pos > 0 AND neg > 0
+        |              THEN ln((CAST(pos AS DOUBLE) * n_tot) /
+        |                      (CAST(neg AS DOUBLE) * p_tot)) END AS woe_raw,
+        |         p_tot, n_tot
+        |  FROM dt, t2),
+        |w2 AS (
+        |  SELECT decile, pos, neg, woe_raw,
+        |         CASE WHEN woe_raw IS NOT NULL
+        |              THEN (CAST(pos AS DOUBLE) / p_tot -
+        |                    CAST(neg AS DOUBLE) / n_tot) * woe_raw
+        |              ELSE 0.0 END AS iv_term
+        |  FROM w)
+        |SELECT decile, pos, neg, round(woe_raw, 6) AS woe,
+        |       round(iv_term, 6) AS iv_term,
+        |       round(sum(iv_term) OVER (ORDER BY decile ROWS BETWEEN
+        |             UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cum_iv
+        |FROM w2 ORDER BY decile""".stripMargin,
+
+    // identical combined-census decile boundaries; all-integer rates
+    "q_uplift_deciles" ->
+      """WITH sc AS (
+        |  SELECT CAST(round(value * 100) AS BIGINT) AS score,
+        |         CAST(user_id % 2 = 0 AS BIGINT) AS a,
+        |         CAST(event_type = 'purchase' AS BIGINT) AS y
+        |  FROM events),
+        |cen AS (
+        |  SELECT score, count(*) AS n,
+        |         CAST(sum(a) AS BIGINT) AS na,
+        |         CAST(sum(a * y) AS BIGINT) AS xa,
+        |         CAST(count(*) - sum(a) AS BIGINT) AS nb,
+        |         CAST(sum((1 - a) * y) AS BIGINT) AS xb
+        |  FROM sc GROUP BY score),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_tot FROM cen),
+        |dec AS (
+        |  SELECT CAST((COALESCE(sum(n) OVER (ORDER BY score ROWS BETWEEN
+        |           UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 10) // n_tot
+        |           AS BIGINT) AS decile,
+        |         na, xa, nb, xb
+        |  FROM cen, tot),
+        |dt AS (
+        |  SELECT decile, CAST(sum(na) AS BIGINT) AS n_a,
+        |         CAST(sum(xa) AS BIGINT) AS x_a,
+        |         CAST(sum(nb) AS BIGINT) AS n_b,
+        |         CAST(sum(xb) AS BIGINT) AS x_b
+        |  FROM dec GROUP BY decile)
+        |SELECT decile, n_a, x_a, n_b, x_b,
+        |       CASE WHEN n_a > 0 THEN (x_a * 10000) // n_a END AS rate_a_bp,
+        |       CASE WHEN n_b > 0 THEN (x_b * 10000) // n_b END AS rate_b_bp,
+        |       CASE WHEN n_a > 0 AND n_b > 0
+        |            THEN (x_a * 10000) // n_a - (x_b * 10000) // n_b
+        |       END AS uplift_bp
+        |FROM dt ORDER BY decile""".stripMargin,
+
+    // identical smoothing algebra on HUGEINT; nation join replicated
+    "q_target_encode" ->
+      """WITH per AS (
+        |  SELECT s.s_nationkey,
+        |         count(*) AS n,
+        |         CAST(sum(CAST(l.l_returnflag = 'R' AS BIGINT)) AS BIGINT)
+        |           AS r
+        |  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  GROUP BY s.s_nationkey),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_tot,
+        |               CAST(sum(r) AS BIGINT) AS r_tot FROM per)
+        |SELECT nt.n_name AS nation, per.n, per.r,
+        |       (per.r * 10000) // per.n AS raw_bp,
+        |       CAST((CAST(per.r AS HUGEINT) * n_tot + 100 * r_tot) * 10000
+        |         // (CAST(per.n + 100 AS HUGEINT) * n_tot) AS BIGINT)
+        |         AS enc_bp
+        |FROM per JOIN nation nt ON per.s_nationkey = nt.n_nationkey, tot
+        |ORDER BY nation""".stripMargin,
 
     "q_calibration" ->
       s"""WITH $gdCtes

@@ -342,6 +342,40 @@ object Sessions {
     "q_kaplan_meier" -> ((s, d) =>
       kmFromLife(custLife(Tables(s, d, "orders")).persistTracked())),
 
+    // ---- Nelson-Aalen cumulative hazard — [[q_kaplan_meier]]'s other
+    //      estimator (new in r14): H(t) = Σ_{t'≤t} d/n_risk with the
+    //      plug-in survival exp(−H) and the Aalen variance Σ d/n².
+    //      Same spine as KM — one custkey shuffle, duration census,
+    //      ordered folds ONLY over the ≤100-row census. Each term is one
+    //      IEEE division of exact integers (identical left-assoc shape
+    //      both engines); 6-dp output rounding absorbs fold-order ulps
+    //      (DuckDB windowed SUM accumulates pairwise) ----
+    "q_nelson_aalen" -> ((s, d) => {
+      val life = custLife(Tables(s, d, "orders")).persistTracked()
+      val horizon = life.agg(max(col("ld")).as("hz"))
+      val durs = life.crossJoin(broadcast(horizon))
+        .select(expr("datediff(ld, fd) div 30").as("t"),
+          (datediff(col("hz"), col("ld")) > 365).cast("long").as("ev"))
+        .groupBy(col("t"))
+        .agg(count(lit(1)).as("n_exit"), sum(col("ev")).as("d"))
+      val total = durs.agg(sum(col("n_exit")).as("n_total"))
+      val wPrev = Window.orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wCum = Window.orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      durs.crossJoin(broadcast(total))
+        .withColumn("n_risk", col("n_total") -
+          coalesce(sum(col("n_exit")).over(wPrev), lit(0L)))
+        .withColumn("h_term", col("d").cast("double") / col("n_risk"))
+        .withColumn("v_term",
+          col("d") / (col("n_risk").cast("double") * col("n_risk")))
+        .select(col("t"), col("n_risk"), col("d"),
+          round(sum(col("h_term")).over(wCum), 6).as("cum_hazard"),
+          round(exp(-sum(col("h_term")).over(wCum)), 6).as("s_na"),
+          round(sum(col("v_term")).over(wCum), 6).as("var_na"))
+        .orderBy("t")
+    }),
+
     // ---- log-rank test — [[q_kaplan_meier]]'s inferential companion:
     //      do BUILDING-segment customers churn on a different clock than
     //      the rest? At each event time the observed group-1 churns are
@@ -651,6 +685,40 @@ object Sessions {
         |                 UNBOUNDED PRECEDING AND CURRENT ROW)), 6) END
         |         AS s_hat
         |FROM km2 ORDER BY t""".stripMargin,
+
+    // identical life/duration census; per-term divisions written in the
+    // same left-assoc shape; cumulative folds ulp-close, rounded at 6 dp
+    "q_nelson_aalen" ->
+      """WITH life AS MATERIALIZED (
+        |  SELECT o_custkey, min(o_orderdate) AS fd, max(o_orderdate) AS ld
+        |  FROM orders GROUP BY o_custkey),
+        |h AS (SELECT max(ld) AS hz FROM life),
+        |durs AS (
+        |  SELECT CAST(datediff('day', fd, ld) // 30 AS BIGINT) AS t,
+        |         count(*) AS n_exit,
+        |         CAST(sum(CASE WHEN datediff('day', ld, hz) > 365
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS d
+        |  FROM life, h GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_exit) AS BIGINT) AS n_total FROM durs),
+        |na AS (
+        |  SELECT t, d,
+        |         n_total - CAST(COALESCE(sum(n_exit) OVER (ORDER BY t
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS BIGINT) AS n_risk
+        |  FROM durs, tot),
+        |na2 AS (
+        |  SELECT t, n_risk, d,
+        |         CAST(d AS DOUBLE) / n_risk AS h_term,
+        |         d / (CAST(n_risk AS DOUBLE) * n_risk) AS v_term
+        |  FROM na)
+        |SELECT t, n_risk, d,
+        |       round(sum(h_term) OVER wc, 6) AS cum_hazard,
+        |       round(exp(-sum(h_term) OVER wc), 6) AS s_na,
+        |       round(sum(v_term) OVER wc, 6) AS var_na
+        |FROM na2
+        |WINDOW wc AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+        |              AND CURRENT ROW)
+        |ORDER BY t""".stripMargin,
 
     // identical census, expectation/variance expressions in the same
     // left-associative order; cumulative sums are ulp-close (DuckDB's

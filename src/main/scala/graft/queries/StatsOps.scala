@@ -29,7 +29,57 @@ import graft.functions.{CountMin, HeavyHitters}
 object StatsOps {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Benford first-digit shares p_d = log10(1 + 1/d), computed ONCE in
+    * Scala and embedded as double literals in BOTH engines' SQL
+    * (Double.toString is shortest-round-trip — the q_ab_power z-quantile
+    * / NDCG-discount device), so no in-plan libm call can diverge.
+    */
+  private val benfordP: IndexedSeq[Double] =
+    (1 to 9).map(d => math.log10(1.0 + 1.0 / d))
+
+  private def benfordPCase(c: String): String =
+    "CASE " + (1 to 9).map(d =>
+      s"WHEN $c = $d THEN ${benfordP(d - 1)}").mkString(" ") + " END"
+
+  private def benfordBpCase(c: String): String =
+    "CASE " + (1 to 9).map(d =>
+      s"WHEN $c = $d THEN CAST(${math.round(benfordP(d - 1) * 10000)} " +
+        "AS BIGINT)").mkString(" ") + " END"
+
   val queries: Map[String, Q] = Map(
+    // ---- Benford first-digit audit (new in r14) — the fraud / data-
+    //      quality screen: distribution of o_totalprice's leading digit
+    //      vs Benford's law, with per-digit χ² contributions. The census
+    //      is 9 rows by construction at ANY order volume (explicit 1-9
+    //      spine, absent digits count 0); expected shares are Scala-
+    //      literal doubles (no in-plan libm); each χ² term is one fixed
+    //      left-assoc FP shape over exact integers; the cumulative χ²
+    //      is a census-ORDERED 9-term fold, 6-dp rounding absorbing
+    //      fold-order ulps. share_bp/expected_bp all-integer ----
+    "q_benford_audit" -> ((s, d) => {
+      val cents = Tables(s, d, "orders")
+        .select(expr("CAST(substring(CAST(CAST(round(o_totalprice * 100)" +
+          " AS BIGINT) AS STRING), 1, 1) AS BIGINT)").as("digit"))
+      val cen = cents.groupBy(col("digit")).agg(count(lit(1)).as("n0"))
+      val spine = s.range(1, 10).select(col("id").as("digit"))
+      val fl = spine.join(cen, Seq("digit"), "left")
+        .select(col("digit"), coalesce(col("n0"), lit(0L)).as("n"))
+      val tot = fl.agg(sum(col("n")).as("n_tot"))
+      val wCum = Window.orderBy(col("digit"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      fl.crossJoin(broadcast(tot))
+        .withColumn("e", col("n_tot").cast("double") *
+          expr(benfordPCase("digit")))
+        .withColumn("term",
+          (col("n").cast("double") - col("e")) *
+            (col("n").cast("double") - col("e")) / col("e"))
+        .select(col("digit"), col("n"),
+          expr("n * 10000 div n_tot").as("share_bp"),
+          expr(benfordBpCase("digit")).as("expected_bp"),
+          round(col("term"), 6).as("chi2_term"),
+          round(sum(col("term")).over(wCum), 6).as("cum_chi2"))
+        .orderBy("digit")
+    }),
     // ---- mutual-information dependency profile between two categorical
     //      columns: per-cell PMI + MI contribution. The joint table is an
     //      |X|·|Y| census (map-side-combined groupBy), the marginals are
@@ -817,6 +867,34 @@ object StatsOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // identical 9-row spine, the same Scala-literal shares, the same
+    // left-assoc χ² term shape; ordered fold rounded at 6 dp
+    "q_benford_audit" ->
+      s"""WITH cen AS (
+         |  SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100)
+         |           AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+         |         count(*) AS n0
+         |  FROM orders GROUP BY 1),
+         |fl AS (
+         |  SELECT sp.digit, CAST(COALESCE(cen.n0, 0) AS BIGINT) AS n
+         |  FROM (SELECT unnest(range(1, 10)) AS digit) sp
+         |  LEFT JOIN cen ON sp.digit = cen.digit),
+         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_tot FROM fl),
+         |t AS (
+         |  SELECT digit, n, n_tot,
+         |         CAST(n_tot AS DOUBLE) * (${benfordPCase("digit")}) AS e
+         |  FROM fl, tot),
+         |t2 AS (
+         |  SELECT digit, n, n_tot, e,
+         |         ((CAST(n AS DOUBLE) - e) * (CAST(n AS DOUBLE) - e)) / e
+         |           AS term
+         |  FROM t)
+         |SELECT digit, n, (n * 10000) // n_tot AS share_bp,
+         |       ${benfordBpCase("digit")} AS expected_bp,
+         |       round(term, 6) AS chi2_term,
+         |       round(sum(term) OVER (ORDER BY digit ROWS BETWEEN
+         |             UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cum_chi2
+         |FROM t2 ORDER BY digit""".stripMargin,
     // the bottom-k is the same deterministic LCG bijection, so the
     // sketch — and therefore the estimate — is hash-exact cross-engine
     "q_theta_sketch" ->

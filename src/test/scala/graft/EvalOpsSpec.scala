@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Behavior invariants for the round-13 evaluation/selection operators —
+/** Behavior invariants for the round-13/14 evaluation/selection operators —
   * each is value-exact vs the DuckDB oracle; these assert what the oracle
   * can't see: independent brute-force recomputation in plain Scala,
   * conservation laws, and the estimators' analytic bounds.
@@ -341,6 +341,171 @@ class EvalOpsSpec extends AnyFunSuite with SparkSpec {
         val v = r.getAs[Long](c)
         assert(v >= 0 && v <= 10000, s"$lang $c=$v")
       }
+    }
+  }
+
+  test("Nelson-Aalen hazard matches a plain-Scala sequential fold") {
+    val life = Tables(spark, sf, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(min(col("o_orderdate")).as("fd"), max(col("o_orderdate")).as("ld"))
+      .select(expr("datediff(ld, fd) div 30").as("t"), col("ld"))
+      .collect()
+    def day(r: org.apache.spark.sql.Row): java.time.LocalDate = r.get(1) match {
+      case d: java.sql.Date              => d.toLocalDate
+      case d: java.time.LocalDate        => d
+      case t: java.time.LocalDateTime    => t.toLocalDate
+      case t: java.sql.Timestamp         => t.toLocalDateTime.toLocalDate
+    }
+    val hz = life.map(day).maxBy(_.toEpochDay)
+    val durs = life.map { r =>
+      (r.getAs[Long]("t"),
+        java.time.temporal.ChronoUnit.DAYS.between(day(r), hz) > 365)
+    }
+    val byT = durs.groupBy(_._1).toSeq.sortBy(_._1)
+    var atRisk = durs.length.toLong
+    var h = 0.0; var v = 0.0
+    val expected = byT.map { case (t, xs) =>
+      val d = xs.count(_._2).toLong
+      h += d.toDouble / atRisk
+      v += d / (atRisk.toDouble * atRisk)
+      val row = (t, atRisk, d, h, math.exp(-h), v)
+      atRisk -= xs.length
+      row
+    }
+    val got = q("q_nelson_aalen").collect()
+    assert(got.length == expected.length)
+    got.zip(expected).foreach { case (r, (t, n, d, eh, es, ev)) =>
+      assert(r.getAs[Long]("t") == t && r.getAs[Long]("n_risk") == n &&
+        r.getAs[Long]("d") == d, s"census row mismatch at t=$t")
+      assert(math.abs(r.getAs[Double]("cum_hazard") - eh) < 1e-6, s"H($t)")
+      assert(math.abs(r.getAs[Double]("s_na") - es) < 1e-6, s"S($t)")
+      assert(math.abs(r.getAs[Double]("var_na") - ev) < 1e-6, s"V($t)")
+    }
+    // NA survival dominates KM survival everywhere (exp(-x) >= 1-x)
+    val km = q("q_kaplan_meier").collect()
+      .map(r => r.getAs[Long]("t") -> r.getAs[Double]("s_hat")).toMap
+    got.foreach { r =>
+      assert(r.getAs[Double]("s_na") >= km(r.getAs[Long]("t")) - 1e-9)
+    }
+  }
+
+  /** Brute-force ascending score deciles: (decile → rows), replicating
+    * the census assignment (a score group lands wholly in the decile
+    * where its cumulative count starts).
+    */
+  private def scalaDeciles[T](rows: Seq[(Long, T)]): Map[Long, Seq[T]] = {
+    val byScore = rows.groupBy(_._1).toSeq.sortBy(_._1)
+    val nTot = rows.size.toLong
+    var cumBefore = 0L
+    val out = scala.collection.mutable.Map.empty[Long, Vector[T]]
+      .withDefaultValue(Vector.empty)
+    byScore.foreach { case (_, xs) =>
+      val dec = cumBefore * 10 / nTot
+      out(dec) = out(dec) ++ xs.map(_._2)
+      cumBefore += xs.size
+    }
+    out.toMap
+  }
+
+  test("WOE/IV matches a plain-Scala recompute over brute-force deciles") {
+    val rows = Tables(spark, sf, "events")
+      .select(round(col("value") * 100).cast("long").as("score"),
+        (col("event_type") === "purchase").as("y"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSeq
+    val dec = scalaDeciles(rows)
+    val pTot = rows.count(_._2).toLong
+    val nTot = rows.size.toLong - pTot
+    val got = q("q_woe_iv").collect()
+    assert(got.map(_.getAs[Long]("pos")).sum == pTot)
+    assert(got.map(_.getAs[Long]("neg")).sum == nTot)
+    var cumIv = 0.0
+    got.foreach { r =>
+      val d = r.getAs[Long]("decile")
+      val pos = dec(d).count(identity).toLong
+      val neg = dec(d).size - pos
+      assert(r.getAs[Long]("pos") == pos && r.getAs[Long]("neg") == neg,
+        s"decile $d cell counts")
+      if (pos > 0 && neg > 0) {
+        val woe = math.log((pos.toDouble * nTot) / (neg.toDouble * pTot))
+        assert(math.abs(r.getAs[Double]("woe") - woe) < 1e-6, s"woe($d)")
+        cumIv += (pos.toDouble / pTot - neg.toDouble / nTot) * woe
+      } else assert(r.isNullAt(r.fieldIndex("woe")), s"empty cell woe($d)")
+      assert(math.abs(r.getAs[Double]("cum_iv") - cumIv) < 1e-6, s"iv($d)")
+    }
+  }
+
+  test("uplift deciles conserve both arms and match brute-force rates") {
+    val rows = Tables(spark, sf, "events")
+      .select(round(col("value") * 100).cast("long").as("score"),
+        (col("user_id") % 2 === 0).as("a"),
+        (col("event_type") === "purchase").as("y"))
+      .collect().map(r => (r.getLong(0), (r.getBoolean(1), r.getBoolean(2))))
+      .toSeq
+    val dec = scalaDeciles(rows)
+    val got = q("q_uplift_deciles").collect()
+    assert(got.map(r => r.getAs[Long]("n_a") + r.getAs[Long]("n_b")).sum
+      == rows.size.toLong, "arms conserve the corpus")
+    got.foreach { r =>
+      val d = r.getAs[Long]("decile")
+      val cell = dec(d)
+      val (na, xa) = (cell.count(_._1).toLong,
+        cell.count(t => t._1 && t._2).toLong)
+      val (nb, xb) = (cell.count(!_._1).toLong,
+        cell.count(t => !t._1 && t._2).toLong)
+      assert(r.getAs[Long]("n_a") == na && r.getAs[Long]("x_a") == xa &&
+        r.getAs[Long]("n_b") == nb && r.getAs[Long]("x_b") == xb,
+        s"decile $d cells")
+      if (na > 0 && nb > 0)
+        assert(r.getAs[Long]("uplift_bp") ==
+          xa * 10000 / na - xb * 10000 / nb, s"decile $d uplift")
+    }
+  }
+
+  test("target encoding shrinks toward the prior and matches exact BigInt") {
+    val li = Tables(spark, sf, "lineitem")
+      .join(Tables(spark, sf, "supplier"),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_nationkey").cast("long"),
+        (col("l_returnflag") === "R").as("y"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    val byNat = li.groupBy(_._1)
+    val nTot = BigInt(li.length)
+    val rTot = BigInt(li.count(_._2))
+    val got = q("q_target_encode").collect()
+    assert(got.length == byNat.size)
+    val globalBp = rTot * 10000 / nTot
+    got.foreach { r =>
+      val n = BigInt(r.getAs[Long]("n")); val rr = BigInt(r.getAs[Long]("r"))
+      val rawBp = rr * 10000 / n
+      val encBp = (rr * nTot + 100 * rTot) * 10000 / ((n + 100) * nTot)
+      assert(r.getAs[Long]("raw_bp") == rawBp, s"${r.getString(0)} raw")
+      assert(r.getAs[Long]("enc_bp") == encBp, s"${r.getString(0)} enc")
+      // shrinkage: enc sits within [min, max] of raw rate and prior
+      val lo = rawBp.min(globalBp) - 1; val hi = rawBp.max(globalBp) + 1
+      assert(encBp >= lo && encBp <= hi, s"${r.getString(0)} shrinkage")
+    }
+  }
+
+  test("Benford audit matches a plain-Scala digit census and chi2 fold") {
+    val digits = Tables(spark, sf, "orders")
+      .select(round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .collect().map(_.getLong(0).toString.head.asDigit.toLong)
+    val byD = digits.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val nTot = digits.length.toLong
+    val got = q("q_benford_audit").collect()
+    assert(got.length == 9)
+    var chi2 = 0.0
+    got.foreach { r =>
+      val d = r.getAs[Long]("digit")
+      val n = byD.getOrElse(d, 0L)
+      assert(r.getAs[Long]("n") == n, s"digit $d count")
+      assert(r.getAs[Long]("share_bp") == n * 10000 / nTot, s"digit $d share")
+      val p = math.log10(1.0 + 1.0 / d)
+      assert(r.getAs[Long]("expected_bp") == math.round(p * 10000))
+      val e = nTot * p
+      chi2 += (n - e) * (n - e) / e
+      assert(math.abs(r.getAs[Double]("cum_chi2") - chi2) < 1e-4,
+        s"digit $d cum chi2")
     }
   }
 
