@@ -585,6 +585,58 @@ object CorpusOps {
         .withColumn("diverse", col("l_div") >= 3)
         .orderBy("c_nationkey", "c_mktsegment")),
 
+    // ---- t-closeness audit (new in r14) — the privacy trio's third
+    //      axis after [[q_kanonymity]] / [[q_ldiversity]]: a QI class can
+    //      be k-anonymous AND l-diverse yet still leak when its sensitive
+    //      DISTRIBUTION skews far from the global one. Distance is the
+    //      ordered-bucket earth mover's distance, exact by cross-
+    //      multiplication: EMD = Σ_b |cumC·N − cumG·n| / (n·N·(B−1)),
+    //      held in decimal(38,0) (cum·N wraps int64 at warehouse scale)
+    //      and reported in integer basis points — hash-exact. The
+    //      class×bucket spine is |QI|·|buckets|-bounded (≤ 25·5·20); the
+    //      only unpartitioned window rides the ≤20-row global bucket
+    //      census; per-class cums partition on the QI key ----
+    "q_tcloseness" -> ((s, d) => {
+      val base = Tables(s, d, "customer")
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / 1000.0).cast("long").as("bal_bkt"))
+      val cls = base
+        .groupBy(col("c_nationkey"), col("c_mktsegment"), col("bal_bkt"))
+        .agg(count(lit(1)).as("n_cb"))
+        .persistTracked()
+      val clsTot = cls.groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(sum(col("n_cb")).as("n_cls"))
+      val glob = cls.groupBy(col("bal_bkt")).agg(sum(col("n_cb")).as("n_gb"))
+      val wg = Window.orderBy(col("bal_bkt"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val globCum = glob.withColumn("cum_g", sum(col("n_gb")).over(wg))
+      val tot = glob.agg(sum(col("n_gb")).as("n_tot"),
+        count(lit(1)).as("n_buckets"))
+      val spine = clsTot.crossJoin(broadcast(globCum))
+        .join(cls, Seq("c_nationkey", "c_mktsegment", "bal_bkt"), "left")
+        .select(col("c_nationkey"), col("c_mktsegment"), col("bal_bkt"),
+          col("n_cls"), col("cum_g"),
+          coalesce(col("n_cb"), lit(0L)).as("nc"))
+      val wc = Window.partitionBy(col("c_nationkey"), col("c_mktsegment"))
+        .orderBy(col("bal_bkt"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      spine.crossJoin(broadcast(tot))
+        .withColumn("cum_c", sum(col("nc")).over(wc))
+        .withColumn("dev", abs(expr("CAST(cum_c AS DECIMAL(38,0)) * n_tot" +
+          " - CAST(cum_g AS DECIMAL(38,0)) * n_cls")))
+        .groupBy(col("c_nationkey"), col("c_mktsegment"), col("n_cls"),
+          col("n_tot"), col("n_buckets"))
+        .agg(sum(col("dev")).as("dev_sum"))
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          col("n_cls").as("n"),
+          when(col("n_buckets") > 1,
+            expr("dev_sum * 10000 div (CAST(n_cls AS DECIMAL(38,0))" +
+              " * n_tot * (n_buckets - 1))"))
+            .otherwise(lit(0L)).as("emd_bp"))
+        .withColumn("close", col("emd_bp") <= 2000)
+        .orderBy("c_nationkey", "c_mktsegment")
+    }),
+
     // ---- per-domain sample cap (C4-style host capping): every source
     //      keeps at most 10 docs, chosen by a deterministic md5 priority —
     //      reproducible across engines, runs, and partitionings (the
@@ -674,6 +726,59 @@ object CorpusOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // identical bucket edge, cross-multiplied EMD on HUGEINT, same spine
+    "q_tcloseness" ->
+      """WITH base AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |         CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_bkt
+        |  FROM customer),
+        |cls AS (SELECT c_nationkey, c_mktsegment, bal_bkt, count(*) AS n_cb
+        |        FROM base GROUP BY 1, 2, 3),
+        |ct AS (SELECT c_nationkey, c_mktsegment,
+        |              CAST(sum(n_cb) AS BIGINT) AS n_cls
+        |       FROM cls GROUP BY 1, 2),
+        |gl AS (SELECT bal_bkt, CAST(sum(n_cb) AS BIGINT) AS n_gb
+        |       FROM cls GROUP BY 1),
+        |glc AS (SELECT bal_bkt, CAST(sum(n_gb) OVER (ORDER BY bal_bkt ROWS
+        |          BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |          AS cum_g
+        |        FROM gl),
+        |tot AS (SELECT CAST(sum(n_gb) AS BIGINT) AS n_tot,
+        |               count(*) AS n_buckets FROM gl),
+        |sp AS (
+        |  SELECT ct.c_nationkey, ct.c_mktsegment, glc.bal_bkt, ct.n_cls,
+        |         glc.cum_g, CAST(COALESCE(cls.n_cb, 0) AS BIGINT) AS nc
+        |  FROM ct CROSS JOIN glc
+        |  LEFT JOIN cls ON cls.c_nationkey = ct.c_nationkey
+        |               AND cls.c_mktsegment = ct.c_mktsegment
+        |               AND cls.bal_bkt = glc.bal_bkt),
+        |cm AS (
+        |  SELECT c_nationkey, c_mktsegment, n_cls, cum_g,
+        |         CAST(sum(nc) OVER (PARTITION BY c_nationkey, c_mktsegment
+        |           ORDER BY bal_bkt ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |           CURRENT ROW) AS BIGINT) AS cum_c
+        |  FROM sp),
+        |dv AS (
+        |  SELECT c_nationkey, c_mktsegment, n_cls, n_tot, n_buckets,
+        |         abs(CAST(cum_c AS HUGEINT) * n_tot -
+        |             CAST(cum_g AS HUGEINT) * n_cls) AS dev
+        |  FROM cm, tot),
+        |ag AS (
+        |  SELECT c_nationkey, c_mktsegment, n_cls, n_tot, n_buckets,
+        |         sum(dev) AS dev_sum
+        |  FROM dv GROUP BY 1, 2, 3, 4, 5)
+        |SELECT c_nationkey, c_mktsegment, n_cls AS n,
+        |       CASE WHEN n_buckets > 1
+        |            THEN CAST(dev_sum * 10000 //
+        |              (CAST(n_cls AS HUGEINT) * n_tot * (n_buckets - 1))
+        |              AS BIGINT)
+        |            ELSE 0 END AS emd_bp,
+        |       CASE WHEN n_buckets > 1
+        |            THEN CAST(dev_sum * 10000 //
+        |              (CAST(n_cls AS HUGEINT) * n_tot * (n_buckets - 1))
+        |              AS BIGINT)
+        |            ELSE 0 END <= 2000 AS close
+        |FROM ag ORDER BY c_nationkey, c_mktsegment""".stripMargin,
     "q_data_recipe" ->
       """WITH dd AS (
         |  SELECT doc_id, source, n_chars FROM documents),

@@ -579,6 +579,36 @@ object TimeSeriesOps {
     //      break on earliest day; the reported before/after means are the
     //      only divisions (IEEE, rounded). Same one-shuffle shape as
     //      q_autocorr: day-level series, per-type window partitions ----
+    // ---- STL-lite detrended day-of-week seasonality (new in r14): how
+    //      much does each weekday deviate from the local trend? Trend is
+    //      a centered 7-day moving average over the day census — kept as
+    //      the exact RATIONAL (sum7, cnt7) so the deviation stays
+    //      integer: dev420 = (n·cnt7 − sum7)·(420/cnt7), where 420 =
+    //      lcm(4..7) clears every edge-window denominator exactly.
+    //      Per-dow seasonality is then ONE division of exact integers —
+    //      vs q_seasonal_profile's raw shares, this subtracts the trend
+    //      first, so a ramping series doesn't fake a weekday effect.
+    //      All windows ride the horizon-bounded day census; sums in
+    //      decimal(38,0) ----
+    "q_stl_lite" -> ((s, d) => {
+      val daily = ev(s, d).groupBy(col("day")).agg(count(lit(1)).as("n"))
+      val w7 = Window.orderBy(col("day")).rowsBetween(-3, 3)
+      daily
+        .withColumn("sum7", sum(col("n")).over(w7))
+        .withColumn("cnt7", count(lit(1)).over(w7))
+        .withColumn("dev420",
+          ((col("n") * col("cnt7") - col("sum7")) *
+            expr("420 div cnt7")).cast("decimal(38,0)"))
+        .withColumn("dow", pmod(col("day") + 4, lit(7)))
+        .groupBy(col("dow"))
+        .agg(count(lit(1)).as("n_days"), sum(col("n")).as("total_n"),
+          sum(col("dev420")).as("s420"))
+        .select(col("dow"), col("n_days"), col("total_n"),
+          round(col("s420").cast("double") / (col("n_days") * 420.0), 6)
+            .as("seasonal"))
+        .orderBy("dow")
+    }),
+
     "q_changepoint" -> ((s, d) => {
       val daily = ev(s, d)
         .groupBy(col("event_type"), col("day"))
@@ -682,6 +712,29 @@ object TimeSeriesOps {
     "q_autocorr" -> autocorrOracle,
 
     // same all-integer CUSUM argmax, same earliest-day tie-break
+    // identical day census, the same exact-rational trend device
+    "q_stl_lite" ->
+      """WITH daily AS (
+        |  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |         count(*) AS n
+        |  FROM events GROUP BY 1),
+        |t AS (
+        |  SELECT day, n,
+        |         CAST(sum(n) OVER w7 AS BIGINT) AS sum7,
+        |         CAST(count(*) OVER w7 AS BIGINT) AS cnt7
+        |  FROM daily
+        |  WINDOW w7 AS (ORDER BY day ROWS BETWEEN 3 PRECEDING
+        |                AND 3 FOLLOWING)),
+        |d2 AS (
+        |  SELECT (day + 4) % 7 AS dow, n,
+        |         CAST((n * cnt7 - sum7) * (420 // cnt7) AS HUGEINT)
+        |           AS dev420
+        |  FROM t)
+        |SELECT dow, count(*) AS n_days, CAST(sum(n) AS BIGINT) AS total_n,
+        |       round(CAST(sum(dev420) AS DOUBLE) /
+        |             (count(*) * 420.0), 6) AS seasonal
+        |FROM d2 GROUP BY dow ORDER BY dow""".stripMargin,
+
     "q_changepoint" ->
       """WITH daily AS MATERIALIZED (
         |  SELECT event_type,

@@ -509,6 +509,67 @@ class EvalOpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("t-closeness EMD matches an exact BigInt recompute") {
+    val rows = Tables(spark, sf, "customer")
+      .select(col("c_nationkey").cast("long"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000.0).cast("long"))
+      .collect().map(r => ((r.getLong(0), r.getString(1)), r.getLong(2)))
+    val buckets = rows.map(_._2).distinct.sorted
+    val nTot = BigInt(rows.length)
+    val globCum = buckets.map(b =>
+      b -> BigInt(rows.count(_._2 <= b))).toMap
+    val got = q("q_tcloseness").collect()
+    assert(got.length == rows.map(_._1).distinct.length)
+    got.foreach { r =>
+      val key = (r.getAs[Number]("c_nationkey").longValue,
+        r.getAs[String]("c_mktsegment"))
+      val cell = rows.filter(_._1 == key).map(_._2)
+      val nCls = BigInt(cell.length)
+      assert(r.getAs[Long]("n") == cell.length.toLong)
+      val devSum = buckets.map { b =>
+        (BigInt(cell.count(_ <= b)) * nTot - globCum(b) * nCls).abs
+      }.sum
+      val expected =
+        if (buckets.length > 1)
+          devSum * 10000 / (nCls * nTot * (buckets.length - 1))
+        else BigInt(0)
+      assert(BigInt(r.getAs[Long]("emd_bp")) == expected, s"$key emd")
+      assert(r.getAs[Long]("emd_bp") >= 0 &&
+        r.getAs[Long]("emd_bp") <= 10000, s"$key emd range")
+      assert(r.getAs[Boolean]("close") == (expected <= 2000), s"$key close")
+    }
+  }
+
+  test("STL-lite seasonality matches a plain-Scala moving-average fold") {
+    val daily = Tables(spark, sf, "events")
+      .select(expr("unix_timestamp(ts) div 86400").as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val got = q("q_stl_lite").collect()
+    assert(got.map(_.getAs[Long]("n_days")).sum == daily.length.toLong)
+    val byDow = daily.indices.map { i =>
+      val lo = math.max(0, i - 3); val hi = math.min(daily.length - 1, i + 3)
+      val win = (lo to hi).map(j => daily(j)._2)
+      val (day, n) = daily(i)
+      val cnt7 = win.length.toLong
+      val dev420 = (n * cnt7 - win.sum) * (420 / cnt7)
+      ((day + 4) % 7, dev420)
+    }.groupBy(_._1)
+    got.foreach { r =>
+      val dow = r.getAs[Long]("dow")
+      val devs = byDow(dow).map(_._2)
+      val expected = devs.map(BigInt(_)).sum.toDouble / (devs.size * 420.0)
+      assert(math.abs(r.getAs[Double]("seasonal") - expected) < 1e-6,
+        s"dow $dow seasonal")
+    }
+    // the seasonal deviations must roughly cancel across the week (the
+    // trend absorbed the level): the n_days-weighted sum is edge-only
+    val wsum = got.map(r =>
+      r.getAs[Double]("seasonal") * r.getAs[Long]("n_days")).sum
+    val scale = daily.map(_._2).max.toDouble
+    assert(math.abs(wsum) < 7 * scale, "weighted seasonal sum not edge-sized")
+  }
+
   /** Textbook list-based BPE trainer: greedy left-to-right merge walk on
     * token lists — the semantics witness for the engine's wrapped-form
     * string-replace trick. Returns (round, x, y, pair_n, n_symbols).
