@@ -134,6 +134,66 @@ object Sessions {
         .orderBy("channel")
     }),
 
+    // ---- EXACT Shapley-value channel attribution (new in r14) —
+    //      q_attribution's game-theoretic sibling. Players = the three
+    //      touch channels; coalition value v(S) = purchases reached by
+    //      at least one channel in S (within the same 24 h lookback).
+    //      The corpus reduces to the ≤7-row touched-set census, v rides
+    //      an 8-row subset spine, and the Shapley weights |S|!(n−|S|−1)!
+    //      are held ×3! = ×6 so EVERYTHING is integer — φ_c×6 is exact,
+    //      Σφ×6 = 6·v(N) by efficiency (spec-asserted). Bit tests are
+    //      pure arithmetic ((m div 2^i) % 2), portable to both engines.
+    //      One fine-key purchases⋈touches shuffle; every census join
+    //      is ≤ 8×7 rows regardless of corpus size ----
+    "q_shapley_attrib" -> ((s, d) => {
+      val e = events(s, d).select(col("user_id"), col("event_id"),
+        col("event_type"), unix_timestamp(col("ts")).as("secs"))
+      val t = e.filter(col("event_type").isin("click", "signup", "view"))
+        .select(col("user_id"), col("event_type").as("channel"),
+          col("secs").as("touch_s"))
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("secs").as("purchase_s"))
+      val perP = p.join(t, Seq("user_id"))
+        .filter(col("touch_s") <= col("purchase_s") &&
+          col("touch_s") >= col("purchase_s") - 86400)
+        .groupBy(col("purchase_id"))
+        .agg(max(when(col("channel") === "click", 1L).otherwise(0L))
+            .as("b0"),
+          max(when(col("channel") === "signup", 1L).otherwise(0L)).as("b1"),
+          max(when(col("channel") === "view", 1L).otherwise(0L)).as("b2"))
+        .select((col("b0") + col("b1") * 2 + col("b2") * 4).as("tmask"))
+      val tcen = perP.groupBy(col("tmask")).agg(count(lit(1)).as("cnt"))
+      val spine = s.range(0, 8).select(col("id").as("smask"))
+      val v = spine.join(broadcast(tcen),
+          expr("(smask % 2) * (tmask % 2) + " +
+            "((smask div 2) % 2) * ((tmask div 2) % 2) + " +
+            "((smask div 4) % 2) * ((tmask div 4) % 2) > 0"), "left")
+        .groupBy(col("smask"))
+        .agg(coalesce(sum(col("cnt")), lit(0L)).as("v"))
+        .persistTracked()
+      val ch = s.range(0, 3).select(
+        expr("CASE id WHEN 0 THEN 'click' WHEN 1 THEN 'signup' " +
+          "ELSE 'view' END").as("channel"),
+        expr("CASE id WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 4 END").as("bv"))
+      val vn = v.filter(col("smask") === 7).select(col("v").as("v_all"))
+      ch.join(broadcast(v.select(col("smask"), col("v").as("v_s"))),
+          expr("(smask div bv) % 2 = 0"))
+        .join(broadcast(v.select(col("smask").as("smask2"),
+          col("v").as("v_sc"))), expr("smask2 = smask + bv"))
+        .select(col("channel"),
+          expr("CASE (smask % 2) + (smask div 2) % 2 + (smask div 4) % 2 " +
+            "WHEN 0 THEN 2 WHEN 1 THEN 1 ELSE 2 END * (v_sc - v_s)")
+            .as("contrib"))
+        .groupBy(col("channel"))
+        .agg(sum(col("contrib")).as("phi_x6"))
+        .crossJoin(broadcast(vn))
+        .select(col("channel"), col("phi_x6"),
+          expr("phi_x6 * 10000 div (6 * v_all)").as("share_bp"),
+          col("v_all").as("converted"))
+        .orderBy("channel")
+    }),
+
     // ---- gaps-and-islands sessionization (30-minute inactivity gap) ----
     // ---- inter-event gap histogram — the number the 30-minute session
     //      gap (and the streaming state timeout built on it) should be
@@ -840,6 +900,51 @@ object Sessions {
         |FROM lin l LEFT JOIN firsts f USING (channel)
         |           LEFT JOIN lasts s USING (channel)
         |ORDER BY l.channel""".stripMargin,
+
+    // identical touched-set census, identical arithmetic bit tests and
+    // ×6 integer Shapley weights — all-integer, hash-exact
+    "q_shapley_attrib" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |                  CAST(floor(epoch(ts)) AS BIGINT) AS secs
+        |           FROM events),
+        |t AS (SELECT user_id, event_type AS channel, secs AS touch_s
+        |      FROM e WHERE event_type IN ('click', 'signup', 'view')),
+        |p AS (SELECT user_id, event_id AS purchase_id, secs AS purchase_s
+        |      FROM e WHERE event_type = 'purchase'),
+        |perp AS (
+        |  SELECT purchase_id,
+        |         max(CASE WHEN channel = 'click' THEN 1 ELSE 0 END)
+        |       + max(CASE WHEN channel = 'signup' THEN 1 ELSE 0 END) * 2
+        |       + max(CASE WHEN channel = 'view' THEN 1 ELSE 0 END) * 4
+        |           AS tmask
+        |  FROM p JOIN t ON p.user_id = t.user_id
+        |   AND touch_s <= purchase_s AND touch_s >= purchase_s - 86400
+        |  GROUP BY purchase_id),
+        |tcen AS (SELECT tmask, count(*) AS cnt FROM perp GROUP BY 1),
+        |spine AS (SELECT unnest(range(0, 8)) AS smask),
+        |v AS (SELECT smask, CAST(coalesce(sum(cnt), 0) AS BIGINT) AS v
+        |      FROM spine LEFT JOIN tcen
+        |        ON (smask % 2) * (tmask % 2)
+        |         + ((smask // 2) % 2) * ((tmask // 2) % 2)
+        |         + ((smask // 4) % 2) * ((tmask // 4) % 2) > 0
+        |      GROUP BY smask),
+        |ch AS (SELECT * FROM (VALUES ('click', 1), ('signup', 2),
+        |                             ('view', 4)) AS cc(channel, bv)),
+        |pairs AS (
+        |  SELECT channel,
+        |         (CASE (v1.smask % 2) + (v1.smask // 2) % 2
+        |               + (v1.smask // 4) % 2
+        |          WHEN 0 THEN 2 WHEN 1 THEN 1 ELSE 2 END)
+        |           * (v2.v - v1.v) AS contrib
+        |  FROM ch JOIN v v1 ON (v1.smask // bv) % 2 = 0
+        |          JOIN v v2 ON v2.smask = v1.smask + bv),
+        |phi AS (SELECT channel, CAST(sum(contrib) AS BIGINT) AS phi_x6
+        |        FROM pairs GROUP BY 1),
+        |vn AS (SELECT v AS v_all FROM v WHERE smask = 7)
+        |SELECT channel, phi_x6,
+        |       CAST(phi_x6 * 10000 // (6 * v_all) AS BIGINT) AS share_bp,
+        |       v_all AS converted
+        |FROM phi, vn ORDER BY channel""".stripMargin,
 
     "q_interval_join" ->
       """WITH e AS (SELECT event_id, user_id, event_type,

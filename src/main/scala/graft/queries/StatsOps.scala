@@ -820,6 +820,137 @@ object StatsOps {
           expr(s"abs(n_below * $P div theta - exact_inter) * 10000" +
             " div exact_inter").as("err_bp"))
         .orderBy("fa", "fb")
+    }),
+
+    // ---- one-way ANOVA F-test (new in r14): does mean account balance
+    //      differ across market segments? Group moments are EXACT
+    //      decimal(38,0) sums of integer cents (HUGEINT in the oracle);
+    //      the between-group sum of squares folds census-ORDERED over the
+    //      5-row segment census (the q_benford device — terms s_g²/n_g
+    //      are non-negative so the running cum is monotone and max(cum)
+    //      IS the ordered total), leaving five fixed-shape FP terms plus
+    //      the final F division, rounded. One map-side-combined groupBy
+    //      is the entire shuffle at any corpus size ----
+    "q_anova" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val cen = Tables(s, d, "customer")
+        .select(col("c_mktsegment").as("seg"),
+          round(col("c_acctbal") * 100).cast("long").as("cents"))
+        .groupBy(col("seg"))
+        .agg(count(lit(1)).as("n_g"),
+          sum(col("cents").cast("decimal(38,0)")).as("s_g"),
+          sum(expr("cast(cents as decimal(38,0)) * cents")).as("q_g"))
+        .persistTracked()
+      val tot = cen.agg(count(lit(1)).as("k"), sum(col("n_g")).as("n"),
+        sum(col("s_g")).as("s"), sum(col("q_g")).as("qq"))
+      val wCum = W.orderBy(col("seg")).rowsBetween(Long.MinValue, 0)
+      val folded = cen
+        .withColumn("term",
+          expr("cast(s_g as double) * cast(s_g as double) / n_g"))
+        .withColumn("cum", sum(col("term")).over(wCum))
+        .agg(max(col("cum")).as("t_fold"))
+      folded.crossJoin(broadcast(tot))
+        .select(col("k"), col("n").cast("long").as("n"),
+          round(expr("(t_fold - cast(s as double) * cast(s as double) / n)" +
+            " / 10000.0"), 4).as("ssb_d2"),
+          round(expr("(cast(qq as double) - t_fold) / 10000.0"), 4)
+            .as("ssw_d2"),
+          round(expr("((t_fold - cast(s as double) * cast(s as double) / n)" +
+            " / (k - 1)) / ((cast(qq as double) - t_fold) / (n - k))"), 6)
+            .as("f_stat"))
+    }),
+
+    // ---- Brown–Forsythe (median-based Levene) homogeneity-of-variance
+    //      test (new in r14) — ANOVA's prerequisite check, run on the
+    //      absolute deviations from the GROUP MEDIAN. The median is exact
+    //      from the per-group distinct-cents census (the q_gini device):
+    //      positions p1=(n+1)÷2, p2=(n+2)÷2 read off the cumulative-count
+    //      window over the census, med×2 = val(p1)+val(p2) stays integer,
+    //      so z = |2·cents − med2| is integer and the F folds exactly as
+    //      q_anova. Shuffles: one distinct-cents census + one broadcast
+    //      re-join of the 5-row median table against the scan ----
+    "q_levene" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val base = Tables(s, d, "customer")
+        .select(col("c_mktsegment").as("seg"),
+          round(col("c_acctbal") * 100).cast("long").as("cents"))
+      val vc = base.groupBy(col("seg"), col("cents"))
+        .agg(count(lit(1)).as("c"))
+      val ng = vc.groupBy(col("seg")).agg(sum(col("c")).as("n_g"))
+      val wCum = W.partitionBy(col("seg")).orderBy(col("cents"))
+        .rowsBetween(Long.MinValue, 0)
+      val med = vc.withColumn("cum", sum(col("c")).over(wCum))
+        .join(broadcast(ng), "seg")
+        .groupBy(col("seg"))
+        .agg(min(when(col("cum") >= expr("(n_g + 1) div 2"), col("cents")))
+            .as("lo"),
+          min(when(col("cum") >= expr("(n_g + 2) div 2"), col("cents")))
+            .as("hi"))
+        .select(col("seg"), (col("lo") + col("hi")).as("med2"))
+      val cen = base.join(broadcast(med), "seg")
+        .select(col("seg"), abs(col("cents") * 2 - col("med2")).as("z"))
+        .groupBy(col("seg"))
+        .agg(count(lit(1)).as("n_g"),
+          sum(col("z").cast("decimal(38,0)")).as("s_g"),
+          sum(expr("cast(z as decimal(38,0)) * z")).as("q_g"))
+        .persistTracked()
+      val tot = cen.agg(count(lit(1)).as("k"), sum(col("n_g")).as("n"),
+        sum(col("s_g")).as("s"), sum(col("q_g")).as("qq"))
+      val wFold = W.orderBy(col("seg")).rowsBetween(Long.MinValue, 0)
+      val folded = cen
+        .withColumn("term",
+          expr("cast(s_g as double) * cast(s_g as double) / n_g"))
+        .withColumn("cum", sum(col("term")).over(wFold))
+        .agg(max(col("cum")).as("t_fold"))
+      folded.crossJoin(broadcast(tot))
+        .select(col("k"), col("n").cast("long").as("n"),
+          round(expr("((t_fold - cast(s as double) * cast(s as double) / n)" +
+            " / (k - 1)) / ((cast(qq as double) - t_fold) / (n - k))"), 6)
+            .as("f_bf"))
+    }),
+
+    // ---- Kendall rank correlation τ-b between monthly order volume and
+    //      monthly revenue (new in r14). The corpus reduces to the month
+    //      census FIRST (bounded by the calendar — ~80 rows at any data
+    //      size), then concordant/discordant/tied pair counts come from
+    //      the census self-join (80² pairs, census-sized, broadcast) —
+    //      ALL-INTEGER until the single final τ division, so the gate is
+    //      hash-exact. The textbook τ-b tie correction uses pair counts
+    //      tied in x / in y (pairs tied in both count toward each) ----
+    "q_kendall_tau" -> ((s, d) => {
+      val m = Tables(s, d, "orders")
+        .select((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+            .as("m"),
+          col("o_totalprice"))
+        .groupBy(col("m"))
+        .agg(count(lit(1)).as("x"),
+          expr("cast(round(round(sum(o_totalprice), 2) * 100) as bigint)")
+            .as("y"))
+        .persistTracked()
+      val nm = m.agg(count(lit(1)).as("n_months"))
+      val a = m.select(col("m").as("ma"), col("x").as("xa"),
+        col("y").as("ya"))
+      val b = m.select(col("m").as("mb"), col("x").as("xb"),
+        col("y").as("yb"))
+      a.join(broadcast(b), col("ma") < col("mb"))
+        .select(
+          when((col("xa") < col("xb") && col("ya") < col("yb")) ||
+            (col("xa") > col("xb") && col("ya") > col("yb")), 1L)
+            .otherwise(0L).as("cc"),
+          when((col("xa") < col("xb") && col("ya") > col("yb")) ||
+            (col("xa") > col("xb") && col("ya") < col("yb")), 1L)
+            .otherwise(0L).as("dd"),
+          when(col("xa") === col("xb"), 1L).otherwise(0L).as("tx"),
+          when(col("ya") === col("yb"), 1L).otherwise(0L).as("ty"))
+        .agg(count(lit(1)).as("n_pairs"), sum(col("cc")).as("concordant"),
+          sum(col("dd")).as("discordant"), sum(col("tx")).as("ties_x"),
+          sum(col("ty")).as("ties_y"))
+        .crossJoin(broadcast(nm))
+        .select(col("n_months"), col("n_pairs"), col("concordant"),
+          col("discordant"), col("ties_x"), col("ties_y"),
+          round(expr("cast(concordant - discordant as double) / " +
+            "sqrt(cast(n_pairs - ties_x as double) * " +
+            "cast(n_pairs - ties_y as double))"), 6).as("tau_b"))
     })
   )
 
@@ -1411,6 +1542,104 @@ object StatsOps {
         |         AS zipf_slope,
         |       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
         |             / n, 4) AS intercept
-        |FROM s""".stripMargin
+        |FROM s""".stripMargin,
+
+    // identical exact HUGEINT moments, the same census-ordered monotone
+    // fold (max(cum) == last since s_g²/n_g ≥ 0), one F division
+    "q_anova" ->
+      """WITH cen AS (
+        |  SELECT c_mktsegment AS seg, count(*) AS n_g,
+        |         sum(CAST(CAST(round(c_acctbal * 100) AS BIGINT)
+        |             AS HUGEINT)) AS s_g,
+        |         sum(CAST(CAST(round(c_acctbal * 100) AS BIGINT) AS HUGEINT)
+        |             * CAST(round(c_acctbal * 100) AS BIGINT)) AS q_g
+        |  FROM customer GROUP BY 1),
+        |tot AS (SELECT count(*) AS k, sum(n_g) AS n, sum(s_g) AS s,
+        |               sum(q_g) AS qq FROM cen),
+        |fold AS (
+        |  SELECT max(cum) AS t_fold FROM (
+        |    SELECT sum(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE) / n_g)
+        |           OVER (ORDER BY seg ROWS BETWEEN UNBOUNDED PRECEDING
+        |                 AND CURRENT ROW) AS cum
+        |    FROM cen))
+        |SELECT k, CAST(n AS BIGINT) AS n,
+        |       round((t_fold - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+        |             / 10000.0, 4) AS ssb_d2,
+        |       round((CAST(qq AS DOUBLE) - t_fold) / 10000.0, 4) AS ssw_d2,
+        |       round(((t_fold - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+        |              / (k - 1)) /
+        |             ((CAST(qq AS DOUBLE) - t_fold) / (n - k)), 6) AS f_stat
+        |FROM fold, tot""".stripMargin,
+
+    // the same exact distinct-cents median (med2 integer), the same
+    // |2·cents − med2| deviations and census-ordered F fold
+    "q_levene" ->
+      """WITH base AS (
+        |  SELECT c_mktsegment AS seg,
+        |         CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+        |  FROM customer),
+        |vc AS (SELECT seg, cents, count(*) AS c FROM base GROUP BY 1, 2),
+        |ng AS (SELECT seg, sum(c) AS n_g FROM vc GROUP BY 1),
+        |med AS (
+        |  SELECT seg,
+        |         min(CASE WHEN cum >= (n_g + 1) // 2 THEN cents END)
+        |         + min(CASE WHEN cum >= (n_g + 2) // 2 THEN cents END)
+        |           AS med2
+        |  FROM (SELECT seg, cents,
+        |               sum(c) OVER (PARTITION BY seg ORDER BY cents
+        |                            ROWS BETWEEN UNBOUNDED PRECEDING
+        |                            AND CURRENT ROW) AS cum
+        |        FROM vc) JOIN ng USING (seg)
+        |  GROUP BY seg),
+        |cen AS (
+        |  SELECT seg, count(*) AS n_g,
+        |         sum(CAST(abs(cents * 2 - med2) AS HUGEINT)) AS s_g,
+        |         sum(CAST(abs(cents * 2 - med2) AS HUGEINT)
+        |             * abs(cents * 2 - med2)) AS q_g
+        |  FROM base JOIN med USING (seg) GROUP BY 1),
+        |tot AS (SELECT count(*) AS k, sum(n_g) AS n, sum(s_g) AS s,
+        |               sum(q_g) AS qq FROM cen),
+        |fold AS (
+        |  SELECT max(cum) AS t_fold FROM (
+        |    SELECT sum(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE) / n_g)
+        |           OVER (ORDER BY seg ROWS BETWEEN UNBOUNDED PRECEDING
+        |                 AND CURRENT ROW) AS cum
+        |    FROM cen))
+        |SELECT k, CAST(n AS BIGINT) AS n,
+        |       round(((t_fold - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+        |              / (k - 1)) /
+        |             ((CAST(qq AS DOUBLE) - t_fold) / (n - k)), 6) AS f_bf
+        |FROM fold, tot""".stripMargin,
+
+    // the same month census, the same all-integer pair classification
+    // over the census self-join, one final τ division
+    "q_kendall_tau" ->
+      """WITH m AS (
+        |  SELECT year(o_orderdate) * 12 + month(o_orderdate) AS m,
+        |         count(*) AS x,
+        |         CAST(round(round(sum(o_totalprice), 2) * 100) AS BIGINT)
+        |           AS y
+        |  FROM orders GROUP BY 1),
+        |nm AS (SELECT count(*) AS n_months FROM m),
+        |pr AS (
+        |  SELECT CASE WHEN (a.x < b.x AND a.y < b.y)
+        |                OR (a.x > b.x AND a.y > b.y) THEN 1 ELSE 0 END AS cc,
+        |         CASE WHEN (a.x < b.x AND a.y > b.y)
+        |                OR (a.x > b.x AND a.y < b.y) THEN 1 ELSE 0 END AS dd,
+        |         CASE WHEN a.x = b.x THEN 1 ELSE 0 END AS tx,
+        |         CASE WHEN a.y = b.y THEN 1 ELSE 0 END AS ty
+        |  FROM m a JOIN m b ON a.m < b.m),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |               CAST(sum(cc) AS BIGINT) AS concordant,
+        |               CAST(sum(dd) AS BIGINT) AS discordant,
+        |               CAST(sum(tx) AS BIGINT) AS ties_x,
+        |               CAST(sum(ty) AS BIGINT) AS ties_y
+        |        FROM pr)
+        |SELECT CAST(n_months AS BIGINT) AS n_months, n_pairs, concordant,
+        |       discordant, ties_x, ties_y,
+        |       round(CAST(concordant - discordant AS DOUBLE) /
+        |             sqrt(CAST(n_pairs - ties_x AS DOUBLE) *
+        |                  CAST(n_pairs - ties_y AS DOUBLE)), 6) AS tau_b
+        |FROM agg, nm""".stripMargin
   )
 }

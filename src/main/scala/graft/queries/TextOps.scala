@@ -16,6 +16,19 @@ object TextOps {
 
   private def docs(s: SparkSession, d: String) = Tables(s, d, "documents")
 
+  /** q_jsd_drift per-token Jensen–Shannon contribution — ONE expression
+    * text shared verbatim by the Spark plan and the DuckDB oracle
+    * (columns na, nb, ta, tb in scope), so the log2 calls and every FP
+    * op run in the identical shape; the term is rounded per row.
+    */
+  private val JsdP = "CAST(na AS DOUBLE) / ta"
+  private val JsdQ = "CAST(nb AS DOUBLE) / tb"
+  private val JsdTerm: String =
+    s"0.5 * (CASE WHEN na > 0 THEN ($JsdP) * " +
+      s"log2(2.0 * ($JsdP) / (($JsdP) + ($JsdQ))) ELSE 0.0 END) + " +
+      s"0.5 * (CASE WHEN nb > 0 THEN ($JsdQ) * " +
+      s"log2(2.0 * ($JsdQ) / (($JsdP) + ($JsdQ))) ELSE 0.0 END)"
+
   /** Greedy leftmost application of one ranked merge (x_i, y_i) over a
     * space-joined token string — the BPE application step at word level.
     * Fold state is the merged-so-far string: a token equal to y_i fuses
@@ -581,6 +594,42 @@ object TextOps {
       cand.join(docs, "doc_id")
         .select(col("doc_id"), col("text").contains(pat).as("is_match"))
         .orderBy("doc_id")
+    }),
+
+    // ---- Jensen–Shannon divergence between the token distributions of
+    //      two source arms (new in r14) — the information-theoretic
+    //      corpus-drift monitor (q_psi_drift buckets values; this
+    //      measures the VOCABULARY distribution shift, symmetric and
+    //      bounded to [0,1] bit unlike KL). One map-side-combined token
+    //      census is the entire corpus touch; the report is the top-100
+    //      combined-count tokens (INTEGER ordering key, token tiebreak —
+    //      deterministic), each contribution a fixed per-row FP shape
+    //      over exact integers (log2 inside the rounded term, the
+    //      q_mutual_info discipline), the cumulative JSD a token-ORDERED
+    //      census fold (the q_benford device). Per-token JS contributions
+    //      are ≥ 0 by convexity — spec-asserted ----
+    "q_jsd_drift" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val cen = docs(s, d)
+        .select(expr("CAST(substring(source, 4) AS BIGINT) % 2").as("arm"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("t"))
+        .filter(col("t") =!= "")
+        .groupBy(col("t"))
+        .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("na"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("nb"))
+        .persistTracked()
+      val tot = cen.agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"))
+      val top = cen.orderBy((col("na") + col("nb")).desc, col("t").asc)
+        .limit(100)
+      val wCum = W.orderBy(col("t")).rowsBetween(Long.MinValue, 0)
+      top.crossJoin(broadcast(tot))
+        .withColumn("term", expr(JsdTerm))
+        .select(col("t").as("token"), col("na"), col("nb"),
+          expr("na * 10000 div ta").as("p_bp"),
+          expr("nb * 10000 div tb").as("q_bp"),
+          round(col("term"), 8).as("jsd_term"),
+          round(sum(col("term")).over(wCum), 6).as("cum_jsd"))
+        .orderBy("token")
     })
   )
 
@@ -1020,6 +1069,34 @@ object TextOps {
         |  HAVING count(*) = (SELECT count(*) FROM g))
         |SELECT doc_id, contains(text, 'window table') AS is_match
         |FROM cand JOIN documents USING (doc_id)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // identical token census, the SAME shared per-token expression text
+    // (JsdTerm), integer top-100 key, token-ordered census fold
+    "q_jsd_drift" ->
+      s"""WITH tok AS (
+         |  SELECT CAST(substring(source, 4) AS BIGINT) % 2 AS arm, t.w AS t
+         |  FROM documents,
+         |       unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+         |         AS t(w)
+         |  WHERE t.w <> ''),
+         |cen AS MATERIALIZED (
+         |  SELECT t,
+         |         CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS na,
+         |         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS nb
+         |  FROM tok GROUP BY 1),
+         |tot AS (SELECT CAST(sum(na) AS BIGINT) AS ta,
+         |               CAST(sum(nb) AS BIGINT) AS tb FROM cen),
+         |top AS (SELECT * FROM cen ORDER BY na + nb DESC, t ASC LIMIT 100),
+         |j AS (SELECT t, na, nb, ta, tb, $JsdTerm AS term FROM top, tot)
+         |SELECT t AS token, na, nb,
+         |       (na * 10000) // ta AS p_bp,
+         |       (nb * 10000) // tb AS q_bp,
+         |       round(term, 8) AS jsd_term,
+         |       round(sum(term) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+         |             PRECEDING AND CURRENT ROW), 6) AS cum_jsd
+         |FROM j ORDER BY token""".stripMargin
   )
 }

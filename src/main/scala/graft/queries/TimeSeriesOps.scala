@@ -666,8 +666,127 @@ object TimeSeriesOps {
           round(col("sy").cast("double") / col("n_m").cast("double") / 100.0,
             2).as("avg_monthly_rev"))
         .orderBy("c_nationkey")
+    }),
+
+    // ---- Theil–Sen robust trend (new in r14) — q_trend's outlier-proof
+    //      sibling: the median of all pairwise slopes over the month
+    //      census. The corpus reduces to the calendar-bounded census
+    //      FIRST; the 80²/2 pair slopes are each ONE IEEE division of
+    //      exact integers (bit-identical cross-engine), and the exact
+    //      median (Spark `percentile` == DuckDB `quantile_cont`, same
+    //      interpolation up to a rounded-away ulp) runs over the
+    //      pair census only. Monthly cents stay < 2⁵³ far past 100 TB
+    //      (10¹⁵ cents/month = $10T/month); the intercept median reuses
+    //      the 4-dp-rounded slope so both engines subtract the SAME
+    //      number ----
+    "q_theilsen" -> ((s, d) => {
+      val m = Tables(s, d, "orders")
+        .select((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+            .as("m"),
+          col("o_totalprice"))
+        .groupBy(col("m"))
+        .agg(expr("cast(round(round(sum(o_totalprice), 2) * 100) as bigint)")
+          .as("y"))
+        .persistTracked()
+      val a = m.select(col("m").as("ma"), col("y").as("ya"))
+      val b = m.select(col("m").as("mb"), col("y").as("yb"))
+      val med = a.join(broadcast(b), col("ma") < col("mb"))
+        .select(expr("cast(yb - ya as double) / cast(mb - ma as double)")
+          .as("slope"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(expr("percentile(slope, 0.5)"), 4).as("sm"))
+      m.crossJoin(broadcast(med))
+        .select(col("n_pairs"), col("sm"),
+          expr("cast(y as double) - sm * m").as("r"))
+        .groupBy(col("n_pairs"), col("sm"))
+        .agg(count(lit(1)).as("n_months"),
+          expr("percentile(r, 0.5)").as("ic"))
+        .select(col("n_months"), col("n_pairs"),
+          round(col("sm") / 100.0, 6).as("slope_per_month"),
+          round(col("ic") / 100.0, 2).as("intercept"))
+    }),
+
+    // ---- Wald–Wolfowitz runs test (new in r14): is the daily-revenue
+    //      up/down sequence random? Day census (calendar-bounded) →
+    //      lag window OVER THE CENSUS → sign sequence with zero-changes
+    //      dropped (the textbook treatment); runs/n_up/n_down are exact
+    //      integers, the normal-approximation z is one fixed double
+    //      shape. Counts stay < 2⁶³ trivially (days ≤ 10⁴) ----
+    "q_runs_test" -> ((s, d) => {
+      val wd = Window.orderBy(col("day"))
+      val daily = Tables(s, d, "orders")
+        .select(to_date(col("o_orderdate")).as("day"), col("o_totalprice"))
+        .groupBy(col("day"))
+        .agg(expr("cast(round(round(sum(o_totalprice), 2) * 100) as bigint)")
+          .as("y"))
+      val sgn = daily
+        .withColumn("prev", lag(col("y"), 1).over(wd))
+        .filter(col("prev").isNotNull && col("y") =!= col("prev"))
+        .select(col("day"), (col("y") > col("prev")).cast("long").as("s"))
+      sgn
+        .withColumn("sp", lag(col("s"), 1).over(wd))
+        .select(col("s"),
+          when(col("sp").isNull || col("s") =!= col("sp"), 1L)
+            .otherwise(0L).as("brk"))
+        .agg(sum(col("s")).as("n_up"),
+          (count(lit(1)) - sum(col("s"))).as("n_down"),
+          sum(col("brk")).as("runs"))
+        .select(col("n_up"), col("n_down"), col("runs"),
+          round(expr(
+            "(runs - (1.0 + 2.0 * n_up * n_down / (n_up + n_down))) / " +
+              "sqrt((2.0 * n_up * n_down * " +
+              "(2.0 * n_up * n_down - (n_up + n_down))) / " +
+              "(1.0 * (n_up + n_down) * (n_up + n_down) * " +
+              "(n_up + n_down - 1)))"), 6).as("z"))
+    }),
+
+    // ---- Gumbel extreme-value fit over monthly block maxima of daily
+    //      revenue (new in r14) — the capacity-planning tail estimator:
+    //      method-of-moments (β̂ = s·√6/π, μ̂ = x̄ − γβ̂) with √6/π, the
+    //      Euler–Mascheroni γ and the ln(−ln(1−1/T)) return-level
+    //      quantiles ALL as Scala-computed double literals embedded in
+    //      both engines' SQL (the q_ab_power device — zero in-plan libm
+    //      beyond one sqrt). Moments are exact HUGEINT/decimal(38,0)
+    //      over the ≤ calendar-bounded month-max census ----
+    "q_evt_gumbel" -> ((s, d) => {
+      val daily = Tables(s, d, "orders")
+        .select((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+            .as("m"),
+          to_date(col("o_orderdate")).as("day"), col("o_totalprice"))
+        .groupBy(col("m"), col("day"))
+        .agg(expr("cast(round(round(sum(o_totalprice), 2) * 100) as bigint)")
+          .as("y"))
+      val mx = daily.groupBy(col("m")).agg(max(col("y")).as("bmax"))
+      val mom = mx.agg(count(lit(1)).as("n"),
+        sum(col("bmax").cast("decimal(38,0)")).as("s"),
+        sum(expr("cast(bmax as decimal(38,0)) * bmax")).as("qq"))
+      mom.select(col("n").as("n_blocks"),
+        round(expr(s"($gumbelMu) / 100.0"), 2).as("mu"),
+        round(expr(s"($gumbelBeta) / 100.0"), 2).as("beta"),
+        round(expr(s"(($gumbelMu) - ($gumbelBeta) * $GumbelL10) / 100.0"), 2)
+          .as("ret10"),
+        round(expr(s"(($gumbelMu) - ($gumbelBeta) * $GumbelL100) / 100.0"), 2)
+          .as("ret100"))
     })
   )
+
+  /** Gumbel method-of-moments shapes shared verbatim by the Spark plan
+    * and the DuckDB oracle (columns n, s, qq in scope): β̂ = s·√6/π from
+    * the census std-dev, μ̂ = x̄ − γ·β̂. The constants are shortest-
+    * round-trip Scala double literals, so both engines evaluate the
+    * IDENTICAL expression text — the only in-plan libm is sqrt (correctly
+    * rounded per IEEE 754, bit-identical everywhere).
+    */
+  private val GumbelC1: Double = math.sqrt(6.0) / math.Pi
+  private val GumbelGamma: Double = 0.5772156649015329
+  /** ln(−ln(1−1/T)) for T = 10, 100 — negative, so ret_T > μ̂. */
+  private val GumbelL10: Double = math.log(-math.log(0.9))
+  private val GumbelL100: Double = math.log(-math.log(0.99))
+  private def gumbelBeta: String =
+    "sqrt((CAST(qq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)" +
+      s" / (n - 1)) * $GumbelC1"
+  private def gumbelMu: String =
+    s"CAST(s AS DOUBLE) / n - $GumbelGamma * ($gumbelBeta)"
 
   /** q_autocorr oracle: the same n²-scaled integer moments, one UNION ALL
     * branch per lag (generated — identical arithmetic text per k). */
@@ -1185,6 +1304,78 @@ object TimeSeriesOps {
         |         AS slope_per_month,
         |       round(CAST(sy AS DOUBLE) / CAST(n_m AS DOUBLE) / 100.0, 2)
         |         AS avg_monthly_rev
-        |FROM mom ORDER BY c_nationkey""".stripMargin
+        |FROM mom ORDER BY c_nationkey""".stripMargin,
+
+    // the same month census, the same single-division pair slopes,
+    // quantile_cont == Spark percentile (interpolation ulp rounded away);
+    // the intercept median subtracts the SAME 4-dp-rounded slope
+    "q_theilsen" ->
+      """WITH m AS (
+        |  SELECT year(o_orderdate) * 12 + month(o_orderdate) AS m,
+        |         CAST(round(round(sum(o_totalprice), 2) * 100) AS BIGINT)
+        |           AS y
+        |  FROM orders GROUP BY 1),
+        |sl AS (
+        |  SELECT CAST(b.y - a.y AS DOUBLE) / CAST(b.m - a.m AS DOUBLE)
+        |           AS slope
+        |  FROM m a JOIN m b ON a.m < b.m),
+        |med AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |               round(quantile_cont(slope, 0.5), 4) AS sm FROM sl),
+        |r AS (SELECT n_pairs, sm, CAST(y AS DOUBLE) - sm * m AS r
+        |      FROM m, med)
+        |SELECT CAST(count(*) AS BIGINT) AS n_months, n_pairs,
+        |       round(sm / 100.0, 6) AS slope_per_month,
+        |       round(quantile_cont(r, 0.5) / 100.0, 2) AS intercept
+        |FROM r GROUP BY n_pairs, sm""".stripMargin,
+
+    // identical day census, identical zero-change drop, integer runs,
+    // one fixed-shape z
+    "q_runs_test" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |         CAST(round(round(sum(o_totalprice), 2) * 100) AS BIGINT)
+        |           AS y
+        |  FROM orders GROUP BY 1),
+        |sgn AS (
+        |  SELECT day, CASE WHEN y > prev THEN 1 ELSE 0 END AS s
+        |  FROM (SELECT day, y, lag(y, 1) OVER (ORDER BY day) AS prev
+        |        FROM daily)
+        |  WHERE prev IS NOT NULL AND y <> prev),
+        |r AS (
+        |  SELECT s, CASE WHEN sp IS NULL OR s <> sp THEN 1 ELSE 0 END
+        |           AS brk
+        |  FROM (SELECT s, lag(s, 1) OVER (ORDER BY day) AS sp FROM sgn)),
+        |agg AS (SELECT CAST(sum(s) AS BIGINT) AS n_up,
+        |               CAST(count(*) - sum(s) AS BIGINT) AS n_down,
+        |               CAST(sum(brk) AS BIGINT) AS runs FROM r)
+        |SELECT n_up, n_down, runs,
+        |       round((runs - (1.0 + 2.0 * n_up * n_down / (n_up + n_down)))
+        |             / sqrt((2.0 * n_up * n_down *
+        |             (2.0 * n_up * n_down - (n_up + n_down))) /
+        |             (1.0 * (n_up + n_down) * (n_up + n_down) *
+        |             (n_up + n_down - 1))), 6) AS z
+        |FROM agg""".stripMargin,
+
+    // the same month-max census, exact HUGEINT moments, the identical
+    // Scala-literal constants and expression text
+    "q_evt_gumbel" ->
+      s"""WITH daily AS (
+         |  SELECT year(o_orderdate) * 12 + month(o_orderdate) AS m,
+         |         CAST(o_orderdate AS DATE) AS day,
+         |         CAST(round(round(sum(o_totalprice), 2) * 100) AS BIGINT)
+         |           AS y
+         |  FROM orders GROUP BY 1, 2),
+         |mx AS (SELECT m, max(y) AS bmax FROM daily GROUP BY 1),
+         |mom AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |               sum(CAST(bmax AS HUGEINT)) AS s,
+         |               sum(CAST(bmax AS HUGEINT) * bmax) AS qq FROM mx)
+         |SELECT n AS n_blocks,
+         |       round(($gumbelMu) / 100.0, 2) AS mu,
+         |       round(($gumbelBeta) / 100.0, 2) AS beta,
+         |       round((($gumbelMu) - ($gumbelBeta) * $GumbelL10) / 100.0, 2)
+         |         AS ret10,
+         |       round((($gumbelMu) - ($gumbelBeta) * $GumbelL100) / 100.0,
+         |             2) AS ret100
+         |FROM mom""".stripMargin
   )
 }

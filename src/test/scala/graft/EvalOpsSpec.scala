@@ -839,4 +839,220 @@ class EvalOpsSpec extends AnyFunSuite with SparkSpec {
       assert(r.getAs[Boolean]("diverse") == (l >= 3))
     }
   }
+
+  /** Shared brute-force fixture: (segment, acctbal cents) pairs. */
+  private def segCents: Array[(String, Long)] =
+    Tables(spark, sf, "customer")
+      .select(col("c_mktsegment"), round(col("c_acctbal") * 100).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+
+  /** Textbook one-way F over grouped values (BigInt moments). */
+  private def bruteF(groups: Map[String, Seq[Long]]): Double = {
+    val k = groups.size
+    val n = groups.values.map(_.size).sum
+    val s = groups.values.flatten.map(BigInt(_)).sum
+    val qq = groups.values.flatten.map(x => BigInt(x) * x).sum
+    val tFold = groups.values.map { g =>
+      val sg = g.map(BigInt(_)).sum
+      sg.toDouble * sg.toDouble / g.size
+    }.sum
+    val grand = s.toDouble * s.toDouble / n.toDouble
+    ((tFold - grand) / (k - 1)) / ((qq.toDouble - tFold) / (n - k))
+  }
+
+  test("one-way ANOVA F matches the plain-Scala textbook computation") {
+    val groups = segCents.groupBy(_._1).map { case (g, xs) =>
+      g -> xs.map(_._2).toSeq
+    }
+    val r = q("q_anova").collect()(0)
+    assert(r.getAs[Long]("k") == groups.size.toLong)
+    assert(r.getAs[Long]("n") == segCents.length.toLong)
+    assert(math.abs(r.getAs[Double]("f_stat") - bruteF(groups)) < 1e-3,
+      s"engine ${r.getAs[Double]("f_stat")} vs scala ${bruteF(groups)}")
+    // SSB + SSW = SStot conservation at the output rounding
+    assert(r.getAs[Double]("ssb_d2") >= 0 && r.getAs[Double]("ssw_d2") > 0)
+  }
+
+  test("Brown-Forsythe F matches brute medians and deviations") {
+    val groups = segCents.groupBy(_._1).map { case (g, xs) =>
+      val sorted = xs.map(_._2).sorted
+      val n = sorted.length
+      val med2 = sorted((n - 1) / 2) + sorted(n / 2)
+      g -> xs.map(x => math.abs(2 * x._2 - med2)).toSeq
+    }
+    val r = q("q_levene").collect()(0)
+    assert(r.getAs[Long]("k") == groups.size.toLong)
+    val expected = bruteF(groups)
+    assert(math.abs(r.getAs[Double]("f_bf") - expected) < 1e-3,
+      s"engine ${r.getAs[Double]("f_bf")} vs scala $expected")
+  }
+
+  /** Monthly (orders, revenue-cents) census — the engine's own reduction
+    * (sum-then-round; a per-order round-then-sum brute could differ by a
+    * cent), collected once; the STATISTICS on top are brute-forced. */
+  private def monthCensus: Seq[(Int, Long, Long)] =
+    Tables(spark, sf, "orders")
+      .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+        .as("m"))
+      .agg(count(lit(1)).as("x"),
+        expr("cast(round(round(sum(o_totalprice), 2) * 100) as bigint)")
+          .as("y"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+
+  test("Kendall tau-b pair counts match the O(n^2) definition") {
+    val cen = monthCensus
+    var (cc, dd, tx, ty) = (0L, 0L, 0L, 0L)
+    for (i <- cen.indices; j <- (i + 1) until cen.length) {
+      val (_, xa, ya) = cen(i); val (_, xb, yb) = cen(j)
+      if (xa == xb) tx += 1
+      if (ya == yb) ty += 1
+      if ((xa < xb && ya < yb) || (xa > xb && ya > yb)) cc += 1
+      else if ((xa < xb && ya > yb) || (xa > xb && ya < yb)) dd += 1
+    }
+    val r = q("q_kendall_tau").collect()(0)
+    assert(r.getAs[Long]("n_months") == cen.length.toLong)
+    assert(r.getAs[Long]("concordant") == cc &&
+      r.getAs[Long]("discordant") == dd &&
+      r.getAs[Long]("ties_x") == tx && r.getAs[Long]("ties_y") == ty,
+      s"pair counts: $r vs ($cc, $dd, $tx, $ty)")
+    val n0 = cen.length.toLong * (cen.length - 1) / 2
+    val tau = (cc - dd).toDouble /
+      math.sqrt((n0 - tx).toDouble * (n0 - ty).toDouble)
+    assert(math.abs(r.getAs[Double]("tau_b") - tau) < 1e-5)
+    assert(tau >= -1 && tau <= 1)
+  }
+
+  test("Theil-Sen slope is the median of brute pairwise slopes") {
+    val cen = monthCensus
+    val slopes = (for {
+      i <- cen.indices; j <- (i + 1) until cen.length
+    } yield (cen(j)._3 - cen(i)._3).toDouble / (cen(j)._1 - cen(i)._1))
+      .sorted
+    val n = slopes.length
+    val med =
+      if (n % 2 == 1) slopes(n / 2)
+      else (slopes(n / 2 - 1) + slopes(n / 2)) / 2.0
+    val r = q("q_theilsen").collect()(0)
+    assert(r.getAs[Long]("n_pairs") == n.toLong)
+    assert(r.getAs[Long]("n_months") == cen.length.toLong)
+    assert(math.abs(r.getAs[Double]("slope_per_month") - med / 100.0) < 1e-3,
+      s"engine ${r.getAs[Double]("slope_per_month")} vs brute ${med / 100.0}")
+  }
+
+  test("runs test counts match a sequential fold over the day census") {
+    val daily = Tables(spark, sf, "orders")
+      .groupBy(to_date(col("o_orderdate")).cast("string").as("day"))
+      .agg(expr("cast(round(round(sum(o_totalprice), 2) * 100) as bigint)")
+        .as("y"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1)
+    val signs = daily.zip(daily.tail).collect {
+      case ((_, a), (_, b)) if a != b => b > a
+    }
+    val nUp = signs.count(identity).toLong
+    val nDn = signs.length - nUp
+    val runs = 1L + signs.zip(signs.tail).count { case (a, b) => a != b }
+    val r = q("q_runs_test").collect()(0)
+    assert(r.getAs[Long]("n_up") == nUp && r.getAs[Long]("n_down") == nDn &&
+      r.getAs[Long]("runs") == runs, s"engine $r vs ($nUp, $nDn, $runs)")
+    val n = (nUp + nDn).toDouble
+    val mu = 1.0 + 2.0 * nUp * nDn / n
+    val v = (2.0 * nUp * nDn * (2.0 * nUp * nDn - n)) / (n * n * (n - 1))
+    assert(math.abs(r.getAs[Double]("z") -
+      (runs - mu) / math.sqrt(v)) < 1e-4)
+  }
+
+  test("Gumbel fit reproduces method-of-moments over brute block maxima") {
+    val mx = Tables(spark, sf, "orders")
+      .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .as("m"),
+        to_date(col("o_orderdate")).as("day"))
+      .agg(expr("cast(round(round(sum(o_totalprice), 2) * 100) as bigint)")
+        .as("y"))
+      .collect().map(r => (r.getInt(0), r.getLong(2)))
+      .groupBy(_._1).values.map(_.map(_._2).max).toSeq
+    val n = mx.length
+    val mean = mx.map(BigInt(_)).sum.toDouble / n
+    val varc = (mx.map(x => BigInt(x) * x).sum.toDouble -
+      mx.map(BigInt(_)).sum.toDouble * mx.map(BigInt(_)).sum.toDouble / n) /
+      (n - 1)
+    val beta = math.sqrt(varc) * (math.sqrt(6.0) / math.Pi)
+    val mu = mean - 0.5772156649015329 * beta
+    val r = q("q_evt_gumbel").collect()(0)
+    assert(r.getAs[Long]("n_blocks") == n.toLong)
+    assert(math.abs(r.getAs[Double]("mu") - mu / 100.0) < 0.02)
+    assert(math.abs(r.getAs[Double]("beta") - beta / 100.0) < 0.02)
+    // return levels grow with horizon and sit above the location param
+    assert(r.getAs[Double]("ret100") > r.getAs[Double]("ret10"))
+    assert(r.getAs[Double]("ret10") > r.getAs[Double]("mu"))
+  }
+
+  test("Shapley attribution: efficiency, symmetry of the permutation game") {
+    // brute: average marginal contribution over all 3! channel orders,
+    // from the raw per-purchase touched-sets
+    val e = Tables(spark, sf, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("secs"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3)))
+    val touches = e.filter(x => Set("click", "signup", "view")(x._3))
+    val masks = e.filter(_._3 == "purchase").map { p =>
+      touches.filter(t => t._1 == p._1 && t._4 <= p._4 &&
+        t._4 >= p._4 - 86400)
+        .map(t => Map("click" -> 1, "signup" -> 2, "view" -> 4)(t._3))
+        .distinct.sum
+    }.filter(_ > 0)
+    def v(smask: Int): Long = masks.count(t => (t & smask) != 0).toLong
+    val chans = Seq("click" -> 1, "signup" -> 2, "view" -> 4)
+    val phi6 = chans.map { case (name, bv) =>
+      name -> chans.map(_._2).permutations.map { perm =>
+        val before = perm.takeWhile(_ != bv).sum
+        v(before | bv) - v(before)
+      }.sum
+    }.toMap
+    val rows = q("q_shapley_attrib").collect()
+    assert(rows.map(_.getAs[Long]("phi_x6")).sum == 6L * v(7),
+      "efficiency: sum of Shapley values must equal v(N) x 3!")
+    rows.foreach { r =>
+      val name = r.getAs[String]("channel")
+      assert(r.getAs[Long]("phi_x6") == phi6(name),
+        s"$name: engine ${r.getAs[Long]("phi_x6")} vs brute ${phi6(name)}")
+      assert(r.getAs[Long]("converted") == v(7))
+    }
+  }
+
+  test("JSD drift: per-token contributions nonneg, total within [0,1] bit") {
+    val rows = q("q_jsd_drift").collect()
+    assert(rows.nonEmpty && rows.length <= 100)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("jsd_term") >= -1e-12,
+        s"JS contribution negative at $r")
+    }
+    val cum = rows.map(_.getAs[Double]("cum_jsd")).max
+    assert(cum >= 0 && cum <= 1.0 + 1e-9)
+    // brute-force twin on the token census
+    val cen = Tables(spark, sf, "documents")
+      .select(expr("CAST(substring(source, 4) AS BIGINT) % 2").as("arm"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("t"))
+      .filter(col("t") =!= "")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val ta = cen.count(_._1 == 0).toDouble
+    val tb = cen.count(_._1 == 1).toDouble
+    val byTok = cen.groupBy(_._2)
+    val top = byTok.toSeq
+      .sortBy { case (t, xs) => (-xs.length.toLong, t) }.take(100)
+    def log2(x: Double) = math.log(x) / math.log(2.0)
+    top.foreach { case (t, xs) =>
+      val na = xs.count(_._1 == 0).toDouble
+      val nb = xs.count(_._1 == 1).toDouble
+      val (p, qd) = (na / ta, nb / tb)
+      val expect =
+        (if (na > 0) 0.5 * p * log2(2.0 * p / (p + qd)) else 0.0) +
+          (if (nb > 0) 0.5 * qd * log2(2.0 * qd / (p + qd)) else 0.0)
+      val got = rows.find(_.getAs[String]("token") == t).get
+        .getAs[Double]("jsd_term")
+      assert(math.abs(got - expect) < 1e-6, s"token $t: $got vs $expect")
+    }
+  }
 }
