@@ -396,8 +396,45 @@ object MLOps {
           expr("2 * precision_bp * recall_bp div (precision_bp + recall_bp)"))
           .otherwise(0L))
         .orderBy("lang")
+    }),
+
+    // ---- odds ratio with Wald CI (new in r14) — the epidemiologist's
+    //      2×2 effect size for the A/B layer: exposure = user_id parity
+    //      (the q_sequential_ab arm convention), outcome = the user-day
+    //      purchased (user-DAY grain — at the per-user grain a heavy
+    //      synthetic user always converts and b·c degenerates to 0).
+    //      One per-user-day reduction, then the 2×2 census;
+    //      OR = ad/bc exact in basis points by decimal integer division;
+    //      ln(OR) ± z·√(1/a+1/b+1/c+1/d) in one fixed shape with the
+    //      q_ab_power z literal. a·d wraps int64 past ~3G users each →
+    //      decimal(38,0)/HUGEINT (the q_gini device) ----
+    "q_odds_ratio" -> ((s, d) => {
+      val u = Tables(s, d, "events")
+        .groupBy(col("user_id"),
+          expr("unix_timestamp(ts) div 86400").as("day"))
+        .agg(max((col("event_type") === "purchase").cast("long")).as("y"))
+        .select((col("user_id") % 2 === 0).cast("long").as("e"), col("y"))
+      u.agg(sum(expr("e * y")).as("a"),
+          sum(expr("e * (1 - y)")).as("b"),
+          sum(expr("(1 - e) * y")).as("c"),
+          sum(expr("(1 - e) * (1 - y)")).as("dd"))
+        .select(col("a"), col("b"), col("c"), col("dd").as("d"),
+          expr("cast(a as decimal(38,0)) * dd * 10000 div " +
+            "(cast(b as decimal(38,0)) * c)").as("or_bp"),
+          round(expr(OrLog), 6).as("log_or"),
+          round(expr(s"($OrLog) - $OrZ * ($OrSe)"), 6).as("ci_lo"),
+          round(expr(s"($OrLog) + $OrZ * ($OrSe)"), 6).as("ci_hi"))
     })
   )
+
+  /** q_odds_ratio shapes shared verbatim with the oracle (columns
+    * a, b, c, dd in scope); z is the q_ab_power 97.5% normal quantile.
+    */
+  private val OrZ: Double = 1.959963984540054
+  private val OrLog =
+    "ln((CAST(a AS DOUBLE) * dd) / (CAST(b AS DOUBLE) * c))"
+  private val OrSe =
+    "sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / dd)"
 
   /** Resubstitution confusion census of the Naive Bayes classifier —
     * shared spine of q_naive_bayes (the raw census) and q_f1_scores
@@ -780,6 +817,28 @@ object MLOps {
         |       round(CAST(sum(CASE WHEN
         |         CAST(w0 + w1 * x1 + w2 * x2 > 0.0 AS DOUBLE) = y
         |         THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS accuracy
-        |FROM data CROSS JOIN s3""".stripMargin
+        |FROM data CROSS JOIN s3""".stripMargin,
+
+    // identical per-user reduction and 2×2 census; the SAME shared
+    // ln/se expression text and z literal
+    "q_odds_ratio" ->
+      s"""WITH u AS (
+         |  SELECT CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS e,
+         |         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |           AS y
+         |  FROM events
+         |  GROUP BY user_id, CAST(floor(epoch(ts)) AS BIGINT) // 86400),
+         |cen AS (SELECT CAST(sum(e * y) AS BIGINT) AS a,
+         |               CAST(sum(e * (1 - y)) AS BIGINT) AS b,
+         |               CAST(sum((1 - e) * y) AS BIGINT) AS c,
+         |               CAST(sum((1 - e) * (1 - y)) AS BIGINT) AS dd
+         |        FROM u)
+         |SELECT a, b, c, dd AS d,
+         |       CAST(CAST(a AS HUGEINT) * dd * 10000 //
+         |            (CAST(b AS HUGEINT) * c) AS BIGINT) AS or_bp,
+         |       round($OrLog, 6) AS log_or,
+         |       round(($OrLog) - $OrZ * ($OrSe), 6) AS ci_lo,
+         |       round(($OrLog) + $OrZ * ($OrSe), 6) AS ci_hi
+         |FROM cen""".stripMargin
   )
 }

@@ -951,6 +951,45 @@ object StatsOps {
           round(expr("cast(concordant - discordant as double) / " +
             "sqrt(cast(n_pairs - ties_x as double) * " +
             "cast(n_pairs - ties_y as double))"), 6).as("tau_b"))
+    }),
+
+    // ---- Spearman rank correlation ρ (new in r14) — Kendall's sibling,
+    //      Pearson over tie-averaged ranks. Average ranks are held ×2 so
+    //      they stay INTEGER under ties (a block of t equal values after
+    //      r₀ smaller ones has avg rank r₀+(t+1)/2 → ×2 = 2r₀+t+1, read
+    //      off the cumulative window over each value census); the rank
+    //      moments are exact decimal(38,0), one final ρ division. All
+    //      windows ride value censuses of the calendar-bounded month
+    //      census — nothing scales with row count ----
+    "q_spearman" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val m = Tables(s, d, "orders")
+        .select((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+            .as("m"),
+          col("o_totalprice"))
+        .groupBy(col("m"))
+        .agg(count(lit(1)).as("x"),
+          expr("cast(round(round(sum(o_totalprice), 2) * 100) as bigint)")
+            .as("y"))
+        .persistTracked()
+      def rank2(vcol: String, out: String) = {
+        val wCum = W.orderBy(col("v")).rowsBetween(Long.MinValue, -1)
+        m.groupBy(col(vcol).as("v")).agg(count(lit(1)).as("c"))
+          .withColumn("r0", coalesce(sum(col("c")).over(wCum), lit(0L)))
+          .select(col("v").as(vcol), (col("r0") * 2 + col("c") + 1).as(out))
+      }
+      m.join(broadcast(rank2("x", "rx2")), "x")
+        .join(broadcast(rank2("y", "ry2")), "y")
+        .agg(count(lit(1)).as("n"),
+          sum(col("rx2").cast("decimal(38,0)")).as("sx"),
+          sum(col("ry2").cast("decimal(38,0)")).as("sy"),
+          sum(expr("cast(rx2 as decimal(38,0)) * ry2")).as("sxy"),
+          sum(expr("cast(rx2 as decimal(38,0)) * rx2")).as("sxx"),
+          sum(expr("cast(ry2 as decimal(38,0)) * ry2")).as("syy"))
+        .select(col("n").as("n_months"),
+          round(expr("cast(n * sxy - sx * sy as double) / " +
+            "sqrt(cast(n * sxx - sx * sx as double) * " +
+            "cast(n * syy - sy * sy as double))"), 6).as("rho_s"))
     })
   )
 
@@ -1640,6 +1679,41 @@ object StatsOps {
         |       round(CAST(concordant - discordant AS DOUBLE) /
         |             sqrt(CAST(n_pairs - ties_x AS DOUBLE) *
         |                  CAST(n_pairs - ties_y AS DOUBLE)), 6) AS tau_b
-        |FROM agg, nm""".stripMargin
+        |FROM agg, nm""".stripMargin,
+
+    // identical ×2 integer tie-averaged ranks off the value censuses,
+    // exact HUGEINT rank moments, one ρ division
+    "q_spearman" ->
+      """WITH m AS MATERIALIZED (
+        |  SELECT year(o_orderdate) * 12 + month(o_orderdate) AS m,
+        |         count(*) AS x,
+        |         CAST(round(round(sum(o_totalprice), 2) * 100) AS BIGINT)
+        |           AS y
+        |  FROM orders GROUP BY 1),
+        |rx AS (
+        |  SELECT v AS x, r0 * 2 + c + 1 AS rx2 FROM (
+        |    SELECT x AS v, count(*) AS c,
+        |           coalesce(sum(count(*)) OVER (ORDER BY x ROWS BETWEEN
+        |             UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS r0
+        |    FROM m GROUP BY x)),
+        |ry AS (
+        |  SELECT v AS y, r0 * 2 + c + 1 AS ry2 FROM (
+        |    SELECT y AS v, count(*) AS c,
+        |           coalesce(sum(count(*)) OVER (ORDER BY y ROWS BETWEEN
+        |             UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS r0
+        |    FROM m GROUP BY y)),
+        |mom AS (
+        |  SELECT count(*) AS n,
+        |         sum(CAST(rx2 AS HUGEINT)) AS sx,
+        |         sum(CAST(ry2 AS HUGEINT)) AS sy,
+        |         sum(CAST(rx2 AS HUGEINT) * ry2) AS sxy,
+        |         sum(CAST(rx2 AS HUGEINT) * rx2) AS sxx,
+        |         sum(CAST(ry2 AS HUGEINT) * ry2) AS syy
+        |  FROM m JOIN rx USING (x) JOIN ry USING (y))
+        |SELECT CAST(n AS BIGINT) AS n_months,
+        |       round(CAST(n * sxy - sx * sy AS DOUBLE) /
+        |             sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+        |                  CAST(n * syy - sy * sy AS DOUBLE)), 6) AS rho_s
+        |FROM mom""".stripMargin
   )
 }

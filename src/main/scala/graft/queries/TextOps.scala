@@ -630,6 +630,64 @@ object TextOps {
           round(col("term"), 8).as("jsd_term"),
           round(sum(col("term")).over(wCum), 6).as("cum_jsd"))
         .orderBy("token")
+    }),
+
+    // ---- McNemar paired test (new in r14): do two quality gates — the
+    //      char-length rule and the token-count rule — disagree more than
+    //      chance on the SAME documents? The whole corpus reduces to the
+    //      2×2 paired census in one pass; χ² = (b−c)²/(b+c) (+ the
+    //      continuity-corrected variant) is one fixed shape on exact
+    //      integers. This is the test for comparing classifiers on a
+    //      shared corpus (accuracy deltas ignore pairing) ----
+    "q_mcnemar" -> ((s, d) => {
+      val a = (col("n_chars") >= 250).cast("long")
+      val b = (size(split(trim(col("text")), "\\s+")) >= 40).cast("long")
+      docs(s, d)
+        .select(a.as("ra"), b.as("rb"))
+        .agg(sum(expr("ra * rb")).as("n11"),
+          sum(expr("ra * (1 - rb)")).as("n10"),
+          sum(expr("(1 - ra) * rb")).as("n01"),
+          sum(expr("(1 - ra) * (1 - rb)")).as("n00"))
+        .select(col("n11"), col("n10"), col("n01"), col("n00"),
+          round(expr("cast((n10 - n01) * (n10 - n01) as double) / " +
+            "(n10 + n01)"), 6).as("chi2"),
+          round(expr("cast((abs(n10 - n01) - 1) * (abs(n10 - n01) - 1) " +
+            "as double) / (n10 + n01)"), 6).as("chi2_cc"))
+    }),
+
+    // ---- Cohen's κ inter-rater agreement (new in r14): the stored lang
+    //      label vs the q_lang_guess heuristic, agreement CORRECTED FOR
+    //      CHANCE. From the ≤36-cell confusion census: κ = (N·Σn_ii −
+    //      Σr_i·c_i) / (N² − Σr_i·c_i) — ALL-INTEGER in decimal(38,0)
+    //      (N² wraps int64 past ~3G docs) until the single κ division,
+    //      so the gate is hash-exact at any corpus size ----
+    "q_cohen_kappa" -> ((s, d) => {
+      val t = concat(lit(" "), lower(col("text")), lit(" "))
+      val conf = docs(s, d).select(col("lang").as("r"),
+          when(t.like("% the %") || t.like("% a %"), "en")
+            .when(t.like("% der %") || t.like("% und %"), "de")
+            .when(t.like("% le %") || t.like("% et %"), "fr")
+            .when(t.like("% el %") || t.like("% y %"), "es")
+            .otherwise("other").as("g"))
+        .groupBy(col("r"), col("g")).agg(count(lit(1)).as("n_rg"))
+        .persistTracked()
+      val tot = conf.agg(sum(col("n_rg")).as("n"),
+        sum(when(col("r") === col("g"), col("n_rg")).otherwise(0L))
+          .as("diag"))
+      val rows = conf.groupBy(col("r").as("lbl"))
+        .agg(sum(col("n_rg")).as("ri"))
+      val cols = conf.groupBy(col("g").as("lbl"))
+        .agg(sum(col("n_rg")).as("ci"))
+      val pe = rows.join(cols, "lbl")
+        .agg(sum(expr("cast(ri as decimal(38,0)) * ci")).as("src"))
+      tot.crossJoin(broadcast(pe))
+        .select(col("n").as("n_docs"),
+          expr("diag * 10000 div n").as("po_bp"),
+          expr("src * 10000 div (cast(n as decimal(38,0)) * n)")
+            .cast("long").as("pe_bp"),
+          round(expr("cast(cast(n as decimal(38,0)) * diag - src as double)" +
+            " / cast(cast(n as decimal(38,0)) * n - src as double)"), 6)
+            .as("kappa"))
     })
   )
 
@@ -1097,6 +1155,58 @@ object TextOps {
          |       round(term, 8) AS jsd_term,
          |       round(sum(term) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
          |             PRECEDING AND CURRENT ROW), 6) AS cum_jsd
-         |FROM j ORDER BY token""".stripMargin
+         |FROM j ORDER BY token""".stripMargin,
+
+    // identical paired 2×2 census and fixed χ² shape
+    "q_mcnemar" ->
+      """WITH r AS (
+        |  SELECT CASE WHEN n_chars >= 250 THEN 1 ELSE 0 END AS ra,
+        |         CASE WHEN len(regexp_split_to_array(trim(text), '\s+'))
+        |              >= 40 THEN 1 ELSE 0 END AS rb
+        |  FROM documents),
+        |cen AS (SELECT CAST(sum(ra * rb) AS BIGINT) AS n11,
+        |               CAST(sum(ra * (1 - rb)) AS BIGINT) AS n10,
+        |               CAST(sum((1 - ra) * rb) AS BIGINT) AS n01,
+        |               CAST(sum((1 - ra) * (1 - rb)) AS BIGINT) AS n00
+        |        FROM r)
+        |SELECT n11, n10, n01, n00,
+        |       round(CAST((n10 - n01) * (n10 - n01) AS DOUBLE) /
+        |             (n10 + n01), 6) AS chi2,
+        |       round(CAST((abs(n10 - n01) - 1) * (abs(n10 - n01) - 1)
+        |             AS DOUBLE) / (n10 + n01), 6) AS chi2_cc
+        |FROM cen""".stripMargin,
+
+    // the q_lang_guess CASE verbatim, all-integer HUGEINT κ parts,
+    // one final division
+    "q_cohen_kappa" ->
+      """WITH conf AS MATERIALIZED (
+        |  SELECT lang AS r,
+        |       CASE WHEN concat(' ', lower(text), ' ') LIKE '% the %'
+        |              OR concat(' ', lower(text), ' ') LIKE '% a %' THEN 'en'
+        |            WHEN concat(' ', lower(text), ' ') LIKE '% der %'
+        |              OR concat(' ', lower(text), ' ') LIKE '% und %' THEN 'de'
+        |            WHEN concat(' ', lower(text), ' ') LIKE '% le %'
+        |              OR concat(' ', lower(text), ' ') LIKE '% et %' THEN 'fr'
+        |            WHEN concat(' ', lower(text), ' ') LIKE '% el %'
+        |              OR concat(' ', lower(text), ' ') LIKE '% y %' THEN 'es'
+        |            ELSE 'other' END AS g,
+        |         count(*) AS n_rg
+        |  FROM documents GROUP BY 1, 2),
+        |tot AS (SELECT CAST(sum(n_rg) AS BIGINT) AS n,
+        |               CAST(sum(CASE WHEN r = g THEN n_rg ELSE 0 END)
+        |                    AS BIGINT) AS diag
+        |        FROM conf),
+        |rws AS (SELECT r AS lbl, sum(n_rg) AS ri FROM conf GROUP BY 1),
+        |cls AS (SELECT g AS lbl, sum(n_rg) AS ci FROM conf GROUP BY 1),
+        |pe AS (SELECT sum(CAST(ri AS HUGEINT) * ci) AS src
+        |       FROM rws JOIN cls USING (lbl))
+        |SELECT n AS n_docs,
+        |       CAST(diag * 10000 // n AS BIGINT) AS po_bp,
+        |       CAST(src * 10000 // (CAST(n AS HUGEINT) * n) AS BIGINT)
+        |         AS pe_bp,
+        |       round(CAST(CAST(n AS HUGEINT) * diag - src AS DOUBLE) /
+        |             CAST(CAST(n AS HUGEINT) * n - src AS DOUBLE), 6)
+        |         AS kappa
+        |FROM tot, pe""".stripMargin
   )
 }

@@ -767,6 +767,54 @@ object TimeSeriesOps {
           .as("ret10"),
         round(expr(s"(($gumbelMu) - ($gumbelBeta) * $GumbelL100) / 100.0"), 2)
           .as("ret100"))
+    }),
+
+    // ---- OLS regression diagnostics: residual, leverage and Cook's
+    //      distance per month (new in r14) — which months DISTORT the
+    //      q_trend fit. Slope/intercept come from the exact decimal
+    //      moments (one cast each, the q_trend device); leverage is the
+    //      exact rational 1/n + (n·m − sx)²/(n·(n·sxx − sx²)) evaluated
+    //      in one double shape from integer-exact parts; RSS folds
+    //      census-ORDERED (e² ≥ 0 → max(cum) is the ordered total, the
+    //      q_anova device). Everything rides the calendar-bounded month
+    //      census — the corpus is touched by ONE groupBy ----
+    "q_cooks_distance" -> ((s, d) => {
+      val W = Window
+      val m = Tables(s, d, "orders")
+        .select((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+            .as("m"),
+          col("o_totalprice"))
+        .groupBy(col("m"))
+        .agg(expr("cast(round(round(sum(o_totalprice), 2) * 100) as bigint)")
+          .as("y"))
+        .persistTracked()
+      val mom = m.agg(count(lit(1)).as("n"),
+        sum(col("m").cast("decimal(38,0)")).as("sx"),
+        sum(col("y").cast("decimal(38,0)")).as("sy"),
+        sum(expr("cast(m as decimal(38,0)) * y")).as("sxy"),
+        sum(expr("cast(m as decimal(38,0)) * m")).as("sxx"))
+      val fit = m.crossJoin(broadcast(mom))
+        .withColumn("bb", expr("cast(n * sxy - sx * sy as double) / " +
+          "cast(n * sxx - sx * sx as double)"))
+        .withColumn("aa",
+          expr("(cast(sy as double) - bb * cast(sx as double)) / n"))
+        .withColumn("e", expr("cast(y as double) - (aa + bb * m)"))
+        .withColumn("h", expr("1.0 / n + " +
+          "cast((n * m - sx) * (n * m - sx) as double) / " +
+          "cast(n * (n * sxx - sx * sx) as double)"))
+        .persistTracked()
+      val wCum = W.orderBy(col("m")).rowsBetween(Long.MinValue, 0)
+      val rss = fit.withColumn("cum", sum(col("e") * col("e")).over(wCum))
+        .agg(max(col("cum")).as("rss"))
+      fit.crossJoin(broadcast(rss))
+        .select(col("m").cast("long").as("m"),
+          round(col("y").cast("double") / 100.0, 2).as("monthly_rev"),
+          round(expr("e / 100.0"), 2).as("resid"),
+          round(col("h"), 6).as("leverage"),
+          round(expr("(e * e * h) / " +
+            "(2.0 * (rss / (n - 2)) * (1.0 - h) * (1.0 - h))"), 6)
+            .as("cooks_d"))
+        .orderBy("m")
     })
   )
 
@@ -1376,6 +1424,40 @@ object TimeSeriesOps {
          |         AS ret10,
          |       round((($gumbelMu) - ($gumbelBeta) * $GumbelL100) / 100.0,
          |             2) AS ret100
-         |FROM mom""".stripMargin
+         |FROM mom""".stripMargin,
+
+    // the same exact-moment slope/intercept (named once, so the double
+    // steps bb → aa → e run in the identical sequence), integer-exact
+    // leverage parts, census-ordered RSS fold
+    "q_cooks_distance" ->
+      """WITH m AS MATERIALIZED (
+        |  SELECT year(o_orderdate) * 12 + month(o_orderdate) AS m,
+        |         CAST(round(round(sum(o_totalprice), 2) * 100) AS BIGINT)
+        |           AS y
+        |  FROM orders GROUP BY 1),
+        |mom AS (SELECT count(*) AS n, sum(CAST(m AS HUGEINT)) AS sx,
+        |               sum(CAST(y AS HUGEINT)) AS sy,
+        |               sum(CAST(m AS HUGEINT) * y) AS sxy,
+        |               sum(CAST(m AS HUGEINT) * m) AS sxx FROM m),
+        |co AS (SELECT *, CAST(n * sxy - sx * sy AS DOUBLE) /
+        |                 CAST(n * sxx - sx * sx AS DOUBLE) AS bb FROM mom),
+        |co2 AS (SELECT *, (CAST(sy AS DOUBLE) - bb * CAST(sx AS DOUBLE))
+        |                  / n AS aa FROM co),
+        |fit AS MATERIALIZED (
+        |  SELECT m, y, n, sx, sxx,
+        |         CAST(y AS DOUBLE) - (aa + bb * m) AS e,
+        |         1.0 / n + CAST((n * m - sx) * (n * m - sx) AS DOUBLE) /
+        |           CAST(n * (n * sxx - sx * sx) AS DOUBLE) AS h
+        |  FROM m, co2),
+        |rss AS (SELECT max(cum) AS rss FROM (
+        |  SELECT sum(e * e) OVER (ORDER BY m ROWS BETWEEN UNBOUNDED
+        |         PRECEDING AND CURRENT ROW) AS cum FROM fit))
+        |SELECT CAST(m AS BIGINT) AS m,
+        |       round(CAST(y AS DOUBLE) / 100.0, 2) AS monthly_rev,
+        |       round(e / 100.0, 2) AS resid,
+        |       round(h, 6) AS leverage,
+        |       round((e * e * h) / (2.0 * (rss / (n - 2)) * (1.0 - h) *
+        |             (1.0 - h)), 6) AS cooks_d
+        |FROM fit, rss ORDER BY m""".stripMargin
   )
 }

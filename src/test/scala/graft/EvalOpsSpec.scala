@@ -1022,6 +1022,121 @@ class EvalOpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("Spearman rho equals Pearson over brute tie-averaged ranks") {
+    val cen = monthCensus
+    def ranks(vs: Seq[Long]): Seq[Double] = {
+      val sorted = vs.sorted
+      vs.map { v =>
+        val lo = sorted.indexOf(v) + 1
+        val hi = sorted.lastIndexOf(v) + 1
+        (lo + hi) / 2.0
+      }
+    }
+    val rx = ranks(cen.map(_._2))
+    val ry = ranks(cen.map(_._3))
+    val n = cen.length.toDouble
+    val (mx, my) = (rx.sum / n, ry.sum / n)
+    val cov = rx.zip(ry).map { case (a, b) => (a - mx) * (b - my) }.sum
+    val vx = rx.map(a => (a - mx) * (a - mx)).sum
+    val vy = ry.map(b => (b - my) * (b - my)).sum
+    val rho = cov / math.sqrt(vx * vy)
+    val r = q("q_spearman").collect()(0)
+    assert(r.getAs[Long]("n_months") == cen.length.toLong)
+    assert(math.abs(r.getAs[Double]("rho_s") - rho) < 1e-5,
+      s"engine ${r.getAs[Double]("rho_s")} vs brute $rho")
+  }
+
+  test("Cook's distance: leverages trace to p=2, D matches brute OLS") {
+    val cen = monthCensus.map(c => (c._1.toLong, c._3))
+    val n = cen.length.toDouble
+    val sx = cen.map(_._1).sum.toDouble
+    val sy = cen.map(c => BigInt(c._2)).sum.toDouble
+    val sxy = cen.map(c => BigInt(c._1) * c._2).sum.toDouble
+    val sxx = cen.map(c => BigInt(c._1) * c._1).sum.toDouble
+    val b = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val a = (sy - b * sx) / n
+    val es = cen.map { case (m, y) => (m, y.toDouble - (a + b * m)) }
+    val rss = es.map(e => e._2 * e._2).sum
+    val rows = q("q_cooks_distance").collect()
+    assert(rows.length == cen.length)
+    // hat-matrix trace: sum of leverages == number of params (2)
+    assert(math.abs(rows.map(_.getAs[Double]("leverage")).sum - 2.0) < 1e-3)
+    rows.foreach { r =>
+      val m = r.getAs[Long]("m")
+      val e = es.find(_._1 == m).get._2
+      assert(math.abs(r.getAs[Double]("resid") - e / 100.0) < 0.02,
+        s"resid at m=$m: ${r.getAs[Double]("resid")} vs ${e / 100.0}")
+      val h = 1.0 / n + (m - sx / n) * (m - sx / n) / (sxx - sx * sx / n)
+      assert(math.abs(r.getAs[Double]("leverage") - h) < 1e-5)
+      val dExp = e * e * h / (2.0 * (rss / (n - 2)) * (1.0 - h) * (1.0 - h))
+      assert(math.abs(r.getAs[Double]("cooks_d") - dExp) < 1e-3,
+        s"cooks_d at m=$m: ${r.getAs[Double]("cooks_d")} vs $dExp")
+    }
+  }
+
+  test("McNemar cells partition the corpus and chi2 follows the formula") {
+    val docs = Tables(spark, sf, "documents")
+      .select(col("n_chars"), size(split(trim(col("text")), "\\s+")))
+      .collect().map(r => (r.getLong(0) >= 250, r.getInt(1) >= 40))
+    val n11 = docs.count(x => x._1 && x._2).toLong
+    val n10 = docs.count(x => x._1 && !x._2).toLong
+    val n01 = docs.count(x => !x._1 && x._2).toLong
+    val n00 = docs.count(x => !x._1 && !x._2).toLong
+    val r = q("q_mcnemar").collect()(0)
+    assert(r.getAs[Long]("n11") == n11 && r.getAs[Long]("n10") == n10 &&
+      r.getAs[Long]("n01") == n01 && r.getAs[Long]("n00") == n00)
+    val chi2 = (n10 - n01).toDouble * (n10 - n01) / (n10 + n01)
+    assert(math.abs(r.getAs[Double]("chi2") - chi2) < 1e-5)
+    assert(r.getAs[Double]("chi2_cc") <= r.getAs[Double]("chi2") + 1e-12)
+  }
+
+  test("Cohen's kappa matches the brute confusion census") {
+    val docs = Tables(spark, sf, "documents")
+      .select(col("lang"), lower(col("text"))).collect()
+      .map(r => (r.getString(0), " " + r.getString(1) + " "))
+    def guess(t: String): String =
+      if (t.contains(" the ") || t.contains(" a ")) "en"
+      else if (t.contains(" der ") || t.contains(" und ")) "de"
+      else if (t.contains(" le ") || t.contains(" et ")) "fr"
+      else if (t.contains(" el ") || t.contains(" y ")) "es"
+      else "other"
+    val pairs = docs.map { case (r, t) => (r, guess(t)) }
+    val n = pairs.length.toLong
+    val diag = pairs.count(p => p._1 == p._2).toLong
+    val ri = pairs.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    val ci = pairs.groupBy(_._2).map { case (k, v) => k -> v.length.toLong }
+    val src = ri.keys.toSeq.intersect(ci.keys.toSeq)
+      .map(k => BigInt(ri(k)) * ci(k)).sum
+    val kappa = (BigInt(n) * diag - src).toDouble /
+      (BigInt(n) * n - src).toDouble
+    val r = q("q_cohen_kappa").collect()(0)
+    assert(r.getAs[Long]("n_docs") == n)
+    assert(r.getAs[Long]("po_bp") == diag * 10000 / n)
+    assert(math.abs(r.getAs[Double]("kappa") - kappa) < 1e-5,
+      s"engine ${r.getAs[Double]("kappa")} vs brute $kappa")
+    assert(kappa <= 1.0)
+  }
+
+  test("odds ratio 2x2 cells are exact and the Wald CI brackets log OR") {
+    val ud = Tables(spark, sf, "events")
+      .groupBy(col("user_id"), expr("unix_timestamp(ts) div 86400"))
+      .agg(max((col("event_type") === "purchase").cast("long")).as("y"))
+      .collect().map(r => (r.getLong(0) % 2 == 0, r.getLong(2) == 1L))
+    val a = ud.count(x => x._1 && x._2).toLong
+    val b = ud.count(x => x._1 && !x._2).toLong
+    val c = ud.count(x => !x._1 && x._2).toLong
+    val dd = ud.count(x => !x._1 && !x._2).toLong
+    val r = q("q_odds_ratio").collect()(0)
+    assert(r.getAs[Long]("a") == a && r.getAs[Long]("b") == b &&
+      r.getAs[Long]("c") == c && r.getAs[Long]("d") == dd)
+    val lnOr = math.log(a.toDouble * dd / (b.toDouble * c))
+    assert(math.abs(r.getAs[Double]("log_or") - lnOr) < 1e-5)
+    assert(r.getAs[Double]("ci_lo") < r.getAs[Double]("log_or") &&
+      r.getAs[Double]("log_or") < r.getAs[Double]("ci_hi"))
+    assert(r.getAs[Long]("or_bp") ==
+      (BigInt(a) * dd * 10000 / (BigInt(b) * c)).toLong)
+  }
+
   test("JSD drift: per-token contributions nonneg, total within [0,1] bit") {
     val rows = q("q_jsd_drift").collect()
     assert(rows.nonEmpty && rows.length <= 100)
