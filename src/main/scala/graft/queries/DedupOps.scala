@@ -1255,6 +1255,40 @@ object DedupOps {
           coalesce(col("sup"), col("rep")).as("cluster_id"))
         .withColumn("is_keep", col("doc_id") === col("cluster_id"))
         .orderBy("doc_id")
+    }),
+
+    // ---- grid-density clustering, DBSCAN-lite (new in r14) — the
+    //      spatial sibling of q_semantic_clusters: points (part price ×
+    //      size) snap to grid cells, cells with ≥ minPts points are
+    //      DENSE, and clusters are connected components of 8-adjacent
+    //      dense cells. The corpus collapses to the value-domain-bounded
+    //      cell census in ONE pass; adjacency is a census self-join and
+    //      the CC runs on the shared `connectedComponents` machinery
+    //      (min-label + pointer-halving — O(log diameter) rounds), so
+    //      nothing downstream of the first groupBy scales with rows.
+    //      Oracle = DuckDB recursive reachability (the q_dedup_clusters
+    //      device). Isolated dense cells label themselves ----
+    "q_dbscan_grid" -> ((s, d) => {
+      val cells = Tables(s, d, "part")
+        .select(expr("cast(floor(p_retailprice / 200.0) as bigint)")
+            .as("cx"),
+          expr("cast((p_size - 1) div 5 as bigint)").as("cy"))
+        .groupBy(col("cx"), col("cy")).agg(count(lit(1)).as("n_pts"))
+        .filter(col("n_pts") >= 3)
+        .withColumn("cell", col("cx") * 100 + col("cy"))
+        .persistTracked()
+      val a = cells.select(col("cell").as("doc_a"), col("cx").as("ax"),
+        col("cy").as("ay"))
+      val b = cells.select(col("cell").as("doc_b"), col("cx").as("bx"),
+        col("cy").as("by"))
+      val edges = a.join(b, abs(col("ax") - col("bx")) <= 1 &&
+          abs(col("ay") - col("by")) <= 1 && col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"))
+      val cc = connectedComponents(edges)
+      cells.join(cc, cells("cell") === cc("doc_id"), "left")
+        .select(col("cx"), col("cy"), col("n_pts"),
+          coalesce(col("cluster_id"), col("cell")).as("cluster_id"))
+        .orderBy("cx", "cy")
     })
   )
 
@@ -2486,6 +2520,31 @@ object DedupOps {
          |       CAST(sum(p_bp) AS BIGINT) // CAST(count(*) AS BIGINT)
          |         AS expected_recall_bp
          |FROM p GROUP BY 1, 2, 3 ORDER BY jaccard_band, bands""".stripMargin
-    }
+    },
+
+    // identical cell census + 8-adjacency; CC via recursive reachability
+    // (the q_dedup_clusters oracle device); isolated cells self-label
+    "q_dbscan_grid" ->
+      """WITH RECURSIVE cells AS MATERIALIZED (
+        |  SELECT cx, cy, n_pts, cx * 100 + cy AS cell FROM (
+        |    SELECT CAST(floor(p_retailprice / 200.0) AS BIGINT) AS cx,
+        |           CAST((p_size - 1) // 5 AS BIGINT) AS cy,
+        |           count(*) AS n_pts
+        |    FROM part GROUP BY 1, 2 HAVING count(*) >= 3)),
+        |ed AS MATERIALIZED (
+        |  SELECT a.cell AS src, b.cell AS dst
+        |  FROM cells a JOIN cells b
+        |    ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+        |   AND a.cell <> b.cell),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM ed
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN ed e ON r.dst = e.src),
+        |lab AS (SELECT src AS cell, least(src, min(dst)) AS cluster_id
+        |        FROM reach GROUP BY src)
+        |SELECT cx, cy, CAST(n_pts AS BIGINT) AS n_pts,
+        |       coalesce(cluster_id, cell) AS cluster_id
+        |FROM cells LEFT JOIN lab USING (cell)
+        |ORDER BY cx, cy""".stripMargin
   )
 }

@@ -424,6 +424,26 @@ object MLOps {
           round(expr(OrLog), 6).as("log_or"),
           round(expr(s"($OrLog) - $OrZ * ($OrSe)"), 6).as("ci_lo"),
           round(expr(s"($OrLog) + $OrZ * ($OrSe)"), 6).as("ci_hi"))
+    }),
+
+    // ---- sample-ratio-mismatch guardrail (new in r14) — the FIRST
+    //      check every experimentation platform runs before reading an
+    //      A/B result: did the 50/50 user split actually land 50/50?
+    //      For an even split, χ²(1) collapses to (na−nb)²/n exactly;
+    //      the 95% critical value is a Scala-style literal. One distinct
+    //      + one count — all integer until a single division ----
+    "q_ab_srm" -> ((s, d) => {
+      val u = Tables(s, d, "events")
+        .select(col("user_id")).distinct()
+        .select((col("user_id") % 2 === 0).cast("long").as("e"))
+      u.agg(count(lit(1)).as("n"), sum(col("e")).as("na"))
+        .select(col("n").as("n_users"), col("na"),
+          (col("n") - col("na")).as("nb"),
+          expr("na * 10000 div n").as("ratio_bp"),
+          round(expr("cast((na - (n - na)) * (na - (n - na)) as double)" +
+            " / n"), 6).as("chi2"),
+          expr("cast((na - (n - na)) * (na - (n - na)) as double) / n" +
+            " > 3.841458820694124").as("srm_flag"))
     })
   )
 
@@ -839,6 +859,21 @@ object MLOps {
          |       round($OrLog, 6) AS log_or,
          |       round(($OrLog) - $OrZ * ($OrSe), 6) AS ci_lo,
          |       round(($OrLog) + $OrZ * ($OrSe), 6) AS ci_hi
-         |FROM cen""".stripMargin
+         |FROM cen""".stripMargin,
+
+    // identical distinct-user census and collapsed even-split χ² shape
+    "q_ab_srm" ->
+      """WITH u AS (
+        |  SELECT CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS e
+        |  FROM (SELECT DISTINCT user_id FROM events)),
+        |cen AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |               CAST(sum(e) AS BIGINT) AS na FROM u)
+        |SELECT n AS n_users, na, n - na AS nb,
+        |       CAST(na * 10000 // n AS BIGINT) AS ratio_bp,
+        |       round(CAST((na - (n - na)) * (na - (n - na)) AS DOUBLE)
+        |             / n, 6) AS chi2,
+        |       CAST((na - (n - na)) * (na - (n - na)) AS DOUBLE) / n
+        |         > 3.841458820694124 AS srm_flag
+        |FROM cen""".stripMargin
   )
 }

@@ -990,6 +990,38 @@ object StatsOps {
           round(expr("cast(n * sxy - sx * sy as double) / " +
             "sqrt(cast(n * sxx - sx * sx as double) * " +
             "cast(n * syy - sy * sy as double))"), 6).as("rho_s"))
+    }),
+
+    // ---- Hill tail-index estimator (new in r14) — q_zipf_slope's
+    //      value-domain sibling: how heavy is the order-price tail?
+    //      α̂ = k / Σᵢ ln(xᵢ/x₍ₖ₊₁₎) over the top-(k+1) ORDER STATISTICS,
+    //      which are a TakeOrdered census (ties at the cut keep the same
+    //      value multiset, so the estimate is deterministic without a
+    //      tiebreak); ln terms are per-row fixed shapes over exact cents,
+    //      the sum folds value-ORDERED (terms ≥ 0 → max(cum) is the
+    //      total; tied terms are equal so tie order cannot move any
+    //      partial sum). α < 2 ⇒ infinite variance — the "is a mean even
+    //      meaningful" pre-check for revenue metrics ----
+    "q_hill_tail" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val k = 100
+      val top = Tables(s, d, "orders")
+        .select(expr("cast(round(o_totalprice * 100) as bigint)").as("x"))
+        .orderBy(col("x").desc).limit(k + 1)
+        .persistTracked()
+      val xk1 = top.agg(min(col("x")).as("xk1"), count(lit(1)).as("kk"))
+      val wCum = W.orderBy(col("x")).rowsBetween(Long.MinValue, 0)
+      top.crossJoin(broadcast(xk1))
+        .filter(col("x") > col("xk1"))
+        .withColumn("term",
+          expr("ln(cast(x as double) / cast(xk1 as double))"))
+        .withColumn("cum", sum(col("term")).over(wCum))
+        .agg(max(col("kk")).as("k_plus_1"), count(lit(1)).as("k_used"),
+          max(col("cum")).as("lsum"), max(col("xk1")).as("xk1"))
+        .select(col("k_used"),
+          round(col("xk1").cast("double") / 100.0, 2).as("x_k1"),
+          round(expr("k_used / lsum"), 6).as("alpha"),
+          round(expr("1.0 / (k_used / lsum)"), 6).as("xi"))
     })
   )
 
@@ -1714,6 +1746,28 @@ object StatsOps {
         |       round(CAST(n * sxy - sx * sy AS DOUBLE) /
         |             sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
         |                  CAST(n * syy - sy * sy AS DOUBLE)), 6) AS rho_s
-        |FROM mom""".stripMargin
+        |FROM mom""".stripMargin,
+
+    // the same top-(k+1) order-statistic census (ties at the cut keep
+    // the value multiset), per-row ln terms, value-ordered fold
+    "q_hill_tail" ->
+      """WITH top AS MATERIALIZED (
+        |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS x
+        |  FROM orders ORDER BY x DESC LIMIT 101),
+        |xk AS (SELECT min(x) AS xk1, CAST(count(*) AS BIGINT) AS kk
+        |       FROM top),
+        |t AS (SELECT x, xk1,
+        |             ln(CAST(x AS DOUBLE) / CAST(xk1 AS DOUBLE)) AS term
+        |      FROM top, xk WHERE x > xk1),
+        |f AS (SELECT max(cum) AS lsum, CAST(count(*) AS BIGINT) AS k_used,
+        |             max(xk1) AS xk1
+        |      FROM (SELECT xk1, term,
+        |                   sum(term) OVER (ORDER BY x ROWS BETWEEN
+        |                   UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |            FROM t))
+        |SELECT k_used, round(CAST(xk1 AS DOUBLE) / 100.0, 2) AS x_k1,
+        |       round(k_used / lsum, 6) AS alpha,
+        |       round(1.0 / (k_used / lsum), 6) AS xi
+        |FROM f""".stripMargin
   )
 }

@@ -815,8 +815,102 @@ object TimeSeriesOps {
             "(2.0 * (rss / (n - 2)) * (1.0 - h) * (1.0 - h))"), 6)
             .as("cooks_d"))
         .orderBy("m")
+    }),
+
+    // ---- index-of-dispersion (Poisson overdispersion) test on daily
+    //      order counts (new in r14): D = s²/x̄ should be ≈1 under a
+    //      Poisson arrival process; χ² = (n−1)·s²/x̄ with n−1 dof. Counts
+    //      are integers so the moments are EXACT decimals; D and χ² are
+    //      fixed shapes with one division each. One groupBy is the whole
+    //      corpus touch ----
+    "q_dispersion" -> ((s, d) => {
+      val daily = Tables(s, d, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("y"))
+      daily.agg(count(lit(1)).as("n"),
+          sum(col("y").cast("decimal(38,0)")).as("ss"),
+          sum(expr("cast(y as decimal(38,0)) * y")).as("qq"))
+        .select(col("n").as("n_days"),
+          round(expr("cast(ss as double) / n"), 4).as("mean_per_day"),
+          round(expr("(cast(qq as double) - " +
+            "cast(ss as double) * cast(ss as double) / n) / (n - 1)"), 4)
+            .as("var_per_day"),
+          round(expr("((cast(qq as double) - " +
+            "cast(ss as double) * cast(ss as double) / n) / (n - 1)) / " +
+            "(cast(ss as double) / n)"), 6).as("dispersion"),
+          round(expr("(n - 1) * (((cast(qq as double) - " +
+            "cast(ss as double) * cast(ss as double) / n) / (n - 1)) / " +
+            "(cast(ss as double) / n))"), 4).as("chi2"))
+    }),
+
+    // ---- rescaled-range (R/S) Hurst exponent of daily order volume
+    //      (new in r14) — the long-memory diagnostic: H ≈ 0.5 for iid,
+    //      > 0.5 for persistent series. Within each block of b order-days
+    //      the cumulative deviation is held ×b so it stays INTEGER
+    //      (b·cum_k − k·S_b), Z_b = 0 is included by construction (k = b
+    //      term), R×b = max − min integer, and R/S = (max−min)/√(b·Σy² −
+    //      S²) is one fixed shape per block over exact decimals. Block
+    //      averages fold census-ORDERED (R/S ≥ 0 → max(cum) is the
+    //      ordered total); H = (ln r̄s₆₄ − ln r̄s₁₆)/(2·ln 2) — the
+    //      3-point log-log slope with x-side constants Scala-literal
+    //      (the middle point drops out of the closed form). Everything
+    //      rides the calendar-bounded day census ----
+    "q_hurst" -> ((s, d) => {
+      val W = Window
+      val daily = Tables(s, d, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("y"))
+      val rn = daily.withColumn("rn",
+        row_number().over(W.orderBy(col("day"))))
+      val sizes = s.range(0, 3).select(
+        expr("CASE id WHEN 0 THEN 16 WHEN 1 THEN 32 ELSE 64 END").as("b"))
+      val expanded = rn.crossJoin(broadcast(sizes))
+        .withColumn("blk", expr("(rn - 1) div b"))
+        .withColumn("k", expr("(rn - 1) % b + 1"))
+      val wCum = W.partitionBy(col("b"), col("blk")).orderBy(col("rn"))
+        .rowsBetween(Long.MinValue, 0)
+      val wFull = W.partitionBy(col("b"), col("blk"))
+      val blocks = expanded
+        .withColumn("cum", sum(col("y")).over(wCum))
+        .withColumn("stot", sum(col("y")).over(wFull))
+        .withColumn("dev", col("b") * col("cum") - col("k") * col("stot"))
+        .groupBy(col("b"), col("blk"))
+        .agg(count(lit(1)).as("cnt"),
+          max(col("dev")).as("mx"), min(col("dev")).as("mn"),
+          sum(col("y").cast("decimal(38,0)")).as("ss"),
+          sum(expr("cast(y as decimal(38,0)) * y")).as("qq"))
+        .filter(col("cnt") === col("b") &&
+          expr("b * qq - ss * ss > 0"))
+        .withColumn("rs", expr(
+          "cast(mx - mn as double) / sqrt(cast(b * qq - ss * ss as double))"))
+      val wRs = W.partitionBy(col("b")).orderBy(col("blk"))
+        .rowsBetween(Long.MinValue, 0)
+      val avg = blocks
+        .withColumn("cumrs", sum(col("rs")).over(wRs))
+        .groupBy(col("b"))
+        .agg(count(lit(1)).as("n_blocks"), max(col("cumrs")).as("rs_sum"))
+        .withColumn("rs_avg", expr("rs_sum / n_blocks"))
+      avg.agg(
+          max(when(col("b") === 16, col("n_blocks"))).as("nb16"),
+          max(when(col("b") === 32, col("n_blocks"))).as("nb32"),
+          max(when(col("b") === 64, col("n_blocks"))).as("nb64"),
+          max(when(col("b") === 16, col("rs_avg"))).as("r16"),
+          max(when(col("b") === 32, col("rs_avg"))).as("r32"),
+          max(when(col("b") === 64, col("rs_avg"))).as("r64"))
+        .select(col("nb16"), col("nb32"), col("nb64"),
+          round(col("r16"), 6).as("rs16"),
+          round(col("r32"), 6).as("rs32"),
+          round(col("r64"), 6).as("rs64"),
+          round(expr(s"(ln(r64) - ln(r16)) / $HurstDen"), 4).as("hurst"))
     })
   )
+
+  /** 2·ln 2 — the q_hurst log-log slope denominator (x-points ln 16 <
+    * ln 32 < ln 64 are equally spaced by ln 2, so the 3-point
+    * least-squares slope reduces to (y₃ − y₁)/(2·ln 2); Scala-literal
+    * like the Gumbel constants).
+    */
+  private val HurstDen: Double = 2.0 * math.log(2.0)
 
   /** Gumbel method-of-moments shapes shared verbatim by the Spark plan
     * and the DuckDB oracle (columns n, s, qq in scope): β̂ = s·√6/π from
@@ -1458,6 +1552,77 @@ object TimeSeriesOps {
         |       round(h, 6) AS leverage,
         |       round((e * e * h) / (2.0 * (rss / (n - 2)) * (1.0 - h) *
         |             (1.0 - h)), 6) AS cooks_d
-        |FROM fit, rss ORDER BY m""".stripMargin
+        |FROM fit, rss ORDER BY m""".stripMargin,
+
+    // identical integer day-count census and exact HUGEINT moments
+    "q_dispersion" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS y
+        |  FROM orders GROUP BY 1),
+        |mom AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |               sum(CAST(y AS HUGEINT)) AS ss,
+        |               sum(CAST(y AS HUGEINT) * y) AS qq FROM daily)
+        |SELECT n AS n_days,
+        |       round(CAST(ss AS DOUBLE) / n, 4) AS mean_per_day,
+        |       round((CAST(qq AS DOUBLE) -
+        |              CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE) / n)
+        |             / (n - 1), 4) AS var_per_day,
+        |       round(((CAST(qq AS DOUBLE) -
+        |               CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE) / n)
+        |              / (n - 1)) / (CAST(ss AS DOUBLE) / n), 6)
+        |         AS dispersion,
+        |       round((n - 1) * (((CAST(qq AS DOUBLE) -
+        |               CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE) / n)
+        |              / (n - 1)) / (CAST(ss AS DOUBLE) / n)), 4) AS chi2
+        |FROM mom""".stripMargin,
+
+    // identical ×b integer deviations, per-block fixed R/S shape,
+    // block-ordered folds, the same 2·ln2 Scala-literal denominator
+    "q_hurst" ->
+      s"""WITH daily AS MATERIALIZED (
+         |  SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS y
+         |  FROM orders GROUP BY 1),
+         |rn AS (SELECT y, row_number() OVER (ORDER BY day) AS rn
+         |       FROM daily),
+         |ex AS MATERIALIZED (
+         |  SELECT b, y, rn, (rn - 1) // b AS blk, (rn - 1) % b + 1 AS k
+         |  FROM rn, (SELECT unnest([16, 32, 64]) AS b)),
+         |wc AS (SELECT b, blk, k, y,
+         |              sum(y) OVER (PARTITION BY b, blk ORDER BY rn
+         |                           ROWS BETWEEN UNBOUNDED PRECEDING AND
+         |                           CURRENT ROW) AS cum,
+         |              sum(y) OVER (PARTITION BY b, blk) AS stot
+         |       FROM ex),
+         |blocks AS (
+         |  SELECT b, blk, count(*) AS cnt,
+         |         max(b * cum - k * stot) AS mx,
+         |         min(b * cum - k * stot) AS mn,
+         |         sum(CAST(y AS HUGEINT)) AS ss,
+         |         sum(CAST(y AS HUGEINT) * y) AS qq
+         |  FROM wc GROUP BY 1, 2),
+         |rs AS (SELECT b, blk,
+         |              CAST(mx - mn AS DOUBLE) /
+         |              sqrt(CAST(b * qq - ss * ss AS DOUBLE)) AS rs
+         |       FROM blocks WHERE cnt = b AND b * qq - ss * ss > 0),
+         |avgrs AS (
+         |  SELECT b, count(*) AS n_blocks, max(cumrs) AS rs_sum
+         |  FROM (SELECT b, sum(rs) OVER (PARTITION BY b ORDER BY blk
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |                AS cumrs
+         |        FROM rs) GROUP BY b),
+         |piv AS (
+         |  SELECT max(CASE WHEN b = 16 THEN n_blocks END) AS nb16,
+         |         max(CASE WHEN b = 32 THEN n_blocks END) AS nb32,
+         |         max(CASE WHEN b = 64 THEN n_blocks END) AS nb64,
+         |         max(CASE WHEN b = 16 THEN rs_sum / n_blocks END) AS r16,
+         |         max(CASE WHEN b = 32 THEN rs_sum / n_blocks END) AS r32,
+         |         max(CASE WHEN b = 64 THEN rs_sum / n_blocks END) AS r64
+         |  FROM avgrs)
+         |SELECT CAST(nb16 AS BIGINT) AS nb16, CAST(nb32 AS BIGINT) AS nb32,
+         |       CAST(nb64 AS BIGINT) AS nb64,
+         |       round(r16, 6) AS rs16, round(r32, 6) AS rs32,
+         |       round(r64, 6) AS rs64,
+         |       round((ln(r64) - ln(r16)) / $HurstDen, 4) AS hurst
+         |FROM piv""".stripMargin
   )
 }

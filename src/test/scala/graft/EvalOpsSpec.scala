@@ -1137,6 +1137,129 @@ class EvalOpsSpec extends AnyFunSuite with SparkSpec {
       (BigInt(a) * dd * 10000 / (BigInt(b) * c)).toLong)
   }
 
+  /** Daily order-count census (integer, so brute == engine exactly). */
+  private def dayCounts: Seq[Long] =
+    Tables(spark, sf, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("y"))
+      .orderBy("day").collect().map(_.getLong(1)).toSeq
+
+  test("dispersion index matches exact moments over the day census") {
+    val ys = dayCounts
+    val n = ys.length.toDouble
+    val ss = ys.sum.toDouble
+    val qq = ys.map(y => y.toDouble * y).sum
+    val mean = ss / n
+    val varc = (qq - ss * ss / n) / (n - 1)
+    val r = q("q_dispersion").collect()(0)
+    assert(r.getAs[Long]("n_days") == ys.length.toLong)
+    assert(math.abs(r.getAs[Double]("mean_per_day") - mean) < 1e-3)
+    assert(math.abs(r.getAs[Double]("var_per_day") - varc) < 1e-3)
+    assert(math.abs(r.getAs[Double]("dispersion") - varc / mean) < 1e-4)
+  }
+
+  test("Hurst R/S blocks match a plain-Scala fold and H stays in (0,1)") {
+    val ys = dayCounts
+    def rsAvg(b: Int): (Long, Double) = {
+      val blocks = ys.grouped(b).filter(_.length == b).toSeq
+      val rss = blocks.flatMap { blk =>
+        val s = blk.sum
+        val qq = blk.map(y => BigInt(y) * y).sum
+        val denom2 = BigInt(b) * qq - BigInt(s) * s
+        if (denom2 <= 0) None
+        else {
+          val devs = blk.scanLeft(0L)(_ + _).tail.zipWithIndex.map {
+            case (cum, i) => b * cum - (i + 1) * s
+          }
+          val r = (devs.max - devs.min).toDouble
+          Some(r / math.sqrt(denom2.toDouble))
+        }
+      }
+      (rss.length.toLong, rss.sum / rss.length)
+    }
+    val (nb16, rs16) = rsAvg(16)
+    val (nb64, rs64) = rsAvg(64)
+    val r = q("q_hurst").collect()(0)
+    assert(r.getAs[Long]("nb16") == nb16 && r.getAs[Long]("nb64") == nb64)
+    assert(math.abs(r.getAs[Double]("rs16") - rs16) < 1e-4,
+      s"rs16 ${r.getAs[Double]("rs16")} vs brute $rs16")
+    assert(math.abs(r.getAs[Double]("rs64") - rs64) < 1e-4)
+    val h = (math.log(rs64) - math.log(rs16)) / (2.0 * math.log(2.0))
+    assert(math.abs(r.getAs[Double]("hurst") - h) < 1e-3)
+    assert(r.getAs[Double]("hurst") > 0.0 && r.getAs[Double]("hurst") < 1.0)
+  }
+
+  test("Hill tail estimator matches brute top order statistics") {
+    val xs = Tables(spark, sf, "orders")
+      .select(expr("cast(round(o_totalprice * 100) as bigint)"))
+      .collect().map(_.getLong(0)).sorted.reverse.take(101)
+    val xk1 = xs.min
+    val terms = xs.filter(_ > xk1).map(x => math.log(x.toDouble / xk1))
+    val alpha = terms.length / terms.sum
+    val r = q("q_hill_tail").collect()(0)
+    assert(r.getAs[Long]("k_used") == terms.length.toLong)
+    assert(math.abs(r.getAs[Double]("x_k1") - xk1 / 100.0) < 0.01)
+    assert(math.abs(r.getAs[Double]("alpha") - alpha) < 1e-4,
+      s"alpha ${r.getAs[Double]("alpha")} vs brute $alpha")
+    assert(math.abs(r.getAs[Double]("xi") - 1.0 / alpha) < 1e-4)
+  }
+
+  test("SRM chi2 matches the collapsed even-split form on exact counts") {
+    val users = Tables(spark, sf, "events")
+      .select(col("user_id")).distinct().collect().map(_.getLong(0))
+    val na = users.count(_ % 2 == 0).toLong
+    val nb = users.length - na
+    val n = users.length.toLong
+    val r = q("q_ab_srm").collect()(0)
+    assert(r.getAs[Long]("n_users") == n && r.getAs[Long]("na") == na &&
+      r.getAs[Long]("nb") == nb)
+    val chi2 = (na - nb).toDouble * (na - nb) / n
+    assert(math.abs(r.getAs[Double]("chi2") - chi2) < 1e-6)
+    assert(r.getAs[Boolean]("srm_flag") == (chi2 > 3.841458820694124))
+  }
+
+  test("grid DBSCAN clusters equal a brute union-find over dense cells") {
+    val pts = Tables(spark, sf, "part")
+      .select(expr("cast(floor(p_retailprice / 200.0) as bigint)"),
+        expr("cast((p_size - 1) div 5 as bigint)"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val dense = pts.groupBy(identity).collect {
+      case (cell, xs) if xs.length >= 3 => cell -> xs.length.toLong
+    }.toMap
+    val cells = dense.keys.toSeq
+    def cellId(c: (Long, Long)): Long = c._1 * 100 + c._2
+    val parent = scala.collection.mutable.Map(
+      cells.map(c => c -> c): _*)
+    def find(c: (Long, Long)): (Long, Long) =
+      if (parent(c) == c) c
+      else { val r = find(parent(c)); parent(c) = r; r }
+    for {
+      a <- cells; b <- cells
+      if a != b && math.abs(a._1 - b._1) <= 1 && math.abs(a._2 - b._2) <= 1
+    } {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) {
+        if (cellId(ra) < cellId(rb)) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    val expected = cells.map { c =>
+      // min cell id within the component is the canonical label
+      val root = find(c)
+      val members = cells.filter(find(_) == root)
+      cellId(c) -> members.map(cellId).min
+    }.toMap
+    val rows = q("q_dbscan_grid").collect()
+    assert(rows.length == cells.length)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("cx") * 100 + r.getAs[Long]("cy")
+      assert(r.getAs[Long]("n_pts") == dense((r.getAs[Long]("cx"),
+        r.getAs[Long]("cy"))))
+      assert(r.getAs[Long]("cluster_id") == expected(id),
+        s"cell $id: engine ${r.getAs[Long]("cluster_id")} vs brute " +
+          s"${expected(id)}")
+    }
+  }
+
   test("JSD drift: per-token contributions nonneg, total within [0,1] bit") {
     val rows = q("q_jsd_drift").collect()
     assert(rows.nonEmpty && rows.length <= 100)
