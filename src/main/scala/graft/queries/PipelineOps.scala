@@ -761,7 +761,88 @@ object PipelineOps {
         element_at(col("w"), 1).as("first_w"),
         element_at(col("w"), -1).as("last_w"),
         array_contains(col("w"), "spark").as("has_spark"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // ---- Heaps'-law vocabulary-growth fit (new in r14) — q_zipf_slope's
+    //      growth-side sibling: V(N) ≈ K·N^β estimated from 10 corpus
+    //      prefixes. Prefixes cut on doc_id VALUE deciles (an explicit
+    //      10-row spine off the 1-row max — NO corpus-sized window/rank
+    //      anywhere): V(k) counts the token FIRST-OCCURRENCE census below
+    //      each cut, N(k) sums the per-doc token census. The log-log OLS
+    //      runs over 10 per-row-rounded ln points (the q_zipf_slope
+    //      device: round(ln·,9) terms, plain sums, slope rounded at 4).
+    //      β ≈ 0.4-0.6 for natural text — the capacity number a tokenizer
+    //      budget at 100 TB is planned from ----
+    "q_heaps_law" -> ((s, d) => {
+      val tk = tokenized(s, d)
+        .select(col("doc_id"), explode(col("w")).as("t"))
+        .filter(col("t") =!= "")
+        .persistTracked()
+      val mx = tk.agg(max(col("doc_id")).as("mx"))
+      val first = tk.groupBy(col("t")).agg(min(col("doc_id")).as("fd"))
+      val perDoc = tk.groupBy(col("doc_id")).agg(count(lit(1)).as("nt"))
+      val spine = s.range(1, 11).select(col("id").as("k"))
+        .crossJoin(broadcast(mx))
+        .select(col("k"), expr("(mx + 1) * k div 10").as("thr"))
+      // spine broadcasts (10 rows); the vocab census is never broadcast
+      val vk = first.join(broadcast(spine), col("fd") < col("thr"))
+        .groupBy(col("k")).agg(count(lit(1)).as("vocab_cum"))
+      val nk = perDoc.join(broadcast(spine), col("doc_id") < col("thr"))
+        .groupBy(col("k")).agg(sum(col("nt")).as("tokens_cum"))
+      val pts = vk.join(nk, "k")
+        .select(col("k"), col("tokens_cum"), col("vocab_cum"),
+          expr("round(ln(cast(tokens_cum as double)), 9)").as("x"),
+          expr("round(ln(cast(vocab_cum as double)), 9)").as("y"))
+        .persistTracked()
+      val fit = pts.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(expr("x * y")).as("sxy"),
+          sum(expr("x * x")).as("sxx"))
+        .select(
+          round(expr("(n * sxy - sx * sy) / (n * sxx - sx * sx)"), 4)
+            .as("beta"),
+          round(expr("(sy - (n * sxy - sx * sy) / (n * sxx - sx * sx)" +
+            " * sx) / n"), 4).as("ln_k"))
+      pts.crossJoin(broadcast(fit))
+        .select(col("k").as("decile"), col("tokens_cum"), col("vocab_cum"),
+          col("beta"), col("ln_k"))
+        .orderBy("decile")
+    }),
+
+    // ---- boilerplate share per source (new in r14) — the complement of
+    //      q_gram_novelty's first-seen view: a 4-gram WINDOW (instance,
+    //      not distinct) is boilerplate when its gram appears in ≥ 3
+    //      distinct docs, and a source's boilerplate ratio is the share
+    //      of its windows that are boilerplate — the corpus-triage number
+    //      dedup thresholds are tuned from. The df census rides one
+    //      fine-key gram shuffle and is never broadcast-HINTED (Spark's
+    //      size estimate may still auto-broadcast it at bench SF; at
+    //      vocab scale the same estimate flips it to a shuffle join);
+    //      everything else is doc-sized ----
+    "q_boilerplate" -> ((s, d) => {
+      val grams = tokenized(s, d)
+        .filter(size(col("w")) >= 4)
+        .select(col("doc_id"), explode(
+          transform(sequence(lit(1), size(col("w")) - 3),
+            i => concat_ws(" ", slice(col("w"), i, lit(4))))).as("gram"))
+        .persistTracked()
+      val df = grams.select(col("doc_id"), col("gram")).distinct()
+        .groupBy(col("gram")).agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 3)
+        .select(col("gram"), lit(1L).as("bp"))
+      val docsrc = docs(s, d).select(col("doc_id"), col("source"))
+      grams.join(df, Seq("gram"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("nw"), coalesce(sum(col("bp")), lit(0L))
+          .as("nb"))
+        .join(docsrc, "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nw")).as("n_windows"),
+          sum(col("nb")).as("n_boiler"))
+        .select(col("source"), col("n_docs"), col("n_windows"),
+          col("n_boiler"),
+          expr("n_boiler * 10000 div n_windows").as("boiler_bp"))
+        .orderBy("source")
+    })
   )
 
   /** q_bloom_fpr oracle: same LCG pair, same disjoint split, one
@@ -1235,6 +1316,65 @@ object PipelineOps {
         |         AS first5_distinct,
         |       w[1] AS first_w, w[-1] AS last_w,
         |       list_contains(w, 'spark') AS has_spark
-        |FROM toks ORDER BY doc_id""".stripMargin
+        |FROM toks ORDER BY doc_id""".stripMargin,
+
+    // identical first-occurrence / per-doc censuses cut on the same
+    // doc_id value deciles; the q_zipf_slope rounded-ln OLS device
+    "q_heaps_law" ->
+      """WITH tk AS MATERIALIZED (
+        |  SELECT doc_id, t.w AS t
+        |  FROM documents,
+        |       unnest(regexp_split_to_array(lower(trim(text)), '\s+'))
+        |         AS t(w)
+        |  WHERE length(trim(text)) > 0 AND t.w <> ''),
+        |mx AS (SELECT max(doc_id) AS mx FROM tk),
+        |fst AS (SELECT t, min(doc_id) AS fd FROM tk GROUP BY 1),
+        |perdoc AS (SELECT doc_id, count(*) AS nt FROM tk GROUP BY 1),
+        |spine AS (SELECT k, (mx + 1) * k // 10 AS thr
+        |          FROM (SELECT unnest(range(1, 11)) AS k), mx),
+        |vk AS (SELECT k, count(*) AS vocab_cum
+        |       FROM fst JOIN spine ON fd < thr GROUP BY k),
+        |nk AS (SELECT k, CAST(sum(nt) AS BIGINT) AS tokens_cum
+        |       FROM perdoc JOIN spine ON doc_id < thr GROUP BY k),
+        |pts AS (SELECT k, tokens_cum, vocab_cum,
+        |               round(ln(CAST(tokens_cum AS DOUBLE)), 9) AS x,
+        |               round(ln(CAST(vocab_cum AS DOUBLE)), 9) AS y
+        |        FROM vk JOIN nk USING (k)),
+        |fit AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |               sum(x * y) AS sxy, sum(x * x) AS sxx FROM pts)
+        |SELECT k AS decile, tokens_cum, CAST(vocab_cum AS BIGINT)
+        |         AS vocab_cum,
+        |       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS beta,
+        |       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+        |             / n, 4) AS ln_k
+        |FROM pts, fit ORDER BY decile""".stripMargin,
+
+    // identical 4-gram WINDOW instances (no distinct), the same df ≥ 3
+    // boilerplate cut, per-source integer shares
+    "q_boilerplate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+')
+        |           AS w
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |grams AS MATERIALIZED (
+        |  SELECT doc_id, unnest(list_transform(
+        |           range(1, len(w) - 2),
+        |           i -> array_to_string(w[i:i+3], ' '))) AS gram
+        |  FROM toks WHERE len(w) >= 4),
+        |df AS (SELECT gram FROM (
+        |         SELECT gram, count(DISTINCT doc_id) AS df
+        |         FROM grams GROUP BY 1) WHERE df >= 3),
+        |perdoc AS (
+        |  SELECT g.doc_id, count(*) AS nw,
+        |         CAST(sum(CASE WHEN df.gram IS NOT NULL THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS nb
+        |  FROM grams g LEFT JOIN df ON g.gram = df.gram
+        |  GROUP BY g.doc_id)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(nw) AS BIGINT) AS n_windows,
+        |       CAST(sum(nb) AS BIGINT) AS n_boiler,
+        |       CAST(sum(nb) * 10000 // sum(nw) AS BIGINT) AS boiler_bp
+        |FROM perdoc JOIN documents USING (doc_id)
+        |GROUP BY source ORDER BY source""".stripMargin
   )
 }

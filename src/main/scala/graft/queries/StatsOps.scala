@@ -1022,6 +1022,48 @@ object StatsOps {
           round(col("xk1").cast("double") / 100.0, 2).as("x_k1"),
           round(expr("k_used / lsum"), 6).as("alpha"),
           round(expr("1.0 / (k_used / lsum)"), 6).as("xi"))
+    }),
+
+    // ---- Wilcoxon signed-rank test (new in r14): is revenue
+    //      year-over-year shifted? Paired diffs d = y(m+12) − y(m) over
+    //      the month census; |d| ranks are the ×2 integer tie-averaged
+    //      ranks (the q_spearman device), W⁺×2 stays integer, and the
+    //      tie-corrected normal z is one fixed shape: Var(2W⁺) =
+    //      (2n(n+1)(2n+1) − Σ(t³−t))/12. Zero diffs dropped (textbook).
+    //      ALL-INTEGER until z — hash-exact at any volume ----
+    "q_wilcoxon_sr" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val m = Tables(s, d, "orders")
+        .select((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+            .as("m"),
+          col("o_totalprice"))
+        .groupBy(col("m"))
+        .agg(expr("cast(round(round(sum(o_totalprice), 2) * 100) as bigint)")
+          .as("y"))
+        .persistTracked()
+      val a = m.select(col("m").as("ma"), col("y").as("ya"))
+      val b = m.select(col("m").as("mb"), col("y").as("yb"))
+      val diffs = a.join(b, col("ma") + 12 === col("mb"))
+        .select((col("yb") - col("ya")).as("dv"))
+        .filter(col("dv") =!= 0)
+        .select(col("dv"), abs(col("dv")).as("ad"))
+        .persistTracked()
+      val vc = diffs.groupBy(col("ad")).agg(count(lit(1)).as("c"))
+      val wCum2 = W.orderBy(col("ad")).rowsBetween(Long.MinValue, -1)
+      val rk = vc
+        .withColumn("r0", coalesce(sum(col("c")).over(wCum2), lit(0L)))
+        .select(col("ad"), (col("r0") * 2 + col("c") + 1).as("rank2"),
+          col("c"))
+        .persistTracked()
+      val tt = rk.agg(sum(expr("c * c * c - c")).as("tt"))
+      diffs.join(broadcast(rk.select(col("ad"), col("rank2"))), "ad")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("dv") > 0, col("rank2")).otherwise(0L)).as("w2p"))
+        .crossJoin(broadcast(tt))
+        .select(col("n").as("n_pairs"), col("w2p").as("w2_plus"),
+          round(expr("cast(w2p - n * (n + 1) div 2 as double) / " +
+            "sqrt(cast(2 * n * (n + 1) * (2 * n + 1) - tt as double)" +
+            " / 12.0)"), 6).as("z"))
     })
   )
 
@@ -1768,6 +1810,35 @@ object StatsOps {
         |SELECT k_used, round(CAST(xk1 AS DOUBLE) / 100.0, 2) AS x_k1,
         |       round(k_used / lsum, 6) AS alpha,
         |       round(1.0 / (k_used / lsum), 6) AS xi
-        |FROM f""".stripMargin
+        |FROM f""".stripMargin,
+
+    // identical YoY pair diffs, the q_spearman ×2 integer rank device,
+    // tie-corrected variance on exact integers, one z division
+    "q_wilcoxon_sr" ->
+      """WITH m AS MATERIALIZED (
+        |  SELECT year(o_orderdate) * 12 + month(o_orderdate) AS m,
+        |         CAST(round(round(sum(o_totalprice), 2) * 100) AS BIGINT)
+        |           AS y
+        |  FROM orders GROUP BY 1),
+        |d AS MATERIALIZED (
+        |  SELECT b.y - a.y AS dv, abs(b.y - a.y) AS ad
+        |  FROM m a JOIN m b ON a.m + 12 = b.m
+        |  WHERE b.y - a.y <> 0),
+        |vc AS (SELECT ad, count(*) AS c FROM d GROUP BY 1),
+        |rk AS (SELECT ad, r0 * 2 + c + 1 AS rank2, c FROM (
+        |         SELECT ad, c,
+        |                coalesce(sum(c) OVER (ORDER BY ad ROWS BETWEEN
+        |                  UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS r0
+        |         FROM vc)),
+        |tt AS (SELECT CAST(sum(c * c * c - c) AS BIGINT) AS tt FROM rk),
+        |wp AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |              CAST(sum(CASE WHEN dv > 0 THEN rank2 ELSE 0 END)
+        |                   AS BIGINT) AS w2p
+        |       FROM d JOIN rk USING (ad))
+        |SELECT n AS n_pairs, w2p AS w2_plus,
+        |       round(CAST(w2p - n * (n + 1) // 2 AS DOUBLE) /
+        |             sqrt(CAST(2 * n * (n + 1) * (2 * n + 1) - tt
+        |                  AS DOUBLE) / 12.0), 6) AS z
+        |FROM wp, tt""".stripMargin
   )
 }

@@ -823,25 +823,8 @@ object TimeSeriesOps {
     //      are integers so the moments are EXACT decimals; D and χ² are
     //      fixed shapes with one division each. One groupBy is the whole
     //      corpus touch ----
-    "q_dispersion" -> ((s, d) => {
-      val daily = Tables(s, d, "orders")
-        .groupBy(to_date(col("o_orderdate")).as("day"))
-        .agg(count(lit(1)).as("y"))
-      daily.agg(count(lit(1)).as("n"),
-          sum(col("y").cast("decimal(38,0)")).as("ss"),
-          sum(expr("cast(y as decimal(38,0)) * y")).as("qq"))
-        .select(col("n").as("n_days"),
-          round(expr("cast(ss as double) / n"), 4).as("mean_per_day"),
-          round(expr("(cast(qq as double) - " +
-            "cast(ss as double) * cast(ss as double) / n) / (n - 1)"), 4)
-            .as("var_per_day"),
-          round(expr("((cast(qq as double) - " +
-            "cast(ss as double) * cast(ss as double) / n) / (n - 1)) / " +
-            "(cast(ss as double) / n)"), 6).as("dispersion"),
-          round(expr("(n - 1) * (((cast(qq as double) - " +
-            "cast(ss as double) * cast(ss as double) / n) / (n - 1)) / " +
-            "(cast(ss as double) / n))"), 4).as("chi2"))
-    }),
+    "q_dispersion" -> ((s, d) =>
+      dispersionFromDaily(dailyCounts(Tables(s, d, "orders")))),
 
     // ---- rescaled-range (R/S) Hurst exponent of daily order volume
     //      (new in r14) — the long-memory diagnostic: H ≈ 0.5 for iid,
@@ -911,6 +894,35 @@ object TimeSeriesOps {
     * like the Gumbel constants).
     */
   private val HurstDen: Double = 2.0 * math.log(2.0)
+
+  /** q_dispersion's shared spine: the daily order-count census. COUNT
+    * partials are integer and associative, so this aggregation also runs
+    * as Structured Streaming state (OrdersStream.dailyCounts) with
+    * BIT-EXACT equality to batch — micro-batch cuts cannot move it
+    * (unlike a double revenue sum, whose re-associated ulps could).
+    */
+  private[graft] def dailyCounts(orders: DataFrame): DataFrame =
+    orders.groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("y"))
+
+  /** The dispersion read model over the day census (batch or streamed
+    * state) — exact decimal moments, fixed double shapes.
+    */
+  private[graft] def dispersionFromDaily(daily: DataFrame): DataFrame =
+    daily.agg(count(lit(1)).as("n"),
+        sum(col("y").cast("decimal(38,0)")).as("ss"),
+        sum(expr("cast(y as decimal(38,0)) * y")).as("qq"))
+      .select(col("n").as("n_days"),
+        round(expr("cast(ss as double) / n"), 4).as("mean_per_day"),
+        round(expr("(cast(qq as double) - " +
+          "cast(ss as double) * cast(ss as double) / n) / (n - 1)"), 4)
+          .as("var_per_day"),
+        round(expr("((cast(qq as double) - " +
+          "cast(ss as double) * cast(ss as double) / n) / (n - 1)) / " +
+          "(cast(ss as double) / n)"), 6).as("dispersion"),
+        round(expr("(n - 1) * (((cast(qq as double) - " +
+          "cast(ss as double) * cast(ss as double) / n) / (n - 1)) / " +
+          "(cast(ss as double) / n))"), 4).as("chi2"))
 
   /** Gumbel method-of-moments shapes shared verbatim by the Spark plan
     * and the DuckDB oracle (columns n, s, qq in scope): β̂ = s·√6/π from

@@ -24,6 +24,14 @@ object OrdersStream {
   def custLife(orders: DataFrame): DataFrame =
     graft.queries.Sessions.custLife(orders)
 
+  /** Daily order counts as streaming state — COUNT partials are integer
+    * and associative, so streamed == batch BIT-exactly under any
+    * micro-batch cuts; q_dispersion's read model
+    * (TimeSeriesOps.dispersionFromDaily) runs over this state unchanged.
+    */
+  def dailyCounts(orders: DataFrame): DataFrame =
+    graft.queries.TimeSeriesOps.dailyCounts(orders)
+
   /** The two columns the survival spine consumes (o_orderdate is
     * timezone-less TIMESTAMP on disk — NTZ, exactly as the batch
     * Tables() view serves it).

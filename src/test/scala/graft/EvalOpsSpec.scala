@@ -1260,6 +1260,78 @@ class EvalOpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("Heaps-law checkpoints match brute prefix vocab counts") {
+    val toks = Tables(spark, sf, "documents")
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("t"))
+      .filter(col("t") =!= "")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val mx = toks.map(_._1).max
+    val rows = q("q_heaps_law").collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val thr = (mx + 1) * r.getAs[Long]("decile") / 10
+      val pre = toks.filter(_._1 < thr)
+      assert(r.getAs[Long]("tokens_cum") == pre.length.toLong)
+      assert(r.getAs[Long]("vocab_cum") == pre.map(_._2).distinct.length)
+    }
+    // growth curve is monotone and beta is a sublinear exponent
+    val vs = rows.sortBy(_.getAs[Long]("decile")).map(_.getAs[Long]("vocab_cum"))
+    assert(vs.zip(vs.tail).forall { case (a, b) => b >= a })
+    // the tiny synthetic vocab saturates within the first decile, so a
+    // flat V(N) (beta == 0) is legitimate here; sublinearity still holds
+    val beta = rows.head.getAs[Double]("beta")
+    assert(beta >= 0.0 && beta < 1.0, s"beta $beta outside [0,1)")
+  }
+
+  test("boilerplate shares conserve windows and match brute df cut") {
+    val docs = Tables(spark, sf, "documents")
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), col("source"),
+        split(lower(trim(col("text"))), "\\s+").as("w"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getSeq[String](2)))
+      .filter(_._3.length >= 4)
+    val wins = docs.flatMap { case (id, src, w) =>
+      w.sliding(4).map(g => (id, src, g.mkString(" ")))
+    }
+    val df = wins.map(x => (x._1, x._3)).distinct.groupBy(_._2)
+      .collect { case (g, xs) if xs.length >= 3 => g }.toSet
+    val bySrc = wins.groupBy(_._2)
+    val rows = q("q_boilerplate").collect()
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val ws = bySrc.getOrElse(src, Array.empty)
+      assert(r.getAs[Long]("n_windows") == ws.length.toLong)
+      assert(r.getAs[Long]("n_boiler") == ws.count(x => df(x._3)).toLong,
+        s"$src boiler: ${r.getAs[Long]("n_boiler")} vs " +
+          s"${ws.count(x => df(x._3))}")
+    }
+    assert(rows.map(_.getAs[Long]("n_windows")).sum == wins.length.toLong)
+  }
+
+  test("Wilcoxon signed-rank matches a brute ranked fold over YoY diffs") {
+    val cen = monthCensus.map(c => (c._1, c._3)).toMap
+    val diffs = cen.keys.toSeq.sorted.flatMap { m =>
+      cen.get(m + 12).map(_ - cen(m)).filter(_ != 0L)
+    }
+    val sorted = diffs.map(math.abs).sorted
+    def rank2(ad: Long): Long =
+      (sorted.indexOf(ad) + 1).toLong + (sorted.lastIndexOf(ad) + 1)
+    val w2p = diffs.filter(_ > 0).map(d => rank2(math.abs(d))).sum
+    val n = diffs.length.toLong
+    val tt = diffs.map(math.abs).groupBy(identity).values
+      .map(g => { val t = g.length.toLong; t * t * t - t }).sum
+    val r = q("q_wilcoxon_sr").collect()(0)
+    assert(r.getAs[Long]("n_pairs") == n)
+    assert(r.getAs[Long]("w2_plus") == w2p,
+      s"w2+ ${r.getAs[Long]("w2_plus")} vs brute $w2p")
+    val z = (w2p - n * (n + 1) / 2).toDouble /
+      math.sqrt((2 * n * (n + 1) * (2 * n + 1) - tt).toDouble / 12.0)
+    assert(math.abs(r.getAs[Double]("z") - z) < 1e-5)
+  }
+
   test("JSD drift: per-token contributions nonneg, total within [0,1] bit") {
     val rows = q("q_jsd_drift").collect()
     assert(rows.nonEmpty && rows.length <= 100)

@@ -871,6 +871,32 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(gated.nonEmpty)
   }
 
+  test("streaming daily-count state reproduces the gated dispersion row") {
+    // COUNT partials are integer and associative — the one state shape
+    // where streamed == batch is BIT-exact by construction (a double
+    // revenue sum would re-associate across micro-batch cuts)
+    val dir = "target/stream_orders_disp"
+    Tables(spark, sf, "orders").select("o_custkey", "o_orderdate")
+      .repartition(3).write.mode("overwrite").parquet(dir)
+    val stream = graft.streaming.OrdersStream.readOrdersStream(spark, dir)
+    val qs = graft.streaming.OrdersStream.dailyCounts(stream).writeStream
+      .format("memory").queryName("daily_counts").outputMode("complete")
+      .start()
+    try qs.processAllAvailable() finally qs.stop()
+    def keyed(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.get(0).toString -> r.getLong(1)).toMap
+    val streamed = keyed(spark.table("daily_counts").collect())
+    val batch = keyed(graft.queries.TimeSeriesOps.dailyCounts(
+      Tables(spark, sf, "orders")).collect())
+    assert(streamed == batch, "streamed day census differs from batch")
+    val live = graft.queries.TimeSeriesOps
+      .dispersionFromDaily(spark.table("daily_counts"))
+      .collect().map(_.toSeq).toSeq
+    val gated = q("q_dispersion").collect().map(_.toSeq).toSeq
+    assert(live == gated, "dispersion over streamed state differs from gated")
+    assert(gated.nonEmpty)
+  }
+
   test("sessions partition each user's events") {
     val nEvents = Tables(spark, sf, "events").count()
     val sessions = SparkEntry.queries("q_sessionize")(spark, sf).collect()
