@@ -444,8 +444,49 @@ object MLOps {
             " / n"), 6).as("chi2"),
           expr("cast((na - (n - na)) * (na - (n - na)) as double) / n" +
             " > 3.841458820694124").as("srm_flag"))
+    }),
+
+    // ---- intraclass correlation + design effect (new in r14) — the
+    //      number that decides whether a USER-randomized experiment can
+    //      be read at event grain: one-way random-effects components
+    //      over user clusters. Per-cluster moments are exact decimals;
+    //      the between-cluster sum Σs²ᵢ/nᵢ is a plain double sum over
+    //      the cluster census (the q_zipf_slope acceptance: sums of
+    //      fixed-shape terms, every DOWNSTREAM statistic rounded);
+    //      ANOVA estimator n₀ handles unequal cluster sizes; deff uses
+    //      the mean cluster size. deff ≈ 1 + (m̄−1)·ICC is the variance
+    //      inflation an event-grain z-test silently ignores ----
+    "q_icc" -> ((s, d) => {
+      val cen = Tables(s, d, "events")
+        .select(col("user_id"),
+          round(col("value") * 100).cast("long").as("x"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("ni"),
+          sum(col("x").cast("decimal(38,0)")).as("si"),
+          sum(expr("cast(x as decimal(38,0)) * x")).as("qi"))
+      cen.agg(count(lit(1)).as("k"), sum(col("ni")).as("n"),
+          sum(col("si")).as("ss"), sum(col("qi")).as("qq"),
+          sum(expr("cast(ni as decimal(38,0)) * ni")).as("nsq"),
+          sum(expr("cast(si as double) * cast(si as double) / ni"))
+            .as("tfold"))
+        .select(col("k"), col("n").cast("long").as("n"),
+          round(expr(s"($IccMsb) / 10000.0"), 4).as("msb_d2"),
+          round(expr(s"($IccMsw) / 10000.0"), 4).as("msw_d2"),
+          round(expr(IccExpr), 6).as("icc"),
+          round(expr(s"1.0 + (cast(n as double) / k - 1.0) * ($IccExpr)"),
+            4).as("deff"))
     })
   )
+
+  /** q_icc shapes shared verbatim with the oracle (columns k, n, ss, qq,
+    * nsq, tfold in scope). n₀ is the unequal-cluster-size ANOVA constant.
+    */
+  private val IccMsb =
+    "(tfold - cast(ss as double) * cast(ss as double) / n) / (k - 1)"
+  private val IccMsw = "(cast(qq as double) - tfold) / (n - k)"
+  private val IccN0 = "(n - cast(nsq as double) / n) / (k - 1)"
+  private val IccExpr =
+    s"(($IccMsb) - ($IccMsw)) / (($IccMsb) + (($IccN0) - 1.0) * ($IccMsw))"
 
   /** q_odds_ratio shapes shared verbatim with the oracle (columns
     * a, b, c, dd in scope); z is the q_ab_power 97.5% normal quantile.
@@ -874,6 +915,30 @@ object MLOps {
         |             / n, 6) AS chi2,
         |       CAST((na - (n - na)) * (na - (n - na)) AS DOUBLE) / n
         |         > 3.841458820694124 AS srm_flag
-        |FROM cen""".stripMargin
+        |FROM cen""".stripMargin,
+
+    // identical exact per-cluster moments; the SAME shared MSB/MSW/n0
+    // expression text; plain double sum for Σs²/n (the zipf acceptance)
+    "q_icc" ->
+      s"""WITH cen AS (
+         |  SELECT user_id, count(*) AS ni,
+         |         sum(CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT))
+         |           AS si,
+         |         sum(CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT)
+         |             * CAST(round(value * 100) AS BIGINT)) AS qi
+         |  FROM events GROUP BY 1),
+         |mom AS (SELECT count(*) AS k, sum(ni) AS n, sum(si) AS ss,
+         |               sum(qi) AS qq,
+         |               sum(CAST(ni AS HUGEINT) * ni) AS nsq,
+         |               sum(cast(si as double) * cast(si as double) / ni)
+         |                 AS tfold
+         |        FROM cen)
+         |SELECT k, CAST(n AS BIGINT) AS n,
+         |       round(($IccMsb) / 10000.0, 4) AS msb_d2,
+         |       round(($IccMsw) / 10000.0, 4) AS msw_d2,
+         |       round($IccExpr, 6) AS icc,
+         |       round(1.0 + (cast(n as double) / k - 1.0) * ($IccExpr), 4)
+         |         AS deff
+         |FROM mom""".stripMargin
   )
 }

@@ -1064,8 +1064,69 @@ object StatsOps {
           round(expr("cast(w2p - n * (n + 1) div 2 as double) / " +
             "sqrt(cast(2 * n * (n + 1) * (2 * n + 1) - tt as double)" +
             " / 12.0)"), 6).as("z"))
+    }),
+
+    // ---- Mahalanobis 2-D outlier census per segment (new in r14) —
+    //      the multivariate sibling of q_mad_outlier: (balance, order
+    //      count) per customer against the segment's own covariance
+    //      ellipse. Moments are EXACT decimals; μ/Σ⁻¹/d² are ONE shared
+    //      expression text (2×2 closed-form inverse, no linear-algebra
+    //      library); the output is an outlier COUNT against the
+    //      Scala-literal χ²₂ 99.9% quantile (−2·ln 0.001) — integer, so
+    //      a boundary ulp can only flip a measure-zero d² == threshold
+    //      tie. One fine-key join + a 5-row moment broadcast ----
+    "q_mahalanobis" -> ((s, d) => {
+      val oc = Tables(s, d, "orders").groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("x2"))
+      val base = Tables(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment").as("seg"),
+          round(col("c_acctbal") * 100).cast("long").as("x1"))
+        .join(oc, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("seg"), col("x1"), coalesce(col("x2"), lit(0L)).as("x2"))
+        .persistTracked()
+      val mom = base.groupBy(col("seg")).agg(count(lit(1)).as("n"),
+        sum(col("x1").cast("decimal(38,0)")).as("s1"),
+        sum(col("x2").cast("decimal(38,0)")).as("s2"),
+        sum(expr("cast(x1 as decimal(38,0)) * x1")).as("q11"),
+        sum(expr("cast(x2 as decimal(38,0)) * x2")).as("q22"),
+        sum(expr("cast(x1 as decimal(38,0)) * x2")).as("q12"))
+      base.join(broadcast(mom), "seg")
+        .groupBy(col("seg"))
+        .agg(count(lit(1)).as("n_cust"),
+          sum(expr(s"case when ($MahD2) > $MahThr then 1 else 0 end"))
+            .as("outliers"),
+          round(max(expr(s"($MahMu1) / 100.0")), 2).as("mu_bal"),
+          round(max(expr(MahMu2)), 4).as("mu_orders"),
+          round(max(expr(s"($MahV12) / sqrt(($MahV11) * ($MahV22))")), 6)
+            .as("corr"))
+        .orderBy("seg")
     })
   )
+
+  /** q_mahalanobis shapes shared verbatim with the oracle (columns x1,
+    * x2, n, s1, s2, q11, q22, q12 in scope): exact-moment mean /
+    * covariance, the closed-form 2×2 inverse inside d². The threshold is
+    * the χ²₂ 99.9% quantile −2·ln(10⁻³) as a Scala double literal.
+    */
+  private val MahMu1 = "cast(s1 as double) / n"
+  private val MahMu2 = "cast(s2 as double) / n"
+  private val MahV11 =
+    "(cast(q11 as double) - cast(s1 as double) * cast(s1 as double) / n)" +
+      " / (n - 1)"
+  private val MahV22 =
+    "(cast(q22 as double) - cast(s2 as double) * cast(s2 as double) / n)" +
+      " / (n - 1)"
+  private val MahV12 =
+    "(cast(q12 as double) - cast(s1 as double) * cast(s2 as double) / n)" +
+      " / (n - 1)"
+  private val MahD2: String = {
+    val dx1 = s"(x1 - ($MahMu1))"
+    val dx2 = s"(x2 - ($MahMu2))"
+    s"((($MahV22) * $dx1 * $dx1 - 2.0 * ($MahV12) * $dx1 * $dx2 + " +
+      s"($MahV11) * $dx2 * $dx2) / " +
+      s"(($MahV11) * ($MahV22) - ($MahV12) * ($MahV12)))"
+  }
+  private val MahThr: Double = -2.0 * math.log(0.001)
 
   /** Timed but not oracle-gated: the sketch-only production plan — one
     * map-side pass with ≤ k-entry state per partition, values
@@ -1839,6 +1900,34 @@ object StatsOps {
         |       round(CAST(w2p - n * (n + 1) // 2 AS DOUBLE) /
         |             sqrt(CAST(2 * n * (n + 1) * (2 * n + 1) - tt
         |                  AS DOUBLE) / 12.0), 6) AS z
-        |FROM wp, tt""".stripMargin
+        |FROM wp, tt""".stripMargin,
+
+    // identical exact moments and the SAME shared μ/Σ/d² expression
+    // text; integer outlier counts against the same literal threshold
+    "q_mahalanobis" ->
+      s"""WITH oc AS (
+         |  SELECT o_custkey, count(*) AS x2 FROM orders GROUP BY 1),
+         |base AS MATERIALIZED (
+         |  SELECT c_mktsegment AS seg,
+         |         CAST(round(c_acctbal * 100) AS BIGINT) AS x1,
+         |         CAST(coalesce(x2, 0) AS BIGINT) AS x2
+         |  FROM customer LEFT JOIN oc ON c_custkey = o_custkey),
+         |mom AS (
+         |  SELECT seg, count(*) AS n,
+         |         sum(CAST(x1 AS HUGEINT)) AS s1,
+         |         sum(CAST(x2 AS HUGEINT)) AS s2,
+         |         sum(CAST(x1 AS HUGEINT) * x1) AS q11,
+         |         sum(CAST(x2 AS HUGEINT) * x2) AS q22,
+         |         sum(CAST(x1 AS HUGEINT) * x2) AS q12
+         |  FROM base GROUP BY 1)
+         |SELECT seg, CAST(count(*) AS BIGINT) AS n_cust,
+         |       CAST(sum(case when ($MahD2) > $MahThr then 1 else 0 end)
+         |            AS BIGINT) AS outliers,
+         |       round(max(($MahMu1) / 100.0), 2) AS mu_bal,
+         |       round(max($MahMu2), 4) AS mu_orders,
+         |       round(max(($MahV12) / sqrt(($MahV11) * ($MahV22))), 6)
+         |         AS corr
+         |FROM base JOIN mom USING (seg)
+         |GROUP BY seg ORDER BY seg""".stripMargin
   )
 }

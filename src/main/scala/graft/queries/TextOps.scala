@@ -688,8 +688,58 @@ object TextOps {
           round(expr("cast(cast(n as decimal(38,0)) * diag - src as double)" +
             " / cast(cast(n as decimal(38,0)) * n - src as double)"), 6)
             .as("kappa"))
+    }),
+
+    // ---- per-source KL divergence from the corpus LM (new in r14) —
+    //      q_jsd_drift ranks ONE pair of arms; this ranks EVERY source
+    //      by how far its unigram distribution sits from the corpus,
+    //      restricted to the global top-100 token census (bounded; the
+    //      reported number is the partial KL over that census plus its
+    //      coverage share, so the truncation is visible, not silent).
+    //      Terms can be negative, so the per-source fold takes the LAST
+    //      cumulative value via max_by(cum, rn) — not the max — over
+    //      the (source × 100)-bounded census; log2 stays inside the
+    //      per-row term (the q_mutual_info discipline) ----
+    "q_kl_source" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val tok = docs(s, d)
+        .select(col("source"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("t"))
+        .filter(col("t") =!= "")
+        .persistTracked()
+      val glob = tok.groupBy(col("t")).agg(count(lit(1)).as("gc"))
+        .persistTracked()
+      val gtot = glob.agg(sum(col("gc")).as("gn"))
+      val top = glob.orderBy(col("gc").desc, col("t").asc).limit(100)
+      val st = tok.groupBy(col("source")).agg(count(lit(1)).as("sn"))
+      val cnt = tok.join(broadcast(top.select(col("t"))), "t")
+        .groupBy(col("source"), col("t")).agg(count(lit(1)).as("sc"))
+      val wSrc = W.partitionBy(col("source")).orderBy(col("t"))
+      val scored = cnt.join(broadcast(top), Seq("t"))
+        .join(broadcast(st), "source")
+        .crossJoin(broadcast(gtot))
+        .withColumn("term", expr(KlTerm))
+        .withColumn("rn", row_number().over(wSrc))
+        .withColumn("cum",
+          sum(col("term")).over(wSrc.rowsBetween(Long.MinValue, 0)))
+      scored.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_top"), max(col("sn")).as("n_tok"),
+          sum(col("sc")).as("n_covered"),
+          max_by(col("cum"), col("rn")).as("klraw"))
+        .select(col("source"), col("n_top"), col("n_tok"),
+          expr("n_covered * 10000 div n_tok").as("coverage_bp"),
+          round(col("klraw"), 6).as("kl_bits"))
+        .orderBy("source")
     })
   )
+
+  /** q_kl_source per-token term — ONE expression text shared with the
+    * oracle (columns sc, sn, gc, gn in scope): p_src·log2(p_src/p_corpus)
+    * in the cross-multiplied shape.
+    */
+  private val KlTerm =
+    "(cast(sc as double) / sn) * " +
+      "log2((cast(sc as double) * gn) / (cast(sn as double) * gc))"
 
   /** Inverted index with capped posting lists: term → document frequency +
     * the first-`postingCap` posting list (terms with df ≥ `minDf`). TWO
@@ -1207,6 +1257,39 @@ object TextOps {
         |       round(CAST(CAST(n AS HUGEINT) * diag - src AS DOUBLE) /
         |             CAST(CAST(n AS HUGEINT) * n - src AS DOUBLE), 6)
         |         AS kappa
-        |FROM tot, pe""".stripMargin
+        |FROM tot, pe""".stripMargin,
+
+    // identical top-100 census, the SAME shared term text (KlTerm),
+    // last-cumulative via max_by over the token-ordered fold
+    "q_kl_source" ->
+      s"""WITH tok AS MATERIALIZED (
+         |  SELECT source, t.w AS t
+         |  FROM documents,
+         |       unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+         |         AS t(w)
+         |  WHERE t.w <> ''),
+         |gl AS MATERIALIZED (
+         |  SELECT t, count(*) AS gc FROM tok GROUP BY 1),
+         |gtot AS (SELECT CAST(sum(gc) AS BIGINT) AS gn FROM gl),
+         |top AS (SELECT t, gc FROM gl
+         |        ORDER BY gc DESC, t ASC LIMIT 100),
+         |st AS (SELECT source, count(*) AS sn FROM tok GROUP BY 1),
+         |cnt AS (SELECT source, tok.t AS t, count(*) AS sc
+         |        FROM tok JOIN top ON tok.t = top.t
+         |        GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT source, sc, sn,
+         |         $KlTerm AS term,
+         |         row_number() OVER w AS rn,
+         |         sum($KlTerm) OVER (PARTITION BY source ORDER BY t
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |           AS cum
+         |  FROM cnt JOIN top USING (t) JOIN st USING (source), gtot
+         |  WINDOW w AS (PARTITION BY source ORDER BY t))
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_top,
+         |       CAST(max(sn) AS BIGINT) AS n_tok,
+         |       CAST(sum(sc) * 10000 // max(sn) AS BIGINT) AS coverage_bp,
+         |       round(max_by(cum, rn), 6) AS kl_bits
+         |FROM scored GROUP BY source ORDER BY source""".stripMargin
   )
 }

@@ -1332,6 +1332,95 @@ class EvalOpsSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(r.getAs[Double]("z") - z) < 1e-5)
   }
 
+  test("ICC components match a brute one-way random-effects fit") {
+    val rows = Tables(spark, sf, "events")
+      .select(col("user_id"), round(col("value") * 100).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byU = rows.groupBy(_._1).values.map(_.map(_._2)).toSeq
+    val k = byU.size.toDouble
+    val n = rows.length.toDouble
+    val ss = rows.map(x => BigInt(x._2)).sum.toDouble
+    val qq = rows.map(x => BigInt(x._2) * x._2).sum.toDouble
+    val tfold = byU.map { g =>
+      val s = g.map(BigInt(_)).sum; s.toDouble * s.toDouble / g.size
+    }.sum
+    val msb = (tfold - ss * ss / n) / (k - 1)
+    val msw = (qq - tfold) / (n - k)
+    val nsq = byU.map(g => BigInt(g.size) * g.size).sum.toDouble
+    val n0 = (n - nsq / n) / (k - 1)
+    val icc = (msb - msw) / (msb + (n0 - 1.0) * msw)
+    val r = q("q_icc").collect()(0)
+    assert(r.getAs[Long]("k") == byU.size.toLong)
+    assert(r.getAs[Long]("n") == rows.length.toLong)
+    assert(math.abs(r.getAs[Double]("icc") - icc) < 1e-4,
+      s"icc ${r.getAs[Double]("icc")} vs brute $icc")
+    val deff = 1.0 + (n / k - 1.0) * icc
+    assert(math.abs(r.getAs[Double]("deff") - deff) < 1e-3)
+  }
+
+  test("per-source KL matches a brute recompute over the top-100 census") {
+    val toks = Tables(spark, sf, "documents")
+      .select(col("source"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("t"))
+      .filter(col("t") =!= "")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val gn = toks.length.toDouble
+    val gc = toks.groupBy(_._2).map { case (t, xs) => t -> xs.length }
+    val top = gc.toSeq.sortBy { case (t, c) => (-c, t) }.take(100).toMap
+    def log2(x: Double) = math.log(x) / math.log(2.0)
+    val rows = q("q_kl_source").collect()
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val mine = toks.filter(_._1 == src)
+      val sn = mine.length.toDouble
+      val cnt = mine.filter(x => top.contains(x._2)).groupBy(_._2)
+        .map { case (t, xs) => t -> xs.length }
+      val kl = cnt.map { case (t, sc) =>
+        (sc / sn) * log2((sc * gn) / (sn * gc(t)))
+      }.sum
+      assert(r.getAs[Long]("n_tok") == mine.length.toLong)
+      assert(r.getAs[Long]("n_top") == cnt.size.toLong)
+      assert(math.abs(r.getAs[Double]("kl_bits") - kl) < 1e-4,
+        s"$src kl ${r.getAs[Double]("kl_bits")} vs brute $kl")
+    }
+    assert(rows.nonEmpty)
+  }
+
+  test("Mahalanobis outlier census matches a brute 2x2 inverse") {
+    val oc = Tables(spark, sf, "orders")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("x2"))
+    val base = Tables(spark, sf, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"),
+        round(col("c_acctbal") * 100).cast("long").as("x1"))
+      .join(oc, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_mktsegment"), col("x1"),
+        coalesce(col("x2"), lit(0L)).as("x2"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val thr = -2.0 * math.log(0.001)
+    val rows = q("q_mahalanobis").collect()
+    rows.foreach { r =>
+      val seg = r.getAs[String]("seg")
+      val g = base.filter(_._1 == seg)
+      val n = g.length.toDouble
+      val (s1, s2) = (g.map(_._2).sum.toDouble, g.map(_._3).sum.toDouble)
+      val v11 = (g.map(x => x._2.toDouble * x._2).sum - s1 * s1 / n) / (n - 1)
+      val v22 = (g.map(x => x._3.toDouble * x._3).sum - s2 * s2 / n) / (n - 1)
+      val v12 = (g.map(x => x._2.toDouble * x._3).sum - s1 * s2 / n) / (n - 1)
+      val det = v11 * v22 - v12 * v12
+      val out = g.count { x =>
+        val dx1 = x._2 - s1 / n; val dx2 = x._3 - s2 / n
+        (v22 * dx1 * dx1 - 2.0 * v12 * dx1 * dx2 + v11 * dx2 * dx2) /
+          det > thr
+      }
+      assert(r.getAs[Long]("n_cust") == g.length.toLong)
+      assert(r.getAs[Long]("outliers") == out.toLong,
+        s"$seg outliers ${r.getAs[Long]("outliers")} vs brute $out")
+      val corr = v12 / math.sqrt(v11 * v22)
+      assert(math.abs(r.getAs[Double]("corr") - corr) < 1e-4)
+    }
+    assert(rows.map(_.getAs[Long]("n_cust")).sum == base.length.toLong)
+  }
+
   test("JSD drift: per-token contributions nonneg, total within [0,1] bit") {
     val rows = q("q_jsd_drift").collect()
     assert(rows.nonEmpty && rows.length <= 100)
