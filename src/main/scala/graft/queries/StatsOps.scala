@@ -1100,6 +1100,49 @@ object StatsOps {
           round(max(expr(s"($MahV12) / sqrt(($MahV11) * ($MahV22))")), 6)
             .as("corr"))
         .orderBy("seg")
+    }),
+
+    // ---- pairwise post-hoc contrasts after q_anova (new in r14) — the
+    //      "WHICH segments differ" follow-up: mean difference, pooled
+    //      standard error √(MSW·(1/nₐ+1/n_b)) and t per segment pair.
+    //      MSW comes from the same exact decimal moments + census-
+    //      ordered fold as q_anova; the pair table is the 5-row census
+    //      self-joined (10 rows). Everything downstream of one
+    //      map-side-combined groupBy is census-sized ----
+    "q_tukey_pairs" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val cen = Tables(s, d, "customer")
+        .select(col("c_mktsegment").as("seg"),
+          round(col("c_acctbal") * 100).cast("long").as("cents"))
+        .groupBy(col("seg"))
+        .agg(count(lit(1)).as("n_g"),
+          sum(col("cents").cast("decimal(38,0)")).as("s_g"),
+          sum(expr("cast(cents as decimal(38,0)) * cents")).as("q_g"))
+        .persistTracked()
+      val tot = cen.agg(count(lit(1)).as("k"), sum(col("n_g")).as("n"),
+        sum(col("q_g")).as("qq"))
+      val wCum = W.orderBy(col("seg")).rowsBetween(Long.MinValue, 0)
+      val folded = cen
+        .withColumn("term",
+          expr("cast(s_g as double) * cast(s_g as double) / n_g"))
+        .withColumn("cum", sum(col("term")).over(wCum))
+        .agg(max(col("cum")).as("t_fold"))
+      val msw = folded.crossJoin(broadcast(tot))
+        .select(expr("(cast(qq as double) - t_fold) / (n - k)").as("msw"))
+      val a = cen.select(col("seg").as("seg_a"), col("n_g").as("na"),
+        col("s_g").as("sa"))
+      val b = cen.select(col("seg").as("seg_b"), col("n_g").as("nb"),
+        col("s_g").as("sb"))
+      a.join(broadcast(b), col("seg_a") < col("seg_b"))
+        .crossJoin(broadcast(msw))
+        .select(col("seg_a"), col("seg_b"),
+          round(expr("(cast(sa as double) / na - cast(sb as double) / nb)" +
+            " / 100.0"), 4).as("mean_diff"),
+          round(expr("sqrt(msw * (1.0 / na + 1.0 / nb)) / 100.0"), 4)
+            .as("se"),
+          round(expr("(cast(sa as double) / na - cast(sb as double) / nb)" +
+            " / sqrt(msw * (1.0 / na + 1.0 / nb))"), 4).as("t_stat"))
+        .orderBy("seg_a", "seg_b")
     })
   )
 
@@ -1928,6 +1971,38 @@ object StatsOps {
          |       round(max(($MahV12) / sqrt(($MahV11) * ($MahV22))), 6)
          |         AS corr
          |FROM base JOIN mom USING (seg)
-         |GROUP BY seg ORDER BY seg""".stripMargin
+         |GROUP BY seg ORDER BY seg""".stripMargin,
+
+    // the q_anova moments + fold, identical pooled-SE pair shapes
+    "q_tukey_pairs" ->
+      """WITH cen AS MATERIALIZED (
+        |  SELECT c_mktsegment AS seg, count(*) AS n_g,
+        |         sum(CAST(CAST(round(c_acctbal * 100) AS BIGINT)
+        |             AS HUGEINT)) AS s_g,
+        |         sum(CAST(CAST(round(c_acctbal * 100) AS BIGINT) AS HUGEINT)
+        |             * CAST(round(c_acctbal * 100) AS BIGINT)) AS q_g
+        |  FROM customer GROUP BY 1),
+        |tot AS (SELECT count(*) AS k, sum(n_g) AS n, sum(q_g) AS qq
+        |        FROM cen),
+        |fold AS (
+        |  SELECT max(cum) AS t_fold FROM (
+        |    SELECT sum(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE) / n_g)
+        |           OVER (ORDER BY seg ROWS BETWEEN UNBOUNDED PRECEDING
+        |                 AND CURRENT ROW) AS cum
+        |    FROM cen)),
+        |m AS (SELECT (CAST(qq AS DOUBLE) - t_fold) / (n - k) AS msw
+        |      FROM fold, tot)
+        |SELECT a.seg AS seg_a, b.seg AS seg_b,
+        |       round((CAST(a.s_g AS DOUBLE) / a.n_g
+        |              - CAST(b.s_g AS DOUBLE) / b.n_g) / 100.0, 4)
+        |         AS mean_diff,
+        |       round(sqrt(msw * (1.0 / a.n_g + 1.0 / b.n_g)) / 100.0, 4)
+        |         AS se,
+        |       round((CAST(a.s_g AS DOUBLE) / a.n_g
+        |              - CAST(b.s_g AS DOUBLE) / b.n_g)
+        |             / sqrt(msw * (1.0 / a.n_g + 1.0 / b.n_g)), 4)
+        |         AS t_stat
+        |FROM cen a JOIN cen b ON a.seg < b.seg, m
+        |ORDER BY seg_a, seg_b""".stripMargin
   )
 }

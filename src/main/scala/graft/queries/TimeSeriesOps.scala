@@ -826,6 +826,45 @@ object TimeSeriesOps {
     "q_dispersion" -> ((s, d) =>
       dispersionFromDaily(dailyCounts(Tables(s, d, "orders")))),
 
+    // ---- Granger-style lagged-predictor F-test (new in r14): do
+    //      yesterday's CLICKS predict today's PURCHASES beyond what
+    //      yesterday's purchases already do? Restricted (y~y₁) vs
+    //      unrestricted (y~y₁+x₁) OLS, both solved CLOSED-FORM from the
+    //      same exact decimal(38,0) moment matrix — RSS via the normal
+    //      equations (RSS = Syy − Σbᵢ·Sᵢy), so no per-row residual pass
+    //      exists at all. Day census + one lag window OVER THE CENSUS;
+    //      counts are integers, every centered moment is one fixed
+    //      double shape (shared text), F is one division ----
+    "q_granger_lite" -> ((s, d) => {
+      val daily = ev(s, d)
+        .groupBy(col("day"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("x"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("y"))
+      val wd = Window.orderBy(col("day"))
+      val lagged = daily
+        .withColumn("y1", lag(col("y"), 1).over(wd))
+        .withColumn("x1", lag(col("x"), 1).over(wd))
+        .filter(col("y1").isNotNull)
+      val mom = lagged.agg(count(lit(1)).as("n"),
+        sum(col("y").cast("decimal(38,0)")).as("sy"),
+        sum(col("y1").cast("decimal(38,0)")).as("s1"),
+        sum(col("x1").cast("decimal(38,0)")).as("sx"),
+        sum(expr("cast(y as decimal(38,0)) * y")).as("syy"),
+        sum(expr("cast(y1 as decimal(38,0)) * y1")).as("s11"),
+        sum(expr("cast(x1 as decimal(38,0)) * x1")).as("sxx"),
+        sum(expr("cast(y as decimal(38,0)) * y1")).as("sy1"),
+        sum(expr("cast(y as decimal(38,0)) * x1")).as("syx"),
+        sum(expr("cast(y1 as decimal(38,0)) * x1")).as("s1x"))
+      mom.select(col("n").as("n_days"),
+          round(expr(GrangerB2), 6).as("b_clicks"),
+          round(expr(s"($GrangerRssR)"), 4).as("rss_restricted"),
+          round(expr(s"($GrangerRssU)"), 4).as("rss_unrestricted"),
+          round(expr(s"(($GrangerRssR) - ($GrangerRssU)) / " +
+            s"(($GrangerRssU) / (n - 3))"), 4).as("f_stat"))
+    }),
+
     // ---- rescaled-range (R/S) Hurst exponent of daily order volume
     //      (new in r14) — the long-memory diagnostic: H ≈ 0.5 for iid,
     //      > 0.5 for persistent series. Within each block of b order-days
@@ -894,6 +933,34 @@ object TimeSeriesOps {
     * like the Gumbel constants).
     */
   private val HurstDen: Double = 2.0 * math.log(2.0)
+
+  /** q_granger_lite centered moments and closed-form OLS — ONE shared
+    * expression text per quantity (columns n, sy, s1, sx, syy, s11,
+    * sxx, sy1, syx, s1x in scope). Restricted: y ~ y₁. Unrestricted:
+    * y ~ y₁ + x₁ via the 2×2 normal-equation determinant. RSS through
+    * the normal equations — no residual pass.
+    */
+  private val GrCyy = "(cast(syy as double) - cast(sy as double) * " +
+    "cast(sy as double) / n)"
+  private val GrC11 = "(cast(s11 as double) - cast(s1 as double) * " +
+    "cast(s1 as double) / n)"
+  private val GrCxx = "(cast(sxx as double) - cast(sx as double) * " +
+    "cast(sx as double) / n)"
+  private val GrC1y = "(cast(sy1 as double) - cast(s1 as double) * " +
+    "cast(sy as double) / n)"
+  private val GrCxy = "(cast(syx as double) - cast(sx as double) * " +
+    "cast(sy as double) / n)"
+  private val GrC1x = "(cast(s1x as double) - cast(s1 as double) * " +
+    "cast(sx as double) / n)"
+  private val GrangerDet = s"(($GrC11) * ($GrCxx) - ($GrC1x) * ($GrC1x))"
+  private val GrangerB1 =
+    s"((($GrC1y) * ($GrCxx) - ($GrCxy) * ($GrC1x)) / $GrangerDet)"
+  private val GrangerB2 =
+    s"((($GrCxy) * ($GrC11) - ($GrC1y) * ($GrC1x)) / $GrangerDet)"
+  private val GrangerRssR =
+    s"($GrCyy) - (($GrC1y) / ($GrC11)) * ($GrC1y)"
+  private val GrangerRssU =
+    s"($GrCyy) - $GrangerB1 * ($GrC1y) - $GrangerB2 * ($GrCxy)"
 
   /** q_dispersion's shared spine: the daily order-count census. COUNT
     * partials are integer and associative, so this aggregation also runs
@@ -1565,6 +1632,41 @@ object TimeSeriesOps {
         |       round((e * e * h) / (2.0 * (rss / (n - 2)) * (1.0 - h) *
         |             (1.0 - h)), 6) AS cooks_d
         |FROM fit, rss ORDER BY m""".stripMargin,
+
+    // identical day census + lag, exact HUGEINT moments, the SAME
+    // shared centered-moment / closed-form-OLS expression text
+    "q_granger_lite" ->
+      s"""WITH daily AS (
+         |  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         |         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+         |           AS x,
+         |         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |           AS y
+         |  FROM events GROUP BY 1),
+         |lagged AS (
+         |  SELECT y, y1, x1 FROM (
+         |    SELECT y, lag(y, 1) OVER (ORDER BY day) AS y1,
+         |           lag(x, 1) OVER (ORDER BY day) AS x1
+         |    FROM daily)
+         |  WHERE y1 IS NOT NULL),
+         |mom AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |               sum(CAST(y AS HUGEINT)) AS sy,
+         |               sum(CAST(y1 AS HUGEINT)) AS s1,
+         |               sum(CAST(x1 AS HUGEINT)) AS sx,
+         |               sum(CAST(y AS HUGEINT) * y) AS syy,
+         |               sum(CAST(y1 AS HUGEINT) * y1) AS s11,
+         |               sum(CAST(x1 AS HUGEINT) * x1) AS sxx,
+         |               sum(CAST(y AS HUGEINT) * y1) AS sy1,
+         |               sum(CAST(y AS HUGEINT) * x1) AS syx,
+         |               sum(CAST(y1 AS HUGEINT) * x1) AS s1x
+         |        FROM lagged)
+         |SELECT n AS n_days,
+         |       round($GrangerB2, 6) AS b_clicks,
+         |       round(($GrangerRssR), 4) AS rss_restricted,
+         |       round(($GrangerRssU), 4) AS rss_unrestricted,
+         |       round((($GrangerRssR) - ($GrangerRssU)) /
+         |             (($GrangerRssU) / (n - 3)), 4) AS f_stat
+         |FROM mom""".stripMargin,
 
     // identical integer day-count census and exact HUGEINT moments
     "q_dispersion" ->

@@ -1421,6 +1421,66 @@ class EvalOpsSpec extends AnyFunSuite with SparkSpec {
     assert(rows.map(_.getAs[Long]("n_cust")).sum == base.length.toLong)
   }
 
+  test("pairwise contrasts reuse ANOVA MSW and cover every segment pair") {
+    val groups = segCents.groupBy(_._1).map { case (g, xs) =>
+      g -> xs.map(_._2).toSeq
+    }
+    val k = groups.size
+    val n = segCents.length
+    val qq = groups.values.flatten.map(x => BigInt(x) * x).sum.toDouble
+    val tfold = groups.values.map { g =>
+      val s = g.map(BigInt(_)).sum; s.toDouble * s.toDouble / g.size
+    }.sum
+    val msw = (qq - tfold) / (n - k)
+    val rows = q("q_tukey_pairs").collect()
+    assert(rows.length == k * (k - 1) / 2)
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[String]("seg_a"), r.getAs[String]("seg_b"))
+      assert(a < b)
+      val (ga, gb) = (groups(a), groups(b))
+      val diff = (ga.map(BigInt(_)).sum.toDouble / ga.size -
+        gb.map(BigInt(_)).sum.toDouble / gb.size) / 100.0
+      val se = math.sqrt(msw * (1.0 / ga.size + 1.0 / gb.size)) / 100.0
+      assert(math.abs(r.getAs[Double]("mean_diff") - diff) < 1e-3)
+      assert(math.abs(r.getAs[Double]("se") - se) < 1e-3)
+      assert(math.abs(r.getAs[Double]("t_stat") - diff / se) < 1e-3)
+    }
+  }
+
+  test("Granger F matches a brute two-regressor OLS on the lagged census") {
+    val daily = Tables(spark, sf, "events")
+      .groupBy(expr("unix_timestamp(ts) div 86400").as("day"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("x"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("y"))
+      .orderBy("day").collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    val trip = daily.zip(daily.tail).map { case ((xp, yp), (_, y)) =>
+      (y.toDouble, yp.toDouble, xp.toDouble)
+    }
+    val n = trip.length.toDouble
+    def c(f: ((Double, Double, Double)) => Double,
+          g: ((Double, Double, Double)) => Double): Double =
+      trip.map(t => f(t) * g(t)).sum - trip.map(f).sum * trip.map(g).sum / n
+    val (cyy, c11, cxx) = (c(_._1, _._1), c(_._2, _._2), c(_._3, _._3))
+    val (c1y, cxy, c1x) = (c(_._1, _._2), c(_._1, _._3), c(_._2, _._3))
+    val det = c11 * cxx - c1x * c1x
+    val b1 = (c1y * cxx - cxy * c1x) / det
+    val b2 = (cxy * c11 - c1y * c1x) / det
+    val rssR = cyy - (c1y / c11) * c1y
+    val rssU = cyy - b1 * c1y - b2 * cxy
+    val f = (rssR - rssU) / (rssU / (n - 3))
+    val r = q("q_granger_lite").collect()(0)
+    assert(r.getAs[Long]("n_days") == trip.length.toLong)
+    assert(math.abs(r.getAs[Double]("b_clicks") - b2) < 1e-4)
+    assert(math.abs(r.getAs[Double]("f_stat") - f) < 1e-2,
+      s"F ${r.getAs[Double]("f_stat")} vs brute $f")
+    // adding a regressor can only reduce RSS
+    assert(r.getAs[Double]("rss_unrestricted") <=
+      r.getAs[Double]("rss_restricted") + 1e-9)
+  }
+
   test("JSD drift: per-token contributions nonneg, total within [0,1] bit") {
     val rows = q("q_jsd_drift").collect()
     assert(rows.nonEmpty && rows.length <= 100)
