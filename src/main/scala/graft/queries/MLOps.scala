@@ -475,6 +475,37 @@ object MLOps {
           round(expr(IccExpr), 6).as("icc"),
           round(expr(s"1.0 + (cast(n as double) / k - 1.0) * ($IccExpr)"),
             4).as("deff"))
+    }),
+
+    // ---- Hosmer–Lemeshow calibration χ² (new in r14) — the
+    //      goodness-of-fit scalar on top of q_calibration's reliability
+    //      diagram: over the same LR score deciles, term = (O−E)² /
+    //      (E·(1−E/n_b)) with O integer and E the bucket's summed
+    //      predicted probability (the q_calibration avg(p) acceptance),
+    //      χ² folding bucket-ORDERED over the ≤10-row census (terms ≥ 0
+    //      → max(cum) is the ordered total, reported per row as the
+    //      running cum). Reuses the lrData/lrTrain spine verbatim ----
+    "q_hosmer_lemeshow" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val data = lrData(s, d).persistTracked()
+      val w = lrTrain(s, data)
+      val binned = data.crossJoin(broadcast(w))
+        .withColumn("p", lit(1.0) / (lit(1.0) +
+          exp(-(col("w0") + col("w1") * col("x1") + col("w2") * col("x2")))))
+        .withColumn("bucket",
+          least(floor(col("p") * 10).cast("int"), lit(9)))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("nb"), sum(col("y")).cast("bigint").as("o"),
+          sum(col("p")).as("e"))
+      val wCum = W.orderBy(col("bucket")).rowsBetween(Long.MinValue, 0)
+      binned
+        .withColumn("term",
+          expr("(o - e) * (o - e) / (e * (1.0 - e / nb))"))
+        .select(col("bucket"), col("nb"), col("o"),
+          round(col("e"), 4).as("e_pred"),
+          round(col("term"), 6).as("hl_term"),
+          round(sum(col("term")).over(wCum), 4).as("cum_hl"))
+        .orderBy("bucket")
     })
   )
 
@@ -939,6 +970,28 @@ object MLOps {
          |       round($IccExpr, 6) AS icc,
          |       round(1.0 + (cast(n as double) / k - 1.0) * ($IccExpr), 4)
          |         AS deff
-         |FROM mom""".stripMargin
+         |FROM mom""".stripMargin,
+
+    // the q_calibration spine verbatim; identical per-bucket HL term
+    // and bucket-ordered fold
+    "q_hosmer_lemeshow" ->
+      s"""WITH $gdCtes,
+         |binned AS (
+         |  SELECT bucket, count(*) AS nb, CAST(sum(y) AS BIGINT) AS o,
+         |         sum(p) AS e
+         |  FROM (SELECT y,
+         |               least(CAST(floor(p * 10) AS INTEGER), 9) AS bucket,
+         |               p
+         |        FROM (SELECT y,
+         |                1.0 / (1.0 + exp(-(w0 + w1 * x1 + w2 * x2))) AS p
+         |              FROM data CROSS JOIN s3))
+         |  GROUP BY bucket)
+         |SELECT bucket, nb, o, round(e, 4) AS e_pred,
+         |       round((o - e) * (o - e) / (e * (1.0 - e / nb)), 6)
+         |         AS hl_term,
+         |       round(sum((o - e) * (o - e) / (e * (1.0 - e / nb)))
+         |             OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED
+         |             PRECEDING AND CURRENT ROW), 4) AS cum_hl
+         |FROM binned ORDER BY bucket""".stripMargin
   )
 }

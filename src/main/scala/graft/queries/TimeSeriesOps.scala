@@ -826,6 +826,61 @@ object TimeSeriesOps {
     "q_dispersion" -> ((s, d) =>
       dispersionFromDaily(dailyCounts(Tables(s, d, "orders")))),
 
+    // ---- Ljung–Box portmanteau whiteness test (new in r14): are daily
+    //      order counts jointly uncorrelated at lags 1..7? Each ρ_k uses
+    //      the n²-scaled EXACT integer moment identity (the q_autocorr
+    //      device — one decimal expression, one division), and
+    //      Q = n(n+2)·Σρ²ₖ/(n−k) is a Scala-GENERATED 7-term expression
+    //      whose text is identical in both engines. Day census + one
+    //      7-lag window over the census ----
+    "q_ljung_box" -> ((s, d) => {
+      val wd = Window.orderBy(col("day"))
+      var lagged = dailyCounts(Tables(s, d, "orders"))
+      for (k <- 1 to 7)
+        lagged = lagged.withColumn(s"l$k", lag(col("y"), k).over(wd))
+      val momCols =
+        Seq(count(lit(1)).as("n"),
+          sum(col("y").cast("decimal(38,0)")).as("s"),
+          sum(expr("cast(y as decimal(38,0)) * y")).as("syy")) ++
+          (1 to 7).flatMap { k =>
+            Seq(sum(expr(s"cast(y as decimal(38,0)) * l$k")).as(s"sxy$k"),
+              sum(when(col(s"l$k").isNotNull, col(s"l$k"))
+                .cast("decimal(38,0)")).as(s"a$k"),
+              sum(when(col(s"l$k").isNotNull, col("y"))
+                .cast("decimal(38,0)")).as(s"b$k"))
+          }
+      lagged.agg(momCols.head, momCols.tail: _*)
+        .select((col("n").as("n_days") +:
+          Seq(1, 4, 7).map(k =>
+            round(expr(lbRho(k)), 6).as(s"rho$k")) :+
+          round(expr(lbQ), 4).as("q_lb")): _*)
+    }),
+
+    // ---- Page–Hinkley sequential drift monitor (new in r14) — the
+    //      change-detector q_changepoint's ONLINE sibling: running
+    //      deviation m_t = Σ(xᵢ − x̄ᵢ − δ) against its running max, alert
+    //      when the gap exceeds λ. Every fold is a window over the
+    //      calendar-bounded day census; δ/λ are fixed literals. Output
+    //      is the alert census (count, first alert day, max gap) ----
+    "q_page_hinkley" -> ((s, d) => {
+      val wd = Window.orderBy(col("day"))
+      val wCum = wd.rowsBetween(Long.MinValue, 0)
+      val daily = dailyCounts(Tables(s, d, "orders"))
+      daily
+        .withColumn("rn", row_number().over(wd))
+        .withColumn("cumx", sum(col("y")).over(wCum))
+        .withColumn("dev",
+          expr("cast(y as double) - cast(cumx as double) / rn - 0.5"))
+        .withColumn("m", sum(col("dev")).over(wCum))
+        .withColumn("mx", max(col("m")).over(wCum))
+        .withColumn("gap", col("mx") - col("m"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(when(col("gap") > 30.0, 1L).otherwise(0L)).as("n_alerts"),
+          min(when(col("gap") > 30.0, col("day").cast("string")))
+            .as("first_alert"),
+          round(max(col("gap")), 4).as("max_gap"))
+    }),
+
     // ---- Granger-style lagged-predictor F-test (new in r14): do
     //      yesterday's CLICKS predict today's PURCHASES beyond what
     //      yesterday's purchases already do? Restricted (y~y₁) vs
@@ -933,6 +988,47 @@ object TimeSeriesOps {
     * like the Gumbel constants).
     */
   private val HurstDen: Double = 2.0 * math.log(2.0)
+
+  /** q_ljung_box ρ_k — the q_autocorr n²-scaled exact-moment identity
+    * (columns n, s, syy, sxy_k, a_k, b_k in scope), generated per lag so
+    * the text is identical in both engines; and the 7-term Q sum.
+    */
+  private def lbRho(k: Int): String =
+    s"cast(n*n*sxy$k - n*s*(a$k+b$k) + (n-$k)*s*s as double)" +
+      " / cast(n*(n*syy - s*s) as double)"
+  private def lbQ: String =
+    s"cast(n as double) * (n + 2) * (" +
+      (1 to 7).map(k => s"((${lbRho(k)}) * (${lbRho(k)})) / (n - $k)")
+        .mkString(" + ") + ")"
+
+  /** q_ljung_box oracle — generated with the SAME lbRho/lbQ text. */
+  private def ljungBoxOracle: String = {
+    val lagCols = (1 to 7).map(k => s"lag(y, $k) OVER w AS l$k")
+      .mkString(",\n|         ")
+    val momCols = (1 to 7).map(k =>
+      s"""CAST(sum(y*l$k) AS HUGEINT) AS sxy$k,
+         |         CAST(sum(l$k) AS HUGEINT) AS a$k,
+         |         CAST(sum(CASE WHEN l$k IS NOT NULL THEN y END)
+         |              AS HUGEINT) AS b$k""").mkString(",\n")
+    s"""WITH daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS y
+       |  FROM orders GROUP BY 1),
+       |lagged AS (
+       |  SELECT y,
+       |         $lagCols
+       |  FROM daily WINDOW w AS (ORDER BY day)),
+       |mom AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+       |         CAST(sum(y) AS HUGEINT) AS s,
+       |         CAST(sum(y*y) AS HUGEINT) AS syy,
+       |$momCols
+       |  FROM lagged)
+       |SELECT CAST(n AS BIGINT) AS n_days,
+       |       round(${lbRho(1)}, 6) AS rho1,
+       |       round(${lbRho(4)}, 6) AS rho4,
+       |       round(${lbRho(7)}, 6) AS rho7,
+       |       round($lbQ, 4) AS q_lb
+       |FROM mom""".stripMargin
+  }
 
   /** q_granger_lite centered moments and closed-form OLS — ONE shared
     * expression text per quantity (columns n, sy, s1, sx, syy, s11,
@@ -1632,6 +1728,37 @@ object TimeSeriesOps {
         |       round((e * e * h) / (2.0 * (rss / (n - 2)) * (1.0 - h) *
         |             (1.0 - h)), 6) AS cooks_d
         |FROM fit, rss ORDER BY m""".stripMargin,
+
+    // the q_autocorr moment identity on the order-day census, the same
+    // generated ρ/Q expression text
+    "q_ljung_box" -> ljungBoxOracle,
+
+    // identical day census and window folds; the windowed-sum pairwise
+    // ulps sit against literal thresholds (measure-zero boundary)
+    "q_page_hinkley" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS y
+        |  FROM orders GROUP BY 1),
+        |ph AS (
+        |  SELECT day, y, row_number() OVER w AS rn,
+        |         sum(y) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+        |           PRECEDING AND CURRENT ROW) AS cumx
+        |  FROM daily WINDOW w AS (ORDER BY day)),
+        |ph2 AS (SELECT day,
+        |               CAST(y AS DOUBLE) - CAST(cumx AS DOUBLE) / rn - 0.5
+        |                 AS dev
+        |        FROM ph),
+        |ph3 AS (SELECT day, sum(dev) OVER (ORDER BY day ROWS BETWEEN
+        |          UNBOUNDED PRECEDING AND CURRENT ROW) AS m FROM ph2),
+        |ph4 AS (SELECT day, m, max(m) OVER (ORDER BY day ROWS BETWEEN
+        |          UNBOUNDED PRECEDING AND CURRENT ROW) AS mx FROM ph3)
+        |SELECT CAST(count(*) AS BIGINT) AS n_days,
+        |       CAST(sum(CASE WHEN mx - m > 30.0 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_alerts,
+        |       min(CASE WHEN mx - m > 30.0 THEN CAST(day AS VARCHAR) END)
+        |         AS first_alert,
+        |       round(max(mx - m), 4) AS max_gap
+        |FROM ph4""".stripMargin,
 
     // identical day census + lag, exact HUGEINT moments, the SAME
     // shared centered-moment / closed-form-OLS expression text

@@ -1481,6 +1481,67 @@ class EvalOpsSpec extends AnyFunSuite with SparkSpec {
       r.getAs[Double]("rss_restricted") + 1e-9)
   }
 
+  test("Hosmer-Lemeshow bins conserve the corpus and terms follow O/E") {
+    val rows = q("q_hosmer_lemeshow").collect()
+    val nEvents = Tables(spark, sf, "events").count()
+    assert(rows.map(_.getAs[Long]("nb")).sum == nEvents)
+    var prev = 0.0
+    rows.sortBy(_.getAs[Int]("bucket")).foreach { r =>
+      val (o, e, nb) = (r.getAs[Long]("o").toDouble,
+        r.getAs[Double]("e_pred"), r.getAs[Long]("nb").toDouble)
+      val term = (o - e) * (o - e) / (e * (1.0 - e / nb))
+      // e_pred is rounded at 4dp, so the recomputed term carries that
+      assert(math.abs(r.getAs[Double]("hl_term") - term) <
+        math.max(1e-2, math.abs(term) * 1e-3),
+        s"bucket ${r.getAs[Int]("bucket")}: $term vs ${r.getAs[Double]("hl_term")}")
+      assert(r.getAs[Double]("cum_hl") >= prev - 1e-9)
+      prev = r.getAs[Double]("cum_hl")
+    }
+  }
+
+  test("Ljung-Box Q matches a brute ACF fold over the day census") {
+    val ys = dayCounts
+    val n = ys.length
+    val mean = ys.sum.toDouble / n
+    val denom = ys.map(y => (y - mean) * (y - mean)).sum
+    def rho(k: Int): Double =
+      ys.drop(k).zip(ys).map { case (yt, ytk) =>
+        (yt - mean) * (ytk - mean)
+      }.sum / denom
+    val qExp = n.toDouble * (n + 2) *
+      (1 to 7).map(k => rho(k) * rho(k) / (n - k)).sum
+    val r = q("q_ljung_box").collect()(0)
+    assert(r.getAs[Long]("n_days") == n.toLong)
+    Seq(1, 4, 7).foreach { k =>
+      assert(math.abs(r.getAs[Double](s"rho$k") - rho(k)) < 1e-4,
+        s"rho$k ${r.getAs[Double](s"rho$k")} vs brute ${rho(k)}")
+    }
+    assert(math.abs(r.getAs[Double]("q_lb") - qExp) < 0.05,
+      s"Q ${r.getAs[Double]("q_lb")} vs brute $qExp")
+  }
+
+  test("Page-Hinkley alerts match a plain-Scala sequential monitor") {
+    val ys = dayCounts
+    var cum = 0L
+    var m = 0.0
+    var mx = Double.NegativeInfinity
+    var alerts = 0
+    var maxGap = 0.0
+    ys.zipWithIndex.foreach { case (y, i) =>
+      cum += y
+      m += y.toDouble - cum.toDouble / (i + 1) - 0.5
+      mx = math.max(mx, m)
+      val gap = mx - m
+      if (gap > 30.0) alerts += 1
+      maxGap = math.max(maxGap, gap)
+    }
+    val r = q("q_page_hinkley").collect()(0)
+    assert(r.getAs[Long]("n_days") == ys.length.toLong)
+    assert(r.getAs[Long]("n_alerts") == alerts.toLong,
+      s"alerts ${r.getAs[Long]("n_alerts")} vs brute $alerts")
+    assert(math.abs(r.getAs[Double]("max_gap") - maxGap) < 1e-3)
+  }
+
   test("JSD drift: per-token contributions nonneg, total within [0,1] bit") {
     val rows = q("q_jsd_drift").collect()
     assert(rows.nonEmpty && rows.length <= 100)
