@@ -506,6 +506,28 @@ object MLOps {
           round(col("term"), 6).as("hl_term"),
           round(sum(col("term")).over(wCum), 4).as("cum_hl"))
         .orderBy("bucket")
+    }),
+
+    // ---- Brier score (new in r14) — the proper scoring rule that
+    //      completes the LR evaluation trio (q_calibration reliability,
+    //      q_hosmer_lemeshow GOF, this sharpness+calibration scalar):
+    //      mean (p−y)² on the same lrData/lrTrain spine, reported beside
+    //      the base-rate reference r(1−r) a skill-less predictor scores
+    //      — Brier below the reference is actual skill ----
+    "q_brier_score" -> ((s, d) => {
+      val data = lrData(s, d).persistTracked()
+      val w = lrTrain(s, data)
+      data.crossJoin(broadcast(w))
+        .withColumn("p", lit(1.0) / (lit(1.0) +
+          exp(-(col("w0") + col("w1") * col("x1") + col("w2") * col("x2")))))
+        .agg(count(lit(1)).as("n"),
+          sum(col("y")).cast("bigint").as("n_pos"),
+          sum((col("p") - col("y")) * (col("p") - col("y"))).as("bs"))
+        .select(col("n"), col("n_pos"),
+          expr("n_pos * 10000 div n").as("base_rate_bp"),
+          round(expr("bs / n"), 6).as("brier"),
+          round(expr("(cast(n_pos as double) / n) * " +
+            "(1.0 - cast(n_pos as double) / n)"), 6).as("brier_ref"))
     })
   )
 
@@ -992,6 +1014,22 @@ object MLOps {
          |       round(sum((o - e) * (o - e) / (e * (1.0 - e / nb)))
          |             OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED
          |             PRECEDING AND CURRENT ROW), 4) AS cum_hl
-         |FROM binned ORDER BY bucket""".stripMargin
+         |FROM binned ORDER BY bucket""".stripMargin,
+
+    // the same spine; mean (p−y)² beside the base-rate reference
+    "q_brier_score" ->
+      s"""WITH $gdCtes,
+         |sc AS (SELECT y,
+         |              1.0 / (1.0 + exp(-(w0 + w1 * x1 + w2 * x2))) AS p
+         |       FROM data CROSS JOIN s3),
+         |agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |               CAST(sum(y) AS BIGINT) AS n_pos,
+         |               sum((p - y) * (p - y)) AS bs FROM sc)
+         |SELECT n, n_pos,
+         |       CAST(n_pos * 10000 // n AS BIGINT) AS base_rate_bp,
+         |       round(bs / n, 6) AS brier,
+         |       round((cast(n_pos as double) / n) *
+         |             (1.0 - cast(n_pos as double) / n), 6) AS brier_ref
+         |FROM agg""".stripMargin
   )
 }

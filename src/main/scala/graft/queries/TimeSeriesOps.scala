@@ -778,31 +778,34 @@ object TimeSeriesOps {
     //      census-ORDERED (e² ≥ 0 → max(cum) is the ordered total, the
     //      q_anova device). Everything rides the calendar-bounded month
     //      census — the corpus is touched by ONE groupBy ----
+    // ---- Durbin–Watson residual-autocorrelation test (new in r14) on
+    //      the SAME monthly OLS fit as q_cooks_distance (shared
+    //      olsMonthlyFit spine — one residual definition): DW =
+    //      Σ(eₜ−eₜ₋₁)²/Σeₜ², both sums census-ORDERED monotone folds
+    //      (squares ≥ 0 → max(cum) is the ordered total). DW ≈ 2 means
+    //      the trend residuals are white; the q_trend slope's SE is
+    //      only honest if they are ----
+    "q_durbin_watson" -> ((s, d) => {
+      val wd = Window.orderBy(col("m"))
+      val wCum = wd.rowsBetween(Long.MinValue, 0)
+      val fit = olsMonthlyFit(s, d)
+      fit
+        .withColumn("e1", lag(col("e"), 1).over(wd))
+        .withColumn("dnum",
+          when(col("e1").isNotNull,
+            (col("e") - col("e1")) * (col("e") - col("e1")))
+            .otherwise(lit(0.0)))
+        .withColumn("cnum", sum(col("dnum")).over(wCum))
+        .withColumn("cden", sum(col("e") * col("e")).over(wCum))
+        .agg(count(lit(1)).as("n_months"),
+          max(col("cnum")).as("num"), max(col("cden")).as("den"))
+        .select(col("n_months"),
+          round(expr("num / den"), 4).as("dw"))
+    }),
+
     "q_cooks_distance" -> ((s, d) => {
       val W = Window
-      val m = Tables(s, d, "orders")
-        .select((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
-            .as("m"),
-          col("o_totalprice"))
-        .groupBy(col("m"))
-        .agg(expr("cast(round(round(sum(o_totalprice), 2) * 100) as bigint)")
-          .as("y"))
-        .persistTracked()
-      val mom = m.agg(count(lit(1)).as("n"),
-        sum(col("m").cast("decimal(38,0)")).as("sx"),
-        sum(col("y").cast("decimal(38,0)")).as("sy"),
-        sum(expr("cast(m as decimal(38,0)) * y")).as("sxy"),
-        sum(expr("cast(m as decimal(38,0)) * m")).as("sxx"))
-      val fit = m.crossJoin(broadcast(mom))
-        .withColumn("bb", expr("cast(n * sxy - sx * sy as double) / " +
-          "cast(n * sxx - sx * sx as double)"))
-        .withColumn("aa",
-          expr("(cast(sy as double) - bb * cast(sx as double)) / n"))
-        .withColumn("e", expr("cast(y as double) - (aa + bb * m)"))
-        .withColumn("h", expr("1.0 / n + " +
-          "cast((n * m - sx) * (n * m - sx) as double) / " +
-          "cast(n * (n * sxx - sx * sx) as double)"))
-        .persistTracked()
+      val fit = olsMonthlyFit(s, d)
       val wCum = W.orderBy(col("m")).rowsBetween(Long.MinValue, 0)
       val rss = fit.withColumn("cum", sum(col("e") * col("e")).over(wCum))
         .agg(max(col("cum")).as("rss"))
@@ -1000,6 +1003,37 @@ object TimeSeriesOps {
     s"cast(n as double) * (n + 2) * (" +
       (1 to 7).map(k => s"((${lbRho(k)}) * (${lbRho(k)})) / (n - $k)")
         .mkString(" + ") + ")"
+
+  /** Shared monthly-OLS fit spine of q_cooks_distance and
+    * q_durbin_watson: month census, exact decimal moments, slope/
+    * intercept/residual/leverage in the fixed double shapes. Factored
+    * so both diagnostics read the IDENTICAL residual definition.
+    */
+  private def olsMonthlyFit(s: SparkSession, d: String): DataFrame = {
+    val m = Tables(s, d, "orders")
+      .select((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .as("m"),
+        col("o_totalprice"))
+      .groupBy(col("m"))
+      .agg(expr("cast(round(round(sum(o_totalprice), 2) * 100) as bigint)")
+        .as("y"))
+      .persistTracked()
+    val mom = m.agg(count(lit(1)).as("n"),
+      sum(col("m").cast("decimal(38,0)")).as("sx"),
+      sum(col("y").cast("decimal(38,0)")).as("sy"),
+      sum(expr("cast(m as decimal(38,0)) * y")).as("sxy"),
+      sum(expr("cast(m as decimal(38,0)) * m")).as("sxx"))
+    m.crossJoin(broadcast(mom))
+      .withColumn("bb", expr("cast(n * sxy - sx * sy as double) / " +
+        "cast(n * sxx - sx * sx as double)"))
+      .withColumn("aa",
+        expr("(cast(sy as double) - bb * cast(sx as double)) / n"))
+      .withColumn("e", expr("cast(y as double) - (aa + bb * m)"))
+      .withColumn("h", expr("1.0 / n + " +
+        "cast((n * m - sx) * (n * m - sx) as double) / " +
+        "cast(n * (n * sxx - sx * sx) as double)"))
+      .persistTracked()
+  }
 
   /** q_ljung_box oracle — generated with the SAME lbRho/lbQ text. */
   private def ljungBoxOracle: String = {
@@ -1728,6 +1762,39 @@ object TimeSeriesOps {
         |       round((e * e * h) / (2.0 * (rss / (n - 2)) * (1.0 - h) *
         |             (1.0 - h)), 6) AS cooks_d
         |FROM fit, rss ORDER BY m""".stripMargin,
+
+    // the q_cooks_distance fit CTEs verbatim; both DW sums as ordered
+    // monotone folds
+    "q_durbin_watson" ->
+      """WITH m AS MATERIALIZED (
+        |  SELECT year(o_orderdate) * 12 + month(o_orderdate) AS m,
+        |         CAST(round(round(sum(o_totalprice), 2) * 100) AS BIGINT)
+        |           AS y
+        |  FROM orders GROUP BY 1),
+        |mom AS (SELECT count(*) AS n, sum(CAST(m AS HUGEINT)) AS sx,
+        |               sum(CAST(y AS HUGEINT)) AS sy,
+        |               sum(CAST(m AS HUGEINT) * y) AS sxy,
+        |               sum(CAST(m AS HUGEINT) * m) AS sxx FROM m),
+        |co AS (SELECT *, CAST(n * sxy - sx * sy AS DOUBLE) /
+        |                 CAST(n * sxx - sx * sx AS DOUBLE) AS bb FROM mom),
+        |co2 AS (SELECT *, (CAST(sy AS DOUBLE) - bb * CAST(sx AS DOUBLE))
+        |                  / n AS aa FROM co),
+        |fit AS MATERIALIZED (
+        |  SELECT m, CAST(y AS DOUBLE) - (aa + bb * m) AS e
+        |  FROM m, co2),
+        |lg AS (SELECT m, e, lag(e, 1) OVER (ORDER BY m) AS e1 FROM fit),
+        |dn AS (SELECT m, e,
+        |              CASE WHEN e1 IS NOT NULL
+        |                   THEN (e - e1) * (e - e1) ELSE 0.0 END AS dnum
+        |       FROM lg),
+        |cums AS (SELECT sum(dnum) OVER (ORDER BY m ROWS BETWEEN UNBOUNDED
+        |                PRECEDING AND CURRENT ROW) AS cnum,
+        |                sum(e * e) OVER (ORDER BY m ROWS BETWEEN UNBOUNDED
+        |                PRECEDING AND CURRENT ROW) AS cden
+        |         FROM dn)
+        |SELECT CAST(count(*) AS BIGINT) AS n_months,
+        |       round(max(cnum) / max(cden), 4) AS dw
+        |FROM cums""".stripMargin,
 
     // the q_autocorr moment identity on the order-day census, the same
     // generated ρ/Q expression text

@@ -1542,6 +1542,36 @@ class EvalOpsSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(r.getAs[Double]("max_gap") - maxGap) < 1e-3)
   }
 
+  test("Durbin-Watson matches a brute residual fold and sits in [0,4]") {
+    val cen = monthCensus.map(c => (c._1.toLong, c._3))
+    val n = cen.length.toDouble
+    val sx = cen.map(_._1).sum.toDouble
+    val sy = cen.map(c => BigInt(c._2)).sum.toDouble
+    val sxy = cen.map(c => BigInt(c._1) * c._2).sum.toDouble
+    val sxx = cen.map(c => BigInt(c._1) * c._1).sum.toDouble
+    val b = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val a = (sy - b * sx) / n
+    val es = cen.sortBy(_._1).map { case (m, y) => y.toDouble - (a + b * m) }
+    val num = es.zip(es.tail).map { case (p, c) => (c - p) * (c - p) }.sum
+    val den = es.map(e => e * e).sum
+    val r = q("q_durbin_watson").collect()(0)
+    assert(r.getAs[Long]("n_months") == cen.length.toLong)
+    assert(math.abs(r.getAs[Double]("dw") - num / den) < 1e-3,
+      s"dw ${r.getAs[Double]("dw")} vs brute ${num / den}")
+    assert(r.getAs[Double]("dw") >= 0.0 && r.getAs[Double]("dw") <= 4.0)
+  }
+
+  test("Brier score beats or ties its base-rate reference on this fit") {
+    val r = q("q_brier_score").collect()(0)
+    val n = r.getAs[Long]("n")
+    assert(n == Tables(spark, sf, "events").count())
+    val rate = r.getAs[Long]("n_pos").toDouble / n
+    assert(math.abs(r.getAs[Double]("brier_ref") - rate * (1.0 - rate))
+      < 1e-5)
+    assert(r.getAs[Double]("brier") >= 0.0 &&
+      r.getAs[Double]("brier") <= 0.25 + 1e-9)
+  }
+
   test("JSD drift: per-token contributions nonneg, total within [0,1] bit") {
     val rows = q("q_jsd_drift").collect()
     assert(rows.nonEmpty && rows.length <= 100)
