@@ -232,8 +232,28 @@ object Bench {
     val top10 = results.sortBy(-_._2).take(10)
     val minOf = mins.toMap
     val top10Mins = top10.map { case (n, _) => n -> minOf(n) }
+    // Per-family normalized roll-up (r14 verdict item 5): the FP/vector
+    // family (ANN/PQ/embedding math — the queries whose hot loop is the
+    // native cosine/PQ Expressions) normalizes by calib_fp_s, everything
+    // else by the scalar anchor. Cross-round drift questions are answered
+    // by diffing these two numbers between BENCH_SUMMARY files — no
+    // re-derivation from BENCH_FULL archaeology. Mins, not medians: the
+    // cleanest sample is the cross-round comparable (r14 verdict).
+    val fpFamily = names.filter(n =>
+      n.startsWith("q_ann_") || n.startsWith("q_embed_") ||
+      n.startsWith("q_pq_") || Set("q_dedup_embedding", "q_semantic_clusters",
+        "q_cluster_medoid", "q_mmr_diverse", "q_coreset_kcenter",
+        "q_dim_ablation", "q_media_ann", "q_media_dedup")(n)).toSet
+    def famJson(sel: String => Boolean, anchor: Double): String = {
+      val ms = mins.collect { case (n, v) if sel(n) => v }
+      val s = ms.sum
+      f"""{"n":${ms.size},"mins_sum_s":$s%.3f,"norm":${s / anchor}%.2f}"""
+    }
+    val familiesJson =
+      s"""{"fp":${famJson(fpFamily, calibFp)},""" +
+        s""""scalar":${famJson(n => !fpFamily(n), calib)}}"""
     val summaryJson =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$nRuns,"calib_s":$calib%.3f,"calib_fp_s":$calibFp%.3f,"total_norm":$norm%.2f,"n_queries":${names.size},"top10":${qjson(top10)},"top10_mins":${qjson(top10Mins)},"spread_hi":${qjson2(spreadHi)},"failed":$failedJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$nRuns,"calib_s":$calib%.3f,"calib_fp_s":$calibFp%.3f,"total_norm":$norm%.2f,"n_queries":${names.size},"top10":${qjson(top10)},"top10_mins":${qjson(top10Mins)},"families":$familiesJson,"spread_hi":${qjson2(spreadHi)},"failed":$failedJson,"sf":"$sfDir"}"""
     try
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("BENCH_SUMMARY.json"), summaryJson + "\n")

@@ -1275,7 +1275,12 @@ object DedupOps {
           expr("cast((p_size - 1) div 5 as bigint)").as("cy"))
         .groupBy(col("cx"), col("cy")).agg(count(lit(1)).as("n_pts"))
         .filter(col("n_pts") >= 3)
-        .withColumn("cell", col("cx") * 100 + col("cy"))
+        // packed cell id: collision-free while cy < 100000. Today's
+        // fixture has cy ≤ 9 (p_size ≤ 50, stride 5), but the 1e5
+        // multiplier keeps the encoding safe under any plausible domain
+        // widening instead of silently (and identically on both
+        // engines, i.e. invisibly to the gate) merging distinct cells
+        .withColumn("cell", col("cx") * 100000 + col("cy"))
         .persistTracked()
       val a = cells.select(col("cell").as("doc_a"), col("cx").as("ax"),
         col("cy").as("ay"))
@@ -2526,7 +2531,7 @@ object DedupOps {
     // (the q_dedup_clusters oracle device); isolated cells self-label
     "q_dbscan_grid" ->
       """WITH RECURSIVE cells AS MATERIALIZED (
-        |  SELECT cx, cy, n_pts, cx * 100 + cy AS cell FROM (
+        |  SELECT cx, cy, n_pts, cx * 100000 + cy AS cell FROM (
         |    SELECT CAST(floor(p_retailprice / 200.0) AS BIGINT) AS cx,
         |           CAST((p_size - 1) // 5 AS BIGINT) AS cy,
         |           count(*) AS n_pts

@@ -407,7 +407,10 @@ object MLOps {
     //      OR = ad/bc exact in basis points by decimal integer division;
     //      ln(OR) ± z·√(1/a+1/b+1/c+1/d) in one fixed shape with the
     //      q_ab_power z literal. a·d wraps int64 past ~3G users each →
-    //      decimal(38,0)/HUGEINT (the q_gini device) ----
+    //      decimal(38,0)/HUGEINT (the q_gini device). A zero cell
+    //      degrades to NULL identically on both engines (NULLIF on the
+    //      bp divisor, CASE guard on the logs) instead of crashing
+    //      DuckDB's ln/division on a degenerate split ----
     "q_odds_ratio" -> ((s, d) => {
       val u = Tables(s, d, "events")
         .groupBy(col("user_id"),
@@ -420,7 +423,7 @@ object MLOps {
           sum(expr("(1 - e) * (1 - y)")).as("dd"))
         .select(col("a"), col("b"), col("c"), col("dd").as("d"),
           expr("cast(a as decimal(38,0)) * dd * 10000 div " +
-            "(cast(b as decimal(38,0)) * c)").as("or_bp"),
+            "nullif(cast(b as decimal(38,0)) * c, 0)").as("or_bp"),
           round(expr(OrLog), 6).as("log_or"),
           round(expr(s"($OrLog) - $OrZ * ($OrSe)"), 6).as("ci_lo"),
           round(expr(s"($OrLog) + $OrZ * ($OrSe)"), 6).as("ci_hi"))
@@ -450,12 +453,20 @@ object MLOps {
     //      number that decides whether a USER-randomized experiment can
     //      be read at event grain: one-way random-effects components
     //      over user clusters. Per-cluster moments are exact decimals;
-    //      the between-cluster sum Σs²ᵢ/nᵢ is a plain double sum over
-    //      the cluster census (the q_zipf_slope acceptance: sums of
-    //      fixed-shape terms, every DOWNSTREAM statistic rounded);
-    //      ANOVA estimator n₀ handles unequal cluster sizes; deff uses
-    //      the mean cluster size. deff ≈ 1 + (m̄−1)·ICC is the variance
-    //      inflation an event-grain z-test silently ignores ----
+    //      the between-cluster sum Σs²ᵢ/nᵢ folds EXACTLY: each term is
+    //      one fixed IEEE shape (s²ᵢ/nᵢ — bit-identical per row on both
+    //      engines), scaled ×1e4 and rounded to an integer that rides
+    //      decimal(38,0), so the corpus-scaled sum is order-free under
+    //      any partial-agg tree (a plain double sum here reassociates
+    //      with user count against the absolute 4-dp rounding of
+    //      msb_d2/msw_d2 — the q_heaps_law bug class; a census-ORDERED
+    //      window would fix it too but costs a single-partition sort of
+    //      ALL users at 100 TB). The ×1e4 grain puts per-term rounding
+    //      at ≤5e-9 dollars² after /(k−1)/1e4 — below the 4-dp gate
+    //      grain by 4 orders. ANOVA estimator n₀ handles unequal
+    //      cluster sizes; deff uses the mean cluster size.
+    //      deff ≈ 1 + (m̄−1)·ICC is the variance inflation an
+    //      event-grain z-test silently ignores ----
     "q_icc" -> ((s, d) => {
       val cen = Tables(s, d, "events")
         .select(col("user_id"),
@@ -467,8 +478,9 @@ object MLOps {
       cen.agg(count(lit(1)).as("k"), sum(col("ni")).as("n"),
           sum(col("si")).as("ss"), sum(col("qi")).as("qq"),
           sum(expr("cast(ni as decimal(38,0)) * ni")).as("nsq"),
-          sum(expr("cast(si as double) * cast(si as double) / ni"))
-            .as("tfold"))
+          sum(expr("cast(round(cast(si as double) * cast(si as double)" +
+            " / ni * 10000, 0) as decimal(38,0))")).as("t4"))
+        .withColumn("tfold", expr("cast(t4 as double) / 10000.0"))
         .select(col("k"), col("n").cast("long").as("n"),
           round(expr(s"($IccMsb) / 10000.0"), 4).as("msb_d2"),
           round(expr(s"($IccMsw) / 10000.0"), 4).as("msw_d2"),
@@ -543,10 +555,17 @@ object MLOps {
 
   /** q_odds_ratio shapes shared verbatim with the oracle (columns
     * a, b, c, dd in scope); z is the q_ab_power 97.5% normal quantile.
+    * A zero 2×2 cell degrades to NULL identically on BOTH engines: the
+    * CASE guard keeps DuckDB's ln(0)/ln(inf) out-of-range error (Spark
+    * would return NULL) from crashing the oracle on a degenerate split,
+    * and 1/0 inside the SE is double division → NULL on both. CASE is
+    * lazily evaluated per-row in both engines, so the guarded branch
+    * never raises.
     */
   private val OrZ: Double = 1.959963984540054
   private val OrLog =
-    "ln((CAST(a AS DOUBLE) * dd) / (CAST(b AS DOUBLE) * c))"
+    "CASE WHEN a = 0 OR b = 0 OR c = 0 OR dd = 0 THEN NULL " +
+      "ELSE ln((CAST(a AS DOUBLE) * dd) / (CAST(b AS DOUBLE) * c)) END"
   private val OrSe =
     "sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / dd)"
 
@@ -949,7 +968,7 @@ object MLOps {
          |        FROM u)
          |SELECT a, b, c, dd AS d,
          |       CAST(CAST(a AS HUGEINT) * dd * 10000 //
-         |            (CAST(b AS HUGEINT) * c) AS BIGINT) AS or_bp,
+         |            NULLIF(CAST(b AS HUGEINT) * c, 0) AS BIGINT) AS or_bp,
          |       round($OrLog, 6) AS log_or,
          |       round(($OrLog) - $OrZ * ($OrSe), 6) AS ci_lo,
          |       round(($OrLog) + $OrZ * ($OrSe), 6) AS ci_hi
@@ -971,7 +990,8 @@ object MLOps {
         |FROM cen""".stripMargin,
 
     // identical exact per-cluster moments; the SAME shared MSB/MSW/n0
-    // expression text; plain double sum for Σs²/n (the zipf acceptance)
+    // expression text; Σs²/n as the same ×1e4-rounded integer terms on
+    // HUGEINT — order-free on both engines
     "q_icc" ->
       s"""WITH cen AS (
          |  SELECT user_id, count(*) AS ni,
@@ -980,12 +1000,15 @@ object MLOps {
          |         sum(CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT)
          |             * CAST(round(value * 100) AS BIGINT)) AS qi
          |  FROM events GROUP BY 1),
-         |mom AS (SELECT count(*) AS k, sum(ni) AS n, sum(si) AS ss,
+         |mom0 AS (SELECT count(*) AS k, sum(ni) AS n, sum(si) AS ss,
          |               sum(qi) AS qq,
          |               sum(CAST(ni AS HUGEINT) * ni) AS nsq,
-         |               sum(cast(si as double) * cast(si as double) / ni)
-         |                 AS tfold
-         |        FROM cen)
+         |               sum(CAST(round(cast(si as double) *
+         |                   cast(si as double) / ni * 10000, 0)
+         |                   AS HUGEINT)) AS t4
+         |        FROM cen),
+         |mom AS (SELECT k, n, ss, qq, nsq,
+         |               CAST(t4 AS DOUBLE) / 10000.0 AS tfold FROM mom0)
          |SELECT k, CAST(n AS BIGINT) AS n,
          |       round(($IccMsb) / 10000.0, 4) AS msb_d2,
          |       round(($IccMsw) / 10000.0, 4) AS msw_d2,

@@ -769,10 +769,16 @@ object PipelineOps {
     //      10-row spine off the 1-row max — NO corpus-sized window/rank
     //      anywhere): V(k) counts the token FIRST-OCCURRENCE census below
     //      each cut, N(k) sums the per-doc token census. The log-log OLS
-    //      runs over 10 per-row-rounded ln points (the q_zipf_slope
-    //      device: round(ln·,9) terms, plain sums, slope rounded at 4).
-    //      β ≈ 0.4-0.6 for natural text — the capacity number a tokenizer
-    //      budget at 100 TB is planned from ----
+    //      moments are EXACT: the per-row-rounded lns (round(ln·,9)) are
+    //      scaled ×1e9 to integers and all four moments ride decimal(38,0)
+    //      (the q_granger_lite device) — order-free under any partial-agg
+    //      tree, so the slope's sign cannot flip with parallelism (the r14
+    //      gate red: on a constant-vocab fixture the true slope is 0 and a
+    //      plain double sum's summation-order residue rounded to 0.0 at 8
+    //      cores but -0.0 at local[32]). beta and ln_k are each ONE double
+    //      division of exact integers, then round + 0.0 normalizes any
+    //      signed zero. β ≈ 0.4-0.6 for natural text — the capacity number
+    //      a tokenizer budget at 100 TB is planned from ----
     "q_heaps_law" -> ((s, d) => {
       val tk = tokenized(s, d)
         .select(col("doc_id"), explode(col("w")).as("t"))
@@ -791,17 +797,23 @@ object PipelineOps {
         .groupBy(col("k")).agg(sum(col("nt")).as("tokens_cum"))
       val pts = vk.join(nk, "k")
         .select(col("k"), col("tokens_cum"), col("vocab_cum"),
-          expr("round(ln(cast(tokens_cum as double)), 9)").as("x"),
-          expr("round(ln(cast(vocab_cum as double)), 9)").as("y"))
+          expr("cast(round(round(ln(cast(tokens_cum as double)), 9) * 1e9," +
+            " 0) as decimal(38,0))").as("xi"),
+          expr("cast(round(round(ln(cast(vocab_cum as double)), 9) * 1e9," +
+            " 0) as decimal(38,0))").as("yi"))
         .persistTracked()
-      val fit = pts.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
-          sum(col("y")).as("sy"), sum(expr("x * y")).as("sxy"),
-          sum(expr("x * x")).as("sxx"))
+      val fit = pts.agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+          sum(col("xi")).as("sx"), sum(col("yi")).as("sy"),
+          sum(expr("xi * yi")).as("sxy"), sum(expr("xi * xi")).as("sxx"))
+        .select(col("n"), col("sx"), col("sy"),
+          expr("n * sxy - sx * sy").as("num"),
+          expr("n * sxx - sx * sx").as("den"))
         .select(
-          round(expr("(n * sxy - sx * sy) / (n * sxx - sx * sx)"), 4)
-            .as("beta"),
-          round(expr("(sy - (n * sxy - sx * sy) / (n * sxx - sx * sx)" +
-            " * sx) / n"), 4).as("ln_k"))
+          (round(expr("cast(num as double) / cast(den as double)"), 4)
+            + lit(0.0)).as("beta"),
+          (round(expr("cast(sy * den - num * sx as double) / " +
+            "cast(den * n * 1000000000 as double)"), 4) + lit(0.0))
+            .as("ln_k"))
       pts.crossJoin(broadcast(fit))
         .select(col("k").as("decile"), col("tokens_cum"), col("vocab_cum"),
           col("beta"), col("ln_k"))
@@ -1319,7 +1331,9 @@ object PipelineOps {
         |FROM toks ORDER BY doc_id""".stripMargin,
 
     // identical first-occurrence / per-doc censuses cut on the same
-    // doc_id value deciles; the q_zipf_slope rounded-ln OLS device
+    // doc_id value deciles; exact HUGEINT moments over the ×1e9-scaled
+    // rounded lns (decimal(38,0) twin), one double division per
+    // coefficient, + 0.0 signed-zero normalization
     "q_heaps_law" ->
       """WITH tk AS MATERIALIZED (
         |  SELECT doc_id, t.w AS t
@@ -1337,17 +1351,23 @@ object PipelineOps {
         |nk AS (SELECT k, CAST(sum(nt) AS BIGINT) AS tokens_cum
         |       FROM perdoc JOIN spine ON doc_id < thr GROUP BY k),
         |pts AS (SELECT k, tokens_cum, vocab_cum,
-        |               round(ln(CAST(tokens_cum AS DOUBLE)), 9) AS x,
-        |               round(ln(CAST(vocab_cum AS DOUBLE)), 9) AS y
+        |               CAST(round(round(ln(CAST(tokens_cum AS DOUBLE)), 9)
+        |                    * 1e9, 0) AS HUGEINT) AS xi,
+        |               CAST(round(round(ln(CAST(vocab_cum AS DOUBLE)), 9)
+        |                    * 1e9, 0) AS HUGEINT) AS yi
         |        FROM vk JOIN nk USING (k)),
-        |fit AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
-        |               sum(x * y) AS sxy, sum(x * x) AS sxx FROM pts)
+        |fit AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+        |               sum(xi) AS sx, sum(yi) AS sy,
+        |               sum(xi * yi) AS sxy, sum(xi * xi) AS sxx FROM pts),
+        |fit2 AS (SELECT n, sx, sy, n * sxy - sx * sy AS num,
+        |                n * sxx - sx * sx AS den FROM fit)
         |SELECT k AS decile, tokens_cum, CAST(vocab_cum AS BIGINT)
         |         AS vocab_cum,
-        |       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS beta,
-        |       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
-        |             / n, 4) AS ln_k
-        |FROM pts, fit ORDER BY decile""".stripMargin,
+        |       round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 4) + 0.0
+        |         AS beta,
+        |       round(CAST(sy * den - num * sx AS DOUBLE) /
+        |             CAST(den * n * 1000000000 AS DOUBLE), 4) + 0.0 AS ln_k
+        |FROM pts, fit2 ORDER BY decile""".stripMargin,
 
     // identical 4-gram WINDOW instances (no distinct), the same df ≥ 3
     // boilerplate cut, per-source integer shares

@@ -369,9 +369,13 @@ object StatsOps {
     // ---- Zipf's-law fit: slope of ln(freq) vs ln(rank) over the top-100
     //      tokens (≈ −1 for natural text — a corpus-health check). Ranks
     //      come from a TakeOrdered heap (never a global sort of the vocab);
-    //      ln values are rounded to 9 dp per row on both engines before the
-    //      closed-form least-squares sums, so libm never feeds an unrounded
-    //      cross-engine comparison ----
+    //      ln values are rounded to 9 dp per row on both engines, then
+    //      scaled ×1e9 to integers so the least-squares moments ride
+    //      decimal(38,0) EXACTLY (the q_granger_lite device) — the r14
+    //      plain-double sums were stable only because the 100-row frame
+    //      happened to be single-partition; exact moments make the fit
+    //      plan- and parallelism-proof. One double division per
+    //      coefficient, + 0.0 normalizes signed zero ----
     "q_zipf_slope" -> ((s, d) => {
       val top = Tables(s, d, "documents")
         .select(explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
@@ -380,18 +384,23 @@ object StatsOps {
         .orderBy(col("cnt").desc, col("token").asc).limit(100)
         .withColumn("rank",
           row_number().over(Window.orderBy(col("cnt").desc, col("token").asc)))
-        .select(expr("round(ln(cast(rank as double)), 9)").as("x"),
-          expr("round(ln(cast(cnt as double)), 9)").as("y"))
-      top.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
-          sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
-          sum(col("x") * col("x")).as("sxx"))
-        .select(col("n").as("n_tokens"),
-          round((col("n") * col("sxy") - col("sx") * col("sy")) /
-            (col("n") * col("sxx") - col("sx") * col("sx")), 4)
-            .as("zipf_slope"),
-          round((col("sy") - (col("n") * col("sxy") - col("sx") * col("sy")) /
-            (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx")) /
-            col("n"), 4).as("intercept"))
+        .select(
+          expr("cast(round(round(ln(cast(rank as double)), 9) * 1e9, 0)" +
+            " as decimal(38,0))").as("xi"),
+          expr("cast(round(round(ln(cast(cnt as double)), 9) * 1e9, 0)" +
+            " as decimal(38,0))").as("yi"))
+      top.agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+          sum(col("xi")).as("sx"), sum(col("yi")).as("sy"),
+          sum(expr("xi * yi")).as("sxy"), sum(expr("xi * xi")).as("sxx"))
+        .select(col("n"), col("sx"), col("sy"),
+          expr("n * sxy - sx * sy").as("num"),
+          expr("n * sxx - sx * sx").as("den"))
+        .select(col("n").cast("long").as("n_tokens"),
+          (round(expr("cast(num as double) / cast(den as double)"), 4)
+            + lit(0.0)).as("zipf_slope"),
+          (round(expr("cast(sy * den - num * sx as double) / " +
+            "cast(den * n * 1000000000 as double)"), 4) + lit(0.0))
+            .as("intercept"))
     }),
 
     // ---- Count-Min point-frequency sketch: the complement of
@@ -1748,18 +1757,24 @@ object StatsOps {
         |  WHERE t.token <> ''
         |  GROUP BY t.token ORDER BY cnt DESC, token ASC LIMIT 100),
         |xy AS (
-        |  SELECT round(ln(CAST(row_number() OVER
-        |           (ORDER BY cnt DESC, token ASC) AS DOUBLE)), 9) AS x,
-        |         round(ln(CAST(cnt AS DOUBLE)), 9) AS y
+        |  SELECT CAST(round(round(ln(CAST(row_number() OVER
+        |           (ORDER BY cnt DESC, token ASC) AS DOUBLE)), 9)
+        |           * 1e9, 0) AS HUGEINT) AS xi,
+        |         CAST(round(round(ln(CAST(cnt AS DOUBLE)), 9)
+        |           * 1e9, 0) AS HUGEINT) AS yi
         |  FROM tok),
-        |s AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
-        |             sum(x * y) AS sxy, sum(x * x) AS sxx FROM xy)
-        |SELECT n AS n_tokens,
-        |       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4)
+        |s AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+        |             sum(xi) AS sx, sum(yi) AS sy,
+        |             sum(xi * yi) AS sxy, sum(xi * xi) AS sxx FROM xy),
+        |s2 AS (SELECT n, sx, sy, n * sxy - sx * sy AS num,
+        |              n * sxx - sx * sx AS den FROM s)
+        |SELECT CAST(n AS BIGINT) AS n_tokens,
+        |       round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 4) + 0.0
         |         AS zipf_slope,
-        |       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
-        |             / n, 4) AS intercept
-        |FROM s""".stripMargin,
+        |       round(CAST(sy * den - num * sx AS DOUBLE) /
+        |             CAST(den * n * 1000000000 AS DOUBLE), 4) + 0.0
+        |         AS intercept
+        |FROM s2""".stripMargin,
 
     // identical exact HUGEINT moments, the same census-ordered monotone
     // fold (max(cum) == last since s_g²/n_g ≥ 0), one F division

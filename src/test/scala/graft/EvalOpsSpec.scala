@@ -1227,7 +1227,7 @@ class EvalOpsSpec extends AnyFunSuite with SparkSpec {
       case (cell, xs) if xs.length >= 3 => cell -> xs.length.toLong
     }.toMap
     val cells = dense.keys.toSeq
-    def cellId(c: (Long, Long)): Long = c._1 * 100 + c._2
+    def cellId(c: (Long, Long)): Long = c._1 * 100000 + c._2
     val parent = scala.collection.mutable.Map(
       cells.map(c => c -> c): _*)
     def find(c: (Long, Long)): (Long, Long) =
@@ -1251,7 +1251,7 @@ class EvalOpsSpec extends AnyFunSuite with SparkSpec {
     val rows = q("q_dbscan_grid").collect()
     assert(rows.length == cells.length)
     rows.foreach { r =>
-      val id = r.getAs[Long]("cx") * 100 + r.getAs[Long]("cy")
+      val id = r.getAs[Long]("cx") * 100000 + r.getAs[Long]("cy")
       assert(r.getAs[Long]("n_pts") == dense((r.getAs[Long]("cx"),
         r.getAs[Long]("cy"))))
       assert(r.getAs[Long]("cluster_id") == expected(id),
@@ -1283,6 +1283,42 @@ class EvalOpsSpec extends AnyFunSuite with SparkSpec {
     // flat V(N) (beta == 0) is legitimate here; sublinearity still holds
     val beta = rows.head.getAs[Double]("beta")
     assert(beta >= 0.0 && beta < 1.0, s"beta $beta outside [0,1)")
+    // the r14 gate red: on this constant-vocab fixture the true slope is
+    // exactly 0 and a plain-double-sum fit emitted -0.0 or 0.0 depending
+    // on partial-agg order. The exact-decimal moments must emit POSITIVE
+    // zero regardless of parallelism — pin the sign bit, not just == 0.0
+    Seq("beta", "ln_k").foreach { c =>
+      val v = rows.head.getAs[Double](c)
+      assert(java.lang.Double.doubleToRawLongBits(v) >= 0L,
+        s"$c carries a negative sign bit ($v) — signed-zero leak")
+    }
+  }
+
+  test("Heaps-law beta recovers the exponent on a growing-vocab corpus") {
+    // the sf fixtures' 31-token vocab saturates instantly (beta == 0), so
+    // the fit is only exercised degenerately there. Build a corpus whose
+    // vocabulary genuinely grows: token at global position p is
+    // "t<floor(sqrt(p))>", so V(N) = floor(sqrt(N)) ~ N^0.5 — the fit must
+    // recover beta ~ 0.5 within the log-log-over-deciles discretization
+    val perDoc = 20
+    val docsRows = (1 to 200).map { i =>
+      val toks = (1 to perDoc).map { j =>
+        val p = (i - 1) * perDoc + j
+        "t" + math.sqrt(p.toDouble).toLong
+      }
+      (i.toLong, toks.mkString(" "), "synth")
+    }
+    val dir = java.nio.file.Files.createTempDirectory("heaps_synth").toString
+    import spark.implicits._
+    docsRows.toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("q_heaps_law")(spark, dir).collect()
+    assert(rows.length == 10)
+    val beta = rows.head.getAs[Double]("beta")
+    assert(beta > 0.3 && beta < 0.9,
+      s"beta $beta outside (0.3, 0.9) on a sqrt-growth corpus")
+    val vs = rows.sortBy(_.getAs[Long]("decile")).map(_.getAs[Long]("vocab_cum"))
+    assert(vs.last > vs.head, "vocabulary failed to grow across deciles")
   }
 
   test("boilerplate shares conserve windows and match brute df cut") {

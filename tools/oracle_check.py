@@ -44,6 +44,17 @@ def selftest():
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+
+def _infer_round():
+    """Fallback round label when GRAFT_ROUND is unset: the build round in
+    progress is one past the newest driver gate artifact on disk."""
+    import glob
+    import re
+    ns = [int(m.group(1)) for p in glob.glob("CORRECTNESS_r*.json")
+          for m in [re.match(r"CORRECTNESS_r(\d+)", os.path.basename(p))]
+          if m]
+    return max(ns) + 1 if ns else None
+
 def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     return df
@@ -171,7 +182,8 @@ def main(sf_dir: str, out_dir: str) -> None:
         try:
             census_line = dict(census)
             census_line["ts"] = round(time.time(), 1)
-            census_line["round"] = os.environ.get("GRAFT_ROUND")
+            census_line["round"] = os.environ.get("GRAFT_ROUND") \
+                or _infer_round()
             with open("ORACLE_COST_TREND.jsonl", "a") as f:
                 f.write(json.dumps(census_line) + "\n")
         except OSError:

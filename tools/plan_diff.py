@@ -7,11 +7,18 @@ from bench archaeology later.
 
 Usage: python3 tools/plan_diff.py OLD.json NEW.json
 Exit code 0 always (informational); pass --strict to exit 1 on changes.
+Pass --names-only to print JUST the changed+added query names, one per
+line — the input for a changed-only bench pass:
+    sbt -batch "runMain graft.Bench $(python3 tools/plan_diff.py \
+        --names-only PLAN_CENSUS.json /tmp/census_new.json | tr '\n' ' ')"
+(a routine round then only re-times queries whose plans moved; the full
+372-entry run stays the official per-round artifact).
 """
 import json, sys
 
 def main() -> int:
     strict = "--strict" in sys.argv
+    names_only = "--names-only" in sys.argv
     paths = [a for a in sys.argv[1:] if not a.startswith("--")]
     old = json.load(open(paths[0]))
     new = json.load(open(paths[1]))
@@ -24,6 +31,10 @@ def main() -> int:
                      for k in set(old[name]) | set(new[name])
                      if old[name].get(k) != new[name].get(k)}
             changed.append((name, delta))
+    if names_only:
+        for name in sorted(added + [n for n, _ in changed]):
+            print(name)
+        return 1 if strict and changed else 0
     for name in added:
         print(f"ADD    {name}: {new[name]}")
     for name in removed:
