@@ -36,6 +36,38 @@ import org.apache.spark.sql.execution.window.WindowExec
   */
 object PlanCensus {
 
+  /** Unordered floating-point aggregate sites: Sum/Average over a
+    * Double/Float child in a (final/complete-mode) hash/sort aggregate.
+    * These are the q_heaps_law bug class — their result depends on the
+    * partial-aggregation combine order, so a rounded gated output fed by
+    * one can flip with parallelism when the true value sits on a rounding
+    * boundary. The repo's sanctioned alternatives (exact decimal moments,
+    * census-ORDERED window folds) don't count: decimals aren't
+    * double-typed and window folds live in WindowExec, not here. The
+    * count per query is part of the committed fingerprint, so a NEW
+    * unordered double sum anywhere in the inventory surfaces as a
+    * plan_diff CHANGE line that must be classified in PLANS.md §7u's
+    * double-aggregate census the round it lands.
+    */
+  def doubleAggs(plan: org.apache.spark.sql.execution.SparkPlan): Int = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{
+      Average, Complete, Final, Sum}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.types.{DoubleType, FloatType}
+    def isFp(dt: org.apache.spark.sql.types.DataType): Boolean =
+      dt == DoubleType || dt == FloatType
+    plan.collect { case a: BaseAggregateExec =>
+      a.aggregateExpressions.count { ae =>
+        (ae.mode == Final || ae.mode == Complete) &&
+        (ae.aggregateFunction match {
+          case s: Sum     => isFp(s.child.dataType)
+          case v: Average => isFp(v.child.dataType)
+          case _          => false
+        })
+      }
+    }.sum
+  }
+
   /** Spans of `plan` that would fall back to interpreted execution:
     * generated source fails to compile, or compiles past the huge-method
     * bytecode limit (Spark's own two fallback conditions in
@@ -77,9 +109,10 @@ object PlanCensus {
           val hugeLimit =
             spark.conf.get("spark.sql.codegen.hugeMethodLimit", "65535").toInt
           val fb = codegenFallbacks(plan, hugeLimit)
+          val fpAggs = doubleAggs(plan)
           s"""{"scans":$scans,"exchanges":$exch,"broadcasts":$bc,""" +
             s""""sorts":$sorts,"codegen_spans":$wsc,"windows":$wins,""" +
-            s""""codegen_fallbacks":$fb}"""
+            s""""codegen_fallbacks":$fb,"double_aggs":$fpAggs}"""
         } catch {
           case e: Throwable =>
             s"""{"error":"${e.getClass.getSimpleName}"}"""

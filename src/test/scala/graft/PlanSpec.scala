@@ -1043,6 +1043,29 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       s"unpartitioned windows over unbounded input: $offenders")
   }
 
+  test("the OLS/moment fits carry zero unordered double aggregates") {
+    // the r14 q_heaps_law red: a least-squares fit whose moments ride
+    // plain double sums is parallelism-dependent exactly when its true
+    // value sits on a rounding boundary (degenerate slope = exact 0).
+    // These fits were converted to exact decimal(38,0) moments; pin that
+    // none of them re-acquires a Sum/Average over a Double in any
+    // aggregate node (PlanCensus.doubleAggs is the census-time twin of
+    // this check — there it freezes the WHOLE inventory's count per
+    // query into the committed fingerprint).
+    val fits = Seq("q_heaps_law", "q_zipf_slope", "q_icc", "q_granger_lite",
+      "q_hurst", "q_anova", "q_levene", "q_dispersion", "q_assortativity")
+    fits.foreach { name =>
+      val n = try PlanCensus.doubleAggs(physical(name))
+      finally {
+        graft.operators.Persisted.releaseAll(spark)
+        graft.plans.RollupRewrite.clear(spark)
+        spark.catalog.clearCache()
+      }
+      assert(n == 0, s"$name has $n unordered double-typed aggregates — " +
+        "its fit moments must stay exact-decimal / integer")
+    }
+  }
+
   test("HLL rollup unions fine sketches instead of rescanning the fact") {
     // two aggregations over the SKETCH column (fine build + coarse union)
     // but the exact anchor is the only other lineitem scan: the rollup
