@@ -402,4 +402,84 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
       assert(self == want, s"case $i: self-merge changed the sketch")
     }
   }
+
+  test("exact-decimal OLS moments are partition/order-invariant bit-exactly") {
+    // the q_heaps_law/q_zipf_slope/r15 device: per-row values rounded to
+    // 9 dp, scaled ×1e9 to integers, four moments in decimal(38,0),
+    // beta/intercept each ONE double division of exact integers, + 0.0
+    // normalizing signed zero. Properties: (1) the fit is BIT-identical
+    // under any row order and partition count — the r14 bug class was
+    // exactly a partition-dependent sign; (2) it equals an independent
+    // BigInt reference; (3) a constant-y (degenerate, true-slope-0) set
+    // yields POSITIVE zero — sign bit clear — at every partitioning.
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+    val schema = StructType(Seq(StructField("x", DoubleType),
+      StructField("y", DoubleType)))
+    def fit(pts: Seq[(Double, Double)], parts: Int): (Double, Double) = {
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(pts.map(p => Row(p._1, p._2)), parts),
+        schema)
+      val p = df.select(
+        expr("cast(round(round(x, 9) * 1e9, 0) as decimal(38,0))").as("xi"),
+        expr("cast(round(round(y, 9) * 1e9, 0) as decimal(38,0))").as("yi"))
+      val r = p.agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+          sum(col("xi")).as("sx"), sum(col("yi")).as("sy"),
+          sum(expr("xi * yi")).as("sxy"), sum(expr("xi * xi")).as("sxx"))
+        .select(col("n"), col("sx"), col("sy"),
+          expr("n * sxy - sx * sy").as("num"),
+          expr("n * sxx - sx * sx").as("den"))
+        .select(
+          (round(expr("cast(num as double) / cast(den as double)"), 4)
+            + lit(0.0)).as("beta"),
+          (round(expr("cast(sy * den - num * sx as double) / " +
+            "cast(den * n * 1000000000 as double)"), 4) + lit(0.0))
+            .as("icept"))
+        .head()
+      (r.getDouble(0), r.getDouble(1))
+    }
+    def bits(v: Double): Long = java.lang.Double.doubleToRawLongBits(v)
+    def round4(v: Double): Double =
+      BigDecimal.decimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    // generator: x strictly increasing, y arbitrary, all values multiples
+    // of 1e-4 so the 9-dp rounding and ×1e9 scaling are tie-free exact
+    val rnd = new scala.util.Random(4242)
+    val cases: Seq[Seq[(Double, Double)]] = (1 to 25).map { _ =>
+      val n = 3 + rnd.nextInt(12)
+      (1 to n).map(i => (i * 1e-4 * (1 + rnd.nextInt(50)) + i,
+        (rnd.nextInt(20001) - 10000) * 1e-4))
+    } :+ (1 to 10).map(i => (i.toDouble, 3.1416)) // degenerate constant y
+    cases.zipWithIndex.foreach { case (pts, ci) =>
+      val ref = {
+        def scaled(v: Double): BigInt =
+          BigDecimal.decimal(
+            BigDecimal.decimal(v).setScale(9,
+              BigDecimal.RoundingMode.HALF_UP).toDouble * 1e9)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toBigInt
+        val xi = pts.map(p => scaled(p._1)); val yi = pts.map(p => scaled(p._2))
+        val n = BigInt(pts.size)
+        val (sx, sy) = (xi.sum, yi.sum)
+        val sxy = xi.zip(yi).map { case (a, b) => a * b }.sum
+        val sxx = xi.map(a => a * a).sum
+        val num = n * sxy - sx * sy; val den = n * sxx - sx * sx
+        (round4(num.toDouble / den.toDouble) + 0.0,
+          round4((sy * den - num * sx).toDouble /
+            (den * n * BigInt(1000000000)).toDouble) + 0.0)
+      }
+      val base = fit(pts, 1)
+      assert(bits(base._1) == bits(ref._1) && bits(base._2) == bits(ref._2),
+        s"case $ci: engine $base != BigInt reference $ref")
+      Seq(3, 7).foreach { parts =>
+        val alt = fit(rnd.shuffle(pts.toList), parts)
+        assert(bits(alt._1) == bits(base._1) && bits(alt._2) == bits(base._2),
+          s"case $ci at $parts partitions: $alt != $base — " +
+            "fit is partition/order-dependent")
+      }
+    }
+    // the degenerate case (last) must carry POSITIVE zero
+    val degen = fit(cases.last, 7)
+    assert(bits(degen._1) == 0L,
+      s"degenerate slope is not +0.0 (bits ${bits(degen._1)})")
+  }
 }
