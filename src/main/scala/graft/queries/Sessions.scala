@@ -269,8 +269,10 @@ object Sessions {
     // ---- native session_window(): Spark's built-in gap-session operator
     //      (the declarative alternative to the manual gaps-and-islands
     //      above; at scale it is one shuffle on user_id with session-merge
-    //      in the aggregation). Timestamps truncated to whole seconds first
-    //      so the < gap boundary is exactly replicable in the oracle ----
+    //      in the aggregation). Timestamps truncated to whole seconds
+    //      first so the gap boundary is exactly replicable in the oracle
+    //      (which mirrors Spark's INCLUSIVE boundary: an event at exactly
+    //      last + gap merges — see the oracle comment) ----
     "q_session_window" -> ((s, d) =>
       events(s, d)
         .withColumn("ts_sec", timestamp_seconds(unix_timestamp(col("ts"))))
@@ -988,15 +990,17 @@ object Sessions {
         |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
 
-    // session_window semantics: an event with gap >= 30min from the previous
-    // event starts a NEW session (strictly-less-than extends); session end =
-    // last event + gap
+    // session_window semantics (matched to Spark's native operator,
+    // verified on data with a gap of exactly 1800 s — sf0.1 user 511):
+    // an event at EXACTLY last + gap still MERGES (inclusive boundary,
+    // same as the manual q_sessionize's > 1800 break); only a strictly
+    // greater gap starts a new session; session end = last event + gap
     "q_session_window" ->
       """WITH e AS (
         |  SELECT user_id, value, CAST(floor(epoch(ts)) AS BIGINT) AS secs
         |  FROM events),
         |b AS (
-        |  SELECT *, CASE WHEN secs - lag(secs) OVER w >= 1800 THEN 1 ELSE 0 END AS brk
+        |  SELECT *, CASE WHEN secs - lag(secs) OVER w > 1800 THEN 1 ELSE 0 END AS brk
         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY secs ASC)),
         |s AS (
         |  SELECT *, CAST(sum(brk) OVER (

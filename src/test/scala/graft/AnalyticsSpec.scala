@@ -23,6 +23,26 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     assert(sessSeconds > 0, "degenerate fixture: no sessions")
   }
 
+  test("session_window merges an event at EXACTLY the gap boundary") {
+    // found at sf0.1 (user 511, two events 1800 s apart): Spark's native
+    // session_window treats the gap boundary INCLUSIVELY — an event at
+    // exactly last + gap still merges; only a strictly greater gap splits.
+    // The q_session_window oracle and the manual q_sessionize both model
+    // this (break on gap > 1800). Pin the upstream behavior so a Spark
+    // version flipping the boundary fails here, not in the driver gate.
+    import spark.implicits._
+    val df = Seq((1L, 0L), (1L, 1800L), (2L, 0L), (2L, 1801L))
+      .toDF("user_id", "secs")
+      .withColumn("ts_sec", timestamp_seconds(col("secs")))
+    val got = df
+      .groupBy(col("user_id"), session_window(col("ts_sec"), "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got == Seq((1L, 2L), (2L, 1L), (2L, 1L)),
+      s"gap-boundary semantics moved: $got")
+  }
+
   test("exact-moment Pearson r agrees with Spark's corr() (scale-invariant)") {
     // correlation is affine-invariant, so corr() on the RAW columns must
     // match the cents/basis-point integer-moment computation to rounding
