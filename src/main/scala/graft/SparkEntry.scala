@@ -13,7 +13,8 @@ object SparkEntry {
       MultimodalOps.queries ++ PipelineOps.queries ++ CorpusOps.queries ++
       TemporalOps.queries ++ GraphOps.queries ++ StorageOps.queries ++
       GeoOps.queries ++ TimeSeriesOps.queries ++ StatsOps.queries ++
-      BasketOps.queries ++ MLOps.queries ++ StarOps.queries
+      BasketOps.queries ++ MLOps.queries ++ StarOps.queries ++
+      StreamGateOps.queries
   /** Timed by Bench but NOT oracle-verified: production-shape plans whose
     * values are engine-specific (e.g. raw HLL estimates). Each has an
     * oracle-gated twin in [[queries]] carrying the correctness gate. */
@@ -27,5 +28,6 @@ object SparkEntry {
       MultimodalOps.oracles ++ PipelineOps.oracles ++ CorpusOps.oracles ++
       TemporalOps.oracles ++ GraphOps.oracles ++ StorageOps.oracles ++
       GeoOps.oracles ++ TimeSeriesOps.oracles ++ StatsOps.oracles ++
-      BasketOps.oracles ++ MLOps.oracles ++ StarOps.oracles
+      BasketOps.oracles ++ MLOps.oracles ++ StarOps.oracles ++
+      StreamGateOps.oracles
 }

@@ -748,7 +748,14 @@ object PipelineOps {
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_spans"),
           sum(when(col("ndocs") >= 3, 1L).otherwise(0L)).as("n_boiler"),
-          round(avg(col("ndocs").cast("double")), 4).as("avg_span_df"))
+          // exact integer sum ÷ count, ONE double division — not
+          // avg(double): the r16 margin census found a doc whose true
+          // avg_span_df sits exactly ON a 4-dp half boundary, and an
+          // exact numerator makes the rounded grain a pure function of
+          // the data at any scale (double Average is only exact while
+          // totals stay under 2^53)
+          round(sum(col("ndocs")).cast("double") / count(lit(1)), 4)
+            .as("avg_span_df"))
         .orderBy("doc_id")
     }),
 
@@ -1315,7 +1322,7 @@ object PipelineOps {
         |SELECT doc_id, count(*) AS n_spans,
         |       CAST(sum(CASE WHEN ndocs >= 3 THEN 1 ELSE 0 END) AS BIGINT)
         |         AS n_boiler,
-        |       round(avg(CAST(ndocs AS DOUBLE)), 4) AS avg_span_df
+        |       round(CAST(sum(ndocs) AS DOUBLE) / count(*), 4) AS avg_span_df
         |FROM sp JOIN df USING (span)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
