@@ -1,0 +1,50 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Exact-integer replacements for `round(sum|avg(x), k)` over columns that
+  * carry exactly 2 decimal places — every money/qty/rate column in the
+  * driver data does (max |x·100 − round(x·100)| ≤ 1e-9 per column, probed
+  * across all tables).
+  *
+  * Margin-census rationale (r16): a plain-double money sum at corpus
+  * magnitude S has reassociation drift up to n·eps·S, and 1e4 ulps of S
+  * already exceeds the 2-dp rounding grain once S ≳ 1e12 grains — so the
+  * PLANS.md §7u margin argument structurally cannot hold for corpus
+  * totals (the census flagged q_agg_global/q_agg_group for exactly this;
+  * the sibling sites here sat on the warn list with the same shape).
+  * `round(x·100)` recovers the integer cents bit-exactly per row;
+  * decimal(38,0) sums are order-free at any scale, parallelism, or AQE
+  * re-plan; the one double division + final round are computed from the
+  * same exact integer on both engines, so the oracle hash cannot drift.
+  *
+  * Every helper has a textual DuckDB twin the oracle SQL must mirror:
+  *   sum2   → round(CAST(sum(CAST(round(x*100) AS BIGINT)) AS DOUBLE)/100, 2)
+  *   avgK   → round(CAST(sum(CAST(round(x*100) AS BIGINT)) AS DOUBLE)
+  *                  /CAST(count(x)*100 AS DOUBLE), k)
+  *   sumDisc2 → round(CAST(sum(CAST(round(ep*100) AS BIGINT)
+  *                  *(100 - CAST(round(disc*100) AS BIGINT))) AS DOUBLE)
+  *                  /10000, 2)
+  */
+object ExactMoney {
+  /** integer hundredths of a 2-dp column, exact per row (null-safe). */
+  def cents(c: Column): Column = round(c * 100).cast("decimal(38,0)")
+
+  /** order-free `round(sum(x), 2)` for a 2-dp column. */
+  def sum2(c: Column): Column =
+    round(sum(cents(c)).cast("double") / 100, 2)
+
+  /** order-free `round(avg(x), k)` for a 2-dp column; `count(c)` matches
+    * avg's null semantics. */
+  def avgK(c: Column, k: Int): Column =
+    round(sum(cents(c)).cast("double") /
+      (count(c) * lit(100L)).cast("double"), k)
+
+  /** order-free `round(sum(ep·(1−disc)), 2)` for 2-dp price × 2-dp rate:
+    * per-row product in exact 1e-4 units (long, ≤ ~1.3e9), decimal sum. */
+  def sumDisc2(ep: Column, disc: Column): Column =
+    round(sum((round(ep * 100).cast("long") *
+      (lit(100L) - round(disc * 100).cast("long"))).cast("decimal(38,0)"))
+      .cast("double") / 10000, 2)
+}

@@ -259,7 +259,7 @@ object GraphOps {
         .filter(col("anc") < 100)
         .groupBy(col("anc"))
         .agg(count(lit(1)).as("n_desc"),
-          round(sum(col("p_retailprice")), 2).as("subtree_price"))
+          ExactMoney.sum2(col("p_retailprice")).as("subtree_price"))
         .orderBy("anc")),
 
     // ---- k-core peeling (k = 20, 3 fixed rounds) over the symmetric
@@ -719,7 +719,8 @@ object GraphOps {
         |  FROM part,
         |       unnest(range(1, length(CAST(p_partkey AS VARCHAR)) + 1)) AS r(i))
         |SELECT anc, count(*) AS n_desc,
-        |       round(sum(p_retailprice), 2) AS subtree_price
+        |       round(CAST(sum(CAST(round(p_retailprice*100) AS BIGINT))
+        |                  AS DOUBLE)/100, 2) AS subtree_price
         |FROM a WHERE anc < 100 GROUP BY anc ORDER BY anc""".stripMargin,
 
     // 3 peel rounds unrolled; each round recomputes degrees on the

@@ -82,7 +82,8 @@ object PipelineOps {
       .filter(col("part_id").between(pLo, pHi) &&
         key >= lit(loS) && key < lit(hiS))
       .groupBy(col("o_orderpriority"))
-      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("revenue"))
+      .agg(count(lit(1)).as("n"),
+        ExactMoney.sum2(col("o_totalprice")).as("revenue"))
       .orderBy("o_orderpriority")
   }
 
@@ -500,27 +501,33 @@ object PipelineOps {
     //      and the delta side is change-batch-sized ----
     "q_ivm_rollup" -> ((s, d) => {
       val o = Tables(s, d, "orders")
+      // exact integer cents (r16 margin census): the base and delta sums
+      // become order-free decimal aggregates, so delta ≡ recompute holds
+      // as integer identity, not an FP-term-multiset argument
+      val centsC = round(col("o_totalprice") * 100).cast("decimal(38,0)")
       val oldRoll = o.filter(col("o_orderkey") % 10 < 8)
         .groupBy(col("o_custkey"))
-        .agg(sum(col("o_totalprice")).as("rev"), count(lit(1)).as("n"))
+        .agg(sum(centsC).as("rev_c"), count(lit(1)).as("n"))
       val deltas = o.filter((col("o_orderkey") % 10).isin(3, 7, 8))
         .select(col("o_custkey"),
-          when(col("o_orderkey") % 10 === 3, -col("o_totalprice"))
-            .when(col("o_orderkey") % 10 === 7, lit(100.0)) // (p+100)−p
-            .otherwise(col("o_totalprice") + 100.0).as("d_rev"),
+          when(col("o_orderkey") % 10 === 3, -round(col("o_totalprice") * 100))
+            .when(col("o_orderkey") % 10 === 7, lit(10000.0)) // (p+100)−p
+            .otherwise(round(col("o_totalprice") * 100) + 10000.0)
+            .cast("decimal(38,0)").as("d_rev_c"),
           when(col("o_orderkey") % 10 === 3, -1L)
             .when(col("o_orderkey") % 10 === 7, 0L)
             .otherwise(1L).as("d_n"))
         .groupBy(col("o_custkey"))
-        .agg(sum(col("d_rev")).as("d_rev"), sum(col("d_n")).as("d_n"))
+        .agg(sum(col("d_rev_c")).as("d_rev_c"), sum(col("d_n")).as("d_n"))
       oldRoll.join(deltas, Seq("o_custkey"), "full_outer")
         .select(col("o_custkey"),
-          (coalesce(col("rev"), lit(0.0)) +
-            coalesce(col("d_rev"), lit(0.0))).as("rev_raw"),
+          (coalesce(col("rev_c"), lit(0)) +
+            coalesce(col("d_rev_c"), lit(0))).as("rev_c_total"),
           (coalesce(col("n"), lit(0L)) +
             coalesce(col("d_n"), lit(0L))).as("n_orders"))
         .filter(col("n_orders") > 0)
-        .select(col("o_custkey"), round(col("rev_raw"), 2).as("revenue"),
+        .select(col("o_custkey"),
+          round(col("rev_c_total").cast("double") / 100, 2).as("revenue"),
           col("n_orders"))
         .orderBy("o_custkey")
     }),
@@ -1124,18 +1131,23 @@ object PipelineOps {
 
     "q_ivm_rollup" ->
       """WITH roll AS (
-        |  SELECT o_custkey, sum(o_totalprice) AS rev, count(*) AS n
+        |  SELECT o_custkey,
+        |         sum(CAST(round(o_totalprice*100) AS BIGINT)) AS rev_c,
+        |         count(*) AS n
         |  FROM orders WHERE o_orderkey % 10 < 8 GROUP BY o_custkey),
         |d AS (
         |  SELECT o_custkey,
-        |         sum(CASE WHEN o_orderkey % 10 = 3 THEN -o_totalprice
-        |                  WHEN o_orderkey % 10 = 7 THEN 100.0
-        |                  ELSE o_totalprice + 100.0 END) AS d_rev,
+        |         sum(CASE WHEN o_orderkey % 10 = 3
+        |                  THEN -CAST(round(o_totalprice*100) AS BIGINT)
+        |                  WHEN o_orderkey % 10 = 7 THEN 10000
+        |                  ELSE CAST(round(o_totalprice*100) AS BIGINT) + 10000
+        |             END) AS d_rev_c,
         |         sum(CASE WHEN o_orderkey % 10 = 3 THEN -1
         |                  WHEN o_orderkey % 10 = 7 THEN 0 ELSE 1 END) AS d_n
         |  FROM orders WHERE o_orderkey % 10 IN (3, 7, 8) GROUP BY o_custkey)
         |SELECT coalesce(r.o_custkey, d.o_custkey) AS o_custkey,
-        |       round(coalesce(rev, 0) + coalesce(d_rev, 0), 2) AS revenue,
+        |       round(CAST(coalesce(rev_c, 0) + coalesce(d_rev_c, 0)
+        |                  AS DOUBLE)/100, 2) AS revenue,
         |       CAST(coalesce(n, 0) + coalesce(d_n, 0) AS BIGINT) AS n_orders
         |FROM roll r FULL OUTER JOIN d ON r.o_custkey = d.o_custkey
         |WHERE coalesce(n, 0) + coalesce(d_n, 0) > 0
@@ -1239,7 +1251,8 @@ object PipelineOps {
     // is conservative by construction), so the oracle needs no layout at all
     "q_layout_read" ->
       """SELECT o_orderpriority, count(*) AS n,
-        |       round(sum(o_totalprice), 2) AS revenue
+        |       round(CAST(sum(CAST(round(o_totalprice*100) AS BIGINT))
+        |                  AS DOUBLE)/100, 2) AS revenue
         |FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1997-01-01'

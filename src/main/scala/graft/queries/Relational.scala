@@ -111,31 +111,67 @@ object Relational {
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
         .limit(100)),
 
-    // ---- global aggregate, no GROUP BY (aggregate.rs:703-785) ----
+    // ---- global aggregate, no GROUP BY (aggregate.rs:703-785).
+    //      Money/ratio moments ride EXACT integer units (margin census
+    //      r16: a corpus-magnitude plain-double sum has 1e4 ulps of its
+    //      own scale EXCEEDING the 2-dp grain, so the §7u margin argument
+    //      structurally cannot hold — the q_heaps_law remedy applies).
+    //      l_extendedprice/l_discount carry exactly 2 dp in the driver
+    //      data (max |x·100 − round(x·100)| ≈ 1e-9), so round(x·100)
+    //      recovers the integer cents/basis-points bit-exactly; decimal
+    //      sums are order-free and overflow-proof at any corpus size ----
     "q_agg_global" -> ((s, d) =>
-      li(s, d).agg(
-        count(lit(1)).as("n_rows"),
-        countDistinct(col("l_partkey")).as("n_parts"),
-        min(col("l_quantity")).as("min_qty"),
-        max(col("l_quantity")).as("max_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_price"),
-        round(avg(col("l_discount")), 6).as("avg_disc"),
-        sum(col("l_linenumber")).as("sum_line"))),
+      li(s, d)
+        .withColumn("__cents",
+          round(col("l_extendedprice") * 100).cast("decimal(38,0)"))
+        .withColumn("__bp",
+          round(col("l_discount") * 100).cast("decimal(38,0)"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("l_partkey")).as("n_parts"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"),
+          round(sum(col("__cents")).cast("double") / 100, 2).as("sum_price"),
+          round(sum(col("__bp")).cast("double") /
+            (count(lit(1)) * lit(100L)).cast("double"), 6).as("avg_disc"),
+          sum(col("l_linenumber")).as("sum_line"))),
 
-    // ---- hash GROUP BY aggregate, TPC-H Q1 shape (aggregate.rs:787-952) ----
+    // ---- hash GROUP BY aggregate, TPC-H Q1 shape (aggregate.rs:787-952).
+    //      Same exact-integer device as q_agg_global: per-row products in
+    //      long (cents·(100−disc_bp)·(100+tax_bp) ≤ 1.3e11), sums in
+    //      decimal(38,0); the 2-dp output grain is cut by integer
+    //      HALF_UP ((x + half) DIV grain — all sums positive) so no
+    //      double ever carries an order-dependent digit ----
     "q_agg_group" -> ((s, d) =>
       li(s, d)
         .filter(col("l_shipdate") <= to_timestamp(lit("1999-06-30")))
+        .withColumn("__q",
+          round(col("l_quantity") * 100).cast("decimal(38,0)"))
+        .withColumn("__c",
+          round(col("l_extendedprice") * 100).cast("decimal(38,0)"))
+        .withColumn("__bp", round(col("l_discount") * 100).cast("long"))
+        .withColumn("__d4",
+          (round(col("l_extendedprice") * 100).cast("long") *
+            (lit(100L) - col("__bp"))).cast("decimal(38,0)"))
+        .withColumn("__d6",
+          (round(col("l_extendedprice") * 100).cast("long") *
+            (lit(100L) - col("__bp")) *
+            (lit(100L) + round(col("l_tax") * 100).cast("long")))
+            .cast("decimal(38,0)"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_base"),
-          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc"),
-          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
-            (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
-          round(avg(col("l_quantity")), 4).as("avg_qty"),
-          round(avg(col("l_extendedprice")), 4).as("avg_price"),
-          round(avg(col("l_discount")), 6).as("avg_disc"),
+          round(sum(col("__q")).cast("double") / 100, 2).as("sum_qty"),
+          round(sum(col("__c")).cast("double") / 100, 2).as("sum_base"),
+          (expr("CAST((sum(__d4) + 50) DIV 100 AS DOUBLE)") / 100)
+            .as("sum_disc"),
+          (expr("CAST((sum(__d6) + 5000) DIV 10000 AS DOUBLE)") / 100)
+            .as("sum_charge"),
+          round(sum(col("__q")).cast("double") /
+            (count(lit(1)) * lit(100L)).cast("double"), 4).as("avg_qty"),
+          round(sum(col("__c")).cast("double") /
+            (count(lit(1)) * lit(100L)).cast("double"), 4).as("avg_price"),
+          round(sum(col("__bp")).cast("double") /
+            (count(lit(1)) * lit(100L)).cast("double"), 6).as("avg_disc"),
           count(lit(1)).as("n"))
         .orderBy("l_returnflag", "l_linestatus")),
 
@@ -143,8 +179,9 @@ object Relational {
     "q_agg_groupint" -> ((s, d) =>
       li(s, d)
         .groupBy(col("l_linenumber"))
-        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(avg(col("l_extendedprice")), 4).as("avg_price"))
+        .agg(count(lit(1)).as("n"),
+          ExactMoney.sum2(col("l_quantity")).as("sum_qty"),
+          ExactMoney.avgK(col("l_extendedprice"), 4).as("avg_price"))
         .orderBy("l_linenumber")),
 
     // ---- HAVING = post-agg filter (rejected by reference sqlplanner.rs:136-140;
@@ -161,7 +198,8 @@ object Relational {
       ord(s, d)
         .join(broadcast(cust(s, d)), col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_mktsegment"))
-        .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("revenue"))
+        .agg(count(lit(1)).as("n_orders"),
+          ExactMoney.sum2(col("o_totalprice")).as("revenue"))
         .orderBy("c_mktsegment")),
 
     // ---- 3-way join + agg + top-k, TPC-H Q3 shape ----
@@ -172,7 +210,7 @@ object Relational {
         .join(li(s, d).filter(col("l_shipdate") > to_timestamp(lit("1997-03-15"))),
           col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("l_orderkey"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .agg(ExactMoney.sumDisc2(col("l_extendedprice"), col("l_discount"))
           .as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey").asc)
         .limit(10)),
@@ -247,7 +285,8 @@ object Relational {
     "q_rollup" -> ((s, d) =>
       li(s, d)
         .rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .agg(count(lit(1)).as("n"),
+          ExactMoney.sum2(col("l_quantity")).as("sum_qty"))
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
 
     // ---- scalar functions: sqrt (golden test_sqrt.csv) + string fns ----
@@ -362,30 +401,45 @@ object Relational {
         |       count(DISTINCT l_partkey) AS n_parts,
         |       min(l_quantity) AS min_qty,
         |       max(l_quantity) AS max_qty,
-        |       round(sum(l_extendedprice), 2) AS sum_price,
-        |       round(avg(l_discount), 6) AS avg_disc,
+        |       round(CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT))
+        |                  AS DOUBLE)/100, 2) AS sum_price,
+        |       round(CAST(sum(CAST(round(l_discount*100) AS BIGINT))
+        |                  AS DOUBLE)/CAST(count(*)*100 AS DOUBLE), 6)
+        |         AS avg_disc,
         |       CAST(sum(l_linenumber) AS BIGINT) AS sum_line
         |FROM lineitem""".stripMargin,
 
     "q_agg_group" ->
-      """SELECT l_returnflag, l_linestatus,
-        |       round(sum(l_quantity), 2) AS sum_qty,
-        |       round(sum(l_extendedprice), 2) AS sum_base,
-        |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc,
-        |       round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge,
-        |       round(avg(l_quantity), 4) AS avg_qty,
-        |       round(avg(l_extendedprice), 4) AS avg_price,
-        |       round(avg(l_discount), 6) AS avg_disc,
+      """WITH t AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |         CAST(round(l_quantity*100) AS BIGINT) AS q,
+        |         CAST(round(l_extendedprice*100) AS BIGINT) AS c,
+        |         CAST(round(l_discount*100) AS BIGINT) AS d,
+        |         CAST(round(l_tax*100) AS BIGINT) AS tx
+        |  FROM lineitem WHERE l_shipdate <= TIMESTAMP '1999-06-30')
+        |SELECT l_returnflag, l_linestatus,
+        |       round(CAST(sum(q) AS DOUBLE)/100, 2) AS sum_qty,
+        |       round(CAST(sum(c) AS DOUBLE)/100, 2) AS sum_base,
+        |       CAST((sum(c*(100-d)) + 50) // 100 AS DOUBLE)/100 AS sum_disc,
+        |       CAST((sum(c*(100-d)*(100+tx)) + 5000) // 10000 AS DOUBLE)/100
+        |         AS sum_charge,
+        |       round(CAST(sum(q) AS DOUBLE)/CAST(count(*)*100 AS DOUBLE), 4)
+        |         AS avg_qty,
+        |       round(CAST(sum(c) AS DOUBLE)/CAST(count(*)*100 AS DOUBLE), 4)
+        |         AS avg_price,
+        |       round(CAST(sum(d) AS DOUBLE)/CAST(count(*)*100 AS DOUBLE), 6)
+        |         AS avg_disc,
         |       count(*) AS n
-        |FROM lineitem
-        |WHERE l_shipdate <= TIMESTAMP '1999-06-30'
-        |GROUP BY l_returnflag, l_linestatus
+        |FROM t GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     "q_agg_groupint" ->
       """SELECT l_linenumber, count(*) AS n,
-        |       round(sum(l_quantity), 2) AS sum_qty,
-        |       round(avg(l_extendedprice), 4) AS avg_price
+        |       round(CAST(sum(CAST(round(l_quantity*100) AS BIGINT))
+        |                  AS DOUBLE)/100, 2) AS sum_qty,
+        |       round(CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT))
+        |                  AS DOUBLE)/CAST(count(l_extendedprice)*100 AS DOUBLE), 4)
+        |         AS avg_price
         |FROM lineitem GROUP BY l_linenumber ORDER BY l_linenumber""".stripMargin,
 
     "q_having" ->
@@ -396,13 +450,16 @@ object Relational {
 
     "q_join_broadcast" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
-        |       round(sum(o_totalprice), 2) AS revenue
+        |       round(CAST(sum(CAST(round(o_totalprice*100) AS BIGINT))
+        |                  AS DOUBLE)/100, 2) AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "q_join_multi" ->
       """SELECT l_orderkey,
-        |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |       round(CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+        |                      *(100 - CAST(round(l_discount*100) AS BIGINT)))
+        |                  AS DOUBLE)/10000, 2) AS revenue
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON o_orderkey = l_orderkey
@@ -467,7 +524,8 @@ object Relational {
 
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
-        |       round(sum(l_quantity), 2) AS sum_qty
+        |       round(CAST(sum(CAST(round(l_quantity*100) AS BIGINT))
+        |                  AS DOUBLE)/100, 2) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
 

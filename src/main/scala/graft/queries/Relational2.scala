@@ -86,7 +86,8 @@ object Relational2 {
       li(s, d)
         .cube(col("l_returnflag"), col("l_linestatus"))
         .agg(grouping_id().cast("long").as("gid"),
-          count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+          count(lit(1)).as("n"),
+          ExactMoney.sum2(col("l_quantity")).as("sum_qty"))
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
 
     // ---- GROUPING SETS via the SQL front-end ----
@@ -94,7 +95,8 @@ object Relational2 {
       li(s, d).createOrReplaceTempView("lineitem")
       s.sql(
         """SELECT l_returnflag, l_linestatus, count(*) AS n,
-          |       round(sum(l_extendedprice), 2) AS sum_price
+          |       round(CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT))
+          |                  AS DOUBLE)/100, 2) AS sum_price
           |FROM lineitem
           |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
           |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
@@ -105,7 +107,7 @@ object Relational2 {
       li(s, d)
         .groupBy(col("l_linestatus"))
         .pivot("l_returnflag", Seq("A", "N", "R"))
-        .agg(round(sum(col("l_quantity")), 2))
+        .agg(ExactMoney.sum2(col("l_quantity")))
         .orderBy("l_linestatus")),
 
     // ---- exact percentiles (interpolated). ONE array-percentile agg: four
@@ -213,8 +215,8 @@ object Relational2 {
       ord(s, d)
         .filter(substring(md5(col("o_orderkey").cast("string")), 1, 2) <= "28")
         .agg(count(lit(1)).as("n_sampled"),
-          round(sum(col("o_totalprice")), 2).as("sum_sampled"),
-          round(avg(col("o_totalprice")), 4).as("avg_sampled"))),
+          ExactMoney.sum2(col("o_totalprice")).as("sum_sampled"),
+          ExactMoney.avgK(col("o_totalprice"), 4).as("avg_sampled"))),
 
     // ---- as-of join: each click matched to the latest prior-or-equal
     //      purchase of the same user. Spark-first shape: union + running
@@ -382,8 +384,8 @@ object Relational2 {
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n"),
           sum(when(col("c_acctbal") > 5000, 1).otherwise(0)).as("n_rich"),
-          round(sum(when(col("c_acctbal") > 5000, col("c_acctbal")).otherwise(0.0)), 2)
-            .as("rich_bal"),
+          ExactMoney.sum2(when(col("c_acctbal") > 5000, col("c_acctbal"))
+            .otherwise(0.0)).as("rich_bal"),
           max(when(col("c_nationkey") < 5, col("c_acctbal"))).as("max_lownat"))
         .orderBy("c_mktsegment")),
 
@@ -423,7 +425,7 @@ object Relational2 {
           spread = col("o_orderkey"), salts = 8)
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_orders"),
-          round(sum(col("o_totalprice")), 2).as("revenue"))
+          ExactMoney.sum2(col("o_totalprice")).as("revenue"))
         .orderBy("c_mktsegment")),
 
     // ---- skew-profiled join: Skew.autoJoin profiles the fact key, then
@@ -438,7 +440,7 @@ object Relational2 {
           spread = col("o_orderkey"), salts = 8)
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_orders"),
-          round(sum(col("o_totalprice")), 2).as("revenue"))
+          ExactMoney.sum2(col("o_totalprice")).as("revenue"))
         .orderBy("c_mktsegment")),
 
     // ---- six-table star join (TPC-H Q5 shape): revenue by supplier nation
@@ -458,7 +460,7 @@ object Relational2 {
         .filter(col("r_name") === "EUROPE" &&
           col("c_nationkey") === col("s_nationkey"))
         .groupBy(col("n_name"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .agg(ExactMoney.sumDisc2(col("l_extendedprice"), col("l_discount"))
           .as("revenue"),
           count(lit(1)).as("n_lines"))
         .orderBy(col("revenue").desc, col("n_name").asc)),
@@ -556,7 +558,8 @@ object Relational2 {
     "q_agg_groupbool" -> ((s, d) =>
       li(s, d)
         .groupBy((col("l_returnflag") === "R").as("is_returned"))
-        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .agg(count(lit(1)).as("n"),
+          ExactMoney.sum2(col("l_quantity")).as("sum_qty"))
         .orderBy("is_returned")),
 
     // ---- IN-subquery through the SQL front-end (plans as a semi join) ----
@@ -1045,22 +1048,31 @@ object Relational2 {
     "q_cube" ->
       """SELECT l_returnflag, l_linestatus,
         |       CAST(GROUPING(l_returnflag)*2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
-        |       count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        |       count(*) AS n,
+        |       round(CAST(sum(CAST(round(l_quantity*100) AS BIGINT))
+        |                  AS DOUBLE)/100, 2) AS sum_qty
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
 
     "q_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
-        |       round(sum(l_extendedprice), 2) AS sum_price
+        |       round(CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT))
+        |                  AS DOUBLE)/100, 2) AS sum_price
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
 
     "q_pivot" ->
       """SELECT l_linestatus,
-        |       round(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 2) AS "A",
-        |       round(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 2) AS "N",
-        |       round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 2) AS "R"
+        |       round(CAST(sum(CASE WHEN l_returnflag = 'A'
+        |                  THEN CAST(round(l_quantity*100) AS BIGINT) END)
+        |                  AS DOUBLE)/100, 2) AS "A",
+        |       round(CAST(sum(CASE WHEN l_returnflag = 'N'
+        |                  THEN CAST(round(l_quantity*100) AS BIGINT) END)
+        |                  AS DOUBLE)/100, 2) AS "N",
+        |       round(CAST(sum(CASE WHEN l_returnflag = 'R'
+        |                  THEN CAST(round(l_quantity*100) AS BIGINT) END)
+        |                  AS DOUBLE)/100, 2) AS "R"
         |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
 
     "q_percentile" ->
@@ -1132,8 +1144,11 @@ object Relational2 {
 
     "q_sample_hash" ->
       """SELECT count(*) AS n_sampled,
-        |       round(sum(o_totalprice), 2) AS sum_sampled,
-        |       round(avg(o_totalprice), 4) AS avg_sampled
+        |       round(CAST(sum(CAST(round(o_totalprice*100) AS BIGINT))
+        |                  AS DOUBLE)/100, 2) AS sum_sampled,
+        |       round(CAST(sum(CAST(round(o_totalprice*100) AS BIGINT))
+        |                  AS DOUBLE)/CAST(count(o_totalprice)*100 AS DOUBLE), 4)
+        |         AS avg_sampled
         |FROM orders
         |WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) <= '28'""".stripMargin,
 
@@ -1230,8 +1245,9 @@ object Relational2 {
     "q_agg_filtered" ->
       """SELECT c_mktsegment, count(*) AS n,
         |       CAST(sum(CASE WHEN c_acctbal > 5000 THEN 1 ELSE 0 END) AS BIGINT) AS n_rich,
-        |       round(sum(CASE WHEN c_acctbal > 5000 THEN c_acctbal ELSE 0.0 END), 2)
-        |         AS rich_bal,
+        |       round(CAST(sum(CAST(round((CASE WHEN c_acctbal > 5000
+        |                  THEN c_acctbal ELSE 0.0 END)*100) AS BIGINT))
+        |                  AS DOUBLE)/100, 2) AS rich_bal,
         |       max(CASE WHEN c_nationkey < 5 THEN c_acctbal END) AS max_lownat
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
@@ -1267,7 +1283,8 @@ object Relational2 {
 
     "q_agg_groupbool" ->
       """SELECT l_returnflag = 'R' AS is_returned, count(*) AS n,
-        |       round(sum(l_quantity), 2) AS sum_qty
+        |       round(CAST(sum(CAST(round(l_quantity*100) AS BIGINT))
+        |                  AS DOUBLE)/100, 2) AS sum_qty
         |FROM lineitem GROUP BY 1 ORDER BY is_returned""".stripMargin,
 
     "q_in_subquery" ->
@@ -1336,20 +1353,24 @@ object Relational2 {
 
     "q_join_salted" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
-        |       round(sum(o_totalprice), 2) AS revenue
+        |       round(CAST(sum(CAST(round(o_totalprice*100) AS BIGINT))
+        |                  AS DOUBLE)/100, 2) AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     // whatever strategy the profile selects, the result is the plain join
     "q_join_auto" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
-        |       round(sum(o_totalprice), 2) AS revenue
+        |       round(CAST(sum(CAST(round(o_totalprice*100) AS BIGINT))
+        |                  AS DOUBLE)/100, 2) AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "q_join_star" ->
       """SELECT n_name,
-        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |       round(CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+        |                      *(100 - CAST(round(l_discount*100) AS BIGINT)))
+        |                  AS DOUBLE)/10000, 2) AS revenue,
         |       count(*) AS n_lines
         |FROM lineitem
         |JOIN orders   ON l_orderkey = o_orderkey
