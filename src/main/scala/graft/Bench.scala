@@ -52,16 +52,16 @@ object Bench {
     // ±16% uniformly with host CPU steal (PLANS.md §8b); dividing totals by
     // calib_s yields a host-normalized number comparable across sessions.
     // One untimed pass JITs the loop; the median of 3 is recorded.
-    def calibrate(): Double = {
+    def calibPass(): Double = {
       import org.apache.spark.sql.functions.{col, sum}
-      def pass(): Double = {
-        val t0 = System.nanoTime()
-        spark.range(0, 400000000L, 1, cpus.toInt)
-          .select(sum(col("id") * 2654435761L % 1000003L)).head
-        (System.nanoTime() - t0) / 1e9
-      }
-      pass()
-      Seq.fill(3)(pass()).sorted.apply(1)
+      val t0 = System.nanoTime()
+      spark.range(0, 400000000L, 1, cpus.toInt)
+        .select(sum(col("id") * 2654435761L % 1000003L)).head
+      (System.nanoTime() - t0) / 1e9
+    }
+    def calibrate(): Double = {
+      calibPass()
+      Seq.fill(3)(calibPass()).sorted.apply(1)
     }
     // Second, FP/vector-shaped calibration anchor (r13 verdict item 2):
     // the scalar anchor above is integer-ALU-bound and demonstrably does
@@ -137,8 +137,21 @@ object Bench {
     // instead of all samples of a few — the median then rejects it.
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
       .withDefaultValue(Nil)
-    (1 to nRuns).foreach { _ =>
-      names.foreach { n => samples(n) = timedPass(n) :: samples(n) }
+    // Per-block calibration track (r15 verdict item 7): a ONE-pass anchor
+    // snapshot every `calibBlock` timed queries, interleaved with the
+    // samples it brackets. A co-scheduled driver window now identifies
+    // itself — the snapshots covering it read high — instead of being
+    // inferred post hoc from per-query spread. ~10 snapshots/pass at 372
+    // queries ≈ a few seconds of overhead per run.
+    val calibBlock = 40
+    val calibTrack =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Double)]
+    (1 to nRuns).foreach { p =>
+      names.zipWithIndex.foreach { case (n, i) =>
+        if (i % calibBlock == 0)
+          calibTrack += ((p, i / calibBlock, calibPass()))
+        samples(n) = timedPass(n) :: samples(n)
+      }
     }
     // Adaptive re-runs: spread > 5 after the standard passes means a
     // stalled host window hit this query; up to 2 extra passes recover a
@@ -209,8 +222,11 @@ object Bench {
     val extraJson = extraPasses.toSeq.sorted
       .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val calibTrackJson = calibTrack
+      .map { case (p, b, s) => f"""{"pass":$p,"block":$b,"s":$s%.3f}""" }
+      .mkString("[", ",", "]")
     val fullJson =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$nRuns,"calib_s":$calib%.3f,"calib_fp_s":$calibFp%.3f,"total_norm":$norm%.2f,"queries":${qjson(results)},"mins":${qjson(mins)},"spread":${qjsonOpt(spreads)},"extra_passes":$extraJson,"failed":$failedJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$nRuns,"calib_s":$calib%.3f,"calib_fp_s":$calibFp%.3f,"total_norm":$norm%.2f,"queries":${qjson(results)},"mins":${qjson(mins)},"spread":${qjsonOpt(spreads)},"extra_passes":$extraJson,"calib_track":$calibTrackJson,"failed":$failedJson,"sf":"$sfDir"}"""
     // a failed write must not kill the one-line contract, but it also must
     // not leave the "full" pointer referencing a STALE file from a prior
     // run — on failure the pointer is nulled so consumers see the map is
