@@ -28,31 +28,39 @@ import org.apache.spark.sql.functions._
   *                  /10000, 2)
   */
 object ExactMoney {
-  /** Integer hundredths of a 2-dp column, exact per row (null-safe).
-    * The long hop matters for throughput: a double→decimal cast allocates
-    * a BigDecimal per row, while long→decimal(38,0) stays on Decimal's
-    * compact-long representation, and sum's partial adds then take the
-    * same-scale compact fast path (measured 31% faster on a 6M-row
-    * group-by at sf0.1; identical values — round() already yields an
-    * integral double ≤ 1e9, so the long cast is exact). Mirrors the
-    * DuckDB twin's CAST(round(x*100) AS BIGINT) literally. */
+  import graft.functions.SumCents
+
+  /** Integer hundredths of a 2-dp column as a LONG, exact per row
+    * (null-safe): round() yields an integral double ≤ 1e9, so the long
+    * cast is exact. Mirrors the DuckDB twin's CAST(round(x*100) AS
+    * BIGINT) literally. The long representation matters for throughput —
+    * a double→decimal cast allocates a BigDecimal per row (measured 31%
+    * slower than long→decimal on a 6M-row group-by at sf0.1), and the
+    * [[graft.functions.SumCents]] aggregate below keeps the whole hot
+    * path in long arithmetic (r16: a further ~25% under the decimal
+    * compact-long fast path, same probe). */
+  def centsL(c: Column): Column =
+    round(c * 100).cast("long")
+
+  /** Long→decimal per-row cents — retained for call sites that feed a
+    * plain `sum()` (e.g. inside struct-packed multi-aggregates). */
   def cents(c: Column): Column =
-    round(c * 100).cast("long").cast("decimal(38,0)")
+    centsL(c).cast("decimal(38,0)")
 
   /** order-free `round(sum(x), 2)` for a 2-dp column. */
   def sum2(c: Column): Column =
-    round(sum(cents(c)).cast("double") / 100, 2)
+    round(SumCents.sum(centsL(c)).cast("double") / 100, 2)
 
   /** order-free `round(avg(x), k)` for a 2-dp column; `count(c)` matches
     * avg's null semantics. */
   def avgK(c: Column, k: Int): Column =
-    round(sum(cents(c)).cast("double") /
+    round(SumCents.sum(centsL(c)).cast("double") /
       (count(c) * lit(100L)).cast("double"), k)
 
   /** order-free `round(sum(ep·(1−disc)), 2)` for 2-dp price × 2-dp rate:
-    * per-row product in exact 1e-4 units (long, ≤ ~1.3e9), decimal sum. */
+    * per-row product in exact 1e-4 units (long, ≤ ~1.3e9), exact sum. */
   def sumDisc2(ep: Column, disc: Column): Column =
-    round(sum((round(ep * 100).cast("long") *
-      (lit(100L) - round(disc * 100).cast("long"))).cast("decimal(38,0)"))
+    round(SumCents.sum(round(ep * 100).cast("long") *
+      (lit(100L) - round(disc * 100).cast("long")))
       .cast("double") / 10000, 2)
 }

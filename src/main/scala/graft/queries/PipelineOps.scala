@@ -502,23 +502,27 @@ object PipelineOps {
     "q_ivm_rollup" -> ((s, d) => {
       val o = Tables(s, d, "orders")
       // exact integer cents (r16 margin census): the base and delta sums
-      // become order-free decimal aggregates, so delta ≡ recompute holds
-      // as integer identity, not an FP-term-multiset argument
-      val centsC = round(col("o_totalprice") * 100).cast("decimal(38,0)")
+      // become order-free exact aggregates, so delta ≡ recompute holds
+      // as integer identity, not an FP-term-multiset argument; per-row
+      // units stay LONG on SumCents's fast path (r16 opt — the decimal
+      // cast allocated a BigDecimal per row)
+      val centsL = round(col("o_totalprice") * 100).cast("long")
       val oldRoll = o.filter(col("o_orderkey") % 10 < 8)
         .groupBy(col("o_custkey"))
-        .agg(sum(centsC).as("rev_c"), count(lit(1)).as("n"))
+        .agg(graft.functions.SumCents.sum(centsL).as("rev_c"),
+          count(lit(1)).as("n"))
       val deltas = o.filter((col("o_orderkey") % 10).isin(3, 7, 8))
         .select(col("o_custkey"),
           when(col("o_orderkey") % 10 === 3, -round(col("o_totalprice") * 100))
             .when(col("o_orderkey") % 10 === 7, lit(10000.0)) // (p+100)−p
             .otherwise(round(col("o_totalprice") * 100) + 10000.0)
-            .cast("decimal(38,0)").as("d_rev_c"),
+            .cast("long").as("d_rev_c"),
           when(col("o_orderkey") % 10 === 3, -1L)
             .when(col("o_orderkey") % 10 === 7, 0L)
             .otherwise(1L).as("d_n"))
         .groupBy(col("o_custkey"))
-        .agg(sum(col("d_rev_c")).as("d_rev_c"), sum(col("d_n")).as("d_n"))
+        .agg(graft.functions.SumCents.sum(col("d_rev_c")).as("d_rev_c"),
+          sum(col("d_n")).as("d_n"))
       oldRoll.join(deltas, Seq("o_custkey"), "full_outer")
         .select(col("o_custkey"),
           (coalesce(col("rev_c"), lit(0)) +

@@ -122,17 +122,19 @@ object Relational {
     //      sums are order-free and overflow-proof at any corpus size ----
     "q_agg_global" -> ((s, d) =>
       li(s, d)
-        .withColumn("__cents",
-          round(col("l_extendedprice") * 100).cast("decimal(38,0)"))
-        .withColumn("__bp",
-          round(col("l_discount") * 100).cast("decimal(38,0)"))
+        // integer units stay LONG per row (r16 opt: the double→decimal
+        // cast allocated a BigDecimal per row); SumCents folds them on
+        // its long fast path and evaluates the same exact decimal sum
+        .withColumn("__cents", round(col("l_extendedprice") * 100).cast("long"))
+        .withColumn("__bp", round(col("l_discount") * 100).cast("long"))
         .agg(
           count(lit(1)).as("n_rows"),
           countDistinct(col("l_partkey")).as("n_parts"),
           min(col("l_quantity")).as("min_qty"),
           max(col("l_quantity")).as("max_qty"),
-          round(sum(col("__cents")).cast("double") / 100, 2).as("sum_price"),
-          round(sum(col("__bp")).cast("double") /
+          round(graft.functions.SumCents.sum(col("__cents")).cast("double")
+            / 100, 2).as("sum_price"),
+          round(graft.functions.SumCents.sum(col("__bp")).cast("double") /
             (count(lit(1)) * lit(100L)).cast("double"), 6).as("avg_disc"),
           sum(col("l_linenumber")).as("sum_line"))),
 
@@ -142,38 +144,38 @@ object Relational {
     //      decimal(38,0); the 2-dp output grain is cut by integer
     //      HALF_UP ((x + half) DIV grain — all sums positive) so no
     //      double ever carries an order-dependent digit ----
-    "q_agg_group" -> ((s, d) =>
+    "q_agg_group" -> ((s, d) => {
+      // r16 opt: every per-row unit column stays LONG (the decimal casts
+      // allocated a BigDecimal per row); SumCents evaluates the identical
+      // exact decimal(38,0) sums, so the HALF_UP DIV devices and the
+      // oracle twins are unchanged value for value
+      import graft.functions.SumCents.{sum => sumC, intDiv}
       li(s, d)
         .filter(col("l_shipdate") <= to_timestamp(lit("1999-06-30")))
-        .withColumn("__q",
-          round(col("l_quantity") * 100).cast("decimal(38,0)"))
-        .withColumn("__c",
-          round(col("l_extendedprice") * 100).cast("decimal(38,0)"))
+        .withColumn("__q", round(col("l_quantity") * 100).cast("long"))
+        .withColumn("__c", round(col("l_extendedprice") * 100).cast("long"))
         .withColumn("__bp", round(col("l_discount") * 100).cast("long"))
-        .withColumn("__d4",
-          (round(col("l_extendedprice") * 100).cast("long") *
-            (lit(100L) - col("__bp"))).cast("decimal(38,0)"))
+        .withColumn("__d4", col("__c") * (lit(100L) - col("__bp")))
         .withColumn("__d6",
-          (round(col("l_extendedprice") * 100).cast("long") *
-            (lit(100L) - col("__bp")) *
+          col("__c") * (lit(100L) - col("__bp")) *
             (lit(100L) + round(col("l_tax") * 100).cast("long")))
-            .cast("decimal(38,0)"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          round(sum(col("__q")).cast("double") / 100, 2).as("sum_qty"),
-          round(sum(col("__c")).cast("double") / 100, 2).as("sum_base"),
-          (expr("CAST((sum(__d4) + 50) DIV 100 AS DOUBLE)") / 100)
-            .as("sum_disc"),
-          (expr("CAST((sum(__d6) + 5000) DIV 10000 AS DOUBLE)") / 100)
-            .as("sum_charge"),
-          round(sum(col("__q")).cast("double") /
+          round(sumC(col("__q")).cast("double") / 100, 2).as("sum_qty"),
+          round(sumC(col("__c")).cast("double") / 100, 2).as("sum_base"),
+          (intDiv(sumC(col("__d4")) + lit(50L), lit(100L)).cast("double")
+            / 100).as("sum_disc"),
+          (intDiv(sumC(col("__d6")) + lit(5000L), lit(10000L)).cast("double")
+            / 100).as("sum_charge"),
+          round(sumC(col("__q")).cast("double") /
             (count(lit(1)) * lit(100L)).cast("double"), 4).as("avg_qty"),
-          round(sum(col("__c")).cast("double") /
+          round(sumC(col("__c")).cast("double") /
             (count(lit(1)) * lit(100L)).cast("double"), 4).as("avg_price"),
-          round(sum(col("__bp")).cast("double") /
+          round(sumC(col("__bp")).cast("double") /
             (count(lit(1)) * lit(100L)).cast("double"), 6).as("avg_disc"),
           count(lit(1)).as("n"))
-        .orderBy("l_returnflag", "l_linestatus")),
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
 
     // ---- GROUP BY integer key (aggregate.rs GroupByScalar ints) ----
     "q_agg_groupint" -> ((s, d) =>
