@@ -62,8 +62,10 @@ object GraphOps {
       // N rides along as a 1-row broadcast (every node appears as src in
       // the symmetric edge set) — NO driver-side count() action: the whole
       // recurrence is one declarative plan, so nothing blocks on a driver
-      // round-trip per benched pass
-      val nRow = deg.agg(count(lit(1)).as("nn"))
+      // round-trip per benched pass. r16 opt: localCheckpoint the 1-row
+      // frame — each iteration's broadcast build otherwise re-ran the
+      // distinct+count over the cached edge list (4 executions per query)
+      val nRow = deg.agg(count(lit(1)).as("nn")).localCheckpoint()
       var pr = deg.crossJoin(broadcast(nRow))
         .select(col("src").as("node"),
           (lit(1.0) / col("nn").cast("double")).as("pr"))
@@ -111,18 +113,23 @@ object GraphOps {
         .select(col("sk"), lit(1.0).as("h"))
       var auth: DataFrame = null
       for (_ <- 1 to 3) {
+        // r16 opt: checkpoint the raw per-side aggregate BEFORE deriving
+        // its max — the L∞ broadcast's build is a separate job, and an
+        // uncached `ar` made it re-run the edge⋈vector join + groupBy a
+        // SECOND time per half-iteration (plan sharing without
+        // materialization recomputes in Spark; 12 joins → 6 per query)
         val ar = e.join(hub, "sk")
           .groupBy(col("pk")).agg(sum(col("h")).as("ar"))
+          .localCheckpoint()
         val amax = ar.agg(max(col("ar")).as("am"))
         auth = ar.crossJoin(broadcast(amax))
           .select(col("pk"), round(col("ar") / col("am"), 9).as("a"))
-          .localCheckpoint()
         val hr = e.join(auth, "pk")
           .groupBy(col("sk")).agg(sum(col("a")).as("hr"))
+          .localCheckpoint()
         val hmax = hr.agg(max(col("hr")).as("hm"))
         hub = hr.crossJoin(broadcast(hmax))
           .select(col("sk"), round(col("hr") / col("hm"), 9).as("h"))
-          .localCheckpoint()
       }
       hub.select(lit("supplier").as("kind"), col("sk").as("key"),
           col("h").as("score"))
