@@ -19,7 +19,9 @@ import org.apache.spark.sql.functions._
   * re-plan; the one double division + final round are computed from the
   * same exact integer on both engines, so the oracle hash cannot drift.
   *
-  * Every helper has a textual DuckDB twin the oracle SQL must mirror:
+  * Every helper has a textual DuckDB twin the oracle SQL must mirror
+  * (the twin keeps round(); the Spark side computes the same integer via
+  * the floor device in [[centsL]] — value-identical on the 2-dp grid):
   *   sum2   → round(CAST(sum(CAST(round(x*100) AS BIGINT)) AS DOUBLE)/100, 2)
   *   avgK   → round(CAST(sum(CAST(round(x*100) AS BIGINT)) AS DOUBLE)
   *                  /CAST(count(x)*100 AS DOUBLE), k)
@@ -31,16 +33,18 @@ object ExactMoney {
   import graft.functions.SumCents
 
   /** Integer hundredths of a 2-dp column as a LONG, exact per row
-    * (null-safe): round() yields an integral double ≤ 1e9, so the long
-    * cast is exact. Mirrors the DuckDB twin's CAST(round(x*100) AS
-    * BIGINT) literally. The long representation matters for throughput —
-    * a double→decimal cast allocates a BigDecimal per row (measured 31%
-    * slower than long→decimal on a 6M-row group-by at sf0.1), and the
-    * [[graft.functions.SumCents]] aggregate below keeps the whole hot
-    * path in long arithmetic (r16: a further ~25% under the decimal
-    * compact-long fast path, same probe). */
+    * (null-safe), equal VALUE FOR VALUE to the DuckDB twin's
+    * CAST(round(x*100) AS BIGINT): on the 2-dp grid x·100 lands within
+    * ~1e-9 of an integer n, and floor(n + 0.5 ± 1e-9) = n for every n
+    * including negatives — exactly what HALF_UP rounding returns there.
+    * floor instead of round because Spark's Round on a DOUBLE routes
+    * through java BigDecimal PER ROW (measured r16, 6M-row q_agg_global
+    * shape: round-fed 0.63 s vs floor-fed 0.40 s — the floor form beats
+    * even the r15 plain-double query), while floor is one libm call and
+    * already yields LongType. The long representation is what keeps
+    * [[graft.functions.SumCents]] on its all-long fast path. */
   def centsL(c: Column): Column =
-    round(c * 100).cast("long")
+    floor(c * 100 + lit(0.5))
 
   /** Long→decimal per-row cents — retained for call sites that feed a
     * plain `sum()` (e.g. inside struct-packed multi-aggregates). */
@@ -60,7 +64,6 @@ object ExactMoney {
   /** order-free `round(sum(ep·(1−disc)), 2)` for 2-dp price × 2-dp rate:
     * per-row product in exact 1e-4 units (long, ≤ ~1.3e9), exact sum. */
   def sumDisc2(ep: Column, disc: Column): Column =
-    round(SumCents.sum(round(ep * 100).cast("long") *
-      (lit(100L) - round(disc * 100).cast("long")))
+    round(SumCents.sum(centsL(ep) * (lit(100L) - centsL(disc)))
       .cast("double") / 10000, 2)
 }

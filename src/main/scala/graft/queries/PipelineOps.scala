@@ -504,19 +504,19 @@ object PipelineOps {
       // exact integer cents (r16 margin census): the base and delta sums
       // become order-free exact aggregates, so delta ≡ recompute holds
       // as integer identity, not an FP-term-multiset argument; per-row
-      // units stay LONG on SumCents's fast path (r16 opt — the decimal
-      // cast allocated a BigDecimal per row)
-      val centsL = round(col("o_totalprice") * 100).cast("long")
+      // units stay LONG via the grid-exact floor device on SumCents's
+      // fast path (r16 opt — round()/decimal both cost a BigDecimal/row)
+      val centsL = ExactMoney.centsL(col("o_totalprice"))
       val oldRoll = o.filter(col("o_orderkey") % 10 < 8)
         .groupBy(col("o_custkey"))
         .agg(graft.functions.SumCents.sum(centsL).as("rev_c"),
           count(lit(1)).as("n"))
       val deltas = o.filter((col("o_orderkey") % 10).isin(3, 7, 8))
         .select(col("o_custkey"),
-          when(col("o_orderkey") % 10 === 3, -round(col("o_totalprice") * 100))
-            .when(col("o_orderkey") % 10 === 7, lit(10000.0)) // (p+100)−p
-            .otherwise(round(col("o_totalprice") * 100) + 10000.0)
-            .cast("long").as("d_rev_c"),
+          when(col("o_orderkey") % 10 === 3, -centsL)
+            .when(col("o_orderkey") % 10 === 7, lit(10000L)) // (p+100)−p
+            .otherwise(centsL + lit(10000L))
+            .as("d_rev_c"),
           when(col("o_orderkey") % 10 === 3, -1L)
             .when(col("o_orderkey") % 10 === 7, 0L)
             .otherwise(1L).as("d_n"))

@@ -122,11 +122,12 @@ object Relational {
     //      sums are order-free and overflow-proof at any corpus size ----
     "q_agg_global" -> ((s, d) =>
       li(s, d)
-        // integer units stay LONG per row (r16 opt: the double→decimal
-        // cast allocated a BigDecimal per row); SumCents folds them on
-        // its long fast path and evaluates the same exact decimal sum
-        .withColumn("__cents", round(col("l_extendedprice") * 100).cast("long"))
-        .withColumn("__bp", round(col("l_discount") * 100).cast("long"))
+        // integer units stay LONG per row via the grid-exact floor device
+        // (r16 opt, see ExactMoney.centsL: Spark's Round on doubles is a
+        // per-row BigDecimal); SumCents folds them on its long fast path
+        // and evaluates the same exact decimal sum
+        .withColumn("__cents", ExactMoney.centsL(col("l_extendedprice")))
+        .withColumn("__bp", ExactMoney.centsL(col("l_discount")))
         .agg(
           count(lit(1)).as("n_rows"),
           countDistinct(col("l_partkey")).as("n_parts"),
@@ -145,20 +146,21 @@ object Relational {
     //      HALF_UP ((x + half) DIV grain — all sums positive) so no
     //      double ever carries an order-dependent digit ----
     "q_agg_group" -> ((s, d) => {
-      // r16 opt: every per-row unit column stays LONG (the decimal casts
-      // allocated a BigDecimal per row); SumCents evaluates the identical
-      // exact decimal(38,0) sums, so the HALF_UP DIV devices and the
-      // oracle twins are unchanged value for value
+      // r16 opt: every per-row unit column stays LONG via the grid-exact
+      // floor device (ExactMoney.centsL — Spark's Round on doubles is a
+      // per-row BigDecimal); SumCents evaluates the identical exact
+      // decimal(38,0) sums, so the HALF_UP DIV devices and the oracle
+      // twins are unchanged value for value
       import graft.functions.SumCents.{sum => sumC, intDiv}
       li(s, d)
         .filter(col("l_shipdate") <= to_timestamp(lit("1999-06-30")))
-        .withColumn("__q", round(col("l_quantity") * 100).cast("long"))
-        .withColumn("__c", round(col("l_extendedprice") * 100).cast("long"))
-        .withColumn("__bp", round(col("l_discount") * 100).cast("long"))
+        .withColumn("__q", ExactMoney.centsL(col("l_quantity")))
+        .withColumn("__c", ExactMoney.centsL(col("l_extendedprice")))
+        .withColumn("__bp", ExactMoney.centsL(col("l_discount")))
         .withColumn("__d4", col("__c") * (lit(100L) - col("__bp")))
         .withColumn("__d6",
           col("__c") * (lit(100L) - col("__bp")) *
-            (lit(100L) + round(col("l_tax") * 100).cast("long")))
+            (lit(100L) + ExactMoney.centsL(col("l_tax"))))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           round(sumC(col("__q")).cast("double") / 100, 2).as("sum_qty"),

@@ -146,11 +146,15 @@ object StatsOps {
     //      exact integers with one cast + sqrt + divide. ONE map-side-
     //      combined pass over the table computes all 14 moments ----
     "q_corr_matrix" -> ((s, d) => {
+      // floor(x*100 + 0.5) = the oracle's round(x*100) on the 2-dp grid
+      // (ExactMoney.centsL rationale — Round on a double is a per-row
+      // BigDecimal; this is the one lineitem-sized cents site outside
+      // the ExactMoney helpers)
       val li = Tables(s, d, "lineitem").select(
         col("l_quantity").cast("bigint").as("q"),
-        expr("cast(round(l_extendedprice * 100) as bigint)").as("p"),
-        expr("cast(round(l_discount * 100) as bigint)").as("dd"),
-        expr("cast(round(l_tax * 100) as bigint)").as("t"))
+        ExactMoney.centsL(col("l_extendedprice")).as("p"),
+        ExactMoney.centsL(col("l_discount")).as("dd"),
+        ExactMoney.centsL(col("l_tax")).as("t"))
       val cols = Seq("q", "p", "dd", "t")
       val sums: Seq[Column] =
         Seq(count(lit(1)).cast("decimal(38,0)").as("n")) ++
