@@ -65,8 +65,13 @@ object StreamGateOps {
       pipeline: DataFrame => DataFrame): Array[org.apache.spark.sql.Row] = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val prevRetain = s.conf.getOption("spark.sql.streaming.minBatchesToRetain")
     s.conf.set("spark.sql.shuffle.partitions",
       s.conf.get("spark.graft.streamgate.shufflePartitions", "4"))
+    // a replay never recovers from a checkpoint (the temp checkpoint is
+    // deleted on stop), so retaining the default 100 state versions per
+    // shard only grows provider memory across benched passes
+    s.conf.set("spark.sql.streaming.minBatchesToRetain", "2")
     try {
       val ms = MemoryStream[T](s)
       val qn = s"graft_stream_gate_${sinkId.incrementAndGet()}"
@@ -82,7 +87,13 @@ object StreamGateOps {
       val out = s.table(qn).collect()
       s.catalog.dropTempView(qn)
       out
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      prevRetain match {
+        case Some(v) => s.conf.set("spark.sql.streaming.minBatchesToRetain", v)
+        case None => s.conf.unset("spark.sql.streaming.minBatchesToRetain")
+      }
+    }
   }
 
   val queries: Map[String, Q] = Map(
