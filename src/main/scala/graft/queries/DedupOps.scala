@@ -935,11 +935,18 @@ object DedupOps {
     //      report before it replaces an O(n²) pass at 100 TB. All counts
     //      deterministic; censuses meet as 1-row broadcasts ----
     "q_blocking_quality" -> ((s, d) => {
+      // r16 opt: cand and truth each feed TWO consumers (their own count
+      // census + the intersection semi join) — uncached, the whole
+      // sorted-neighborhood pipeline and the expensive ppjoin prefix-
+      // filter join ran twice per query (plan sharing without
+      // materialization recomputes in Spark); both are pair-set-sized
       val cand = snNeighbors(docs(s, d))
         .select(least(col("doc_id"), col("nb.nid")).as("doc_a"),
           greatest(col("doc_id"), col("nb.nid")).as("doc_b"))
+        .persistTracked()
       val truth = ppjoinPairs(docs(s, d), 0.5)
         .select(col("doc_a"), col("doc_b"))
+        .persistTracked()
       val nDocs = docs(s, d).agg(count(lit(1)).as("n_docs"))
       val nCand = cand.agg(count(lit(1)).as("n_cand"))
       val nTruth = truth.agg(count(lit(1)).as("n_truth"))
