@@ -80,10 +80,15 @@ object BasketOps {
           supp.withColumnRenamed("p", key).withColumnRenamed("n_p", cnt),
           nSupp, maxSuppRows)
       val tot = it.agg(countDistinct(col("o")).as("n_orders"))
-      val directed = pairs.select(col("pa").as("lhs"), col("pb").as("rhs"),
-          col("n_ab"))
-        .unionByName(pairs.select(col("pb").as("lhs"), col("pa").as("rhs"),
-          col("n_ab")))
+      // both directed rules explode from ONE pass over the pair census —
+      // the q_pagerank symmetric-edge device; the prior self-union
+      // re-ran the basket self-join + pair groupBy once per branch
+      // (r16 opt: 2 executions → 1, no cache needed)
+      val directed = pairs.select(explode(array(
+          struct(col("pa").as("lhs"), col("pb").as("rhs"), col("n_ab")),
+          struct(col("pb").as("lhs"), col("pa").as("rhs"), col("n_ab"))))
+          .as("r"))
+        .select(col("r.lhs"), col("r.rhs"), col("r.n_ab"))
       directed
         .join(gatedSupp("lhs", "n_lhs"), "lhs")
         .join(gatedSupp("rhs", "n_rhs"), "rhs")
