@@ -40,6 +40,11 @@ object Explain {
 
   def main(args: Array[String]): Unit = {
     if (args.nonEmpty && args(0) == "--dump") {
+      if (args.length < 4) {
+        System.err.println(
+          "usage: Explain --dump <outDir> <suffix> <sfDir> <query...>")
+        sys.exit(2)
+      }
       val Array(_, outDir, suffix, sfDir) = args.take(4)
       val names = args.drop(4)
       val spark = mkSession()

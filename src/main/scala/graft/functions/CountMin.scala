@@ -3,8 +3,7 @@ package graft.functions
 import scala.util.hashing.MurmurHash3
 
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions.udaf
@@ -109,12 +108,15 @@ object CountMin {
   * of (sketch, token): retry/AQE-safe.
   */
 case class CmsEstimate(left: Expression, right: Expression, d: Int, w: Int)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryKernelCodegen {
   require(d > 0 && w > 0, s"count-min needs positive dims, got d=$d w=$w")
   override def dataType: DataType = LongType
 
-  override def nullSafeEval(sketch: Any, tok: Any): Any = {
-    val arr = sketch.asInstanceOf[ArrayData]
+  override def nullSafeEval(sketch: Any, tok: Any): Any =
+    kernel(sketch.asInstanceOf[ArrayData],
+      tok.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  def kernel(arr: ArrayData, tok: org.apache.spark.unsafe.types.UTF8String): Long = {
     // dims are caller-supplied and independent of the sketch column: a d/w
     // whose product disagrees with the sketch's construction would
     // otherwise read out of bounds mid-task. (A transposed pair with the
@@ -132,6 +134,7 @@ case class CmsEstimate(left: Expression, right: Expression, d: Int, w: Int)
     }
     best
   }
+
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CmsEstimate =
     copy(left = newLeft, right = newRight)

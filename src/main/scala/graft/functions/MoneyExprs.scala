@@ -106,7 +106,15 @@ case class SumCents(child: Expression)
 
 object SumCents {
   /** Column form: exact decimal(38,0) sum of a BIGINT integer-units
-    * column, long-fast-path per row. */
+    * column, long-fast-path per row.
+    *
+    * EXACTNESS DOMAIN (callers must hold it; unchecked for speed): the
+    * per-row |value| must stay far enough below 2⁶³ − 2⁵⁹ that `lo + v`
+    * cannot wrap before the carry check — every in-repo site feeds
+    * ≤ ~2⁴⁷ (cents, basis-point products, mod-P row hashes, squared
+    * cents), leaving ≥ 15 bits of headroom. A site near 2⁶² per row
+    * needs the plain decimal(38,0) sum instead (see q_cms_join_est /
+    * q_gini, which keep it for exactly that reason). */
   def sum(c: Column): Column =
     Bridge.column(SumCents(Bridge.expression(c)).toAggregateExpression())
 

@@ -2,9 +2,10 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the sketch hot loops.
   *
@@ -14,6 +15,18 @@ import org.apache.spark.sql.types._
   * array data (one virtual call per ROW, not per element), which benched
   * ~10× faster on the dedup pipeline. They are deterministic pure functions
   * of their input, so they remain safe under retries and AQE re-execution.
+  *
+  * Since r17 every expression here implements `doGenCode` (a one-line call
+  * into the same `kernel` method `nullSafeEval` uses, via a plan
+  * reference object): a CodegenFallback expression disqualifies its whole
+  * plan node from whole-stage codegen (`CollapseCodegenStages.supportCodegen`
+  * returns false for any tree containing one), so every projection
+  * computing a signature used to split its pipeline into separate codegen
+  * spans with an InternalRow materialization between them. With real
+  * codegen the spans fuse and the per-row cost is one virtual call with
+  * primitive/ArrayData arguments — no row copy, no result boxing. The
+  * kernels are shared verbatim between the interpreted and generated
+  * paths, so the two cannot diverge.
   *
   * All hashing is polynomial mod P = 2^31-1 (Mersenne): every intermediate
   * fits a signed 64-bit integer (a*h < 2^62), which means the EXACT same
@@ -26,11 +39,36 @@ object TextHash {
   /** Mersenne prime 2^31-1; hash universe for all text sketches. */
   val P = 2147483647L
 
-  /** Polynomial string hash mod P: fold h = (h*mult + charCode) % P. */
+  /** x mod P for 0 ≤ x < 2⁶², division-free (P is Mersenne: 2³¹ ≡ 1 mod P,
+    * so folding the high bits onto the low bits preserves the residue).
+    * Bit-identical to `x % P` on that domain — the hot loops below fold
+    * values < 2⁶² by construction (operands < P < 2³¹), so swapping the
+    * hardware division (~20-40 cycles) for two shifts+adds changes no
+    * value anywhere. Exactness: r1 = (x&P) + (x>>>31) ≤ 2³²−2;
+    * r2 = (r1&P) + (r1>>>31) ≤ P+1; one conditional subtract lands in
+    * [0, P).
+    */
+  def modP(x: Long): Long = {
+    val r1 = (x & P) + (x >>> 31)
+    val r2 = (r1 & P) + (r1 >>> 31)
+    if (r2 >= P) r2 - P else r2
+  }
+
+  /** `split("\\s+")` compiles the regex PER CALL (String.split has a fast
+    * path only for single-char literals); one shared compiled Pattern is
+    * semantics-identical and drops the per-row compile from every
+    * tokenizing expression. Pattern is thread-safe (split allocates its
+    * own Matcher).
+    */
+  val WS: java.util.regex.Pattern = java.util.regex.Pattern.compile("\\s+")
+
+  /** Polynomial string hash mod P: fold h = (h*mult + charCode) mod P.
+    * h < P and mult ≤ 137 keep h*mult + c < 2³⁹, inside modP's domain.
+    */
   def poly(s: CharSequence, from: Int, until: Int, mult: Long): Long = {
     var h = 0L
     var i = from
-    while (i < until) { h = (h * mult + s.charAt(i)) % P; i += 1 }
+    while (i < until) { h = modP(h * mult + s.charAt(i)); i += 1 }
     h
   }
 
@@ -48,6 +86,44 @@ object TextHash {
     }
     java.util.Arrays.copyOf(buf, n)
   }
+}
+
+/** `doGenCode` for a unary kernel expression: the standard null-checked
+  * child evaluation, then ONE call on this expression object (shipped to
+  * executors as a plan reference object) passing the child's generated
+  * value — UTF8String/ArrayData/primitive in, primitive/ArrayData out.
+  * Replaces CodegenFallback, which (a) boxed the result and re-evaluated
+  * the child subtree interpreted per row and (b) disqualified the whole
+  * plan node from whole-stage codegen (CollapseCodegenStages treats any
+  * tree containing a CodegenFallback as unsupported), splitting fused
+  * pipelines with an InternalRow materialization. The `kernel` method is
+  * the same one `nullSafeEval` calls, so interpreted and generated paths
+  * share one implementation.
+  */
+trait UnaryKernelCodegen extends UnaryExpression {
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("kernel", this, getClass.getName)
+      s"${ev.value} = $ref.kernel($c);"
+    })
+}
+
+/** Binary twin of [[UnaryKernelCodegen]]. */
+trait BinaryKernelCodegen extends BinaryExpression {
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val ref = ctx.addReferenceObj("kernel", this, getClass.getName)
+      s"${ev.value} = $ref.kernel($a, $b);"
+    })
+}
+
+/** Ternary twin of [[UnaryKernelCodegen]]. */
+trait TernaryKernelCodegen extends TernaryExpression {
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, c) => {
+      val ref = ctx.addReferenceObj("kernel", this, getClass.getName)
+      s"${ev.value} = $ref.kernel($a, $b, $c);"
+    })
 }
 
 /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003 —
@@ -70,14 +146,17 @@ object TextHash {
   * (one truncated window) — both mirrored in the SQL twin.
   */
 case class WinnowHashes(child: Expression, n: Int, w: Int)
-    extends UnaryExpression with CodegenFallback {
-  import TextHash.P
+    extends UnaryKernelCodegen {
   require(n > 0 && w > 0, s"winnowing needs positive n/w, got n=$n w=$w")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  override def nullSafeEval(input: Any): Any = {
-    val toks = input.toString.toLowerCase(java.util.Locale.ROOT)
-      .trim.split("\\s+")
+  override def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[UTF8String])
+
+  def kernel(input: UTF8String): ArrayData = {
+    import TextHash.modP
+    val toks = TextHash.WS.split(
+      input.toString.toLowerCase(java.util.Locale.ROOT).trim)
     val m = if (toks.length < n) 1 else toks.length - n + 1
     val hs = new Array[Long](m)
     var i = 0
@@ -87,10 +166,10 @@ case class WinnowHashes(child: Expression, n: Int, w: Int)
       var t = i
       val end = i + len
       while (t < end) {
-        if (t > i) h = (h * 131 + ' ') % P
+        if (t > i) h = modP(h * 131 + ' ')
         val s = toks(t)
         var j = 0
-        while (j < s.length) { h = (h * 131 + s.charAt(j)) % P; j += 1 }
+        while (j < s.length) { h = modP(h * 131 + s.charAt(j)); j += 1 }
         t += 1
       }
       hs(i) = h
@@ -128,8 +207,8 @@ case class WinnowHashes(child: Expression, n: Int, w: Int)
   * contributes its whole token string.
   */
 case class ShingleHashes(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
-  import TextHash.P
+    extends UnaryKernelCodegen {
+  import TextHash.modP
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   private def hashShingle(toks: Array[String], from: Int, len: Int): Long = {
@@ -137,17 +216,21 @@ case class ShingleHashes(child: Expression, n: Int)
     var i = from
     val end = from + len
     while (i < end) {
-      if (i > from) h = (h * 131 + ' ') % P
+      if (i > from) h = modP(h * 131 + ' ')
       val s = toks(i)
       var j = 0
-      while (j < s.length) { h = (h * 131 + s.charAt(j)) % P; j += 1 }
+      while (j < s.length) { h = modP(h * 131 + s.charAt(j)); j += 1 }
       i += 1
     }
     h
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val toks = input.toString.toLowerCase(java.util.Locale.ROOT).trim.split("\\s+")
+  override def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[UTF8String])
+
+  def kernel(input: UTF8String): ArrayData = {
+    val toks = TextHash.WS.split(
+      input.toString.toLowerCase(java.util.Locale.ROOT).trim)
     if (toks.length < n)
       return new GenericArrayData(Array(hashShingle(toks, 0, toks.length)))
     val buf = new Array[Long](toks.length - n + 1)
@@ -164,8 +247,8 @@ case class ShingleHashes(child: Expression, n: Int)
   * result is < 2^62 and overflow-free in any engine).
   */
 case class ShingleFeatures62(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
-  import TextHash.P
+    extends UnaryKernelCodegen {
+  import TextHash.modP
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   private def hashShingle(toks: Array[String], from: Int, len: Int): Long = {
@@ -173,12 +256,12 @@ case class ShingleFeatures62(child: Expression, n: Int)
     var i = from
     val end = from + len
     while (i < end) {
-      if (i > from) { h1 = (h1 * 131 + ' ') % P; h2 = (h2 * 137 + ' ') % P }
+      if (i > from) { h1 = modP(h1 * 131 + ' '); h2 = modP(h2 * 137 + ' ') }
       val s = toks(i)
       var j = 0
       while (j < s.length) {
         val c = s.charAt(j)
-        h1 = (h1 * 131 + c) % P; h2 = (h2 * 137 + c) % P
+        h1 = modP(h1 * 131 + c); h2 = modP(h2 * 137 + c)
         j += 1
       }
       i += 1
@@ -186,8 +269,12 @@ case class ShingleFeatures62(child: Expression, n: Int)
     h1 + (h2 << 31)
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val toks = input.toString.toLowerCase(java.util.Locale.ROOT).trim.split("\\s+")
+  override def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[UTF8String])
+
+  def kernel(input: UTF8String): ArrayData = {
+    val toks = TextHash.WS.split(
+      input.toString.toLowerCase(java.util.Locale.ROOT).trim)
     if (toks.length < n)
       return new GenericArrayData(Array(hashShingle(toks, 0, toks.length)))
     val buf = new Array[Long](toks.length - n + 1)
@@ -206,11 +293,14 @@ case class ShingleFeatures62(child: Expression, n: Int)
   * Empty input → all-zero signature.
   */
 case class MinHashSig(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryKernelCodegen {
   import TextHash.P
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData].toLongArray()
+  override def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[ArrayData])
+
+  def kernel(input: ArrayData): ArrayData = {
+    val arr = input.toLongArray()
     val sig = new Array[Long](k)
     var i = 0
     while (i < k) {
@@ -219,11 +309,17 @@ case class MinHashSig(child: Expression, k: Int)
       var m = Long.MaxValue
       var j = 0
       while (j < arr.length) {
-        val v = Math.floorMod(a * arr(j) + b, P)
+        val h = arr(j)
+        // every in-repo producer feeds mod-P hashes (h < 2³¹), where
+        // a·h + b < 2⁶² and the division-free reduction equals floorMod
+        // exactly; the guard keeps bit-identical floorMod semantics
+        // (including long wraparound) for any out-of-range caller
+        val v = if ((h >>> 31) == 0L) TextHash.modP(a * h + b)
+                else Math.floorMod(a * h + b, P)
         if (v < m) m = v
         j += 1
       }
-      sig(i) = if (arr.isEmpty) 0L else m
+      sig(i) = if (arr.length == 0) 0L else m
       i += 1
     }
     new GenericArrayData(sig)
@@ -236,18 +332,29 @@ case class MinHashSig(child: Expression, k: Int)
   * poly-1000003 fold mod P of `rows` consecutive signature positions.
   */
 case class BandHashes(child: Expression, bands: Int, rows: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryKernelCodegen {
   import TextHash.P
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullSafeEval(input: Any): Any = {
-    val sig = input.asInstanceOf[ArrayData].toLongArray()
+  override def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[ArrayData])
+
+  def kernel(input: ArrayData): ArrayData = {
+    val sig = input.toLongArray()
     val out = new Array[Long](bands)
     var b = 0
     while (b < bands) {
       var h = 0L
       var j = b * rows
       val end = math.min(sig.length, j + rows)
-      while (j < end) { h = (h * 1000003L + sig(j)) % P; j += 1 }
+      while (j < end) {
+        val v = sig(j)
+        // signature positions are mod-P (v < 2³¹): h·1000003 + v < 2⁵¹,
+        // division-free reduction == `%` exactly; guard preserves the
+        // plain-% semantics for out-of-range callers
+        h = if ((v >>> 31) == 0L) TextHash.modP(h * 1000003L + v)
+            else (h * 1000003L + v) % P
+        j += 1
+      }
       out(b) = h
       b += 1
     }
@@ -261,15 +368,18 @@ case class BandHashes(child: Expression, bands: Int, rows: Int)
   * (MinHash Jaccard estimate).
   */
 case class SigMatchFrac(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryKernelCodegen {
   override def dataType: DataType = DoubleType
-  override def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData].toLongArray()
-    val b = r.asInstanceOf[ArrayData].toLongArray()
+  override def nullSafeEval(l: Any, r: Any): Any =
+    kernel(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  def kernel(l: ArrayData, r: ArrayData): Double = {
+    val a = l.toLongArray()
+    val b = r.toLongArray()
     val n = math.min(a.length, b.length)
     var eq = 0; var i = 0
     while (i < n) { if (a(i) == b(i)) eq += 1; i += 1 }
-    java.lang.Double.valueOf(if (n == 0) 1.0 else eq.toDouble / n)
+    if (n == 0) 1.0 else eq.toDouble / n
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): SigMatchFrac =
     copy(left = l, right = r)
@@ -279,10 +389,13 @@ case class SigMatchFrac(left: Expression, right: Expression)
   * bit b is set in the strict majority of inputs.
   */
 case class SimHashBits(child: Expression, bits: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryKernelCodegen {
   override def dataType: DataType = LongType
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData].toLongArray()
+  override def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[ArrayData])
+
+  def kernel(input: ArrayData): Long = {
+    val arr = input.toLongArray()
     val counts = new Array[Int](bits)
     var j = 0
     while (j < arr.length) {
@@ -300,7 +413,7 @@ case class SimHashBits(child: Expression, bits: Int)
       if (counts(b) > 0) out |= (1L << b)
       b += 1
     }
-    java.lang.Long.valueOf(out)
+    out
   }
   override protected def withNewChildInternal(newChild: Expression): SimHashBits =
     copy(child = newChild)
@@ -310,16 +423,41 @@ case class SimHashBits(child: Expression, bits: Int)
   * NOT trimmed — whitespace is signal for character shingling).
   */
 case class CharNgramHashes(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
-  import TextHash.P
+    extends UnaryKernelCodegen {
+  import TextHash.{P, modP}
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullSafeEval(input: Any): Any = {
+
+  /** 131^(n-1) mod P — the leading char's positional weight. */
+  private val lead: Long = {
+    var m = 1L; var i = 1
+    while (i < n) { m = modP(m * 131); i += 1 }
+    m
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[UTF8String])
+
+  /** Rolling update instead of re-hashing every window from scratch:
+    * h(i+1) = (h(i) − c_i·131^(n−1))·131 + c_(i+n) in mod-P arithmetic —
+    * the SAME residues as the per-window fold (modular identity, not an
+    * approximation), at O(1) per window instead of O(n). A string shorter
+    * than n keeps the single truncated-window hash.
+    */
+  def kernel(input: UTF8String): ArrayData = {
     val s = input.toString.toLowerCase(java.util.Locale.ROOT)
-    val upper = math.max(1, s.length - n + 1)
+    if (s.length <= n)
+      return new GenericArrayData(
+        Array(TextHash.poly(s, 0, s.length, 131)))
+    val upper = s.length - n + 1
     val buf = new Array[Long](upper)
+    var h = TextHash.poly(s, 0, n, 131)
+    buf(0) = h
     var i = 0
-    while (i < upper) {
-      buf(i) = TextHash.poly(s, i, math.min(s.length, i + n), 131)
+    while (i < upper - 1) {
+      var t = h - modP(s.charAt(i) * lead)
+      if (t < 0) t += P
+      h = modP(t * 131 + s.charAt(i + n))
+      buf(i + 1) = h
       i += 1
     }
     new GenericArrayData(TextHash.sortedDistinct(buf, upper))
@@ -333,11 +471,14 @@ case class CharNgramHashes(child: Expression, n: Int)
   * build hash maps per row).
   */
 case class JaccardSorted(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryKernelCodegen {
   override def dataType: DataType = DoubleType
-  override def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData].toLongArray()
-    val b = r.asInstanceOf[ArrayData].toLongArray()
+  override def nullSafeEval(l: Any, r: Any): Any =
+    kernel(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  def kernel(l: ArrayData, r: ArrayData): Double = {
+    val a = l.toLongArray()
+    val b = r.toLongArray()
     var i = 0; var j = 0; var inter = 0
     while (i < a.length && j < b.length) {
       if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
@@ -345,7 +486,7 @@ case class JaccardSorted(left: Expression, right: Expression)
       else j += 1
     }
     val union = a.length + b.length - inter
-    java.lang.Double.valueOf(if (union == 0) 1.0 else inter.toDouble / union)
+    if (union == 0) 1.0 else inter.toDouble / union
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardSorted =
     copy(left = l, right = r)
@@ -364,11 +505,14 @@ case class JaccardSorted(left: Expression, right: Expression)
   * when shorter than n), so every in-repo call site satisfies this.
   */
 case class ContainmentSorted(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryKernelCodegen {
   override def dataType: DataType = DoubleType
-  override def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData].toLongArray()
-    val b = r.asInstanceOf[ArrayData].toLongArray()
+  override def nullSafeEval(l: Any, r: Any): Any =
+    kernel(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  def kernel(l: ArrayData, r: ArrayData): Double = {
+    val a = l.toLongArray()
+    val b = r.toLongArray()
     var i = 0; var j = 0; var inter = 0
     while (i < a.length && j < b.length) {
       if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
@@ -376,7 +520,7 @@ case class ContainmentSorted(left: Expression, right: Expression)
       else j += 1
     }
     val mn = math.min(a.length, b.length)
-    java.lang.Double.valueOf(if (mn == 0) 1.0 else inter.toDouble / mn)
+    if (mn == 0) 1.0 else inter.toDouble / mn
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): ContainmentSorted =
     copy(left = l, right = r)
@@ -386,18 +530,22 @@ case class ContainmentSorted(left: Expression, right: Expression)
   * split), each poly-131-hashed, folded with h = (h*131 + tokenHash) % P.
   */
 case class RollingHash(child: Expression)
-    extends UnaryExpression with CodegenFallback {
-  import TextHash.P
+    extends UnaryKernelCodegen {
+  import TextHash.modP
   override def dataType: DataType = LongType
-  override def nullSafeEval(input: Any): Any = {
-    val toks = input.toString.toLowerCase(java.util.Locale.ROOT).trim.split("\\s+")
+  override def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[UTF8String])
+
+  def kernel(input: UTF8String): Long = {
+    val toks = TextHash.WS.split(
+      input.toString.toLowerCase(java.util.Locale.ROOT).trim)
     var acc = 0L
     var i = 0
     while (i < toks.length) {
-      acc = (acc * 131 + TextHash.poly(toks(i), 0, toks(i).length, 131)) % P
+      acc = modP(acc * 131 + TextHash.poly(toks(i), 0, toks(i).length, 131))
       i += 1
     }
-    java.lang.Long.valueOf(acc)
+    acc
   }
   override protected def withNewChildInternal(newChild: Expression): RollingHash =
     copy(child = newChild)
@@ -414,25 +562,29 @@ case class RollingHash(child: Expression)
   * units — same caveat as every length() in the repo).
   */
 case class CharEntropy(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryKernelCodegen {
   override def dataType: DataType = DoubleType
-  override def nullSafeEval(input: Any): Any = {
+  override def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[UTF8String])
+
+  def kernel(input: UTF8String): Double = {
     val s = input.toString
-    if (s.isEmpty) return java.lang.Double.valueOf(0.0)
-    val counts = new java.util.TreeMap[Character, Int]()
-    var i = 0
-    while (i < s.length) {
-      counts.merge(s.charAt(i), 1, (a, b) => a + b)
-      i += 1
-    }
+    if (s.isEmpty) return 0.0
+    // sorted char array replaces the TreeMap: same ascending-char term
+    // order (the determinism contract), no per-char boxing/merge nodes
+    val cs = s.toCharArray
+    java.util.Arrays.sort(cs)
     val n = s.length.toDouble
     var h = 0.0
-    val it = counts.values().iterator()
-    while (it.hasNext) {
-      val p = it.next() / n
+    var i = 0
+    while (i < cs.length) {
+      var j = i + 1
+      while (j < cs.length && cs(j) == cs(i)) j += 1
+      val p = (j - i) / n
       h -= p * (math.log(p) / math.log(2.0))
+      i = j
     }
-    java.lang.Double.valueOf(h)
+    h
   }
   override protected def withNewChildInternal(newChild: Expression): CharEntropy =
     copy(child = newChild)
@@ -459,13 +611,15 @@ case class CharEntropy(child: Expression)
   * against an independently-written fold — stronger than HOF-vs-HOF.
   */
 case class GreedyMergeApply(first: Expression, second: Expression,
-    third: Expression) extends TernaryExpression with CodegenFallback {
+    third: Expression) extends TernaryKernelCodegen {
   override def dataType: DataType = StringType
-  override def nullSafeEval(t: Any, xa: Any, ya: Any): Any = {
+  override def nullSafeEval(t: Any, xa: Any, ya: Any): Any =
+    kernel(t.asInstanceOf[UTF8String], xa.asInstanceOf[ArrayData],
+      ya.asInstanceOf[ArrayData])
+
+  def kernel(t: UTF8String, xs: ArrayData, ys: ArrayData): UTF8String = {
     var toks: Array[String] =
       t.toString.split(' ').filter(_.nonEmpty)
-    val xs = xa.asInstanceOf[ArrayData]
-    val ys = ya.asInstanceOf[ArrayData]
     val m = math.min(xs.numElements(), ys.numElements())
     var i = 0
     while (i < m) {

@@ -1,8 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -16,9 +15,19 @@ import org.apache.spark.sql.types._
   * does, so results are bit-identical to the SQL oracles
   * (see [[VectorExprs.cosineSql]] / [[VectorExprs.weightsSqlLiteral]]).
   *
+  * Since r17 all of them implement `doGenCode` (via the kernel-codegen
+  * traits in TextExprs.scala): the previous CodegenFallback versions
+  * disqualified their plan node from whole-stage codegen, splitting every
+  * scoring projection into its own span with an InternalRow
+  * materialization, and boxed each double result. All kernels bulk-extract
+  * the arrays once and loop over primitives — a per-element
+  * ArrayData.getFloat is a megamorphic virtual call and measured SLOWER
+  * than the single toFloatArray copy in the same-session probe.
+  *
   * Reference analog: the expression-compilation machinery at
   * /root/reference/src/execution/expression.rs:27-54 (logical expr → compiled
-  * closure); here the "compiled closure" is a Catalyst expression `eval`.
+  * closure); here the "compiled closure" is a Catalyst expression kernel
+  * invoked from generated code.
   */
 
 private object VecUtil {
@@ -31,10 +40,16 @@ private object VecUtil {
   * the x/0.0 semantics of the HOF version).
   */
 case class CosineSim(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryKernelCodegen {
   override def dataType: DataType = DoubleType
-  override def nullSafeEval(l: Any, r: Any): Any = {
-    val a = VecUtil.floats(l); val b = VecUtil.floats(r)
+  override def nullSafeEval(l: Any, r: Any): Any =
+    kernel(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  def kernel(l: ArrayData, r: ArrayData): Double = {
+    // bulk-extract then a primitive loop: toFloatArray on the physical
+    // array forms is one copy; per-element ArrayData.getFloat is a
+    // megamorphic virtual call that measured SLOWER (same-session probe)
+    val a = l.toFloatArray(); val b = r.toFloatArray()
     val n = math.min(a.length, b.length)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
@@ -43,7 +58,7 @@ case class CosineSim(left: Expression, right: Expression)
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
-    java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
+    dot / (math.sqrt(na) * math.sqrt(nb))
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
     copy(left = l, right = r)
@@ -51,14 +66,17 @@ case class CosineSim(left: Expression, right: Expression)
 
 /** Dot product (double accumulation, sequential). */
 case class DotProduct(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryKernelCodegen {
   override def dataType: DataType = DoubleType
-  override def nullSafeEval(l: Any, r: Any): Any = {
-    val a = VecUtil.floats(l); val b = VecUtil.floats(r)
+  override def nullSafeEval(l: Any, r: Any): Any =
+    kernel(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  def kernel(l: ArrayData, r: ArrayData): Double = {
+    val a = l.toFloatArray(); val b = r.toFloatArray()
     val n = math.min(a.length, b.length)
     var dot = 0.0; var i = 0
     while (i < n) { dot += a(i).toDouble * b(i).toDouble; i += 1 }
-    java.lang.Double.valueOf(dot)
+    dot
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
     copy(left = l, right = r)
@@ -66,13 +84,16 @@ case class DotProduct(left: Expression, right: Expression)
 
 /** L2 norm (double accumulation, sequential). */
 case class L2Norm(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryKernelCodegen {
   override def dataType: DataType = DoubleType
-  override def nullSafeEval(input: Any): Any = {
-    val a = VecUtil.floats(input)
+  override def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[ArrayData])
+
+  def kernel(input: ArrayData): Double = {
+    val a = input.toFloatArray()
     var s = 0.0; var i = 0
     while (i < a.length) { val x = a(i).toDouble; s += x * x; i += 1 }
-    java.lang.Double.valueOf(math.sqrt(s))
+    math.sqrt(s)
   }
   override protected def withNewChildInternal(newChild: Expression): L2Norm =
     copy(child = newChild)
@@ -82,11 +103,13 @@ case class L2Norm(child: Expression)
   * [[CosineSim]], no float cast).
   */
 case class CosineSimD(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryKernelCodegen {
   override def dataType: DataType = DoubleType
-  override def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData].toDoubleArray()
-    val b = r.asInstanceOf[ArrayData].toDoubleArray()
+  override def nullSafeEval(l: Any, r: Any): Any =
+    kernel(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  def kernel(l: ArrayData, r: ArrayData): Double = {
+    val a = l.toDoubleArray(); val b = r.toDoubleArray()
     val n = math.min(a.length, b.length)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
@@ -94,7 +117,7 @@ case class CosineSimD(left: Expression, right: Expression)
       dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i)
       i += 1
     }
-    java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
+    dot / (math.sqrt(na) * math.sqrt(nb))
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimD =
     copy(left = l, right = r)
@@ -104,15 +127,17 @@ case class CosineSimD(left: Expression, right: Expression)
   * (a_i - b_i)^2 — bit-identical to the generated DuckDB oracle.
   */
 case class L2DistSq(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryKernelCodegen {
   override def dataType: DataType = DoubleType
-  override def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData].toDoubleArray()
-    val b = r.asInstanceOf[ArrayData].toDoubleArray()
+  override def nullSafeEval(l: Any, r: Any): Any =
+    kernel(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  def kernel(l: ArrayData, r: ArrayData): Double = {
+    val a = l.toDoubleArray(); val b = r.toDoubleArray()
     val n = math.min(a.length, b.length)
     var s = 0.0; var i = 0
     while (i < n) { val d = a(i) - b(i); s += d * d; i += 1 }
-    java.lang.Double.valueOf(s)
+    s
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): L2DistSq =
     copy(left = l, right = r)
@@ -123,13 +148,16 @@ case class L2DistSq(left: Expression, right: Expression)
   * `list_sum(list_transform(v, x -> CAST(x AS DOUBLE)))`.
   */
 case class FloatVecSum(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryKernelCodegen {
   override def dataType: DataType = DoubleType
-  override def nullSafeEval(input: Any): Any = {
-    val a = VecUtil.floats(input)
+  override def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[ArrayData])
+
+  def kernel(input: ArrayData): Double = {
+    val a = input.toFloatArray()
     var s = 0.0; var i = 0
     while (i < a.length) { s += a(i).toDouble; i += 1 }
-    java.lang.Double.valueOf(s)
+    s
   }
   override protected def withNewChildInternal(newChild: Expression): FloatVecSum =
     copy(child = newChild)
@@ -141,13 +169,16 @@ case class FloatVecSum(child: Expression)
   * products-then-sequential-sum, matching the SQL oracle exactly.
   */
 case class HyperplaneBucket(child: Expression, nPlanes: Int, table: Int, dim: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryKernelCodegen {
   override def dataType: DataType = LongType
 
   @transient private lazy val w: Array[Array[Double]] =
     Array.tabulate(nPlanes, dim)((p, i) => VectorExprs.planeWeight(table * 64 + p, i))
 
-  override def nullSafeEval(input: Any): Any = {
+  override def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[ArrayData])
+
+  def kernel(input: ArrayData): Long = {
     val v = VecUtil.floats(input)
     val n = math.min(dim, v.length)
     var bucket = 0L
@@ -159,7 +190,7 @@ case class HyperplaneBucket(child: Expression, nPlanes: Int, table: Int, dim: In
       if (proj >= 0) bucket |= (1L << p)
       p += 1
     }
-    java.lang.Long.valueOf(bucket)
+    bucket
   }
   override protected def withNewChildInternal(newChild: Expression): HyperplaneBucket =
     copy(child = newChild)
@@ -180,13 +211,16 @@ case class HyperplaneBucket(child: Expression, nPlanes: Int, table: Int, dim: In
   */
 case class SignProject(child: Expression, signs: IndexedSeq[Boolean],
                        outDims: Int, inDims: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryKernelCodegen {
   require(signs.length == outDims * inDims, "signs must be outDims x inDims")
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
 
   @transient private lazy val signArr: Array[Boolean] = signs.toArray
 
-  override def nullSafeEval(input: Any): Any = {
+  override def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[ArrayData])
+
+  def kernel(input: ArrayData): ArrayData = {
     val v = VecUtil.floats(input)
     val n = math.min(inDims, v.length)
     val out = new Array[Double](outDims)

@@ -133,8 +133,18 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
           while (!flushed && it.hasNext) {
             val row = it.next()
             val key = keyProj(row)
-            val heap = heaps.getOrElseUpdate(key.copy(),
-              mutable.PriorityQueue.empty[InternalRow](ord))
+            // look up with the projection's REUSED row (UnsafeRow equality
+            // is byte-wise, so a transient key is a valid map probe) and
+            // copy only on first sight: getOrElseUpdate(key.copy(), ...)
+            // evaluated the copy eagerly, allocating per INPUT ROW instead
+            // of per distinct key
+            val heap = heaps.get(key) match {
+              case Some(h) => h
+              case None =>
+                val h = mutable.PriorityQueue.empty[InternalRow](ord)
+                heaps.put(key.copy(), h)
+                h
+            }
             if (heap.size < k) heap.enqueue(row.copy())
             else if (ord.compare(row, heap.head) < 0) {
               heap.dequeue(); heap.enqueue(row.copy())

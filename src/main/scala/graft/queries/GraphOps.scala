@@ -74,7 +74,14 @@ object GraphOps {
         // without it iteration k's plan CONTAINS iterations 1..k−1, and the
         // planner re-materializes that whole chain every time it broadcasts
         // or exchanges the rank side — measured 3× the per-iteration work
-        // at 3 rounds, growing quadratically with iteration count
+        // at 3 rounds, growing quadratically with iteration count.
+        // r17: LAZY (eager=false) — the Catalyst plan is truncated either
+        // way, but eager ran one scheduled job per round at DataFrame-
+        // construction time; lazy folds all rounds into the single final
+        // job as chained stages (the marked RDDs still cache on first
+        // computation, so the per-round broadcast build of nRow cannot
+        // re-run earlier rounds). Loops whose round derives a scalar
+        // broadcast FROM the loop frame (q_hits) must stay eager.
         pr = ew.join(pr, ew("src") === pr("node"))
           .groupBy(col("dst"))
           .agg(sum(col("pr") / col("outdeg")).as("m"))
@@ -82,7 +89,7 @@ object GraphOps {
           .select(col("dst").as("node"),
             round(lit(0.15) / col("nn").cast("double") +
               lit(0.85) * col("m"), 9).as("pr"))
-          .localCheckpoint()
+          .localCheckpoint(false)
       }
       pr.select(col("node"),
           when(col("node") % 2 === 0, lit("part")).otherwise(lit("supplier"))
@@ -172,7 +179,7 @@ object GraphOps {
           .agg(max_by(col("lbl"), struct(col("c"), (-col("lbl")).as("nl")))
             .as("lbl"))
           .select(col("src").as("v"), col("lbl"))
-          .localCheckpoint()
+          .localCheckpoint(false)
       }
       lbl.groupBy(col("lbl").as("community"))
         .agg(count(lit(1)).as("n_members"),
@@ -294,7 +301,7 @@ object GraphOps {
           .join(keep, col("src") === col("node"), "left_semi")
           .join(keep.select(col("node").as("dnode")),
             col("dst") === col("dnode"), "left_semi")
-          .localCheckpoint()
+          .localCheckpoint(false)
       }
       edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .groupBy(when(col("src") % 2 === 0, lit("part"))
@@ -331,7 +338,7 @@ object GraphOps {
           .select(col("dst").as("node"), lit(i.toLong).as("hop"))
           .unionByName(reach)
           .groupBy(col("node")).agg(min(col("hop")).as("hop"))
-          .localCheckpoint()
+          .localCheckpoint(false)
       }
       reach
         .groupBy(col("hop"),
@@ -423,7 +430,7 @@ object GraphOps {
           .unionByName(seeds.select(col("node"), (lit(0.15) * col("w")).as("c")))
           .groupBy(col("node"))
           .agg(round(sum(col("c")), 9).as("pr"))
-          .localCheckpoint()
+          .localCheckpoint(false)
       }
       pr.select(col("node"),
           when(col("node") % 2 === 0, lit("part")).otherwise(lit("supplier"))

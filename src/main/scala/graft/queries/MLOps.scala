@@ -66,7 +66,7 @@ object MLOps {
     * ≤|score-domain| rows of state and stays bit-equal to this batch form.
     */
   def scoreCensus(events: DataFrame): DataFrame =
-    events.select(round(col("value") * 100).cast("long").as("score"),
+    events.select(ExactMoney.centsL(col("value")).as("score"),
         (col("event_type") === "purchase").cast("long").as("y"))
       .groupBy(col("score"))
       .agg(sum(col("y")).as("np"),
@@ -174,7 +174,7 @@ object MLOps {
     //      census and the 10-row decile table ----
     "q_lift_gain" -> ((s, d) => {
       val cen = Tables(s, d, "events")
-        .select(round(col("value") * 100).cast("long").as("score"),
+        .select(ExactMoney.centsL(col("value")).as("score"),
           (col("event_type") === "purchase").cast("long").as("y"))
         .groupBy(col("score"))
         .agg(count(lit(1)).as("n"), sum(col("y")).as("np"))
@@ -293,7 +293,7 @@ object MLOps {
     "q_uplift_deciles" -> ((s, d) => {
       val W = org.apache.spark.sql.expressions.Window
       val ev = Tables(s, d, "events")
-        .select(round(col("value") * 100).cast("long").as("score"),
+        .select(ExactMoney.centsL(col("value")).as("score"),
           (col("user_id") % 2 === 0).cast("long").as("a"),
           (col("event_type") === "purchase").cast("long").as("y"))
       val cen = ev.groupBy(col("score"))
@@ -468,13 +468,23 @@ object MLOps {
     //      deff ≈ 1 + (m̄−1)·ICC is the variance inflation an
     //      event-grain z-test silently ignores ----
     "q_icc" -> ((s, d) => {
+      // r17: the per-user moment agg is the corpus-sized stage (a
+      // fine-key groupBy over EVERY event row) — the cents conversion
+      // rides floor (ExactMoney.centsL: round() on a double is a per-row
+      // java BigDecimal; floor(x·100+0.5) is value-identical on the 2-dp
+      // grid events.value sits on) and the two moments ride SumCents'
+      // all-long buffers, which keep this many-group HashAggregate on its
+      // generated fast hash map (a decimal buffer field disqualifies it —
+      // measured r16). Same exact integers: x ≤ ~2¹⁷ cents, x·x < 2³⁴,
+      // both far inside SumCents' domain; si/qi reach the census-sized
+      // outer agg as the same decimal(38,0) values as before.
       val cen = Tables(s, d, "events")
         .select(col("user_id"),
-          round(col("value") * 100).cast("long").as("x"))
+          graft.queries.ExactMoney.centsL(col("value")).as("x"))
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("ni"),
-          sum(col("x").cast("decimal(38,0)")).as("si"),
-          sum(expr("cast(x as decimal(38,0)) * x")).as("qi"))
+          graft.functions.SumCents.sum(col("x")).as("si"),
+          graft.functions.SumCents.sum(expr("x * x")).as("qi"))
       cen.agg(count(lit(1)).as("k"), sum(col("ni")).as("n"),
           sum(col("si")).as("ss"), sum(col("qi")).as("qq"),
           sum(expr("cast(ni as decimal(38,0)) * ni")).as("nsq"),

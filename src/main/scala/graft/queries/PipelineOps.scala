@@ -657,12 +657,18 @@ object PipelineOps {
       val P = 2147483647L
       def digest(df: DataFrame, n: String, h: String): DataFrame = df
         .select((col("o_orderkey") % 64).as("bucket"),
+          // r17: floor-cents (value-identical to round() on the 2-dp
+          // o_totalprice grid, no per-row BigDecimal) and SumCents
+          // (all-long buffers; rowh < 2³¹ per row, Σ ≪ 2¹²² at any
+          // corpus) replace the round()+decimal-sum digest — the SAME
+          // integers bucket for bucket, cheaper per row
           (((col("o_orderkey") % P) * 1103515245L +
             (col("o_custkey") % P) * 12345L +
-            round(col("o_totalprice") * 100).cast("long")) % P).as("rowh"))
+            graft.queries.ExactMoney.centsL(col("o_totalprice"))) % P)
+            .as("rowh"))
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as(n),
-          (sum(col("rowh").cast("decimal(38,0)")) % P).cast("long").as(h))
+          (graft.functions.SumCents.sum(col("rowh")) % P).cast("long").as(h))
       val base = o.filter(col("o_orderkey") % 10 < 8)
       val snap = o.filter(col("o_orderkey") % 10 < 8 &&
           col("o_orderkey") % 10 =!= 3)

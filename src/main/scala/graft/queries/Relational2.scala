@@ -270,7 +270,7 @@ object Relational2 {
     "q_band_join" -> ((s, d) => {
       val o = ord(s, d).select(col("o_orderkey").as("okey"),
         col("o_orderpriority").as("prio"),
-        round(col("o_totalprice") * 100).cast("long").as("cents"))
+        ExactMoney.centsL(col("o_totalprice")).as("cents"))
       val right = o.select(col("prio"), col("okey").as("b_key"),
         col("cents").as("b_cents"), expr("cents div 2500").as("bkt"))
       val probes = o

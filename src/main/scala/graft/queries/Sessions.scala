@@ -102,7 +102,7 @@ object Sessions {
       val p = e.filter(col("event_type") === "purchase")
         .select(col("user_id"), col("event_id").as("purchase_id"),
           col("secs").as("purchase_s"),
-          round(col("value") * 100).cast("long").as("cents"))
+          ExactMoney.centsL(col("value")).as("cents"))
       val j = p.join(t, Seq("user_id"))
         .filter(col("touch_s") <= col("purchase_s") &&
           col("touch_s") >= col("purchase_s") - 86400)
@@ -360,7 +360,7 @@ object Sessions {
       val rev = e.filter(col("event_type") === "purchase")
         .join(cohort, "user_id")
         .groupBy(col("cw"), (col("wk") - col("cw")).as("offset_weeks"))
-        .agg(sum(round(col("value") * 100).cast("long")).as("rev_cents"))
+        .agg(sum(ExactMoney.centsL(col("value"))).as("rev_cents"))
       val wcum = Window.partitionBy(col("cw")).orderBy(col("offset_weeks"))
         .rowsBetween(Window.unboundedPreceding, 0)
       rev
@@ -605,7 +605,7 @@ object Sessions {
       val rfm = p.groupBy(col("user_id"))
         .agg(max(col("secs")).as("last_s"),
           count(lit(1)).as("f"),
-          sum(round(col("value") * 100).cast("long")).as("m_cents"))
+          sum(ExactMoney.centsL(col("value"))).as("m_cents"))
         .crossJoin(broadcast(anchor))
         .select(col("user_id"),
           least(expr("((t_max - last_s) div 86400) div 2"), lit(5L))

@@ -200,7 +200,7 @@ object TemporalOps {
     "q_cuped" -> ((s, d) => {
       val e = events(s, d).select(col("user_id"),
         expr("unix_timestamp(ts) div 86400").as("day"),
-        col("event_type"), round(col("value") * 100).cast("long").as("cents"))
+        col("event_type"), ExactMoney.centsL(col("value")).as("cents"))
       val dmin = e.agg(min(col("day")).as("d0"))
       val per = e.crossJoin(broadcast(dmin))
         .groupBy(col("user_id"))
