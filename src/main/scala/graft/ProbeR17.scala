@@ -240,7 +240,42 @@ object ProbeR17 {
       moments.agg(sums.head, sums.tail: _*)
     }
 
-    println(f"""[probe-summary] {"sig":${oldSig / newSig}%.2f,"gram":${oldGram / newGram}%.2f,"cos":${oldCos / newCos}%.2f,"cos_agg":${oldCosAgg / newCosAgg}%.2f,"moments":${oldMom / newMom}%.2f}""")
+    // 5. graph-loop checkpointing: eager (one scheduled job per round at
+    //    DataFrame-construction time — the pre-r17 shape) vs lazy (rounds
+    //    fold into the final job as chained stages). Same label-prop
+    //    recurrence, same inputs, same values.
+    val lpEdges = li
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+      .select(explode(array(
+        struct((col("l_partkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst")),
+        struct((col("l_suppkey") * 2 + 1).as("src"),
+          (col("l_partkey") * 2).as("dst")))).as("e"))
+      .select(col("e.src"), col("e.dst")).persistTracked()
+    lpEdges.count()
+    def labelProp(eager: Boolean): DataFrame = {
+      val edges = lpEdges
+      var lbl = edges.select(col("src").as("v")).distinct()
+        .select(col("v"), col("v").as("lbl"))
+      for (_ <- 1 to 3) {
+        lbl = edges.join(lbl, edges("dst") === lbl("v"))
+          .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("c"))
+          .groupBy(col("src"))
+          .agg(max_by(col("lbl"), struct(col("c"), (-col("lbl")).as("nl")))
+            .as("lbl"))
+          .select(col("src").as("v"), col("lbl"))
+          .localCheckpoint(eager)
+      }
+      lbl.groupBy(col("lbl").as("community"))
+        .agg(count(lit(1)).as("n_members"))
+    }
+    val (eagerLp, lazyLp) = ab("label-prop eager vs lazy ckpt") {
+      labelProp(eager = true)
+    } {
+      labelProp(eager = false)
+    }
+
+    println(f"""[probe-summary] {"sig":${oldSig / newSig}%.2f,"gram":${oldGram / newGram}%.2f,"cos":${oldCos / newCos}%.2f,"cos_agg":${oldCosAgg / newCosAgg}%.2f,"moments":${oldMom / newMom}%.2f,"graphloop":${eagerLp / lazyLp}%.2f}""")
     graft.operators.Persisted.releaseAll(spark)
     spark.stop()
   }

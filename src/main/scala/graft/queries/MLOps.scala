@@ -54,7 +54,10 @@ object MLOps {
             first(col("n")), 9).as("w1"),
           round(first(col("w2")) - sum(col("r") * col("x2")) /
             first(col("n")), 9).as("w2"))
-        .localCheckpoint()
+        // lazy: the next step's broadcast build materializes-and-caches
+        // this 1-row frame — the eager form paid an extra scheduled job
+        // per GD step at construction time (r17, the GraphOps device)
+        .localCheckpoint(false)
     }
     w
   }
