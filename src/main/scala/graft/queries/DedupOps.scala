@@ -995,9 +995,14 @@ object DedupOps {
         .select(col("doc_a").as("x"), col("doc_b").as("y"), col("jaccard"))
         .unionByName(pairs
           .select(col("doc_b").as("x"), col("doc_a").as("y"), col("jaccard")))
+      // r17: `best` feeds BOTH reciprocal joins — uncached, the plan
+      // contained the directed-union + two-phase max_by pipeline TWICE
+      // (verified in plans/r17/q_er_best_match_before.txt, two
+      // partial_max_by/max_by stacks). One pass, cached.
       val best = directed.groupBy(col("x"))
         .agg(max_by(col("y"),
           struct(col("jaccard"), (-col("y")).as("ny"))).as("best"))
+        .persistTracked()
       pairs
         .join(best.select(col("x").as("doc_a"), col("best").as("ba")), "doc_a")
         .join(best.select(col("x").as("doc_b"), col("best").as("bb")), "doc_b")
